@@ -1,0 +1,289 @@
+"""Query registry: every implemented operator exposed as a
+(spark, sf_dir) -> DataFrame callable plus (where SQL-expressible) a
+DuckDB oracle string. ``__spark_entry__.py`` re-exports these for the
+driver's correctness gate.
+
+Conventions (enforced here, relied on by the driver):
+ - every computed column is aliased identically in the Spark query and
+   the oracle SQL;
+ - double-valued aggregates use exact integer-cents arithmetic
+   (``functions/exact.py``) so both engines produce bit-equal values;
+ - result keys are cast to string where the reference semantics call
+   for a string tag id.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import projections, stats, wordcount
+from .sources.tables import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a query (and optionally its DuckDB oracle SQL)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle.strip()
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# Reference surface (SURVEY.md §2.1)
+# --------------------------------------------------------------------------
+
+@query(
+    "src_kafka_stream",
+    """
+    SELECT event_id, user_id, event_type, value, props FROM events
+    """,
+)
+def q_src_kafka_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op #1 — source scan (batch stand-in for the Kafka receiver,
+    ``KafkaStreamAverageCalculator.java:66-67``). The parquet scan is
+    the pushdown/pruning target verified in tests/test_plans.py."""
+    return load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "props"
+    )
+
+
+# A1-shaped record synthesis: the reference consumes JSON documents
+# {"readTag_id": <str>, "readValue": "<string-encoded double>"} (Q1).
+# We synthesize that exact shape from `events` with fixed-scale DECIMAL
+# rendering so Spark and DuckDB build byte-identical strings.
+def _a1_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    doc = F.concat(
+        F.lit('{"readTag_id": "'),
+        F.col("event_type"),
+        F.lit('", "readValue": "'),
+        F.col("value").cast("decimal(14,2)").cast("string"),
+        F.lit('"}'),
+    )
+    return ev.select(F.col("event_id"), doc.alias("value"))
+
+
+_A1_SQL = """
+SELECT event_id,
+       '{"readTag_id": "' || event_type || '", "readValue": "'
+         || CAST(CAST(value AS DECIMAL(14,2)) AS VARCHAR) || '"}' AS value
+FROM events
+"""
+
+
+@query(
+    "proj_json_extract_pair",
+    f"""
+    WITH a1 AS ({_A1_SQL})
+    SELECT json_extract_string(value, '$.readTag_id') AS readTag_id,
+           CAST(json_extract_string(value, '$.readValue') AS DOUBLE) AS readValue
+    FROM a1
+    """,
+)
+def q_proj_json_extract_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op #2 — JSON value → (readTag_id, readValue double), Q1
+    string-encoded-double semantics
+    (``KafkaStreamAverageCalculator.java:80-81, 201-215``)."""
+    return projections.json_extract_pair(
+        _a1_records(spark, sf_dir), "value", "readTag_id", "readValue"
+    )
+
+
+@query(
+    "proj_json_extract_single",
+    f"""
+    WITH a1 AS ({_A1_SQL})
+    SELECT json_extract_string(value, '$.readTag_id') AS line FROM a1
+    """,
+)
+def q_proj_json_extract_single(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op #11 — tag-only projection
+    (``KafkaStreamPropertyAggregator.java:64-72``)."""
+    return projections.json_extract_single(_a1_records(spark, sf_dir), "value", "readTag_id")
+
+
+@query(
+    "fn_json_get_string",
+    """
+    SELECT event_id, json_extract_string(props, '$.k') AS k_str FROM events
+    """,
+)
+def q_fn_json_get_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op #3 — JSON string-field extraction over events.props
+    (``KafkaStreamAverageCalculator.java:202-203``)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.get_json_object("props", "$.k").alias("k_str")
+    )
+
+
+@query(
+    "fn_cast_string_double",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_val
+    FROM events
+    """,
+)
+def q_fn_cast_string_double(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op #4 — ``Double.parseDouble`` equivalent: string→double cast,
+    NULL (not exception) on garbage
+    (``KafkaStreamAverageCalculator.java:210-211``)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("double").alias("k_val"),
+    )
+
+
+@query(
+    "fn_scalar_min_max",
+    """
+    SELECT value AS v,
+           LEAST(value, 0.0) AS least_zero,
+           GREATEST(value, 0.0) AS greatest_zero
+    FROM events
+    """,
+)
+def q_fn_scalar_min_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op #6 — scalar min/max (``Math.min``/``Math.max`` fold step,
+    ``KafkaStreamAverageCalculator.java:141-142``)."""
+    return projections.scalar_min_max(load_table(spark, sf_dir, "events"), "value")
+
+
+@query(
+    "agg_running_stats",
+    stats.stats_oracle_sql("events", "user_id", "value"),
+)
+def q_agg_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op #5 (flagship) — per-key cumulative sum/count/sumsqr/min/max/
+    mean/variance (``KafkaStreamAverageCalculator.java:102-171``),
+    declarative groupBy/agg form."""
+    return stats.running_stats(load_table(spark, sf_dir, "events"), "user_id", "value")
+
+
+@query(
+    "agg_running_stats_by_type",
+    stats.stats_oracle_sql("events", "event_type", "value"),
+)
+def q_agg_running_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op #5 variant keyed by event_type (low-cardinality key — the
+    reference's actual key shape, 10-100 distinct tags)."""
+    return stats.running_stats(
+        load_table(spark, sf_dir, "events"), "event_type", "value"
+    )
+
+
+_STATS_BY_TYPE_CTE = stats.stats_oracle_sql("events", "event_type", "value")
+
+
+@query(
+    "proj_wrap_array",
+    f"""
+    WITH s AS ({_STATS_BY_TYPE_CTE})
+    SELECT readTag_id,
+           [summer, counter, sumsqr, bestmin, bestmax, mean, var] AS stats
+    FROM s
+    """,
+)
+def q_proj_wrap_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op #9 — stats row → array<double> display wrap
+    (``KafkaStreamAverageCalculator.java:185-186``)."""
+    return projections.wrap_stats_array(
+        stats.running_stats(load_table(spark, sf_dir, "events"), "event_type", "value")
+    )
+
+
+@query(
+    "sink_kafka_json",
+    f"""
+    WITH s AS ({_STATS_BY_TYPE_CTE})
+    SELECT readTag_id AS key,
+           '{{"readTag_id":"' || readTag_id
+             || '","summer":'  || CAST(CAST(summer  AS DECIMAL(18,4)) AS VARCHAR)
+             || ',"counter":'  || CAST(CAST(counter AS DECIMAL(18,4)) AS VARCHAR)
+             || ',"sumsqr":'   || CAST(CAST(sumsqr  AS DECIMAL(18,4)) AS VARCHAR)
+             || ',"bestmin":'  || CAST(CAST(bestmin AS DECIMAL(18,4)) AS VARCHAR)
+             || ',"bestmax":'  || CAST(CAST(bestmax AS DECIMAL(18,4)) AS VARCHAR)
+             || ',"mean":'     || CAST(CAST(mean    AS DECIMAL(18,4)) AS VARCHAR)
+             || ',"var":'      || CAST(CAST(var     AS DECIMAL(18,4)) AS VARCHAR)
+             || '}}' AS value
+    FROM s
+    """,
+)
+def q_sink_kafka_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op #8 — result POJO → JSON Kafka record (key, value)
+    (``KafkaStreamAverageCalculator.java:164-168, 193-199``;
+    ``kafka/KafkaProducer.java:52-54``). Fixed-scale DECIMAL rendering
+    for engine-portable number text; the streaming sink uses idiomatic
+    ``to_json(struct(...))``."""
+    return projections.stats_to_kafka_record(
+        stats.running_stats(load_table(spark, sf_dir, "events"), "event_type", "value")
+    )
+
+
+@query(
+    "op_flatmap_tokenize",
+    """
+    SELECT word FROM (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ) t WHERE word <> ''
+    """,
+)
+def q_op_flatmap_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op #12 — flatMap split-on-space
+    (``KafkaStreamPropertyAggregator.java:74-79``)."""
+    return wordcount.tokenize(load_table(spark, sf_dir, "documents"), "text")
+
+
+@query(
+    "agg_batch_wordcount",
+    """
+    SELECT word, COUNT(*) AS cnt FROM (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ) t WHERE word <> '' GROUP BY word
+    """,
+)
+def q_agg_batch_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op #13 — word count (``KafkaStreamPropertyAggregator.java:81-94``);
+    per-micro-batch scoping is the streaming variant (SURVEY.md Q2)."""
+    return wordcount.word_count(load_table(spark, sf_dir, "documents"), "text")
+
+
+@query(
+    "agg_naive_variance",
+    """
+    SELECT CAST(event_type AS VARCHAR) AS readTag_id,
+           CASE WHEN COUNT(value) > 1 THEN
+             (CAST(SUM(CAST(round(value*100) AS DECIMAL(18,0))
+                     * CAST(round(value*100) AS DECIMAL(18,0))) AS DOUBLE) / 10000.0
+               - (CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100.0)
+                 * (CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100.0)
+                 / CAST(COUNT(value) AS DOUBLE))
+             / CAST(COUNT(value) - 1 AS DOUBLE)
+           ELSE 0.0 END AS var_naive
+    FROM events GROUP BY 1
+    """,
+)
+def q_agg_naive_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op #17 — the reference's commented-out naive variance
+    cross-check (``KafkaStreamAverageCalculator.java:174-182``),
+    promoted to a first-class query."""
+    from .functions.exact import var_exact
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.col("event_type").cast("string").alias("readTag_id")).agg(
+        var_exact("value").alias("var_naive")
+    )

@@ -1,0 +1,54 @@
+"""Batch table sources over the driver-generated parquet fixtures.
+
+The reference's only source is a receiver-based Kafka 0.8 DStream
+(``KafkaStreamAverageCalculator.java:66-67``). The rebuild's batch
+stand-in (SURVEY.md §2.1 #1 ``src_kafka_stream``) is a parquet scan of
+the ``events`` table, whose ``props`` JSON-string column plays the role
+of the Kafka record value. Streaming sources live in
+``streaming/pipelines.py``.
+
+Parquet scans here are where Catalyst pushdown lands: any filter /
+column selection applied by downstream operators reaches the scan as
+``PushedFilters`` / pruned ``ReadSchema`` — verified in
+``tests/test_plans.py``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The fixture `events.ts` is parquet TIMESTAMP(NANOS), which Spark
+    # rejects unless nanos are read as raw longs. Set it here (it is a
+    # runtime-settable session conf) so the operator surface works on
+    # any caller-provided SparkSession, not just ours.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for ``spark.sql``."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
