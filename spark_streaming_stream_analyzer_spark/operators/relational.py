@@ -1,0 +1,607 @@
+"""Extended relational surface (SURVEY.md §2.2 / build plan M4).
+
+The reference implements none of these (it has no filter, join, window,
+sort, or set operation anywhere — SURVEY.md §2.2 table); they are part
+of the "same query capabilities" north star and arrive almost entirely
+from Catalyst. This module defines the query shapes Spark-first and
+scale-first:
+
+ - **joins**: small dimensions are broadcast (`F.broadcast`) so the
+   fact-table scan never shuffles for them; the big fact-fact join
+   (lineitem ⋈ orders) is a shuffle hash/sort-merge join on the key
+   both sides need anyway. At 100 TB the same plan holds: broadcasting
+   region/nation/supplier/part is O(MB); only orders⋈lineitem shuffles.
+ - **aggregations** are partial+final HashAggregate (map-side combine)
+   — only |groups| rows cross the shuffle.
+ - **top-k** is computed with a deterministic total order (explicit
+   tiebreak column) so LIMIT selection is stable under any parallelism.
+ - money arithmetic routes through ``functions/exact.py`` for
+   bit-deterministic results (see that module's rationale).
+
+TPC-H-shaped queries are adapted to the fixture schema (no
+l_shipmode/p_container etc.; see FIXTURES.md §B).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.exact import avg_money, cents, cents_dec, sum_money
+from ..sources.tables import load_table
+
+
+def _disc_price_cents2(ext, disc):
+    """(l_extendedprice * (1 - l_discount)) in exact 1e-4 units:
+    ext_cents * (100 - disc_cents), DECIMAL(38,0)-safe."""
+    return cents_dec(ext) * (F.lit(100).cast("decimal(18,0)") - cents_dec(disc))
+
+
+DISC_PRICE_SQL = (
+    "CAST(round(l_extendedprice*100) AS DECIMAL(18,0))"
+    " * (CAST(100 AS DECIMAL(18,0)) - CAST(round(l_discount*100) AS DECIMAL(18,0)))"
+)
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy aggregate with map-side combine.
+
+    Filter (l_shipdate <= cutoff) is pushed to the parquet scan;
+    the aggregate shuffles only |R|x|L| = 6 group rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    charge = _disc_price_cents2("l_extendedprice", "l_discount") * (
+        F.lit(100).cast("decimal(18,0)") + cents_dec("l_tax")
+    )
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            sum_money("l_quantity").alias("sum_qty"),
+            sum_money("l_extendedprice").alias("sum_base_price"),
+            (
+                F.sum(_disc_price_cents2("l_extendedprice", "l_discount")).cast("double")
+                / F.lit(10000.0)
+            ).alias("sum_disc_price"),
+            (F.sum(charge).cast("double") / F.lit(1000000.0)).alias("sum_charge"),
+            avg_money("l_quantity").alias("avg_qty"),
+            avg_money("l_extendedprice").alias("avg_price"),
+            avg_money("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty,
+  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_base_price,
+  CAST(SUM({DISC_PRICE_SQL}) AS DOUBLE)/10000.0 AS sum_disc_price,
+  CAST(SUM({DISC_PRICE_SQL}
+        * (CAST(100 AS DECIMAL(18,0)) + CAST(round(l_tax*100) AS DECIMAL(18,0)))) AS DOUBLE)/1000000.0 AS sum_charge,
+  (CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0)/CAST(COUNT(l_quantity) AS DOUBLE) AS avg_qty,
+  (CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0)/CAST(COUNT(l_extendedprice) AS DOUBLE) AS avg_price,
+  (CAST(SUM(CAST(round(l_discount*100) AS BIGINT)) AS DOUBLE)/100.0)/CAST(COUNT(l_discount) AS DOUBLE) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dimension filter → fact join → top-k.
+
+    customer is small → broadcast into orders; orders⋈lineitem is the
+    one shuffle join (both sides keyed on orderkey). Top-10 uses a
+    deterministic tiebreak (revenue desc, l_orderkey asc) so the LIMIT
+    is stable under any partitioning — required for the oracle and for
+    reproducibility at scale.
+    """
+    cu = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    od = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01")
+    )
+    return (
+        li.join(
+            od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey),
+            li.l_orderkey == od.o_orderkey,
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            (
+                F.sum(_disc_price_cents2("l_extendedprice", "l_discount")).cast(
+                    "double"
+                )
+                / F.lit(10000.0)
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = f"""
+SELECT l_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate, o_orderpriority,
+       CAST(SUM({DISC_PRICE_SQL}) AS DOUBLE)/10000.0 AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join, all dimensions broadcast.
+
+    Only orders⋈lineitem shuffles; region/nation/customer/supplier ride
+    along as broadcast hash joins. The c_nationkey = s_nationkey
+    "local supplier" condition is applied post-join as a filter.
+    """
+    re_ = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    na = load_table(spark, sf_dir, "nation")
+    cu = load_table(spark, sf_dir, "customer")
+    su = load_table(spark, sf_dir, "supplier")
+    od = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .filter(cu.c_nationkey == su.s_nationkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(F.broadcast(re_), na.n_regionkey == re_.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            (
+                F.sum(_disc_price_cents2("l_extendedprice", "l_discount")).cast(
+                    "double"
+                )
+                / F.lit(10000.0)
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc())
+    )
+
+
+Q5_SQL = f"""
+SELECT n_name, CAST(SUM({DISC_PRICE_SQL}) AS DOUBLE)/10000.0 AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC
+"""
+
+
+def join_broadcast_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast equi-join: lineitem ⋈ part (dimension), revenue per brand."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            sum_money("l_extendedprice").alias("brand_revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+JOIN_BROADCAST_SQL = """
+SELECT p_brand,
+       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS brand_revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers that placed a >4500-value order."""
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 4500.0)
+    return cu.join(od, cu.c_custkey == od.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+JOIN_SEMI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 4500.0)
+"""
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no 'F'-status order."""
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return cu.join(od, cu.c_custkey == od.o_custkey, "left_anti").select(
+        "c_custkey", "c_nationkey"
+    )
+
+
+JOIN_ANTI_SQL = """
+SELECT c_custkey, c_nationkey FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+"""
+
+
+def join_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each event, the user's most recent order at or
+    before the event time (Spark lacks a native ASOF join — composed as
+    range join + max-by-struct reduction; DuckDB oracle uses a
+    correlated window form).
+
+    Scale path: orders per user are bounded, so the range join fans out
+    modestly; the max(struct) aggregation collapses it back with
+    map-side combine. Tiebreak on o_orderkey makes ties deterministic.
+    `ts` arrives as bigint nanos (parquet NANOS) → convert to seconds.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.timestamp_seconds(F.col("ts") / F.lit(1_000_000_000)).alias("ev_ts"),
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    joined = ev.join(
+        F.broadcast(od),
+        (ev.user_id == od.o_custkey) & (od.o_orderdate <= ev.ev_ts),
+        "inner",
+    )
+    picked = joined.groupBy("event_id").agg(
+        F.max(
+            F.struct("o_orderdate", "o_orderkey", "o_totalprice")
+        ).alias("best")
+    )
+    return picked.select(
+        "event_id",
+        F.col("best.o_orderkey").alias("o_orderkey"),
+        F.col("best.o_orderdate").cast("date").cast("string").alias("o_orderdate"),
+        F.col("best.o_totalprice").alias("o_totalprice"),
+    )
+
+
+JOIN_ASOF_SQL = """
+WITH ev AS (
+  SELECT event_id, user_id, ts FROM events
+), ranked AS (
+  SELECT ev.event_id, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+         row_number() OVER (PARTITION BY ev.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM ev JOIN orders o
+    ON ev.user_id = o.o_custkey AND o.o_orderdate <= ev.ts
+)
+SELECT event_id, o_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate, o_totalprice
+FROM ranked WHERE rn = 1
+"""
+
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(returnflag, linestatus) with grouping_id."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        sum_money("l_quantity").alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+AGG_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty,
+       COUNT(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(orderstatus, orderpriority) over order totals."""
+    od = load_table(spark, sf_dir, "orders")
+    return od.cube("o_orderstatus", "o_orderpriority").agg(
+        sum_money("o_totalprice").alias("sum_total"),
+        F.count("*").alias("n"),
+    )
+
+
+AGG_CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_total,
+       COUNT(*) AS n
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts by retail price per brand — row_number over a
+    deterministic order (price desc, partkey asc)."""
+    pa = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    return (
+        pa.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rn")
+    )
+
+
+WINDOW_TOPK_SQL = """
+SELECT p_brand, p_partkey, p_retailprice, rn FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey) AS rn
+  FROM part
+) t WHERE rn <= 3
+"""
+
+
+def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window pack over each customer's order history:
+    rank, lag, lead, running exact sum, moving count (3-row frame)."""
+    od = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    mov = w.rowsBetween(-2, 0)
+    return od.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").cast("string").alias("o_orderdate"),
+        "o_totalprice",
+        F.rank().over(w).alias("rnk"),
+        F.lag("o_totalprice", 1).over(w).alias("prev_total"),
+        F.lead("o_totalprice", 1).over(w).alias("next_total"),
+        (F.sum(cents("o_totalprice")).over(run).cast("double") / F.lit(100.0)).alias(
+            "running_total"
+        ),
+        F.count("*").over(mov).alias("moving_n"),
+    )
+
+
+WINDOW_ANALYTICS_SQL = """
+SELECT o_custkey, o_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate, o_totalprice,
+  rank() OVER w AS rnk,
+  lag(o_totalprice, 1) OVER w AS prev_total,
+  lead(o_totalprice, 1) OVER w AS next_total,
+  CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT))
+       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)/100.0
+    AS running_total,
+  COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_n
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 orders by total price (deterministic tiebreak).
+    Catalyst plans this as TakeOrderedAndProject — per-partition top-k
+    then a driver-side merge of k·p rows, no full sort at scale."""
+    od = load_table(spark, sf_dir, "orders")
+    return (
+        od.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(20)
+    )
+
+
+SORT_LIMIT_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+"""
+
+
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over customer vs supplier nations,
+    tagged by which set-op produced the row."""
+    cu = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    su = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    union = cu.union(su).distinct().withColumn("op", F.lit("union"))
+    inter = cu.intersect(su).withColumn("op", F.lit("intersect"))
+    exc = cu.subtract(su).withColumn("op", F.lit("except"))
+    return union.union(inter).union(exc)
+
+
+SET_OPS_SQL = """
+SELECT nationkey, 'union' AS op FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  UNION SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT nationkey, 'intersect' AS op FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  INTERSECT SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT nationkey, 'except' AS op FROM (
+  SELECT DISTINCT c_nationkey AS nationkey FROM customer
+  EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+"""
+
+
+def distinct_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT on a compound key (dropDuplicates)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+DISTINCT_SQL = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar-function pack over part names."""
+    pa = load_table(spark, sf_dir, "part")
+    return pa.select(
+        "p_partkey",
+        F.lower("p_name").alias("lower_name"),
+        F.upper("p_brand").alias("upper_brand"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_pre"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_extract("p_brand", r"#(\d+)", 1).alias("brand_num"),
+        F.replace(F.col("p_type"), F.lit("A"), F.lit("_")).alias("type_repl"),
+        F.lpad("p_brand", 12, "*").alias("brand_pad"),
+        F.trim(F.lit("  x  ")).alias("trimmed"),
+        F.levenshtein("p_brand", "p_type").alias("lev"),
+    )
+
+
+STRING_FUNCS_SQL = """
+SELECT p_partkey,
+  lower(p_name) AS lower_name,
+  upper(p_brand) AS upper_brand,
+  CAST(length(p_name) AS INT) AS name_len,
+  substr(p_name, 1, 5) AS name_pre,
+  p_brand || '|' || p_type AS brand_type,
+  regexp_extract(p_brand, '#(\\d+)', 1) AS brand_num,
+  replace(p_type, 'A', '_') AS type_repl,
+  lpad(p_brand, 12, '*') AS brand_pad,
+  trim('  x  ') AS trimmed,
+  levenshtein(p_brand, p_type) AS lev
+FROM part
+"""
+
+
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar-function pack over orders."""
+    od = load_table(spark, sf_dir, "orders")
+    return od.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.date_trunc("month", "o_orderdate").cast("date").cast("string").alias("month_start"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "days_to_2002"
+        ),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).cast("string").alias("due_date"),
+        F.quarter("o_orderdate").alias("qtr"),
+    )
+
+
+DATE_FUNCS_SQL = """
+SELECT o_orderkey,
+  CAST(year(o_orderdate) AS INT) AS yr,
+  CAST(month(o_orderdate) AS INT) AS mo,
+  CAST(day(o_orderdate) AS INT) AS dom,
+  CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS month_start,
+  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT) AS days_to_2002,
+  CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS due_date,
+  CAST(quarter(o_orderdate) AS INT) AS qtr
+FROM orders
+"""
+
+
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar-function pack over embeddings (size / element_at /
+    slice / higher-order transform + ordered fold).
+
+    The fold mirrors DuckDB ``list_reduce`` element order exactly
+    (left fold, 0.0 seed is an IEEE no-op) so sums are bit-equal.
+    """
+    em = load_table(spark, sf_dir, "embeddings")
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    return em.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_val"),
+        F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x).alias("vec_sum"),
+        F.aggregate(
+            F.transform(as_double, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        ).alias("vec_sumsq"),
+        F.size(F.filter(as_double, lambda x: x > 0)).alias("n_positive"),
+    )
+
+
+ARRAY_FUNCS_SQL = """
+SELECT vec_id,
+  CAST(len(embedding) AS INT) AS dim,
+  CAST(embedding[1] AS DOUBLE) AS first_val,
+  list_reduce(list_prepend(0.0, list_transform(embedding, x -> CAST(x AS DOUBLE))),
+              (a, x) -> a + x) AS vec_sum,
+  list_reduce(list_prepend(0.0, list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, x) -> a + x) AS vec_sumsq,
+  CAST(len(list_filter(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                       x -> x > 0)) AS INT) AS n_positive
+FROM embeddings
+"""
+
+
+def count_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) per group (expand-based two-phase agg)."""
+    od = load_table(spark, sf_dir, "orders")
+    return od.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+COUNT_DISTINCT_SQL = """
+SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_custs, COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates — HLL++ count-distinct and quantile
+    sketch. No DuckDB oracle (sketch internals differ by engine);
+    the driver records a rows-only check and tests/test_relational.py
+    bounds the error against the exact values."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+    )
+
+
+def percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median per group (maps to DuckDB
+    quantile_cont). l_quantity is integer-valued so the interpolation
+    is FP-exact in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.5).alias("median_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+PERCENTILE_SQL = """
+SELECT l_returnflag,
+       CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE) AS median_qty,
+       MIN(l_quantity) AS min_qty,
+       MAX(l_quantity) AS max_qty
+FROM lineitem GROUP BY l_returnflag
+"""

@@ -287,3 +287,31 @@ def q_agg_naive_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy(F.col("event_type").cast("string").alias("readTag_id")).agg(
         var_exact("value").alias("var_naive")
     )
+
+
+# --------------------------------------------------------------------------
+# Extended relational surface (SURVEY.md §2.2, build plan M4)
+# --------------------------------------------------------------------------
+
+from .operators import relational as _rel  # noqa: E402
+
+query("q1_pricing_summary", _rel.Q1_SQL)(_rel.q1_pricing_summary)
+query("q3_shipping_priority", _rel.Q3_SQL)(_rel.q3_shipping_priority)
+query("q5_local_supplier_volume", _rel.Q5_SQL)(_rel.q5_local_supplier_volume)
+query("join_broadcast_agg", _rel.JOIN_BROADCAST_SQL)(_rel.join_broadcast_agg)
+query("join_semi", _rel.JOIN_SEMI_SQL)(_rel.join_semi)
+query("join_anti", _rel.JOIN_ANTI_SQL)(_rel.join_anti)
+query("join_asof_latest_order", _rel.JOIN_ASOF_SQL)(_rel.join_asof_latest_order)
+query("agg_rollup", _rel.AGG_ROLLUP_SQL)(_rel.agg_rollup)
+query("agg_cube", _rel.AGG_CUBE_SQL)(_rel.agg_cube)
+query("window_topk_per_group", _rel.WINDOW_TOPK_SQL)(_rel.window_topk_per_group)
+query("window_analytics", _rel.WINDOW_ANALYTICS_SQL)(_rel.window_analytics)
+query("sort_limit_topk", _rel.SORT_LIMIT_SQL)(_rel.sort_limit_topk)
+query("set_ops", _rel.SET_OPS_SQL)(_rel.set_ops)
+query("distinct_dedup", _rel.DISTINCT_SQL)(_rel.distinct_dedup)
+query("string_funcs", _rel.STRING_FUNCS_SQL)(_rel.string_funcs)
+query("date_funcs", _rel.DATE_FUNCS_SQL)(_rel.date_funcs)
+query("array_funcs", _rel.ARRAY_FUNCS_SQL)(_rel.array_funcs)
+query("count_distinct_exact", _rel.COUNT_DISTINCT_SQL)(_rel.count_distinct_exact)
+query("approx_aggs", None)(_rel.approx_aggs)  # sketches differ per engine: rows-only
+query("percentile_exact", _rel.PERCENTILE_SQL)(_rel.percentile_exact)
