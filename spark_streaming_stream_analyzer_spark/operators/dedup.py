@@ -1,0 +1,330 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four tiers, from cheap to semantic (build plan M5; no reference
+counterpart — the reference has no dedup of any kind, SURVEY.md §2.2):
+
+ 1. exact       — hash-groupBy on the dedup key (one shuffle of
+                  distinct keys only, map-side combine).
+ 2. ngram       — exact n-gram-shingle Jaccard over candidate pairs
+                  from a shingle-equality self-join. Quadratic in
+                  per-shingle document frequency → small-scale oracle
+                  and verification tier.
+ 3. minhash+LSH — the 100 TB path: constant-size signature per doc
+                  (SIG_N portable hashes over shingles), banded into
+                  LSH buckets; only bucket-colliding pairs are
+                  verified. Cost is linear in corpus + output pairs.
+ 4. simhash     — 32-bit weighted fingerprint per doc; near-dups have
+                  small Hamming distance. Emitted as a per-doc
+                  fingerprint (pair search = band the fingerprint).
+
+All hash math uses the engine-portable md5-based ``hash64`` so the
+DuckDB oracle reproduces results exactly (``functions/hashing.py``).
+Jaccard/similarity divisions are integer-operand double divides —
+bit-identical across engines.
+
+Scale notes (1000-executor / 100 TB):
+ - shingling + signature build is embarrassingly parallel, no shuffle;
+ - the only shuffles are groupBy(doc,perm) for signature mins and the
+   band-bucket self-join, whose fan-out is controlled by band width
+   (wider rows-per-band → fewer false candidates);
+ - hot buckets (boilerplate docs) are the skew risk: AQE skew-join
+   handles moderate skew, and a bucket-size cap (drop buckets with
+   > N members into a quarantine list) bounds the worst case — at
+   sf scale we keep all buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash64
+from ..sources.tables import load_table
+
+SIG_N = 32          # minhash permutations
+BAND_ROWS = 4       # rows per LSH band → 8 bands
+SHINGLE_K = 3       # words per shingle
+
+
+# ---------------------------------------------------------------- exact --
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup of events on (user_id, event_type): keep the lowest
+    event_id per group. Hash-aggregate, map-side combined."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("keep_event_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT user_id, event_type, MIN(event_id) AS keep_event_id, COUNT(*) AS n_copies
+FROM events GROUP BY user_id, event_type
+"""
+
+
+# ------------------------------------------------------------- shingles --
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) — distinct word-K-grams per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - SHINGLE_K),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(words, i + 1),
+            F.element_at(words, i + 2),
+            F.element_at(words, i + 3),
+        ),
+    )
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
+    )
+
+
+_SHINGLES_SQL = """
+SELECT DISTINCT doc_id, shingle FROM (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                i -> string_split(text, ' ')[i] || ' '
+                  || string_split(text, ' ')[i+1] || ' '
+                  || string_split(text, ' ')[i+2])) AS shingle
+  FROM documents
+) t
+"""
+
+
+# ------------------------------------------------------- exact jaccard --
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (J >= 0.4), doc_a < doc_b.
+
+    Candidate generation is a self-join on shingle equality; J is
+    computed from exact integer set sizes. This is the ground-truth
+    tier the probabilistic tiers are validated against.
+    """
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.4)
+    )
+
+
+DEDUP_NGRAM_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(n_common AS DOUBLE)
+         / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE)
+         / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.4
+"""
+
+
+# --------------------------------------------------------- minhash+LSH --
+
+def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, perm i, minhash) — SIG_N portable min-hashes per doc.
+
+    Permutation i is realized by re-hashing the shingle with a seed
+    prefix (md5 is the engine-portable hash; see functions/hashing.py),
+    avoiding 64-bit mulmod overflow that a*h+b permutations would need.
+    """
+    sh = _shingles(spark, sf_dir)
+    expanded = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(SIG_N - 1))).alias("i"),
+        "shingle",
+    )
+    h = hash64(F.concat(F.col("i").cast("string"), F.lit("|"), F.col("shingle")))
+    return (
+        expanded.select("doc_id", "i", h.alias("h"))
+        .groupBy("doc_id", "i")
+        .agg(F.min("h").alias("minh"))
+    )
+
+
+_SIG_SQL = f"""
+SELECT doc_id, i, MIN(CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || shingle), 1, 15) AS BIGINT)) AS minh
+FROM ({_SHINGLES_SQL}) sh, range({SIG_N}) t(i)
+GROUP BY doc_id, i
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs with estimated Jaccard >= 0.5.
+
+    Pipeline: signatures → band keys (concat of BAND_ROWS mins in perm
+    order) → self-join on (band, key) for candidates → verify by
+    signature agreement fraction. Only candidates are verified — the
+    all-pairs comparison never happens, which is what makes this the
+    100 TB tier.
+    """
+    sig = _signatures(spark, sf_dir).cache()
+    bands = (
+        sig.withColumn("band", (F.col("i") / BAND_ROWS).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "minh"))),
+                    lambda s: s.getField("minh").cast("string"),
+                ),
+            ).alias("band_key")
+        )
+    )
+    ba = bands.alias("ba")
+    bb = bands.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.band_key") == F.col("bb.band_key"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(
+            F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    siga = sig.select(
+        F.col("doc_id").alias("doc_a"), "i", F.col("minh").alias("minh_a")
+    )
+    sigb = sig.select(
+        F.col("doc_id").alias("doc_b"), "i", F.col("minh").alias("minh_b")
+    )
+    return (
+        cand.join(siga, "doc_a")
+        .join(sigb, ["doc_b", "i"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("minh_a") == F.col("minh_b"), 1).otherwise(0)
+                ).cast("double")
+                / F.lit(float(SIG_N))
+            ).alias("est_jaccard")
+        )
+        .filter(F.col("est_jaccard") >= 0.5)
+    )
+
+
+DEDUP_MINHASH_SQL = f"""
+WITH sig AS ({_SIG_SQL}),
+bands AS (
+  SELECT doc_id, CAST(i // {BAND_ROWS} AS INT) AS band,
+         string_agg(CAST(minh AS VARCHAR), ',' ORDER BY i) AS band_key
+  FROM sig GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT ba.doc_id AS doc_a, bb.doc_id AS doc_b
+  FROM bands ba JOIN bands bb
+    ON ba.band = bb.band AND ba.band_key = bb.band_key
+   AND ba.doc_id < bb.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(SUM(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) AS DOUBLE)
+         / {float(SIG_N)} AS est_jaccard
+FROM cand
+JOIN sig sa ON sa.doc_id = doc_a
+JOIN sig sb ON sb.doc_id = doc_b AND sb.i = sa.i
+GROUP BY doc_a, doc_b
+HAVING CAST(SUM(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) AS DOUBLE)
+         / {float(SIG_N)} >= 0.5
+"""
+
+
+# -------------------------------------------------------------- simhash --
+
+SIMHASH_BITS = 32
+
+
+def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document from word-unigram hashes (with
+    multiplicity as the weight). Near-dup docs differ in few bits;
+    pair search at scale bands the fingerprint bytes (not done here —
+    the fingerprint itself is the oracle-checked output)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    h = hash64("word")
+    bits = words.select(
+        "doc_id",
+        h.alias("h"),
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
+    )
+    # bit b of h via mask (shiftright needs a literal shift in Spark);
+    # mask = 2^b is exact in double → exact as long
+    mask = F.pow(F.lit(2.0), F.col("b")).cast("long")
+    contrib = bits.select(
+        "doc_id",
+        "b",
+        (
+            F.when(F.col("h").bitwiseAND(mask) != 0, 1).otherwise(0) * 2 - 1
+        ).alias("w"),
+    )
+    bitvals = contrib.groupBy("doc_id", "b").agg(
+        F.sum("w").alias("s")
+    ).select(
+        "doc_id",
+        F.when(
+            F.col("s") > 0, F.pow(F.lit(2.0), F.col("b")).cast("long")
+        ).otherwise(F.lit(0)).alias("bitval"),
+    )
+    return bitvals.groupBy("doc_id").agg(F.sum("bitval").alias("simhash"))
+
+
+SIMHASH_SQL = f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+hashed AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) AS h
+  FROM words WHERE word <> ''
+),
+contrib AS (
+  SELECT doc_id, b,
+         (CASE WHEN (h & CAST(power(2, b) AS BIGINT)) <> 0 THEN 1 ELSE 0 END) * 2 - 1 AS w
+  FROM hashed, range({SIMHASH_BITS}) t(b)
+),
+bitvals AS (
+  SELECT doc_id,
+         CASE WHEN SUM(w) > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END AS bitval
+  FROM contrib GROUP BY doc_id, b
+)
+SELECT doc_id, CAST(SUM(bitval) AS BIGINT) AS simhash FROM bitvals GROUP BY doc_id
+"""

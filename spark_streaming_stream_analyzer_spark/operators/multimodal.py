@@ -1,0 +1,173 @@
+"""Multimodal-column operators (build plan M5).
+
+Treats image/audio/video payloads as opaque ``binary`` columns with a
+typed metadata struct — the pattern that scales to 100 TB because the
+blob never leaves the executor and per-batch work flows through
+Arrow-backed Pandas UDFs (``mapInPandas``), not row-at-a-time Python.
+
+The container has no image/audio codecs, so the *decode* kernels are
+STUBS (clearly marked, raising ``NotImplementedError``) or
+deterministic fakes; the Spark-side plumbing — schema, batch iteration,
+partitioning — is real and oracle-tested:
+
+ - ``mm_binary_meta``   — blob length + sha256, pure JVM expressions.
+ - ``mm_frame_sample``  — deterministic fake "frame extraction" via
+   ``mapInPandas``: fixed-stride 16-byte windows of the payload,
+   md5-fingerprinted per frame. The DuckDB oracle reproduces it with
+   substr+md5, proving the Pandas path computes exactly what the
+   declarative spec says.
+ - ``decode_image`` / ``decode_audio`` — gated stubs with the real
+   signatures a codec-bearing cluster would use.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources.tables import load_table
+
+FRAME_LEN = 16
+N_FRAMES = 4
+FRAME_STRIDE = 32
+
+
+def payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload column + metadata struct, synthesized from
+    documents.text (the container ships no media files; at production
+    the blob comes from the lake as-is)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("text").cast("binary").alias("payload"),
+        F.struct(
+            F.col("source").alias("origin"),
+            F.col("n_chars").cast("long").alias("n_bytes_claimed"),
+            F.lit("text/plain").alias("mime"),
+        ).alias("meta"),
+    )
+
+
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blob metadata: true byte length + sha256 — JVM-side only."""
+    p = payloads(spark, sf_dir)
+    return p.select(
+        "doc_id",
+        F.length("payload").alias("n_bytes"),
+        F.sha2("payload", 256).alias("sha256_hex"),
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.origin").alias("origin"),
+    )
+
+
+MM_BINARY_META_SQL = """
+SELECT doc_id,
+       CAST(length(text) AS INT) AS n_bytes,
+       sha256(text) AS sha256_hex,
+       'text/plain' AS mime,
+       source AS origin
+FROM documents
+"""
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fake frame sampling via ``mapInPandas``.
+
+    Real plumbing: Arrow batches in, a pandas frame of (doc_id,
+    frame_no, frame_md5) out, schema declared up front. The "decode"
+    is a fixed-stride byte-window md5 — swap the body for a codec call
+    on a real cluster and nothing else changes.
+    """
+    p = payloads(spark, sf_dir).select("doc_id", "payload")
+
+    def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple[int, int, str]] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                for i in range(N_FRAMES):
+                    start = i * FRAME_STRIDE
+                    window = data[start : start + FRAME_LEN]
+                    if not window:
+                        break
+                    rows.append(
+                        (int(doc_id), i, hashlib.md5(window).hexdigest())
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_no", "frame_md5"])
+
+    return p.mapInPandas(sample_frames, schema=_FRAME_SCHEMA)
+
+
+MM_FRAME_SAMPLE_SQL = f"""
+SELECT doc_id, CAST(i AS INT) AS frame_no,
+       md5(substr(text, 1 + i * {FRAME_STRIDE}, {FRAME_LEN})) AS frame_md5
+FROM documents, range({N_FRAMES}) t(i)
+WHERE length(substr(text, 1 + i * {FRAME_STRIDE}, {FRAME_LEN})) > 0
+"""
+
+
+# ----------------------------------------------------------- real stubs --
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def decode_image(df: DataFrame) -> DataFrame:
+    """STUB — image decode + feature extraction.
+
+    On a codec-bearing cluster this is a ``mapInPandas`` over Arrow
+    batches calling PIL/torchvision per batch; the container has no
+    image libraries, so invoking the returned DataFrame raises.
+    """
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError(
+            "image decode requires PIL/torchvision, not present in this "
+            "container; plumbing (schema/batching) is what is under test"
+        )
+        yield  # pragma: no cover
+
+    return df.mapInPandas(_decode, schema=IMAGE_FEATURES_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("mfcc", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def decode_audio(df: DataFrame) -> DataFrame:
+    """STUB — audio decode + MFCC features (same contract as
+    :func:`decode_image`)."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError(
+            "audio decode requires soundfile/librosa, not present in this "
+            "container"
+        )
+        yield  # pragma: no cover
+
+    return df.mapInPandas(_decode, schema=AUDIO_FEATURES_SCHEMA)

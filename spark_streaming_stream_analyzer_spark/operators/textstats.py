@@ -1,0 +1,222 @@
+"""Text-analysis operators for training-data curation (build plan M5).
+
+Generalizes the reference's only text op — space-tokenization
+(``KafkaStreamPropertyAggregator.java:28, :74-79``) — into the pack a
+large-scale pipeline needs: language ID, quality scoring, token
+counting, and content fingerprinting. Everything is built-in Catalyst
+expressions (codegen'd, no Python in the hot path); divisions are
+integer-operand double divides so the DuckDB oracle matches bit-exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash64
+from ..sources.tables import load_table
+
+#: Tiny marker-word profiles per language (n-gram-heuristic stand-in;
+#: a production profile table would be a broadcast dimension).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "nicht"),
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "la", "de", "que", "y"),
+    "fr": ("le", "la", "les", "et", "est"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+
+def _words(df: DataFrame) -> DataFrame:
+    return df.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+
+
+def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID: count marker hits per candidate
+    language, pick the argmax (ties → lexicographically first lang;
+    zero hits → 'und'). Deterministic by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = _words(docs)
+    lang_case = F.lit(None).cast("string")
+    for lang, markers in sorted(LANG_MARKERS.items(), reverse=True):
+        lang_case = F.when(F.col("word").isin(*markers), F.lit(lang)).otherwise(
+            lang_case
+        )
+    hits = (
+        words.select("doc_id", lang_case.alias("cand"))
+        .filter(F.col("cand").isNotNull())
+        .groupBy("doc_id", "cand")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    # argmax with deterministic ties: min over (-count, lang) picks the
+    # highest count, breaking ties by first-alphabetical language
+    best = hits.groupBy("doc_id").agg(
+        F.min(F.struct((-F.col("n_hits")).alias("neg"), F.col("cand"))).alias("m")
+    )
+    pred = best.select(
+        "doc_id",
+        F.col("m.cand").alias("pred_lang"),
+        (-F.col("m.neg")).cast("int").alias("n_marker_hits"),
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce(F.col("pred_lang"), F.lit("und")).alias("pred_lang"),
+            F.coalesce(F.col("n_marker_hits"), F.lit(0)).alias("n_marker_hits"),
+        )
+    )
+
+
+def _markers_sql() -> str:
+    whens = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        lst = ", ".join(f"'{m}'" for m in markers)
+        whens.append(f"WHEN word IN ({lst}) THEN '{lang}'")
+    return "CASE " + " ".join(whens) + " ELSE NULL END"
+
+
+LANG_ID_SQL = f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+hits AS (
+  SELECT doc_id, {_markers_sql()} AS cand, COUNT(*) AS n_hits
+  FROM words WHERE word <> '' AND {_markers_sql()} IS NOT NULL
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, cand AS pred_lang, n_hits,
+         row_number() OVER (PARTITION BY doc_id ORDER BY n_hits DESC, cand) AS rn
+  FROM hits
+)
+SELECT d.doc_id, d.lang,
+       COALESCE(b.pred_lang, 'und') AS pred_lang,
+       CAST(COALESCE(b.n_hits, 0) AS INT) AS n_marker_hits
+FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.doc_id
+"""
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score from length / word-shape / stopword
+    signals (the classic cheap pre-filter before model-based scoring).
+
+    All ratios are double divides of exact integers → bit-portable.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_words = F.size(F.filter(words, lambda w: w != ""))
+    n_stop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    n_chars = F.length("text")
+    avg_word_len = (n_chars - (n_words - F.lit(1))).cast("double") / n_words.cast(
+        "double"
+    )
+    stop_ratio = n_stop.cast("double") / n_words.cast("double")
+    len_score = F.least(n_words.cast("double") / F.lit(100.0), F.lit(1.0))
+    wl_score = F.least(avg_word_len / F.lit(8.0), F.lit(1.0))
+    score = (
+        F.lit(0.5) * len_score + F.lit(0.3) * stop_ratio + F.lit(0.2) * wl_score
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_stop.alias("n_stopwords"),
+        avg_word_len.alias("avg_word_len"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+_STOP_LIST_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+TEXT_QUALITY_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+    CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS INT) AS n_words,
+    CAST(len(list_filter(string_split(text, ' '),
+                         w -> w IN ({_STOP_LIST_SQL}))) AS INT) AS n_stopwords,
+    CAST(length(text) AS INT) AS n_chars
+  FROM documents
+)
+SELECT doc_id, n_words, n_stopwords,
+  CAST(n_chars - (n_words - 1) AS DOUBLE) / CAST(n_words AS DOUBLE) AS avg_word_len,
+  CAST(n_stopwords AS DOUBLE) / CAST(n_words AS DOUBLE) AS stopword_ratio,
+  0.5 * least(CAST(n_words AS DOUBLE) / 100.0, 1.0)
+    + 0.3 * (CAST(n_stopwords AS DOUBLE) / CAST(n_words AS DOUBLE))
+    + 0.2 * least((CAST(n_chars - (n_words - 1) AS DOUBLE) / CAST(n_words AS DOUBLE)) / 8.0, 1.0)
+    AS quality_score
+FROM base
+"""
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, BPE-ish regex tokens
+    (letter runs / digit runs / single punctuation), distinct words."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(words, lambda w: w != "")).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)).alias(
+            "n_bpe_tokens"
+        ),
+        F.size(F.array_distinct(F.filter(words, lambda w: w != ""))).alias(
+            "n_distinct_words"
+        ),
+    )
+
+
+TOKEN_COUNT_SQL = """
+SELECT doc_id,
+  CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS INT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_bpe_tokens,
+  CAST(len(list_distinct(list_filter(string_split(text, ' '), w -> w <> ''))) AS INT)
+    AS n_distinct_words
+FROM documents
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: full-text md5, order-insensitive vocab
+    md5 (sorted distinct words), and a rolling min-shingle-hash (the
+    single-value MinHash — cheap near-dup prefilter)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda w: w != "")
+    vocab = F.concat_ws(" ", F.array_sort(F.array_distinct(words)))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - 3),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(words, i + 1),
+            F.element_at(words, i + 2),
+            F.element_at(words, i + 3),
+        ),
+    )
+    min_shingle = F.array_min(F.transform(grams, lambda g: hash64(g)))
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("content_md5"),
+        F.md5(vocab).alias("vocab_md5"),
+        min_shingle.alias("min_shingle_hash"),
+    )
+
+
+DOC_FINGERPRINT_SQL = """
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), w -> w <> '') AS words
+  FROM documents
+)
+SELECT doc_id,
+  md5(text) AS content_md5,
+  md5(array_to_string(list_sort(list_distinct(words)), ' ')) AS vocab_md5,
+  list_min(list_transform(range(1, len(words) - 1),
+    i -> CAST('0x' || substr(md5(words[i] || ' ' || words[i+1] || ' ' || words[i+2]), 1, 15) AS BIGINT)))
+    AS min_shingle_hash
+FROM base
+"""

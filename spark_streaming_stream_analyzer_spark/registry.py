@@ -315,3 +315,27 @@ query("array_funcs", _rel.ARRAY_FUNCS_SQL)(_rel.array_funcs)
 query("count_distinct_exact", _rel.COUNT_DISTINCT_SQL)(_rel.count_distinct_exact)
 query("approx_aggs", None)(_rel.approx_aggs)  # sketches differ per engine: rows-only
 query("percentile_exact", _rel.PERCENTILE_SQL)(_rel.percentile_exact)
+
+
+# --------------------------------------------------------------------------
+# LLM-data-pipeline operators (build plan M5)
+# --------------------------------------------------------------------------
+
+from .operators import dedup as _dd  # noqa: E402
+from .operators import multimodal as _mm  # noqa: E402
+from .operators import similarity as _sim  # noqa: E402
+from .operators import textstats as _ts  # noqa: E402
+
+query("dedup_exact", _dd.DEDUP_EXACT_SQL)(_dd.dedup_exact)
+query("dedup_ngram_jaccard", _dd.DEDUP_NGRAM_SQL)(_dd.dedup_ngram_jaccard)
+query("dedup_minhash_lsh", _dd.DEDUP_MINHASH_SQL)(_dd.dedup_minhash_lsh)
+query("dedup_simhash", _dd.SIMHASH_SQL)(_dd.simhash_fingerprint)
+query("sim_topk_cosine", _sim.SIM_TOPK_SQL)(_sim.sim_topk_cosine)
+query("sim_ivf_topk", _sim.SIM_IVF_SQL)(_sim.sim_ivf_topk)
+query("embedding_norms", _sim.EMB_NORMS_SQL)(_sim.embedding_norms)
+query("lang_id_ngram", _ts.LANG_ID_SQL)(_ts.lang_id_ngram)
+query("text_quality_score", _ts.TEXT_QUALITY_SQL)(_ts.text_quality_score)
+query("token_count", _ts.TOKEN_COUNT_SQL)(_ts.token_count)
+query("doc_fingerprint", _ts.DOC_FINGERPRINT_SQL)(_ts.doc_fingerprint)
+query("mm_binary_meta", _mm.MM_BINARY_META_SQL)(_mm.mm_binary_meta)
+query("mm_frame_sample", _mm.MM_FRAME_SAMPLE_SQL)(_mm.mm_frame_sample)
