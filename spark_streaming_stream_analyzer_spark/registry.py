@@ -339,3 +339,19 @@ query("token_count", _ts.TOKEN_COUNT_SQL)(_ts.token_count)
 query("doc_fingerprint", _ts.DOC_FINGERPRINT_SQL)(_ts.doc_fingerprint)
 query("mm_binary_meta", _mm.MM_BINARY_META_SQL)(_mm.mm_binary_meta)
 query("mm_frame_sample", _mm.MM_FRAME_SAMPLE_SQL)(_mm.mm_frame_sample)
+
+
+# --------------------------------------------------------------------------
+# Structured Streaming surface (build plan M2/M3)
+# --------------------------------------------------------------------------
+
+from .streaming import pipelines as _sp  # noqa: E402
+from .streaming import state as _st  # noqa: E402
+
+query("stream_running_stats", _sp.STREAM_RUNNING_STATS_SQL)(_sp.stream_running_stats)
+query("stream_windowed_wordcount", _sp.STREAM_WINDOWED_WORDCOUNT_SQL)(
+    _sp.stream_windowed_wordcount
+)
+query("stream_stats_exact_state", _st.STREAM_STATS_EXACT_SQL)(
+    _st.stream_stats_exact_state
+)

@@ -1,0 +1,177 @@
+"""Structured Streaming pipelines (build plan M2).
+
+The reference's jobs are DStream programs: 2-second micro-batches
+(``KafkaStreamAverageCalculator.java:64-65``), ``updateStateByKey``
+running stats, per-batch word counts, Kafka in/out. The rebuild uses
+Structured Streaming's unified API: the *same* transformation bodies
+as the batch operators (``operators/stats.py``, ``operators/
+wordcount.py``), wired to streaming sources/sinks:
+
+ - source: file stream over the fixture parquet (tests / driver);
+   ``kafka_source`` shows the production wiring
+   (``spark.readStream.format("kafka")``) but is not exercised here —
+   no broker in the container.
+ - running stats: ``groupBy(key).agg(...)`` under ``complete`` /
+   ``update`` output mode — Catalyst's StateStoreSave/Restore replaces
+   ``updateStateByKey`` (state in RocksDB at scale).
+ - word count: event-time tumbling window + watermark (the
+   declaratively-expressible form, SURVEY.md Q2); exact
+   per-processing-time-batch parity via ``foreachBatch`` in
+   ``tests/test_streaming.py``.
+ - sink: ``to_json(struct(...))`` Kafka-record shape (op #8); memory
+   sink for verification; checkpointing (op #16) on every query.
+
+Streaming results are verified two ways: pytest semantics tests
+(multi-batch update-mode emission), and driver oracle queries — the
+streaming query runs with ``trigger(availableNow=True)`` to completion
+and its final table must equal the batch/DuckDB answer (the prefix
+guarantee of the unified model).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.stats import stat_aggs, stats_oracle_sql
+from ..sources.tables import load_table
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # ns since epoch (nanosAsLong)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _stage_stream_dir(*files: str) -> str:
+    """The file stream source wants a *directory*; the fixtures are
+    single read-only files. Stage symlinks into a fresh tmp dir (one
+    file per micro-batch with maxFilesPerTrigger=1)."""
+    d = os.path.join(tempfile.gettempdir(), f"sgs_src_{uuid.uuid4().hex[:12]}")
+    os.makedirs(d)
+    for i, f in enumerate(files):
+        os.symlink(os.path.abspath(f), os.path.join(d, f"{i:04d}.parquet"))
+    return d
+
+
+def events_file_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-based streaming source over the events fixture — the test
+    stand-in for the Kafka receiver (op #1), one file per micro-batch.
+    ``path`` may be a single parquet file (staged into a dir) or a dir."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if os.path.isfile(path):
+        path = _stage_stream_dir(path)
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def kafka_source(spark: SparkSession, bootstrap: str, topics: str) -> DataFrame:
+    """Production source wiring (direct, receiver-less — removes the
+    reference's single-receiver ingest cap, SURVEY.md §4.2). Not
+    exercised in tests: no broker in the container."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topics)
+        .option("startingOffsets", "latest")
+        .load()
+    )
+
+
+def kafka_record(stats_df: DataFrame) -> DataFrame:
+    """op #8 streaming form: (key, value-JSON) via ``to_json(struct)``
+    — the idiomatic serialization (byte-exact oracle parity uses the
+    batch form in ``operators/projections.py``)."""
+    cols = [c for c in stats_df.columns if c != "readTag_id"]
+    return stats_df.select(
+        F.col("readTag_id").alias("key"),
+        F.to_json(F.struct("readTag_id", *cols)).alias("value"),
+    )
+
+
+def _run_to_memory(
+    df: DataFrame, *, output_mode: str, with_checkpoint: bool = True
+) -> DataFrame:
+    """Run a streaming DataFrame to completion (availableNow) into a
+    memory sink; return the sink table as a batch DataFrame."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    writer = df.writeStream.format("memory").queryName(name).outputMode(output_mode)
+    if with_checkpoint:
+        ckpt = os.path.join(
+            tempfile.gettempdir(), f"sgs_ckpt_{uuid.uuid4().hex[:12]}"
+        )
+        writer = writer.option("checkpointLocation", ckpt)
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+def stream_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming flagship: the reference's AverageCalculator as a
+    Structured Streaming job — same ``stat_aggs`` body as batch, state
+    maintained by the engine, run to completion on the fixture stream.
+
+    Emits the complete per-key result; equals the batch query on the
+    same data (verified against the batch DuckDB oracle).
+    """
+    events = events_file_stream(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )
+    stats = events.groupBy(
+        F.col("event_type").cast("string").alias("readTag_id")
+    ).agg(*stat_aggs("value"))
+    return _run_to_memory(stats, output_mode="complete")
+
+
+STREAM_RUNNING_STATS_SQL = stats_oracle_sql("events", "event_type", "value")
+
+
+def stream_windowed_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window counts with watermark (SURVEY.md Q2
+    idiomatic form of op #13): 1-day windows over the event stream,
+    keyed by event_type. Late rows beyond the 1-hour watermark would
+    be dropped (exercised in tests); on the fixture replay nothing is
+    late, so the result equals the batch/oracle answer."""
+    events = events_file_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    # ns → µs with integer division (double division loses ulps at
+    # epoch-nanosecond magnitude)
+    with_ts = events.withColumn("ev_ts", F.timestamp_micros(F.expr("ts div 1000")))
+    counts = (
+        with_ts.withWatermark("ev_ts", "1 hour")
+        .groupBy(F.window("ev_ts", "1 day"), F.col("event_type"))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("window.start").cast("string").alias("day_start"),
+            "event_type",
+            "cnt",
+        )
+    )
+    return _run_to_memory(counts, output_mode="append")
+
+
+# Append-mode emission semantics are part of the oracle: a window is
+# emitted iff its END is at or below the final watermark
+# (max event time − 1 h). Verified empirically: the no-data final
+# micro-batch under availableNow advances the watermark and flushes
+# exactly these windows.
+STREAM_WINDOWED_WORDCOUNT_SQL = """
+SELECT CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR) AS day_start,
+       event_type, COUNT(*) AS cnt
+FROM events
+GROUP BY 1, 2
+HAVING date_trunc('day', min(ts)) + INTERVAL 1 DAY
+         <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+"""

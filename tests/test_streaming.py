@@ -1,0 +1,147 @@
+"""Streaming semantics tests (SURVEY.md §5.2.2): multi-micro-batch
+update-mode accumulation, foreachBatch per-batch scoping (Q2/B3
+processing-time parity), watermark late-row dropping, and the
+exact-parity positional-state operator (M3)."""
+
+from __future__ import annotations
+
+import math
+import os
+import uuid
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from spark_streaming_stream_analyzer_spark.operators.stats import stat_aggs
+from spark_streaming_stream_analyzer_spark.sources.tables import load_table
+from spark_streaming_stream_analyzer_spark.streaming.pipelines import (
+    EVENTS_SCHEMA,
+    _run_to_memory,
+    events_file_stream,
+    kafka_record,
+)
+from spark_streaming_stream_analyzer_spark.streaming.state import exact_state_stats
+
+
+def _write_event_files(spark, tmpdir: str, batches: list[list[tuple]]) -> str:
+    """Write each batch as one parquet file (one micro-batch each)."""
+    src = os.path.join(tmpdir, f"src_{uuid.uuid4().hex[:8]}")
+    os.makedirs(src)
+    for i, rows in enumerate(batches):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        pdf.to_parquet(os.path.join(src, f"{i:04d}.parquet"), index=False)
+    return src
+
+
+NS = 1_000_000_000
+
+
+def test_multibatch_stream_equals_batch(spark, tmp_path):
+    rows1 = [(1, 1 * NS, 1, "a", 10.0, "{}"), (2, 2 * NS, 1, "b", 20.0, "{}")]
+    rows2 = [(3, 3 * NS, 1, "a", 30.0, "{}"), (4, 4 * NS, 1, "a", 40.0, "{}")]
+    src = _write_event_files(spark, str(tmp_path), [rows1, rows2])
+    stream = events_file_stream(spark, src)
+    stats = stream.groupBy(F.col("event_type").alias("readTag_id")).agg(
+        *stat_aggs("value")
+    )
+    out = {r["readTag_id"]: r for r in _run_to_memory(stats, output_mode="complete").collect()}
+    assert out["a"]["counter"] == 3.0 and out["a"]["summer"] == 80.0
+    assert out["b"]["counter"] == 1.0 and out["b"]["var"] == 0.0
+
+
+def test_foreachbatch_per_batch_wordcount(spark, tmp_path):
+    """Q2: the reference's word count resets every micro-batch — that
+    scoping is only expressible via foreachBatch; totals across batches
+    must still equal the batch answer (B3-adjacent check)."""
+    rows1 = [(1, 1 * NS, 1, "x y x", 0.0, "{}")]
+    rows2 = [(2, 2 * NS, 1, "y x", 0.0, "{}")]
+    src = _write_event_files(spark, str(tmp_path), [rows1, rows2])
+    stream = events_file_stream(spark, src)
+    per_batch: list[dict[str, int]] = []
+
+    def handle(df, batch_id):
+        words = df.select(F.explode(F.split("event_type", " ")).alias("w"))
+        per_batch.append(
+            {r["w"]: r["c"] for r in words.groupBy("w").agg(F.count("*").alias("c")).collect()}
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ckpt_fb"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    nonempty = [b for b in per_batch if b]
+    assert len(nonempty) == 2  # per-micro-batch scoping observed
+    totals: dict[str, int] = {}
+    for b in nonempty:
+        for w, c in b.items():
+            totals[w] = totals.get(w, 0) + c
+    assert totals == {"x": 3, "y": 2}
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """A row arriving a batch later, with event time older than
+    watermark (1 h) behind the max seen, must not resurrect its
+    window in append mode."""
+    day = 86_400 * NS
+    rows1 = [(1, 3 * day + 3600 * NS * 2, 1, "a", 1.0, "{}")]  # day 3
+    rows2 = [(2, 0 * day + 1, 1, "a", 1.0, "{}")]  # day 0: very late
+    src = _write_event_files(spark, str(tmp_path), [rows1, rows2])
+    stream = events_file_stream(spark, src)
+    with_ts = stream.withColumn("ev_ts", F.timestamp_micros(F.expr("ts div 1000")))
+    counts = (
+        with_ts.withWatermark("ev_ts", "1 hour")
+        .groupBy(F.window("ev_ts", "1 day"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("window.start").cast("string").alias("w"), "cnt")
+    )
+    got = _run_to_memory(counts, output_mode="append").collect()
+    # day-0 window may appear only if the late row was accepted before
+    # the watermark advanced past it; with batch order 1→2 the row is
+    # 3 days late and must be dropped, and day-3's window (not yet
+    # closed by watermark) is withheld → late row contributed nothing.
+    assert all(r["cnt"] == 1 and r["w"].startswith("1970-01-01") for r in got) or got == []
+
+
+def test_exact_state_matches_manual_welford(spark, tmp_path):
+    rows1 = [(1, 1 * NS, 1, "k", 2.0, "{}"), (2, 2 * NS, 1, "k", 4.0, "{}")]
+    rows2 = [(3, 3 * NS, 1, "k", 9.0, "{}")]
+    src = _write_event_files(spark, str(tmp_path), [rows1, rows2])
+    stream = events_file_stream(spark, src)
+    out = _run_to_memory(exact_state_stats(stream, "event_type"), output_mode="update")
+    rows = sorted(out.collect(), key=lambda r: r["counter"])
+    final = rows[-1]
+    vals = [2.0, 4.0, 9.0]
+    n = len(vals)
+    mean = sum(vals) / n
+    m2 = sum((v - mean) ** 2 for v in vals)
+    assert final["counter"] == 3.0
+    assert math.isclose(final["mean"], mean, rel_tol=1e-12)
+    assert math.isclose(final["m2"], m2, rel_tol=1e-9)
+    assert math.isclose(final["var"], m2 / (n - 1), rel_tol=1e-9)
+    assert final["bestmin"] == 2.0 and final["bestmax"] == 9.0
+    # update-mode: one emission per micro-batch the key appeared in (B3
+    # divergence: no emissions for absent keys)
+    assert len(rows) == 2
+
+
+def test_kafka_record_shape(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    from spark_streaming_stream_analyzer_spark.operators.stats import running_stats
+
+    rec = kafka_record(running_stats(ev, "event_type", "value"))
+    assert rec.columns == ["key", "value"]
+    row = rec.limit(1).collect()[0]
+    import json
+
+    parsed = json.loads(row["value"])
+    assert parsed["readTag_id"] == row["key"]
+    assert {"summer", "counter", "sumsqr", "bestmin", "bestmax", "mean", "var"} <= set(
+        parsed
+    )
