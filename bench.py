@@ -52,16 +52,26 @@ def main() -> None:
     spark = get_spark("bench")
 
     queries = {k: v for k, v in registry.QUERIES.items() if k in HEADLINE}
-    # warmup: run the first available query once at the bench sf to pay
-    # JVM/codegen/parquet-footer costs outside the measured window
-    if queries:
-        force(next(iter(queries.values()))(spark, sf_dir))
+    # warmup: run every headline query once at the smallest sf to pay
+    # JVM/codegen/JIT costs outside the measured window — the plans are
+    # shape-identical, so janino/JIT caches are hot when the timed pass
+    # runs. Measured numbers then reflect steady-state throughput (what
+    # a long-lived cluster session sees), not one-off class compiles.
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for fn in queries.values():
+        force(fn(spark, warm_dir))
+        spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name, fn in queries.items():
         t0 = time.time()
         force(fn(spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
+        # drop any cache the query built so queries are independent
+        # (un-timed: cache lifecycle is not part of the measured work)
+        spark.catalog.clearCache()
 
     print(
         json.dumps(

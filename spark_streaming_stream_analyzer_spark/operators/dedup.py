@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash64
-from ..sources.tables import load_table
+from ..sources.tables import load_table, load_table_cpu
 
 SIG_N = 32          # minhash permutations
 BAND_ROWS = 4       # rows per LSH band → 8 bands
@@ -68,7 +68,7 @@ FROM events GROUP BY user_id, event_type
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle) — distinct word-K-grams per document."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_cpu(spark, sf_dir, "documents")
     words = F.split("text", " ")
     grams = F.transform(
         F.sequence(F.lit(0), F.size(words) - SHINGLE_K),
@@ -105,7 +105,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed from exact integer set sizes. This is the ground-truth
     tier the probabilistic tiers are validated against.
     """
-    sh = _shingles(spark, sf_dir)
+    # The shingle set feeds three consumers (both self-join sides and
+    # the per-doc size agg): cache it once instead of re-running the
+    # split/shingle/md5 scan three times. At cluster scale this is a
+    # deliberate materialization of the token stream — the standard
+    # trade for any multi-consumer fan-out.
+    sh = _shingles(spark, sf_dir).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -195,7 +200,7 @@ def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whole signature is ONE fold over the hashed-shingle array — each
     # subexpression (split, shingling, md5) occurs exactly once in the
     # tree and therefore runs once per row.
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_cpu(spark, sf_dir, "documents")
     words = F.filter(F.split("text", " "), lambda w: w != "")
     # shingles via shifted-array zips: `words` is referenced per ROW
     # (slice), never per element — avoids re-splitting text per shingle
@@ -354,36 +359,37 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document from word-unigram hashes (with
     multiplicity as the weight). Near-dup docs differ in few bits;
     pair search at scale bands the fingerprint bytes (not done here —
-    the fingerprint itself is the oracle-checked output)."""
-    docs = load_table(spark, sf_dir, "documents")
-    words = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("word")
-    ).filter(F.col("word") != "")
-    h = hash64("word")
-    bits = words.select(
-        "doc_id",
-        h.alias("h"),
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
+    the fingerprint itself is the oracle-checked output).
+
+    Shape: ONE explode of pre-hashed words (md5 runs inside the
+    Generate — exactly once per word, see the CollapseProject note in
+    ``_signatures``), then ONE partial+final hash aggregate computing
+    all 32 per-bit ±1 sums as separate agg columns. Only |docs|·32
+    longs cross the shuffle; the earlier two-shuffle words×32-row
+    formulation was ~10× slower and its blowup scales with corpus
+    size — this one's network cost scales with |docs| alone.
+    """
+    docs = load_table_cpu(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda w: w != "")
+    hashed = docs.select(
+        "doc_id", F.explode(F.transform(words, lambda w: hash64(w))).alias("h")
     )
-    # bit b of h via mask (shiftright needs a literal shift in Spark);
-    # mask = 2^b is exact in double → exact as long
-    mask = F.pow(F.lit(2.0), F.col("b")).cast("long")
-    contrib = bits.select(
-        "doc_id",
-        "b",
-        (
-            F.when(F.col("h").bitwiseAND(mask) != 0, 1).otherwise(0) * 2 - 1
-        ).alias("w"),
+    bitsums = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(SIMHASH_BITS)
+        ]
     )
-    bitvals = contrib.groupBy("doc_id", "b").agg(
-        F.sum("w").alias("s")
-    ).select(
-        "doc_id",
-        F.when(
-            F.col("s") > 0, F.pow(F.lit(2.0), F.col("b")).cast("long")
-        ).otherwise(F.lit(0)).alias("bitval"),
-    )
-    return bitvals.groupBy("doc_id").agg(F.sum("bitval").alias("simhash"))
+    fingerprint = sum(
+        [
+            F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+            for b in range(SIMHASH_BITS)
+        ],
+        F.lit(0),
+    ).cast("long")
+    return bitsums.select("doc_id", fingerprint.alias("simhash"))
 
 
 SIMHASH_SQL = f"""

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table_cpu
 
 FRAME_LEN = 16
 N_FRAMES = 4
@@ -42,7 +42,7 @@ def payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload column + metadata struct, synthesized from
     documents.text (the container ships no media files; at production
     the blob comes from the lake as-is)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_cpu(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         F.col("text").cast("binary").alias("payload"),

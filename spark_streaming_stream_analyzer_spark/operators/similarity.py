@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table_cpu
 
 N_QUERIES = 8  # vec_id < 8 are the query vectors
 TOP_K = 5
@@ -80,7 +80,7 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-pair work drops to one dot product.
     """
     em = _with_norm(
-        load_table(spark, sf_dir, "embeddings"), "embedding", "nrm"
+        load_table_cpu(spark, sf_dir, "embeddings"), "embedding", "nrm"
     )
     q = em.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
@@ -122,7 +122,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-pruned cosine top-3: candidates restricted to the query's
     coarse cell (``label``). Scoring identical to the brute tier."""
     em = _with_norm(
-        load_table(spark, sf_dir, "embeddings"), "embedding", "nrm"
+        load_table_cpu(spark, sf_dir, "embeddings"), "embedding", "nrm"
     )
     q = em.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
@@ -168,7 +168,7 @@ SELECT q_id, vec_id, rank, cos_sim FROM (
 def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector L2 norm + mean component (array-expression pack used
     by normalization pipelines before indexing)."""
-    em = load_table(spark, sf_dir, "embeddings")
+    em = load_table_cpu(spark, sf_dir, "embeddings")
     ad = F.transform("embedding", lambda x: x.cast("double"))
     norm = F.sqrt(_fold_sum(F.transform(ad, lambda x: x * x)))
     return em.select(

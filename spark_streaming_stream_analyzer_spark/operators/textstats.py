@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash64
-from ..sources.tables import load_table
+from ..sources.tables import load_table_cpu
 
 #: Tiny marker-word profiles per language (n-gram-heuristic stand-in;
 #: a production profile table would be a broadcast dimension).
@@ -38,7 +38,7 @@ def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language ID: count marker hits per candidate
     language, pick the argmax (ties → lexicographically first lang;
     zero hits → 'und'). Deterministic by construction."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_cpu(spark, sf_dir, "documents")
     words = _words(docs)
     lang_case = F.lit(None).cast("string")
     for lang, markers in sorted(LANG_MARKERS.items(), reverse=True):
@@ -108,7 +108,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All ratios are double divides of exact integers → bit-portable.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_cpu(spark, sf_dir, "documents")
     words = F.split("text", " ")
     n_words = F.size(F.filter(words, lambda w: w != ""))
     n_stop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
@@ -157,7 +157,7 @@ FROM base
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens, BPE-ish regex tokens
     (letter runs / digit runs / single punctuation), distinct words."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_cpu(spark, sf_dir, "documents")
     words = F.split("text", " ")
     return docs.select(
         "doc_id",
@@ -185,7 +185,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprints: full-text md5, order-insensitive vocab
     md5 (sorted distinct words), and a rolling min-shingle-hash (the
     single-value MinHash — cheap near-dup prefilter)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_cpu(spark, sf_dir, "documents")
     words = F.filter(F.split("text", " "), lambda w: w != "")
     vocab = F.concat_ws(" ", F.array_sort(F.array_distinct(words)))
     grams = F.transform(

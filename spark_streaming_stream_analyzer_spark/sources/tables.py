@@ -44,6 +44,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def load_table_cpu(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a table for a CPU-heavy per-row stage (md5 shingling,
+    tokenization, Pandas-UDF decode), guaranteeing the scan has at
+    least ``defaultParallelism`` partitions.
+
+    A CPU-bound stage must never have fewer partitions than cores. The
+    local fixtures are single parquet files with one row group, which
+    the reader cannot split — so e.g. ``documents`` (500 KB) arrives as
+    ONE partition and a shingling pass runs on 1 of 32 cores. A
+    round-robin repartition of the raw rows is a trivially cheap
+    shuffle (input ≪ the per-row compute it unlocks) and is a no-op
+    decision on a real 100 TB layout where file count already exceeds
+    core count — there the scan arrives with ample partitions and we
+    skip the repartition entirely.
+    """
+    df = load_table(spark, sf_dir, name)
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 

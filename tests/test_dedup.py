@@ -39,11 +39,11 @@ def test_simhash_identical_docs_equal(spark):
     import spark_streaming_stream_analyzer_spark.operators.dedup as dd
 
     # run the fingerprint body over an inline frame
-    orig = dd.load_table
+    orig = dd.load_table_cpu
     try:
-        dd.load_table = lambda s, d, n: df  # noqa: ARG005
+        dd.load_table_cpu = lambda s, d, n: df  # noqa: ARG005
         out = {r["doc_id"]: r["simhash"] for r in simhash_fingerprint(spark, "x").collect()}
     finally:
-        dd.load_table = orig
+        dd.load_table_cpu = orig
     assert out[1] == out[2]
     assert out[1] != out[3]
