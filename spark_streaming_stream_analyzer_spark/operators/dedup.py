@@ -1,6 +1,6 @@
 """Deduplication operators for large-scale training-data pipelines.
 
-Four tiers, from cheap to semantic (build plan M5; no reference
+Five tiers, from cheap to semantic (build plan M5; no reference
 counterpart — the reference has no dedup of any kind, SURVEY.md §2.2):
 
  1. exact       — hash-groupBy on the dedup key (one shuffle of
@@ -16,6 +16,8 @@ counterpart — the reference has no dedup of any kind, SURVEY.md §2.2):
  4. simhash     — 32-bit weighted fingerprint per doc; near-dups have
                   small Hamming distance. Emitted as a per-doc
                   fingerprint (pair search = band the fingerprint).
+ 5. embedding   — semantic near-dup by cosine within coarse cells
+                  (IVF-style): catches dups that share no tokens.
 
 All hash math uses the engine-portable md5-based ``hash64`` so the
 DuckDB oracle reproduces results exactly (``functions/hashing.py``).
@@ -412,4 +414,86 @@ bitvals AS (
   FROM contrib GROUP BY doc_id, b
 )
 SELECT doc_id, CAST(SUM(bitval) AS BIGINT) AS simhash FROM bitvals GROUP BY doc_id
+"""
+
+
+# ------------------------------------------------- embedding near-dup --
+
+EMB_DEDUP_TOPN = 3
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-cosine) near-dup candidates: within each
+    coarse cell (``label`` — the IVF-style partition a k-means pass
+    assigns in production), the top-3 most-similar vector pairs by
+    cosine, ranked with deterministic tiebreaks.
+
+    This is the 5th dedup tier (exact → ngram → minhash → simhash →
+    semantic): pairs that share no tokens but encode the same content.
+    Scoring is confined to intra-cell pairs — the quadratic term is
+    bounded by cell size, the cross-cell term is zero, and cells scale
+    out by key. At 100 TB: the same plan with a real centroid
+    assignment, plus a global cos >= τ filter; the fixture's random
+    embeddings have no τ-dups, so the ranked form keeps the operator's
+    output non-degenerate (and the recall property is pinned by a
+    planted-duplicate pytest instead).
+
+    Norms are computed once per row (linear), not per pair; the fold
+    order matches the DuckDB oracle bit-for-bit (see similarity.py).
+    """
+    from .similarity import _fold_sum, _with_norm
+
+    em = _with_norm(
+        load_table_cpu(spark, sf_dir, "embeddings"), "embedding", "nrm"
+    ).select("vec_id", "label", "embedding", "nrm")
+    a, b = em.alias("a"), em.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    ad = F.transform("a.embedding", lambda x: x.cast("double"))
+    bd = F.transform("b.embedding", lambda x: x.cast("double"))
+    dot = _fold_sum(F.zip_with(ad, bd, lambda x, y: x * y))
+    scored = pairs.select(
+        F.col("a.label").alias("label"),
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        (dot / (F.col("a.nrm") * F.col("b.nrm"))).alias("cos_sim"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("label").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_a"), F.col("vec_b")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= EMB_DEDUP_TOPN)
+        .select("label", "vec_a", "vec_b", "rnk", "cos_sim")
+    )
+
+
+_EMB_COS_SQL = """
+  list_reduce(list_prepend(0.0, list_transform(
+      list_zip(a.embedding, b.embedding),
+      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, x) -> acc + x)
+  / (sqrt(list_reduce(list_prepend(0.0, list_transform(a.embedding,
+       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, x) -> acc + x))
+   * sqrt(list_reduce(list_prepend(0.0, list_transform(b.embedding,
+       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, x) -> acc + x)))
+"""
+
+DEDUP_EMB_COSINE_SQL = f"""
+WITH scored AS (
+  SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {_EMB_COS_SQL} AS cos_sim
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT label, vec_a, vec_b, rnk, cos_sim FROM (
+  SELECT label, vec_a, vec_b, cos_sim,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY cos_sim DESC, vec_a, vec_b) AS rnk
+  FROM scored
+) t WHERE rnk <= {EMB_DEDUP_TOPN}
 """

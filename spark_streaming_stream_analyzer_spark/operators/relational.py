@@ -605,3 +605,294 @@ SELECT l_returnflag,
        MAX(l_quantity) AS max_qty
 FROM lineitem GROUP BY l_returnflag
 """
+
+
+# ---------------------------------------------------------- q6 / scans --
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate, zero joins.
+
+    Every predicate (shipdate range, discount band, quantity cap)
+    reaches the parquet scan as PushedFilters; the aggregate reduces to
+    a single row, so the shuffle is one partial per partition. This is
+    the canonical "is pushdown working" probe — at 100 TB it is I/O
+    bound or nothing else is right. Discount band compares exact cents
+    (5..7) rather than raw doubles.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+            & (F.col("l_quantity") < 24)
+        )
+        .filter(cents("l_discount").between(5, 7))
+        .agg(
+            (
+                F.sum(cents_dec("l_extendedprice") * cents_dec("l_discount")).cast(
+                    "double"
+                )
+                / F.lit(10000.0)
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+Q6_SQL = """
+SELECT CAST(SUM(CAST(round(l_extendedprice*100) AS DECIMAL(18,0))
+           * CAST(round(l_discount*100) AS DECIMAL(18,0))) AS DOUBLE) / 10000.0 AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+  AND l_quantity < 24
+  AND CAST(round(l_discount*100) AS BIGINT) BETWEEN 5 AND 7
+"""
+
+
+# ------------------------------------------------------- grouping sets --
+
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS ((flag, status), (flag), ()) with a grouping-id
+    disambiguator — the general form behind rollup/cube. One pass:
+    Spark expands the sets into a single Expand+HashAggregate, so the
+    input is scanned once regardless of set count.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+AGG_GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+# ----------------------------------------------------------- map funcs --
+
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: construct, extract, keys, size.
+
+    The map is built per-row from scalar columns, read back via
+    element_at, and introspected — the shapes a metadata/properties
+    column needs. Output is flattened to plain columns so the oracle
+    compares engine-portably (DuckDB map extraction yields a list;
+    the SQL mirror unwraps it).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("user"), F.col("user_id").cast("string"),
+    )
+    return ev.select(
+        "event_id",
+        F.element_at(m, "type").alias("type_val"),
+        F.element_at(m, "user").alias("user_val"),
+        F.map_keys(m).alias("keys"),
+        F.size(m).alias("n_entries"),
+    )
+
+
+MAP_FUNCS_SQL = """
+SELECT event_id,
+       MAP(['type','user'], [event_type, CAST(user_id AS VARCHAR)])['type'][1] AS type_val,
+       MAP(['type','user'], [event_type, CAST(user_id AS VARCHAR)])['user'][1] AS user_val,
+       map_keys(MAP(['type','user'], [event_type, CAST(user_id AS VARCHAR)])) AS keys,
+       CAST(cardinality(MAP(['type','user'], [event_type, CAST(user_id AS VARCHAR)])) AS INT) AS n_entries
+FROM events
+"""
+
+
+# ----------------------------------------------------------- range join --
+
+#: Price bands for the non-equi join: [lo, hi) in whole currency units.
+PRICE_BANDS = [
+    ("low", 0, 50_000),
+    ("mid", 50_000, 150_000),
+    ("high", 150_000, 300_000),
+    ("lux", 300_000, 10_000_000),
+]
+
+
+def join_range_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (non-equi) join: classify orders into price bands via
+    o_totalprice >= lo AND < hi against a literal band dimension.
+
+    Physical shape is BroadcastNestedLoopJoin — correct here because
+    the build side is O(bands). At 100 TB you would precompute the
+    band as a scalar CASE (Catalyst folds this literal table to
+    exactly that), but the operator demonstrates the general
+    interval-join path used when the band table is data-driven.
+    """
+    bands = spark.createDataFrame(
+        PRICE_BANDS, schema="band string, lo bigint, hi bigint"
+    )
+    od = load_table(spark, sf_dir, "orders")
+    return (
+        od.join(
+            F.broadcast(bands),
+            (od.o_totalprice >= bands.lo) & (od.o_totalprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_orders"),
+            sum_money("o_totalprice").alias("sum_price"),
+        )
+    )
+
+
+_BANDS_VALUES = ", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in PRICE_BANDS)
+
+JOIN_RANGE_SQL = f"""
+WITH bands(band, lo, hi) AS (VALUES {_BANDS_VALUES})
+SELECT band, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_price
+FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band
+"""
+
+
+# ------------------------------------------------------ session window --
+
+SESSION_GAP_MIN = 240  # 4 hours
+
+def agg_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time sessionization: per-user sessions with a 4-hour
+    inactivity gap, via Spark's native session_window aggregate.
+
+    Session bounds are emitted as exact epoch-microsecond integers
+    (events.ts is parquet TIMESTAMP(NANOS) read as a nanos long) so the
+    comparison with the oracle's gaps-and-islands formulation is
+    integer-exact. session_end = last event + gap, Spark's definition.
+
+    Scale: session_window is a first-class streaming-state operator —
+    the same expression runs incrementally under Structured Streaming
+    with watermark-driven state eviction; in batch it is one shuffle
+    on user_id.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # nanos → micros via integer DIV: ts ≈ 1.7e18 exceeds double's 2^53
+    # mantissa, so a float divide would corrupt microseconds
+    ts = F.timestamp_micros(F.expr("ts DIV 1000"))
+    return (
+        ev.select("user_id", ts.alias("ev_ts"))
+        .groupBy("user_id", F.session_window("ev_ts", f"{SESSION_GAP_MIN} minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("session_window.start").alias("session_start_us"),
+            F.unix_micros("session_window.end").alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
+_GAP_US = SESSION_GAP_MIN * 60 * 1_000_000
+
+AGG_SESSION_SQL = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us FROM events
+),
+flagged AS (
+  SELECT user_id, us,
+         CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                   > {_GAP_US} THEN 1
+              WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL THEN 1
+              ELSE 0 END AS new_session
+  FROM e
+),
+sessions AS (
+  SELECT user_id, us,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY us
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       MIN(us) AS session_start_us,
+       MAX(us) + {_GAP_US} AS session_end_us,
+       COUNT(*) AS n_events
+FROM sessions GROUP BY user_id, sid
+"""
+
+
+# ------------------------------------------------------- corr / covar --
+
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate aggregates (Pearson correlation, sample covariance)
+    from exact integer-cents sums — the same exactness discipline as
+    functions/exact.py extended to cross-moments:
+
+        covar = (Sxy - Sx*Sy/n) / (n-1)
+        corr  = (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2)(n*Syy - Sy^2))
+
+    with Sx, Sy, Sxy, Sxx, Syy exact DECIMAL sums of cent-scaled
+    operands. Associative integer partials → identical on any
+    partitioning and on DuckDB; the float finale is order-fixed.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x = cents_dec("l_quantity")
+    y = cents_dec("l_extendedprice")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum((x * y).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((x * x).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((y * y).cast("decimal(38,0)")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double") / F.lit(100.0)
+    sy = F.col("sy").cast("double") / F.lit(100.0)
+    sxy = F.col("sxy").cast("double") / F.lit(10000.0)
+    sxx = F.col("sxx").cast("double") / F.lit(10000.0)
+    syy = F.col("syy").cast("double") / F.lit(10000.0)
+    covar = (sxy - sx * sy / n) / (n - F.lit(1.0))
+    corr = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return agg.select(
+        "l_returnflag",
+        F.col("n").alias("n_rows"),
+        covar.alias("covar_qty_price"),
+        corr.alias("corr_qty_price"),
+    )
+
+
+AGG_CORR_SQL = """
+WITH s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         SUM(CAST(round(l_quantity*100) AS DECIMAL(18,0))) AS sx,
+         SUM(CAST(round(l_extendedprice*100) AS DECIMAL(18,0))) AS sy,
+         SUM(CAST(CAST(round(l_quantity*100) AS DECIMAL(18,0))
+                * CAST(round(l_extendedprice*100) AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS sxy,
+         SUM(CAST(CAST(round(l_quantity*100) AS DECIMAL(18,0))
+                * CAST(round(l_quantity*100) AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS sxx,
+         SUM(CAST(CAST(round(l_extendedprice*100) AS DECIMAL(18,0))
+                * CAST(round(l_extendedprice*100) AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n AS n_rows,
+       ((CAST(sxy AS DOUBLE)/10000.0)
+         - (CAST(sx AS DOUBLE)/100.0) * (CAST(sy AS DOUBLE)/100.0) / CAST(n AS DOUBLE))
+         / (CAST(n AS DOUBLE) - 1.0) AS covar_qty_price,
+       (CAST(n AS DOUBLE) * (CAST(sxy AS DOUBLE)/10000.0)
+         - (CAST(sx AS DOUBLE)/100.0) * (CAST(sy AS DOUBLE)/100.0))
+         / sqrt((CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE)/10000.0)
+                  - (CAST(sx AS DOUBLE)/100.0) * (CAST(sx AS DOUBLE)/100.0))
+              * (CAST(n AS DOUBLE) * (CAST(syy AS DOUBLE)/10000.0)
+                  - (CAST(sy AS DOUBLE)/100.0) * (CAST(sy AS DOUBLE)/100.0))) AS corr_qty_price
+FROM s
+"""

@@ -315,6 +315,12 @@ query("array_funcs", _rel.ARRAY_FUNCS_SQL)(_rel.array_funcs)
 query("count_distinct_exact", _rel.COUNT_DISTINCT_SQL)(_rel.count_distinct_exact)
 query("approx_aggs", None)(_rel.approx_aggs)  # sketches differ per engine: rows-only
 query("percentile_exact", _rel.PERCENTILE_SQL)(_rel.percentile_exact)
+query("q6_forecast_revenue", _rel.Q6_SQL)(_rel.q6_forecast_revenue)
+query("agg_grouping_sets", _rel.AGG_GROUPING_SETS_SQL)(_rel.agg_grouping_sets)
+query("map_funcs", _rel.MAP_FUNCS_SQL)(_rel.map_funcs)
+query("join_range_price_band", _rel.JOIN_RANGE_SQL)(_rel.join_range_price_band)
+query("agg_session_window", _rel.AGG_SESSION_SQL)(_rel.agg_session_window)
+query("agg_corr_covar", _rel.AGG_CORR_SQL)(_rel.agg_corr_covar)
 
 
 # --------------------------------------------------------------------------
@@ -330,6 +336,7 @@ query("dedup_exact", _dd.DEDUP_EXACT_SQL)(_dd.dedup_exact)
 query("dedup_ngram_jaccard", _dd.DEDUP_NGRAM_SQL)(_dd.dedup_ngram_jaccard)
 query("dedup_minhash_lsh", _dd.DEDUP_MINHASH_SQL)(_dd.dedup_minhash_lsh)
 query("dedup_simhash", _dd.SIMHASH_SQL)(_dd.simhash_fingerprint)
+query("dedup_embedding_cosine", _dd.DEDUP_EMB_COSINE_SQL)(_dd.dedup_embedding_cosine)
 query("sim_topk_cosine", _sim.SIM_TOPK_SQL)(_sim.sim_topk_cosine)
 query("sim_ivf_topk", _sim.SIM_IVF_SQL)(_sim.sim_ivf_topk)
 query("embedding_norms", _sim.EMB_NORMS_SQL)(_sim.embedding_norms)

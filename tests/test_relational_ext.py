@@ -1,0 +1,129 @@
+"""Tests for the extended relational surface additions: grouping sets,
+session windows, range join, corr/covar, q6, map funcs — plus the
+semantic (embedding-cosine) dedup tier with planted duplicates."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from spark_streaming_stream_analyzer_spark import registry
+
+
+def test_grouping_sets_totals_consistent(spark, sf_dir):
+    rows = registry.QUERIES["agg_grouping_sets"](spark, sf_dir).collect()
+    by_gid = {}
+    for r in rows:
+        by_gid.setdefault(r["gid"], []).append(r)
+    # gid 0 = (flag,status), gid 1 = (flag), gid 3 = ()
+    assert set(by_gid) == {0, 1, 3}
+    total = by_gid[3][0]["n_rows"]
+    assert sum(r["n_rows"] for r in by_gid[0]) == total
+    assert sum(r["n_rows"] for r in by_gid[1]) == total
+    assert abs(sum(r["sum_qty"] for r in by_gid[1]) - by_gid[3][0]["sum_qty"]) < 1e-6
+
+
+def test_session_window_counts_cover_all_events(spark, sf_dir):
+    from spark_streaming_stream_analyzer_spark.sources.tables import load_table
+
+    sessions = registry.QUERIES["agg_session_window"](spark, sf_dir)
+    n_sessions_events = sessions.agg(F.sum("n_events")).collect()[0][0]
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert n_sessions_events == n_events
+    # session bounds are sane: start < end, end - start >= gap
+    bad = sessions.filter(
+        (F.col("session_end_us") - F.col("session_start_us"))
+        < 240 * 60 * 1_000_000
+    ).count()
+    assert bad == 0
+
+
+def test_range_band_partitions_orders(spark, sf_dir):
+    from spark_streaming_stream_analyzer_spark.sources.tables import load_table
+
+    bands = registry.QUERIES["join_range_price_band"](spark, sf_dir).collect()
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    # bands are disjoint + covering for the fixture price range
+    assert sum(r["n_orders"] for r in bands) == n_orders
+
+
+def test_corr_matches_builtin_within_tolerance(spark, sf_dir):
+    from spark_streaming_stream_analyzer_spark.sources.tables import load_table
+
+    exact_rows = {
+        r["l_returnflag"]: r
+        for r in registry.QUERIES["agg_corr_covar"](spark, sf_dir).collect()
+    }
+    builtin = {
+        r["l_returnflag"]: r
+        for r in load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.corr("l_quantity", "l_extendedprice").alias("c"),
+            F.covar_samp("l_quantity", "l_extendedprice").alias("cv"),
+        )
+        .collect()
+    }
+    for flag, r in exact_rows.items():
+        assert math.isclose(r["corr_qty_price"], builtin[flag]["c"], rel_tol=1e-9)
+        assert math.isclose(r["covar_qty_price"], builtin[flag]["cv"], rel_tol=1e-9)
+
+
+def test_q6_matches_unfiltered_recompute(spark, sf_dir):
+    from spark_streaming_stream_analyzer_spark.sources.tables import load_table
+
+    row = registry.QUERIES["q6_forecast_revenue"](spark, sf_dir).collect()[0]
+    li = load_table(spark, sf_dir, "lineitem").collect()
+    exp, n = 0, 0
+    for r in li:
+        d_cents = round(r["l_discount"] * 100)
+        if (
+            "1997-01-01" <= str(r["l_shipdate"])[:10] < "1998-01-01"
+            and r["l_quantity"] < 24
+            and 5 <= d_cents <= 7
+        ):
+            exp += round(r["l_extendedprice"] * 100) * d_cents
+            n += 1
+    assert row["n_lines"] == n
+    assert math.isclose(row["revenue"], exp / 10000.0, rel_tol=1e-12)
+
+
+def test_map_funcs_roundtrip(spark, sf_dir):
+    out = registry.QUERIES["map_funcs"](spark, sf_dir).limit(5).collect()
+    for r in out:
+        assert r["keys"] == ["type", "user"]
+        assert r["n_entries"] == 2
+        assert r["type_val"] is not None
+
+
+def test_embedding_dedup_finds_planted_duplicates(spark):
+    import spark_streaming_stream_analyzer_spark.operators.dedup as dd
+
+    base = [float((i * 37) % 19 - 9) for i in range(64)]
+    near = list(base)
+    near[0] += 0.01  # nearly identical
+    other = [float((i * 13) % 23 - 11) for i in range(64)]
+    df = spark.createDataFrame(
+        [
+            Row(vec_id=1, label=0, embedding=base),
+            Row(vec_id=2, label=0, embedding=near),
+            Row(vec_id=3, label=0, embedding=other),
+            Row(vec_id=4, label=1, embedding=other),
+        ],
+        schema="vec_id long, label int, embedding array<float>",
+    )
+    orig = dd.load_table_cpu
+    try:
+        dd.load_table_cpu = lambda s, d, n: df  # noqa: ARG005
+        out = dd.dedup_embedding_cosine(spark, "x").collect()
+    finally:
+        dd.load_table_cpu = orig
+    top = {(r["label"], r["rnk"]): (r["vec_a"], r["vec_b"], r["cos_sim"]) for r in out}
+    # the planted near-identical pair ranks first in its cell with cos ~ 1
+    va, vb, cos = top[(0, 1)]
+    assert (va, vb) == (1, 2)
+    assert cos > 0.999
+    # label-1 cell has a single vector -> no pairs emitted for it
+    assert not any(lbl == 1 for (lbl, _r) in top)
