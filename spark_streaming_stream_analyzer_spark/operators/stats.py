@@ -97,3 +97,99 @@ SELECT
 FROM {table}
 GROUP BY 1
 """.strip()
+
+
+def welford_stats(df: DataFrame, key: str, value: str) -> DataFrame:
+    """op #7 ``fn_welford_update`` — the online mean/variance kernel
+    (``KafkaStreamAverageCalculator.java:138-140, 146-150``), exposing
+    the converged Welford quantities incl. ``m2``.
+
+    Spark's built-in ``avg``/``var_samp`` ARE this algorithm family
+    (Chan's parallel merge of Welford partials) — but their float
+    partial merges are partition-order-dependent, so for the oracle
+    gate the identical quantities are derived from exact integer sums:
+    mean = S/n, m2 = Ssq − S²/n, var = m2/(n−1). Same mathematical
+    fixpoint, associative arithmetic, bit-stable on any cluster.
+    ``tests/test_stats.py`` separately pins built-in ``var_samp`` to
+    this within FP tolerance.
+    """
+    v = F.col(value)
+    n = F.count(v)
+    s = F.sum(cents(v)).cast("double") / F.lit(100.0)
+    ssq = F.sum(cents_dec(v) * cents_dec(v)).cast("double") / F.lit(10000.0)
+    mean = s / n.cast("double")
+    m2 = ssq - s * s / n.cast("double")
+    return df.groupBy(F.col(key).cast("string").alias("readTag_id")).agg(
+        mean.alias("mean"),
+        m2.alias("m2"),
+        F.when(n > 1, m2 / (n - F.lit(1)).cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("var"),
+    )
+
+
+def welford_oracle_sql(table: str, key: str, value: str) -> str:
+    c = f"CAST(round({value}*100) AS BIGINT)"
+    cd = f"CAST(round({value}*100) AS DECIMAL(18,0))"
+    s = f"(CAST(SUM({c}) AS DOUBLE) / 100.0)"
+    ssq = f"(CAST(SUM({cd} * {cd}) AS DOUBLE) / 10000.0)"
+    n = f"CAST(COUNT({value}) AS DOUBLE)"
+    m2 = f"({ssq} - {s} * {s} / {n})"
+    return f"""
+SELECT CAST({key} AS VARCHAR) AS readTag_id,
+       {s} / {n} AS mean,
+       {m2} AS m2,
+       CASE WHEN COUNT({value}) > 1
+            THEN {m2} / (CAST(COUNT({value}) AS DOUBLE) - 1.0)
+            ELSE 0.0 END AS var
+FROM {table} GROUP BY 1
+""".strip()
+
+
+def seeded_stats_merge(df: DataFrame, key: str, value: str, split: Column) -> DataFrame:
+    """op #14 ``state_seed_initial`` — state seeding as an associative
+    merge: aggregate the ``split`` partition of the stream into partial
+    state (the "seed" a restarted job begins from,
+    ``KafkaStreamAverageCalculator.java:105`` — minus its B1 sentinel
+    bug), aggregate the remainder, and MERGE the partials:
+
+        sum+=sum, n+=n, sumsq+=sumsq, min=least, max=greatest
+
+    The merged result must equal the single-pass aggregate over the
+    whole stream — precisely the partial/final-merge contract Spark's
+    state restore relies on, and the additivity property
+    ``tests/test_stats.py`` checks. Partials stay in exact integer
+    cents, so the merge is bit-lossless.
+    """
+    k = F.col(key).cast("string").alias("readTag_id")
+    v = F.col(value)
+    partial = (
+        df.groupBy(k, split.alias("phase"))
+        .agg(
+            F.sum(cents(v)).alias("s_c"),
+            F.count(v).alias("n"),
+            F.sum(cents_dec(v) * cents_dec(v)).alias("ssq_c2"),
+            F.min(v).alias("mn"),
+            F.max(v).alias("mx"),
+        )
+    )
+    merged = partial.groupBy("readTag_id").agg(
+        F.sum("s_c").alias("s_c"),
+        F.sum("n").alias("n"),
+        F.sum("ssq_c2").alias("ssq_c2"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+        F.count("*").alias("n_phases"),
+    )
+    s = F.col("s_c").cast("double") / F.lit(100.0)
+    n = F.col("n")
+    return merged.select(
+        "readTag_id",
+        s.alias("summer"),
+        n.cast("double").alias("counter"),
+        (F.col("ssq_c2").cast("double") / F.lit(10000.0)).alias("sumsqr"),
+        F.col("mn").alias("bestmin"),
+        F.col("mx").alias("bestmax"),
+        (s / n.cast("double")).alias("mean"),
+        F.col("n_phases").cast("long").alias("n_phases"),
+    )

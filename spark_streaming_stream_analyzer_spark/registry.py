@@ -263,6 +263,78 @@ def q_agg_batch_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fn_welford_update",
+    stats.welford_oracle_sql("events", "event_type", "value"),
+)
+def q_fn_welford_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op #7 — the Welford online-mean/variance kernel
+    (``KafkaStreamAverageCalculator.java:138-140, 146-150``), exposing
+    mean/m2/var; see operators/stats.py:welford_stats for the
+    exact-arithmetic derivation rationale."""
+    return stats.welford_stats(
+        load_table(spark, sf_dir, "events"), "event_type", "value"
+    )
+
+
+@query(
+    "sink_console",
+    f"""
+    WITH s AS ({stats.stats_oracle_sql("events", "event_type", "value")})
+    SELECT * FROM s ORDER BY readTag_id LIMIT 10
+    """,
+)
+def q_sink_console(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op #10 — ``dstream.print()`` batch stand-in: the first 10
+    result rows under a deterministic total order
+    (``KafkaStreamAverageCalculator.java:188``;
+    ``KafkaStreamPropertyAggregator.java:96``). The streaming form is
+    ``writeStream.format("console")`` (exercised in tests)."""
+    return (
+        stats.running_stats(load_table(spark, sf_dir, "events"), "event_type", "value")
+        .orderBy("readTag_id")
+        .limit(10)
+    )
+
+
+_SEED_SQL = f"""
+WITH partials AS (
+  SELECT CAST(event_type AS VARCHAR) AS readTag_id,
+         event_id % 2 AS phase,
+         SUM(CAST(round(value*100) AS BIGINT)) AS s_c,
+         COUNT(value) AS n,
+         SUM(CAST(round(value*100) AS DECIMAL(18,0))
+           * CAST(round(value*100) AS DECIMAL(18,0))) AS ssq_c2,
+         MIN(value) AS mn,
+         MAX(value) AS mx
+  FROM events GROUP BY 1, 2
+)
+SELECT readTag_id,
+       CAST(SUM(s_c) AS DOUBLE)/100.0 AS summer,
+       CAST(SUM(n) AS DOUBLE) AS counter,
+       CAST(SUM(ssq_c2) AS DOUBLE)/10000.0 AS sumsqr,
+       MIN(mn) AS bestmin,
+       MAX(mx) AS bestmax,
+       (CAST(SUM(s_c) AS DOUBLE)/100.0) / CAST(SUM(n) AS DOUBLE) AS mean,
+       COUNT(*) AS n_phases
+FROM partials GROUP BY readTag_id
+"""
+
+
+@query("state_seed_initial", _SEED_SQL)
+def q_state_seed_initial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op #14 — initial-state seeding as an associative partial-state
+    merge (``KafkaStreamAverageCalculator.java:105``, minus bug B1's
+    sentinels): half the stream becomes the seed state, the rest is
+    folded in, and the merge must equal the single-pass answer."""
+    return stats.seeded_stats_merge(
+        load_table(spark, sf_dir, "events"),
+        "event_type",
+        "value",
+        F.col("event_id") % 2,
+    )
+
+
+@query(
     "agg_naive_variance",
     """
     SELECT CAST(event_type AS VARCHAR) AS readTag_id,
@@ -353,8 +425,11 @@ query("mm_frame_sample", _mm.MM_FRAME_SAMPLE_SQL)(_mm.mm_frame_sample)
 # --------------------------------------------------------------------------
 
 from .streaming import pipelines as _sp  # noqa: E402
+from .streaming import policies as _pol  # noqa: E402
 from .streaming import state as _st  # noqa: E402
 
+query("trigger_microbatch_2s", _pol.TRIGGER_2S_SQL)(_pol.trigger_microbatch_2s)
+query("ckpt_state_dir", _pol.CKPT_STATE_SQL)(_pol.ckpt_state_dir)
 query("stream_running_stats", _sp.STREAM_RUNNING_STATS_SQL)(_sp.stream_running_stats)
 query("stream_windowed_wordcount", _sp.STREAM_WINDOWED_WORDCOUNT_SQL)(
     _sp.stream_windowed_wordcount

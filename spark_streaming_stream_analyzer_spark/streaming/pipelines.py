@@ -103,20 +103,52 @@ def kafka_record(stats_df: DataFrame) -> DataFrame:
 
 
 def _run_to_memory(
-    df: DataFrame, *, output_mode: str, with_checkpoint: bool = True
+    df: DataFrame,
+    *,
+    output_mode: str,
+    with_checkpoint: bool = True,
+    checkpoint_dir: str | None = None,
+    trigger: dict | None = None,
 ) -> DataFrame:
-    """Run a streaming DataFrame to completion (availableNow) into a
-    memory sink; return the sink table as a batch DataFrame."""
-    name = f"mem_{uuid.uuid4().hex[:12]}"
-    writer = df.writeStream.format("memory").queryName(name).outputMode(output_mode)
-    if with_checkpoint:
-        ckpt = os.path.join(
-            tempfile.gettempdir(), f"sgs_ckpt_{uuid.uuid4().hex[:12]}"
+    """Run a streaming DataFrame to completion into a memory sink;
+    return the sink table as a batch DataFrame.
+
+    Stateful streaming partitions are pinned to the core count for the
+    run (a caller session may default to 200 — at fixture scale that is
+    200 state-store instances and Python workers per micro-batch for a
+    handful of keys; the state-store count is fixed at the FIRST run of
+    a checkpoint, which is also why it must be set before start).
+    ``trigger`` defaults to availableNow; a processingTime trigger is
+    stopped after the source is drained (``processAllAvailable``).
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark.conf.set("spark.sql.shuffle.partitions", cpus)
+    try:
+        name = f"mem_{uuid.uuid4().hex[:12]}"
+        writer = (
+            df.writeStream.format("memory").queryName(name).outputMode(output_mode)
         )
-        writer = writer.option("checkpointLocation", ckpt)
-    q = writer.trigger(availableNow=True).start()
-    q.awaitTermination()
-    return df.sparkSession.table(name)
+        if checkpoint_dir is not None:
+            writer = writer.option("checkpointLocation", checkpoint_dir)
+        elif with_checkpoint:
+            ckpt = os.path.join(
+                tempfile.gettempdir(), f"sgs_ckpt_{uuid.uuid4().hex[:12]}"
+            )
+            writer = writer.option("checkpointLocation", ckpt)
+        if trigger is None:
+            trigger = {"availableNow": True}
+        q = writer.trigger(**trigger).start()
+        if trigger.get("availableNow"):
+            q.awaitTermination()
+        else:
+            q.processAllAvailable()
+            q.stop()
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 def stream_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
