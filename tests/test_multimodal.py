@@ -54,3 +54,30 @@ def test_decode_stub_is_gated(spark, sf_dir):
     ]
     with pytest.raises(Exception, match="NotImplementedError|image decode"):
         stub.collect()
+
+
+def test_decode_stubs_have_real_plumbing(spark, sf_dir):
+    """The decode kernels are stubs, but their Spark plumbing (schema,
+    Arrow batch wiring) must be real: the plan builds, the schema is
+    the declared one, and execution surfaces NotImplementedError."""
+    import pytest
+
+    from spark_streaming_stream_analyzer_spark.operators.multimodal import (
+        AUDIO_FEATURES_SCHEMA,
+        IMAGE_FEATURES_SCHEMA,
+        decode_audio,
+        decode_image,
+        payloads,
+    )
+
+    p = payloads(spark, sf_dir).limit(2)
+    img = decode_image(p)
+    aud = decode_audio(p)
+    assert img.schema == IMAGE_FEATURES_SCHEMA
+    assert aud.schema == AUDIO_FEATURES_SCHEMA
+    for df in (img, aud):
+        with pytest.raises(Exception) as ei:
+            df.collect()
+        assert "NotImplementedError" in str(ei.value) or isinstance(
+            ei.value, NotImplementedError
+        )

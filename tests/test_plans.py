@@ -52,3 +52,37 @@ def test_scan_projection_pruned_for_tokenize(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "op_flatmap_tokenize")
     read = plan.split("ReadSchema")[1].split("\n")[0]
     assert "text" in read and "lang" not in read
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q6_forecast_revenue")
+    pushed = plan.split("PushedFilters")[1].split("\n")[0]
+    assert "l_shipdate" in pushed and "l_quantity" in pushed
+    read = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "l_partkey" not in read and "l_returnflag" not in read
+
+
+def test_grouping_sets_single_expand_pass(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "agg_grouping_sets")
+    # one Expand feeding partial+final aggregation - one input scan for
+    # all three grouping sets
+    assert plan.count("Expand") == 1
+    assert plan.count("Scan parquet") == 1
+
+
+def test_range_band_join_is_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "join_range_price_band")
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_session_window_stays_jvm_side(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "agg_session_window")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_embedding_dedup_no_python_in_scoring(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "dedup_embedding_cosine")
+    # cosine scoring is array-expression JVM code, not a Python UDF
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
