@@ -37,3 +37,33 @@ def tokenize(df: DataFrame, text_col: str = "text") -> DataFrame:
 def word_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     """op #13 ``agg_batch_wordcount``: (word, cnt) over the whole input."""
     return tokenize(df, text_col).groupBy("word").agg(F.count("*").alias("cnt"))
+
+
+N_SALTS = 16
+
+
+def word_count_salted(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Skew-resistant two-stage count: pre-aggregate on (word, salt),
+    then merge per word.
+
+    At 100 TB a handful of stopwords dominate token streams; a single
+    groupBy(word) sends every occurrence of "the" to one reducer. The
+    salted form spreads each hot key over N_SALTS partial groups (first
+    shuffle is uniform by construction), then merges the tiny partial
+    table. Counts are integers, so the two-stage sum is exactly the
+    one-stage answer — same oracle as ``word_count``. AQE's skew
+    handling covers moderate skew automatically; explicit salting is
+    the deterministic heavy-artillery variant worth owning as an
+    operator.
+    """
+    salted = (
+        tokenize(df, text_col)
+        # deterministic salt: uniform, engine-local (never observable in
+        # the result), cheap murmur3 on the word + a row-position nonce
+        # is unnecessary — spreading by monotonically_increasing_id's
+        # low bits is uniform within partitions and free
+        .withColumn("salt", (F.monotonically_increasing_id() % N_SALTS))
+        .groupBy("word", "salt")
+        .agg(F.count("*").alias("partial_cnt"))
+    )
+    return salted.groupBy("word").agg(F.sum("partial_cnt").alias("cnt"))

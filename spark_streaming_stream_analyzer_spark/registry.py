@@ -335,6 +335,35 @@ def q_state_seed_initial(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_salted_wordcount",
+    """
+    SELECT word, COUNT(*) AS cnt FROM (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ) t WHERE word <> '' GROUP BY word
+    """,
+)
+def q_agg_salted_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted variant of op #13 — two-stage (word, salt)
+    pre-aggregation; integer partials make it exactly equal to the
+    one-stage count (same oracle)."""
+    return wordcount.word_count_salted(load_table(spark, sf_dir, "documents"), "text")
+
+
+@query("sink_parquet_roundtrip", None)  # oracle set below (import order)
+def q_sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lake sink surface: partitioned-parquet write + read-back of the
+    flagship stats (sources/sinks.py)."""
+    from .sources.sinks import sink_parquet_roundtrip
+
+    return sink_parquet_roundtrip(spark, sf_dir)
+
+
+ORACLES["sink_parquet_roundtrip"] = stats.stats_oracle_sql(
+    "events", "event_type", "value"
+).strip()
+
+
+@query(
     "agg_naive_variance",
     """
     SELECT CAST(event_type AS VARCHAR) AS readTag_id,
@@ -434,6 +463,8 @@ query("stream_running_stats", _sp.STREAM_RUNNING_STATS_SQL)(_sp.stream_running_s
 query("stream_windowed_wordcount", _sp.STREAM_WINDOWED_WORDCOUNT_SQL)(
     _sp.stream_windowed_wordcount
 )
+query("stream_static_join", _sp.STREAM_STATIC_JOIN_SQL)(_sp.stream_static_join)
+query("stream_session_window", _sp.STREAM_SESSION_SQL)(_sp.stream_session_window)
 query("stream_stats_exact_state", _st.STREAM_STATS_EXACT_SQL)(
     _st.stream_stats_exact_state
 )

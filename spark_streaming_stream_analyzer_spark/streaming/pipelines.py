@@ -207,3 +207,102 @@ GROUP BY 1, 2
 HAVING date_trunc('day', min(ts)) + INTERVAL 1 DAY
          <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
 """
+
+
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–static join (SURVEY.md §2.2): the event stream enriched
+    with the static customer dimension, then aggregated per market
+    segment. The static side is a plain batch DataFrame — Structured
+    Streaming re-plans it per micro-batch, and Catalyst broadcasts it
+    exactly as in batch, so the streaming fact flow never shuffles for
+    the enrich step. Unmatched events (user ids outside the customer
+    table) are dropped by the inner join, same as the SQL oracle.
+    """
+    events = events_file_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = events.join(
+        F.broadcast(cust), events.user_id == cust.c_custkey
+    )
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+    )
+    out = _run_to_memory(agg, output_mode="complete")
+    return out.select(
+        "c_mktsegment",
+        "n_events",
+        (F.col("sum_cents").cast("double") / F.lit(100.0)).alias("sum_value"),
+    )
+
+
+STREAM_STATIC_JOIN_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+SESSION_WM_HOURS = 1
+
+
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization (session_window + watermark, append
+    mode): per-user 4-hour-gap sessions, emitted once closed — i.e.
+    when the watermark (max event time − 1 h) passes the session end.
+    The availableNow replay ends with a no-data batch that advances the
+    watermark and flushes exactly the sessions whose end is at or below
+    it; the oracle reproduces that emission rule with gaps-and-islands
+    SQL + the same HAVING cutoff. Same state operator as the batch
+    ``agg_session_window`` — one query body, two execution modes.
+    """
+    from ..operators.relational import SESSION_GAP_MIN
+
+    events = events_file_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    with_ts = events.withColumn("ev_ts", F.timestamp_micros(F.expr("ts div 1000")))
+    sessions = (
+        with_ts.withWatermark("ev_ts", f"{SESSION_WM_HOURS} hour")
+        .groupBy(
+            "user_id", F.session_window("ev_ts", f"{SESSION_GAP_MIN} minutes")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("session_window.start").alias("session_start_us"),
+            F.unix_micros("session_window.end").alias("session_end_us"),
+            "n_events",
+        )
+    )
+    return _run_to_memory(sessions, output_mode="append")
+
+
+_GAP_US = 240 * 60 * 1_000_000
+_WM_US = SESSION_WM_HOURS * 3600 * 1_000_000
+
+STREAM_SESSION_SQL = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us FROM events
+),
+flagged AS (
+  SELECT user_id, us,
+         CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                   > {_GAP_US} THEN 1
+              WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL THEN 1
+              ELSE 0 END AS new_session
+  FROM e
+),
+sessions AS (
+  SELECT user_id, us,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY us
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       MIN(us) AS session_start_us,
+       MAX(us) + {_GAP_US} AS session_end_us,
+       COUNT(*) AS n_events
+FROM sessions GROUP BY user_id, sid
+HAVING MAX(us) + {_GAP_US} <= (SELECT MAX(us) - {_WM_US} FROM e)
+"""
