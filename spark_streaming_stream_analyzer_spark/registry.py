@@ -363,6 +363,20 @@ ORACLES["sink_parquet_roundtrip"] = stats.stats_oracle_sql(
 ).strip()
 
 
+@query("src_file_formats", None)  # oracle attached below
+def q_src_file_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-format scan surface: parquet/CSV/JSON readers + writers
+    must agree exactly (sources/sinks.py)."""
+    from .sources.sinks import src_file_formats
+
+    return src_file_formats(spark, sf_dir)
+
+
+from .sources.sinks import SRC_FILE_FORMATS_SQL as _SRC_FMT_SQL  # noqa: E402
+
+ORACLES["src_file_formats"] = _SRC_FMT_SQL.strip()
+
+
 @query(
     "agg_naive_variance",
     """
@@ -464,6 +478,7 @@ query("stream_windowed_wordcount", _sp.STREAM_WINDOWED_WORDCOUNT_SQL)(
     _sp.stream_windowed_wordcount
 )
 query("stream_static_join", _sp.STREAM_STATIC_JOIN_SQL)(_sp.stream_static_join)
+query("stream_stream_join", _sp.STREAM_STREAM_JOIN_SQL)(_sp.stream_stream_join)
 query("stream_session_window", _sp.STREAM_SESSION_SQL)(_sp.stream_session_window)
 query("stream_stats_exact_state", _st.STREAM_STATS_EXACT_SQL)(
     _st.stream_stats_exact_state

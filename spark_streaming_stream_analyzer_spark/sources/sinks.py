@@ -49,3 +49,59 @@ def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SINK_PARQUET_SQL = stats_oracle_sql("events", "event_type", "value")
+
+
+def src_file_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-format scan surface (SURVEY.md §2.2 row 1): the same events
+    slice written to and read back from CSV (header + explicit schema)
+    and JSON-lines, then aggregated per format; the parquet original is
+    the third row. All three formats must agree exactly — scans,
+    type-mapped schemas, and writers are all under one oracle.
+
+    CSV/JSON carry doubles through decimal text: values on the 2-cent
+    grid roundtrip exactly at the printed precision, and the aggregate
+    is integer-cents, so text formats introduce no drift.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    base = os.path.join(tempfile.gettempdir(), f"sgs_fmt_{uuid.uuid4().hex[:12]}")
+    try:
+        ev.write.option("header", True).csv(os.path.join(base, "csv"))
+        ev.write.json(os.path.join(base, "json"))
+        schema = "event_id long, user_id long, event_type string, value double"
+        csv_df = (
+            spark.read.schema(schema)
+            .option("header", True)
+            .csv(os.path.join(base, "csv"))
+        )
+        json_df = spark.read.schema(schema).json(os.path.join(base, "json"))
+
+        def agg(df: DataFrame, fmt: str) -> DataFrame:
+            return df.groupBy(F.lit(fmt).alias("fmt")).agg(
+                F.count("*").alias("n_rows"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+                F.countDistinct("event_type").alias("n_types"),
+            )
+
+        out = (
+            agg(ev, "parquet")
+            .unionAll(agg(csv_df, "csv"))
+            .unionAll(agg(json_df, "json"))
+        )
+        pdf = out.toPandas()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(pdf, schema=out.schema)
+
+
+SRC_FILE_FORMATS_SQL = """
+WITH base AS (
+  SELECT COUNT(*) AS n_rows,
+         CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+         COUNT(DISTINCT event_type) AS n_types
+  FROM events
+)
+SELECT fmt, n_rows, sum_cents, n_types
+FROM base, (VALUES ('parquet'), ('csv'), ('json')) t(fmt)
+"""

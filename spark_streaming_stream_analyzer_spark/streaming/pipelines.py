@@ -306,3 +306,66 @@ SELECT user_id,
 FROM sessions GROUP BY user_id, sid
 HAVING MAX(us) + {_GAP_US} <= (SELECT MAX(us) - {_WM_US} FROM e)
 """
+
+
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–stream inner join with watermarks on both sides
+    (SURVEY.md §2.2): each purchase event joined to the same user's
+    click events from the preceding hour.
+
+    Both sides carry a watermark and the join range bounds the state
+    each side must retain (clicks live for 1 h of event time; purchases
+    are droppable once matched past the watermark) — the mechanics that
+    make an unbounded join runnable forever. With availableNow replay
+    the full join is emitted; the oracle is the equivalent batch
+    interval self-join. Output is per-pair, aggregated to per-purchase
+    counts to keep the result compact.
+    """
+    base = events_file_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    with_ts = base.withColumn("ev_ts", F.timestamp_micros(F.expr("ts div 1000")))
+    purchases = (
+        with_ts.filter(F.col("event_type") == "purchase")
+        .withWatermark("ev_ts", "1 hour")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ev_ts").alias("p_ts"),
+        )
+    )
+    clicks = (
+        with_ts.filter(F.col("event_type") == "click")
+        .withWatermark("ev_ts", "1 hour")
+        .select(
+            F.col("event_id").alias("c_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ev_ts").alias("c_ts"),
+        )
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") < F.col("p_ts")),
+    )
+    pairs = _run_to_memory(joined, output_mode="append")
+    return (
+        pairs.groupBy("p_id", "p_user")
+        .agg(F.count("*").alias("n_prior_clicks"))
+        .select(
+            F.col("p_id").alias("purchase_event_id"),
+            F.col("p_user").alias("user_id"),
+            "n_prior_clicks",
+        )
+    )
+
+
+STREAM_STREAM_JOIN_SQL = """
+SELECT p.event_id AS purchase_event_id, p.user_id AS user_id,
+       COUNT(*) AS n_prior_clicks
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+ AND epoch_us(c.ts) <  epoch_us(p.ts)
+GROUP BY 1, 2
+"""
