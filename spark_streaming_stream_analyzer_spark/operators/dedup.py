@@ -237,14 +237,6 @@ def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide
 
 
-def _sig_long(wide: DataFrame) -> DataFrame:
-    """Wide signature row → (doc_id, i, minh) long form."""
-    return wide.select(
-        "doc_id",
-        F.posexplode(F.array(*[F.col(f"m{i}") for i in range(SIG_N)])),
-    ).withColumnsRenamed({"pos": "i", "col": "minh"})
-
-
 _A_LIST = "[" + ", ".join(str(x) for x in PERM_A) + "]"
 _B_LIST = "[" + ", ".join(str(x) for x in PERM_B) + "]"
 
@@ -275,7 +267,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide.count()  # materialize once: every downstream branch (band
     # self-join sides, both verification joins) must read the cache,
     # not race to rebuild the signature subtree inside one action
-    sig = _sig_long(wide)
     band_arr = F.array(
         *[
             F.concat_ws(
@@ -305,23 +296,32 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    siga = sig.select(
-        F.col("doc_id").alias("doc_a"), "i", F.col("minh").alias("minh_a")
+    # verify per pair straight off the wide signature rows: two joins
+    # pull both signatures onto the candidate row, then agreement is a
+    # single 32-term sum in codegen — no 64-rows-per-pair explode, no
+    # re-aggregation shuffle (the long form was ~2x the wall time)
+    siga = wide.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(SIG_N)],
     )
-    sigb = sig.select(
-        F.col("doc_id").alias("doc_b"), "i", F.col("minh").alias("minh_b")
+    sigb = wide.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(SIG_N)],
+    )
+    agree = sum(
+        [
+            F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+            for i in range(SIG_N)
+        ],
+        F.lit(0),
     )
     return (
         cand.join(siga, "doc_a")
-        .join(sigb, ["doc_b", "i"])
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            (
-                F.sum(
-                    F.when(F.col("minh_a") == F.col("minh_b"), 1).otherwise(0)
-                ).cast("double")
-                / F.lit(float(SIG_N))
-            ).alias("est_jaccard")
+        .join(sigb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (agree.cast("double") / F.lit(float(SIG_N))).alias("est_jaccard"),
         )
         .filter(F.col("est_jaccard") >= 0.5)
     )
