@@ -896,3 +896,33 @@ SELECT l_returnflag, n AS n_rows,
                   - (CAST(sy AS DOUBLE)/100.0) * (CAST(sy AS DOUBLE)/100.0))) AS corr_qty_price
 FROM s
 """
+
+
+# ----------------------------------------------------------- SQL surface --
+
+SQL_SURFACE_TEXT = """
+SELECT n.n_name AS nation,
+       o.o_orderpriority AS priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(round(o.o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0
+         AS sum_price
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderstatus = 'F'
+GROUP BY n.n_name, o.o_orderpriority
+HAVING COUNT(*) > 2
+"""
+
+
+def sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-parser/catalog surface (SURVEY.md §2.2): fixture tables
+    registered as temp views, the query stated as ANSI SQL text and
+    planned by Catalyst exactly like the DataFrame forms. The SAME SQL
+    string is the DuckDB oracle — a textual-equivalence check on the
+    dialect-portable subset (joins, aggregates, HAVING, exact-cents
+    arithmetic)."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir, ("orders", "customer", "nation"))
+    return spark.sql(SQL_SURFACE_TEXT)

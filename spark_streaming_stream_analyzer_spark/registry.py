@@ -436,6 +436,11 @@ query("map_funcs", _rel.MAP_FUNCS_SQL)(_rel.map_funcs)
 query("join_range_price_band", _rel.JOIN_RANGE_SQL)(_rel.join_range_price_band)
 query("agg_session_window", _rel.AGG_SESSION_SQL)(_rel.agg_session_window)
 query("agg_corr_covar", _rel.AGG_CORR_SQL)(_rel.agg_corr_covar)
+query("sql_surface", _rel.SQL_SURFACE_TEXT)(_rel.sql_surface)
+
+from .functions import udfs as _udfs  # noqa: E402
+
+query("udf_surface", _udfs.UDF_SURFACE_SQL)(_udfs.udf_surface)
 
 
 # --------------------------------------------------------------------------
