@@ -443,18 +443,25 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .similarity import _fold_sum, _with_norm
 
-    em = _with_norm(
-        load_table_cpu(spark, sf_dir, "embeddings"), "embedding", "nrm"
-    ).select("vec_id", "label", "embedding", "nrm")
+    # cast the float vector to double ONCE per row, pre-join: the
+    # scoring lambda below runs per PAIR (quadratic in cell size), so
+    # anything liftable to the linear per-row stage must move there
+    em = (
+        _with_norm(load_table_cpu(spark, sf_dir, "embeddings"), "embedding", "nrm")
+        .select(
+            "vec_id",
+            "label",
+            F.transform("embedding", lambda x: x.cast("double")).alias("emb_d"),
+            "nrm",
+        )
+    )
     a, b = em.alias("a"), em.alias("b")
     pairs = a.join(
         b,
         (F.col("a.label") == F.col("b.label"))
         & (F.col("a.vec_id") < F.col("b.vec_id")),
     )
-    ad = F.transform("a.embedding", lambda x: x.cast("double"))
-    bd = F.transform("b.embedding", lambda x: x.cast("double"))
-    dot = _fold_sum(F.zip_with(ad, bd, lambda x, y: x * y))
+    dot = _fold_sum(F.zip_with("a.emb_d", "b.emb_d", lambda x, y: x * y))
     scored = pairs.select(
         F.col("a.label").alias("label"),
         F.col("a.vec_id").alias("vec_a"),

@@ -79,18 +79,21 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     as folding inside the pair, so the oracle value is unchanged, but
     the per-pair work drops to one dot product.
     """
+    # double-cast once per row (linear), not per scored pair
     em = _with_norm(
         load_table_cpu(spark, sf_dir, "embeddings"), "embedding", "nrm"
+    ).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb_d"),
+        "nrm",
     )
     q = em.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
+        F.col("emb_d").alias("q_emb_d"),
         F.col("nrm").alias("q_nrm"),
     )
     pairs = em.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
-    ad = F.transform("q_emb", lambda x: x.cast("double"))
-    bd = F.transform("embedding", lambda x: x.cast("double"))
-    dot = _fold_sum(F.zip_with(ad, bd, lambda x, y: x * y))
+    dot = _fold_sum(F.zip_with("q_emb_d", "emb_d", lambda x, y: x * y))
     scored = pairs.select(
         "q_id",
         "vec_id",
@@ -123,20 +126,23 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse cell (``label``). Scoring identical to the brute tier."""
     em = _with_norm(
         load_table_cpu(spark, sf_dir, "embeddings"), "embedding", "nrm"
+    ).select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb_d"),
+        "nrm",
     )
     q = em.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("label").alias("q_label"),
-        F.col("embedding").alias("q_emb"),
+        F.col("emb_d").alias("q_emb_d"),
         F.col("nrm").alias("q_nrm"),
     )
     pairs = em.join(
         F.broadcast(q),
         (F.col("label") == F.col("q_label")) & (F.col("vec_id") != F.col("q_id")),
     )
-    ad = F.transform("q_emb", lambda x: x.cast("double"))
-    bd = F.transform("embedding", lambda x: x.cast("double"))
-    dot = _fold_sum(F.zip_with(ad, bd, lambda x, y: x * y))
+    dot = _fold_sum(F.zip_with("q_emb_d", "emb_d", lambda x, y: x * y))
     scored = pairs.select(
         "q_id",
         "vec_id",
