@@ -926,3 +926,106 @@ def sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("orders", "customer", "nation"))
     return spark.sql(SQL_SURFACE_TEXT)
+
+
+# ---------------------------------------------------------------- pivot --
+
+PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per user-bucket event counts spread across one column per
+    event type. The value set is declared explicitly (PIVOT_TYPES) —
+    at scale an undeclared pivot forces an extra distinct-values job
+    over the fact table; declaring it keeps the plan a single
+    partial+final aggregate with N conditional counts.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("user_bucket", (F.col("user_id") % 10))
+        .groupBy("user_bucket")
+        .pivot("event_type", PIVOT_TYPES)
+        .count()
+        .na.fill(0)
+    )
+
+
+AGG_PIVOT_SQL = f"""
+SELECT user_id % 10 AS user_bucket,
+       {", ".join(
+           f"COUNT(*) FILTER (event_type = '{t}') AS {t}" for t in PIVOT_TYPES
+       )}
+FROM events GROUP BY 1
+"""
+
+
+# ------------------------------------------------------ exists subquery --
+
+SQL_EXISTS_TEXT = """
+SELECT o_orderstatus, COUNT(*) AS n_orders
+FROM orders
+WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+)
+GROUP BY o_orderstatus
+"""
+
+
+def sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated NOT EXISTS subquery — Catalyst rewrites it to a left
+    anti join (RewritePredicateSubquery), i.e. the declarative form of
+    ``join_anti`` arrived at from SQL text. Same string runs on DuckDB.
+    """
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir, ("orders", "lineitem"))
+    return spark.sql(SQL_EXISTS_TEXT)
+
+
+# -------------------------------------------------------- null handling --
+
+def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null semantics pack: JSON-miss → NULL propagation, coalesce
+    defaults, null-safe equality (<=>), and null-aware counts. The
+    props column lacks key 'zz' everywhere → k_zz is NULL on every row;
+    the aggregate proves count(col) vs count(*) and null-safe compare
+    semantics match ANSI exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    with_nulls = ev.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.zz").cast("double").alias("k_zz"),
+        F.get_json_object("props", "$.k").cast("double").alias("k_val"),
+    )
+    return (
+        with_nulls.withColumn("k_filled", F.coalesce("k_zz", F.lit(-1.0)))
+        .withColumn("zz_eq_val", F.col("k_zz").eqNullSafe(F.col("k_val")))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("k_zz").alias("n_zz_nonnull"),
+            F.count("k_val").alias("n_val_nonnull"),
+            F.sum(F.col("k_filled")).cast("long").alias("sum_filled"),
+            F.sum(F.when(F.col("zz_eq_val"), 1).otherwise(0)).alias("n_nullsafe_eq"),
+        )
+    )
+
+
+NULL_HANDLING_SQL = """
+WITH w AS (
+  SELECT event_id, event_type,
+         CAST(json_extract_string(props, '$.zz') AS DOUBLE) AS k_zz,
+         CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_val
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n_rows,
+       COUNT(k_zz) AS n_zz_nonnull,
+       COUNT(k_val) AS n_val_nonnull,
+       CAST(SUM(COALESCE(k_zz, -1.0)) AS BIGINT) AS sum_filled,
+       CAST(SUM(CASE WHEN k_zz IS NOT DISTINCT FROM k_val THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_nullsafe_eq
+FROM w GROUP BY event_type
+"""

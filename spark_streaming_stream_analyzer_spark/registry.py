@@ -437,6 +437,9 @@ query("join_range_price_band", _rel.JOIN_RANGE_SQL)(_rel.join_range_price_band)
 query("agg_session_window", _rel.AGG_SESSION_SQL)(_rel.agg_session_window)
 query("agg_corr_covar", _rel.AGG_CORR_SQL)(_rel.agg_corr_covar)
 query("sql_surface", _rel.SQL_SURFACE_TEXT)(_rel.sql_surface)
+query("agg_pivot", _rel.AGG_PIVOT_SQL)(_rel.agg_pivot)
+query("sql_exists_subquery", _rel.SQL_EXISTS_TEXT)(_rel.sql_exists_subquery)
+query("null_handling", _rel.NULL_HANDLING_SQL)(_rel.null_handling)
 
 from .functions import udfs as _udfs  # noqa: E402
 
@@ -484,6 +487,9 @@ query("stream_windowed_wordcount", _sp.STREAM_WINDOWED_WORDCOUNT_SQL)(
 )
 query("stream_static_join", _sp.STREAM_STATIC_JOIN_SQL)(_sp.stream_static_join)
 query("stream_stream_join", _sp.STREAM_STREAM_JOIN_SQL)(_sp.stream_stream_join)
+query("stream_batch_wordcount", _sp.STREAM_BATCH_WORDCOUNT_SQL)(
+    _sp.stream_batch_wordcount
+)
 query("stream_session_window", _sp.STREAM_SESSION_SQL)(_sp.stream_session_window)
 query("stream_stats_exact_state", _st.STREAM_STATS_EXACT_SQL)(
     _st.stream_stats_exact_state

@@ -369,3 +369,65 @@ FROM events p JOIN events c
  AND epoch_us(c.ts) <  epoch_us(p.ts)
 GROUP BY 1, 2
 """
+
+
+def stream_batch_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's EXACT word-count scoping (op #13 / SURVEY.md Q2):
+    counts reset every micro-batch (``KafkaStreamPropertyAggregator``
+    has no updateStateByKey). Not declaratively expressible in
+    Structured Streaming → ``foreachBatch``: each micro-batch is a
+    self-contained batch DataFrame, counted and appended with its
+    batch id. The fixture file is staged TWICE with maxFilesPerTrigger=1
+    → two micro-batches, each counting the full file independently —
+    the per-batch reset is visible as two identical count sets.
+    """
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    src = _stage_stream_dir(docs_path, docs_path)
+    docs_schema = spark.read.parquet(docs_path).schema
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    results: list = []
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.wordcount import word_count
+
+        pdf = word_count(batch_df, "text").toPandas()
+        pdf["batch_id"] = batch_id
+        results.append(pdf)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_CPUS", "32")
+    )
+    try:
+        q = (
+            stream.writeStream.foreachBatch(per_batch)
+            .option(
+                "checkpointLocation",
+                os.path.join(
+                    tempfile.gettempdir(), f"sgs_fb_{uuid.uuid4().hex[:12]}"
+                ),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    import pandas as pd
+
+    all_pdf = pd.concat(results, ignore_index=True)
+    return spark.createDataFrame(
+        all_pdf, schema="word string, cnt long, batch_id long"
+    )
+
+
+STREAM_BATCH_WORDCOUNT_SQL = """
+SELECT word, COUNT(*) AS cnt, batch_id FROM (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+) t, (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))) b(batch_id)
+WHERE word <> '' GROUP BY word, batch_id
+"""
