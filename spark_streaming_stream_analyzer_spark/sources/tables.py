@@ -39,8 +39,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # The fixture `events.ts` is parquet TIMESTAMP(NANOS), which Spark
     # rejects unless nanos are read as raw longs. Set it here (it is a
     # runtime-settable session conf) so the operator surface works on
-    # any caller-provided SparkSession, not just ours.
+    # any caller-provided SparkSession, not just ours. Likewise pin the
+    # session timezone: fixture timestamps are UTC-midnight-aligned and
+    # the oracle compares date-cast strings, so a caller session in a
+    # non-UTC zone must not shift them.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
