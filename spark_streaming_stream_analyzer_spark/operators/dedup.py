@@ -182,18 +182,16 @@ PERM_B = [
 
 
 def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, perm i, minhash) — SIG_N portable min-hashes per doc.
+    """Wide per-doc signature row: (doc_id, m0..m{SIG_N-1}).
 
-    Shuffle-free signature build: per document row, hash each distinct
-    shingle once (md5 → 60-bit H), then take SIG_N array-mins of exact
-    (A·H + B) mod P permutations — all inside one projection, no
-    explode, no groupBy. The long (doc, i, minh) form this returns is
-    a cheap posexplode of |docs|·SIG_N rows. At 100 TB this stays
-    embarrassingly parallel: signature cost is O(shingles·SIG_N) map
-    work with nothing crossing the wire until the (tiny) band join.
-
-    DECIMAL(38,0) keeps A·H (< 2^120) exact; DuckDB mirrors with
-    native HUGEINT — identical integers, identical signatures.
+    Per document row, hash each distinct shingle once (md5 → 60-bit H
+    inside the Generate), then SIG_N permutation minima in one
+    partial+final hash aggregate — only |docs|·SIG_N longs cross the
+    shuffle. At 100 TB this stays embarrassingly parallel: signature
+    cost is O(shingles·SIG_N) map work with nothing else crossing the
+    wire until the (tiny) band join. All arithmetic is signed-64-exact
+    ((A·H + B) mod P31 with A·H < 2^62) and mirrored verbatim by the
+    DuckDB oracle — identical integers, identical signatures.
     """
     # Expression-sharing discipline: Catalyst's CollapseProject inlines
     # a projected column's *expression* into every downstream
