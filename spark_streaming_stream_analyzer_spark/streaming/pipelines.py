@@ -431,3 +431,22 @@ SELECT word, COUNT(*) AS cnt, batch_id FROM (
 ) t, (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))) b(batch_id)
 WHERE word <> '' GROUP BY word, batch_id
 """
+
+
+def kafka_sink(
+    df: DataFrame, bootstrap: str, topic: str, checkpoint_dir: str
+):
+    """Production sink wiring (op #8): the (key, value) frame produced
+    by :func:`kafka_record` written to a Kafka topic. At-least-once
+    with checkpointed offsets — already stronger than the reference's
+    fire-and-forget retries=0 producer (``kafka/KafkaProducer.java:35``,
+    SURVEY.md B5); exactly-once downstream = idempotent consumer or a
+    transactional ``foreachBatch`` writer. Not exercised in tests (no
+    broker in the container); returns the unstarted writer's query on
+    ``start()`` by the caller."""
+    return (
+        df.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+    )
