@@ -1,0 +1,88 @@
+"""Property tests (SURVEY.md §5.2.3): randomized inputs checking the
+algebraic contracts the engine depends on at scale — partition
+additivity of the exact stats (partial/final merge), and the MinHash
+estimator's accuracy envelope against known Jaccard overlap."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from spark_streaming_stream_analyzer_spark.operators.stats import (
+    running_stats,
+    seeded_stats_merge,
+)
+
+two_dec = st.integers(min_value=-10_000_00, max_value=10_000_00).map(
+    lambda c: c / 100.0
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(two_dec, min_size=1, max_size=40), st.integers(0, 3))
+def test_stats_split_additivity(spark, values, salt):
+    """Any split of the rows into phases must merge to the single-pass
+    answer bit-for-bit (integer-cents associativity)."""
+    rows = [
+        Row(k="g", v=v, phase=(i + salt) % 3) for i, v in enumerate(values)
+    ]
+    df = spark.createDataFrame(rows, schema="k string, v double, phase int")
+    single = running_stats(df, "k", "v").collect()[0]
+    merged = seeded_stats_merge(df, "k", "v", F.col("phase")).collect()[0]
+    assert merged["summer"] == single["summer"]          # exact, not approx
+    assert merged["counter"] == single["counter"]
+    assert merged["sumsqr"] == single["sumsqr"]
+    assert merged["bestmin"] == single["bestmin"]
+    assert merged["bestmax"] == single["bestmax"]
+    assert merged["mean"] == single["mean"]
+
+
+def _docs_with_overlap(n_shared: int, n_only: int) -> list[Row]:
+    shared = [f"shared{i:03d}" for i in range(n_shared)]
+    a = shared + [f"aonly{i:03d}" for i in range(n_only)]
+    b = shared + [f"bonly{i:03d}" for i in range(n_only)]
+    return [
+        Row(doc_id=1, text=" ".join(a)),
+        Row(doc_id=2, text=" ".join(b)),
+    ]
+
+
+def test_minhash_estimate_tracks_true_jaccard(spark):
+    """est_jaccard must sit within ~3 sigma (sigma = sqrt(J(1-J)/32))
+    of the true 3-gram Jaccard for strongly overlapping docs. Word
+    overlap translates to shingle overlap minus boundary effects, so
+    truth is computed on the actual shingle sets."""
+    import spark_streaming_stream_analyzer_spark.operators.dedup as dd
+
+    # (shared, distinct) word counts: the first case sits at J ~ 0.9
+    # where the 8x4 banding scheme's miss probability is ~(1-J^4)^8
+    # ~ 2e-4 -> surfacing is REQUIRED; the second at J ~ 0.65 where a
+    # miss is a legitimate LSH outcome (p ~ 0.2) -> accuracy is
+    # checked only if the pair surfaces.
+    for n_shared, n_only, must_surface in [(60, 2, True), (60, 15, False)]:
+        df = spark.createDataFrame(_docs_with_overlap(n_shared, n_only))
+        orig = dd.load_table_cpu
+        try:
+            dd.load_table_cpu = lambda s, d, n: df  # noqa: ARG005
+            sh = {
+                (r["doc_id"], r["shingle"])
+                for r in dd._shingles(spark, "x").collect()
+            }
+            s1 = {s for d, s in sh if d == 1}
+            s2 = {s for d, s in sh if d == 2}
+            true_j = len(s1 & s2) / len(s1 | s2)
+            pairs = dd.dedup_minhash_lsh(spark, "x").collect()
+        finally:
+            dd.load_table_cpu = orig
+        sigma = math.sqrt(true_j * (1 - true_j) / dd.SIG_N) or 0.05
+        if must_surface:
+            assert pairs, f"pair with J={true_j:.2f} not surfaced by LSH"
+        for r in pairs:
+            est = r["est_jaccard"]
+            assert abs(est - true_j) <= 3 * sigma + 1e-9, (
+                f"est {est:.3f} vs true {true_j:.3f}"
+            )
