@@ -220,3 +220,90 @@ SELECT doc_id,
     AS min_shingle_hash
 FROM base
 """
+
+
+# ------------------------------------------------- composite pipeline --
+
+MIN_WORDS = 20
+MIN_QUALITY = 0.5
+
+
+def pipeline_docs_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep composite: quality gate → exact
+    content dedup → per-language corpus accounting.
+
+    One declarative plan, so Catalyst fuses the whole thing: quality
+    metrics and the md5 fingerprint are computed in a single scan
+    projection, the gate is an early filter, dedup is a window-min over
+    content hash (keeps the lowest doc_id per identical text), and the
+    final rollup is one partial+final aggregate. Two shuffles total
+    (dedup hash, language rollup) regardless of corpus size — the
+    composition pattern a 100 TB prep job runs nightly.
+    """
+    docs = load_table_cpu(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_words = F.size(F.filter(words, lambda w: w != ""))
+    n_stop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    n_chars = F.length("text")
+    avg_word_len = (n_chars - (n_words - F.lit(1))).cast("double") / n_words.cast(
+        "double"
+    )
+    stop_ratio = n_stop.cast("double") / n_words.cast("double")
+    score = (
+        F.lit(0.5) * F.least(n_words.cast("double") / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.3) * stop_ratio
+        + F.lit(0.2) * F.least(avg_word_len / F.lit(8.0), F.lit(1.0))
+    )
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.md5("text").alias("content_md5"),
+        n_words.alias("n_words"),
+        score.alias("quality_score"),
+    )
+    gated = scored.filter(
+        (F.col("n_words") >= MIN_WORDS) & (F.col("quality_score") >= MIN_QUALITY)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("content_md5").orderBy("doc_id")
+    deduped = gated.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return deduped.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").alias("total_words"),
+        F.min("quality_score").alias("min_quality"),
+    )
+
+
+PIPELINE_DOCS_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, lang, md5(text) AS content_md5,
+    CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS INT) AS n_words,
+    0.5 * least(CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS DOUBLE) / 100.0, 1.0)
+      + 0.3 * (CAST(len(list_filter(string_split(text, ' '),
+                        w -> w IN ({_STOP_LIST_SQL}))) AS DOUBLE)
+               / CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS DOUBLE))
+      + 0.2 * least((CAST(length(text)
+                      - (len(list_filter(string_split(text, ' '), w -> w <> '')) - 1) AS DOUBLE)
+                     / CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS DOUBLE)) / 8.0,
+                    1.0)
+      AS quality_score
+  FROM documents
+),
+gated AS (
+  SELECT * FROM scored
+  WHERE n_words >= {MIN_WORDS} AND quality_score >= {MIN_QUALITY}
+),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY content_md5 ORDER BY doc_id) AS rn
+    FROM gated
+  ) t WHERE rn = 1
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS total_words,
+       MIN(quality_score) AS min_quality
+FROM deduped GROUP BY lang
+"""

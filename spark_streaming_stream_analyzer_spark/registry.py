@@ -467,6 +467,7 @@ query("lang_id_ngram", _ts.LANG_ID_SQL)(_ts.lang_id_ngram)
 query("text_quality_score", _ts.TEXT_QUALITY_SQL)(_ts.text_quality_score)
 query("token_count", _ts.TOKEN_COUNT_SQL)(_ts.token_count)
 query("doc_fingerprint", _ts.DOC_FINGERPRINT_SQL)(_ts.doc_fingerprint)
+query("pipeline_docs_prep", _ts.PIPELINE_DOCS_SQL)(_ts.pipeline_docs_prep)
 query("mm_binary_meta", _mm.MM_BINARY_META_SQL)(_mm.mm_binary_meta)
 query("mm_frame_sample", _mm.MM_FRAME_SAMPLE_SQL)(_mm.mm_frame_sample)
 
