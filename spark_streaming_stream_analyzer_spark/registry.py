@@ -495,3 +495,13 @@ query("stream_session_window", _sp.STREAM_SESSION_SQL)(_sp.stream_session_window
 query("stream_stats_exact_state", _st.STREAM_STATS_EXACT_SQL)(
     _st.stream_stats_exact_state
 )
+# transformWithStateInPandas streams Arrow state through a protobuf
+# channel; register the TWS variant only where python-protobuf is
+# importable (absent/broken in some containers — the
+# applyInPandasWithState form above is the always-available fallback)
+try:
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+
+    query("stream_stats_tws", _st.STREAM_STATS_TWS_SQL)(_st.stream_stats_tws)
+except ImportError:
+    pass

@@ -190,3 +190,115 @@ SELECT
 FROM events
 GROUP BY 1
 """
+
+
+# ------------------------------------------------ transformWithState --
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+
+class ExactStatsProcessor(StatefulProcessor):
+    """Spark 4.x ``transformWithStateInPandas`` form of the exact
+    positional-state op — the successor API to
+    ``applyInPandasWithState`` with typed state handles (and, when
+    needed, timers for B3-style heartbeats and TTL for state eviction;
+    neither is enabled here because the adopted semantics emit only
+    on-update, SURVEY.md B3).
+
+    Same integer-cents state algebra as ``_update`` above; the state
+    lives in a ValueState handle the store serializes per key.
+
+    Requires python-protobuf at runtime (the TWS Python worker speaks a
+    protobuf channel); ``registry.py`` registers the query only where
+    that import succeeds — this container lacks it, so the op is
+    exercised on codec-complete clusters while the
+    ``applyInPandasWithState`` form remains the tested default.
+    """
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState(
+            "acc",
+            "sum_cents LONG, n LONG, sumsq_cents2 LONG, bestmin DOUBLE, bestmax DOUBLE",
+        )
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        if self._state.exists():
+            sum_c, n, sumsq_c2, bestmin, bestmax = self._state.get()
+        else:
+            sum_c, n, sumsq_c2 = 0, 0, 0
+            bestmin, bestmax = float("inf"), float("-inf")
+        for pdf in rows:
+            vals = pdf["value"].dropna()
+            if len(vals) == 0:
+                continue
+            cents = (vals * 100.0).round().astype("int64")
+            sum_c += int(cents.sum())
+            sumsq_c2 += int((cents * cents).sum())
+            n += len(cents)
+            bestmin = min(bestmin, float(vals.min()))
+            bestmax = max(bestmax, float(vals.max()))
+        self._state.update((sum_c, n, sumsq_c2, bestmin, bestmax))
+        summer = float(sum_c) / 100.0
+        sumsqr = float(sumsq_c2) / 10000.0
+        mean = summer / float(n) if n else 0.0
+        m2 = sumsqr - summer * summer / float(n) if n else 0.0
+        var = m2 / float(n - 1) if n > 1 else 0.0
+        yield pd.DataFrame(
+            [
+                {
+                    "readTag_id": key[0],
+                    "summer": summer,
+                    "counter": float(n),
+                    "sumsqr": sumsqr,
+                    "bestmin": bestmin,
+                    "bestmax": bestmax,
+                    "mean": mean,
+                    "m2": m2,
+                    "var": var,
+                }
+            ]
+        )
+
+    def close(self) -> None:
+        pass
+
+
+TWS_OUTPUT_SCHEMA = T.StructType(
+    [f for f in OUTPUT_SCHEMA.fields if f.name != "delta"]
+)
+
+
+def stream_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing query for the transformWithStateInPandas op: run
+    over the fixture stream, keep each key's final (highest-count)
+    emission. Oracle identical to the applyInPandasWithState form."""
+    from .pipelines import _run_to_memory, events_file_stream
+
+    events = events_file_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    out = (
+        events.select(
+            F.col("event_type").cast("string").alias("readTag_id"), "value"
+        )
+        .groupBy("readTag_id")
+        .transformWithStateInPandas(
+            ExactStatsProcessor(),
+            outputStructType=TWS_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+    mem = _run_to_memory(out, output_mode="update")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("readTag_id").orderBy(F.col("counter").desc())
+    return (
+        mem.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+STREAM_STATS_TWS_SQL = STREAM_STATS_EXACT_SQL
