@@ -193,3 +193,88 @@ SELECT vec_id, label,
        x -> CAST(x AS DOUBLE))), (a, x) -> a + x) / {float(DIM)} AS mean_component
 FROM embeddings
 """
+
+
+# ------------------------------------------------------------- k-means --
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+def sim_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mini k-means over the embedding column — the
+    production replacement for the fixture's ``label`` as the IVF
+    coarse quantizer (see ``sim_ivf_topk``).
+
+    Iterative algorithm expressed natively in DataFrame ops (no RDDs,
+    no driver-side data loops): each of the KMEANS_ITERS rounds is
+      assign:    points × broadcast(centroids) → argmin distance
+                 (min-of-struct with cell tiebreak → deterministic)
+      recompute: posexplode to (cell, dim, x) → avg per (cell, dim)
+                 → sort_array(collect_list) back to a vector
+    Only the K×DIM centroid table moves between rounds (collected to
+    the driver as a *model*, re-broadcast next round — model-sized, not
+    data-sized). Init is the K lowest vec_ids: fully deterministic, so
+    the final assignment is reproducible bit-for-bit. No SQL oracle
+    (genuinely iterative — the driver records a rows-only check);
+    tests/test_similarity.py asserts monotone inertia descent and
+    assignment determinism.
+
+    At 100 TB: assignment is an embarrassingly parallel map over a
+    broadcast model; recompute is one partial+final aggregate per
+    round. This is exactly MLlib's dataflow; owning it keeps the
+    engine self-contained and the quantizer pluggable.
+    """
+    em = load_table_cpu(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    em = em.cache()
+    centroids = (
+        em.orderBy("vec_id")
+        .limit(KMEANS_K)
+        .select(
+            F.row_number().over(Window.orderBy("vec_id")).alias("cell"),
+            F.col("v").alias("c"),
+        )
+    )
+
+    def assign(cent: DataFrame) -> DataFrame:
+        dist = _fold_sum(
+            F.zip_with("v", "c", lambda x, y: (x - y) * (x - y))
+        )
+        return (
+            em.crossJoin(F.broadcast(cent))
+            .select("vec_id", "v", "cell", dist.alias("d2"))
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("d2", "cell", "v")).alias("m"))
+            .select(
+                "vec_id",
+                F.col("m.cell").alias("cell"),
+                F.col("m.d2").alias("d2"),
+                F.col("m.v").alias("v"),
+            )
+        )
+
+    cur = centroids
+    assigned = None
+    for _ in range(KMEANS_ITERS):
+        assigned = assign(cur)
+        dims = assigned.select(
+            "cell", F.posexplode("v").alias("dim", "x")
+        )
+        cur = (
+            dims.groupBy("cell", "dim")
+            .agg(F.avg("x").alias("cx"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "cx"))),
+                    lambda s: s.cx,
+                ).alias("c")
+            )
+        )
+        # materialize the model (K rows) so the next round's plan
+        # doesn't re-derive all previous rounds lazily
+        cur = spark.createDataFrame(cur.collect(), schema="cell int, c array<double>")
+
+    return assigned.select("vec_id", "cell", F.round("d2", 6).alias("d2"))

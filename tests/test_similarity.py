@@ -64,3 +64,28 @@ def test_topk_ranks_are_dense_and_ordered(spark, sf_dir):
         assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
         sims = [r["cos_sim"] for r in rows]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_kmeans_inertia_descends_and_is_deterministic(spark, sf_dir):
+    import spark_streaming_stream_analyzer_spark.operators.similarity as sim
+    from pyspark.sql import functions as F
+
+    out1 = sim.sim_kmeans_cells(spark, sf_dir)
+    total1 = out1.agg(F.sum("d2"), F.countDistinct("cell"), F.count("*")).collect()[0]
+    # every vector assigned, all K cells used at fixture scale
+    n_vecs = sim.load_table_cpu(spark, sf_dir, "embeddings").count()
+    assert total1[2] == n_vecs
+    assert total1[1] == sim.KMEANS_K
+    # determinism: a second full run reproduces assignments exactly
+    out2 = sim.sim_kmeans_cells(spark, sf_dir)
+    d = out1.select("vec_id", "cell").exceptAll(out2.select("vec_id", "cell"))
+    assert d.count() == 0
+    # inertia after 3 rounds must beat the 1-round assignment
+    orig_iters = sim.KMEANS_ITERS
+    try:
+        sim.KMEANS_ITERS = 1
+        first = sim.sim_kmeans_cells(spark, sf_dir)
+        total_first = first.agg(F.sum("d2")).collect()[0][0]
+    finally:
+        sim.KMEANS_ITERS = orig_iters
+    assert total1[0] <= total_first + 1e-6
