@@ -171,3 +171,52 @@ def decode_audio(df: DataFrame) -> DataFrame:
         yield  # pragma: no cover
 
     return df.mapInPandas(_decode, schema=AUDIO_FEATURES_SCHEMA)
+
+
+RESIZE_TO = 8
+
+
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fake "resize": nearest-neighbor downsample of the
+    payload byte stream to RESIZE_TO bytes (position i samples byte
+    floor(i·len/RESIZE_TO)), fingerprinted with md5 — the byte-domain
+    stand-in for image resizing. Same ``mapInPandas`` plumbing as a
+    real PIL resize kernel; the DuckDB oracle reproduces the sampled
+    bytes with substr arithmetic, pinning the Pandas batch code to the
+    declarative spec exactly.
+    """
+    p = payloads(spark, sf_dir).select("doc_id", "payload")
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple[int, int, str]] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                n = len(data)
+                if n == 0:
+                    continue
+                sampled = bytes(
+                    data[(i * n) // RESIZE_TO] for i in range(RESIZE_TO)
+                )
+                rows.append(
+                    (int(doc_id), n, hashlib.md5(sampled).hexdigest())
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "orig_bytes", "resized_md5"]
+            )
+
+    return p.mapInPandas(
+        resize,
+        schema="doc_id long, orig_bytes int, resized_md5 string",
+    )
+
+
+MM_RESIZE_SQL = f"""
+SELECT doc_id,
+       CAST(length(text) AS INT) AS orig_bytes,
+       md5(list_aggregate(list_transform(range({RESIZE_TO}),
+             i -> substr(text, 1 + CAST(floor(i * length(text) / {RESIZE_TO}) AS INT), 1)),
+           'string_agg', '')) AS resized_md5
+FROM documents
+WHERE length(text) > 0
+"""
