@@ -29,10 +29,11 @@ EAGER = {
     "ckpt_state_dir",
     "sink_parquet_roundtrip",
     "src_file_formats",
+    "sim_kmeans_cells",  # per-round model collects inside the builder
 }
 
 #: Queries allowed to contain Arrow-batched Python operators.
-ARROW_PYTHON_OK = {"mm_frame_sample", "udf_surface"}
+ARROW_PYTHON_OK = {"mm_frame_sample", "mm_resize", "udf_surface"}
 
 
 def test_no_rowwise_python_anywhere(spark, sf_dir):
