@@ -26,3 +26,64 @@ def json_double(col: Column | str, field: str) -> Column:
     ``Double.parseDouble(json.getString(...))``) — NULL on garbage
     instead of a task-killing exception."""
     return json_str(col, field).cast("double")
+
+
+def json_corrupt_policy(spark, sf_dir):
+    """Corrupt-record policy (SURVEY.md §1.2 parity decision): the
+    reference dies on malformed JSON (org.json throws, no handler —
+    ``KafkaStreamAverageCalculator.java:201-215``); the rebuild's
+    PERMISSIVE path yields NULL and keeps the pipeline alive.
+
+    Every 50th record is corrupted in-flight (truncated document);
+    extraction must null out exactly those and the aggregate proves the
+    partition: n_valid + n_corrupt = n_rows, with per-type counts.
+    """
+    from pyspark.sql import functions as F
+
+    from ..sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    doc = F.concat(
+        F.lit('{"readTag_id": "'),
+        F.col("event_type"),
+        F.lit('", "readValue": "'),
+        F.col("value").cast("decimal(14,2)").cast("string"),
+        F.lit('"}'),
+    )
+    corrupted = F.when(
+        F.col("event_id") % 50 == 0, F.substring(doc, 1, 20)
+    ).otherwise(doc)
+    parsed = ev.select(
+        "event_id",
+        "event_type",
+        F.get_json_object(corrupted, "$.readValue").cast("double").alias("rv"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.count("rv").alias("n_valid"),
+        F.sum(F.when(F.col("rv").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_corrupt"),
+    )
+
+
+JSON_CORRUPT_SQL = """
+WITH docs AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 50 = 0
+              THEN substr('{"readTag_id": "' || event_type || '", "readValue": "'
+                          || CAST(CAST(value AS DECIMAL(14,2)) AS VARCHAR) || '"}', 1, 20)
+              ELSE '{"readTag_id": "' || event_type || '", "readValue": "'
+                   || CAST(CAST(value AS DECIMAL(14,2)) AS VARCHAR) || '"}'
+         END AS doc
+  FROM events
+),
+parsed AS (
+  SELECT event_id, event_type,
+         TRY_CAST(json_extract_string(TRY_CAST(doc AS JSON), '$.readValue') AS DOUBLE) AS rv
+  FROM docs
+)
+SELECT event_type, COUNT(*) AS n_rows, COUNT(rv) AS n_valid,
+       CAST(SUM(CASE WHEN rv IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt
+FROM parsed GROUP BY event_type
+"""

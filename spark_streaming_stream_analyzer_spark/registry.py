@@ -441,6 +441,24 @@ query("agg_pivot", _rel.AGG_PIVOT_SQL)(_rel.agg_pivot)
 query("sql_exists_subquery", _rel.SQL_EXISTS_TEXT)(_rel.sql_exists_subquery)
 query("null_handling", _rel.NULL_HANDLING_SQL)(_rel.null_handling)
 
+from .functions import jsonf as _jsonf  # noqa: E402
+from .functions.hashing import hll_estimate, hll_oracle_sql  # noqa: E402
+
+query("json_corrupt_policy", _jsonf.JSON_CORRUPT_SQL)(_jsonf.json_corrupt_policy)
+
+
+@query(
+    "approx_distinct_portable",
+    hll_oracle_sql("lineitem", "l_returnflag", "CAST(l_partkey AS VARCHAR)"),
+)
+def q_approx_distinct_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable HyperLogLog distinct-count (functions/hashing.py)
+    — the oracle-checkable counterpart to approx_aggs' private sketch."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_partkey").cast("string").alias("pk")
+    )
+    return hll_estimate(li, ["l_returnflag"], "pk")
+
 from .functions import udfs as _udfs  # noqa: E402
 
 query("udf_surface", _udfs.UDF_SURFACE_SQL)(_udfs.udf_surface)

@@ -127,3 +127,30 @@ def test_embedding_dedup_finds_planted_duplicates(spark):
     assert cos > 0.999
     # label-1 cell has a single vector -> no pairs emitted for it
     assert not any(lbl == 1 for (lbl, _r) in top)
+
+
+def test_portable_hll_error_within_bounds(spark, sf_dir):
+    from spark_streaming_stream_analyzer_spark.sources.tables import load_table
+
+    est = {
+        r["l_returnflag"]: r["approx_distinct"]
+        for r in registry.QUERIES["approx_distinct_portable"](spark, sf_dir).collect()
+    }
+    truth = {
+        r["l_returnflag"]: r["t"]
+        for r in load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("t"))
+        .collect()
+    }
+    for flag, t in truth.items():
+        rel_err = abs(est[flag] - t) / t
+        # standard error 1.04/sqrt(256) ~ 6.5%; 4 sigma bound
+        assert rel_err < 0.26, f"{flag}: est {est[flag]:.0f} vs true {t}"
+
+
+def test_corrupt_policy_counts(spark, sf_dir):
+    rows = registry.QUERIES["json_corrupt_policy"](spark, sf_dir).collect()
+    assert sum(r["n_corrupt"] for r in rows) > 0  # corruption injected
+    for r in rows:
+        assert r["n_valid"] + r["n_corrupt"] == r["n_rows"]
