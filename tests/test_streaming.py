@@ -145,3 +145,41 @@ def test_kafka_record_shape(spark, sf_dir):
     assert {"summer", "counter", "sumsqr", "bestmin", "bestmax", "mean", "var"} <= set(
         parsed
     )
+
+
+def test_rocksdb_state_store_matches_batch(spark, sf_dir):
+    """The 100 TB state path: the same streaming aggregate under the
+    RocksDB state store provider (large-key-cardinality state off the
+    JVM heap) must equal the batch answer. Run in an isolated session
+    so the provider conf doesn't leak into other tests."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from spark_streaming_stream_analyzer_spark.operators.stats import stat_aggs
+    from spark_streaming_stream_analyzer_spark.sources.tables import load_table
+    from spark_streaming_stream_analyzer_spark.streaming.pipelines import (
+        _run_to_memory,
+        events_file_stream,
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        ev = events_file_stream(spark, f"{sf_dir}/events.parquet")
+        streamed = _run_to_memory(
+            ev.groupBy(F.col("event_type").alias("readTag_id")).agg(
+                *stat_aggs("value")
+            ),
+            output_mode="complete",
+        ).collect()
+        batch = (
+            load_table(spark, sf_dir, "events")
+            .groupBy(F.col("event_type").alias("readTag_id"))
+            .agg(*stat_aggs("value"))
+            .collect()
+        )
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
