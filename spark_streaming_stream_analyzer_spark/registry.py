@@ -512,6 +512,7 @@ query("stream_batch_wordcount", _sp.STREAM_BATCH_WORDCOUNT_SQL)(
     _sp.stream_batch_wordcount
 )
 query("stream_session_window", _sp.STREAM_SESSION_SQL)(_sp.stream_session_window)
+query("stream_dedup", _sp.STREAM_DEDUP_SQL)(_sp.stream_dedup)
 query("stream_stats_exact_state", _st.STREAM_STATS_EXACT_SQL)(
     _st.stream_stats_exact_state
 )

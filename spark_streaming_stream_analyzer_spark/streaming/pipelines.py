@@ -450,3 +450,40 @@ def kafka_sink(
         .option("topic", topic)
         .option("checkpointLocation", checkpoint_dir)
     )
+
+
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact deduplication: the fixture is staged TWICE (two
+    micro-batches, every event_id seen in both), and stateful
+    ``dropDuplicates`` on the key emits each event exactly once — the
+    state store remembers seen keys across batches. Per-type counts of
+    the deduplicated stream therefore equal the plain batch counts.
+
+    At scale the unbounded seen-keys state is the real design decision:
+    bound it with ``dropDuplicatesWithinWatermark`` (keys evicted once
+    the watermark passes) — same operator, one extra clause — or dedup
+    within event-time windows. The unbounded form here matches the
+    oracle exactly.
+    """
+    path = os.path.join(sf_dir, "events.parquet")
+    src = _stage_stream_dir(path, path)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    deduped = stream.select("event_id", "event_type", "value").dropDuplicates(
+        ["event_id"]
+    )
+    mem = _run_to_memory(deduped, output_mode="append")
+    return mem.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+    )
+
+
+STREAM_DEDUP_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY event_type
+"""
