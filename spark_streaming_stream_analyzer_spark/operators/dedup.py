@@ -72,15 +72,21 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle) — distinct word-K-grams per document."""
     docs = load_table_cpu(spark, sf_dir, "documents")
     words = F.split("text", " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(words) - SHINGLE_K),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(words, i + 1),
-            F.element_at(words, i + 2),
-            F.element_at(words, i + 3),
+    # guard short docs: sequence(0, size-K) DESCENDS when size < K,
+    # feeding element_at invalid indices (ANSI error); such docs have
+    # no K-grams, so emit an empty array instead
+    grams = F.when(
+        F.size(words) >= SHINGLE_K,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - SHINGLE_K),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(words, i + 1),
+                F.element_at(words, i + 2),
+                F.element_at(words, i + 3),
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     return docs.select(
         "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
     )

@@ -861,7 +861,12 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxx = F.col("sxx").cast("double") / F.lit(10000.0)
     syy = F.col("syy").cast("double") / F.lit(10000.0)
     covar = (sxy - sx * sy / n) / (n - F.lit(1.0))
-    corr = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    # try_divide: a zero-variance group (all-identical values) makes the
+    # denominator 0 -> NULL correlation, not an ANSI divide error
+    corr = F.try_divide(
+        n * sxy - sx * sy,
+        F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+    )
     return agg.select(
         "l_returnflag",
         F.col("n").alias("n_rows"),

@@ -63,8 +63,14 @@ _COS_SQL = f"""
 
 
 def _with_norm(df: DataFrame, emb: str, out: str) -> DataFrame:
+    """L2 norm column; rows with zero norm are DROPPED — a zero vector
+    has no direction, cosine against it is 0/0, and under ANSI mode
+    that division would kill the task. Exclusion is the standard
+    pre-index normalization step (and a no-op on the fixtures)."""
     ad = F.transform(emb, lambda x: x.cast("double"))
-    return df.withColumn(out, F.sqrt(_fold_sum(F.transform(ad, lambda x: x * x))))
+    return df.withColumn(
+        out, F.sqrt(_fold_sum(F.transform(ad, lambda x: x * x)))
+    ).filter(F.col(out) > 0)
 
 
 def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -113,10 +113,14 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_words = F.size(F.filter(words, lambda w: w != ""))
     n_stop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
     n_chars = F.length("text")
-    avg_word_len = (n_chars - (n_words - F.lit(1))).cast("double") / n_words.cast(
-        "double"
+    # try_divide: a zero-word document yields NULL ratios instead of an
+    # ANSI divide-by-zero that would kill the task — one empty doc must
+    # never fail a 100 TB job (the task-killing failure mode the
+    # reference has, SURVEY.md §1.2, is exactly what we refuse to copy)
+    avg_word_len = F.try_divide(
+        (n_chars - (n_words - F.lit(1))).cast("double"), n_words.cast("double")
     )
-    stop_ratio = n_stop.cast("double") / n_words.cast("double")
+    stop_ratio = F.try_divide(n_stop.cast("double"), n_words.cast("double"))
     len_score = F.least(n_words.cast("double") / F.lit(100.0), F.lit(1.0))
     wl_score = F.least(avg_word_len / F.lit(8.0), F.lit(1.0))
     score = (
@@ -188,15 +192,20 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table_cpu(spark, sf_dir, "documents")
     words = F.filter(F.split("text", " "), lambda w: w != "")
     vocab = F.concat_ws(" ", F.array_sort(F.array_distinct(words)))
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(words) - 3),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(words, i + 1),
-            F.element_at(words, i + 2),
-            F.element_at(words, i + 3),
+    # short docs have no 3-grams: sequence(0, size-3) would DESCEND and
+    # hand element_at invalid indices (ANSI error) -> empty array
+    grams = F.when(
+        F.size(words) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(words, i + 1),
+                F.element_at(words, i + 2),
+                F.element_at(words, i + 3),
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     min_shingle = F.array_min(F.transform(grams, lambda g: hash64(g)))
     return docs.select(
         "doc_id",
@@ -245,10 +254,10 @@ def pipeline_docs_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_words = F.size(F.filter(words, lambda w: w != ""))
     n_stop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
     n_chars = F.length("text")
-    avg_word_len = (n_chars - (n_words - F.lit(1))).cast("double") / n_words.cast(
-        "double"
+    avg_word_len = F.try_divide(
+        (n_chars - (n_words - F.lit(1))).cast("double"), n_words.cast("double")
     )
-    stop_ratio = n_stop.cast("double") / n_words.cast("double")
+    stop_ratio = F.try_divide(n_stop.cast("double"), n_words.cast("double"))
     score = (
         F.lit(0.5) * F.least(n_words.cast("double") / F.lit(100.0), F.lit(1.0))
         + F.lit(0.3) * stop_ratio
