@@ -1034,3 +1034,44 @@ SELECT event_type,
          AS BIGINT) AS n_nullsafe_eq
 FROM w GROUP BY event_type
 """
+
+
+# ------------------------------------------------------- range frames --
+
+RANGE_BAND = 10_000
+
+
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based (RANGE) window frame — distinct from the ROWS frames
+    in ``window_analytics``: for each order, how many of the same
+    customer's orders fall within the preceding RANGE_BAND price band.
+    The frame boundary moves with the ORDER BY *value*, so peers and
+    near-peers are counted regardless of row position — the frame type
+    sliding-aggregate pricing/telemetry queries need.
+    """
+    od = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice"))
+        .rangeBetween(-RANGE_BAND, 0)
+    )
+    return od.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.count("*").over(w).alias("n_in_band"),
+        (
+            F.sum(cents("o_totalprice")).over(w).cast("double") / F.lit(100.0)
+        ).alias("band_total"),
+    )
+
+
+WINDOW_RANGE_SQL = f"""
+SELECT o_custkey, o_orderkey, o_totalprice,
+  COUNT(*) OVER w AS n_in_band,
+  CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) OVER w AS DOUBLE)/100.0
+    AS band_total
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice
+             RANGE BETWEEN {RANGE_BAND} PRECEDING AND CURRENT ROW)
+"""
