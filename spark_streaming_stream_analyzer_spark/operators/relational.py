@@ -1075,3 +1075,81 @@ FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice
              RANGE BETWEEN {RANGE_BAND} PRECEDING AND CURRENT ROW)
 """
+
+
+# -------------------------------------------------- resample + ffill --
+
+def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: per-user daily resample over the
+    full span of the stream, gaps forward-filled from the last
+    observed day (IGNORE NULLS running last).
+
+    The scaffold (users × days) comes from one global min/max
+    aggregate broadcast into a generated day sequence — no driver-side
+    date math. At 100 TB the scaffold is |users|·|days| rows built by
+    explode, partitioned with the join on user_id; the ffill is one
+    window pass per user ordered by day. Daily means are exact-cents.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date(F.timestamp_micros(F.expr("ts DIV 1000")))
+    daily = (
+        ev.select("user_id", day.alias("day"), "value")
+        .groupBy("user_id", "day")
+        .agg(
+            (
+                F.sum(cents("value")).cast("double")
+                / F.lit(100.0)
+                / F.count("value").cast("double")
+            ).alias("day_mean"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    span = ev.agg(
+        F.min(day).alias("d0"), F.max(day).alias("d1")
+    )
+    days = span.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    users = ev.select("user_id").distinct()
+    scaffold = users.crossJoin(F.broadcast(days))
+    joined = scaffold.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "user_id",
+        F.col("day").cast("string").alias("day"),
+        F.last("day_mean", ignorenulls=True).over(w).alias("ffill_mean"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+    )
+
+
+TS_RESAMPLE_SQL = """
+WITH ev AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, value FROM events
+),
+daily AS (
+  SELECT user_id, day,
+         CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0
+           / CAST(COUNT(value) AS DOUBLE) AS day_mean,
+         COUNT(*) AS n_events
+  FROM ev GROUP BY 1, 2
+),
+days AS (
+  SELECT CAST(unnest(generate_series(
+           (SELECT MIN(day) FROM ev), (SELECT MAX(day) FROM ev),
+           INTERVAL 1 DAY)) AS DATE) AS day
+),
+scaffold AS (
+  SELECT u.user_id, d.day FROM (SELECT DISTINCT user_id FROM ev) u, days d
+)
+SELECT s.user_id, CAST(s.day AS VARCHAR) AS day,
+       last_value(daily.day_mean IGNORE NULLS)
+         OVER (PARTITION BY s.user_id ORDER BY s.day
+               ROWS UNBOUNDED PRECEDING) AS ffill_mean,
+       COALESCE(daily.n_events, 0) AS n_events
+FROM scaffold s
+LEFT JOIN daily ON s.user_id = daily.user_id AND s.day = daily.day
+"""
