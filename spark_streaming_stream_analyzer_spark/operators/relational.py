@@ -577,8 +577,8 @@ FROM orders GROUP BY o_orderstatus
 def approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates — HLL++ count-distinct and quantile
     sketch. No DuckDB oracle (sketch internals differ by engine);
-    the driver records a rows-only check and tests/test_relational.py
-    bounds the error against the exact values."""
+    the driver records a rows-only check and
+    tests/test_relational_ext.py bounds the error against exact values."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),

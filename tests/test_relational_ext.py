@@ -151,3 +151,32 @@ def test_corrupt_policy_counts(spark, sf_dir):
     assert sum(r["n_corrupt"] for r in rows) > 0  # corruption injected
     for r in rows:
         assert r["n_valid"] + r["n_corrupt"] == r["n_rows"]
+
+
+def test_approx_aggs_error_bounded(spark, sf_dir):
+    """Bounds approx_count_distinct (HLL++) and percentile_approx
+    against the exact answers — the rows-only driver check gets its
+    accuracy gate here."""
+    from spark_streaming_stream_analyzer_spark.sources.tables import load_table
+
+    approx = {
+        r["l_returnflag"]: r
+        for r in registry.QUERIES["approx_aggs"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r
+        for r in load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("d"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("m"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+        .collect()
+    }
+    for flag, e in exact.items():
+        a = approx[flag]
+        assert abs(a["approx_parts"] - e["d"]) / e["d"] < 0.15
+        assert e["lo"] <= a["approx_median_price"] <= e["hi"]
+        assert abs(a["approx_median_price"] - e["m"]) / e["m"] < 0.25
