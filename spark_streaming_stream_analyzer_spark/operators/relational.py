@@ -1153,3 +1153,68 @@ SELECT s.user_id, CAST(s.day AS VARCHAR) AS day,
 FROM scaffold s
 LEFT JOIN daily ON s.user_id = daily.user_id AND s.day = daily.day
 """
+
+
+# ------------------------------------------------------------ q7 shape --
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: two independent dimension paths to the same
+    table (supplier→nation vs customer→nation), nation-pair filter,
+    revenue by (supp_nation, cust_nation, year).
+
+    Both nation copies broadcast under distinct aliases; the only
+    shuffle is lineitem⋈orders. The year comes from l_shipdate
+    (fixture has no receiptdate), cast via UTC-pinned date parts.
+    """
+    na_s = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    na_c = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    su = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cu = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    # fixture nations are synthetic NATION_N names
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    rpair = (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na_s), su.s_nationkey == na_s.s_nkey)
+        .join(F.broadcast(na_c), cu.c_nationkey == na_c.c_nkey)
+        .filter(pair | rpair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            (
+                F.sum(_disc_price_cents2("l_extendedprice", "l_discount")).cast(
+                    "double"
+                )
+                / F.lit(10000.0)
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+Q7_SQL = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM({DISC_PRICE_SQL}) AS DOUBLE)/10000.0 AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+"""
