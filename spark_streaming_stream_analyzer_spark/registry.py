@@ -516,6 +516,10 @@ query("stream_batch_wordcount", _sp.STREAM_BATCH_WORDCOUNT_SQL)(
 )
 query("stream_session_window", _sp.STREAM_SESSION_SQL)(_sp.stream_session_window)
 query("stream_dedup", _sp.STREAM_DEDUP_SQL)(_sp.stream_dedup)
+query("stream_dedup_watermark", _sp.STREAM_DEDUP_WM_SQL)(_sp.stream_dedup_watermark)
+query("stream_stream_left_join", _sp.STREAM_STREAM_LEFT_SQL)(
+    _sp.stream_stream_left_join
+)
 query("stream_stats_exact_state", _st.STREAM_STATS_EXACT_SQL)(
     _st.stream_stats_exact_state
 )

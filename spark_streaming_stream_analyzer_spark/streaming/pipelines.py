@@ -487,3 +487,109 @@ SELECT event_type, COUNT(*) AS n_events,
        CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM events GROUP BY event_type
 """
+
+
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream–stream LEFT OUTER join: every purchase
+    emitted, click-matched or not. The null-padded rows are the
+    interesting mechanics: the engine can only emit "no match" once
+    the watermark proves no qualifying click can still arrive, so
+    outer results trail the watermark; availableNow's closing no-data
+    batch flushes them. Oracle = batch left join (0 clicks for the
+    unmatched)."""
+    base = events_file_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    with_ts = base.withColumn("ev_ts", F.timestamp_micros(F.expr("ts div 1000")))
+    purchases = (
+        with_ts.filter(F.col("event_type") == "purchase")
+        .withWatermark("ev_ts", "1 hour")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ev_ts").alias("p_ts"),
+        )
+    )
+    clicks = (
+        with_ts.filter(F.col("event_type") == "click")
+        .withWatermark("ev_ts", "1 hour")
+        .select(
+            F.col("event_id").alias("c_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ev_ts").alias("c_ts"),
+        )
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "leftOuter",
+    )
+    pairs = _run_to_memory(joined, output_mode="append")
+    return (
+        pairs.groupBy("p_id", "p_user")
+        .agg(F.count("c_id").alias("n_prior_clicks"))
+        .select(
+            F.col("p_id").alias("purchase_event_id"),
+            F.col("p_user").alias("user_id"),
+            "n_prior_clicks",
+        )
+    )
+
+
+# Emission rule mirrored: a click-matched purchase emits immediately,
+# but a MATCHLESS purchase only emits once the global watermark reaches
+# p_ts — no earlier moment proves no qualifying click can still arrive
+# (the join range ends at p_ts). The global watermark is the MINIMUM
+# over both watermarked inputs (multipleWatermarkPolicy=min), each
+# computed from ITS OWN max event time − 1 h; the HAVING clause
+# reproduces exactly that terminal value.
+STREAM_STREAM_LEFT_SQL = """
+SELECT p.event_id AS purchase_event_id, p.user_id AS user_id,
+       COUNT(c.event_id) AS n_prior_clicks
+FROM events p LEFT JOIN events c
+  ON p.user_id = c.user_id
+ AND c.event_type = 'click'
+ AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+ AND epoch_us(c.ts) <  epoch_us(p.ts)
+WHERE p.event_type = 'purchase'
+GROUP BY 1, 2, epoch_us(p.ts)
+HAVING COUNT(c.event_id) > 0
+    OR epoch_us(p.ts) <= (
+         SELECT LEAST(
+             (SELECT MAX(epoch_us(ts)) FROM events WHERE event_type = 'purchase'),
+             (SELECT MAX(epoch_us(ts)) FROM events WHERE event_type = 'click')
+           ) - 3600000000
+       )
+"""
+
+
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup: ``dropDuplicatesWithinWatermark``
+    evicts seen-key state once the watermark passes — the form that
+    runs forever at 100 TB (the plain dropDuplicates variant above
+    keeps keys forever). The 40-day delay exceeds the fixture's 30-day
+    span, so no duplicate escapes eviction here and the result equals
+    the batch distinct; in production the delay is the dedup horizon.
+    """
+    path = os.path.join(sf_dir, "events.parquet")
+    src = _stage_stream_dir(path, path)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    deduped = (
+        stream.withColumn("ev_ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ev_ts", "40 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    mem = _run_to_memory(
+        deduped.select("event_id", "event_type", "value"), output_mode="append"
+    )
+    return mem.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+    )
+
+
+STREAM_DEDUP_WM_SQL = STREAM_DEDUP_SQL
