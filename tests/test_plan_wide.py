@@ -56,6 +56,6 @@ def test_all_parquet_scans_prune_columns(spark, sf_dir):
         if name in EAGER:
             continue
         plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-        for m in re.finditer(r"ReadSchema: struct<([^>]*)", plan):
+        for m in re.finditer(r"ReadSchema: struct<([^>\n]*)", plan):
             ncols = len([c for c in m.group(1).split(",") if c])
             assert ncols <= 8, f"{name}: scan reads {ncols} columns"
