@@ -1218,3 +1218,30 @@ WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
 GROUP BY 1, 2, 3
 """
+
+
+# -------------------------------------------------------------- unpivot --
+
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): the pivoted per-bucket event-type counts turned
+    back into long form — (user_bucket, event_type, cnt). Spark's
+    native ``unpivot`` generates an Expand (one input pass, no join);
+    the oracle mirrors with UNION ALL over the same pivot CTE. Zero
+    counts survive the roundtrip (na.fill in the pivot), so
+    pivot→unpivot is lossless."""
+    wide = agg_pivot(spark, sf_dir)
+    return wide.unpivot(
+        ids=["user_bucket"],
+        values=PIVOT_TYPES,
+        variableColumnName="event_type",
+        valueColumnName="cnt",
+    )
+
+
+AGG_UNPIVOT_SQL = f"""
+WITH wide AS ({AGG_PIVOT_SQL})
+{" UNION ALL ".join(
+    f"SELECT user_bucket, '{t}' AS event_type, {t} AS cnt FROM wide"
+    for t in PIVOT_TYPES
+)}
+"""

@@ -441,6 +441,7 @@ query("agg_session_window", _rel.AGG_SESSION_SQL)(_rel.agg_session_window)
 query("agg_corr_covar", _rel.AGG_CORR_SQL)(_rel.agg_corr_covar)
 query("sql_surface", _rel.SQL_SURFACE_TEXT)(_rel.sql_surface)
 query("agg_pivot", _rel.AGG_PIVOT_SQL)(_rel.agg_pivot)
+query("agg_unpivot", _rel.AGG_UNPIVOT_SQL)(_rel.agg_unpivot)
 query("sql_exists_subquery", _rel.SQL_EXISTS_TEXT)(_rel.sql_exists_subquery)
 query("null_handling", _rel.NULL_HANDLING_SQL)(_rel.null_handling)
 
