@@ -1245,3 +1245,56 @@ WITH wide AS ({AGG_PIVOT_SQL})
     for t in PIVOT_TYPES
 )}
 """
+
+
+# ------------------------------------------------------- ranking funcs --
+
+def window_rank_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function pack: dense_rank, percent_rank, cume_dist,
+    ntile over each customer's orders by price. The ratio outputs are
+    integer-operand divides — bit-identical across engines."""
+    od = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return od.select(
+        "o_custkey",
+        "o_orderkey",
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+WINDOW_RANK_SQL = """
+SELECT o_custkey, o_orderkey,
+  dense_rank()   OVER w AS drnk,
+  percent_rank() OVER w AS prnk,
+  cume_dist()    OVER w AS cdist,
+  ntile(4)       OVER w AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+# --------------------------------------------------------- lateral join --
+
+SQL_LATERAL_TEXT = """
+SELECT c.c_custkey, t.o_orderkey AS top_orderkey, t.o_totalprice AS top_price
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 1
+) t
+"""
+
+
+def sql_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (top-1 order per customer) — the
+    SQL-text route to per-group top-k; Catalyst plans it as a
+    DomainJoin→window rewrite. Same text runs on DuckDB."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(SQL_LATERAL_TEXT)
