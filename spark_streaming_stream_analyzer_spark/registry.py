@@ -523,6 +523,7 @@ query("stream_dedup_watermark", _sp.STREAM_DEDUP_WM_SQL)(_sp.stream_dedup_waterm
 query("stream_stream_left_join", _sp.STREAM_STREAM_LEFT_SQL)(
     _sp.stream_stream_left_join
 )
+query("stream_file_sink", _sp.STREAM_FILE_SINK_SQL)(_sp.stream_file_sink)
 query("stream_stats_exact_state", _st.STREAM_STATS_EXACT_SQL)(
     _st.stream_stats_exact_state
 )

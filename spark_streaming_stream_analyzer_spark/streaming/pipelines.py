@@ -593,3 +593,47 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STREAM_DEDUP_WM_SQL = STREAM_DEDUP_SQL
+
+
+def stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming parquet file sink — the production lake-writer path:
+    events filtered and reshaped in-stream, written to partitioned
+    parquet with the sink's transaction log (_spark_metadata) giving
+    exactly-once per batch; the read-back aggregate must equal the
+    batch query. Partitioned by event_type so downstream key-filtered
+    reads prune directories."""
+    import shutil
+
+    events = events_file_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    shaped = events.filter(F.col("value") > 0).select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    out_dir = os.path.join(tempfile.gettempdir(), f"sgs_fsink_{uuid.uuid4().hex[:12]}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"sgs_fsink_ck_{uuid.uuid4().hex[:12]}")
+    try:
+        q = (
+            shaped.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .partitionBy("event_type")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        back = spark.read.parquet(out_dir)
+        agg = back.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+        )
+        pdf = agg.toPandas()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.createDataFrame(pdf, schema=agg.schema)
+
+
+STREAM_FILE_SINK_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events WHERE value > 0 GROUP BY event_type
+"""
