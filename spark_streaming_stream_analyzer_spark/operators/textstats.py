@@ -316,3 +316,67 @@ SELECT lang, COUNT(*) AS n_docs,
        MIN(quality_score) AS min_quality
 FROM deduped GROUP BY lang
 """
+
+
+# ------------------------------------------------------------ winnowing --
+
+WINNOW_W = 4  # hashes per winnowing window
+
+
+def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (the MOSS scheme): slide a W-hash window
+    over the 3-gram hash sequence, keep each window's minimum, emit the
+    distinct selected hashes per document.
+
+    Guarantees: any shared substring of length >= W+2 words between two
+    documents yields at least one shared fingerprint — the
+    position-robust dedup/plagiarism primitive. All per-row array work
+    (zero shuffles before the explode); hashes via the portable md5
+    hash64 so DuckDB mirrors the selection exactly.
+    """
+    docs = load_table_cpu(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda w: w != "")
+    g12 = F.zip_with(
+        words,
+        F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    g123 = F.zip_with(
+        g12,
+        F.slice(words, 3, F.greatest(F.size(words) - 2, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    grams = F.slice(g123, 1, F.greatest(F.size(g123) - 2, F.lit(0)))
+    hs = F.transform(grams, lambda g: hash64(g))
+    n_wins = F.size(hs) - F.lit(WINNOW_W - 1)
+    wins = F.when(
+        n_wins >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_wins),
+                lambda i: F.array_min(F.slice(hs, i, WINNOW_W)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return docs.select("doc_id", F.explode(wins).alias("fingerprint"))
+
+
+DOC_WINNOW_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), w -> w <> '') AS words
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id,
+         list_transform(range(1, len(words) - 1),
+           i -> CAST('0x' || substr(md5(words[i] || ' ' || words[i+1] || ' ' || words[i+2]), 1, 15) AS BIGINT)
+         ) AS hs
+  FROM base
+)
+SELECT doc_id, unnest(list_distinct(list_transform(
+         range(1, len(hs) - {WINNOW_W} + 2),
+         i -> list_min(list_slice(hs, i, i + {WINNOW_W} - 1))))) AS fingerprint
+FROM hashed
+WHERE len(hs) >= {WINNOW_W}
+"""

@@ -86,3 +86,29 @@ def test_minhash_estimate_tracks_true_jaccard(spark):
             assert abs(est - true_j) <= 3 * sigma + 1e-9, (
                 f"est {est:.3f} vs true {true_j:.3f}"
             )
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Winnowing's core property: documents sharing a contiguous run of
+    >= W+2 words share at least one fingerprint, regardless of where
+    the run sits in each document."""
+    import spark_streaming_stream_analyzer_spark.operators.textstats as ts
+
+    shared = " ".join(f"common{i:02d}" for i in range(ts.WINNOW_W + 2))
+    rows = [
+        Row(doc_id=1, text=f"alpha beta {shared} gamma delta"),
+        Row(doc_id=2, text=f"{shared} zeta eta theta iota kappa"),
+        Row(doc_id=3, text="entirely different words with no overlap at all"),
+    ]
+    df = spark.createDataFrame(rows)
+    orig = ts.load_table_cpu
+    try:
+        ts.load_table_cpu = lambda s, d, n: df  # noqa: ARG005
+        fp = ts.doc_winnowing(spark, "x").collect()
+    finally:
+        ts.load_table_cpu = orig
+    by_doc = {}
+    for r in fp:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert by_doc[1] & by_doc[2], "shared run produced no shared fingerprint"
+    assert not (by_doc[1] & by_doc[3])
