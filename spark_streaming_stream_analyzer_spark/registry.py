@@ -525,6 +525,7 @@ query("stream_stream_left_join", _sp.STREAM_STREAM_LEFT_SQL)(
     _sp.stream_stream_left_join
 )
 query("stream_file_sink", _sp.STREAM_FILE_SINK_SQL)(_sp.stream_file_sink)
+query("stream_kafka_pipeline", ORACLES["sink_kafka_json"])(_sp.stream_kafka_pipeline)
 query("stream_stats_exact_state", _st.STREAM_STATS_EXACT_SQL)(
     _st.stream_stats_exact_state
 )

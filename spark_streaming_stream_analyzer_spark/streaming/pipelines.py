@@ -637,3 +637,51 @@ SELECT event_type, COUNT(*) AS n_events,
        CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM events WHERE value > 0 GROUP BY event_type
 """
+
+
+def stream_kafka_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ENTIRE flagship loop as one streaming query
+    (``KafkaStreamAverageCalculator`` end-to-end): JSON records arrive
+    on the stream → ``from_json`` parse (#2/#3) → string-encoded-double
+    cast (#4, Q1) → stateful per-key statistics (#5) → 10-field JSON
+    result record (#8) keyed by tag id — the exact (key, value) shape
+    the reference produces to Kafka, minus its B1/B2/B4 bugs.
+
+    Byte-exact oracle: result numbers are serialized as DECIMAL(18,4)
+    (``to_json`` renders fixed scale), so the value string matches the
+    oracle's string concatenation to the byte. Swap ``_run_to_memory``
+    for ``kafka_sink`` and this is the production deployment.
+    """
+    events = events_file_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    # A1-shaped record synthesis in-stream (fixture stand-in for the
+    # Kafka value bytes; mirrors registry._a1_records)
+    doc = F.concat(
+        F.lit('{"readTag_id": "'),
+        F.col("event_type"),
+        F.lit('", "readValue": "'),
+        F.col("value").cast("decimal(14,2)").cast("string"),
+        F.lit('"}'),
+    )
+    schema = "readTag_id string, readValue string"
+    parsed = events.select(F.from_json(doc, schema).alias("j")).select(
+        F.col("j.readTag_id").alias("readTag_id"),
+        F.col("j.readValue").cast("double").alias("v"),
+    )
+    stats = parsed.groupBy("readTag_id").agg(*stat_aggs("v"))
+    d4 = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    record = stats.select(
+        F.col("readTag_id").alias("key"),
+        F.to_json(
+            F.struct(
+                F.col("readTag_id"),
+                d4("summer").alias("summer"),
+                d4("counter").alias("counter"),
+                d4("sumsqr").alias("sumsqr"),
+                d4("bestmin").alias("bestmin"),
+                d4("bestmax").alias("bestmax"),
+                d4("mean").alias("mean"),
+                d4("var").alias("var"),
+            )
+        ).alias("value"),
+    )
+    return _run_to_memory(record, output_mode="complete")
