@@ -508,3 +508,75 @@ SELECT label, vec_a, vec_b, rnk, cos_sim FROM (
   FROM scored
 ) t WHERE rnk <= {EMB_DEDUP_TOPN}
 """
+
+
+# ------------------------------------------------ simhash pair search --
+
+SIMHASH_BANDS = 4        # 8 bits per band over the 32-bit fingerprint
+SIMHASH_MAX_HAMMING = 3  # near-dup threshold
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS — the search stage over the fingerprints
+    (:func:`simhash_fingerprint` is the signature stage): band the
+    32-bit fingerprint into 4 bytes; by pigeonhole, any pair within
+    Hamming distance 3 agrees on at least one whole byte, so candidates
+    are byte-band collisions only, then verified with
+    popcount(xor) <= 3. Same two-phase shape as MinHash-LSH: linear
+    candidate generation, exact verification, no all-pairs pass.
+    """
+    fp = simhash_fingerprint(spark, sf_dir).cache()
+    band_arr = F.array(
+        *[
+            F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(F.lit(0xFF))
+            for b in range(SIMHASH_BANDS)
+        ]
+    )
+    bands = fp.select(
+        "doc_id", F.posexplode(band_arr)
+    ).withColumnsRenamed({"pos": "band", "col": "band_key"})
+    ba, bb = bands.alias("ba"), bands.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.band_key") == F.col("bb.band_key"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(
+            F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    hamming = F.bit_count(
+        F.col("ha").bitwiseXOR(F.col("hb")).bitwiseAND(F.lit(0xFFFFFFFF))
+    )
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    )
+
+
+DEDUP_SIMHASH_PAIRS_SQL = f"""
+WITH fp AS ({SIMHASH_SQL}),
+bands AS (
+  SELECT doc_id, b AS band, (simhash >> (8 * b)) & 255 AS band_key
+  FROM fp, range({SIMHASH_BANDS}) t(b)
+),
+cand AS (
+  SELECT DISTINCT ba.doc_id AS doc_a, bb.doc_id AS doc_b
+  FROM bands ba JOIN bands bb
+    ON ba.band = bb.band AND ba.band_key = bb.band_key
+   AND ba.doc_id < bb.doc_id
+)
+SELECT doc_a, doc_b,
+       bit_count(xor(fa.simhash, fb.simhash) & 4294967295) AS hamming
+FROM cand
+JOIN fp fa ON fa.doc_id = doc_a
+JOIN fp fb ON fb.doc_id = doc_b
+WHERE bit_count(xor(fa.simhash, fb.simhash) & 4294967295) <= {SIMHASH_MAX_HAMMING}
+"""
