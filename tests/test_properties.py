@@ -112,3 +112,55 @@ def test_winnowing_shared_substring_guarantee(spark):
         by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
     assert by_doc[1] & by_doc[2], "shared run produced no shared fingerprint"
     assert not (by_doc[1] & by_doc[3])
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 10_000)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_session_window_matches_manual_islands(spark, rows):
+    """Spark's session_window against an independent gaps-and-islands
+    fold in plain Python: same sessions, bounds, and counts for
+    arbitrary (user, second-offset) event sets. Gap = 300 s."""
+    from pyspark.sql import functions as F
+
+    gap = 300
+    df = spark.createDataFrame(
+        [Row(u=u, ts_us=(s * 1_000_000)) for u, s in rows],
+        schema="u int, ts_us long",
+    )
+    got = {
+        (r["u"], r["start_us"], r["end_us"]): r["n"]
+        for r in df.select("u", F.timestamp_micros("ts_us").alias("t"))
+        .groupBy("u", F.session_window("t", f"{gap} seconds"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            "u",
+            F.unix_micros("session_window.start").alias("start_us"),
+            F.unix_micros("session_window.end").alias("end_us"),
+            F.col("n"),
+        )
+        .collect()
+    }
+    # manual islands
+    exp = {}
+    by_user = {}
+    for u, s in rows:
+        by_user.setdefault(u, []).append(s * 1_000_000)
+    gap_us = gap * 1_000_000
+    for u, tss in by_user.items():
+        tss.sort()
+        start = prev = tss[0]
+        n = 0
+        for t in tss:
+            if t - prev > gap_us:
+                exp[(u, start, prev + gap_us)] = n
+                start, n = t, 0
+            n += 1
+            prev = t
+        exp[(u, start, prev + gap_us)] = n
+    assert got == exp
