@@ -580,3 +580,71 @@ JOIN fp fa ON fa.doc_id = doc_a
 JOIN fp fb ON fb.doc_id = doc_b
 WHERE bit_count(xor(fa.simhash, fb.simhash) & 4294967295) <= {SIMHASH_MAX_HAMMING}
 """
+
+
+# ---------------------------------------------------- cluster keepers --
+
+def dedup_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION step: near-dup pairs → connected components →
+    one canonical keeper (min doc_id) per cluster.
+
+    Iterative min-label propagation on the pair graph, run to fixpoint
+    (each round: label := min(own, neighbors'); converges in
+    O(cluster diameter) rounds — bounded and tiny for near-dup
+    clusters). Each round is one join + aggregate; the frontier is the
+    label table (|dup docs| rows, model-sized), checkpointed per round
+    so the plan stays flat. DuckDB mirrors with a recursive CTE
+    (transitive closure → MIN reachable) — same fixpoint, so the
+    iterative DataFrame form is fully value-oracled, unlike most
+    iterative algorithms.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).cache()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("lab", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(20):  # >> any real cluster diameter; breaks at fixpoint
+        neigh = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("lab").alias("nlab"))
+        )
+        new = (
+            labels.select("doc_id", F.col("lab").alias("old_lab"))
+            .join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                "old_lab",
+                F.least(
+                    F.col("old_lab"), F.coalesce("nlab", F.col("old_lab"))
+                ).alias("lab"),
+            )
+            .localCheckpoint(eager=True)  # flat plan per round; nothing
+            # ever leaves the cluster — the fixpoint test below is a
+            # distributed count, not a driver collect
+        )
+        changed = new.filter(F.col("lab") != F.col("old_lab")).count()
+        labels = new.select("doc_id", "lab")
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("lab").alias("keep_doc_id"))
+
+
+DEDUP_CLUSTER_SQL = f"""
+WITH RECURSIVE pairs AS ({DEDUP_MINHASH_SQL}),
+edges AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach(doc_id, lab) AS (
+  SELECT DISTINCT doc_a, doc_a FROM edges
+  UNION
+  SELECT e.doc_a, r.lab FROM edges e JOIN reach r ON e.doc_b = r.doc_id
+)
+SELECT doc_id, MIN(lab) AS keep_doc_id FROM reach GROUP BY doc_id
+"""

@@ -484,6 +484,7 @@ query("dedup_ngram_jaccard", _dd.DEDUP_NGRAM_SQL)(_dd.dedup_ngram_jaccard)
 query("dedup_minhash_lsh", _dd.DEDUP_MINHASH_SQL)(_dd.dedup_minhash_lsh)
 query("dedup_simhash", _dd.SIMHASH_SQL)(_dd.simhash_fingerprint)
 query("dedup_simhash_pairs", _dd.DEDUP_SIMHASH_PAIRS_SQL)(_dd.dedup_simhash_pairs)
+query("dedup_cluster_keep", _dd.DEDUP_CLUSTER_SQL)(_dd.dedup_cluster_keep)
 query("dedup_embedding_cosine", _dd.DEDUP_EMB_COSINE_SQL)(_dd.dedup_embedding_cosine)
 query("sim_topk_cosine", _sim.SIM_TOPK_SQL)(_sim.sim_topk_cosine)
 query("sim_ivf_topk", _sim.SIM_IVF_SQL)(_sim.sim_ivf_topk)
