@@ -193,3 +193,94 @@ def seeded_stats_merge(df: DataFrame, key: str, value: str, split: Column) -> Da
         (s / n.cast("double")).alias("mean"),
         F.col("n_phases").cast("long").alias("n_phases"),
     )
+
+
+def higher_moments(df: DataFrame, key: str, value: str) -> DataFrame:
+    """Exact 3rd/4th-moment statistics per key — central moments and
+    skewness / excess kurtosis computed from EXACT INTEGER central
+    sums, so even these deep aggregates bit-match the oracle:
+
+        N2 = n·S2 − S1²                       (cents²)
+        N3 = n²·S3 − 3n·S1·S2 + 2·S1³          (cents³)
+        N4 = n³·S4 − 4n²·S1·S3 + 6n·S1²·S2 − 3·S1⁴  (cents⁴)
+
+    all in DECIMAL(38,0) (DuckDB: HUGEINT) — values stay < 1e38 through
+    sf≈1 per group. The cents scale cancels in the normalized shapes:
+    skewness = N3/√(N2³), excess kurtosis = N4/N2² − 3 — pure integer
+    ratios with one deterministic float op each. No float cancellation
+    anywhere, unlike the naive mean-powers expansion (which differed
+    from DuckDB by ulps in m4)."""
+    c = cents_dec(F.col(value))
+    agg = df.groupBy(F.col(key).cast("string").alias("readTag_id")).agg(
+        F.count("*").alias("n"),
+        F.sum(c).alias("s1"),
+        F.sum((c * c).cast("decimal(38,0)")).alias("s2"),
+        F.sum((c * c * c).cast("decimal(38,0)")).alias("s3"),
+        F.sum((c * c * c * c).cast("decimal(38,0)")).alias("s4"),
+    )
+    d38 = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    n_i = d38(F.col("n"))
+    s1, s2, s3, s4 = (F.col(x) for x in ("s1", "s2", "s3", "s4"))
+    two = F.lit(2).cast("decimal(38,0)")
+    three = F.lit(3).cast("decimal(38,0)")
+    four = F.lit(4).cast("decimal(38,0)")
+    six = F.lit(6).cast("decimal(38,0)")
+    N2 = d38(n_i * s2) - d38(s1 * s1)
+    N3 = d38(d38(n_i * n_i) * s3) - d38(three * d38(n_i * d38(s1 * s2))) + d38(
+        two * d38(d38(s1 * s1) * s1)
+    )
+    N4 = (
+        d38(d38(d38(n_i * n_i) * n_i) * s4)
+        - d38(four * d38(d38(n_i * n_i) * d38(s1 * s3)))
+        + d38(six * d38(n_i * d38(d38(s1 * s1) * s2)))
+        - d38(three * d38(d38(s1 * s1) * d38(s1 * s1)))
+    )
+    nd = F.col("n").cast("double")
+    n2d, n3d, n4d = (
+        F.col("N2").cast("double"),
+        F.col("N3").cast("double"),
+        F.col("N4").cast("double"),
+    )
+    mid = agg.select("readTag_id", "n", N2.alias("N2"), N3.alias("N3"), N4.alias("N4"))
+    return mid.select(
+        "readTag_id",
+        F.col("n").alias("n_rows"),
+        (n2d / (nd * nd) / F.lit(1e4)).alias("m2"),
+        (n3d / (nd * nd * nd) / F.lit(1e6)).alias("m3"),
+        (n4d / (nd * nd * nd * nd) / F.lit(1e8)).alias("m4"),
+        F.try_divide(n3d, F.sqrt(n2d * n2d * n2d)).alias("skewness"),
+        (F.try_divide(n4d, n2d * n2d) - F.lit(3.0)).alias("excess_kurtosis"),
+    )
+
+
+def higher_moments_sql(table: str, key: str, value: str) -> str:
+    cd = f"CAST(round({value}*100) AS DECIMAL(38,0))"
+    return f"""
+WITH sums AS (
+  SELECT CAST({key} AS VARCHAR) AS readTag_id, COUNT(*) AS n,
+         CAST(SUM({cd}) AS HUGEINT) AS s1,
+         CAST(SUM(CAST({cd}*{cd} AS DECIMAL(38,0))) AS HUGEINT) AS s2,
+         CAST(SUM(CAST({cd}*{cd}*{cd} AS DECIMAL(38,0))) AS HUGEINT) AS s3,
+         CAST(SUM(CAST({cd}*{cd}*{cd}*{cd} AS DECIMAL(38,0))) AS HUGEINT) AS s4
+  FROM {table} GROUP BY 1
+), central AS (
+  SELECT readTag_id, n,
+         CAST(n AS HUGEINT)*s2 - s1*s1 AS N2,
+         CAST(n AS HUGEINT)*CAST(n AS HUGEINT)*s3
+           - 3*CAST(n AS HUGEINT)*s1*s2 + 2*s1*s1*s1 AS N3,
+         CAST(n AS HUGEINT)*CAST(n AS HUGEINT)*CAST(n AS HUGEINT)*s4
+           - 4*CAST(n AS HUGEINT)*CAST(n AS HUGEINT)*s1*s3
+           + 6*CAST(n AS HUGEINT)*s1*s1*s2
+           - 3*s1*s1*s1*s1 AS N4
+  FROM sums
+)
+SELECT readTag_id, n AS n_rows,
+  CAST(N2 AS DOUBLE) / (CAST(n AS DOUBLE)*CAST(n AS DOUBLE)) / 1e4 AS m2,
+  CAST(N3 AS DOUBLE) / (CAST(n AS DOUBLE)*CAST(n AS DOUBLE)*CAST(n AS DOUBLE)) / 1e6 AS m3,
+  CAST(N4 AS DOUBLE) / (CAST(n AS DOUBLE)*CAST(n AS DOUBLE)*CAST(n AS DOUBLE)*CAST(n AS DOUBLE)) / 1e8 AS m4,
+  CASE WHEN N2 > 0 THEN CAST(N3 AS DOUBLE)
+       / sqrt(CAST(N2 AS DOUBLE)*CAST(N2 AS DOUBLE)*CAST(N2 AS DOUBLE)) END AS skewness,
+  CASE WHEN N2 > 0 THEN CAST(N4 AS DOUBLE)
+       / (CAST(N2 AS DOUBLE)*CAST(N2 AS DOUBLE)) - 3.0 END AS excess_kurtosis
+FROM central
+""".strip()

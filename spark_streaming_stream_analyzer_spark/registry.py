@@ -378,6 +378,19 @@ ORACLES["src_file_formats"] = _SRC_FMT_SQL.strip()
 
 
 @query(
+    "agg_higher_moments",
+    stats.higher_moments_sql("events", "event_type", "value"),
+)
+def q_agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact skewness/kurtosis per key from integer power sums — the
+    flagship statistics surface extended to 3rd/4th moments
+    (operators/stats.py:higher_moments)."""
+    return stats.higher_moments(
+        load_table(spark, sf_dir, "events"), "event_type", "value"
+    )
+
+
+@query(
     "agg_naive_variance",
     """
     SELECT CAST(event_type AS VARCHAR) AS readTag_id,
