@@ -1298,3 +1298,61 @@ def sql_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("customer", "orders"))
     return spark.sql(SQL_LATERAL_TEXT)
+
+
+# ---------------------------------------------------------- mode/argmax --
+
+def agg_mode_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user modal event type (most frequent; ties -> first
+    alphabetically) via the min-of-struct argmax idiom — a plain
+    aggregate, no window: two partial+final hash aggregates, no sort."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    best = counts.groupBy("user_id").agg(
+        F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("event_type"))).alias("m")
+    )
+    return best.select(
+        "user_id",
+        F.col("m.event_type").alias("modal_type"),
+        (-F.col("m.neg")).alias("n_occurrences"),
+    )
+
+
+AGG_MODE_SQL = """
+WITH counts AS (
+  SELECT user_id, event_type, COUNT(*) AS cnt FROM events GROUP BY 1, 2
+)
+SELECT user_id, event_type AS modal_type, cnt AS n_occurrences FROM (
+  SELECT user_id, event_type, cnt,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY cnt DESC, event_type) AS rn
+  FROM counts
+) t WHERE rn = 1
+"""
+
+
+# ------------------------------------------------------------ full outer --
+
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join — both-side null preservation: negative-balance
+    customers against high-value orders; unmatched rows survive from
+    either side with nulls on the other."""
+    cu = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 0)
+    od = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400_000)
+    return (
+        cu.join(od, cu.c_custkey == od.o_custkey, "full_outer")
+        .select(
+            "c_custkey",
+            "c_acctbal",
+            "o_orderkey",
+            "o_totalprice",
+        )
+    )
+
+
+JOIN_FULL_OUTER_SQL = """
+SELECT c_custkey, c_acctbal, o_orderkey, o_totalprice
+FROM (SELECT * FROM customer WHERE c_acctbal < 0) c
+FULL OUTER JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+  ON c.c_custkey = o.o_custkey
+"""

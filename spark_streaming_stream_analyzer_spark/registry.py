@@ -429,6 +429,8 @@ query("q5_local_supplier_volume", _rel.Q5_SQL)(_rel.q5_local_supplier_volume)
 query("join_broadcast_agg", _rel.JOIN_BROADCAST_SQL)(_rel.join_broadcast_agg)
 query("join_semi", _rel.JOIN_SEMI_SQL)(_rel.join_semi)
 query("join_anti", _rel.JOIN_ANTI_SQL)(_rel.join_anti)
+query("join_full_outer", _rel.JOIN_FULL_OUTER_SQL)(_rel.join_full_outer)
+query("agg_mode_argmax", _rel.AGG_MODE_SQL)(_rel.agg_mode_argmax)
 query("join_asof_latest_order", _rel.JOIN_ASOF_SQL)(_rel.join_asof_latest_order)
 query("agg_rollup", _rel.AGG_ROLLUP_SQL)(_rel.agg_rollup)
 query("agg_cube", _rel.AGG_CUBE_SQL)(_rel.agg_cube)
