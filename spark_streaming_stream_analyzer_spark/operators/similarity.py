@@ -284,3 +284,41 @@ def sim_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur = spark.createDataFrame(cur.collect(), schema="cell int, c array<double>")
 
     return assigned.select("vec_id", "cell", F.round("d2", 6).alias("d2"))
+
+
+def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end production ANN: IVF top-3 searched within LEARNED
+    k-means cells (``sim_kmeans_cells``) instead of the fixture's
+    ``label`` stand-in. Train (iterative) → assign → cell-pruned exact
+    scoring — the complete shape a 100 TB vector index runs. Iterative
+    upstream ⇒ no SQL oracle (rows-only driver check); determinism of
+    the whole chain is pinned by the kmeans tests plus the
+    deterministic scoring tiebreaks."""
+    cells = sim_kmeans_cells(spark, sf_dir).select("vec_id", "cell")
+    em = _with_norm(
+        load_table_cpu(spark, sf_dir, "embeddings"), "embedding", "nrm"
+    ).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb_d"),
+        "nrm",
+    ).join(cells, "vec_id")
+    q = em.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("cell").alias("q_cell"),
+        F.col("emb_d").alias("q_emb_d"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    pairs = em.join(
+        F.broadcast(q),
+        (F.col("cell") == F.col("q_cell")) & (F.col("vec_id") != F.col("q_id")),
+    )
+    dot = _fold_sum(F.zip_with("q_emb_d", "emb_d", lambda x, y: x * y))
+    scored = pairs.select(
+        "q_id", "vec_id", (dot / (F.col("q_nrm") * F.col("nrm"))).alias("cos_sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("q_id", "vec_id", "rank", "cos_sim")
+    )

@@ -505,6 +505,7 @@ query("sim_topk_cosine", _sim.SIM_TOPK_SQL)(_sim.sim_topk_cosine)
 query("sim_ivf_topk", _sim.SIM_IVF_SQL)(_sim.sim_ivf_topk)
 query("embedding_norms", _sim.EMB_NORMS_SQL)(_sim.embedding_norms)
 query("sim_kmeans_cells", None)(_sim.sim_kmeans_cells)  # iterative: rows-only
+query("sim_ivf_kmeans_topk", None)(_sim.sim_ivf_kmeans_topk)  # iterative upstream
 query("lang_id_ngram", _ts.LANG_ID_SQL)(_ts.lang_id_ngram)
 query("text_quality_score", _ts.TEXT_QUALITY_SQL)(_ts.text_quality_score)
 query("token_count", _ts.TOKEN_COUNT_SQL)(_ts.token_count)
