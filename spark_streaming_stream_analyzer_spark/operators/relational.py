@@ -1356,3 +1356,29 @@ FROM (SELECT * FROM customer WHERE c_acctbal < 0) c
 FULL OUTER JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
   ON c.c_custkey = o.o_custkey
 """
+
+
+# ------------------------------------------------------- multi distinct --
+
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Several COUNT(DISTINCT ...) over different columns in ONE
+    aggregate — Catalyst plans this with an Expand (one input row per
+    distinct-clause) feeding a single aggregation pipeline, not N
+    separate jobs; still one scan at 100 TB."""
+    od = load_table(spark, sf_dir, "orders")
+    return od.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.countDistinct(F.col("o_orderdate").cast("date")).alias("n_days"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+AGG_MULTI_DISTINCT_SQL = """
+SELECT o_orderstatus,
+       COUNT(DISTINCT o_custkey) AS n_custs,
+       COUNT(DISTINCT o_orderpriority) AS n_priorities,
+       COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS n_days,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderstatus
+"""
