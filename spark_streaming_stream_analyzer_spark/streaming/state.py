@@ -302,3 +302,62 @@ def stream_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STREAM_STATS_TWS_SQL = STREAM_STATS_EXACT_SQL
+
+
+# ----------------------------------------------------- heartbeat (B3) --
+
+def _update_heartbeat(
+    key: tuple[str],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """B3-compatible variant: like :func:`_update`, but with a
+    processing-time timeout armed so keys ABSENT from a batch still
+    re-emit their current statistics — the reference's
+    emit-every-key-every-batch behavior (``updateStateByKey`` invokes
+    the update fn for every known key, ``KafkaStreamAverageCalculator
+    .java:155-168``), reproduced as an explicit, opt-in timer rather
+    than an accident of the API. Timeout fires → emit from state,
+    re-arm; fresh data → fold + emit + re-arm."""
+    if state.hasTimedOut:
+        sum_c, n, sumsq_c2, bestmin, bestmax, _ = state.get
+        state.setTimeoutDuration(1000)
+        summer = float(sum_c) / 100.0
+        sumsqr = float(sumsq_c2) / 10000.0
+        mean = summer / float(n) if n else 0.0
+        m2 = sumsqr - summer * summer / float(n) if n else 0.0
+        var = m2 / float(n - 1) if n > 1 else 0.0
+        yield pd.DataFrame(
+            [
+                {
+                    "readTag_id": key[0],
+                    "summer": summer,
+                    "counter": float(n),
+                    "sumsqr": sumsqr,
+                    "bestmin": bestmin,
+                    "bestmax": bestmax,
+                    "mean": mean,
+                    "m2": m2,
+                    "var": var,
+                    "delta": 0.0,  # heartbeat: no new values (B4 empty-update)
+                }
+            ]
+        )
+        return
+    yield from _update(key, pdfs, state)
+    state.setTimeoutDuration(1000)
+
+
+def exact_state_stats_heartbeat(events: DataFrame, key: str = "event_type") -> DataFrame:
+    """Heartbeat wiring: same output schema, ProcessingTimeTimeout armed."""
+    return (
+        events.select(F.col(key).cast("string").alias("readTag_id"), "value")
+        .groupBy("readTag_id")
+        .applyInPandasWithState(
+            _update_heartbeat,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

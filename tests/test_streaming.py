@@ -183,3 +183,71 @@ def test_rocksdb_state_store_matches_batch(spark, sf_dir):
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
+
+
+def test_heartbeat_reemits_idle_keys(spark, tmp_path):
+    """B3 heartbeat via state timers: a key seen only in batch 1 must
+    re-emit (unchanged stats) in a later processing-time batch, which
+    the plain update-mode op never does."""
+    import time
+
+    from pyspark.sql import types as T
+
+    from spark_streaming_stream_analyzer_spark.streaming.state import (
+        exact_state_stats_heartbeat,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame([("a", 1.0), ("b", 2.0)], schema).coalesce(1).write.parquet(
+        str(src / "b0.parquet")
+    )
+    # flatten part files for the stream source
+    import os
+
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    n = 0
+    for part in (src / "b0.parquet").iterdir():
+        if part.name.endswith(".parquet"):
+            os.link(part, stream_dir / f"f{n}.parquet")
+            n += 1
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+    )
+    out = exact_state_stats_heartbeat(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hb")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        # batch 1 ingests a+b; later idle batches fire the timers
+        deadline = time.time() + 45
+        while time.time() < deadline:
+            rows = spark.table("hb").groupBy("readTag_id").count().collect()
+            if rows and all(r["count"] >= 2 for r in rows) and len(rows) == 2:
+                break
+            time.sleep(1)
+        counts = {
+            r["readTag_id"]: r["count"]
+            for r in spark.table("hb").groupBy("readTag_id").count().collect()
+        }
+        assert set(counts) == {"a", "b"}
+        assert all(c >= 2 for c in counts.values()), counts  # >=1 heartbeat
+        # heartbeat rows carry the same (unchanged) statistics
+        vals = spark.table("hb").select("readTag_id", "summer", "counter").distinct().collect()
+        assert len(vals) == 2
+    finally:
+        q.stop()
