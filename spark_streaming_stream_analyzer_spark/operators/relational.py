@@ -1382,3 +1382,102 @@ SELECT o_orderstatus,
        COUNT(*) AS n_orders
 FROM orders GROUP BY o_orderstatus
 """
+
+
+# ------------------------------------------------------------ q10 shape --
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer,
+    top 20. Selective lineitem flag filter → shuffle join with orders
+    → broadcast customer/nation enrich → top-k with deterministic
+    tiebreak."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cu = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    na = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            (
+                F.sum(_disc_price_cents2("l_extendedprice", "l_discount")).cast(
+                    "double"
+                )
+                / F.lit(10000.0)
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = f"""
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM({DISC_PRICE_SQL}) AS DOUBLE)/10000.0 AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------- event funnel --
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-funnel analysis: per user, earliest view/click/purchase
+    times; a user converts when the three first-touches occur in
+    funnel order. One conditional-min aggregate per stage in a single
+    pass (no joins, no windows), then ordered-comparison flags — the
+    standard product-analytics query at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    us = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_buy"
+        ),
+    )
+    converted = (
+        F.col("t_view").isNotNull()
+        & F.col("t_click").isNotNull()
+        & F.col("t_buy").isNotNull()
+        & (F.col("t_view") < F.col("t_click"))
+        & (F.col("t_click") < F.col("t_buy"))
+    )
+    return us.select(
+        "user_id",
+        F.col("t_view").isNotNull().alias("has_view"),
+        F.col("t_click").isNotNull().alias("has_click"),
+        F.col("t_buy").isNotNull().alias("has_purchase"),
+        converted.alias("converted_in_order"),
+    )
+
+
+FUNNEL_SQL = """
+WITH us AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_buy
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       t_view IS NOT NULL AS has_view,
+       t_click IS NOT NULL AS has_click,
+       t_buy IS NOT NULL AS has_purchase,
+       COALESCE(t_view IS NOT NULL AND t_click IS NOT NULL AND t_buy IS NOT NULL
+                AND t_view < t_click AND t_click < t_buy, FALSE) AS converted_in_order
+FROM us
+"""

@@ -452,6 +452,8 @@ query("approx_aggs", None)(_rel.approx_aggs)  # sketches differ per engine: rows
 query("percentile_exact", _rel.PERCENTILE_SQL)(_rel.percentile_exact)
 query("q6_forecast_revenue", _rel.Q6_SQL)(_rel.q6_forecast_revenue)
 query("q7_volume_shipping", _rel.Q7_SQL)(_rel.q7_volume_shipping)
+query("q10_returned_items", _rel.Q10_SQL)(_rel.q10_returned_items)
+query("funnel_conversion", _rel.FUNNEL_SQL)(_rel.funnel_conversion)
 query("agg_grouping_sets", _rel.AGG_GROUPING_SETS_SQL)(_rel.agg_grouping_sets)
 query("map_funcs", _rel.MAP_FUNCS_SQL)(_rel.map_funcs)
 query("join_range_price_band", _rel.JOIN_RANGE_SQL)(_rel.join_range_price_band)
