@@ -1481,3 +1481,33 @@ SELECT user_id,
                 AND t_view < t_click AND t_click < t_buy, FALSE) AS converted_in_order
 FROM us
 """
+
+
+# ------------------------------------------------------------ histogram --
+
+HIST_BIN = 10.0
+
+
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type: bin = floor(v/10).
+    One partial+final aggregate — the constant-memory distribution
+    profile that replaces exact percentiles at 100 TB dashboards.
+    Bin edges from exact cents (floor of an integer divide) so bin
+    assignment can't straddle engines."""
+    ev = load_table(spark, sf_dir, "events")
+    bin_ = F.floor(cents("value") / F.lit(int(HIST_BIN * 100))).cast("long")
+    return ev.groupBy("event_type", bin_.alias("bin")).agg(
+        F.count("*").alias("n"),
+        (F.min(cents("value")).cast("double") / F.lit(100.0)).alias("bin_min"),
+        (F.max(cents("value")).cast("double") / F.lit(100.0)).alias("bin_max"),
+    )
+
+
+AGG_HISTOGRAM_SQL = f"""
+SELECT event_type,
+       CAST(floor(CAST(round(value*100) AS BIGINT) / {int(HIST_BIN*100)}) AS BIGINT) AS bin,
+       COUNT(*) AS n,
+       CAST(MIN(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS bin_min,
+       CAST(MAX(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS bin_max
+FROM events GROUP BY 1, 2
+"""

@@ -380,3 +380,44 @@ SELECT doc_id, unnest(list_distinct(list_transform(
 FROM hashed
 WHERE len(hs) >= {WINNOW_W}
 """
+
+
+# --------------------------------------------------------- bigram freq --
+
+TOP_BIGRAMS = 50
+
+
+def text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-50 word bigrams with deterministic tiebreak —
+    the n-gram frequency profile used for boilerplate detection and
+    corpus fingerprinting. Bigrams from shifted-array zips per row (no
+    per-gram re-split), counted in one partial+final aggregate, top-k
+    via TakeOrderedAndProject."""
+    docs = load_table_cpu(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda w: w != "")
+    bigrams = F.zip_with(
+        words,
+        F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bigrams = F.slice(bigrams, 1, F.greatest(F.size(bigrams) - 1, F.lit(0)))
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("bigram"))
+        .limit(TOP_BIGRAMS)
+    )
+
+
+TEXT_BIGRAM_SQL = f"""
+SELECT bigram, COUNT(*) AS cnt FROM (
+  SELECT unnest(list_transform(range(1, len(w)),
+           i -> w[i] || ' ' || w[i+1])) AS bigram
+  FROM (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM documents) t
+) b
+GROUP BY bigram
+ORDER BY cnt DESC, bigram
+LIMIT {TOP_BIGRAMS}
+"""

@@ -454,6 +454,7 @@ query("q6_forecast_revenue", _rel.Q6_SQL)(_rel.q6_forecast_revenue)
 query("q7_volume_shipping", _rel.Q7_SQL)(_rel.q7_volume_shipping)
 query("q10_returned_items", _rel.Q10_SQL)(_rel.q10_returned_items)
 query("funnel_conversion", _rel.FUNNEL_SQL)(_rel.funnel_conversion)
+query("agg_histogram", _rel.AGG_HISTOGRAM_SQL)(_rel.agg_histogram)
 query("agg_grouping_sets", _rel.AGG_GROUPING_SETS_SQL)(_rel.agg_grouping_sets)
 query("map_funcs", _rel.MAP_FUNCS_SQL)(_rel.map_funcs)
 query("join_range_price_band", _rel.JOIN_RANGE_SQL)(_rel.join_range_price_band)
@@ -515,6 +516,7 @@ query("token_count", _ts.TOKEN_COUNT_SQL)(_ts.token_count)
 query("doc_fingerprint", _ts.DOC_FINGERPRINT_SQL)(_ts.doc_fingerprint)
 query("pipeline_docs_prep", _ts.PIPELINE_DOCS_SQL)(_ts.pipeline_docs_prep)
 query("doc_winnowing", _ts.DOC_WINNOW_SQL)(_ts.doc_winnowing)
+query("text_bigram_freq", _ts.TEXT_BIGRAM_SQL)(_ts.text_bigram_freq)
 query("mm_binary_meta", _mm.MM_BINARY_META_SQL)(_mm.mm_binary_meta)
 query("mm_frame_sample", _mm.MM_FRAME_SAMPLE_SQL)(_mm.mm_frame_sample)
 query("mm_resize", _mm.MM_RESIZE_SQL)(_mm.mm_resize)
