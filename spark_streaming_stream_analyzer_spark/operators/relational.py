@@ -1511,3 +1511,81 @@ SELECT event_type,
        CAST(MAX(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS bin_max
 FROM events GROUP BY 1, 2
 """
+
+
+# ------------------------------------------------------------- q4 shape --
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order-priority counts over orders having at
+    least one late-shipped line (l_shipdate > o_orderdate + 60 days) —
+    a date-correlated EXISTS, planned as a left-semi join; only
+    qualifying order keys flow to the count."""
+    od = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = od.join(
+        li,
+        (od.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.date_add(F.col("o_orderdate"), 60)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o.o_orderkey
+      AND l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
+# ----------------------------------------------------------- q19 shape --
+
+def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive clauses over the
+    part⋈lineitem join — brand/size/quantity bands OR'd together. The
+    non-join predicates stay attached to their side's scan (the OR of
+    brand clauses pushes into the part scan); the join is broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+    clause1 = (
+        (F.col("p_brand") == "Brand#1")
+        & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity") >= 10)
+    )
+    clause2 = (
+        (F.col("p_brand") == "Brand#2")
+        & (F.col("p_size").between(10, 30))
+        & (F.col("l_quantity") < 20)
+    )
+    return (
+        joined.filter(clause1 | clause2)
+        .agg(
+            (
+                F.sum(_disc_price_cents2("l_extendedprice", "l_discount")).cast(
+                    "double"
+                )
+                / F.lit(10000.0)
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+Q19_SQL = f"""
+SELECT CAST(SUM({DISC_PRICE_SQL}) AS DOUBLE)/10000.0 AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 10)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity < 20)
+"""
