@@ -421,3 +421,34 @@ GROUP BY bigram
 ORDER BY cnt DESC, bigram
 LIMIT {TOP_BIGRAMS}
 """
+
+
+# -------------------------------------------------------- normalization --
+
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization ahead of exact dedup: lowercase, strip
+    non-alphanumerics (keeping spaces), collapse whitespace runs, trim
+    — then fingerprint the canonical form. Pure codegen'd string
+    expressions; the canonical md5 is what content-dedup should key on
+    (raw-text md5 misses trivial formatting variants)."""
+    docs = load_table_cpu(spark, sf_dir, "documents")
+    canon = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("raw_len"),
+        F.length(canon).alias("canon_len"),
+        F.md5(canon).alias("canon_md5"),
+    )
+
+
+TEXT_NORMALIZE_SQL = """
+SELECT doc_id,
+       CAST(length(text) AS INT) AS raw_len,
+       CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS INT) AS canon_len,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS canon_md5
+FROM documents
+"""

@@ -519,6 +519,7 @@ query("doc_fingerprint", _ts.DOC_FINGERPRINT_SQL)(_ts.doc_fingerprint)
 query("pipeline_docs_prep", _ts.PIPELINE_DOCS_SQL)(_ts.pipeline_docs_prep)
 query("doc_winnowing", _ts.DOC_WINNOW_SQL)(_ts.doc_winnowing)
 query("text_bigram_freq", _ts.TEXT_BIGRAM_SQL)(_ts.text_bigram_freq)
+query("text_normalize", _ts.TEXT_NORMALIZE_SQL)(_ts.text_normalize)
 query("mm_binary_meta", _mm.MM_BINARY_META_SQL)(_mm.mm_binary_meta)
 query("mm_frame_sample", _mm.MM_FRAME_SAMPLE_SQL)(_mm.mm_frame_sample)
 query("mm_resize", _mm.MM_RESIZE_SQL)(_mm.mm_resize)
