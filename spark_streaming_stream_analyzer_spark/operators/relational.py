@@ -1589,3 +1589,30 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 10)
    OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity < 20)
 """
+
+
+# ------------------------------------------------- collection aggregates --
+
+def agg_collect_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection aggregates with deterministic order: per order
+    status, the sorted distinct priority set (array), its string_agg
+    join, and cardinality. collect_set is shuffle-order-nondeterministic
+    by itself — array_sort makes the value stable on any cluster, which
+    is the only defensible way to emit collected data."""
+    od = load_table(spark, sf_dir, "orders")
+    prios = F.array_sort(F.collect_set("o_orderpriority"))
+    return od.groupBy("o_orderstatus").agg(
+        prios.alias("priorities"),
+        F.array_join(prios, "|").alias("priorities_joined"),
+        F.size(prios).alias("n_priorities"),
+    )
+
+
+AGG_COLLECT_SQL = """
+SELECT o_orderstatus,
+       list_sort(list_distinct(list(o_orderpriority))) AS priorities,
+       array_to_string(list_sort(list_distinct(list(o_orderpriority))), '|')
+         AS priorities_joined,
+       CAST(len(list_distinct(list(o_orderpriority))) AS INT) AS n_priorities
+FROM orders GROUP BY o_orderstatus
+"""

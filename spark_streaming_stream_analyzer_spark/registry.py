@@ -448,6 +448,7 @@ query("date_funcs", _rel.DATE_FUNCS_SQL)(_rel.date_funcs)
 query("array_funcs", _rel.ARRAY_FUNCS_SQL)(_rel.array_funcs)
 query("count_distinct_exact", _rel.COUNT_DISTINCT_SQL)(_rel.count_distinct_exact)
 query("agg_multi_distinct", _rel.AGG_MULTI_DISTINCT_SQL)(_rel.agg_multi_distinct)
+query("agg_collect_ordered", _rel.AGG_COLLECT_SQL)(_rel.agg_collect_ordered)
 query("approx_aggs", None)(_rel.approx_aggs)  # sketches differ per engine: rows-only
 query("percentile_exact", _rel.PERCENTILE_SQL)(_rel.percentile_exact)
 query("q6_forecast_revenue", _rel.Q6_SQL)(_rel.q6_forecast_revenue)
