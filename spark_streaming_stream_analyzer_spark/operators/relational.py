@@ -1616,3 +1616,44 @@ SELECT o_orderstatus,
        CAST(len(list_distinct(list(o_orderpriority))) AS INT) AS n_priorities
 FROM orders GROUP BY o_orderstatus
 """
+
+
+# ------------------------------------------------------------ q14 shape --
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share — ratio of two conditional
+    exact sums over one scan+broadcast-join pass (CASE inside SUM, no
+    second scan). The month filter pushes to the lineitem scan; part
+    rides along broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    pa = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    joined = li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+    disc = _disc_price_cents2("l_extendedprice", "l_discount")
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", disc).otherwise(
+            F.lit(0).cast("decimal(38,0)")
+        )
+    )
+    total = F.sum(disc)
+    return joined.agg(
+        (
+            F.lit(100.0)
+            * promo.cast("double")
+            / total.cast("double")
+        ).alias("promo_revenue_pct"),
+        (total.cast("double") / F.lit(10000.0)).alias("total_revenue"),
+    )
+
+
+Q14_SQL = f"""
+SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {DISC_PRICE_SQL}
+                             ELSE CAST(0 AS DECIMAL(38,0)) END) AS DOUBLE)
+             / CAST(SUM({DISC_PRICE_SQL}) AS DOUBLE) AS promo_revenue_pct,
+       CAST(SUM({DISC_PRICE_SQL}) AS DOUBLE)/10000.0 AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+"""

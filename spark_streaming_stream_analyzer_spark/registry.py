@@ -456,6 +456,7 @@ query("q7_volume_shipping", _rel.Q7_SQL)(_rel.q7_volume_shipping)
 query("q10_returned_items", _rel.Q10_SQL)(_rel.q10_returned_items)
 query("q4_order_priority", _rel.Q4_SQL)(_rel.q4_order_priority)
 query("q19_disjunctive_filter", _rel.Q19_SQL)(_rel.q19_disjunctive_filter)
+query("q14_promo_revenue", _rel.Q14_SQL)(_rel.q14_promo_revenue)
 query("funnel_conversion", _rel.FUNNEL_SQL)(_rel.funnel_conversion)
 query("agg_histogram", _rel.AGG_HISTOGRAM_SQL)(_rel.agg_histogram)
 query("agg_grouping_sets", _rel.AGG_GROUPING_SETS_SQL)(_rel.agg_grouping_sets)
