@@ -1657,3 +1657,34 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
 """
+
+
+# -------------------------------------------------- first/last/nth value --
+
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional window values over each customer's order history:
+    first, last (full-partition frame), and 2nd order prices. The
+    last_value frame must be explicitly unbounded-following — the
+    default frame ends at CURRENT ROW, a classic silent-wrong-answer;
+    pinning it here keeps both engines on the same definition."""
+    od = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return od.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(wfull).alias("first_price"),
+        F.last("o_totalprice").over(wfull).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(wfull).alias("second_price"),
+    )
+
+
+WINDOW_FIRST_LAST_SQL = """
+SELECT o_custkey, o_orderkey,
+  first_value(o_totalprice) OVER w AS first_price,
+  last_value(o_totalprice)  OVER w AS last_price,
+  nth_value(o_totalprice, 2) OVER w AS second_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""

@@ -438,6 +438,7 @@ query("window_topk_per_group", _rel.WINDOW_TOPK_SQL)(_rel.window_topk_per_group)
 query("window_analytics", _rel.WINDOW_ANALYTICS_SQL)(_rel.window_analytics)
 query("window_range_frame", _rel.WINDOW_RANGE_SQL)(_rel.window_range_frame)
 query("window_rank_funcs", _rel.WINDOW_RANK_SQL)(_rel.window_rank_funcs)
+query("window_first_last", _rel.WINDOW_FIRST_LAST_SQL)(_rel.window_first_last)
 query("sql_lateral", _rel.SQL_LATERAL_TEXT)(_rel.sql_lateral)
 query("ts_resample_ffill", _rel.TS_RESAMPLE_SQL)(_rel.ts_resample_ffill)
 query("sort_limit_topk", _rel.SORT_LIMIT_SQL)(_rel.sort_limit_topk)
