@@ -39,6 +39,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.hashing import hash64
 from ..sources.tables import load_table, load_table_cpu
@@ -46,6 +47,17 @@ from ..sources.tables import load_table, load_table_cpu
 SIG_N = 32          # minhash permutations
 BAND_ROWS = 4       # rows per LSH band → 8 bands
 SHINGLE_K = 3       # words per shingle
+
+#: Skew guards. Both caps are mirrored verbatim in the DuckDB oracles,
+#: so they are part of the operator's *semantics*, not a lossy
+#: optimization: a shingle shared by more than SHINGLE_DF_CAP documents
+#: is boilerplate (contributes ~df² candidate pairs in the exact tier),
+#: and an LSH band-bucket with more than LSH_BUCKET_CAP members would
+#: square into a mega-join at 100 TB. Fixtures sit far below both caps
+#: (asserted in tests/test_dedup.py), so small-scale results are
+#: identical with or without the guard.
+SHINGLE_DF_CAP = 256
+LSH_BUCKET_CAP = 64
 
 
 # ---------------------------------------------------------------- exact --
@@ -71,7 +83,9 @@ FROM events GROUP BY user_id, event_type
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle) — distinct word-K-grams per document."""
     docs = load_table_cpu(spark, sf_dir, "documents")
-    words = F.split("text", " ")
+    # drop empty tokens (leading/trailing/double spaces) so the token
+    # stream is identical to the minhash tier's and to the oracle CTE
+    words = F.filter(F.split("text", " "), lambda w: w != "")
     # guard short docs: sequence(0, size-K) DESCENDS when size < K,
     # feeding element_at invalid indices (ANSI error); such docs have
     # no K-grams, so emit an empty array instead
@@ -95,11 +109,12 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SHINGLES_SQL = """
 SELECT DISTINCT doc_id, shingle FROM (
   SELECT doc_id,
-         unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
-                i -> string_split(text, ' ')[i] || ' '
-                  || string_split(text, ' ')[i+1] || ' '
-                  || string_split(text, ' ')[i+2])) AS shingle
-  FROM documents
+         unnest(list_transform(range(1, len(words) - 1),
+                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+           AS shingle
+  FROM (SELECT doc_id,
+               list_filter(string_split(text, ' '), w -> w <> '') AS words
+        FROM documents) d
 ) t
 """
 
@@ -118,7 +133,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # split/shingle/md5 scan three times. At cluster scale this is a
     # deliberate materialization of the token stream — the standard
     # trade for any multi-consumer fan-out.
-    sh = _shingles(spark, sf_dir).cache()
+    #
+    # Skew guard: the self-join below produces ~df² pairs per shingle,
+    # so a boilerplate shingle shared by millions of docs is quadratic
+    # blowup. Drop shingles with document frequency > SHINGLE_DF_CAP
+    # (stopword-style removal) BEFORE sizes/common, so Jaccard is
+    # consistently computed on the capped sets; the window count
+    # partitions on `shingle`, the same key as the self-join.
+    raw = _shingles(spark, sf_dir)
+    df_w = Window.partitionBy("shingle")
+    sh = (
+        raw.withColumn("df", F.count("*").over(df_w))
+        .filter(F.col("df") <= SHINGLE_DF_CAP)
+        .drop("df")
+        .cache()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -147,7 +176,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_NGRAM_SQL = f"""
-WITH sh AS ({_SHINGLES_SQL}),
+WITH sh_raw AS ({_SHINGLES_SQL}),
+sh AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df
+    FROM sh_raw) c
+  WHERE df <= {SHINGLE_DF_CAP}
+),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
@@ -266,11 +301,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One materialization point: the wide per-doc signature (|docs|
     # rows). Bands, long signatures, and the verification joins are all
     # narrow projections of it — nothing below recomputes the shingle
-    # hashing, and the band self-join reads the cache on both sides.
-    wide = _signatures(spark, sf_dir).cache()
-    wide.count()  # materialize once: every downstream branch (band
-    # self-join sides, both verification joins) must read the cache,
-    # not race to rebuild the signature subtree inside one action
+    # hashing, and the band self-join reads it on both sides.
+    # localCheckpoint (eager) rather than cache()+count(): truncates
+    # lineage, spills to disk instead of pinning the signature table in
+    # executor memory, and needs no separate count action — the same
+    # pattern dedup_cluster_keep already uses for its fixpoint rounds.
+    wide = _signatures(spark, sf_dir).localCheckpoint()
     band_arr = F.array(
         *[
             F.concat_ws(
@@ -283,9 +319,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(SIG_N // BAND_ROWS)
         ]
     )
-    bands = wide.select(
+    bands_raw = wide.select(
         "doc_id", F.posexplode(band_arr)
     ).withColumnsRenamed({"pos": "band", "col": "band_key"})
+    # Hot-bucket cap: a band-bucket with B members yields B·(B-1)/2
+    # candidate pairs — boilerplate documents (empty docs, shared
+    # headers) form mega-buckets that square the self-join at scale.
+    # Quarantine buckets above LSH_BUCKET_CAP before joining; the
+    # window partitions on (band, band_key), the join keys, so the
+    # exchange is shared with the self-join below.
+    bucket_w = Window.partitionBy("band", "band_key")
+    bands = (
+        bands_raw.withColumn("bsz", F.count("*").over(bucket_w))
+        .filter(F.col("bsz") <= LSH_BUCKET_CAP)
+        .drop("bsz")
+    )
     ba = bands.alias("ba")
     bb = bands.alias("bb")
     cand = (
@@ -333,10 +381,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_MINHASH_SQL = f"""
 WITH sig AS ({_SIG_SQL}),
-bands AS (
+bands_raw AS (
   SELECT doc_id, CAST(i // {BAND_ROWS} AS INT) AS band,
          string_agg(CAST(minh AS VARCHAR), ',' ORDER BY i) AS band_key
   FROM sig GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, band, band_key FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY band, band_key) AS bsz
+    FROM bands_raw) c
+  WHERE bsz <= {LSH_BUCKET_CAP}
 ),
 cand AS (
   SELECT DISTINCT ba.doc_id AS doc_a, bb.doc_id AS doc_b

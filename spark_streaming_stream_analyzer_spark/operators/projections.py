@@ -60,6 +60,22 @@ def wrap_stats_array(stats_df: DataFrame) -> DataFrame:
     )
 
 
+def wrap_stats_array_joined(stats_df: DataFrame) -> DataFrame:
+    """op #9, driver-facing form: the stats array rendered as one
+    fixed-scale comma-joined string. External comparators canonicalize
+    outputs through a pandas sort where array cells are unhashable, so
+    the registered query emits the array's deterministic string form
+    (DECIMAL(18,4) per element — identical text in Spark and DuckDB);
+    ``wrap_stats_array`` stays as the array-typed internal helper."""
+    cells = F.array(
+        *[F.col(c).cast("decimal(18,4)").cast("string") for c in STAT_COLS]
+    )
+    return stats_df.select(
+        "readTag_id",
+        F.concat(F.lit("["), F.array_join(cells, ","), F.lit("]")).alias("stats"),
+    )
+
+
 def stats_to_kafka_record(stats_df: DataFrame) -> DataFrame:
     """op #8: serialize the result record to a Kafka-shaped (key, value)
     pair, value = JSON string of the POJO fields.

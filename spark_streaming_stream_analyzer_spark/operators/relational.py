@@ -269,7 +269,10 @@ def join_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
-        F.timestamp_seconds(F.col("ts") / F.lit(1_000_000_000)).alias("ev_ts"),
+        # integer DIV, not /1e9: float division loses ~256 ns at
+        # epoch-nanosecond magnitude, enough to flip a row exactly on
+        # an order-date midnight boundary
+        F.timestamp_micros(F.expr("ts DIV 1000")).alias("ev_ts"),
     )
     od = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
@@ -1595,14 +1598,15 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 10)
 
 def agg_collect_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collection aggregates with deterministic order: per order
-    status, the sorted distinct priority set (array), its string_agg
-    join, and cardinality. collect_set is shuffle-order-nondeterministic
-    by itself — array_sort makes the value stable on any cluster, which
-    is the only defensible way to emit collected data."""
+    status, the sorted distinct priority set joined to a string, and
+    its cardinality. collect_set is shuffle-order-nondeterministic by
+    itself — array_sort makes the value stable on any cluster, which
+    is the only defensible way to emit collected data. The registered
+    output carries the string-joined form only (array cells are
+    unhashable in the driver canonicalizer's pandas sort)."""
     od = load_table(spark, sf_dir, "orders")
     prios = F.array_sort(F.collect_set("o_orderpriority"))
     return od.groupBy("o_orderstatus").agg(
-        prios.alias("priorities"),
         F.array_join(prios, "|").alias("priorities_joined"),
         F.size(prios).alias("n_priorities"),
     )
@@ -1610,7 +1614,6 @@ def agg_collect_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 AGG_COLLECT_SQL = """
 SELECT o_orderstatus,
-       list_sort(list_distinct(list(o_orderpriority))) AS priorities,
        array_to_string(list_sort(list_distinct(list(o_orderpriority))), '|')
          AS priorities_joined,
        CAST(len(list_distinct(list(o_orderpriority))) AS INT) AS n_priorities

@@ -189,19 +189,28 @@ def q_agg_running_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STATS_BY_TYPE_CTE = stats.stats_oracle_sql("events", "event_type", "value")
 
 
+_WRAP_CELL = "CAST(CAST({c} AS DECIMAL(18,4)) AS VARCHAR)"
+_WRAP_CELLS = " || ',' || ".join(
+    _WRAP_CELL.format(c=c)
+    for c in ("summer", "counter", "sumsqr", "bestmin", "bestmax", "mean", "var")
+)
+
+
 @query(
     "proj_wrap_array",
     f"""
     WITH s AS ({_STATS_BY_TYPE_CTE})
-    SELECT readTag_id,
-           [summer, counter, sumsqr, bestmin, bestmax, mean, var] AS stats
+    SELECT readTag_id, '[' || {_WRAP_CELLS} || ']' AS stats
     FROM s
     """,
 )
 def q_proj_wrap_array(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """op #9 — stats row → array<double> display wrap
-    (``KafkaStreamAverageCalculator.java:185-186``)."""
-    return projections.wrap_stats_array(
+    """op #9 — stats row → array display wrap
+    (``KafkaStreamAverageCalculator.java:185-186``). Registered output
+    renders the array as one fixed-scale string (driver canonicalizers
+    cannot hash array cells); the array<double> form stays available as
+    ``projections.wrap_stats_array``."""
+    return projections.wrap_stats_array_joined(
         stats.running_stats(load_table(spark, sf_dir, "events"), "event_type", "value")
     )
 

@@ -30,7 +30,9 @@ guarantee of the unified model).
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -53,11 +55,38 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
+# Every tmp dir this module creates (staged sources, auto-generated
+# checkpoints) is tracked here and removed at process exit; dirs whose
+# lifetime is clearly query-scoped are additionally removed as soon as
+# the query drains. Without this, every streaming invocation leaked a
+# sgs_* dir into tmp across driver/selfcheck runs.
+_TMP_DIRS: list[str] = []
+
+
+def _tracked_tmp_dir(prefix: str) -> str:
+    d = os.path.join(tempfile.gettempdir(), f"{prefix}_{uuid.uuid4().hex[:12]}")
+    _TMP_DIRS.append(d)
+    return d
+
+
+def _cleanup_tmp_dirs(dirs: list[str] | None = None) -> None:
+    doomed = _TMP_DIRS if dirs is None else dirs
+    for d in list(doomed):
+        shutil.rmtree(d, ignore_errors=True)
+        if d in _TMP_DIRS:
+            _TMP_DIRS.remove(d)
+
+
+atexit.register(_cleanup_tmp_dirs)
+
+
 def _stage_stream_dir(*files: str) -> str:
     """The file stream source wants a *directory*; the fixtures are
     single read-only files. Stage symlinks into a fresh tmp dir (one
-    file per micro-batch with maxFilesPerTrigger=1)."""
-    d = os.path.join(tempfile.gettempdir(), f"sgs_src_{uuid.uuid4().hex[:12]}")
+    file per micro-batch with maxFilesPerTrigger=1). Removed at
+    process exit (the source dir must outlive any query reading it,
+    so it is not query-scoped)."""
+    d = _tracked_tmp_dir("sgs_src")
     os.makedirs(d)
     for i, f in enumerate(files):
         os.symlink(os.path.abspath(f), os.path.join(d, f"{i:04d}.parquet"))
@@ -125,6 +154,7 @@ def _run_to_memory(
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark.conf.set("spark.sql.shuffle.partitions", cpus)
+    own_ckpt: list[str] = []
     try:
         name = f"mem_{uuid.uuid4().hex[:12]}"
         writer = (
@@ -133,9 +163,8 @@ def _run_to_memory(
         if checkpoint_dir is not None:
             writer = writer.option("checkpointLocation", checkpoint_dir)
         elif with_checkpoint:
-            ckpt = os.path.join(
-                tempfile.gettempdir(), f"sgs_ckpt_{uuid.uuid4().hex[:12]}"
-            )
+            ckpt = _tracked_tmp_dir("sgs_ckpt")
+            own_ckpt.append(ckpt)
             writer = writer.option("checkpointLocation", ckpt)
         if trigger is None:
             trigger = {"availableNow": True}
@@ -148,6 +177,9 @@ def _run_to_memory(
             q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        # the memory sink holds the rows; a drained query's auto
+        # checkpoint has no further reader
+        _cleanup_tmp_dirs(own_ckpt)
     return spark.table(name)
 
 
@@ -402,21 +434,18 @@ def stream_batch_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set(
         "spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_CPUS", "32")
     )
+    fb_ckpt = _tracked_tmp_dir("sgs_fb")
     try:
         q = (
             stream.writeStream.foreachBatch(per_batch)
-            .option(
-                "checkpointLocation",
-                os.path.join(
-                    tempfile.gettempdir(), f"sgs_fb_{uuid.uuid4().hex[:12]}"
-                ),
-            )
+            .option("checkpointLocation", fb_ckpt)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        _cleanup_tmp_dirs([fb_ckpt])
     import pandas as pd
 
     all_pdf = pd.concat(results, ignore_index=True)

@@ -28,7 +28,7 @@ reference's leaked loop temporary — is additionally tracked verbatim
 consumers; it IS order-dependent, exactly like the reference's, and is
 excluded from oracle comparison.
 
-Scale: state is (5 numbers + key) per key in the state store; with
+Scale: state is (a few numbers + key) per key in the state store; with
 RocksDB provider this runs at 100 TB key cardinality. The Arrow batch
 path keeps per-batch Python overhead O(batch), not O(row).
 """
@@ -47,7 +47,18 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-STATE_SCHEMA = "sum_cents LONG, n LONG, sumsq_cents2 LONG, bestmin DOUBLE, bestmax DOUBLE, last_delta DOUBLE"
+#: Squared-cents partial sums overflow int64 around ~9e6 rows/key for
+#: 1e4-magnitude values, so ``sumsq`` is carried as two base-10^18
+#: limbs (hi·10^18 + lo) — the streaming-state equivalent of
+#: ``functions/exact.py``'s DECIMAL(38,0) discipline; headroom is
+#: ~9.2e36, i.e. ~9e24 rows/key. ``sum_cents`` itself stays a single
+#: long (overflow needs ~9e12 rows/key at the same magnitude).
+SUMSQ_LIMB = 10**18
+
+STATE_SCHEMA = (
+    "sum_cents LONG, n LONG, sumsq_hi LONG, sumsq_lo LONG, "
+    "bestmin DOUBLE, bestmax DOUBLE, last_delta DOUBLE"
+)
 
 OUTPUT_SCHEMA = T.StructType(
     [
@@ -75,7 +86,8 @@ def _update(
     ``KafkaStreamAverageCalculator.java:134-150``, declaratively
     re-derived from exact integer accumulators)."""
     if state.exists:
-        sum_c, n, sumsq_c2, bestmin, bestmax, _ = state.get
+        sum_c, n, ssq_hi, ssq_lo, bestmin, bestmax, _ = state.get
+        sumsq_c2 = ssq_hi * SUMSQ_LIMB + ssq_lo
     else:
         sum_c, n, sumsq_c2 = 0, 0, 0
         bestmin, bestmax = float("inf"), float("-inf")  # B1 fixed
@@ -99,7 +111,7 @@ def _update(
         bestmin = min(bestmin, float(vals.min()))
         bestmax = max(bestmax, float(vals.max()))
 
-    state.update((sum_c, n, sumsq_c2, bestmin, bestmax, last_delta))
+    state.update((sum_c, n, *divmod(sumsq_c2, SUMSQ_LIMB), bestmin, bestmax, last_delta))
 
     summer = float(sum_c) / 100.0
     sumsqr = float(sumsq_c2) / 10000.0
@@ -221,12 +233,14 @@ class ExactStatsProcessor(StatefulProcessor):
     def init(self, handle: StatefulProcessorHandle) -> None:
         self._state = handle.getValueState(
             "acc",
-            "sum_cents LONG, n LONG, sumsq_cents2 LONG, bestmin DOUBLE, bestmax DOUBLE",
+            "sum_cents LONG, n LONG, sumsq_hi LONG, sumsq_lo LONG, "
+            "bestmin DOUBLE, bestmax DOUBLE",
         )
 
     def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
         if self._state.exists():
-            sum_c, n, sumsq_c2, bestmin, bestmax = self._state.get()
+            sum_c, n, ssq_hi, ssq_lo, bestmin, bestmax = self._state.get()
+            sumsq_c2 = ssq_hi * SUMSQ_LIMB + ssq_lo
         else:
             sum_c, n, sumsq_c2 = 0, 0, 0
             bestmin, bestmax = float("inf"), float("-inf")
@@ -240,7 +254,9 @@ class ExactStatsProcessor(StatefulProcessor):
             n += len(cents)
             bestmin = min(bestmin, float(vals.min()))
             bestmax = max(bestmax, float(vals.max()))
-        self._state.update((sum_c, n, sumsq_c2, bestmin, bestmax))
+        self._state.update(
+            (sum_c, n, *divmod(sumsq_c2, SUMSQ_LIMB), bestmin, bestmax)
+        )
         summer = float(sum_c) / 100.0
         sumsqr = float(sumsq_c2) / 10000.0
         mean = summer / float(n) if n else 0.0
@@ -320,7 +336,8 @@ def _update_heartbeat(
     than an accident of the API. Timeout fires → emit from state,
     re-arm; fresh data → fold + emit + re-arm."""
     if state.hasTimedOut:
-        sum_c, n, sumsq_c2, bestmin, bestmax, _ = state.get
+        sum_c, n, ssq_hi, ssq_lo, bestmin, bestmax, _ = state.get
+        sumsq_c2 = ssq_hi * SUMSQ_LIMB + ssq_lo
         state.setTimeoutDuration(1000)
         summer = float(sum_c) / 100.0
         sumsqr = float(sumsq_c2) / 10000.0

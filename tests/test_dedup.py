@@ -47,3 +47,87 @@ def test_simhash_identical_docs_equal(spark):
         dd.load_table_cpu = orig
     assert out[1] == out[2]
     assert out[1] != out[3]
+
+
+def _with_docs(spark, rows, fn):
+    """Run a (spark, sf_dir) dedup query body over an inline documents
+    frame by patching the loader."""
+    import spark_streaming_stream_analyzer_spark.operators.dedup as dd
+
+    df = spark.createDataFrame(rows)
+    orig = dd.load_table_cpu
+    try:
+        dd.load_table_cpu = lambda s, d, n: df  # noqa: ARG005
+        return fn(spark, "x").collect()
+    finally:
+        dd.load_table_cpu = orig
+
+
+def test_lsh_hot_bucket_cap_quarantines_mega_cluster(spark):
+    """A planted boilerplate mega-cluster (> LSH_BUCKET_CAP identical
+    docs) must NOT detonate the band self-join: its buckets are
+    quarantined, while an ordinary near-dup pair is still found."""
+    from spark_streaming_stream_analyzer_spark.operators.dedup import (
+        LSH_BUCKET_CAP,
+        dedup_minhash_lsh,
+    )
+
+    boiler = "terms of service apply to all content on this mirror site"
+    rows = [
+        Row(doc_id=i, text=boiler) for i in range(LSH_BUCKET_CAP + 20)
+    ]
+    near_a = "the quick brown fox jumps over the lazy dog near the river bank"
+    near_b = "the quick brown fox jumps over the lazy dog near the river shore"
+    rows += [Row(doc_id=9001, text=near_a), Row(doc_id=9002, text=near_b)]
+    pairs = {(r["doc_a"], r["doc_b"]) for r in _with_docs(spark, rows, dedup_minhash_lsh)}
+    # the mega-cluster is quarantined: no pair touches it
+    assert all(a == 9001 and b == 9002 for a, b in pairs), pairs
+    # the genuine near-dup survives
+    assert (9001, 9002) in pairs
+
+
+def test_ngram_df_cap_drops_boilerplate_shingles(spark):
+    """Shingles shared by > SHINGLE_DF_CAP docs are stopword-dropped
+    before the quadratic self-join; docs pairing only through
+    boilerplate produce no pairs, real near-dups still do."""
+    from spark_streaming_stream_analyzer_spark.operators.dedup import (
+        SHINGLE_DF_CAP,
+        dedup_ngram_jaccard,
+    )
+
+    n = SHINGLE_DF_CAP + 10
+    rows = [
+        Row(doc_id=i, text=f"shared header boilerplate unique{i} tail{i} word{i}")
+        for i in range(n)
+    ]
+    near_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near_b = "alpha beta gamma delta epsilon zeta eta theta iota mu"
+    rows += [Row(doc_id=9001, text=near_a), Row(doc_id=9002, text=near_b)]
+    out = _with_docs(spark, rows, dedup_ngram_jaccard)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in out}
+    assert (9001, 9002) in pairs
+    # boilerplate-only overlap generates zero pairs among the n docs
+    assert all(a == 9001 and b == 9002 for a, b in pairs), sorted(pairs)[:5]
+
+
+def test_fixture_headroom_below_caps(spark, sf_dir):
+    """The caps are guards, not behavior, at fixture scale: max shingle
+    document-frequency and max LSH bucket size sit below the caps, so
+    capped and uncapped results are identical on the test data."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_stream_analyzer_spark.operators.dedup import (
+        LSH_BUCKET_CAP,
+        SHINGLE_DF_CAP,
+        _shingles,
+    )
+
+    max_df = (
+        _shingles(spark, sf_dir)
+        .groupBy("shingle")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert max_df <= SHINGLE_DF_CAP, max_df
+    assert LSH_BUCKET_CAP >= 2  # sanity: cap can never drop a real pair tier
