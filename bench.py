@@ -46,7 +46,22 @@ HEADLINE = [
     "sim_topk_cosine",
     "text_quality_score",
     "doc_fingerprint",
+    "q8_market_share",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q18_large_volume_customer",
 ]
+
+#: Throughput probes: query → fixture table whose full scan dominates
+#: its input. rows/s = table rows ÷ measured wall; tracked per round so
+#: the scaling trend (same machine, growing sf) is gradeable, not just
+#: total wall time.
+THROUGHPUT_TABLES = {
+    "agg_running_stats": "events",
+    "q1_pricing_summary": "lineitem",
+    "agg_batch_wordcount": "documents",
+    "dedup_minhash_lsh": "documents",
+}
 
 
 def force(df) -> None:
@@ -86,6 +101,13 @@ def main() -> None:
         # (un-timed: cache lifecycle is not part of the measured work)
         spark.catalog.clearCache()
 
+    throughput: dict[str, float] = {}
+    for name, table in THROUGHPUT_TABLES.items():
+        if name not in timings or timings[name] <= 0:
+            continue
+        n = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet")).count()
+        throughput[f"{name}_rows_per_sec"] = round(n / timings[name], 1)
+
     print(
         json.dumps(
             {
@@ -93,6 +115,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "throughput": throughput,
                 "sf": sf,
             }
         )

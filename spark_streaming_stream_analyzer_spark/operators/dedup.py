@@ -30,16 +30,16 @@ Scale notes (1000-executor / 100 TB):
    band-bucket self-join, whose fan-out is controlled by band width
    (wider rows-per-band → fewer false candidates);
  - hot buckets (boilerplate docs) are the skew risk: AQE skew-join
-   handles moderate skew, and a bucket-size cap (drop buckets with
-   > N members into a quarantine list) bounds the worst case — at
-   sf scale we keep all buckets.
+   handles moderate skew, and the implemented caps (``SHINGLE_DF_CAP``
+   for the exact tier, ``LSH_BUCKET_CAP`` for the banded tier) bound
+   the worst case; both are mirrored in the oracles and inert at
+   fixture scale (tests/test_dedup.py).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ..functions.hashing import hash64
 from ..sources.tables import load_table, load_table_cpu
@@ -138,16 +138,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so a boilerplate shingle shared by millions of docs is quadratic
     # blowup. Drop shingles with document frequency > SHINGLE_DF_CAP
     # (stopword-style removal) BEFORE sizes/common, so Jaccard is
-    # consistently computed on the capped sets; the window count
-    # partitions on `shingle`, the same key as the self-join.
+    # consistently computed on the capped sets. The hot list comes from
+    # a map-side-combined count and is tiny by construction (only
+    # shingles in >CAP docs), so the removal is a broadcast anti-join —
+    # no sort, no second wide shuffle.
     raw = _shingles(spark, sf_dir)
-    df_w = Window.partitionBy("shingle")
-    sh = (
-        raw.withColumn("df", F.count("*").over(df_w))
-        .filter(F.col("df") <= SHINGLE_DF_CAP)
-        .drop("df")
-        .cache()
+    hot = (
+        raw.groupBy("shingle")
+        .count()
+        .filter(F.col("count") > SHINGLE_DF_CAP)
+        .select("shingle")
     )
+    sh = raw.join(F.broadcast(hot), "shingle", "left_anti").cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -325,14 +327,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Hot-bucket cap: a band-bucket with B members yields B·(B-1)/2
     # candidate pairs — boilerplate documents (empty docs, shared
     # headers) form mega-buckets that square the self-join at scale.
-    # Quarantine buckets above LSH_BUCKET_CAP before joining; the
-    # window partitions on (band, band_key), the join keys, so the
-    # exchange is shared with the self-join below.
-    bucket_w = Window.partitionBy("band", "band_key")
-    bands = (
-        bands_raw.withColumn("bsz", F.count("*").over(bucket_w))
-        .filter(F.col("bsz") <= LSH_BUCKET_CAP)
-        .drop("bsz")
+    # Quarantine buckets above LSH_BUCKET_CAP before joining. The hot
+    # list (buckets with >CAP members) is tiny by construction, so the
+    # removal is a map-side-combined count + broadcast anti-join — no
+    # per-partition sort, and the band rows project straight off the
+    # checkpointed signature table.
+    hot_buckets = (
+        bands_raw.groupBy("band", "band_key")
+        .count()
+        .filter(F.col("count") > LSH_BUCKET_CAP)
+        .select("band", "band_key")
+    )
+    bands = bands_raw.join(
+        F.broadcast(hot_buckets), ["band", "band_key"], "left_anti"
     )
     ba = bands.alias("ba")
     bb = bands.alias("bb")
@@ -701,4 +708,33 @@ reach(doc_id, lab) AS (
   SELECT e.doc_a, r.lab FROM edges e JOIN reach r ON e.doc_b = r.doc_id
 )
 SELECT doc_id, MIN(lab) AS keep_doc_id FROM reach GROUP BY doc_id
+"""
+
+
+def pipeline_dedup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup end product: the corpus with non-canonical near-dups
+    REMOVED — signatures → LSH candidates → verify → connected
+    components → keep min-id per cluster → anti-join the drop list
+    back onto documents. This is the query a training-data pipeline
+    actually ships; everything upstream is its building blocks.
+
+    Scale: the drop list is |dup docs − clusters| rows (tiny relative
+    to the corpus) so the anti-join broadcasts; the corpus scan reads
+    only (doc_id, n_chars).
+    """
+    clusters = dedup_cluster_keep(spark, sf_dir)
+    drop = clusters.filter(F.col("doc_id") != F.col("keep_doc_id")).select(
+        "doc_id"
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.join(F.broadcast(drop), "doc_id", "left_anti").select(
+        "doc_id", "n_chars"
+    )
+
+
+PIPELINE_DEDUP_SQL = f"""
+WITH clusters AS ({DEDUP_CLUSTER_SQL})
+SELECT doc_id, n_chars FROM documents
+WHERE doc_id NOT IN
+  (SELECT doc_id FROM clusters WHERE doc_id <> keep_doc_id)
 """

@@ -1691,3 +1691,488 @@ FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 """
+
+
+# ===================================== TPC-H multi-level aggregate pack --
+# Q2/Q8/Q9/Q13/Q15/Q17/Q18/Q22 shapes adapted to the fixture schema
+# (no partsupp/l_shipmode/l_receiptdate/c_phone — substitutions noted
+# per query). These exercise the remaining classic plan shapes:
+# min-per-group join-back (correlated subquery), conditional-share
+# ratios over multi-path dimension joins, left-outer count histograms,
+# HAVING over grouped facts, scalar-aggregate views, and decorrelated
+# NOT EXISTS anti-joins — each with exact integer-cents arithmetic so
+# the DuckDB oracle hashes identically.
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — cheapest supplier per part via min-per-group +
+    equality join-back (the decorrelated form of Q2's correlated
+    subquery). Fixture has no partsupp: supply cost is each supplier's
+    minimum observed sale price for the part (exact column values, no
+    FP arithmetic before the comparison).
+
+    Scale: costs/mins are partial+final hash aggregates on the same
+    key, the join-back is co-partitioned on l_partkey (no extra
+    shuffle under AQE), and part/supplier/nation broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    costs = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("supply_cost")
+    )
+    mins = costs.groupBy("l_partkey").agg(F.min("supply_cost").alias("min_cost"))
+    pa = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size").between(10, 20)) & (F.col("p_type") == "LARGE")
+    )
+    su = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
+    )
+    na = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    c = costs.alias("c")
+    m = mins.alias("m")
+    return (
+        c.join(
+            m,
+            (F.col("c.l_partkey") == F.col("m.l_partkey"))
+            & (F.col("c.supply_cost") == F.col("m.min_cost")),
+        )
+        .select(
+            F.col("c.l_partkey").alias("l_partkey"),
+            F.col("c.l_suppkey").alias("l_suppkey"),
+            F.col("c.supply_cost").alias("supply_cost"),
+        )
+        .join(F.broadcast(pa), F.col("l_partkey") == pa.p_partkey)
+        .join(F.broadcast(su), F.col("l_suppkey") == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_type",
+            "supply_cost",
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(20)
+    )
+
+
+Q2_SQL = """
+WITH costs AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS supply_cost
+  FROM lineitem GROUP BY 1, 2
+),
+mins AS (SELECT l_partkey, MIN(supply_cost) AS min_cost FROM costs GROUP BY 1)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_type, supply_cost
+FROM costs
+JOIN mins ON costs.l_partkey = mins.l_partkey
+         AND costs.supply_cost = mins.min_cost
+JOIN part ON costs.l_partkey = p_partkey
+JOIN supplier ON costs.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_size BETWEEN 10 AND 20 AND p_type = 'LARGE'
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 20
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — one nation's share of regional revenue per
+    year: two dimension paths into the same fact row (customer→nation→
+    region restricts the market, supplier→nation labels the seller),
+    then a conditional-share ratio per year. All dimensions broadcast;
+    the only shuffle is lineitem⋈orders; numerator and denominator are
+    exact DECIMAL sums divided once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    pa = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    cu = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    na_c = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cr_key")
+    )
+    re = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    su = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    na_s = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    disc = _disc_price_cents2("l_extendedprice", "l_discount")
+    zero = F.lit(0).cast("decimal(38,0)")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na_c), cu.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(re), F.col("cr_key") == re.r_regionkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na_s), su.s_nationkey == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", disc).otherwise(zero)).cast("double")
+                / F.sum(disc).cast("double")
+            ).alias("mkt_share"),
+            (F.sum(disc).cast("double") / F.lit(10000.0)).alias("total_revenue"),
+        )
+    )
+
+
+Q8_SQL = f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CASE WHEN n2.n_name = 'NATION_3' THEN {DISC_PRICE_SQL}
+                     ELSE CAST(0 AS DECIMAL(38,0)) END) AS DOUBLE)
+         / CAST(SUM({DISC_PRICE_SQL}) AS DOUBLE) AS mkt_share,
+       CAST(SUM({DISC_PRICE_SQL}) AS DOUBLE)/10000.0 AS total_revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE p_type = 'STANDARD' AND r_name = 'ASIA'
+GROUP BY 1
+"""
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape — profit by (supplier nation, year) over a
+    part-name-restricted product line. Fixture has no ps_supplycost:
+    cost is p_retailprice·quantity (same multi-table shape, exact
+    1e-4-unit DECIMAL arithmetic end to end; quantity is
+    integer-valued, asserted by the cents grid check in FIXTURES)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    pa = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+    ).select("p_partkey", "p_retailprice")
+    su = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    na = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    amount = _disc_price_cents2("l_extendedprice", "l_discount") - (
+        cents_dec("p_retailprice")
+        * F.col("l_quantity").cast("decimal(18,0)")
+        * F.lit(100).cast("decimal(18,0)")
+    )
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg((F.sum(amount).cast("double") / F.lit(10000.0)).alias("sum_profit"))
+    )
+
+
+Q9_SQL = f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM({DISC_PRICE_SQL}
+             - CAST(round(p_retailprice*100) AS DECIMAL(18,0))
+               * CAST(l_quantity AS DECIMAL(18,0))
+               * CAST(100 AS DECIMAL(18,0))) AS DOUBLE)/10000.0 AS sum_profit
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+GROUP BY 1, 2
+"""
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 — customer order-count distribution: LEFT OUTER join
+    so no-order customers land in the c_count=0 bucket, then a
+    histogram of counts-of-counts (two cascaded aggregations; the
+    o_orderpriority filter stands in for TPC-H's comment NOT LIKE).
+    Pure integer counts — engine-exact by construction."""
+    cu = load_table(spark, sf_dir, "customer").select("c_custkey")
+    od = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        cu.join(od, cu.c_custkey == od.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 — top supplier by quarterly revenue: a revenue "view"
+    (per-supplier exact DECIMAL sum over one shipdate quarter), its
+    scalar max, and the equality join-back. The max/equality
+    comparison stays on exact integers (DECIMAL 1e-4 units); revenue
+    converts to double only in the output projection."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_disc_price_cents2("l_extendedprice", "l_discount")).alias("rev_units")
+    )
+    max_rev = rev.agg(F.max("rev_units").alias("max_units"))
+    su = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(max_rev), rev.rev_units == max_rev.max_units)
+        .join(F.broadcast(su), rev.supplier_no == su.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_units").cast("double") / F.lit(10000.0)).alias(
+                "total_revenue"
+            ),
+        )
+    )
+
+
+Q15_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no, SUM({DISC_PRICE_SQL}) AS rev_units
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, CAST(rev_units AS DOUBLE)/10000.0 AS total_revenue
+FROM revenue JOIN supplier ON supplier_no = s_suppkey
+WHERE rev_units = (SELECT MAX(rev_units) FROM revenue)
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 — revenue loss if small-quantity orders were dropped:
+    per-part average-quantity threshold (correlated scalar subquery,
+    decorrelated to an aggregate + join-back) with the comparison kept
+    in integers: qty < 0.2·avg(qty) ⟺ 5·qty·n < sum_qty, so both
+    engines compare identical longs instead of derived floats."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#4") | (F.col("p_brand") == "Brand#5")
+    ).select("p_partkey")
+    avg_q = li.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.count("l_quantity").alias("n_qty"),
+    )
+    return (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .join(avg_q, li.l_partkey == F.col("ap_key"))
+        .filter(
+            F.lit(5) * F.col("l_quantity").cast("long") * F.col("n_qty")
+            < F.col("sum_qty")
+        )
+        .agg(
+            (F.sum(cents("l_extendedprice")).cast("double") / F.lit(100.0) / F.lit(7.0)).alias(
+                "avg_yearly"
+            ),
+            F.count("*").alias("n_small"),
+        )
+    )
+
+
+Q17_SQL = """
+WITH avg_q AS (
+  SELECT l_partkey AS ap_key, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+         COUNT(l_quantity) AS n_qty
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)
+         / 100.0 / 7.0 AS avg_yearly,
+       COUNT(*) AS n_small
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN avg_q ON l_partkey = ap_key
+WHERE p_brand IN ('Brand#4', 'Brand#5')
+  AND 5 * CAST(l_quantity AS BIGINT) * n_qty < sum_qty
+"""
+
+
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 — large-volume orders: HAVING over a grouped fact
+    (orders whose total quantity exceeds a threshold), then customer
+    enrichment. Quantity sums are integer-exact; the HAVING filter is
+    a long comparison. The semi-join-shaped flow aggregates lineitem
+    FIRST (map-side combined) so only qualifying order keys join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .filter(F.col("total_qty") > 115)
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cu = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(od, big.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias("o_orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+Q18_SQL = """
+SELECT c_name, o_orderkey,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+       o_totalprice, total_qty
+FROM (
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY 1 HAVING SUM(CAST(l_quantity AS BIGINT)) > 115
+) big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — wealthy customers with no orders: scalar
+    average over positive balances (kept as an exact integer cross
+    comparison: bal·n > sum ⟺ bal > avg), anti-join against orders,
+    grouped by nation (fixture has no c_phone; nation key stands in
+    for the phone country code). "No orders" means no orders since
+    1999 — every fixture customer has SOME order, as in TPC-H where
+    the window is what makes the set non-empty. Anti-join is
+    broadcast-able at scale because only distinct o_custkey values of
+    the date-filtered side are needed."""
+    cu = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey") < 7
+    ).select("c_custkey", "c_nationkey", "c_acctbal")
+    pos = cu.filter(F.col("c_acctbal") > 0.0)
+    avg_row = pos.agg(
+        F.sum(cents("c_acctbal")).alias("sum_pos"),
+        F.count("*").alias("n_pos"),
+    )
+    od = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01")
+    ).select("o_custkey")
+    return (
+        cu.crossJoin(F.broadcast(avg_row))
+        .filter(cents("c_acctbal") * F.col("n_pos") > F.col("sum_pos"))
+        .join(od, cu.c_custkey == od.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            sum_money("c_acctbal").alias("totacctbal"),
+        )
+    )
+
+
+Q22_SQL = """
+WITH cu AS (
+  SELECT c_custkey, c_nationkey, c_acctbal FROM customer WHERE c_nationkey < 7
+),
+avg_row AS (
+  SELECT SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS sum_pos,
+         COUNT(*) AS n_pos
+  FROM cu WHERE c_acctbal > 0.0
+)
+SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+       CAST(SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS DOUBLE)/100.0
+         AS totacctbal
+FROM cu, avg_row
+WHERE CAST(round(c_acctbal*100) AS BIGINT) * n_pos > sum_pos
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+GROUP BY 1
+"""
+
+
+def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape — distinct supplier counts per part attribute
+    group with an excluded-supplier list (fixture has no partsupp or
+    s_comment: the part↔supplier relation comes from lineitem, and the
+    exclusion list is the bottom-decile-balance suppliers). Exercises
+    COUNT(DISTINCT) per group after a NOT IN / anti-join filter."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    pa = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") != "PROMO"
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0.0
+    ).select(F.col("s_suppkey").alias("bad_key"))
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == F.col("bad_key"), "left_anti")
+        .join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_type <> 'PROMO'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY 1, 2, 3
+"""
+
+
+def q20_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape — suppliers holding a meaningful share of a
+    product line: nested aggregate (per supplier-part shipped quantity
+    in a year) filtered against a threshold, collapsed to a
+    semi-join-style DISTINCT supplier list with nation enrichment.
+    Quantity sums are integer-exact longs."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    pa = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO"
+    ).select("p_partkey")
+    qty = (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+        .filter(F.col("qty") > 50)
+    )
+    su = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    na = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        qty.select("l_suppkey")
+        .distinct()
+        .join(F.broadcast(su), F.col("l_suppkey") == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+Q20_SQL = """
+SELECT s_suppkey, s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM (
+    SELECT l_suppkey, l_partkey, SUM(CAST(l_quantity AS BIGINT)) AS qty
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_type = 'PROMO'
+      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2
+  ) t WHERE qty > 50
+)
+"""

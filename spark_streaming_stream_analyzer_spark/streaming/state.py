@@ -378,3 +378,79 @@ def exact_state_stats_heartbeat(events: DataFrame, key: str = "event_type") -> D
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def stream_stats_heartbeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing B3 heartbeat query (the one reference semantic
+    previously absent from ``queries()``): run the heartbeat op over
+    the fixture stream under a processing-time trigger, wait until
+    every key has re-emitted at least once from an *idle* batch (timer
+    fire, ``KafkaStreamAverageCalculator.java:155-168`` semantics),
+    then return each key's final statistics. Deterministic because a
+    heartbeat re-emission carries exactly the key's current stats —
+    the final row per key equals the batch answer regardless of how
+    many heartbeats fired, so the batch oracle applies unchanged
+    (``delta``, the order-dependent telemetry, is excluded)."""
+    import time as _time
+    import uuid as _uuid
+
+    from pyspark.sql import Window
+
+    from .pipelines import _cleanup_tmp_dirs, _tracked_tmp_dir, events_file_stream
+
+    n_keys = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .select("event_type")
+        .distinct()
+        .count()
+    )
+    events = events_file_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    out = exact_state_stats_heartbeat(events, "event_type")
+    name = f"hb_{_uuid.uuid4().hex[:8]}"
+    ckpt = _tracked_tmp_dir("sgs_hb")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_CPUS", "32")
+    )
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        # No processAllAvailable here: the timers make every idle
+        # micro-batch emit rows, so "all available" never drains —
+        # poll the sink until every key has its data row plus at
+        # least one heartbeat re-emission, then stop.
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            try:
+                per_key = (
+                    spark.table(name).groupBy("readTag_id").count().collect()
+                )
+            except Exception:
+                per_key = []
+            if len(per_key) == n_keys and all(r["count"] >= 2 for r in per_key):
+                break
+            _time.sleep(0.5)
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        _cleanup_tmp_dirs([ckpt])
+    w = Window.partitionBy("readTag_id").orderBy(F.col("counter").desc())
+    return (
+        spark.table(name)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "readTag_id", "summer", "counter", "sumsqr",
+            "bestmin", "bestmax", "mean", "m2", "var",
+        )
+    )
+
+
+STREAM_STATS_HEARTBEAT_SQL = STREAM_STATS_EXACT_SQL

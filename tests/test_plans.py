@@ -86,3 +86,41 @@ def test_embedding_dedup_no_python_in_scoring(spark, sf_dir):
     # cosine scoring is array-expression JVM code, not a Python UDF
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_q2_joinback_no_extra_shuffle_and_broadcasts(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q2_min_cost_supplier")
+    # part/supplier/nation/min-join-back: dims broadcast; costs↔mins
+    # join-back co-partitioned on l_partkey
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "BatchEvalPython" not in plan
+
+
+def test_q8_single_fact_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q8_market_share")
+    # all seven dimension paths broadcast; lineitem⋈orders is the only
+    # join shuffle
+    assert plan.count("BroadcastHashJoin") >= 6
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_q13_left_outer_preserves_zero_bucket(spark, sf_dir):
+    df = registry.QUERIES["q13_customer_distribution"](spark, sf_dir)
+    counts = {r["c_count"]: r["custdist"] for r in df.collect()}
+    n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    # LEFT OUTER: every customer lands in exactly one bucket
+    assert sum(counts.values()) == n_cust
+
+
+def test_q18_aggregates_before_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q18_large_volume_customer")
+    # lineitem collapses to per-order rows BEFORE joining orders: the
+    # HashAggregate pair must appear under the join, customer broadcast
+    assert plan.count("HashAggregate") >= 2
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q16_count_distinct_no_python(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q16_part_supplier_counts")
+    assert "BatchEvalPython" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
