@@ -220,3 +220,48 @@ SELECT doc_id,
 FROM documents
 WHERE length(text) > 0
 """
+
+
+_FEAT_DIM = 8
+
+_FEAT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("dim", T.IntegerType()),
+        T.StructField("feat", T.DoubleType()),
+    ]
+)
+
+
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fake feature extraction via ``mapInPandas`` — the
+    embed-the-blob stage of a multimodal pipeline with the codec/model
+    swapped for a hash-derived projection (md5(payload ‖ dim) → [0,1)
+    at 3 decimals). Real plumbing: Arrow batches, long-form output
+    (doc_id, dim, feat) — long form rather than array<double> so the
+    result is canonicalizer-safe and oracle-hashable. Swap the body
+    for a model call on a GPU cluster; schema and partitioning stand.
+    """
+    p = payloads(spark, sf_dir).select("doc_id", "payload")
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple[int, int, float]] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                for d in range(_FEAT_DIM):
+                    h = hashlib.md5(data + str(d).encode()).hexdigest()
+                    rows.append(
+                        (int(doc_id), d, float(int(h[:8], 16) % 1000) / 1000.0)
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "dim", "feat"])
+
+    return p.mapInPandas(extract, schema=_FEAT_SCHEMA)
+
+
+MM_FEATURE_SQL = f"""
+SELECT doc_id, CAST(d AS INT) AS dim,
+       CAST(CAST('0x' || substr(md5(text || CAST(d AS VARCHAR)), 1, 8)
+                 AS BIGINT) % 1000 AS DOUBLE) / 1000.0 AS feat
+FROM documents, range({_FEAT_DIM}) t(d)
+"""

@@ -322,3 +322,59 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("q_id", "vec_id", "rank", "cos_sim")
     )
+
+
+def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality, measured in-engine: recall@3 of the IVF-pruned
+    tier against the brute-force ground truth, per query vector. This
+    is the metric a pipeline owner watches when tuning cell count vs
+    probe cost — here it is a first-class, oracle-checked query (both
+    tiers are deterministic, so recall is too).
+
+    Scale: both inputs are |Q|·k rows; everything after the two
+    similarity scans is broadcast-sized.
+    """
+    brute = (
+        sim_topk_cosine(spark, sf_dir)
+        .filter(F.col("rank") <= 3)
+        .select("q_id", "vec_id")
+        .alias("b")
+    )
+    ivf = sim_ivf_topk(spark, sf_dir).select("q_id", "vec_id").alias("i")
+    joined = brute.join(
+        ivf,
+        (F.col("b.q_id") == F.col("i.q_id"))
+        & (F.col("b.vec_id") == F.col("i.vec_id")),
+        "left",
+    )
+    return (
+        joined.groupBy(F.col("b.q_id").alias("q_id"))
+        .agg(
+            F.count("*").alias("n_true"),
+            F.count(F.col("i.vec_id")).alias("n_hit"),
+        )
+        .select(
+            "q_id",
+            "n_true",
+            "n_hit",
+            (
+                F.col("n_hit").cast("double") / F.col("n_true").cast("double")
+            ).alias("recall_at_3"),
+        )
+    )
+
+
+SIM_RECALL_SQL = f"""
+WITH brute AS (
+  SELECT q_id, vec_id FROM ({SIM_TOPK_SQL}) b WHERE rank <= 3
+),
+ivf AS (SELECT q_id, vec_id FROM ({SIM_IVF_SQL}) i)
+SELECT b.q_id AS q_id,
+       CAST(COUNT(*) AS BIGINT) AS n_true,
+       CAST(COUNT(i.vec_id) AS BIGINT) AS n_hit,
+       CAST(COUNT(i.vec_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS recall_at_3
+FROM brute b LEFT JOIN ivf i
+  ON b.q_id = i.q_id AND b.vec_id = i.vec_id
+GROUP BY 1
+"""

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators import projections, stats, wordcount
+from .shipping import ensure_package_shipped
 from .sources.tables import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -29,10 +30,22 @@ ORACLES: dict[str, str] = {}
 
 
 def query(name: str, oracle: str | None = None):
-    """Register a query (and optionally its DuckDB oracle SQL)."""
+    """Register a query (and optionally its DuckDB oracle SQL).
+
+    Every registered callable first ships the package source to the
+    session's Python workers (``shipping.py``) — module-referenced
+    Pandas UDFs (the stateful streaming ops) need it under any
+    launcher whose cwd is not the repo root, the external driver
+    included."""
 
     def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_package_shipped(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = getattr(fn, "__name__", name)
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle.strip()
         return fn
@@ -533,6 +546,7 @@ query("pipeline_dedup_filter", _dd.PIPELINE_DEDUP_SQL)(_dd.pipeline_dedup_filter
 query("sim_topk_cosine", _sim.SIM_TOPK_SQL)(_sim.sim_topk_cosine)
 query("sim_ivf_topk", _sim.SIM_IVF_SQL)(_sim.sim_ivf_topk)
 query("embedding_norms", _sim.EMB_NORMS_SQL)(_sim.embedding_norms)
+query("sim_ivf_recall", _sim.SIM_RECALL_SQL)(_sim.sim_ivf_recall)
 query("sim_kmeans_cells", None)(_sim.sim_kmeans_cells)  # iterative: rows-only
 query("sim_ivf_kmeans_topk", None)(_sim.sim_ivf_kmeans_topk)  # iterative upstream
 query("lang_id_ngram", _ts.LANG_ID_SQL)(_ts.lang_id_ngram)
@@ -544,6 +558,7 @@ query("doc_winnowing", _ts.DOC_WINNOW_SQL)(_ts.doc_winnowing)
 query("text_bigram_freq", _ts.TEXT_BIGRAM_SQL)(_ts.text_bigram_freq)
 query("text_normalize", _ts.TEXT_NORMALIZE_SQL)(_ts.text_normalize)
 query("mm_binary_meta", _mm.MM_BINARY_META_SQL)(_mm.mm_binary_meta)
+query("mm_feature_extract", _mm.MM_FEATURE_SQL)(_mm.mm_feature_extract)
 query("mm_frame_sample", _mm.MM_FRAME_SAMPLE_SQL)(_mm.mm_frame_sample)
 query("mm_resize", _mm.MM_RESIZE_SQL)(_mm.mm_resize)
 
@@ -620,12 +635,13 @@ _VERIFY_FIRST: list[str] = [
     "dedup_cluster_keep",
     "dedup_embedding_cosine",
     "pipeline_dedup_filter",
-    # M5 similarity tier
+    # M5 similarity tier (sim_kmeans_cells / sim_ivf_kmeans_topk are
+    # rows-only checks — deferred to the round-3 rotation in favor of
+    # the value-oracled recall query that exercises both tiers)
     "sim_topk_cosine",
     "sim_ivf_topk",
     "embedding_norms",
-    "sim_kmeans_cells",
-    "sim_ivf_kmeans_topk",
+    "sim_ivf_recall",
     # M5 text tier
     "lang_id_ngram",
     "text_quality_score",
@@ -637,6 +653,7 @@ _VERIFY_FIRST: list[str] = [
     "text_normalize",
     # M5 multimodal tier
     "mm_binary_meta",
+    "mm_feature_extract",
     "mm_frame_sample",
     "mm_resize",
     # streaming surface (entirely unverified in round 1)

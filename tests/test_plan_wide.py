@@ -33,7 +33,7 @@ EAGER = {
 }
 
 #: Queries allowed to contain Arrow-batched Python operators.
-ARROW_PYTHON_OK = {"mm_frame_sample", "mm_resize", "udf_surface"}
+ARROW_PYTHON_OK = {"mm_frame_sample", "mm_resize", "mm_feature_extract", "udf_surface"}
 
 
 def test_no_rowwise_python_anywhere(spark, sf_dir):
