@@ -1,0 +1,383 @@
+"""Round-2 extended analytics shapes (build plan M4/M5 widening).
+
+Adds the remaining TPC-H multi-level aggregate shapes the fixture
+schema can express (Q11/Q12/Q21 adaptations — no partsupp/shipmode/
+receiptdate columns exist, see FIXTURES.md §B; substitutions are
+documented per docstring), plus pipeline analytics a training-data
+engine needs: exact z-score outlier flagging and integer-exact TF-IDF
+term ranking. Everything follows the module conventions of
+``relational.py``: broadcast the small side, aggregate in exact
+integers (``functions/exact.py``), one deterministic float op at the
+end, and a DuckDB oracle kept textually in sync.
+
+Scale notes (100 TB discipline):
+ - Q11/Q12/Q21 shuffle only on keys both sides already need
+   (orderkey / partkey); dimensions broadcast.
+ - ``anomaly_zscore`` is a 2-pass pattern: a tiny per-group moment
+   table (|groups| rows) broadcast back against the fact scan — no
+   second shuffle of the fact table.
+ - ``text_tfidf_topk`` is wordcount-shaped: explode → partial/final
+   hash aggregate; document frequencies ride a window over the
+   (word)-partitioned tf table, then top-k re-partitions by doc.
+ - ``join_salted_skew`` records the deterministic salting pattern for
+   skewed fact-fact joins: replicate the small side SALT_N ways so one
+   hot key spreads over SALT_N tasks; results are provably identical
+   to the unsalted join (same oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.exact import cents_dec, sum_money
+from ..sources.tables import load_table
+
+_D18 = "decimal(18,0)"
+_D38 = "decimal(38,0)"
+
+
+def q11_important_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — per-part inventory value above a global-share
+    threshold. The fixture has no partsupp: the part↔value relation
+    comes from lineitem (value = l_extendedprice·l_quantity, exact in
+    1e-4 units) restricted to suppliers of nations 0-4. The HAVING
+    compares against a scalar subquery; kept exact as
+    ``part_value·1000 > total_value`` (0.1 % share) on DECIMAL(38,0)
+    integers. The scalar total is one broadcast row; the fact table
+    aggregates once on l_partkey."""
+    su = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_nationkey") < 5
+    ).select("s_suppkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    val = (cents_dec("l_extendedprice") * cents_dec("l_quantity")).cast(_D38)
+    part_vals = (
+        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(val).cast(_D38).alias("val_c4"))
+    )
+    total = part_vals.agg(F.sum("val_c4").cast(_D38).alias("total_c4"))
+    return (
+        part_vals.crossJoin(F.broadcast(total))
+        .filter(F.col("val_c4") * F.lit(1000).cast(_D18) > F.col("total_c4"))
+        .select(
+            "l_partkey",
+            (F.col("val_c4").cast("double") / F.lit(10000.0)).alias("part_value"),
+        )
+    )
+
+
+Q11_SQL = """
+WITH pv AS (
+  SELECT l_partkey,
+         SUM(CAST(round(l_extendedprice*100) AS HUGEINT)
+             * CAST(round(l_quantity*100) AS HUGEINT)) AS val_c4
+  FROM lineitem
+  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_nationkey < 5)
+  GROUP BY 1
+)
+SELECT l_partkey, CAST(val_c4 AS DOUBLE)/10000.0 AS part_value
+FROM pv
+WHERE val_c4 * 1000 > (SELECT SUM(val_c4) FROM pv)
+"""
+
+
+def q12_late_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — shipping-mode lateness report: per mode, how
+    many late lineitems belong to high- vs low-priority orders. The
+    fixture has no l_shipmode/l_receiptdate: l_linestatus stands in for
+    the mode and "late" means shipped more than 90 days after the order
+    date. One shuffle join on orderkey; the CASE counts are map-side
+    combinable longs."""
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_shipdate"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy(F.col("l_linestatus").alias("shipmode"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+Q12_SQL = """
+SELECT l_linestatus AS shipmode,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+GROUP BY 1
+"""
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — suppliers who alone held up a multi-supplier
+    order: on 'F'-status orders, the supplier with a late lineitem
+    (shipped > 90 days after order date; fixture has no
+    commit/receiptdate) where at least one other supplier shipped and
+    no other supplier was late. Implemented as per-order aggregates
+    (supplier count, late-supplier count) rather than correlated
+    EXISTS/NOT EXISTS — the aggregate form is one shuffle on orderkey
+    and is what Catalyst rewrites such subqueries into anyway. Top 100
+    with deterministic tiebreak."""
+    od = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    per_supp = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+                .cast("int")
+            ).alias("is_late")
+        )
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum("is_late").alias("n_late"),
+    )
+    causers = (
+        per_supp.filter(F.col("is_late") == 1)
+        .join(
+            per_order.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1)),
+            "l_orderkey",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+    )
+    su = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        causers.join(F.broadcast(su), causers.l_suppkey == su.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+Q21_SQL = """
+WITH per_supp AS (
+  SELECT l_orderkey, l_suppkey,
+         MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                  THEN 1 ELSE 0 END) AS is_late
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY 1, 2
+),
+per_order AS (
+  SELECT l_orderkey, COUNT(*) AS n_supp, SUM(is_late) AS n_late
+  FROM per_supp GROUP BY 1
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM per_supp
+JOIN per_order USING (l_orderkey)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE is_late = 1 AND n_supp > 1 AND n_late = 1
+GROUP BY 1
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier flagging — |v − mean| > 2·σ_sample per event_type,
+    decided entirely in exact integer arithmetic so both engines agree
+    bit-for-bit. With cents c, per-group sum s, count n, squared-cents
+    sum q, the condition (v−mean)² > 4·var is cross-multiplied to
+
+        (c·n − s)² · (n−1)  >  4 · n · (n·q − s²)
+
+    — every term a DECIMAL(38,0)/HUGEINT integer; no division ever
+    happens. The per-group moment table is |groups| rows, broadcast
+    back against the fact scan: the 2-pass pattern that never shuffles
+    the fact table."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    moments = ev.groupBy("event_type").agg(
+        F.count("value").cast(_D18).alias("n"),
+        F.sum(cents_dec("value")).cast(_D38).alias("s"),
+        F.sum((cents_dec("value") * cents_dec("value")).cast(_D38))
+        .cast(_D38)
+        .alias("q"),
+    )
+    c = cents_dec("value").cast(_D38)
+    dev = (c * F.col("n") - F.col("s")).cast(_D38)
+    lhs = (dev * dev).cast(_D38) * (F.col("n") - F.lit(1).cast(_D18)).cast(_D38)
+    spread = (F.col("n") * F.col("q") - F.col("s") * F.col("s")).cast(_D38)
+    rhs = F.lit(4).cast(_D18) * F.col("n").cast(_D38) * spread
+    return (
+        ev.join(F.broadcast(moments), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            ((F.col("n") > 1) & (lhs.cast(_D38) > rhs.cast(_D38))).alias("is_outlier"),
+        )
+    )
+
+
+ANOMALY_ZSCORE_SQL = """
+WITH m AS (
+  SELECT event_type,
+         CAST(COUNT(value) AS HUGEINT) AS n,
+         SUM(CAST(round(value*100) AS HUGEINT)) AS s,
+         SUM(CAST(round(value*100) AS HUGEINT)
+             * CAST(round(value*100) AS HUGEINT)) AS q
+  FROM events GROUP BY 1
+)
+SELECT event_id, e.event_type, value,
+       n > 1 AND
+       (CAST(round(value*100) AS HUGEINT) * n - s)
+         * (CAST(round(value*100) AS HUGEINT) * n - s)
+         * (n - 1)
+       > 4 * n * (n * q - s * s) AS is_outlier
+FROM events e JOIN m ON e.event_type = m.event_type
+"""
+
+
+TFIDF_TOPK = 3
+TFIDF_SCALE = 1_000_000
+
+
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-style rare-term ranking, integer-exact: per document the
+    top-3 terms by score = (tf · 1e6) DIV df (term frequency scaled,
+    integer-divided by corpus document frequency — a logarithm-free
+    tf/df rank that both engines compute identically; a float idf
+    would differ in the last ulp between libms). Ties break on the
+    term string. Wordcount-shaped dataflow: explode → hash-aggregate
+    tf per (doc, word); df is COUNT over a (word)-window on the tf
+    table (the tf table has one row per (doc, word), so the window
+    count IS the document frequency); top-k repartitions by doc."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df_w = F.count("*").over(Window.partitionBy("word"))
+    scored = tf.withColumn("df", df_w).withColumn(
+        "score", F.expr(f"(tf * {TFIDF_SCALE}) DIV df")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("word"))
+    )
+    return (
+        scored.withColumn("rn", rn)
+        .filter(F.col("rn") <= TFIDF_TOPK)
+        .select("doc_id", "word", "tf", "df", "score", "rn")
+    )
+
+
+TEXT_TFIDF_SQL = f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+tf AS (
+  SELECT doc_id, word, COUNT(*) AS tf
+  FROM words WHERE word <> '' GROUP BY 1, 2
+),
+scored AS (
+  SELECT doc_id, word, tf,
+         COUNT(*) OVER (PARTITION BY word) AS df,
+         (tf * {TFIDF_SCALE}) // (COUNT(*) OVER (PARTITION BY word)) AS score
+  FROM tf
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, word ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, word, tf, df, score, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= {TFIDF_TOPK}
+"""
+
+
+SALT_N = 8
+
+
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic salted join — the skew-mitigation pattern proven
+    result-identical to the plain join (same oracle). The probe side
+    (lineitem) computes salt = l_linenumber % SALT_N; the build side
+    (orders) is replicated SALT_N× via explode(sequence(...)), and the
+    join key becomes (orderkey, salt), spreading any hot orderkey over
+    SALT_N reduce tasks. At 100 TB this is the manual fallback when
+    AQE skew-join splitting can't apply (e.g. a stateful/bucketed
+    stage); salting is deterministic (a column function, not rand())
+    so retries and the oracle agree. Revenue per priority class is an
+    exact cents sum."""
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    ).withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(SALT_N - 1))))
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_extendedprice",
+        (F.col("l_linenumber") % SALT_N).alias("salt"),
+    )
+    return (
+        li.join(od, (li.l_orderkey == od.o_orderkey) & (li.salt == od.salt))
+        .groupBy("o_orderpriority")
+        .agg(sum_money("l_extendedprice").alias("revenue"))
+    )
+
+
+JOIN_SALTED_SQL = """
+SELECT o_orderpriority,
+       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0
+         AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
+def agg_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows, batch form — 2-day windows advancing
+    by 1 day, so every event lands in exactly two windows (tumbling and
+    session shapes are covered elsewhere; this is the overlapping
+    case). Epoch-aligned window() starts fall on day boundaries, which
+    the oracle reproduces by fanning each event to day_trunc(ts) − k
+    days for k ∈ {0,1}. Counts and exact cents sums per (window,
+    event_type). The same body runs under a watermark as
+    ``streaming/pipelines.stream_sliding_window``."""
+    ev = load_table(spark, sf_dir, "events")
+    with_ts = ev.withColumn("ev_ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return (
+        with_ts.groupBy(F.window("ev_ts", "2 days", "1 day"), "event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+        )
+        .select(
+            F.col("window.start").cast("string").alias("win_start"),
+            "event_type",
+            "cnt",
+            (F.col("sum_cents").cast("double") / F.lit(100.0)).alias("sum_value"),
+        )
+    )
+
+
+AGG_SLIDING_SQL = """
+SELECT CAST(date_trunc('day', ts) - to_days(CAST(k AS INT)) AS VARCHAR)
+         AS win_start,
+       event_type, COUNT(*) AS cnt,
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+FROM events, range(2) t(k)
+GROUP BY 1, 2
+"""

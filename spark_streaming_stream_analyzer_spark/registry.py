@@ -503,6 +503,16 @@ query("q22_idle_customers", _rel.Q22_SQL)(_rel.q22_idle_customers)
 query("q16_part_supplier_counts", _rel.Q16_SQL)(_rel.q16_part_supplier_counts)
 query("q20_part_promotion_suppliers", _rel.Q20_SQL)(_rel.q20_part_promotion_suppliers)
 
+from .operators import analytics as _an  # noqa: E402
+
+query("q11_important_values", _an.Q11_SQL)(_an.q11_important_values)
+query("q12_late_priority_counts", _an.Q12_SQL)(_an.q12_late_priority_counts)
+query("q21_waiting_suppliers", _an.Q21_SQL)(_an.q21_waiting_suppliers)
+query("anomaly_zscore", _an.ANOMALY_ZSCORE_SQL)(_an.anomaly_zscore)
+query("text_tfidf_topk", _an.TEXT_TFIDF_SQL)(_an.text_tfidf_topk)
+query("join_salted_skew", _an.JOIN_SALTED_SQL)(_an.join_salted_skew)
+query("agg_sliding_window", _an.AGG_SLIDING_SQL)(_an.agg_sliding_window)
+
 from .functions import jsonf as _jsonf  # noqa: E402
 from .functions.hashing import hll_estimate, hll_oracle_sql  # noqa: E402
 
@@ -583,6 +593,7 @@ query("stream_batch_wordcount", _sp.STREAM_BATCH_WORDCOUNT_SQL)(
     _sp.stream_batch_wordcount
 )
 query("stream_session_window", _sp.STREAM_SESSION_SQL)(_sp.stream_session_window)
+query("stream_sliding_window", _sp.STREAM_SLIDING_SQL)(_sp.stream_sliding_window)
 query("stream_dedup", _sp.STREAM_DEDUP_SQL)(_sp.stream_dedup)
 query("stream_dedup_watermark", _sp.STREAM_DEDUP_WM_SQL)(_sp.stream_dedup_watermark)
 query("stream_stream_left_join", _sp.STREAM_STREAM_LEFT_SQL)(

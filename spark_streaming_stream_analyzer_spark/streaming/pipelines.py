@@ -340,6 +340,44 @@ HAVING MAX(us) + {_GAP_US} <= (SELECT MAX(us) - {_WM_US} FROM e)
 """
 
 
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows under a watermark (append mode):
+    2-day windows every 1 day — each event feeds two overlapping
+    window states. Emission follows the tumbling rule: a window flushes
+    once its END is at or below the final watermark (max event time
+    − 1 h), reproduced in the oracle's HAVING. Batch twin:
+    ``operators/analytics.agg_sliding_window``."""
+    events = events_file_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    with_ts = events.withColumn("ev_ts", F.timestamp_micros(F.expr("ts div 1000")))
+    counts = (
+        with_ts.withWatermark("ev_ts", "1 hour")
+        .groupBy(F.window("ev_ts", "2 days", "1 day"), "event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+        )
+        .select(
+            F.col("window.start").cast("string").alias("win_start"),
+            "event_type",
+            "cnt",
+            (F.col("sum_cents").cast("double") / F.lit(100.0)).alias("sum_value"),
+        )
+    )
+    return _run_to_memory(counts, output_mode="append")
+
+
+STREAM_SLIDING_SQL = """
+SELECT CAST(date_trunc('day', ts) - to_days(CAST(k AS INT)) AS VARCHAR)
+         AS win_start,
+       event_type, COUNT(*) AS cnt,
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+FROM events, range(2) t(k)
+GROUP BY 1, 2
+HAVING MIN(date_trunc('day', ts) - to_days(CAST(k AS INT))) + to_days(2)
+         <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+"""
+
+
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream–stream inner join with watermarks on both sides
     (SURVEY.md §2.2): each purchase event joined to the same user's

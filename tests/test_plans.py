@@ -124,3 +124,24 @@ def test_q16_count_distinct_no_python(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q16_part_supplier_counts")
     assert "BatchEvalPython" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_anomaly_zscore_broadcasts_moments(spark, sf_dir):
+    # the 2-pass pattern: tiny per-group moment table broadcast back,
+    # fact scan never shuffles, no Python in the flag expression
+    plan = plan_of(spark, sf_dir, "anomaly_zscore")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_q11_broadcasts_scalar_total(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q11_important_values")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2  # partial+final on l_partkey
+
+
+def test_salted_join_spreads_key(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "join_salted_skew")
+    # salt column becomes part of the join key → hash exchange on both
+    # (orderkey, salt) sides, not on orderkey alone
+    assert "salt" in plan
