@@ -738,3 +738,72 @@ SELECT doc_id, n_chars FROM documents
 WHERE doc_id NOT IN
   (SELECT doc_id FROM clusters WHERE doc_id <> keep_doc_id)
 """
+
+
+# ------------------------------------------------- estimate quality --
+
+def dedup_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality audit of the MinHash tier: for every LSH-surfaced
+    pair, the signature-agreement estimate next to the EXACT shingle
+    Jaccard (uncapped sets — the same universe the signatures hash),
+    plus the absolute error. The dedup counterpart of
+    ``sim_ivf_recall``: it turns "the sketch is probably fine" into a
+    driver-checked number. Exact Jaccard is computed only for the
+    candidate pairs (never all pairs), so the audit costs |pairs| ·
+    avg-shingles — negligible next to the LSH pass itself."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select(
+        "doc_a", "doc_b", "est_jaccard"
+    )
+    sh = _shingles(spark, sf_dir).localCheckpoint()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        pairs.select("doc_a", "doc_b")
+        .join(sha, "doc_a")
+        .join(shb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    nc = F.coalesce(F.col("n_common"), F.lit(0))
+    exact = nc.cast("double") / (F.col("n_a") + F.col("n_b") - nc).cast("double")
+    return (
+        pairs.join(common, ["doc_a", "doc_b"], "left")
+        .join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            exact.alias("exact_jaccard"),
+            F.abs(F.col("est_jaccard") - exact).alias("abs_err"),
+        )
+    )
+
+
+DEDUP_MINHASH_QUALITY_SQL = f"""
+WITH pairs AS ({DEDUP_MINHASH_SQL}),
+sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
+  FROM pairs p
+  JOIN sh a ON a.doc_id = p.doc_a
+  JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b, p.est_jaccard,
+       CAST(COALESCE(n_common, 0) AS DOUBLE)
+         / CAST(sa.n_sh + sb.n_sh - COALESCE(n_common, 0) AS DOUBLE)
+         AS exact_jaccard,
+       ABS(p.est_jaccard
+           - CAST(COALESCE(n_common, 0) AS DOUBLE)
+             / CAST(sa.n_sh + sb.n_sh - COALESCE(n_common, 0) AS DOUBLE))
+         AS abs_err
+FROM pairs p
+LEFT JOIN common c ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+"""

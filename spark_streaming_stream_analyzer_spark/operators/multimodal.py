@@ -265,3 +265,49 @@ SELECT doc_id, CAST(d AS INT) AS dim,
                  AS BIGINT) % 1000 AS DOUBLE) / 1000.0 AS feat
 FROM documents, range({_FEAT_DIM}) t(d)
 """
+
+
+CHUNK_LEN = 24
+
+
+def mm_audio_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous fixed-size chunking of a binary payload — the audio
+    windowing stage of a multimodal pipeline (frame_sample is sparse
+    sampling; this covers every byte). Same ``mapInPandas`` plumbing a
+    real resample/VAD kernel would use; chunks are md5-fingerprinted
+    and the DuckDB oracle reproduces them with substr arithmetic. The
+    last chunk may be short; its true length is part of the output."""
+    p = payloads(spark, sf_dir).select("doc_id", "payload")
+
+    def chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple[int, int, int, str]] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                for i in range((len(data) + CHUNK_LEN - 1) // CHUNK_LEN):
+                    w = data[i * CHUNK_LEN : (i + 1) * CHUNK_LEN]
+                    rows.append(
+                        (int(doc_id), i, len(w), hashlib.md5(w).hexdigest())
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "chunk_no", "n_bytes", "chunk_md5"]
+            )
+
+    return p.mapInPandas(
+        chunk, schema="doc_id long, chunk_no int, n_bytes int, chunk_md5 string"
+    )
+
+
+MM_AUDIO_CHUNK_SQL = f"""
+WITH c AS (
+  SELECT doc_id, text,
+         CAST((length(text) + {CHUNK_LEN - 1}) // {CHUNK_LEN} AS INT) AS nch
+  FROM documents
+),
+e AS (SELECT doc_id, text, unnest(range(nch)) AS i FROM c)
+SELECT doc_id, CAST(i AS INT) AS chunk_no,
+       CAST(length(substr(text, 1 + i * {CHUNK_LEN}, {CHUNK_LEN})) AS INT)
+         AS n_bytes,
+       md5(substr(text, 1 + i * {CHUNK_LEN}, {CHUNK_LEN})) AS chunk_md5
+FROM e
+"""

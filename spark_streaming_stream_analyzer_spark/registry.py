@@ -553,6 +553,7 @@ query("dedup_simhash_pairs", _dd.DEDUP_SIMHASH_PAIRS_SQL)(_dd.dedup_simhash_pair
 query("dedup_cluster_keep", _dd.DEDUP_CLUSTER_SQL)(_dd.dedup_cluster_keep)
 query("dedup_embedding_cosine", _dd.DEDUP_EMB_COSINE_SQL)(_dd.dedup_embedding_cosine)
 query("pipeline_dedup_filter", _dd.PIPELINE_DEDUP_SQL)(_dd.pipeline_dedup_filter)
+query("dedup_minhash_quality", _dd.DEDUP_MINHASH_QUALITY_SQL)(_dd.dedup_minhash_quality)
 query("sim_topk_cosine", _sim.SIM_TOPK_SQL)(_sim.sim_topk_cosine)
 query("sim_ivf_topk", _sim.SIM_IVF_SQL)(_sim.sim_ivf_topk)
 query("embedding_norms", _sim.EMB_NORMS_SQL)(_sim.embedding_norms)
@@ -571,6 +572,7 @@ query("mm_binary_meta", _mm.MM_BINARY_META_SQL)(_mm.mm_binary_meta)
 query("mm_feature_extract", _mm.MM_FEATURE_SQL)(_mm.mm_feature_extract)
 query("mm_frame_sample", _mm.MM_FRAME_SAMPLE_SQL)(_mm.mm_frame_sample)
 query("mm_resize", _mm.MM_RESIZE_SQL)(_mm.mm_resize)
+query("mm_audio_chunk", _mm.MM_AUDIO_CHUNK_SQL)(_mm.mm_audio_chunk)
 
 
 # --------------------------------------------------------------------------

@@ -131,3 +131,14 @@ def test_fixture_headroom_below_caps(spark, sf_dir):
     )
     assert max_df <= SHINGLE_DF_CAP, max_df
     assert LSH_BUCKET_CAP >= 2  # sanity: cap can never drop a real pair tier
+
+
+def test_minhash_quality_estimates_track_exact(spark, sf_dir):
+    rows = registry.QUERIES["dedup_minhash_quality"](spark, sf_dir).collect()
+    assert rows, "fixture contains planted near-dups"
+    for r in rows:
+        assert 0.0 <= r["exact_jaccard"] <= 1.0
+        assert abs(r["abs_err"] - abs(r["est_jaccard"] - r["exact_jaccard"])) < 1e-12
+    # 32-hash signatures: estimates concentrate near the true value
+    mean_err = sum(r["abs_err"] for r in rows) / len(rows)
+    assert mean_err < 0.25

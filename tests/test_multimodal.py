@@ -81,3 +81,32 @@ def test_decode_stubs_have_real_plumbing(spark, sf_dir):
         assert "NotImplementedError" in str(ei.value) or isinstance(
             ei.value, NotImplementedError
         )
+
+
+def test_audio_chunks_cover_payload_exactly(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from spark_streaming_stream_analyzer_spark import registry
+
+    chunks = registry.QUERIES["mm_audio_chunk"](spark, sf_dir)
+    per_doc = {
+        r["doc_id"]: (r["total"], r["n_chunks"], r["max_chunk"])
+        for r in chunks.groupBy("doc_id")
+        .agg(
+            F.sum("n_bytes").alias("total"),
+            F.count("*").alias("n_chunks"),
+            F.max("n_bytes").alias("max_chunk"),
+        )
+        .collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", F.length("text").alias("n")).collect()
+    from spark_streaming_stream_analyzer_spark.operators.multimodal import CHUNK_LEN
+
+    for d in docs:
+        if d["n"] == 0:
+            assert d["doc_id"] not in per_doc
+            continue
+        total, n_chunks, max_chunk = per_doc[d["doc_id"]]
+        assert total == d["n"]
+        assert max_chunk <= CHUNK_LEN
+        assert n_chunks == (d["n"] + CHUNK_LEN - 1) // CHUNK_LEN
