@@ -381,3 +381,239 @@ SELECT CAST(date_trunc('day', ts) - to_days(CAST(k AS INT)) AS VARCHAR)
 FROM events, range(2) t(k)
 GROUP BY 1, 2
 """
+
+
+# ------------------------------------------------ deterministic sampling --
+
+SPLIT_TRAIN_PCT = 80
+SPLIT_VALID_PCT = 90
+
+
+def sample_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test assignment by key hash — the
+    scalable sampling idiom for training-data pipelines. rand()-based
+    sampling is irreproducible across retries/partitionings; hashing
+    the stable row key gives the same split on every run, every
+    engine, every cluster size (and is how leakage-free splits survive
+    re-ingestion). Buckets: md5-hash64 mod 100 → <80 train, <90 valid,
+    else test. Output is the per-(split, returnflag) contingency table
+    with exact sums — the check that the split is unbiased."""
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.concat_ws("#", F.col("l_orderkey"), F.col("l_linenumber"))
+    from ..functions.hashing import hash64
+
+    bucket = F.pmod(hash64(key), F.lit(100))
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_VALID_PCT, "valid")
+        .otherwise("test")
+    )
+    return (
+        li.select(split.alias("split"), "l_returnflag", "l_extendedprice")
+        .groupBy("split", "l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            sum_money("l_extendedprice").alias("sum_price"),
+        )
+    )
+
+
+SAMPLE_SPLIT_SQL = f"""
+SELECT CASE
+         WHEN CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '#'
+                || CAST(l_linenumber AS VARCHAR)), 1, 15) AS BIGINT) % 100
+              < {SPLIT_TRAIN_PCT} THEN 'train'
+         WHEN CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '#'
+                || CAST(l_linenumber AS VARCHAR)), 1, 15) AS BIGINT) % 100
+              < {SPLIT_VALID_PCT} THEN 'valid'
+         ELSE 'test' END AS split,
+       l_returnflag, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0
+         AS sum_price
+FROM lineitem
+GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------ portable bloom filter --
+
+BLOOM_BITS = 1 << 16   # 65536 bits = 2048 32-bit cells
+BLOOM_K = 3
+_CELL_BITS = 32
+
+
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter pre-join: build a 64 Kbit / 3-hash filter over the
+    urgent-order keys, probe every distinct lineitem orderkey, and
+    report filter quality against the exact semi-join. The pattern
+    that matters at 100 TB: the filter is a ~2048-row bit-cell table
+    (broadcastable kilobytes) that prunes the fact scan BEFORE the
+    real join — Spark's own runtime row-group pruning
+    (spark.sql.optimizer.runtime.bloomFilter) does this with a private
+    sketch; this portable build makes the mechanics explicit and
+    oracle-checkable (no false negatives, measured false-positive
+    count). Bit cells are 32-bit so every mask fits signed arithmetic
+    in both engines."""
+    from ..functions.hashing import hash64
+
+    build = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").cast("string").alias("bkey"))
+        .distinct()
+    )
+    ks = F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("j")
+    pos_of = lambda keycol: F.pmod(  # noqa: E731
+        hash64(F.concat_ws("#", F.col("j"), keycol)), F.lit(BLOOM_BITS)
+    )
+    # shiftleft's amount must be a column here → F.expr (the pyspark
+    # helper only takes a literal int)
+    mask_of = F.expr(f"shiftleft(1L, CAST(pos % {_CELL_BITS} AS INT))")
+    cells = (
+        build.select("bkey", ks)
+        .select((pos_of(F.col("bkey"))).alias("pos"))
+        .select(
+            (F.col("pos") / _CELL_BITS).cast("int").alias("cell"),
+            mask_of.alias("m"),
+        )
+        .groupBy("cell")
+        .agg(F.bit_or("m").alias("mask"))
+    )
+    probe = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").cast("string").alias("pkey"))
+        .distinct()
+    )
+    probed = (
+        probe.select("pkey", ks)
+        .select("pkey", pos_of(F.col("pkey")).alias("pos"))
+        .select(
+            "pkey",
+            (F.col("pos") / _CELL_BITS).cast("int").alias("cell"),
+            mask_of.alias("m"),
+        )
+        .join(F.broadcast(cells), "cell", "left")
+        .groupBy("pkey")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("mask").isNotNull()
+                    & (F.col("mask").bitwiseAND(F.col("m")) != 0),
+                    1,
+                ).otherwise(0)
+            ).alias("hits")
+        )
+    )
+    candidates = probed.filter(F.col("hits") == BLOOM_K).select("pkey")
+    members = probe.join(
+        build, probe.pkey == build.bkey, "left_semi"
+    ).select("pkey")
+    return (
+        probe.agg(F.count("*").alias("n_probe"))
+        .crossJoin(candidates.agg(F.count("*").alias("n_candidates")))
+        .crossJoin(members.agg(F.count("*").alias("n_members")))
+        .select(
+            "n_probe",
+            "n_candidates",
+            "n_members",
+            (F.col("n_candidates") - F.col("n_members")).alias("n_false_pos"),
+        )
+    )
+
+
+JOIN_BLOOM_SQL = f"""
+WITH build AS (
+  SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS bkey
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+),
+cells AS (
+  SELECT CAST(pos // {_CELL_BITS} AS INT) AS cell,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % {_CELL_BITS} AS INT)) AS mask
+  FROM (
+    SELECT CAST('0x' || substr(md5(CAST(j AS VARCHAR) || '#' || bkey), 1, 15)
+                AS BIGINT) % {BLOOM_BITS} AS pos
+    FROM build, range({BLOOM_K}) t(j)
+  ) p GROUP BY 1
+),
+probe AS (SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS pkey FROM lineitem),
+probed AS (
+  SELECT pkey,
+         SUM(CASE WHEN mask IS NOT NULL AND (mask & m) <> 0
+                  THEN 1 ELSE 0 END) AS hits
+  FROM (
+    SELECT pkey,
+           CAST(pos // {_CELL_BITS} AS INT) AS cell,
+           CAST(1 AS BIGINT) << CAST(pos % {_CELL_BITS} AS INT) AS m
+    FROM (
+      SELECT pkey,
+             CAST('0x' || substr(md5(CAST(j AS VARCHAR) || '#' || pkey), 1, 15)
+                  AS BIGINT) % {BLOOM_BITS} AS pos
+      FROM probe, range({BLOOM_K}) t(j)
+    ) h
+  ) ph LEFT JOIN cells USING (cell)
+  GROUP BY pkey
+)
+SELECT (SELECT COUNT(*) FROM probe) AS n_probe,
+       (SELECT COUNT(*) FROM probed WHERE hits = {BLOOM_K}) AS n_candidates,
+       (SELECT COUNT(*) FROM probe WHERE pkey IN (SELECT bkey FROM build))
+         AS n_members,
+       (SELECT COUNT(*) FROM probed WHERE hits = {BLOOM_K})
+         - (SELECT COUNT(*) FROM probe WHERE pkey IN (SELECT bkey FROM build))
+         AS n_false_pos
+"""
+
+
+# -------------------------------------------------- char-ngram profile --
+
+PROFILE_CHARS = 200
+PROFILE_TOPK = 10
+
+
+def text_char_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language character-trigram profile: the classic n-gram
+    language-model feature (Cavnar-Trenkle) that lang_id_ngram's
+    marker heuristic approximates. Trigrams come from the first 200
+    chars of each document (bounding work per row — the profile
+    converges long before full text), counted corpus-wide per
+    language, top-10 per language with deterministic tiebreak."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", F.substring("text", 1, PROFILE_CHARS).alias("t")
+    )
+    n_grams = F.greatest(F.length("t") - 2, F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.col("t").substr(i, F.lit(3)),
+    )
+    counted = (
+        docs.filter(F.length("t") >= 3)
+        .select("lang", F.explode(grams).alias("gram"))
+        .groupBy("lang", "gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("gram"))
+    )
+    return counted.withColumn("rnk", rn).filter(F.col("rnk") <= PROFILE_TOPK)
+
+
+TEXT_CHAR_NGRAM_SQL = f"""
+WITH t AS (
+  SELECT lang, substr(text, 1, {PROFILE_CHARS}) AS t
+  FROM documents WHERE length(substr(text, 1, {PROFILE_CHARS})) >= 3
+),
+grams AS (
+  SELECT lang, unnest(list_transform(range(1, length(t) - 1),
+                                     i -> substr(t, i, 3))) AS gram
+  FROM t
+),
+counted AS (
+  SELECT lang, gram, COUNT(*) AS cnt FROM grams GROUP BY 1, 2
+)
+SELECT lang, gram, cnt,
+       CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                               ORDER BY cnt DESC, gram ASC) AS rnk
+  FROM counted
+) r WHERE rnk <= {PROFILE_TOPK}
+"""

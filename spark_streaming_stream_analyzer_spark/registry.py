@@ -512,6 +512,9 @@ query("anomaly_zscore", _an.ANOMALY_ZSCORE_SQL)(_an.anomaly_zscore)
 query("text_tfidf_topk", _an.TEXT_TFIDF_SQL)(_an.text_tfidf_topk)
 query("join_salted_skew", _an.JOIN_SALTED_SQL)(_an.join_salted_skew)
 query("agg_sliding_window", _an.AGG_SLIDING_SQL)(_an.agg_sliding_window)
+query("sample_split_hash", _an.SAMPLE_SPLIT_SQL)(_an.sample_split_hash)
+query("join_bloom_prefilter", _an.JOIN_BLOOM_SQL)(_an.join_bloom_prefilter)
+query("text_char_ngram_profile", _an.TEXT_CHAR_NGRAM_SQL)(_an.text_char_ngram_profile)
 
 from .functions import jsonf as _jsonf  # noqa: E402
 from .functions.hashing import hll_estimate, hll_oracle_sql  # noqa: E402
@@ -596,6 +599,7 @@ query("stream_batch_wordcount", _sp.STREAM_BATCH_WORDCOUNT_SQL)(
 )
 query("stream_session_window", _sp.STREAM_SESSION_SQL)(_sp.stream_session_window)
 query("stream_sliding_window", _sp.STREAM_SLIDING_SQL)(_sp.stream_sliding_window)
+query("stream_foreachbatch_upsert", _sp.STREAM_UPSERT_SQL)(_sp.stream_foreachbatch_upsert)
 query("stream_dedup", _sp.STREAM_DEDUP_SQL)(_sp.stream_dedup)
 query("stream_dedup_watermark", _sp.STREAM_DEDUP_WM_SQL)(_sp.stream_dedup_watermark)
 query("stream_stream_left_join", _sp.STREAM_STREAM_LEFT_SQL)(

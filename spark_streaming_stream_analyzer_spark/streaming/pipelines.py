@@ -752,3 +752,71 @@ def stream_kafka_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("value"),
     )
     return _run_to_memory(record, output_mode="complete")
+
+
+def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style upsert sink via ``foreachBatch``: each micro-batch's
+    per-key latest row (greatest (event time, event_id) tuple) is
+    MERGEd into an accumulated keyed store — the pattern for
+    maintaining a mutable serving table from an append-only stream
+    when the sink has no native merge (replace the dict with
+    ``MERGE INTO`` on a lakehouse table and nothing else changes).
+    The fixture is staged twice, so every key arrives in two batches
+    and the merge's last-writer-wins discipline is what the oracle
+    checks: the final store equals the batch latest-per-key query."""
+    path = os.path.join(sf_dir, "events.parquet")
+    src = _stage_stream_dir(path, path)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    store: dict[int, tuple] = {}
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        latest = (
+            batch_df.withColumn("us", F.expr("ts div 1000"))
+            .groupBy("user_id")
+            .agg(F.max(F.struct("us", "event_id", "value")).alias("s"))
+            .select("user_id", "s.us", "s.event_id", "s.value")
+        )
+        for r in latest.toPandas().itertuples(index=False):
+            cur = store.get(r.user_id)
+            tup = (int(r.us), int(r.event_id), float(r.value))
+            if cur is None or tup[:2] > cur[:2]:
+                store[r.user_id] = tup
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_CPUS", "32")
+    )
+    ckpt = _tracked_tmp_dir("sgs_ups")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        _cleanup_tmp_dirs([ckpt])
+    rows = [
+        (int(k), int(us), int(eid), float(v))
+        for k, (us, eid, v) in store.items()
+    ]
+    return spark.createDataFrame(
+        rows, schema="user_id long, last_us long, last_event_id long, last_value double"
+    )
+
+
+STREAM_UPSERT_SQL = """
+SELECT user_id, epoch_us(ts) AS last_us, event_id AS last_event_id,
+       value AS last_value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+  FROM events
+) t WHERE rn = 1
+"""

@@ -140,3 +140,63 @@ def test_stream_sliding_window_subset_of_batch(spark, sf_dir):
     # append-mode emits the watermark-closed subset, values identical
     for k, v in stream_rows.items():
         assert batch_rows[k] == v
+
+
+def test_sample_split_is_complete_and_calibrated(spark, sf_dir):
+    rows = registry.QUERIES["sample_split_hash"](spark, sf_dir).collect()
+    n_total = load_table(spark, sf_dir, "lineitem").count()
+    assert sum(r["n_rows"] for r in rows) == n_total
+    by_split = {}
+    for r in rows:
+        by_split[r["split"]] = by_split.get(r["split"], 0) + r["n_rows"]
+    # hash buckets: ~80/10/10 within generous tolerance at sf0.001
+    assert 0.7 < by_split["train"] / n_total < 0.9
+    assert by_split["train"] > by_split["valid"]
+    assert by_split["train"] > by_split["test"]
+
+
+def test_bloom_prefilter_never_false_negative(spark, sf_dir):
+    r = registry.QUERIES["join_bloom_prefilter"](spark, sf_dir).collect()[0]
+    assert r["n_candidates"] >= r["n_members"], "bloom must not drop members"
+    assert r["n_false_pos"] == r["n_candidates"] - r["n_members"]
+    assert r["n_probe"] >= r["n_candidates"]
+    # 64 Kbit / 3 hashes over <=10^4 keys: fp rate should be tiny
+    non_members = r["n_probe"] - r["n_members"]
+    if non_members:
+        assert r["n_false_pos"] / non_members < 0.05
+
+
+def test_char_ngram_profile_topk_ranked(spark, sf_dir):
+    rows = registry.QUERIES["text_char_ngram_profile"](spark, sf_dir).collect()
+    per_lang = {}
+    for r in rows:
+        assert len(r["gram"]) == 3
+        per_lang.setdefault(r["lang"], []).append(r)
+    for lang_rows in per_lang.values():
+        assert 1 <= len(lang_rows) <= 10
+        lang_rows.sort(key=lambda r: r["rnk"])
+        keys = [(-r["cnt"], r["gram"]) for r in lang_rows]
+        assert keys == sorted(keys)
+
+
+def test_stream_upsert_equals_batch_latest(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    got = {
+        r["user_id"]: (r["last_us"], r["last_event_id"], r["last_value"])
+        for r in registry.QUERIES["stream_foreachbatch_upsert"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    rn = F.row_number().over(
+        W.partitionBy("user_id").orderBy(
+            F.desc(F.expr("ts div 1000")), F.desc("event_id")
+        )
+    )
+    want = {
+        r["user_id"]: (r["us"], r["event_id"], r["value"])
+        for r in ev.withColumn("us", F.expr("ts div 1000"))
+        .withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    assert got == want
