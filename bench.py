@@ -50,6 +50,12 @@ HEADLINE = [
     "q9_product_profit",
     "q13_customer_distribution",
     "q18_large_volume_customer",
+    "q11_important_values",
+    "q12_late_priority_counts",
+    "q21_waiting_suppliers",
+    "anomaly_zscore",
+    "text_tfidf_topk",
+    "join_bloom_prefilter",
 ]
 
 #: Throughput probes: query → fixture table whose full scan dominates

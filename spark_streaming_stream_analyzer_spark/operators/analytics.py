@@ -53,11 +53,14 @@ def q11_important_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
     )
     val = (cents_dec("l_extendedprice") * cents_dec("l_quantity")).cast(_D38)
+    # materialize the per-part aggregate once (|parts| rows): both the
+    # scalar total and the filter read it, and without the checkpoint
+    # Spark would re-run the lineitem join+agg for each consumer
     part_vals = (
         li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
         .groupBy("l_partkey")
         .agg(F.sum(val).cast(_D38).alias("val_c4"))
-    )
+    ).localCheckpoint()
     total = part_vals.agg(F.sum("val_c4").cast(_D38).alias("total_c4"))
     return (
         part_vals.crossJoin(F.broadcast(total))
@@ -616,4 +619,51 @@ FROM (
                                ORDER BY cnt DESC, gram ASC) AS rnk
   FROM counted
 ) r WHERE rnk <= {PROFILE_TOPK}
+"""
+
+
+# --------------------------------------------- stratified fixed sample --
+
+STRAT_N = 50
+
+
+def sample_stratified_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size per-stratum sample (N per event_type), selected by
+    hash rank — the deterministic replacement for reservoir sampling:
+    ordering each stratum by md5(event_id) and keeping the first N is
+    a uniform draw that every engine, retry, and cluster size
+    reproduces identically. Output is the per-stratum sample summary
+    (size + exact value sum) the oracle re-derives with the same
+    window."""
+    from ..functions.hashing import hash64
+
+    ev = load_table(spark, sf_dir, "events")
+    rn = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(
+            hash64(F.col("event_id").cast("string")), F.col("event_id")
+        )
+    )
+    return (
+        ev.withColumn("rn", rn)
+        .filter(F.col("rn") <= STRAT_N)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+        )
+    )
+
+
+SAMPLE_STRAT_SQL = f"""
+SELECT event_type, COUNT(*) AS n_sampled,
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type
+           ORDER BY CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)
+                         AS BIGINT), event_id) AS rn
+  FROM events
+) t WHERE rn <= {STRAT_N}
+GROUP BY 1
 """

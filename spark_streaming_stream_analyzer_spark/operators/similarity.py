@@ -378,3 +378,45 @@ FROM brute b LEFT JOIN ivf i
   ON b.q_id = i.q_id AND b.vec_id = i.vec_id
 GROUP BY 1
 """
+
+
+RANGE_TAU = 0.2
+
+
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold (range) similarity search: every candidate with
+    cosine ≥ RANGE_TAU per query vector — the "all near neighbors"
+    companion to top-k. Structurally the cheapest tier of all: a
+    broadcast of the query side, an embarrassingly parallel scored
+    scan, and a filter. NO shuffle anywhere — there is no window and
+    no aggregate, so at 100 TB this is a single map stage whose output
+    streams straight to the sink. The deterministic left-fold scoring
+    makes the τ cutoff bit-identical across engines."""
+    em = _with_norm(
+        load_table_cpu(spark, sf_dir, "embeddings"), "embedding", "nrm"
+    ).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb_d"),
+        "nrm",
+    )
+    q = em.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb_d").alias("q_emb_d"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    pairs = em.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+    dot = _fold_sum(F.zip_with("q_emb_d", "emb_d", lambda x, y: x * y))
+    return pairs.select(
+        "q_id",
+        "vec_id",
+        (dot / (F.col("q_nrm") * F.col("nrm"))).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= RANGE_TAU)
+
+
+SIM_RANGE_SQL = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings
+           WHERE vec_id < {N_QUERIES})
+SELECT q.q_id, e.vec_id, {_COS_SQL} AS cos_sim
+FROM embeddings e JOIN q ON e.vec_id <> q.q_id
+WHERE {_COS_SQL} >= {RANGE_TAU}
+"""

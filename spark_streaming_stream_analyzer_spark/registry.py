@@ -399,6 +399,20 @@ from .sources.sinks import SRC_FILE_FORMATS_SQL as _SRC_FMT_SQL  # noqa: E402
 ORACLES["src_file_formats"] = _SRC_FMT_SQL.strip()
 
 
+@query("src_partition_prune", None)  # oracle attached below
+def q_src_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned-parquet write + partition-pruned read-back
+    (sources/sinks.py) — PartitionFilters asserted in tests/test_plans.py."""
+    from .sources.sinks import src_partition_prune
+
+    return src_partition_prune(spark, sf_dir)
+
+
+from .sources.sinks import SRC_PARTITION_PRUNE_SQL as _SRC_PRUNE_SQL  # noqa: E402
+
+ORACLES["src_partition_prune"] = _SRC_PRUNE_SQL.strip()
+
+
 @query(
     "agg_higher_moments",
     stats.higher_moments_sql("events", "event_type", "value"),
@@ -515,6 +529,7 @@ query("agg_sliding_window", _an.AGG_SLIDING_SQL)(_an.agg_sliding_window)
 query("sample_split_hash", _an.SAMPLE_SPLIT_SQL)(_an.sample_split_hash)
 query("join_bloom_prefilter", _an.JOIN_BLOOM_SQL)(_an.join_bloom_prefilter)
 query("text_char_ngram_profile", _an.TEXT_CHAR_NGRAM_SQL)(_an.text_char_ngram_profile)
+query("sample_stratified_topn", _an.SAMPLE_STRAT_SQL)(_an.sample_stratified_topn)
 
 from .functions import jsonf as _jsonf  # noqa: E402
 from .functions.hashing import hll_estimate, hll_oracle_sql  # noqa: E402
@@ -561,6 +576,7 @@ query("sim_topk_cosine", _sim.SIM_TOPK_SQL)(_sim.sim_topk_cosine)
 query("sim_ivf_topk", _sim.SIM_IVF_SQL)(_sim.sim_ivf_topk)
 query("embedding_norms", _sim.EMB_NORMS_SQL)(_sim.embedding_norms)
 query("sim_ivf_recall", _sim.SIM_RECALL_SQL)(_sim.sim_ivf_recall)
+query("sim_range_search", _sim.SIM_RANGE_SQL)(_sim.sim_range_search)
 query("sim_kmeans_cells", None)(_sim.sim_kmeans_cells)  # iterative: rows-only
 query("sim_ivf_kmeans_topk", None)(_sim.sim_ivf_kmeans_topk)  # iterative upstream
 query("lang_id_ngram", _ts.LANG_ID_SQL)(_ts.lang_id_ngram)

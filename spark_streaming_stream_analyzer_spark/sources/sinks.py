@@ -105,3 +105,38 @@ WITH base AS (
 SELECT fmt, n_rows, sum_cents, n_types
 FROM base, (VALUES ('parquet'), ('csv'), ('json')) t(fmt)
 """
+
+
+def src_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned lake read: events written to parquet
+    partitioned by event_type, read back with a partition-key filter.
+    The point is the PLAN — the filter lands as PartitionFilters, so
+    only 2 of 5 directories are listed/read (asserted in
+    tests/test_plans.py); at 100 TB this is the difference between
+    scanning 40 TB and scanning the whole lake. Values are re-aggreated
+    exactly to prove the roundtrip loses nothing."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    out = os.path.join(tempfile.gettempdir(), f"sgs_prune_{uuid.uuid4().hex[:12]}")
+    try:
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+        back = spark.read.parquet(out).filter(
+            F.col("event_type").isin("click", "error")
+        )
+        agg = back.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+        )
+        pdf = agg.toPandas()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(pdf, schema=agg.schema)
+
+
+SRC_PARTITION_PRUNE_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events WHERE event_type IN ('click', 'error')
+GROUP BY 1
+"""

@@ -29,11 +29,18 @@ EAGER = {
     "ckpt_state_dir",
     "sink_parquet_roundtrip",
     "src_file_formats",
+    "src_partition_prune",
     "sim_kmeans_cells",  # per-round model collects inside the builder
 }
 
 #: Queries allowed to contain Arrow-batched Python operators.
-ARROW_PYTHON_OK = {"mm_frame_sample", "mm_resize", "mm_feature_extract", "udf_surface"}
+ARROW_PYTHON_OK = {
+    "mm_frame_sample",
+    "mm_resize",
+    "mm_feature_extract",
+    "mm_audio_chunk",
+    "udf_surface",
+}
 
 
 def test_no_rowwise_python_anywhere(spark, sf_dir):
