@@ -420,3 +420,303 @@ SELECT q.q_id, e.vec_id, {_COS_SQL} AS cos_sim
 FROM embeddings e JOIN q ON e.vec_id <> q.q_id
 WHERE {_COS_SQL} >= {RANGE_TAU}
 """
+
+
+# ------------------------------------------ SRP-LSH (cosine ANN tier) --
+
+SRP_PLANES = 16
+SRP_BANDS = 4
+SRP_BAND_BITS = SRP_PLANES // SRP_BANDS      # 4 bits → 16 buckets/band
+_SRP_MASK = (1 << SRP_BAND_BITS) - 1
+
+
+def _srp_signs() -> list[list[float]]:
+    """Deterministic ±1 hyperplane matrix (SRP_PLANES × DIM), derived
+    once from md5 digests of fixed labels. It is a *public constant* —
+    embedded as literals in BOTH engines' queries, so signatures (and
+    therefore buckets and candidates) match bit-for-bit with no
+    cross-engine hashing at query time."""
+    import hashlib
+
+    return [
+        [
+            1.0 if hashlib.md5(f"srp:{p}:{d}".encode()).digest()[0] % 2 == 0 else -1.0
+            for d in range(DIM)
+        ]
+        for p in range(SRP_PLANES)
+    ]
+
+
+_SRP = _srp_signs()
+
+
+def _srp_sig(emb_d: Column) -> Column:
+    """16-bit signed-random-projection signature: bit p = sign of the
+    dot product against hyperplane p. Pure JVM array expressions."""
+    sig = F.lit(0).cast("long")
+    for p in range(SRP_PLANES):
+        plane = F.array(*[F.lit(v) for v in _SRP[p]])
+        dot = _fold_sum(F.zip_with(emb_d, plane, lambda x, y: x * y))
+        sig = sig + F.when(dot >= 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sig
+
+
+def sim_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed cosine ANN via signed random projections: the
+    third index tier next to brute force (``sim_topk_cosine``) and IVF
+    (``sim_ivf_topk``). Signature computation is a map-only pass (no
+    shuffle); banding (4 bands × 4 bits) OR-amplifies recall exactly
+    like the MinHash banding in ``dedup_minhash_lsh``; candidates are
+    the band-bucket cohabitants of the query vectors, then reranked
+    with the exact order-deterministic fold cosine.
+
+    Scale shape at 100 TB: signatures cost one scan; the candidate
+    join touches only |Q|·avg-bucket rows instead of |Q|·N — and
+    unlike IVF there is no model to train. Everything after the
+    signature scan is broadcast-sized (query bands, candidate list).
+    """
+    em = _with_norm(
+        load_table_cpu(spark, sf_dir, "embeddings"), "embedding", "nrm"
+    ).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb_d"),
+        "nrm",
+    ).withColumn("sig", _srp_sig(F.col("emb_d")))
+    bands = em.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sig", b * SRP_BAND_BITS)
+                        .bitwiseAND(F.lit(_SRP_MASK))
+                        .alias("bv"),
+                    )
+                    for b in range(SRP_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", "bb.band", "bb.bv")
+    qb = bands.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), "band", "bv"
+    )
+    cand = (
+        bands.join(F.broadcast(qb), ["band", "bv"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+        .distinct()
+    )
+    q = em.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb_d").alias("q_emb_d"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    scored = (
+        em.select("vec_id", "emb_d", "nrm")
+        .join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(q), "q_id")
+    )
+    dot = _fold_sum(F.zip_with("q_emb_d", "emb_d", lambda x, y: x * y))
+    scored = scored.select(
+        "q_id", "vec_id", (dot / (F.col("q_nrm") * F.col("nrm"))).alias("cos_sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "vec_id", "rank", "cos_sim")
+    )
+
+
+_SRP_SQL_PLANES = ", ".join(
+    f"({p}, [{', '.join(repr(v) for v in _SRP[p])}])" for p in range(SRP_PLANES)
+)
+
+SIM_SRP_SQL = f"""
+WITH planes(p, sgn) AS (VALUES {_SRP_SQL_PLANES}),
+emb AS (SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb_d
+        FROM embeddings),
+dots AS (
+  SELECT e.vec_id, pl.p,
+         list_reduce(list_prepend(0.0, list_transform(generate_series(1, {DIM}),
+             i -> e.emb_d[i] * pl.sgn[i])), (a, x) -> a + x) AS dot
+  FROM emb e CROSS JOIN planes pl
+),
+sigs AS (
+  SELECT vec_id,
+         SUM(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS sig
+  FROM dots GROUP BY 1
+),
+bands AS (
+  SELECT vec_id, b.b,
+         (sig >> (b.b * {SRP_BAND_BITS})) & {_SRP_MASK} AS bv
+  FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3)) b(b)
+),
+cand AS (
+  SELECT DISTINCT qb.vec_id AS q_id, c.vec_id
+  FROM bands qb JOIN bands c ON qb.b = c.b AND qb.bv = c.bv
+                             AND c.vec_id <> qb.vec_id
+  WHERE qb.vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT cand.q_id, cand.vec_id, {_COS_SQL} AS cos_sim
+  FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id
+            JOIN embeddings q ON q.vec_id = cand.q_id
+)
+SELECT q_id, vec_id, rank, cos_sim FROM (
+  SELECT q_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id)
+           AS rank
+  FROM scored
+) t WHERE rank <= {TOP_K}
+"""
+
+
+# --------------------------------------- int8 scalar quantization --
+
+Q_MAX = 127
+
+
+def _quantized(em: DataFrame) -> DataFrame:
+    """Add per-vector scale ``s`` (max-abs / 127) and int8-range codes
+    ``ql`` (round-half-up via floor(x/s + 0.5) — portable: identical
+    in Spark and DuckDB, unlike the engines' round()). Zero vectors
+    (s == 0) are dropped — nothing to quantize, same policy as
+    ``_with_norm``."""
+    s = F.array_max(F.transform("emb_d", F.abs)) / F.lit(float(Q_MAX))
+    df = em.withColumn("s", s).filter(F.col("s") > 0)
+    ql = F.transform("emb_d", lambda x: F.floor(x / F.col("s") + F.lit(0.5)))
+    return df.withColumn("ql", ql)
+
+
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization audit: per-vector code range, exact
+    integer L1 mass, and reconstruction MSE. At 100 TB this transform
+    shrinks the embedding lake 4× (float32 → int8 + one scale), which
+    is usually the difference between an in-memory ANN index and one
+    that spills; the audit columns are what a pipeline owner monitors
+    to decide the quantizer is safe (mse bounded by s²/4, tested)."""
+    em = load_table_cpu(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb_d"),
+    )
+    qz = _quantized(em)
+    err = F.zip_with(
+        "emb_d", "ql", lambda x, q: (x - q * F.col("s")) * (x - q * F.col("s"))
+    )
+    return qz.select(
+        "vec_id",
+        "label",
+        F.array_min("ql").cast("long").alias("q_min"),
+        F.array_max("ql").cast("long").alias("q_max"),
+        F.aggregate(
+            "ql", F.lit(0).cast("long"), lambda a, x: a + F.abs(x)
+        ).alias("q_l1"),
+        (_fold_sum(err) / F.lit(float(DIM))).alias("recon_mse"),
+    )
+
+
+EMB_QUANT_SQL = f"""
+WITH emb AS (SELECT vec_id, label,
+                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb_d
+             FROM embeddings),
+scaled AS (
+  SELECT vec_id, label, emb_d,
+         list_aggregate(list_transform(emb_d, x -> abs(x)), 'max') / {float(Q_MAX)}
+           AS s
+  FROM emb
+),
+q AS (
+  SELECT vec_id, label, emb_d, s,
+         list_transform(emb_d, x -> CAST(floor(x / s + 0.5) AS BIGINT)) AS ql
+  FROM scaled WHERE s > 0
+)
+SELECT vec_id, label,
+       CAST(list_aggregate(ql, 'min') AS BIGINT) AS q_min,
+       CAST(list_aggregate(ql, 'max') AS BIGINT) AS q_max,
+       CAST(list_reduce(list_prepend(0::BIGINT, list_transform(ql, x -> abs(x))),
+            (a, x) -> a + x) AS BIGINT) AS q_l1,
+       list_reduce(list_prepend(0.0, list_transform(generate_series(1, {DIM}),
+           i -> (emb_d[i] - ql[i] * s) * (emb_d[i] - ql[i] * s))),
+           (a, x) -> a + x) / {float(DIM)} AS recon_mse
+FROM q
+"""
+
+
+def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scored on int8 codes: the integer dot product is EXACT
+    (≤ 64·127² ≪ 2⁶³, order-independent), rescaled by the two scalar
+    scales into an approximate cosine. This is the memory-bandwidth
+    scale path — scoring reads 4× fewer bytes than float32 and the
+    inner loop is integer SIMD; the float path (``sim_topk_cosine``)
+    stays as the exactness baseline the quantized ranks are audited
+    against (tests bound the qcos error)."""
+    em = _with_norm(
+        load_table_cpu(spark, sf_dir, "embeddings"), "embedding", "nrm"
+    ).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb_d"),
+        "nrm",
+    )
+    qz = _quantized(em).select("vec_id", "nrm", "s", "ql")
+    q = qz.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("s").alias("q_s"),
+        F.col("ql").alias("q_ql"),
+    )
+    pairs = qz.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+    idot = F.aggregate(
+        F.zip_with("q_ql", "ql", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    qcos = (F.col("q_s") * F.col("s") * idot.cast("double")) / (
+        F.col("q_nrm") * F.col("nrm")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("qcos").desc(), F.col("vec_id"))
+    return (
+        pairs.select("q_id", "vec_id", qcos.alias("qcos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "vec_id", "rank", "qcos")
+    )
+
+
+SIM_QUANT_SQL = f"""
+WITH emb AS (SELECT vec_id,
+                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb_d
+             FROM embeddings),
+base AS (
+  SELECT vec_id, emb_d,
+         sqrt(list_reduce(list_prepend(0.0,
+             list_transform(emb_d, x -> x * x)), (a, x) -> a + x)) AS nrm,
+         list_aggregate(list_transform(emb_d, x -> abs(x)), 'max') / {float(Q_MAX)}
+           AS s
+  FROM emb
+),
+qz AS (
+  SELECT vec_id, nrm, s,
+         list_transform(emb_d, x -> CAST(floor(x / s + 0.5) AS BIGINT)) AS ql
+  FROM base WHERE nrm > 0 AND s > 0
+),
+scored AS (
+  SELECT q.vec_id AS q_id, e.vec_id,
+         (q.s * e.s * CAST(list_reduce(list_prepend(0::BIGINT,
+              list_transform(generate_series(1, {DIM}),
+                  i -> q.ql[i] * e.ql[i])), (a, x) -> a + x) AS DOUBLE))
+           / (q.nrm * e.nrm) AS qcos
+  FROM qz e JOIN qz q ON q.vec_id < {N_QUERIES} AND e.vec_id <> q.vec_id
+)
+SELECT q_id, vec_id, rank, qcos FROM (
+  SELECT q_id, vec_id, qcos,
+         row_number() OVER (PARTITION BY q_id ORDER BY qcos DESC, vec_id)
+           AS rank
+  FROM scored
+) t WHERE rank <= {TOP_K}
+"""

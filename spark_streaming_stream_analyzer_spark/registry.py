@@ -577,6 +577,9 @@ query("sim_ivf_topk", _sim.SIM_IVF_SQL)(_sim.sim_ivf_topk)
 query("embedding_norms", _sim.EMB_NORMS_SQL)(_sim.embedding_norms)
 query("sim_ivf_recall", _sim.SIM_RECALL_SQL)(_sim.sim_ivf_recall)
 query("sim_range_search", _sim.SIM_RANGE_SQL)(_sim.sim_range_search)
+query("sim_srp_topk", _sim.SIM_SRP_SQL)(_sim.sim_srp_topk)
+query("emb_quantize_int8", _sim.EMB_QUANT_SQL)(_sim.emb_quantize_int8)
+query("sim_quantized_topk", _sim.SIM_QUANT_SQL)(_sim.sim_quantized_topk)
 query("sim_kmeans_cells", None)(_sim.sim_kmeans_cells)  # iterative: rows-only
 query("sim_ivf_kmeans_topk", None)(_sim.sim_ivf_kmeans_topk)  # iterative upstream
 query("lang_id_ngram", _ts.LANG_ID_SQL)(_ts.lang_id_ngram)

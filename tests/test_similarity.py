@@ -89,3 +89,55 @@ def test_kmeans_inertia_descends_and_is_deterministic(spark, sf_dir):
     finally:
         sim.KMEANS_ITERS = orig_iters
     assert total1[0] <= total_first + 1e-6
+
+
+def test_srp_prunes_and_finds_true_neighbors(spark, sf_dir):
+    import spark_streaming_stream_analyzer_spark.operators.similarity as sim
+
+    em = sim.load_table_cpu(spark, sf_dir, "embeddings")
+    n = em.count()
+    srp = registry.QUERIES["sim_srp_topk"](spark, sf_dir).collect()
+    # structure: dense ordered ranks per query
+    by_q: dict[int, list] = {}
+    for r in srp:
+        by_q.setdefault(r["q_id"], []).append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    # pruning: the reranked candidate set is far smaller than all-pairs
+    brute = registry.QUERIES["sim_topk_cosine"](spark, sf_dir).collect()
+    assert len(srp) <= len(brute)
+    # quality: banded SRP recovers a nonzero share of true top-5 pairs
+    truth = {(r["q_id"], r["vec_id"]) for r in brute}
+    hits = sum((r["q_id"], r["vec_id"]) in truth for r in srp)
+    assert hits > 0, "SRP buckets recovered no true neighbors"
+    assert n > 0
+
+
+def test_quantization_error_bounded_by_half_step(spark, sf_dir):
+    out = registry.QUERIES["emb_quantize_int8"](spark, sf_dir)
+    import spark_streaming_stream_analyzer_spark.operators.similarity as sim
+
+    em = sim.load_table_cpu(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb_d"),
+    )
+    qz = sim._quantized(em).select("vec_id", "s")
+    joined = {r["vec_id"]: r for r in out.join(qz, "vec_id").collect()}
+    for r in joined.values():
+        # per-dim rounding error ≤ s/2 → mse ≤ s²/4
+        assert r["recon_mse"] <= (r["s"] ** 2) / 4 + 1e-15
+        assert -sim.Q_MAX <= r["q_min"] <= r["q_max"] <= sim.Q_MAX
+
+
+def test_quantized_scores_track_exact_cosine(spark, sf_dir):
+    exact = {
+        (r["q_id"], r["vec_id"]): r["cos_sim"]
+        for r in registry.QUERIES["sim_topk_cosine"](spark, sf_dir).collect()
+    }
+    quant = registry.QUERIES["sim_quantized_topk"](spark, sf_dir).collect()
+    overlap = [(r, exact[(r["q_id"], r["vec_id"])]) for r in quant
+               if (r["q_id"], r["vec_id"]) in exact]
+    assert overlap, "no overlap between quantized and exact top-k"
+    for r, true_cos in overlap:
+        assert abs(r["qcos"] - true_cos) < 0.02
