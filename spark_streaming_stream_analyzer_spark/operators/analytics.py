@@ -667,3 +667,204 @@ FROM (
 ) t WHERE rn <= {STRAT_N}
 GROUP BY 1
 """
+
+
+# ------------------------------------------------ cohort retention --
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention triangle over the events stream: users
+    are cohorted by first-seen week, and each later week's activity is
+    counted against the cohort's size. The workhorse of product/
+    training-data freshness analytics.
+
+    Shape at scale: one per-user aggregate (min week — partial/final),
+    one distinct per (user, week), one join back on user_id co-
+    partitioned by the same key, one small final aggregate. The
+    per-user tables are ~|users| rows, orders of magnitude under the
+    event count; nothing driver-sized anywhere."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc(
+            "week", F.timestamp_micros(F.expr("ts DIV 1000"))
+        ).alias("week"),
+    )
+    user_weeks = ev.distinct()
+    first = user_weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    joined = user_weeks.join(first, "user_id")
+    per_cell = joined.select(
+        "user_id",
+        "cohort_week",
+        (F.datediff("week", "cohort_week") / 7).cast("long").alias("week_offset"),
+    )
+    sizes = first.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_size")
+    )
+    return (
+        per_cell.groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_active"))
+        .join(sizes, "cohort_week")
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            (
+                F.col("n_active").cast("double")
+                / F.col("cohort_size").cast("double")
+            ).alias("retention"),
+        )
+    )
+
+
+COHORT_SQL = """
+WITH user_weeks AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+),
+first_seen AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM user_weeks GROUP BY 1
+),
+sizes AS (
+  SELECT cohort_week, COUNT(*) AS cohort_size FROM first_seen GROUP BY 1
+),
+cells AS (
+  SELECT f.cohort_week,
+         CAST(date_diff('day', f.cohort_week, u.week) / 7 AS BIGINT)
+           AS week_offset,
+         COUNT(*) AS n_active
+  FROM user_weeks u JOIN first_seen f ON u.user_id = f.user_id
+  GROUP BY 1, 2
+)
+SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+       c.week_offset,
+       CAST(c.n_active AS BIGINT) AS n_active,
+       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+       CAST(c.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE) AS retention
+FROM cells c JOIN sizes s ON c.cohort_week = s.cohort_week
+"""
+
+
+# ---------------------------------- portable count-min sketch audit --
+
+CMS_D = 4      # hash rows
+CMS_W = 256    # counters per row
+CMS_TOPK = 20
+
+
+def approx_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates, audited against the exact
+    counts for the top-CMS_TOPK words. Like the portable HLL
+    (``approx_distinct_portable``), every step is integer arithmetic
+    over the shared md5 ``hash64`` — so the *approximate* answer still
+    hash-matches the DuckDB oracle exactly, and the one-sided error
+    guarantee (estimate ≥ truth) is testable as an invariant.
+
+    Scale story: the sketch is CMS_D × CMS_W counters — fixed size
+    regardless of input (vs the exact count's |vocabulary| keys). The
+    counter build is a map-side-combinable aggregate over a 4× explode;
+    the audit tail (top-k join) is broadcast-sized."""
+    from ..functions.hashing import hash64
+    from .wordcount import tokenize
+
+    words = tokenize(load_table(spark, sf_dir, "documents"), "text")
+    coords = words.select(
+        "word",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.pmod(
+                            hash64(F.concat(F.lit(f"cms{d}:"), F.col("word"))),
+                            F.lit(CMS_W),
+                        ).alias("bucket"),
+                    )
+                    for d in range(CMS_D)
+                ]
+            )
+        ).alias("c"),
+    ).select("word", "c.d", "c.bucket")
+    counters = coords.groupBy("d", "bucket").agg(F.count("*").alias("cnt"))
+    top = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("exact_n"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.col("exact_n").desc(), F.col("word"))
+            ),
+        )
+        .filter(F.col("rnk") <= CMS_TOPK)
+        .drop("rnk")
+    )
+    top_coords = top.select(
+        "word",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.pmod(
+                            hash64(F.concat(F.lit(f"cms{d}:"), F.col("word"))),
+                            F.lit(CMS_W),
+                        ).alias("bucket"),
+                    )
+                    for d in range(CMS_D)
+                ]
+            )
+        ).alias("c"),
+    ).select("word", "exact_n", "c.d", "c.bucket")
+    return (
+        top_coords.join(F.broadcast(counters), ["d", "bucket"])
+        .groupBy("word", "exact_n")
+        .agg(F.min("cnt").alias("cms_est"))
+        .select(
+            "word",
+            "exact_n",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_n")).alias("overestimate"),
+        )
+    )
+
+
+def _cms_coords_sql(word_expr: str) -> str:
+    from ..functions.hashing import hash64_sql
+
+    rows = []
+    for d in range(CMS_D):
+        h = hash64_sql(f"'cms{d}:' || {word_expr}")
+        rows.append(f"({d}, {h} % {CMS_W})")
+    return ", ".join(rows)
+
+
+CMS_SQL = f"""
+WITH words AS (
+  SELECT word FROM (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+  ) t WHERE word <> ''
+),
+coords AS (
+  SELECT word, c.d, c.bucket
+  FROM words, LATERAL (VALUES {_cms_coords_sql('word')}) c(d, bucket)
+),
+counters AS (
+  SELECT d, bucket, COUNT(*) AS cnt FROM coords GROUP BY 1, 2
+),
+top AS (
+  SELECT word, exact_n FROM (
+    SELECT word, COUNT(*) AS exact_n,
+           row_number() OVER (ORDER BY COUNT(*) DESC, word) AS rnk
+    FROM words GROUP BY word
+  ) t WHERE rnk <= {CMS_TOPK}
+),
+top_coords AS (
+  SELECT word, exact_n, c.d, c.bucket
+  FROM top, LATERAL (VALUES {_cms_coords_sql('word')}) c(d, bucket)
+)
+SELECT t.word, CAST(t.exact_n AS BIGINT) AS exact_n,
+       CAST(MIN(co.cnt) AS BIGINT) AS cms_est,
+       CAST(MIN(co.cnt) - t.exact_n AS BIGINT) AS overestimate
+FROM top_coords t JOIN counters co ON t.d = co.d AND t.bucket = co.bucket
+GROUP BY t.word, t.exact_n
+"""

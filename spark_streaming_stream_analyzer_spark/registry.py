@@ -530,6 +530,8 @@ query("sample_split_hash", _an.SAMPLE_SPLIT_SQL)(_an.sample_split_hash)
 query("join_bloom_prefilter", _an.JOIN_BLOOM_SQL)(_an.join_bloom_prefilter)
 query("text_char_ngram_profile", _an.TEXT_CHAR_NGRAM_SQL)(_an.text_char_ngram_profile)
 query("sample_stratified_topn", _an.SAMPLE_STRAT_SQL)(_an.sample_stratified_topn)
+query("cohort_retention", _an.COHORT_SQL)(_an.cohort_retention)
+query("approx_cms_topk", _an.CMS_SQL)(_an.approx_cms_topk)
 
 from .functions import jsonf as _jsonf  # noqa: E402
 from .functions.hashing import hll_estimate, hll_oracle_sql  # noqa: E402

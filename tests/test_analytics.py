@@ -200,3 +200,28 @@ def test_stream_upsert_equals_batch_latest(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_cms_estimates_are_one_sided_and_tight(spark, sf_dir):
+    rows = registry.QUERIES["approx_cms_topk"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        # count-min guarantee: estimate never undercounts
+        assert r["overestimate"] >= 0
+        assert r["cms_est"] >= r["exact_n"]
+    # with |vocab| ≪ D·W the sketch should be near-exact on fixtures:
+    # bound total overestimate mass at 20% of true mass
+    total_over = sum(r["overestimate"] for r in rows)
+    total_exact = sum(r["exact_n"] for r in rows)
+    assert total_over <= 0.2 * total_exact
+
+
+def test_cohort_retention_invariants(spark, sf_dir):
+    rows = registry.QUERIES["cohort_retention"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r["retention"] <= 1.0
+        assert r["n_active"] <= r["cohort_size"]
+        # offset 0 is the cohort's own first week: everyone is active
+        if r["week_offset"] == 0:
+            assert r["n_active"] == r["cohort_size"]
