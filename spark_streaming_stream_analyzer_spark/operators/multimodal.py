@@ -311,3 +311,139 @@ SELECT doc_id, CAST(i AS INT) AS chunk_no,
        md5(substr(text, 1 + i * {CHUNK_LEN}, {CHUNK_LEN})) AS chunk_md5
 FROM e
 """
+
+
+PHASH_PX = 64          # downsampled "pixels" per payload
+PHASH_BANDS = 4        # 4 bands × 16 bits
+PHASH_BAND_BITS = PHASH_PX // PHASH_BANDS
+PHASH_HAM_T = 8        # max hamming distance for a near-dup pair
+
+
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection over binary payloads —
+    the image-dedup stage of a multimodal pipeline, with the codec
+    swapped for the byte-domain average-hash: nearest-neighbor
+    downsample to PHASH_PX "pixels" (same sampling as ``mm_resize``),
+    bit i = pixel i ≥ mean. The 64-bit hash is carried as 4×16-bit
+    band values; candidate pairs share at least one band (pigeonhole —
+    complete for hamming ≤ 3, high-recall up to PHASH_HAM_T), then are
+    verified with an exact popcount.
+
+    Split of labor mirrors the production shape: the only Python is
+    the per-blob kernel (Arrow ``mapInPandas``, swap in a real decoder
+    untouched); banding, the self-join, and the xor/popcount verify
+    are all JVM DataFrame ops — so at 100 TB the pair generation never
+    touches Python and never goes all-pairs."""
+    p = payloads(spark, sf_dir).select("doc_id", "payload")
+
+    def phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple[int, int, int, int, int]] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                n = len(data)
+                if n == 0:
+                    continue
+                px = [data[(i * n) // PHASH_PX] for i in range(PHASH_PX)]
+                mean = sum(px) / float(PHASH_PX)
+                bits = [1 if v >= mean else 0 for v in px]
+                bands = [
+                    sum(
+                        bits[PHASH_BAND_BITS * b + j] << j
+                        for j in range(PHASH_BAND_BITS)
+                    )
+                    for b in range(PHASH_BANDS)
+                ]
+                rows.append((int(doc_id), *bands))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "b0", "b1", "b2", "b3"]
+            )
+
+    sigs = p.mapInPandas(
+        phash, schema="doc_id long, b0 int, b1 int, b2 int, b3 int"
+    ).localCheckpoint()
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("bv"))
+                    for b in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "c.band", "c.bv")
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bv") == F.col("y.bv"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    ham = sum(
+        F.bit_count(F.col(f"a.b{i}").bitwiseXOR(F.col(f"b.b{i}")))
+        for i in range(PHASH_BANDS)
+    )
+    return (
+        cand.join(a, cand.doc_a == F.col("a.doc_id"))
+        .join(b, cand.doc_b == F.col("b.doc_id"))
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= PHASH_HAM_T)
+    )
+
+
+MM_PHASH_SQL = f"""
+WITH px AS (
+  SELECT doc_id, i,
+         ord(substr(text, 1 + CAST((i * length(text)) // {PHASH_PX} AS INT), 1))
+           AS v
+  FROM documents, range({PHASH_PX}) t(i)
+  WHERE length(text) > 0
+),
+mean AS (
+  SELECT doc_id, SUM(v) / {float(PHASH_PX)} AS mu FROM px GROUP BY 1
+),
+bits AS (
+  SELECT px.doc_id, px.i,
+         CASE WHEN px.v >= mean.mu THEN 1 ELSE 0 END AS bit
+  FROM px JOIN mean ON px.doc_id = mean.doc_id
+),
+sigs AS (
+  SELECT doc_id,
+         SUM(CASE WHEN i // {PHASH_BAND_BITS} = 0
+             THEN bit << (i % {PHASH_BAND_BITS}) ELSE 0 END) AS b0,
+         SUM(CASE WHEN i // {PHASH_BAND_BITS} = 1
+             THEN bit << (i % {PHASH_BAND_BITS}) ELSE 0 END) AS b1,
+         SUM(CASE WHEN i // {PHASH_BAND_BITS} = 2
+             THEN bit << (i % {PHASH_BAND_BITS}) ELSE 0 END) AS b2,
+         SUM(CASE WHEN i // {PHASH_BAND_BITS} = 3
+             THEN bit << (i % {PHASH_BAND_BITS}) ELSE 0 END) AS b3
+  FROM bits GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, b.b AS band,
+         CASE b.b WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS bv
+  FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3)) b(b)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+          + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS BIGINT)
+         AS hamming
+FROM cand c JOIN sigs a ON c.doc_a = a.doc_id
+            JOIN sigs b ON c.doc_b = b.doc_id
+WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+    + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= {PHASH_HAM_T}
+"""

@@ -2176,3 +2176,64 @@ WHERE s_suppkey IN (
   ) t WHERE qty > 50
 )
 """
+
+
+# ------------------------------------------------- recursive CTE --
+
+SQL_RECURSIVE_TEXT = """
+WITH RECURSIVE months(m, hi) AS (
+  SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE),
+         CAST(date_trunc('month', MAX(o_orderdate)) AS DATE)
+  FROM orders
+  UNION ALL
+  SELECT CAST(m + INTERVAL '1' MONTH AS DATE), hi FROM months WHERE m < hi
+),
+monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+         COUNT(*) AS n_orders,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents
+  FROM orders GROUP BY 1
+)
+SELECT date_format(mo.m, 'yyyy-MM') AS month,
+       COALESCE(t.n_orders, 0) AS n_orders,
+       COALESCE(t.rev_cents, 0) AS rev_cents
+FROM months mo LEFT JOIN monthly t ON mo.m = t.m
+"""
+
+
+def sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4.x ``WITH RECURSIVE``): generate the
+    complete monthly date spine between the first and last order
+    month, then gap-fill per-month order counts/revenue with a LEFT
+    JOIN — months with no orders appear as explicit zero rows, the
+    shape a reporting layer needs and a plain GROUP BY cannot produce.
+
+    The recursion is driver-cheap (one row per month, bounds carried
+    through the recursion to avoid correlated subqueries) and the data
+    side is one partial/final aggregate; the spine side is broadcast-
+    sized at any scale since it grows with calendar time, not data."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(SQL_RECURSIVE_TEXT)
+
+
+SQL_RECURSIVE_ORACLE = """
+WITH RECURSIVE months(m, hi) AS (
+  SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE),
+         CAST(date_trunc('month', MAX(o_orderdate)) AS DATE)
+  FROM orders
+  UNION ALL
+  SELECT CAST(m + INTERVAL 1 MONTH AS DATE), hi FROM months WHERE m < hi
+),
+monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+         COUNT(*) AS n_orders,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents
+  FROM orders GROUP BY 1
+)
+SELECT strftime(mo.m, '%Y-%m') AS month,
+       CAST(COALESCE(t.n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(COALESCE(t.rev_cents, 0) AS BIGINT) AS rev_cents
+FROM months mo LEFT JOIN monthly t ON mo.m = t.m
+"""

@@ -505,6 +505,7 @@ query("sql_surface", _rel.SQL_SURFACE_TEXT)(_rel.sql_surface)
 query("agg_pivot", _rel.AGG_PIVOT_SQL)(_rel.agg_pivot)
 query("agg_unpivot", _rel.AGG_UNPIVOT_SQL)(_rel.agg_unpivot)
 query("sql_exists_subquery", _rel.SQL_EXISTS_TEXT)(_rel.sql_exists_subquery)
+query("sql_recursive", _rel.SQL_RECURSIVE_ORACLE)(_rel.sql_recursive)
 query("null_handling", _rel.NULL_HANDLING_SQL)(_rel.null_handling)
 query("q2_min_cost_supplier", _rel.Q2_SQL)(_rel.q2_min_cost_supplier)
 query("q8_market_share", _rel.Q8_SQL)(_rel.q8_market_share)
@@ -597,6 +598,7 @@ query("mm_feature_extract", _mm.MM_FEATURE_SQL)(_mm.mm_feature_extract)
 query("mm_frame_sample", _mm.MM_FRAME_SAMPLE_SQL)(_mm.mm_frame_sample)
 query("mm_resize", _mm.MM_RESIZE_SQL)(_mm.mm_resize)
 query("mm_audio_chunk", _mm.MM_AUDIO_CHUNK_SQL)(_mm.mm_audio_chunk)
+query("mm_phash_dedup", _mm.MM_PHASH_SQL)(_mm.mm_phash_dedup)
 
 
 # --------------------------------------------------------------------------

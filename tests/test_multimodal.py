@@ -110,3 +110,13 @@ def test_audio_chunks_cover_payload_exactly(spark, sf_dir):
         assert total == d["n"]
         assert max_chunk <= CHUNK_LEN
         assert n_chunks == (d["n"] + CHUNK_LEN - 1) // CHUNK_LEN
+
+
+def test_phash_pairs_are_ordered_and_verified(spark, sf_dir):
+    from spark_streaming_stream_analyzer_spark import registry
+    from spark_streaming_stream_analyzer_spark.operators import multimodal as mm
+
+    rows = registry.QUERIES["mm_phash_dedup"](spark, sf_dir).collect()
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert 0 <= r["hamming"] <= mm.PHASH_HAM_T

@@ -39,6 +39,7 @@ ARROW_PYTHON_OK = {
     "mm_resize",
     "mm_feature_extract",
     "mm_audio_chunk",
+    "mm_phash_dedup",
     "udf_surface",
 }
 
