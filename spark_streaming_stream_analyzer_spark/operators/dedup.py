@@ -807,3 +807,86 @@ LEFT JOIN common c ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
 JOIN sizes sa ON sa.doc_id = p.doc_a
 JOIN sizes sb ON sb.doc_id = p.doc_b
 """
+
+
+# ---------------------------------------------------- containment --
+
+CONTAIN_TAU = 0.6
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment |A∩B| / |A| — catches a document
+    *embedded inside* another (quotes, boilerplate wrappers, partial
+    copies) that symmetric Jaccard under-scores: a 50-shingle doc
+    wholly contained in a 500-shingle doc has J ≈ 0.1 but containment
+    1.0. Pairs where either direction ≥ CONTAIN_TAU are emitted with
+    both directional scores.
+
+    Same candidate machinery (and the same SHINGLE_DF_CAP skew guard)
+    as ``dedup_ngram_jaccard`` — one extra broadcast-sized projection,
+    no new shuffle."""
+    raw = _shingles(spark, sf_dir)
+    hot = (
+        raw.groupBy("shingle")
+        .count()
+        .filter(F.col("count") > SHINGLE_DF_CAP)
+        .select("shingle")
+    )
+    sh = raw.join(F.broadcast(hot), "shingle", "left_anti").cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    cont_a = F.col("n_common").cast("double") / F.col("n_a").cast("double")
+    cont_b = F.col("n_common").cast("double") / F.col("n_b").cast("double")
+    return (
+        common.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            cont_a.alias("cont_in_b"),
+            cont_b.alias("cont_in_a"),
+        )
+        .filter(
+            (F.col("cont_in_b") >= CONTAIN_TAU)
+            | (F.col("cont_in_a") >= CONTAIN_TAU)
+        )
+    )
+
+
+DEDUP_CONTAIN_SQL = f"""
+WITH sh_raw AS ({_SHINGLES_SQL}),
+sh AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df
+    FROM sh_raw) c
+  WHERE df <= {SHINGLE_DF_CAP}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(n_common AS DOUBLE) / CAST(sa.n_sh AS DOUBLE) AS cont_in_b,
+       CAST(n_common AS DOUBLE) / CAST(sb.n_sh AS DOUBLE) AS cont_in_a
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh AS DOUBLE) >= {CONTAIN_TAU}
+   OR CAST(n_common AS DOUBLE) / CAST(sb.n_sh AS DOUBLE) >= {CONTAIN_TAU}
+"""

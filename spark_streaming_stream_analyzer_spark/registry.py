@@ -568,6 +568,7 @@ from .operators import textstats as _ts  # noqa: E402
 
 query("dedup_exact", _dd.DEDUP_EXACT_SQL)(_dd.dedup_exact)
 query("dedup_ngram_jaccard", _dd.DEDUP_NGRAM_SQL)(_dd.dedup_ngram_jaccard)
+query("dedup_containment", _dd.DEDUP_CONTAIN_SQL)(_dd.dedup_containment)
 query("dedup_minhash_lsh", _dd.DEDUP_MINHASH_SQL)(_dd.dedup_minhash_lsh)
 query("dedup_simhash", _dd.SIMHASH_SQL)(_dd.simhash_fingerprint)
 query("dedup_simhash_pairs", _dd.DEDUP_SIMHASH_PAIRS_SQL)(_dd.dedup_simhash_pairs)

@@ -142,3 +142,25 @@ def test_minhash_quality_estimates_track_exact(spark, sf_dir):
     # 32-hash signatures: estimates concentrate near the true value
     mean_err = sum(r["abs_err"] for r in rows) / len(rows)
     assert mean_err < 0.25
+
+
+def test_containment_dominates_jaccard(spark, sf_dir):
+    from spark_streaming_stream_analyzer_spark import registry
+
+    jac = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in registry.QUERIES["dedup_ngram_jaccard"](spark, sf_dir).collect()
+    }
+    cont = registry.QUERIES["dedup_containment"](spark, sf_dir).collect()
+    assert cont
+    seen = 0
+    for r in cont:
+        assert r["doc_a"] < r["doc_b"]
+        assert 0.0 < max(r["cont_in_a"], r["cont_in_b"]) <= 1.0
+        j = jac.get((r["doc_a"], r["doc_b"]))
+        if j is not None:
+            seen += 1
+            # containment >= jaccard always: |A∩B|/|A| >= |A∩B|/|A∪B|
+            assert r["cont_in_a"] >= j - 1e-12
+            assert r["cont_in_b"] >= j - 1e-12
+    assert seen > 0
