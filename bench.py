@@ -56,6 +56,10 @@ HEADLINE = [
     "anomaly_zscore",
     "text_tfidf_topk",
     "join_bloom_prefilter",
+    "sim_srp_topk",
+    "approx_cms_topk",
+    "cohort_retention",
+    "sql_recursive",
 ]
 
 #: Throughput probes: query → fixture table whose full scan dominates

@@ -785,17 +785,15 @@ def approx_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("c"),
     ).select("word", "c.d", "c.bucket")
     counters = coords.groupBy("d", "bucket").agg(F.count("*").alias("cnt"))
+    # global top-k via sort+limit, NOT a row_number window: Catalyst
+    # plans this as TakeOrderedAndProject (per-partition heaps merged
+    # on the driver) — a global window would funnel the whole
+    # vocabulary through one partition
     top = (
         words.groupBy("word")
         .agg(F.count("*").alias("exact_n"))
-        .withColumn(
-            "rnk",
-            F.row_number().over(
-                Window.orderBy(F.col("exact_n").desc(), F.col("word"))
-            ),
-        )
-        .filter(F.col("rnk") <= CMS_TOPK)
-        .drop("rnk")
+        .orderBy(F.col("exact_n").desc(), F.col("word"))
+        .limit(CMS_TOPK)
     )
     top_coords = top.select(
         "word",
