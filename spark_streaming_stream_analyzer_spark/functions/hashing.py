@@ -116,3 +116,76 @@ SELECT {group_col},
        COUNT(*) AS n_buckets
 FROM maxed GROUP BY 1
 """.strip()
+
+
+def hll_merge_demo(df, group_col: str, value_col: str):
+    """Sketch MERGEABILITY, demonstrated end-to-end: per-group HLL
+    bucket maxima are merged (max-of-max per bucket) into a global
+    sketch WITHOUT re-reading the data, and both tiers are estimated
+    with the same formula. Merging partial sketches instead of
+    rescanning is the entire reason sketches matter at 100 TB — a
+    1000-executor job computes per-partition sketches map-side and the
+    merge is CMS_D·HLL_M integers per group, not data.
+
+    The merged '__ALL__' row is bit-identical to running the HLL
+    directly over the ungrouped input (max is associative), which the
+    tests assert.
+    """
+    from pyspark.sql import functions as F
+
+    h = hash64(F.col(value_col))
+    bucket = F.pmod(h, F.lit(HLL_M))
+    rest = (h - bucket) / F.lit(HLL_M)
+    rho = F.lit(HLL_REST_BITS + 1) - F.length(F.bin(rest.cast("long")))
+    per_bucket = (
+        df.select(F.col(group_col).alias("grp"), bucket.alias("bkt"), rho.alias("rho"))
+        .groupBy("grp", "bkt")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+    merged = (
+        per_bucket.groupBy("bkt")
+        .agg(F.max("max_rho").alias("max_rho"))
+        .select(F.lit("__ALL__").alias("grp"), "bkt", "max_rho")
+    )
+    unioned = per_bucket.unionByName(merged)
+    weight = F.pow(
+        F.lit(2.0), F.lit(HLL_REST_BITS + 1) - F.col("max_rho")
+    ).cast("long")
+    agg = unioned.groupBy("grp").agg(
+        F.sum(weight).alias("wsum"), F.count("*").alias("n_buckets")
+    )
+    scale = HLL_ALPHA * HLL_M * HLL_M * float(1 << (HLL_REST_BITS + 1))
+    return agg.select(
+        F.col("grp").alias(group_col),
+        (F.lit(scale) / F.col("wsum").cast("double")).alias("approx_distinct"),
+        "n_buckets",
+    )
+
+
+def hll_merge_oracle_sql(table: str, group_col: str, value_expr: str) -> str:
+    h = hash64_sql(value_expr)
+    scale = HLL_ALPHA * HLL_M * HLL_M * float(1 << (HLL_REST_BITS + 1))
+    return f"""
+WITH hashed AS (
+  SELECT {group_col} AS grp, {h} AS h FROM {table}
+),
+bucketed AS (
+  SELECT grp, h % {HLL_M} AS bkt,
+         {HLL_REST_BITS + 1} - length(bin(CAST((h - h % {HLL_M}) / {HLL_M} AS BIGINT))) AS rho
+  FROM hashed
+),
+maxed AS (
+  SELECT grp, bkt, MAX(rho) AS max_rho FROM bucketed GROUP BY 1, 2
+),
+unioned AS (
+  SELECT grp, bkt, max_rho FROM maxed
+  UNION ALL
+  SELECT '__ALL__' AS grp, bkt, MAX(max_rho) AS max_rho
+  FROM maxed GROUP BY bkt
+)
+SELECT grp AS {group_col},
+       {scale!r} / CAST(SUM(CAST(power(2.0, {HLL_REST_BITS + 1} - max_rho) AS BIGINT)) AS DOUBLE)
+         AS approx_distinct,
+       COUNT(*) AS n_buckets
+FROM unioned GROUP BY 1
+""".strip()

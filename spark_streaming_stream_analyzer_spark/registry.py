@@ -535,7 +535,12 @@ query("cohort_retention", _an.COHORT_SQL)(_an.cohort_retention)
 query("approx_cms_topk", _an.CMS_SQL)(_an.approx_cms_topk)
 
 from .functions import jsonf as _jsonf  # noqa: E402
-from .functions.hashing import hll_estimate, hll_oracle_sql  # noqa: E402
+from .functions.hashing import (  # noqa: E402
+    hll_estimate,
+    hll_merge_demo,
+    hll_merge_oracle_sql,
+    hll_oracle_sql,
+)
 
 query("json_corrupt_policy", _jsonf.JSON_CORRUPT_SQL)(_jsonf.json_corrupt_policy)
 
@@ -551,6 +556,21 @@ def q_approx_distinct_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag", F.col("l_partkey").cast("string").alias("pk")
     )
     return hll_estimate(li, ["l_returnflag"], "pk")
+
+
+@query(
+    "approx_distinct_merge",
+    hll_merge_oracle_sql("lineitem", "l_returnflag", "CAST(l_partkey AS VARCHAR)"),
+)
+def q_approx_distinct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch MERGE: per-group bucket maxima merged (max-of-max)
+    into a global '__ALL__' sketch without rescanning the data — the
+    property that makes sketches viable at 100 TB (partials combine
+    map-side; the merge moves only HLL_M ints per group)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_partkey").cast("string").alias("pk")
+    )
+    return hll_merge_demo(li, "l_returnflag", "pk")
 
 from .functions import udfs as _udfs  # noqa: E402
 

@@ -146,6 +146,38 @@ def test_portable_hll_error_within_bounds(spark):
         assert rel_err < 0.26, f"n={n}: est {est:.0f}"
 
 
+def test_hll_merge_equals_direct(spark):
+    """Mergeability: the '__ALL__' row (max-of-max over per-group
+    bucket maxima) must be bit-identical to running the HLL directly
+    over the ungrouped input — max is associative, so merging partial
+    sketches loses nothing."""
+    from spark_streaming_stream_analyzer_spark.functions.hashing import (
+        hll_estimate,
+        hll_merge_demo,
+    )
+
+    df = spark.range(5_000).select(
+        (F.col("id") % 3).cast("string").alias("grp"),
+        F.concat(F.lit("v"), (F.col("id") % 1_700)).alias("v"),
+    )
+    merged = {
+        r["grp"]: r["approx_distinct"]
+        for r in hll_merge_demo(df, "grp", "v").collect()
+    }
+    direct = (
+        hll_estimate(df.select(F.lit("__ALL__").alias("grp"), "v"), ["grp"], "v")
+        .collect()[0]["approx_distinct"]
+    )
+    assert merged["__ALL__"] == direct  # exact, not approximate, equality
+    # per-group rows are the ordinary per-group estimates
+    per_grp = {
+        r["grp"]: r["approx_distinct"]
+        for r in hll_estimate(df, ["grp"], "v").collect()
+    }
+    for g, est in per_grp.items():
+        assert merged[g] == est
+
+
 def test_corrupt_policy_counts(spark, sf_dir):
     rows = registry.QUERIES["json_corrupt_policy"](spark, sf_dir).collect()
     assert sum(r["n_corrupt"] for r in rows) > 0  # corruption injected
