@@ -621,6 +621,16 @@ query("mm_resize", _mm.MM_RESIZE_SQL)(_mm.mm_resize)
 query("mm_audio_chunk", _mm.MM_AUDIO_CHUNK_SQL)(_mm.mm_audio_chunk)
 query("mm_phash_dedup", _mm.MM_PHASH_SQL)(_mm.mm_phash_dedup)
 
+from .operators import curation as _cur  # noqa: E402
+
+query("text_repetition_metrics", _cur.TEXT_REPETITION_SQL)(
+    _cur.text_repetition_metrics
+)
+query("text_decontaminate", _cur.TEXT_DECONTAM_SQL)(_cur.text_decontaminate)
+query("text_pii_redact", _cur.TEXT_PII_SQL)(_cur.text_pii_redact)
+query("ts_rollup_hierarchy", _cur.TS_ROLLUP_SQL)(_cur.ts_rollup_hierarchy)
+query("pipeline_keep_best", _cur.PIPELINE_KEEP_BEST_SQL)(_cur.pipeline_keep_best)
+
 
 # --------------------------------------------------------------------------
 # Structured Streaming surface (build plan M2/M3)

@@ -1,0 +1,112 @@
+"""Curation-pack tests: repetition metrics, decontamination, PII
+redaction, rollup hierarchy, keep-best dedup (operators/curation.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_streaming_stream_analyzer_spark.operators import curation as cur
+
+
+def _with_docs(spark, rows):
+    """Monkeypatch helper: serve a planted documents table."""
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return lambda _s, _d, _n: df
+
+
+def test_repetition_metrics_planted(spark):
+    orig = cur.load_table_cpu
+    cur.load_table_cpu = _with_docs(
+        spark, [(1, "a a a b"), (2, "x y"), (3, "solo")]
+    )
+    try:
+        out = {r["doc_id"]: r for r in cur.text_repetition_metrics(spark, "x").collect()}
+    finally:
+        cur.load_table_cpu = orig
+    r = out[1]  # words a:3 b:1; bigrams 'a a','a a','a b'
+    assert (r["n_words"], r["n_distinct"], r["top_word_cnt"]) == (4, 2, 3)
+    assert r["dup_word_frac"] == 0.5
+    assert r["top_word_frac"] == 0.75
+    assert (r["n_bigrams"], r["top_bigram_cnt"]) == (3, 2)
+    assert abs(r["top_bigram_frac"] - 2 / 3) < 1e-15
+    # single-word doc: word tier present, bigram tier NULL
+    assert out[3]["n_bigrams"] is None and out[3]["top_bigram_frac"] is None
+
+
+def test_decontaminate_planted(spark):
+    from spark_streaming_stream_analyzer_spark.operators import dedup as dd
+
+    orig = dd.load_table_cpu
+    dd.load_table_cpu = _with_docs(
+        spark,
+        [
+            (0, "x y z w q"),          # benchmark doc (doc_id < N_BENCH_DOCS)
+            (10, "p p p x y z"),       # shares shingle 'x y z'
+            (11, "u v w u v w u v"),   # no overlap
+        ],
+    )
+    try:
+        out = {r["doc_id"]: r for r in cur.text_decontaminate(spark, "x").collect()}
+    finally:
+        dd.load_table_cpu = orig
+    assert set(out) == {10}
+    r = out[10]  # shingles of doc 10: 'p p p','p p x','p x y','x y z' (4 distinct)
+    assert (r["n_hit_shingles"], r["n_bench_docs"], r["n_shingles"]) == (1, 1, 4)
+    assert r["contamination_frac"] == 0.25
+
+
+def test_pii_redact_fixture(spark, sf_dir):
+    rows = cur.text_pii_redact(spark, sf_dir).collect()
+    got = {r["doc_id"]: r for r in rows}
+    assert got, "no PII flagged"
+    for doc_id, r in got.items():
+        assert doc_id % 7 == 0 or doc_id % 11 == 0
+        assert r["n_emails"] == (1 if doc_id % 7 == 0 else 0)
+        assert r["n_phones"] == (1 if doc_id % 11 == 0 else 0)
+    # every planted id was found
+    n_docs = 1 + max(got)
+    expect = {i for i in range(n_docs) if i % 7 == 0 or i % 11 == 0}
+    assert expect <= set(got)
+
+
+def test_rollup_tiers_consistent(spark, sf_dir):
+    rows = cur.ts_rollup_hierarchy(spark, sf_dir).collect()
+    tiers = {}
+    for g in ("minute", "hour", "day"):
+        sub = [r for r in rows if r["grain"] == g]
+        tiers[g] = (
+            len(sub),
+            round(sum(r["sum_value"] for r in sub), 2),
+            sum(r["n"] for r in sub),
+        )
+    # coarser grains have fewer buckets but identical totals
+    assert tiers["minute"][0] > tiers["hour"][0] > tiers["day"][0]
+    assert tiers["minute"][1] == tiers["hour"][1] == tiers["day"][1]
+    assert tiers["minute"][2] == tiers["hour"][2] == tiers["day"][2]
+
+
+def test_keep_best_is_cluster_argmax(spark, sf_dir):
+    from spark_streaming_stream_analyzer_spark.operators.dedup import (
+        dedup_cluster_keep,
+    )
+    from spark_streaming_stream_analyzer_spark.operators.textstats import (
+        text_quality_score,
+    )
+
+    best = {r["cluster_id"]: r for r in cur.pipeline_keep_best(spark, sf_dir).collect()}
+    assert best, "no clusters"
+    clusters = dedup_cluster_keep(spark, sf_dir).collect()
+    quality = {
+        r["doc_id"]: r["quality_score"]
+        for r in text_quality_score(spark, sf_dir).collect()
+    }
+    members: dict[int, list[int]] = {}
+    for r in clusters:
+        members.setdefault(r["keep_doc_id"], []).append(r["doc_id"])
+    assert set(best) == set(members)
+    for cid, docs in members.items():
+        b = best[cid]
+        assert b["n_members"] == len(docs)
+        top = max(docs, key=lambda d: (quality[d], -d))
+        assert b["best_doc_id"] == top
+        assert b["best_score"] == quality[top]
