@@ -1,0 +1,231 @@
+"""Corpus assembly operators: sequence packing, rebalancing, weighted
+sampling, mixture accounting — the steps between a curated corpus and
+an actual training run.
+
+Sampling decisions are EXACT INTEGER comparisons on a portable 60-bit
+hash (``functions/hashing.py``) — no floats in any keep/drop
+predicate, so the decisions are bit-identical across engines, retries,
+and cluster sizes (the property rand()-based sampling lacks). Ratios
+in outputs are single divides of exact integers (or IEEE-exact
+sqrts), bit-portable to the DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash64, hash64_sql
+from ..sources.tables import load_table_cpu
+
+# --------------------------------------------------- token-budget packing --
+
+#: tokens per packed training sequence (concat-then-chunk semantics)
+PACK_BUDGET = 2048
+
+
+def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: per source, documents in doc_id order are
+    concatenated and chunked into PACK_BUDGET-token bins; a document
+    lands in the bin where its first token falls. Emits per-bin doc
+    counts and token sums — the packing manifest a training loader
+    consumes.
+
+    One window (cumulative token sum per source, ordered by doc_id) +
+    one hash-agg. The window shuffles by source with an in-partition
+    sort — the unavoidable shuffle of sequence packing; at 100 TB the
+    partition key would be (source, doc_id-range) with per-range
+    offsets merged prefix-sum style, same plan shape."""
+    docs = load_table_cpu(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split("text", " "), lambda w: w != ""))
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    toks = docs.select("source", "doc_id", n_tok.alias("tok"))
+    start_off = F.sum("tok").over(w) - F.col("tok")  # doc's first-token offset
+    binned = toks.withColumn(
+        "bin", F.floor(start_off / F.lit(PACK_BUDGET)).cast("long")
+    )
+    return binned.groupBy("source", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("tok").alias("sum_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+PACK_SQL = f"""
+WITH toks AS (
+  SELECT source, doc_id,
+         CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT)
+           AS tok
+  FROM documents
+),
+binned AS (
+  SELECT source, doc_id, tok,
+         CAST((SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - tok)
+              // {PACK_BUDGET} AS BIGINT) AS bin
+  FROM toks
+)
+SELECT source, bin, COUNT(*) AS n_docs,
+       CAST(SUM(tok) AS BIGINT) AS sum_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM binned GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------- class rebalance --
+
+#: per-class absolute target (expected kept rows when class is larger)
+REBALANCE_CAP = 64
+_SAMPLE_M = 1 << 20  # hash-uniform denominator
+
+
+def sample_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class rebalancing: downsample each language class toward
+    REBALANCE_CAP expected docs with a deterministic per-row decision
+    — keep iff (h mod M) * n_class < CAP * M, an exact int64
+    comparison (P(keep) = min(1, CAP/n_class), no floats anywhere).
+    Classes at or under the cap pass through whole.
+
+    Two hash-aggs (class sizes, kept stats) and one broadcast join of
+    the |classes|-row size table back onto the scan — the corpus
+    streams map-side; nothing shuffles but the per-class partials."""
+    docs = load_table_cpu(spark, sf_dir, "documents")
+    sizes = docs.groupBy("lang").agg(F.count("*").alias("n_class"))
+    u = F.pmod(hash64(F.concat(F.lit("rb#"), F.col("doc_id").cast("string"))),
+               F.lit(_SAMPLE_M))
+    keep = u * F.col("n_class") < F.lit(REBALANCE_CAP * _SAMPLE_M)
+    return (
+        docs.join(F.broadcast(sizes), "lang")
+        .select("lang", "n_class", keep.cast("int").alias("kept"),
+                F.col("n_chars"))
+        .groupBy("lang")
+        .agg(
+            F.max("n_class").alias("n_orig"),
+            F.sum("kept").alias("n_kept"),
+            F.sum(F.col("kept") * F.col("n_chars")).alias("kept_chars"),
+        )
+    )
+
+
+REBALANCE_SQL = f"""
+WITH sizes AS (SELECT lang, COUNT(*) AS n_class FROM documents GROUP BY 1),
+flagged AS (
+  SELECT d.lang, s.n_class,
+         CASE WHEN ({hash64_sql("'rb#' || CAST(doc_id AS VARCHAR)")} % {_SAMPLE_M})
+                   * s.n_class < {REBALANCE_CAP * _SAMPLE_M}
+              THEN 1 ELSE 0 END AS kept,
+         d.n_chars
+  FROM documents d JOIN sizes s ON d.lang = s.lang
+)
+SELECT lang, MAX(n_class) AS n_orig,
+       CAST(SUM(kept) AS BIGINT) AS n_kept,
+       CAST(SUM(kept * n_chars) AS BIGINT) AS kept_chars
+FROM flagged GROUP BY 1
+"""
+
+
+# ------------------------------------------------------ weighted sample --
+
+#: expected total sample size of the weighted draw
+WEIGHTED_K = 100
+
+
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional Bernoulli sampling (P(keep) = min(1,
+    K·w/W), w = n_chars, W = corpus total) with the same exact-integer
+    decision discipline: keep iff (h mod M)·W < K·w·M in int64.
+    Longer documents are proportionally likelier to be drawn — the
+    standard token-weighted corpus draw.
+
+    W is one scalar aggregate broadcast into the scan (literally a
+    1-row cross join); the decision is then map-side."""
+    docs = load_table_cpu(spark, sf_dir, "documents")
+    tot = docs.agg(F.sum("n_chars").alias("w_total"))
+    u = F.pmod(hash64(F.concat(F.lit("ws#"), F.col("doc_id").cast("string"))),
+               F.lit(_SAMPLE_M))
+    keep = u * F.col("w_total") < (
+        F.lit(WEIGHTED_K * _SAMPLE_M) * F.col("n_chars")
+    )
+    return (
+        docs.crossJoin(F.broadcast(tot))
+        .select("source", keep.cast("int").alias("kept"), "n_chars")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("kept").alias("n_kept"),
+            F.sum(F.col("kept") * F.col("n_chars")).alias("kept_chars"),
+        )
+    )
+
+
+WEIGHTED_SQL = f"""
+WITH tot AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS w_total FROM documents),
+flagged AS (
+  SELECT d.source,
+         CASE WHEN ({hash64_sql("'ws#' || CAST(doc_id AS VARCHAR)")} % {_SAMPLE_M})
+                   * t.w_total < {WEIGHTED_K * _SAMPLE_M} * d.n_chars
+              THEN 1 ELSE 0 END AS kept,
+         d.n_chars
+  FROM documents d CROSS JOIN tot t
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(kept) AS BIGINT) AS n_kept,
+       CAST(SUM(kept * n_chars) AS BIGINT) AS kept_chars
+FROM flagged GROUP BY 1
+"""
+
+
+# ------------------------------------------------------- mixture stats --
+
+
+def corpus_mixture_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture accounting: per-source token counts, corpus
+    share, and a sqrt-damped sampling weight relative to the largest
+    source (the square-root temperature rule used to keep small
+    sources from vanishing in the mixture).
+
+    token_share divides two exact integers; weight_rel divides two
+    IEEE-exact sqrts — both bit-portable. The global totals are a
+    broadcast 1-row aggregate; everything else is one hash-agg over
+    the scan."""
+    docs = load_table_cpu(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split("text", " "), lambda w: w != ""))
+    per = docs.select("source", n_tok.alias("tok")).groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("tok").alias("n_tokens")
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("tot_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("tot_tokens").cast("double"))
+        .alias("token_share"),
+        (F.sqrt(F.col("n_tokens").cast("double"))
+         / F.sqrt(F.col("max_tokens").cast("double"))).alias("weight_rel"),
+    )
+
+
+MIXTURE_SQL = """
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+                       AS BIGINT)) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+         MAX(n_tokens) AS max_tokens
+  FROM per
+)
+SELECT source, n_docs, n_tokens,
+       CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE) AS token_share,
+       sqrt(CAST(n_tokens AS DOUBLE)) / sqrt(CAST(max_tokens AS DOUBLE))
+         AS weight_rel
+FROM per CROSS JOIN tot
+"""

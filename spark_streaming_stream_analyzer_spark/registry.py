@@ -631,6 +631,13 @@ query("text_pii_redact", _cur.TEXT_PII_SQL)(_cur.text_pii_redact)
 query("ts_rollup_hierarchy", _cur.TS_ROLLUP_SQL)(_cur.ts_rollup_hierarchy)
 query("pipeline_keep_best", _cur.PIPELINE_KEEP_BEST_SQL)(_cur.pipeline_keep_best)
 
+from .operators import packing as _pk  # noqa: E402
+
+query("pack_token_budget", _pk.PACK_SQL)(_pk.pack_token_budget)
+query("sample_rebalance", _pk.REBALANCE_SQL)(_pk.sample_rebalance)
+query("sample_weighted", _pk.WEIGHTED_SQL)(_pk.sample_weighted)
+query("corpus_mixture_stats", _pk.MIXTURE_SQL)(_pk.corpus_mixture_stats)
+
 
 # --------------------------------------------------------------------------
 # Structured Streaming surface (build plan M2/M3)

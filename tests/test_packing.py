@@ -1,0 +1,73 @@
+"""Packing / sampling / mixture tests (operators/packing.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_streaming_stream_analyzer_spark.operators import packing as pk
+
+
+def test_pack_bins_planted(spark):
+    # 5-token docs, budget 2048 → bins flip every ceil(2048/5)=410 docs
+    orig = pk.load_table_cpu
+    rows = [(i, "t1 t2 t3 t4 t5", "s") for i in range(900)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    pk.load_table_cpu = lambda *_: df
+    try:
+        out = {r["bin"]: r for r in pk.pack_token_budget(spark, "x").collect()}
+    finally:
+        pk.load_table_cpu = orig
+    # 900 docs * 5 tok = 4500 tokens → bins 0,1,2 (offsets 0..4495)
+    assert set(out) == {0, 1, 2}
+    assert sum(r["n_docs"] for r in out.values()) == 900
+    assert sum(r["sum_tokens"] for r in out.values()) == 4500
+    # bin 0 holds docs whose start offset < 2048: docs 0..409
+    assert out[0]["n_docs"] == 410 and out[0]["first_doc"] == 0
+    assert out[0]["last_doc"] == 409
+    assert out[1]["first_doc"] == 410  # contiguous, no gaps
+    assert out[2]["last_doc"] == 899
+
+
+def test_rebalance_caps_large_classes(spark, sf_dir):
+    rows = pk.sample_rebalance(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_kept"] <= r["n_orig"]
+        if r["n_orig"] <= pk.REBALANCE_CAP // 2:
+            # far under the cap: probability 1 region keeps everything
+            assert r["n_kept"] == r["n_orig"]
+        if r["n_orig"] >= 4 * pk.REBALANCE_CAP:
+            # far over: kept count concentrates near the cap (binomial
+            # with mean CAP; 4 sigma slack)
+            assert r["n_kept"] < 2 * pk.REBALANCE_CAP
+
+
+def test_weighted_sample_prefers_long_docs(spark):
+    # two equal-count sources, one with 10x longer docs -> its kept
+    # count and kept mass must dominate
+    orig = pk.load_table_cpu
+    rows = [(i, "a", "short", 50) for i in range(500)] + [
+        (i + 500, "a", "long", 500) for i in range(500)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    )
+    pk.load_table_cpu = lambda *_: df
+    try:
+        out = {r["source"]: r for r in pk.sample_weighted(spark, "x").collect()}
+    finally:
+        pk.load_table_cpu = orig
+    assert out["long"]["n_kept"] > 3 * max(out["short"]["n_kept"], 1)
+    # expected total ~ WEIGHTED_K; allow binomial spread
+    total = out["long"]["n_kept"] + out["short"]["n_kept"]
+    assert 0.5 * pk.WEIGHTED_K < total < 1.6 * pk.WEIGHTED_K
+
+
+def test_mixture_shares_sum_to_one(spark, sf_dir):
+    rows = pk.corpus_mixture_stats(spark, sf_dir).collect()
+    assert rows
+    assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-9
+    assert max(r["weight_rel"] for r in rows) == 1.0  # largest source
+    for r in rows:
+        # sqrt damping: rel weight >= raw share ratio for sub-max sources
+        assert 0 < r["weight_rel"] <= 1.0
