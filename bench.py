@@ -60,6 +60,10 @@ HEADLINE = [
     "approx_cms_topk",
     "cohort_retention",
     "sql_recursive",
+    "text_repetition_metrics",
+    "text_decontaminate",
+    "ts_rollup_hierarchy",
+    "pack_token_budget",
 ]
 
 #: Throughput probes: query → fixture table whose full scan dominates

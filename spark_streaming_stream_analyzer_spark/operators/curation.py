@@ -277,11 +277,19 @@ def ts_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("bucket")
         .agg(F.sum("c").alias("sum_cents"), F.count("*").alias("n"))
+        # materialize each tier it feeds from (union branch + next
+        # grain) — without this Spark re-plans the branch and re-scans
+        # the RAW events table once per grain (verified: 3 parquet
+        # scans, 0 ReusedExchange). The checkpoint is the in-session
+        # stand-in for the persisted rollup table this pattern writes
+        # in production; the tier is |minutes| rows, model-sized.
+        .localCheckpoint(eager=False)
     )
     hour = (
         minute.select(F.expr("bucket DIV 60").alias("bucket"), "sum_cents", "n")
         .groupBy("bucket")
         .agg(F.sum("sum_cents").alias("sum_cents"), F.sum("n").alias("n"))
+        .localCheckpoint(eager=False)
     )
     day = (
         hour.select(F.expr("bucket DIV 24").alias("bucket"), "sum_cents", "n")
