@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.exact import cents
+from ..functions.hashing import hash64, hash64_sql
 from ..sources.tables import load_table, load_table_cpu
 from .dedup import _SHINGLES_SQL, _shingles
 from .textstats import TEXT_QUALITY_SQL, text_quality_score
@@ -338,6 +339,155 @@ SELECT 'hour' AS grain, bucket,
 UNION ALL
 SELECT 'day' AS grain, bucket,
        CAST(sum_cents AS DOUBLE) / 100.0 AS sum_value, n FROM day
+"""
+
+
+# ----------------------------------------------------------- chunking --
+
+CHUNK_TOKENS = 64   #: tokens per retrieval chunk
+CHUNK_STRIDE = 48   #: chunk start stride (CHUNK_TOKENS - overlap)
+
+
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window chunking (64-token chunks, stride 48) — the
+    retrieval/RAG indexing step. Emits the chunk manifest (doc_id,
+    chunk_id, token count, chunk md5): what an embedding job consumes,
+    without moving chunk text into the result.
+
+    Entirely array expressions per row (sequence → slice → concat) —
+    no explode of individual tokens, no shuffle at all before the
+    result; chunk rows stream out of the scan map-side."""
+    docs = load_table_cpu(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda w: w != "")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(words) - 1, F.lit(0)), F.lit(CHUNK_STRIDE)
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            F.size(F.slice(words, s + 1, CHUNK_TOKENS)).alias("n_tokens"),
+            F.md5(
+                F.concat_ws(" ", F.slice(words, s + 1, CHUNK_TOKENS))
+            ).alias("chunk_md5"),
+        ),
+    )
+    return (
+        docs.filter(F.size(words) > 0)
+        .select("doc_id", F.posexplode(chunks).alias("chunk_id", "ch"))
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.col("ch.n_tokens").alias("n_tokens"),
+            F.col("ch.chunk_md5").alias("chunk_md5"),
+        )
+    )
+
+
+TEXT_CHUNK_SQL = f"""
+WITH base AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w
+  FROM documents
+),
+chunked AS (
+  SELECT doc_id,
+         generate_subscripts(starts, 1) - 1 AS chunk_id,
+         unnest(starts) AS s, w
+  FROM (SELECT doc_id, w,
+               range(0, greatest(len(w), 1), {CHUNK_STRIDE}) AS starts
+        FROM base WHERE len(w) > 0) t
+)
+SELECT doc_id, chunk_id,
+       CAST(len(list_slice(w, s + 1, s + {CHUNK_TOKENS})) AS INT) AS n_tokens,
+       md5(array_to_string(list_slice(w, s + 1, s + {CHUNK_TOKENS}), ' '))
+         AS chunk_md5
+FROM chunked
+"""
+
+
+# ------------------------------------------------------ leakage audit --
+
+#: same hash-split percentages as analytics.sample_split_hash
+LEAK_TRAIN_PCT = 90
+
+
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test LEAKAGE audit: after a deterministic hash split,
+    count each test document's shingles that also occur anywhere in
+    the train split — the contamination check run before an eval set
+    is trusted. Boilerplate shingles above the dedup tier's document-
+    frequency cap are excluded (same ``SHINGLE_DF_CAP`` semantics in
+    both engines), since ubiquitous n-grams are noise, not leakage.
+
+    The join key is the 60-bit shingle hash, not the string — the
+    shuffle carries longs. Train-side distinct shingles stay
+    distributed (shuffle join, not broadcast: at 100 TB the train
+    shingle set is the corpus-sized side; the df-cap bounds per-key
+    fan-out so the join cannot square)."""
+    from .dedup import SHINGLE_DF_CAP
+
+    sh = _shingles(spark, sf_dir)
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > SHINGLE_DF_CAP)
+        .select("shingle")
+    )
+    capped = sh.join(F.broadcast(hot), "shingle", "left_anti").select(
+        "doc_id", hash64(F.col("shingle")).alias("sh")
+    )
+    bucket = F.pmod(
+        hash64(F.concat(F.lit("sp#"), F.col("doc_id").cast("string"))), F.lit(100)
+    )
+    tagged = capped.withColumn("is_test", bucket >= LEAK_TRAIN_PCT)
+    train_sh = (
+        tagged.filter(~F.col("is_test")).select("sh").distinct()
+    )
+    test = tagged.filter(F.col("is_test")).select("doc_id", "sh")
+    tot = test.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    leaked = (
+        test.join(train_sh, "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_leaked"))
+    )
+    return tot.join(leaked, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce("n_leaked", F.lit(0)).alias("n_leaked"),
+        (
+            F.coalesce("n_leaked", F.lit(0)).cast("double")
+            / F.col("n_shingles").cast("double")
+        ).alias("leak_frac"),
+    )
+
+
+from .dedup import SHINGLE_DF_CAP as _DF_CAP  # noqa: E402
+
+SPLIT_LEAKAGE_SQL = f"""
+WITH sh_raw AS ({_SHINGLES_SQL}),
+df AS (SELECT shingle, COUNT(*) AS df FROM sh_raw GROUP BY 1),
+capped AS (
+  SELECT s.doc_id, {hash64_sql("s.shingle")} AS sh
+  FROM sh_raw s JOIN df ON s.shingle = df.shingle
+  WHERE df.df <= {_DF_CAP}
+),
+tagged AS (
+  SELECT doc_id, sh,
+         ({hash64_sql("'sp#' || CAST(doc_id AS VARCHAR)")} % 100)
+           >= {LEAK_TRAIN_PCT} AS is_test
+  FROM capped
+),
+train_sh AS (SELECT DISTINCT sh FROM tagged WHERE NOT is_test),
+test AS (SELECT doc_id, sh FROM tagged WHERE is_test),
+tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM test GROUP BY 1),
+leaked AS (
+  SELECT t.doc_id, COUNT(*) AS n_leaked
+  FROM test t JOIN train_sh r ON t.sh = r.sh GROUP BY 1
+)
+SELECT tot.doc_id, tot.n_shingles,
+       COALESCE(leaked.n_leaked, 0) AS n_leaked,
+       CAST(COALESCE(leaked.n_leaked, 0) AS DOUBLE)
+         / CAST(tot.n_shingles AS DOUBLE) AS leak_frac
+FROM tot LEFT JOIN leaked ON tot.doc_id = leaked.doc_id
 """
 
 

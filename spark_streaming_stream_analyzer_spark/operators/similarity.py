@@ -201,6 +201,40 @@ FROM embeddings
 """
 
 
+def emb_dim_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION min/max/range over the corpus — the calibration
+    table a per-dim quantizer (and any PQ codebook) is built from
+    (``emb_quantize_int8`` calibrates per-vector; this is the
+    corpus-wide view).
+
+    min/max are order-insensitive, so unlike means they are exactly
+    portable over floats with no summation-order hazard. One
+    posexplode + one hash-agg on DIM keys — the shuffle carries DIM
+    partial rows per task, nothing else."""
+    em = load_table_cpu(spark, sf_dir, "embeddings")
+    comp = em.select(F.posexplode("embedding").alias("dim", "v"))
+    return comp.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.min("v").cast("double").alias("min_v"),
+        F.max("v").cast("double").alias("max_v"),
+        (F.max("v").cast("double") - F.min("v").cast("double")).alias("range_v"),
+    )
+
+
+EMB_DIM_MINMAX_SQL = """
+SELECT dim, COUNT(*) AS n,
+       CAST(MIN(v) AS DOUBLE) AS min_v,
+       CAST(MAX(v) AS DOUBLE) AS max_v,
+       CAST(MAX(v) AS DOUBLE) - CAST(MIN(v) AS DOUBLE) AS range_v
+FROM (
+  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+         unnest(embedding) AS v
+  FROM embeddings
+) t
+GROUP BY dim
+"""
+
+
 # ------------------------------------------------------------- k-means --
 
 KMEANS_K = 8

@@ -637,6 +637,9 @@ query("pack_token_budget", _pk.PACK_SQL)(_pk.pack_token_budget)
 query("sample_rebalance", _pk.REBALANCE_SQL)(_pk.sample_rebalance)
 query("sample_weighted", _pk.WEIGHTED_SQL)(_pk.sample_weighted)
 query("corpus_mixture_stats", _pk.MIXTURE_SQL)(_pk.corpus_mixture_stats)
+query("text_chunk_overlap", _cur.TEXT_CHUNK_SQL)(_cur.text_chunk_overlap)
+query("split_leakage_audit", _cur.SPLIT_LEAKAGE_SQL)(_cur.split_leakage_audit)
+query("emb_dim_minmax", _sim.EMB_DIM_MINMAX_SQL)(_sim.emb_dim_minmax)
 
 
 # --------------------------------------------------------------------------

@@ -110,3 +110,75 @@ def test_keep_best_is_cluster_argmax(spark, sf_dir):
         top = max(docs, key=lambda d: (quality[d], -d))
         assert b["best_doc_id"] == top
         assert b["best_score"] == quality[top]
+
+
+def _py_hash64(s: str) -> int:
+    """Python mirror of functions/hashing.hash64 for test planning."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_chunk_overlap_planted(spark):
+    import hashlib
+
+    orig = cur.load_table_cpu
+    toks = [f"w{i}" for i in range(100)]
+    df = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, "")], "doc_id long, text string"
+    )
+    cur.load_table_cpu = lambda *_: df
+    try:
+        out = {
+            (r["doc_id"], r["chunk_id"]): r
+            for r in cur.text_chunk_overlap(spark, "x").collect()
+        }
+    finally:
+        cur.load_table_cpu = orig
+    # 100 tokens, stride 48 -> starts 0, 48, 96
+    assert set(out) == {(1, 0), (1, 1), (1, 2)}  # empty doc emits nothing
+    assert [out[(1, i)]["n_tokens"] for i in range(3)] == [64, 52, 4]
+    expect = hashlib.md5(" ".join(toks[48:112]).encode()).hexdigest()
+    assert out[(1, 1)]["chunk_md5"] == expect
+
+
+def test_leakage_audit_planted(spark):
+    from spark_streaming_stream_analyzer_spark.operators import dedup as dd
+
+    shared = "alpha beta gamma delta epsilon"
+    rows = [(i, shared) for i in range(200)]
+    # force one uniquely-worded doc into the test bucket
+    uniq = next(
+        i
+        for i in range(200, 400)
+        if _py_hash64(f"sp#{i}") % 100 >= cur.LEAK_TRAIN_PCT
+    )
+    rows.append((uniq, "zeta eta theta iota kappa"))
+    test_ids = {
+        i for i, _ in rows if _py_hash64(f"sp#{i}") % 100 >= cur.LEAK_TRAIN_PCT
+    }
+    assert uniq in test_ids and len(test_ids) > 1  # split actually splits
+    orig = dd.load_table_cpu
+    dd.load_table_cpu = _with_docs(spark, rows)
+    try:
+        out = {r["doc_id"]: r for r in cur.split_leakage_audit(spark, "x").collect()}
+    finally:
+        dd.load_table_cpu = orig
+    assert set(out) == test_ids
+    for i in test_ids - {uniq}:  # shared-text docs leak fully
+        assert out[i]["leak_frac"] == 1.0
+    assert out[uniq]["n_leaked"] == 0 and out[uniq]["leak_frac"] == 0.0
+
+
+def test_emb_dim_minmax_shape(spark, sf_dir):
+    from spark_streaming_stream_analyzer_spark.operators.similarity import (
+        emb_dim_minmax,
+    )
+
+    rows = emb_dim_minmax(spark, sf_dir).collect()
+    assert len(rows) == 64  # DIM
+    ns = {r["n"] for r in rows}
+    assert len(ns) == 1  # every dim sees every vector
+    for r in rows:
+        assert r["min_v"] <= r["max_v"]
+        assert r["range_v"] == r["max_v"] - r["min_v"]
