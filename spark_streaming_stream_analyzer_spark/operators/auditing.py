@@ -1,0 +1,285 @@
+"""Warehouse-operations operators: data-quality auditing, skew
+profiling, histogram-sketch quantiles, and SCD2 interval builds.
+
+The ops an analytics platform runs ABOUT its data: constraint audits
+(dbt/Deequ-style), heavy-hitter skew profiles (the input to salting
+decisions), a mergeable fixed-width-histogram median (the portable
+cousin of ``approx_aggs``' private KLL sketch), and type-2
+slowly-changing-dimension intervals.
+
+Quantile estimates are computed entirely in exact integer cents
+(bins, cumulative counts, midpoints) with one final divide, so the
+DuckDB oracles match bit-exactly — the same discipline as
+``functions/exact.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.exact import cents
+from ..sources.tables import load_table
+
+# ------------------------------------------------- histogram median --
+
+HIST_BINS = 256
+
+
+def approx_median_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate per-group median from a fixed-width 256-bin
+    histogram over exact integer cents: min/max pass → integer bin
+    width → bin counts → first bin whose running count reaches
+    ceil(n/2) → bin midpoint.
+
+    Everything up to the final /100.0 is int64, so the estimate is
+    bit-portable (unlike percentile_approx's engine-private sketch,
+    which can only be rows-only checked). The histogram is MERGEABLE
+    (bin counts add), so at 100 TB each executor emits 256 partial
+    counts per group and the merge is integer addition — same
+    scale shape as the HLL/CMS tier. Error ≤ half a bin width."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", cents("value").alias("c")
+    )
+    rng = ev.groupBy("event_type").agg(
+        F.min("c").alias("min_c"),
+        F.max("c").alias("max_c"),
+        F.count("*").alias("n"),
+    )
+    # integer DIV on both engines — a double-divide-then-cast would
+    # TRUNCATE in Spark but ROUND in DuckDB's CAST(.. AS BIGINT)
+    rng = rng.withColumn(
+        "w", F.expr(f"(max_c - min_c) DIV {HIST_BINS}") + 1
+    )
+    binned = (
+        ev.join(F.broadcast(rng), "event_type")
+        .select(
+            "event_type",
+            "n",
+            "min_c",
+            "w",
+            F.expr("(c - min_c) DIV w").alias("bin"),
+        )
+        .groupBy("event_type", "n", "min_c", "w", "bin")
+        .agg(F.count("*").alias("bc"))
+    )
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = binned.withColumn("cum", F.sum("bc").over(win))
+    med = (
+        cum.filter(F.col("cum") * 2 >= F.col("n"))
+        .groupBy("event_type", "n", "min_c", "w")
+        .agg(F.min("bin").alias("mbin"))
+    )
+    return med.select(
+        "event_type",
+        "n",
+        (
+            F.expr("min_c + mbin * w + (w DIV 2)").cast("double") / F.lit(100.0)
+        ).alias("approx_median"),
+    )
+
+
+APPROX_MEDIAN_SQL = f"""
+WITH ev AS (
+  SELECT event_type, CAST(round(value*100) AS BIGINT) AS c FROM events
+),
+rng AS (
+  SELECT event_type, MIN(c) AS min_c, MAX(c) AS max_c, COUNT(*) AS n,
+         (MAX(c) - MIN(c)) // {HIST_BINS} + 1 AS w
+  FROM ev GROUP BY 1
+),
+binned AS (
+  SELECT ev.event_type, rng.n, rng.min_c, rng.w,
+         (ev.c - rng.min_c) // rng.w AS bin,
+         COUNT(*) AS bc
+  FROM ev JOIN rng ON ev.event_type = rng.event_type
+  GROUP BY 1, 2, 3, 4, 5
+),
+cum AS (
+  SELECT event_type, n, min_c, w, bin,
+         SUM(bc) OVER (PARTITION BY event_type ORDER BY bin
+                       ROWS UNBOUNDED PRECEDING) AS cum
+  FROM binned
+),
+med AS (
+  SELECT event_type, n, min_c, w, MIN(bin) AS mbin
+  FROM cum WHERE cum * 2 >= n
+  GROUP BY 1, 2, 3, 4
+)
+SELECT event_type, n,
+       CAST(min_c + mbin * w + (w // 2) AS DOUBLE) / 100.0 AS approx_median
+FROM med
+"""
+
+
+# --------------------------------------------------- SCD2 intervals --
+
+#: keep the registered output driver-sized: one user in SCD2_USER_MOD
+SCD2_USER_MOD = 50
+
+
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build: each (user, event)
+    becomes a validity interval [its timestamp, next event's
+    timestamp) via `lead` — NULL valid_to marks the current row. The
+    standard CDC-to-warehouse materialization.
+
+    One window shuffle on user_id with (ts, event_id) in-partition
+    sort — ties broken by event_id so the intervals are deterministic.
+    The registered query keeps a 1-in-{SCD2_USER_MOD} user sample so
+    the driver compare stays small; the operator itself is unfiltered."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % SCD2_USER_MOD == 0
+    )
+    us = F.expr("ts DIV 1000")
+    w = Window.partitionBy("user_id").orderBy("valid_from_us", "event_id")
+    return (
+        ev.select("user_id", "event_id", us.alias("valid_from_us"), "value")
+        .withColumn("valid_to_us", F.lead("valid_from_us").over(w))
+        .select("user_id", "event_id", "valid_from_us", "valid_to_us", "value")
+    )
+
+
+SCD2_SQL = f"""
+SELECT user_id, event_id,
+       epoch_us(ts) AS valid_from_us,
+       lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id)
+         AS valid_to_us,
+       value
+FROM events
+WHERE user_id % {SCD2_USER_MOD} = 0
+"""
+
+
+# ------------------------------------------------- constraint audit --
+
+
+def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ/dbt-style declarative data-quality audit: each row is one
+    constraint with its violation count over the full table —
+    referential integrity (lineitem→orders), primary-key uniqueness,
+    null checks, and value-range checks.
+
+    Null/range/dup checks are single conditional aggregates over one
+    scan per table (violations counted map-side); the FK check is the
+    one real join, shuffled on the key like any fact-fact join. Checks
+    union into a constant-width result — the shape that lands in a
+    monitoring table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+
+    def check(name: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("check_name"), "n_violations", "n_checked"
+        )
+
+    ok = orders.select("o_orderkey").distinct()
+    fk = check(
+        "lineitem_orphan_orderkey",
+        li.join(ok, li.l_orderkey == ok.o_orderkey, "left").agg(
+            F.count_if(F.col("o_orderkey").isNull()).alias("n_violations"),
+            F.count("*").alias("n_checked"),
+        ),
+    )
+    dup = check(
+        "orders_pk_unique",
+        orders.agg(
+            (F.count("*") - F.countDistinct("o_orderkey")).alias("n_violations"),
+            F.count("*").alias("n_checked"),
+        ),
+    )
+    nn = check(
+        "orders_custkey_not_null",
+        orders.agg(
+            F.count_if(F.col("o_custkey").isNull()).alias("n_violations"),
+            F.count("*").alias("n_checked"),
+        ),
+    )
+    qty = check(
+        "lineitem_quantity_range",
+        li.agg(
+            F.count_if(
+                (F.col("l_quantity") <= 0) | (F.col("l_quantity") > 50)
+            ).alias("n_violations"),
+            F.count("*").alias("n_checked"),
+        ),
+    )
+    evv = check(
+        "events_value_nonnegative",
+        ev.agg(
+            F.count_if(F.col("value") < 0).alias("n_violations"),
+            F.count("*").alias("n_checked"),
+        ),
+    )
+    return fk.unionByName(dup).unionByName(nn).unionByName(qty).unionByName(evv)
+
+
+DQ_AUDIT_SQL = """
+SELECT 'lineitem_orphan_orderkey' AS check_name,
+       COUNT(*) FILTER (WHERE o.o_orderkey IS NULL) AS n_violations,
+       COUNT(*) AS n_checked
+FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+  ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'orders_pk_unique',
+       COUNT(*) - COUNT(DISTINCT o_orderkey), COUNT(*) FROM orders
+UNION ALL
+SELECT 'orders_custkey_not_null',
+       COUNT(*) FILTER (WHERE o_custkey IS NULL), COUNT(*) FROM orders
+UNION ALL
+SELECT 'lineitem_quantity_range',
+       COUNT(*) FILTER (WHERE l_quantity <= 0 OR l_quantity > 50),
+       COUNT(*) FROM lineitem
+UNION ALL
+SELECT 'events_value_nonnegative',
+       COUNT(*) FILTER (WHERE value < 0), COUNT(*) FROM events
+"""
+
+
+# --------------------------------------------------- skew profiling --
+
+SKEW_TOP_K = 20
+
+
+def skew_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter profile of a join/agg key (orders.o_custkey):
+    top-K keys by row count with their share of the table — the
+    diagnostic that decides whether a key needs salting or AQE
+    skew-join handling before a big shuffle.
+
+    One hash-agg + TakeOrderedAndProject (no full sort); the total is
+    a 1-row broadcast. Share = two exact longs divided once."""
+    orders = load_table(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_custkey").agg(F.count("*").alias("cnt"))
+    tot = orders.agg(F.count("*").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "o_custkey",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("total").cast("double")).alias(
+                "share"
+            ),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("o_custkey"))
+        .limit(SKEW_TOP_K)
+    )
+
+
+SKEW_PROFILE_SQL = f"""
+WITH counts AS (
+  SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY 1
+),
+tot AS (SELECT COUNT(*) AS total FROM orders)
+SELECT o_custkey, cnt,
+       CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share
+FROM counts CROSS JOIN tot
+ORDER BY cnt DESC, o_custkey
+LIMIT {SKEW_TOP_K}
+"""

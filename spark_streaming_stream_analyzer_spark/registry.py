@@ -641,6 +641,13 @@ query("text_chunk_overlap", _cur.TEXT_CHUNK_SQL)(_cur.text_chunk_overlap)
 query("split_leakage_audit", _cur.SPLIT_LEAKAGE_SQL)(_cur.split_leakage_audit)
 query("emb_dim_minmax", _sim.EMB_DIM_MINMAX_SQL)(_sim.emb_dim_minmax)
 
+from .operators import auditing as _au  # noqa: E402
+
+query("approx_median_hist", _au.APPROX_MEDIAN_SQL)(_au.approx_median_hist)
+query("scd2_intervals", _au.SCD2_SQL)(_au.scd2_intervals)
+query("dq_constraint_audit", _au.DQ_AUDIT_SQL)(_au.dq_constraint_audit)
+query("skew_key_profile", _au.SKEW_PROFILE_SQL)(_au.skew_key_profile)
+
 
 # --------------------------------------------------------------------------
 # Structured Streaming surface (build plan M2/M3)

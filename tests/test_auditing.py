@@ -1,0 +1,80 @@
+"""Warehouse-ops tests: histogram median, SCD2, DQ audit, skew
+profile (operators/auditing.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_streaming_stream_analyzer_spark.operators import auditing as au
+from spark_streaming_stream_analyzer_spark.sources.tables import load_table
+
+
+def test_approx_median_within_half_bin(spark, sf_dir):
+    approx = {r["event_type"]: r for r in au.approx_median_hist(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile(c, 0.5)").alias("med_c"),
+            ((F.max("c") - F.min("c")) / au.HIST_BINS + 1).alias("w_ub"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, r in approx.items():
+        err_cents = abs(r["approx_median"] * 100 - exact[et]["med_c"])
+        assert err_cents <= exact[et]["w_ub"], et  # ≤ one bin width
+
+
+def test_scd2_intervals_chain(spark, sf_dir):
+    rows = au.scd2_intervals(spark, sf_dir).collect()
+    assert rows
+    by_user: dict[int, list] = {}
+    for r in rows:
+        assert r["user_id"] % au.SCD2_USER_MOD == 0
+        by_user.setdefault(r["user_id"], []).append(r)
+    for recs in by_user.values():
+        recs.sort(key=lambda r: (r["valid_from_us"], r["event_id"]))
+        for a, b in zip(recs, recs[1:]):
+            assert a["valid_to_us"] == b["valid_from_us"]  # gap-free chain
+        assert recs[-1]["valid_to_us"] is None  # open current row
+
+
+def test_dq_audit_planted_orphan(spark):
+    tables = {
+        "lineitem": spark.createDataFrame(
+            [(1, 10.0), (2, 10.0), (99, 10.0)], "l_orderkey long, l_quantity double"
+        ),
+        "orders": spark.createDataFrame(
+            [(1, 5), (1, 5), (2, None)],
+            "o_orderkey long, o_custkey int",
+        ),
+        "events": spark.createDataFrame([(-1.0,), (2.0,)], "value double"),
+    }
+    orig = au.load_table
+    au.load_table = lambda _s, _d, name: tables[name]
+    try:
+        out = {r["check_name"]: r for r in au.dq_constraint_audit(spark, "x").collect()}
+    finally:
+        au.load_table = orig
+    assert out["lineitem_orphan_orderkey"]["n_violations"] == 1  # key 99
+    assert out["orders_pk_unique"]["n_violations"] == 1          # dup key 1
+    assert out["orders_custkey_not_null"]["n_violations"] == 1
+    assert out["lineitem_quantity_range"]["n_violations"] == 0
+    assert out["events_value_nonnegative"]["n_violations"] == 1
+    assert out["lineitem_orphan_orderkey"]["n_checked"] == 3
+
+
+def test_skew_profile_ordering(spark, sf_dir):
+    rows = au.skew_key_profile(spark, sf_dir).collect()
+    assert len(rows) == au.SKEW_TOP_K
+    cnts = [r["cnt"] for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+    assert 0 < sum(r["share"] for r in rows) < 1.0
+    # deterministic tiebreak: equal counts ordered by key
+    for a, b in zip(rows, rows[1:]):
+        if a["cnt"] == b["cnt"]:
+            assert a["o_custkey"] < b["o_custkey"]
