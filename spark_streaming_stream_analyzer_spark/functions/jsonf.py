@@ -87,3 +87,79 @@ SELECT event_type, COUNT(*) AS n_rows, COUNT(rv) AS n_valid,
        CAST(SUM(CASE WHEN rv IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt
 FROM parsed GROUP BY event_type
 """
+
+
+def json_key_inventory(spark, sf_dir):
+    """Schema-drift monitor: inventory of JSON key paths across a
+    semi-structured column — per key, how many documents carry it and
+    its document share. The check that catches a producer silently
+    adding/dropping fields.
+
+    Fixture ``props`` is single-key, so variable-schema documents are
+    synthesized in-query (same CASE in both engines, keyed on
+    event_id): three producer generations with different key sets.
+    ``json_object_keys`` + explode is pure codegen; one hash-agg on
+    the key; the doc total broadcasts."""
+    from pyspark.sql import functions as F
+
+    from ..sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    base = F.concat(F.lit('{"k": '), json_str("props", "k"), F.lit("}"))
+    doc = (
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.concat(
+                F.lit('{"k": '), json_str("props", "k"),
+                F.lit(', "extra": "'), F.col("event_type"), F.lit('"}'),
+            ),
+        )
+        .when(
+            F.col("event_id") % 3 == 1,
+            F.concat(
+                F.lit('{"k": '), json_str("props", "k"),
+                F.lit(', "geo": "zz", "extra": "'),
+                F.col("event_type"), F.lit('"}'),
+            ),
+        )
+        .otherwise(base)
+    )
+    keys = ev.select(F.explode(F.json_object_keys(doc)).alias("key"))
+    tot = ev.agg(F.count("*").alias("n_docs_total"))
+    return (
+        keys.groupBy("key")
+        .agg(F.count("*").alias("n_docs"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "n_docs",
+            (
+                F.col("n_docs").cast("double")
+                / F.col("n_docs_total").cast("double")
+            ).alias("doc_share"),
+        )
+    )
+
+
+JSON_KEY_INVENTORY_SQL = """
+WITH docs AS (
+  SELECT CASE
+    WHEN event_id % 3 = 0
+      THEN '{"k": ' || json_extract_string(TRY_CAST(props AS JSON), '$.k')
+           || ', "extra": "' || event_type || '"}'
+    WHEN event_id % 3 = 1
+      THEN '{"k": ' || json_extract_string(TRY_CAST(props AS JSON), '$.k')
+           || ', "geo": "zz", "extra": "' || event_type || '"}'
+    ELSE '{"k": ' || json_extract_string(TRY_CAST(props AS JSON), '$.k') || '}'
+  END AS doc
+  FROM events
+),
+keys AS (
+  SELECT unnest(json_keys(TRY_CAST(doc AS JSON))) AS key FROM docs
+),
+tot AS (SELECT COUNT(*) AS n_docs_total FROM docs)
+SELECT key, COUNT(*) AS n_docs,
+       CAST(COUNT(*) AS DOUBLE) / CAST(MAX(n_docs_total) AS DOUBLE) AS doc_share
+FROM keys CROSS JOIN tot
+GROUP BY key
+"""

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from ..functions.exact import cents_dec, sum_money
 from ..sources.tables import load_table
+from .relational import AGG_SESSION_SQL
 
 _D18 = "decimal(18,0)"
 _D38 = "decimal(38,0)"
@@ -865,4 +866,57 @@ SELECT t.word, CAST(t.exact_n AS BIGINT) AS exact_n,
        CAST(MIN(co.cnt) - t.exact_n AS BIGINT) AS overestimate
 FROM top_coords t JOIN counters co ON t.d = co.d AND t.bucket = co.bucket
 GROUP BY t.word, t.exact_n
+"""
+
+
+# ---------------------------------------------- bucketized interval join --
+
+_HOUR_US = 3_600_000_000
+HOT_HOURS_K = 5
+
+
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join, the scalable way: user sessions
+    (event-time intervals from ``relational.agg_session_window``)
+    joined to the corpus's HOT HOURS (top-5 busiest hour buckets) they
+    overlap. An interval×interval join is a quadratic trap; bucketing
+    one side to hour grain and keeping the other side tiny (a top-K
+    list) turns it into a broadcast theta-join — the inner side is K
+    rows, so Spark's BroadcastNestedLoopJoin is a map-side filter, no
+    shuffle of the session side beyond what sessionization itself
+    required."""
+    from .relational import agg_session_window
+
+    sessions = agg_session_window(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    hot = (
+        ev.select(F.expr(f"(ts DIV 1000) DIV {_HOUR_US}").alias("hour_bucket"))
+        .groupBy("hour_bucket")
+        .agg(F.count("*").alias("hour_events"))
+        .orderBy(F.col("hour_events").desc(), F.col("hour_bucket"))
+        .limit(HOT_HOURS_K)
+    )
+    cond = (
+        (F.col("hour_bucket") >= F.expr(f"session_start_us DIV {_HOUR_US}"))
+        & (F.col("hour_bucket") <= F.expr(f"(session_end_us - 1) DIV {_HOUR_US}"))
+    )
+    return sessions.join(F.broadcast(hot), cond).select(
+        "user_id", "session_start_us", "hour_bucket", "n_events", "hour_events"
+    )
+
+
+JOIN_INTERVAL_SQL = f"""
+WITH sessions AS ({AGG_SESSION_SQL.strip()}),
+hours AS (
+  SELECT epoch_us(ts) // {_HOUR_US} AS hour_bucket, COUNT(*) AS hour_events
+  FROM events GROUP BY 1
+),
+hot AS (
+  SELECT * FROM hours ORDER BY hour_events DESC, hour_bucket
+  LIMIT {HOT_HOURS_K}
+)
+SELECT s.user_id, s.session_start_us, h.hour_bucket, s.n_events, h.hour_events
+FROM sessions s JOIN hot h
+  ON h.hour_bucket BETWEEN s.session_start_us // {_HOUR_US}
+                       AND (s.session_end_us - 1) // {_HOUR_US}
 """

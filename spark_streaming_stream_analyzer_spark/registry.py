@@ -647,6 +647,8 @@ query("approx_median_hist", _au.APPROX_MEDIAN_SQL)(_au.approx_median_hist)
 query("scd2_intervals", _au.SCD2_SQL)(_au.scd2_intervals)
 query("dq_constraint_audit", _au.DQ_AUDIT_SQL)(_au.dq_constraint_audit)
 query("skew_key_profile", _au.SKEW_PROFILE_SQL)(_au.skew_key_profile)
+query("json_key_inventory", _jsonf.JSON_KEY_INVENTORY_SQL)(_jsonf.json_key_inventory)
+query("join_interval_overlap", _an.JOIN_INTERVAL_SQL)(_an.join_interval_overlap)
 
 
 # --------------------------------------------------------------------------
@@ -670,6 +672,7 @@ query("stream_batch_wordcount", _sp.STREAM_BATCH_WORDCOUNT_SQL)(
 )
 query("stream_session_window", _sp.STREAM_SESSION_SQL)(_sp.stream_session_window)
 query("stream_sliding_window", _sp.STREAM_SLIDING_SQL)(_sp.stream_sliding_window)
+query("stream_minute_rollup", _sp.STREAM_MINUTE_ROLLUP_SQL)(_sp.stream_minute_rollup)
 query("stream_foreachbatch_upsert", _sp.STREAM_UPSERT_SQL)(_sp.stream_foreachbatch_upsert)
 query("stream_dedup", _sp.STREAM_DEDUP_SQL)(_sp.stream_dedup)
 query("stream_dedup_watermark", _sp.STREAM_DEDUP_WM_SQL)(_sp.stream_dedup_watermark)

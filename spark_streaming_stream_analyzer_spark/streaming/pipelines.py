@@ -378,6 +378,43 @@ HAVING MIN(date_trunc('day', ts) - to_days(CAST(k AS INT))) + to_days(2)
 """
 
 
+def stream_minute_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CONTINUOUS counterpart of the batch rollup hierarchy
+    (``operators/curation.ts_rollup_hierarchy``'s minute tier):
+    1-minute tumbling windows under a 1 h watermark, append mode — the
+    state-evicting incremental materialization a live pipeline runs,
+    while the batch tiers backfill history. Emitted buckets (window
+    end ≤ final watermark) are bit-identical to the batch tier, which
+    the oracle's HAVING reproduces."""
+    events = events_file_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    with_ts = events.withColumn("ev_ts", F.timestamp_micros(F.expr("ts div 1000")))
+    rolled = (
+        with_ts.withWatermark("ev_ts", "1 hour")
+        .groupBy(F.window("ev_ts", "1 minute"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.expr("unix_micros(window.start) DIV 60000000").alias("bucket"),
+            (F.col("sum_cents").cast("double") / F.lit(100.0)).alias("sum_value"),
+            "n",
+        )
+    )
+    return _run_to_memory(rolled, output_mode="append")
+
+
+STREAM_MINUTE_ROLLUP_SQL = """
+SELECT epoch_us(ts) // 60000000 AS bucket,
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value,
+       COUNT(*) AS n
+FROM events
+GROUP BY 1
+HAVING (MIN(epoch_us(ts)) // 60000000 + 1) * 60000000
+         <= (SELECT epoch_us(max(ts) - INTERVAL 1 HOUR) FROM events)
+"""
+
+
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream–stream inner join with watermarks on both sides
     (SURVEY.md §2.2): each purchase event joined to the same user's

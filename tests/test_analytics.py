@@ -225,3 +225,40 @@ def test_cohort_retention_invariants(spark, sf_dir):
         # offset 0 is the cohort's own first week: everyone is active
         if r["week_offset"] == 0:
             assert r["n_active"] == r["cohort_size"]
+
+
+def test_json_key_inventory_shares(spark, sf_dir):
+    from spark_streaming_stream_analyzer_spark.functions.jsonf import (
+        json_key_inventory,
+    )
+    from spark_streaming_stream_analyzer_spark.sources.tables import load_table
+
+    out = {r["key"]: r for r in json_key_inventory(spark, sf_dir).collect()}
+    n = load_table(spark, sf_dir, "events").count()
+    assert set(out) == {"k", "extra", "geo"}
+    assert out["k"]["n_docs"] == n and out["k"]["doc_share"] == 1.0
+    # extra: event_id % 3 in {0,1}; geo: % 3 == 1 only
+    assert out["geo"]["n_docs"] < out["extra"]["n_docs"] < n
+
+
+def test_interval_overlap_sessions_hit_hot_hours(spark, sf_dir):
+    from spark_streaming_stream_analyzer_spark.operators.analytics import (
+        _HOUR_US,
+        HOT_HOURS_K,
+        join_interval_overlap,
+    )
+    from spark_streaming_stream_analyzer_spark.operators.relational import (
+        agg_session_window,
+    )
+
+    rows = join_interval_overlap(spark, sf_dir).collect()
+    assert rows
+    assert len({r["hour_bucket"] for r in rows}) <= HOT_HOURS_K
+    sess = {
+        (r["user_id"], r["session_start_us"]): r["session_end_us"]
+        for r in agg_session_window(spark, sf_dir).collect()
+    }
+    for r in rows:  # every emitted pair genuinely overlaps
+        end = sess[(r["user_id"], r["session_start_us"])]
+        assert r["session_start_us"] < (r["hour_bucket"] + 1) * _HOUR_US
+        assert end > r["hour_bucket"] * _HOUR_US
