@@ -920,3 +920,156 @@ FROM sessions s JOIN hot h
   ON h.hour_bucket BETWEEN s.session_start_us // {_HOUR_US}
                        AND (s.session_end_us - 1) // {_HOUR_US}
 """
+
+
+# ------------------------------------------------------- dyadic EWMA --
+
+EWMA_K = 16  #: events per user in the decay window
+
+
+def ts_ewma_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of the last 16
+    event values with decay 1/2 — computed ENTIRELY in int64.
+
+    EWMA is normally unportable across engines (powers of arbitrary
+    floats, order-dependent summation); with dyadic decay the weight
+    2^(15-k) is an integer shift, the weighted sum is an exact long,
+    and one final divide produces the double — bit-equal in any
+    IEEE engine. One window shuffle on user_id; weights/rank are
+    codegen'd expressions."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("c"),
+        )
+        .withColumn("k", F.row_number().over(w) - 1)
+        .filter(F.col("k") < EWMA_K)
+        .withColumn(
+            "wt", F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({EWMA_K - 1} - k AS INT))")
+        )
+    )
+    return ranked.groupBy("user_id").agg(
+        F.count("*").alias("n_used"),
+        (
+            F.sum(F.col("c") * F.col("wt")).cast("double")
+            / (F.sum("wt") * 100).cast("double")
+        ).alias("ewma_value"),
+    )
+
+
+TS_EWMA_SQL = f"""
+WITH ranked AS (
+  SELECT user_id,
+         CAST(round(value*100) AS BIGINT) AS c,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts) DESC, event_id DESC) - 1 AS k
+  FROM events
+),
+w AS (
+  SELECT user_id, c,
+         (CAST(1 AS BIGINT) << ({EWMA_K - 1} - k)) AS wt
+  FROM ranked WHERE k < {EWMA_K}
+)
+SELECT user_id, COUNT(*) AS n_used,
+       CAST(CAST(SUM(c * wt) AS BIGINT) AS DOUBLE)
+         / CAST(CAST(SUM(wt) AS BIGINT) * 100 AS DOUBLE) AS ewma_value
+FROM w GROUP BY 1
+"""
+
+
+# --------------------------------------------- incremental agg merge --
+
+
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view incremental maintenance, batch edition: the
+    standing per-type aggregate is refreshed by merging YESTERDAY'S
+    aggregate (all days before the latest) with TODAY'S delta (the
+    latest day only) — partials add; the base data is not rescanned.
+    The same merge algebra the streaming upsert sink and the rollup
+    hierarchy rely on; here the query emits the merged result NEXT TO
+    a from-scratch recompute so the equivalence is driver-checked
+    column-for-column.
+
+    Base/delta/full are three aggregates over one pushed-filter scan
+    each; the merge is a |types|-row full-outer join."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("ts DIV 86400000000000").alias("d"),
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    last_day = ev.agg(F.max("d").alias("dmax"))
+    tagged = ev.crossJoin(F.broadcast(last_day))
+    base = (
+        tagged.filter(F.col("d") < F.col("dmax"))
+        .groupBy("event_type")
+        .agg(F.sum("c").alias("s"), F.count("*").alias("n"))
+    )
+    delta = (
+        tagged.filter(F.col("d") == F.col("dmax"))
+        .groupBy("event_type")
+        .agg(F.sum("c").alias("s"), F.count("*").alias("n"))
+    )
+    merged = (
+        base.select("event_type", F.col("s").alias("bs"), F.col("n").alias("bn"))
+        .join(
+            delta.select(
+                "event_type", F.col("s").alias("ds"), F.col("n").alias("dn")
+            ),
+            "event_type",
+            "full_outer",
+        )
+        .select(
+            "event_type",
+            (F.coalesce("bs", F.lit(0)) + F.coalesce("ds", F.lit(0))).alias("ms"),
+            (F.coalesce("bn", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n"),
+        )
+    )
+    full = tagged.groupBy("event_type").agg(
+        F.sum("c").alias("fs"), F.count("*").alias("n_full")
+    )
+    return merged.join(full, "event_type").select(
+        "event_type",
+        "n",
+        (F.col("ms").cast("double") / F.lit(100.0)).alias("sum_value"),
+        "n_full",
+        (F.col("fs").cast("double") / F.lit(100.0)).alias("sum_value_full"),
+    )
+
+
+INCREMENTAL_MERGE_SQL = """
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+         CAST(round(value*100) AS BIGINT) AS c
+  FROM events
+),
+dmax AS (SELECT MAX(d) AS dmax FROM ev),
+base AS (
+  SELECT event_type, CAST(SUM(c) AS BIGINT) AS s, COUNT(*) AS n
+  FROM ev CROSS JOIN dmax WHERE d < dmax GROUP BY 1
+),
+delta AS (
+  SELECT event_type, CAST(SUM(c) AS BIGINT) AS s, COUNT(*) AS n
+  FROM ev CROSS JOIN dmax WHERE d = dmax GROUP BY 1
+),
+merged AS (
+  SELECT COALESCE(b.event_type, dl.event_type) AS event_type,
+         COALESCE(b.s, 0) + COALESCE(dl.s, 0) AS ms,
+         COALESCE(b.n, 0) + COALESCE(dl.n, 0) AS n
+  FROM base b FULL OUTER JOIN delta dl ON b.event_type = dl.event_type
+),
+full_agg AS (
+  SELECT event_type, CAST(SUM(c) AS BIGINT) AS fs, COUNT(*) AS n_full
+  FROM ev GROUP BY 1
+)
+SELECT m.event_type, m.n,
+       CAST(m.ms AS DOUBLE) / 100.0 AS sum_value,
+       f.n_full,
+       CAST(f.fs AS DOUBLE) / 100.0 AS sum_value_full
+FROM merged m JOIN full_agg f ON m.event_type = f.event_type
+"""

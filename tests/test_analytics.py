@@ -262,3 +262,44 @@ def test_interval_overlap_sessions_hit_hot_hours(spark, sf_dir):
         end = sess[(r["user_id"], r["session_start_us"])]
         assert r["session_start_us"] < (r["hour_bucket"] + 1) * _HOUR_US
         assert end > r["hour_bucket"] * _HOUR_US
+
+
+def test_ewma_matches_python_fold(spark, sf_dir):
+    from spark_streaming_stream_analyzer_spark.operators.analytics import (
+        EWMA_K,
+        ts_ewma_recent,
+    )
+    from spark_streaming_stream_analyzer_spark.sources.tables import load_table
+
+    got = {r["user_id"]: r for r in ts_ewma_recent(spark, sf_dir).collect()}
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert set(got) == set(by_user)
+    for uid, rows in by_user.items():
+        rows.sort(key=lambda r: (-r["ts"], -r["event_id"]))
+        recent = rows[:EWMA_K]
+        num = sum(
+            round(r["value"] * 100) * (1 << (EWMA_K - 1 - k))
+            for k, r in enumerate(recent)
+        )
+        den = sum(1 << (EWMA_K - 1 - k) for k in range(len(recent)))
+        assert got[uid]["n_used"] == len(recent)
+        assert got[uid]["ewma_value"] == num / (den * 100)
+
+
+def test_incremental_merge_equals_full(spark, sf_dir):
+    from spark_streaming_stream_analyzer_spark.operators.analytics import (
+        incremental_agg_merge,
+    )
+
+    rows = incremental_agg_merge(spark, sf_dir).collect()
+    assert rows
+    for r in rows:  # merged partials == from-scratch recompute
+        assert r["n"] == r["n_full"]
+        assert r["sum_value"] == r["sum_value_full"]
