@@ -551,3 +551,109 @@ SELECT cluster_id, doc_id AS best_doc_id, quality_score AS best_score,
        n_members
 FROM ranked WHERE rn = 1
 """
+
+
+# ------------------------------------------------ fuzzy word pairs --
+
+#: deletion-key blocks larger than this are dropped (same skew
+#: discipline as dedup.SHINGLE_DF_CAP / LSH_BUCKET_CAP)
+FUZZY_BLOCK_CAP = 256
+
+
+def fuzzy_pairs_symdelete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 word pairs via SYMMETRIC-DELETE blocking
+    (SymSpell): each word's candidate key set is itself plus every
+    single-character deletion; two words within edit distance 1 always
+    share a key, so candidates come from an equi-join on the key and
+    only candidates pay the levenshtein verify. The all-pairs
+    levenshtein join this replaces is quadratic in vocabulary size;
+    this is linear in Σ|word| with a capped block size.
+
+    The fixture vocabulary has no natural typos, so deterministic
+    variants (2nd character dropped from words of length ≥ 4) are
+    planted identically in both engines — the assertion is that
+    BLOCKING finds exactly the true pairs, never that typos exist.
+    Output carries corpus frequency of both sides (the signal used to
+    pick the canonical spelling)."""
+    docs = load_table_cpu(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias("w")
+    )
+    freq = words.groupBy("w").agg(F.count("*").alias("freq"))
+    planted = freq.filter(F.length("w") >= 4).select(
+        F.expr("concat(substr(w, 1, 1), substr(w, 3))").alias("w"),
+        F.lit(0).cast("long").alias("freq"),
+    )
+    vocab = (
+        freq.unionByName(planted)
+        .groupBy("w")
+        .agg(F.max("freq").alias("freq"))
+    )
+    keyed = vocab.select(
+        "w",
+        "freq",
+        F.explode(
+            F.array_union(
+                F.array(F.col("w")),
+                F.expr(
+                    "transform(sequence(1, length(w)),"
+                    " i -> concat(substr(w, 1, i-1), substr(w, i+1)))"
+                ),
+            )
+        ).alias("k"),
+    )
+    hot = (
+        keyed.groupBy("k")
+        .agg(F.count("*").alias("members"))
+        .filter(F.col("members") > FUZZY_BLOCK_CAP)
+        .select("k")
+    )
+    capped = keyed.join(F.broadcast(hot), "k", "left_anti")
+    a = capped.select(
+        F.col("w").alias("word_a"), F.col("freq").alias("freq_a"), "k"
+    )
+    b = capped.select(
+        F.col("w").alias("word_b"), F.col("freq").alias("freq_b"), "k"
+    )
+    return (
+        a.join(b, "k")
+        .filter(F.col("word_a") < F.col("word_b"))
+        .select("word_a", "word_b", "freq_a", "freq_b")
+        .distinct()
+        .filter(F.levenshtein("word_a", "word_b") == 1)
+    )
+
+
+FUZZY_PAIRS_SQL = f"""
+WITH words AS (
+  SELECT unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+  FROM documents
+),
+freq AS (SELECT w, COUNT(*) AS freq FROM words GROUP BY 1),
+planted AS (
+  SELECT substr(w, 1, 1) || substr(w, 3) AS w, CAST(0 AS BIGINT) AS freq
+  FROM freq WHERE length(w) >= 4
+),
+vocab AS (
+  SELECT w, MAX(freq) AS freq FROM (
+    SELECT * FROM freq UNION ALL SELECT * FROM planted
+  ) u GROUP BY 1
+),
+keyed AS (
+  SELECT w, freq, unnest(list_prepend(w,
+           list_transform(range(1, length(w) + 1),
+             i -> substr(w, 1, i - 1) || substr(w, i + 1)))) AS k
+  FROM vocab
+),
+blocks AS (
+  SELECT k FROM keyed GROUP BY k HAVING COUNT(*) <= {FUZZY_BLOCK_CAP}
+),
+capped AS (SELECT keyed.* FROM keyed JOIN blocks ON keyed.k = blocks.k),
+cand AS (
+  SELECT DISTINCT a.w AS word_a, b.w AS word_b,
+         a.freq AS freq_a, b.freq AS freq_b
+  FROM capped a JOIN capped b ON a.k = b.k AND a.w < b.w
+)
+SELECT word_a, word_b, freq_a, freq_b
+FROM cand WHERE levenshtein(word_a, word_b) = 1
+"""

@@ -182,3 +182,49 @@ def test_emb_dim_minmax_shape(spark, sf_dir):
     for r in rows:
         assert r["min_v"] <= r["max_v"]
         assert r["range_v"] == r["max_v"] - r["min_v"]
+
+
+def test_fuzzy_symdelete_finds_planted_typos(spark, sf_dir):
+    from spark_streaming_stream_analyzer_spark.sources.tables import load_table_cpu
+
+    pairs = {
+        (r["word_a"], r["word_b"]): r
+        for r in cur.fuzzy_pairs_symdelete(spark, sf_dir).collect()
+    }
+    assert pairs
+    docs = load_table_cpu(spark, sf_dir, "documents").collect()
+    vocab = sorted({w for r in docs for w in r["text"].split() if w})
+    freq: dict[str, int] = {}
+    for r in docs:
+        for w in r["text"].split():
+            if w:
+                freq[w] = freq.get(w, 0) + 1
+    # every planted variant (2nd char dropped, len>=4) must pair with
+    # its source word — blocking is not allowed to miss any
+    for w in vocab:
+        if len(w) >= 4:
+            v = w[0] + w[2:]
+            key = (min(w, v), max(w, v))
+            assert key in pairs, f"missing planted pair {key}"
+            r = pairs[key]
+            fa = freq.get(r["word_a"], 0)
+            fb = freq.get(r["word_b"], 0)
+            assert {r["freq_a"], r["freq_b"]} == {fa, fb}
+    # no false positives: levenshtein of every emitted pair is 1
+    import itertools
+
+    def lev1(a: str, b: str) -> bool:
+        if a == b or abs(len(a) - len(b)) > 1:
+            return False
+        la, lb = len(a), len(b)
+        dp = list(range(lb + 1))
+        for i in range(1, la + 1):
+            prev, dp[0] = dp[0], i
+            for j in range(1, lb + 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1])
+                )
+        return dp[lb] == 1
+
+    for a, b in pairs:
+        assert lev1(a, b), (a, b)
