@@ -653,6 +653,11 @@ query("ts_ewma_recent", _an.TS_EWMA_SQL)(_an.ts_ewma_recent)
 query("incremental_agg_merge", _an.INCREMENTAL_MERGE_SQL)(_an.incremental_agg_merge)
 query("fuzzy_pairs_symdelete", _cur.FUZZY_PAIRS_SQL)(_cur.fuzzy_pairs_symdelete)
 
+from .operators import graph as _gr  # noqa: E402
+
+query("graph_pagerank_exact", _gr.GRAPH_PAGERANK_SQL)(_gr.graph_pagerank_exact)
+query("graph_degree_histogram", _gr.GRAPH_DEGREE_SQL)(_gr.graph_degree_histogram)
+
 
 # --------------------------------------------------------------------------
 # Structured Streaming surface (build plan M2/M3)
