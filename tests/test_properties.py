@@ -164,3 +164,67 @@ def test_session_window_matches_manual_islands(spark, rows):
             prev = t
         exp[(u, start, prev + gap_us)] = n
     assert got == exp
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=60),
+    st.integers(1, 3),
+)
+def test_pack_binning_matches_python_fold(spark, tok_counts, n_sources):
+    """pack_token_budget must equal the sequential concat-then-chunk
+    fold for any token-length layout: contiguous doc ranges per bin,
+    bins keyed by first-token offset, totals preserved."""
+    from spark_streaming_stream_analyzer_spark.operators import packing as pk
+
+    rows = [
+        (i, " ".join(f"t{j}" for j in range(n)), f"s{i % n_sources}")
+        for i, n in enumerate(tok_counts)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    orig = pk.load_table_cpu
+    pk.load_table_cpu = lambda *_: df
+    try:
+        got = {
+            (r["source"], r["bin"]): (r["n_docs"], r["sum_tokens"], r["first_doc"], r["last_doc"])
+            for r in pk.pack_token_budget(spark, "x").collect()
+        }
+    finally:
+        pk.load_table_cpu = orig
+    expect: dict = {}
+    per_src: dict = {}
+    for i, n in enumerate(tok_counts):
+        src = f"s{i % n_sources}"
+        off = per_src.get(src, 0)
+        b = off // pk.PACK_BUDGET
+        nd, tok, fd, ld = expect.get((src, b), (0, 0, i, i))
+        expect[(src, b)] = (nd + 1, tok + n, min(fd, i), max(ld, i))
+        per_src[src] = off + n
+    assert got == expect
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.integers(min_value=-50_000, max_value=50_000),
+                min_size=3, max_size=120))
+def test_hist_median_error_bound(spark, cents_vals):
+    """approx_median_hist's estimate is within one bin width of the
+    true median for arbitrary value layouts (the sketch's contract)."""
+    from spark_streaming_stream_analyzer_spark.operators import auditing as au
+
+    rows = [(0, 0, "e", c / 100.0, "{}") for c in cents_vals]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double, props string"
+    )
+    # auditing.load_table serves events; ts column unused by the op?
+    # it is not selected, so a ts-less frame is fine
+    orig = au.load_table
+    au.load_table = lambda *_: df
+    try:
+        got = au.approx_median_hist(spark, "x").collect()[0]
+    finally:
+        au.load_table = orig
+    svals = sorted(cents_vals)
+    true_med = svals[(len(svals) - 1) // 2]  # lower median
+    w = (max(cents_vals) - min(cents_vals)) // au.HIST_BINS + 1
+    assert abs(got["approx_median"] * 100 - true_med) <= w + 0.51
+    assert got["n"] == len(cents_vals)
