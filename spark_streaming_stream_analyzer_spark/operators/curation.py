@@ -134,7 +134,9 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Production decontamination uses longer n-grams (8-13); the shared
     3-gram tier keeps the fixture universe identical to the dedup
     oracles (``dedup.py:_shingles``)."""
-    sh = _shingles(spark, sf_dir)
+    # three consumers (bench probe, per-doc totals, hit join) — one
+    # checkpointed shingle pass instead of three raw document scans
+    sh = _shingles(spark, sf_dir).localCheckpoint(eager=False)
     bench = sh.filter(F.col("doc_id") < N_BENCH_DOCS).select(
         F.col("doc_id").alias("bench_id"), "shingle"
     )
@@ -425,15 +427,21 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out so the join cannot square)."""
     from .dedup import SHINGLE_DF_CAP
 
-    sh = _shingles(spark, sf_dir)
+    # one raw shingle pass: the exploded table feeds the df-cap AND the
+    # capped projection, and the capped (doc, hash) longs feed train
+    # and test sides — checkpoint both so the documents scan runs once
+    # instead of four times (caught by the full-registry plan audit)
+    sh = _shingles(spark, sf_dir).localCheckpoint(eager=False)
     hot = (
         sh.groupBy("shingle")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") > SHINGLE_DF_CAP)
         .select("shingle")
     )
-    capped = sh.join(F.broadcast(hot), "shingle", "left_anti").select(
-        "doc_id", hash64(F.col("shingle")).alias("sh")
+    capped = (
+        sh.join(F.broadcast(hot), "shingle", "left_anti")
+        .select("doc_id", hash64(F.col("shingle")).alias("sh"))
+        .localCheckpoint(eager=False)
     )
     bucket = F.pmod(
         hash64(F.concat(F.lit("sp#"), F.col("doc_id").cast("string"))), F.lit(100)
@@ -589,6 +597,9 @@ def fuzzy_pairs_symdelete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.max("freq").alias("freq"))
     )
+    # checkpoint the (vocab-sized) key table: it feeds the block-size
+    # cap and BOTH self-join sides — without this the corpus word scan
+    # re-runs four times (caught by the full-registry plan audit)
     keyed = vocab.select(
         "w",
         "freq",
@@ -601,14 +612,16 @@ def fuzzy_pairs_symdelete(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("k"),
-    )
+    ).localCheckpoint(eager=False)
     hot = (
         keyed.groupBy("k")
         .agg(F.count("*").alias("members"))
         .filter(F.col("members") > FUZZY_BLOCK_CAP)
         .select("k")
     )
-    capped = keyed.join(F.broadcast(hot), "k", "left_anti")
+    capped = keyed.join(F.broadcast(hot), "k", "left_anti").localCheckpoint(
+        eager=False
+    )
     a = capped.select(
         F.col("w").alias("word_a"), F.col("freq").alias("freq_a"), "k"
     )
