@@ -693,8 +693,9 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The map is built per-row from scalar columns, read back via
     element_at, and introspected — the shapes a metadata/properties
     column needs. Output is flattened to plain columns so the oracle
-    compares engine-portably (DuckDB map extraction yields a list;
-    the SQL mirror unwraps it).
+    compares engine-portably: the key list is rendered via array_join
+    (the external driver's canonicalizer cannot hash array cells —
+    round-2 red row), keeping every output column scalar.
     """
     ev = load_table(spark, sf_dir, "events")
     m = F.create_map(
@@ -705,7 +706,7 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.element_at(m, "type").alias("type_val"),
         F.element_at(m, "user").alias("user_val"),
-        F.map_keys(m).alias("keys"),
+        F.array_join(F.map_keys(m), ",").alias("keys_joined"),
         F.size(m).alias("n_entries"),
     )
 
@@ -714,7 +715,7 @@ MAP_FUNCS_SQL = """
 SELECT event_id,
        MAP(['type','user'], [event_type, CAST(user_id AS VARCHAR)])['type'][1] AS type_val,
        MAP(['type','user'], [event_type, CAST(user_id AS VARCHAR)])['user'][1] AS user_val,
-       map_keys(MAP(['type','user'], [event_type, CAST(user_id AS VARCHAR)])) AS keys,
+       array_to_string(map_keys(MAP(['type','user'], [event_type, CAST(user_id AS VARCHAR)])), ',') AS keys_joined,
        CAST(cardinality(MAP(['type','user'], [event_type, CAST(user_id AS VARCHAR)])) AS INT) AS n_entries
 FROM events
 """
