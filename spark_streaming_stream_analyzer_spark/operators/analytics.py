@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.exact import cents_dec, sum_money
-from ..sources.tables import load_table
+from ..sources.tables import load_table, ts_micros, ts_timestamp
 from .relational import AGG_SESSION_SQL
 
 _D18 = "decimal(18,0)"
@@ -361,7 +361,7 @@ def agg_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_type). The same body runs under a watermark as
     ``streaming/pipelines.stream_sliding_window``."""
     ev = load_table(spark, sf_dir, "events")
-    with_ts = ev.withColumn("ev_ts", F.timestamp_micros(F.expr("ts div 1000")))
+    with_ts = ev.withColumn("ev_ts", ts_timestamp(ev))
     return (
         with_ts.groupBy(F.window("ev_ts", "2 days", "1 day"), "event_type")
         .agg(
@@ -684,11 +684,10 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned by the same key, one small final aggregate. The
     per-user tables are ~|users| rows, orders of magnitude under the
     event count; nothing driver-sized anywhere."""
-    ev = load_table(spark, sf_dir, "events").select(
+    ev_raw = load_table(spark, sf_dir, "events")
+    ev = ev_raw.select(
         "user_id",
-        F.date_trunc(
-            "week", F.timestamp_micros(F.expr("ts DIV 1000"))
-        ).alias("week"),
+        F.date_trunc("week", ts_timestamp(ev_raw)).alias("week"),
     )
     user_weeks = ev.distinct()
     first = user_weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
@@ -890,7 +889,8 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions = agg_session_window(spark, sf_dir)
     ev = load_table(spark, sf_dir, "events")
     hot = (
-        ev.select(F.expr(f"(ts DIV 1000) DIV {_HOUR_US}").alias("hour_bucket"))
+        ev.select(ts_micros(ev).alias("us"))
+        .select(F.expr(f"us DIV {_HOUR_US}").alias("hour_bucket"))
         .groupBy("hour_bucket")
         .agg(F.count("*").alias("hour_events"))
         .orderBy(F.col("hour_events").desc(), F.col("hour_bucket"))
@@ -998,11 +998,12 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Base/delta/full are three aggregates over one pushed-filter scan
     each; the merge is a |types|-row full-outer join."""
-    ev = load_table(spark, sf_dir, "events").select(
+    ev_raw = load_table(spark, sf_dir, "events")
+    ev = ev_raw.select(
         "event_type",
-        F.expr("ts DIV 86400000000000").alias("d"),
+        ts_micros(ev_raw).alias("us"),
         F.round(F.col("value") * 100).cast("long").alias("c"),
-    )
+    ).select("event_type", F.expr("us DIV 86400000000").alias("d"), "c")
     last_day = ev.agg(F.max("d").alias("dmax"))
     tagged = ev.crossJoin(F.broadcast(last_day))
     base = (

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.exact import cents
-from ..sources.tables import load_table
+from ..sources.tables import load_table, ts_micros, ts_timestamp
 
 # ------------------------------------------------- histogram median --
 
@@ -135,7 +135,7 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("user_id") % SCD2_USER_MOD == 0
     )
-    us = F.expr("ts DIV 1000")
+    us = ts_micros(ev)
     w = Window.partitionBy("user_id").orderBy("valid_from_us", "event_id")
     return (
         ev.select("user_id", "event_id", us.alias("valid_from_us"), "value")

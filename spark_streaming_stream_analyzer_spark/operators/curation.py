@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ..functions.exact import cents
 from ..functions.hashing import hash64, hash64_sql
-from ..sources.tables import load_table, load_table_cpu
+from ..sources.tables import load_table, load_table_cpu, ts_micros
 from .dedup import _SHINGLES_SQL, _shingles
 from .textstats import TEXT_QUALITY_SQL, text_quality_score
 
@@ -257,7 +257,6 @@ WHERE len(regexp_extract_all(t, '{EMAIL_RE}')) > 0
 
 # ------------------------------------------------------ rollup hierarchy --
 
-_NS_PER_MIN = 60 * 1_000_000_000
 
 
 def ts_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -274,10 +273,8 @@ def ts_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     rendered as double once at the end."""
     ev = load_table(spark, sf_dir, "events")
     minute = (
-        ev.select(
-            F.expr(f"ts DIV {_NS_PER_MIN}").alias("bucket"),
-            cents("value").alias("c"),
-        )
+        ev.select(ts_micros(ev).alias("us"), cents("value").alias("c"))
+        .select(F.expr("us DIV 60000000").alias("bucket"), "c")
         .groupBy("bucket")
         .agg(F.sum("c").alias("sum_cents"), F.count("*").alias("n"))
         # materialize each tier it feeds from (union branch + next

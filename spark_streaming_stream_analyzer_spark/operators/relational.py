@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.exact import avg_money, cents, cents_dec, sum_money
-from ..sources.tables import load_table
+from ..sources.tables import load_table, ts_timestamp
 
 
 def _disc_price_cents2(ext, disc):
@@ -266,13 +266,11 @@ def join_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side combine. Tiebreak on o_orderkey makes ties deterministic.
     `ts` arrives as bigint nanos (parquet NANOS) → convert to seconds.
     """
-    ev = load_table(spark, sf_dir, "events").select(
+    ev_raw = load_table(spark, sf_dir, "events")
+    ev = ev_raw.select(
         "event_id",
         "user_id",
-        # integer DIV, not /1e9: float division loses ~256 ns at
-        # epoch-nanosecond magnitude, enough to flip a row exactly on
-        # an order-date midnight boundary
-        F.timestamp_micros(F.expr("ts DIV 1000")).alias("ev_ts"),
+        ts_timestamp(ev_raw).alias("ev_ts"),
     )
     od = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
@@ -789,9 +787,7 @@ def agg_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     on user_id.
     """
     ev = load_table(spark, sf_dir, "events")
-    # nanos → micros via integer DIV: ts ≈ 1.7e18 exceeds double's 2^53
-    # mantissa, so a float divide would corrupt microseconds
-    ts = F.timestamp_micros(F.expr("ts DIV 1000"))
+    ts = ts_timestamp(ev)
     return (
         ev.select("user_id", ts.alias("ev_ts"))
         .groupBy("user_id", F.session_window("ev_ts", f"{SESSION_GAP_MIN} minutes"))
@@ -1095,7 +1091,7 @@ def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     window pass per user ordered by day. Daily means are exact-cents.
     """
     ev = load_table(spark, sf_dir, "events")
-    day = F.to_date(F.timestamp_micros(F.expr("ts DIV 1000")))
+    day = F.to_date(ts_timestamp(ev))
     daily = (
         ev.select("user_id", day.alias("day"), "value")
         .groupBy("user_id", "day")

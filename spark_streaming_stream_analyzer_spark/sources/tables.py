@@ -17,7 +17,8 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLE_NAMES = (
     "region",
@@ -46,6 +47,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def ts_timestamp(df: DataFrame, col: str = "ts") -> Column:
+    """``events.ts`` as a proper TIMESTAMP, whatever the fixture
+    vintage: older fixtures carry parquet TIMESTAMP(NANOS) read as a
+    bigint of epoch-nanos (``nanosAsLong``), current ones a native
+    timestamp[us] (read as TIMESTAMP_NTZ). Integer DIV for the nanos
+    branch: ts ≈ 1.7e18 exceeds double's 2^53 mantissa, so a float
+    divide would corrupt microseconds. The NTZ branch casts through
+    the session timezone, which ``load_table`` pins to UTC."""
+    dt = dict(df.dtypes).get(col)
+    if dt == "bigint":
+        return F.timestamp_micros(F.expr(f"{col} DIV 1000"))
+    return F.col(col).cast("timestamp")
+
+
+def ts_micros(df: DataFrame, col: str = "ts") -> Column:
+    """``events.ts`` as bigint epoch-microseconds (both vintages) —
+    the integer form every exact-arithmetic operator and the DuckDB
+    oracle's ``epoch_us(ts)`` agree on."""
+    dt = dict(df.dtypes).get(col)
+    if dt == "bigint":
+        return F.expr(f"{col} DIV 1000")
+    return F.unix_micros(F.col(col).cast("timestamp"))
 
 
 def load_table_cpu(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -41,8 +41,14 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..operators.stats import stat_aggs, stats_oracle_sql
-from ..sources.tables import load_table
+from ..sources.tables import load_table, ts_micros, ts_timestamp
 
+# Schema of the OLDER events fixture vintage (parquet TIMESTAMP(NANOS)
+# read as a bigint of epoch-nanos under ``nanosAsLong``). Kept for
+# tests that synthesize long-ts event files; the streaming sources
+# below no longer assume it — they infer the schema from the actual
+# parquet footer, so a native timestamp[us] fixture streams with a
+# real timestamp column.
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -93,15 +99,23 @@ def _stage_stream_dir(*files: str) -> str:
     return d
 
 
-def events_file_stream(spark: SparkSession, path: str) -> DataFrame:
+def events_file_stream(
+    spark: SparkSession, path: str, copies: int = 1
+) -> DataFrame:
     """File-based streaming source over the events fixture — the test
     stand-in for the Kafka receiver (op #1), one file per micro-batch.
-    ``path`` may be a single parquet file (staged into a dir) or a dir."""
+    ``path`` may be a single parquet file (staged into a dir) or a dir.
+    ``copies`` stages the same file N times (N micro-batches) for
+    replay-shaped tests. The stream schema is read from the parquet
+    footer, so both fixture vintages (bigint-nanos ts / native
+    timestamp[us]) stream with their true column types."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(path).schema
     if os.path.isfile(path):
-        path = _stage_stream_dir(path)
+        path = _stage_stream_dir(*([path] * copies))
     return (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(path)
     )
@@ -212,7 +226,7 @@ def stream_windowed_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = events_file_stream(spark, os.path.join(sf_dir, "events.parquet"))
     # ns → µs with integer division (double division loses ulps at
     # epoch-nanosecond magnitude)
-    with_ts = events.withColumn("ev_ts", F.timestamp_micros(F.expr("ts div 1000")))
+    with_ts = events.withColumn("ev_ts", ts_timestamp(events))
     counts = (
         with_ts.withWatermark("ev_ts", "1 hour")
         .groupBy(F.window("ev_ts", "1 day"), F.col("event_type"))
@@ -293,7 +307,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.relational import SESSION_GAP_MIN
 
     events = events_file_stream(spark, os.path.join(sf_dir, "events.parquet"))
-    with_ts = events.withColumn("ev_ts", F.timestamp_micros(F.expr("ts div 1000")))
+    with_ts = events.withColumn("ev_ts", ts_timestamp(events))
     sessions = (
         with_ts.withWatermark("ev_ts", f"{SESSION_WM_HOURS} hour")
         .groupBy(
@@ -348,7 +362,7 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     − 1 h), reproduced in the oracle's HAVING. Batch twin:
     ``operators/analytics.agg_sliding_window``."""
     events = events_file_stream(spark, os.path.join(sf_dir, "events.parquet"))
-    with_ts = events.withColumn("ev_ts", F.timestamp_micros(F.expr("ts div 1000")))
+    with_ts = events.withColumn("ev_ts", ts_timestamp(events))
     counts = (
         with_ts.withWatermark("ev_ts", "1 hour")
         .groupBy(F.window("ev_ts", "2 days", "1 day"), "event_type")
@@ -387,7 +401,7 @@ def stream_minute_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     end ≤ final watermark) are bit-identical to the batch tier, which
     the oracle's HAVING reproduces."""
     events = events_file_stream(spark, os.path.join(sf_dir, "events.parquet"))
-    with_ts = events.withColumn("ev_ts", F.timestamp_micros(F.expr("ts div 1000")))
+    with_ts = events.withColumn("ev_ts", ts_timestamp(events))
     rolled = (
         with_ts.withWatermark("ev_ts", "1 hour")
         .groupBy(F.window("ev_ts", "1 minute"))
@@ -429,7 +443,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts to keep the result compact.
     """
     base = events_file_stream(spark, os.path.join(sf_dir, "events.parquet"))
-    with_ts = base.withColumn("ev_ts", F.timestamp_micros(F.expr("ts div 1000")))
+    with_ts = base.withColumn("ev_ts", ts_timestamp(base))
     purchases = (
         with_ts.filter(F.col("event_type") == "purchase")
         .withWatermark("ev_ts", "1 hour")
@@ -569,12 +583,8 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     within event-time windows. The unbounded form here matches the
     oracle exactly.
     """
-    path = os.path.join(sf_dir, "events.parquet")
-    src = _stage_stream_dir(path, path)
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
+    stream = events_file_stream(
+        spark, os.path.join(sf_dir, "events.parquet"), copies=2
     )
     deduped = stream.select("event_id", "event_type", "value").dropDuplicates(
         ["event_id"]
@@ -602,7 +612,7 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch flushes them. Oracle = batch left join (0 clicks for the
     unmatched)."""
     base = events_file_stream(spark, os.path.join(sf_dir, "events.parquet"))
-    with_ts = base.withColumn("ev_ts", F.timestamp_micros(F.expr("ts div 1000")))
+    with_ts = base.withColumn("ev_ts", ts_timestamp(base))
     purchases = (
         with_ts.filter(F.col("event_type") == "purchase")
         .withWatermark("ev_ts", "1 hour")
@@ -675,15 +685,11 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     span, so no duplicate escapes eviction here and the result equals
     the batch distinct; in production the delay is the dedup horizon.
     """
-    path = os.path.join(sf_dir, "events.parquet")
-    src = _stage_stream_dir(path, path)
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
+    stream = events_file_stream(
+        spark, os.path.join(sf_dir, "events.parquet"), copies=2
     )
     deduped = (
-        stream.withColumn("ev_ts", F.timestamp_micros(F.expr("ts div 1000")))
+        stream.withColumn("ev_ts", ts_timestamp(stream))
         .withWatermark("ev_ts", "40 days")
         .dropDuplicatesWithinWatermark(["event_id"])
     )
@@ -801,18 +807,14 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     The fixture is staged twice, so every key arrives in two batches
     and the merge's last-writer-wins discipline is what the oracle
     checks: the final store equals the batch latest-per-key query."""
-    path = os.path.join(sf_dir, "events.parquet")
-    src = _stage_stream_dir(path, path)
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
+    stream = events_file_stream(
+        spark, os.path.join(sf_dir, "events.parquet"), copies=2
     )
     store: dict[int, tuple] = {}
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         latest = (
-            batch_df.withColumn("us", F.expr("ts div 1000"))
+            batch_df.withColumn("us", ts_micros(batch_df))
             .groupBy("user_id")
             .agg(F.max(F.struct("us", "event_id", "value")).alias("s"))
             .select("user_id", "s.us", "s.event_id", "s.value")

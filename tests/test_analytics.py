@@ -187,14 +187,14 @@ def test_stream_upsert_equals_batch_latest(spark, sf_dir):
         for r in registry.QUERIES["stream_foreachbatch_upsert"](spark, sf_dir).collect()
     }
     ev = load_table(spark, sf_dir, "events")
+    from spark_streaming_stream_analyzer_spark.sources.tables import ts_micros
+
     rn = F.row_number().over(
-        W.partitionBy("user_id").orderBy(
-            F.desc(F.expr("ts div 1000")), F.desc("event_id")
-        )
+        W.partitionBy("user_id").orderBy(F.desc("us"), F.desc("event_id"))
     )
     want = {
         r["user_id"]: (r["us"], r["event_id"], r["value"])
-        for r in ev.withColumn("us", F.expr("ts div 1000"))
+        for r in ev.withColumn("us", ts_micros(ev))
         .withColumn("rn", rn)
         .filter(F.col("rn") == 1)
         .collect()
@@ -282,7 +282,8 @@ def test_ewma_matches_python_fold(spark, sf_dir):
         by_user.setdefault(r["user_id"], []).append(r)
     assert set(got) == set(by_user)
     for uid, rows in by_user.items():
-        rows.sort(key=lambda r: (-r["ts"], -r["event_id"]))
+        # ts may be a datetime (timestamp fixture) or int (ns fixture)
+        rows.sort(key=lambda r: (r["ts"], r["event_id"]), reverse=True)
         recent = rows[:EWMA_K]
         num = sum(
             round(r["value"] * 100) * (1 << (EWMA_K - 1 - k))

@@ -93,7 +93,7 @@ def test_q6_matches_unfiltered_recompute(spark, sf_dir):
 def test_map_funcs_roundtrip(spark, sf_dir):
     out = registry.QUERIES["map_funcs"](spark, sf_dir).limit(5).collect()
     for r in out:
-        assert r["keys"] == ["type", "user"]
+        assert r["keys_joined"] == "type,user"
         assert r["n_entries"] == 2
         assert r["type_val"] is not None
 

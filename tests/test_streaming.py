@@ -94,7 +94,9 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     rows2 = [(2, 0 * day + 1, 1, "a", 1.0, "{}")]  # day 0: very late
     src = _write_event_files(spark, str(tmp_path), [rows1, rows2])
     stream = events_file_stream(spark, src)
-    with_ts = stream.withColumn("ev_ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from spark_streaming_stream_analyzer_spark.sources.tables import ts_timestamp
+
+    with_ts = stream.withColumn("ev_ts", ts_timestamp(stream))
     counts = (
         with_ts.withWatermark("ev_ts", "1 hour")
         .groupBy(F.window("ev_ts", "1 day"))
