@@ -722,65 +722,67 @@ except ImportError:
 # (which always runs all of them).
 
 _VERIFY_FIRST: list[str] = [
-    # round-1 red rows, output shape fixed this round — must re-verify
-    "proj_wrap_array",
-    "agg_collect_ordered",
-    # M5 dedup tier (driver-unverified in round 1)
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_cluster_keep",
-    "dedup_embedding_cosine",
-    "pipeline_dedup_filter",
-    # M5 similarity tier (sim_kmeans_cells / sim_ivf_kmeans_topk are
-    # rows-only checks — deferred to the round-3 rotation in favor of
-    # the value-oracled recall query that exercises both tiers)
-    "sim_topk_cosine",
-    "sim_ivf_topk",
-    "embedding_norms",
-    "sim_ivf_recall",
-    # M5 text tier
-    "lang_id_ngram",
-    "text_quality_score",
-    "token_count",
-    "doc_fingerprint",
-    "pipeline_docs_prep",
-    "doc_winnowing",
-    "text_bigram_freq",
-    "text_normalize",
-    # M5 multimodal tier
-    "mm_binary_meta",
-    "mm_feature_extract",
-    "mm_frame_sample",
-    "mm_resize",
-    # streaming surface (entirely unverified in round 1)
-    "trigger_microbatch_2s",
-    "ckpt_state_dir",
-    "stream_running_stats",
-    "stream_windowed_wordcount",
-    "stream_static_join",
-    "stream_stream_join",
-    "stream_batch_wordcount",
-    "stream_session_window",
-    "stream_dedup",
-    "stream_dedup_watermark",
-    "stream_stream_left_join",
-    "stream_file_sink",
-    "stream_kafka_pipeline",
-    "stream_stats_exact_state",
-    "stream_stats_heartbeat",
-    # unverified relational / function-pack shapes (VERDICT.md names)
-    "map_funcs",
-    "null_handling",
-    "json_corrupt_policy",
-    "approx_distinct_portable",
-    "udf_surface",
-    "join_range_price_band",
+    # Round-4 rotation. Slots 1-5: the five queries broken by the
+    # fixture's ts-type change (native timestamp[us]), fixed this
+    # round — must flip red→green in CORRECTNESS_r04. The rest are
+    # queries with no CORRECTNESS row in any round yet (the driver
+    # checks the FIRST 50 queries() entries per round); ~28 more
+    # never-verified queries remain for the round-5 rotation.
     "agg_session_window",
-    "agg_corr_covar",
-    "agg_grouping_sets",
+    "stream_windowed_wordcount",
+    "stream_session_window",
+    "stream_stream_join",
+    "stream_stream_left_join",
+    # TPC-H shapes never driver-verified
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_values",
+    "q12_late_priority_counts",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q19_disjunctive_filter",
+    "q20_part_promotion_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+    # curation / corpus-assembly tier (M5+)
+    "text_repetition_metrics",
+    "text_decontaminate",
+    "text_pii_redact",
+    "pipeline_keep_best",
+    "pack_token_budget",
+    "sample_rebalance",
+    "sample_weighted",
+    "corpus_mixture_stats",
+    "text_chunk_overlap",
+    "split_leakage_audit",
+    # dedup / similarity additions
+    "dedup_containment",
+    "dedup_minhash_quality",
+    "mm_phash_dedup",
+    "sim_range_search",
+    "sim_srp_topk",
+    "emb_quantize_int8",
+    "sim_quantized_topk",
+    # sketches
+    "approx_cms_topk",
+    "approx_distinct_merge",
+    "approx_median_hist",
+    # relational / SQL-surface shapes
+    "funnel_conversion",
+    "agg_histogram",
+    "sql_surface",
+    "agg_pivot",
+    "agg_unpivot",
+    "sql_exists_subquery",
+    "sql_recursive",
 ]
 
 
