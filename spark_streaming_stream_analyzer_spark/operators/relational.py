@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.exact import avg_money, cents, cents_dec, sum_money
-from ..sources.tables import load_table, ts_timestamp
+from ..sources.tables import load_table, ts_micros, ts_timestamp
 
 
 def _disc_price_cents2(ext, disc):
@@ -522,6 +522,87 @@ SELECT o_orderkey,
   CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS due_date,
   CAST(quarter(o_orderdate) AS INT) AS qtr
 FROM orders
+"""
+
+
+def fn_event_time_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time scalar-function pack over the events stream's native
+    timestamp column (the fixture's ts is parquet timestamp[us]; the
+    vintage-adaptive ``ts_timestamp`` keeps the bigint-nanos form
+    working too). Extract + truncate + format, rolled into a per
+    (event_type, hour-of-day) profile — the arrival-time histogram a
+    stream-freshness dashboard reads.
+
+    One partial/final hash aggregate over a 2-column scan; every
+    expression is a codegen'd JVM intrinsic, no Python anywhere.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    t = ts_timestamp(ev)
+    return (
+        ev.select(
+            "event_type",
+            F.hour(t).alias("hh"),
+            F.to_date(t).cast("string").alias("day"),
+            F.date_format(t, "yyyy-MM").alias("ym"),
+        )
+        .groupBy("event_type", "hh")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("day").alias("first_day"),
+            F.max("ym").alias("last_month"),
+        )
+    )
+
+
+EVENT_TIME_PACK_SQL = """
+SELECT event_type, CAST(hour(ts) AS INT) AS hh, COUNT(*) AS n,
+       CAST(MIN(CAST(date_trunc('day', ts) AS DATE)) AS VARCHAR) AS first_day,
+       MAX(strftime(ts, '%Y-%m')) AS last_month
+FROM events GROUP BY 1, 2
+"""
+
+
+def ts_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival-gap statistics: the lag-difference of
+    consecutive event times in exact epoch-microseconds. The
+    sessionization-threshold diagnostic (what gap cutoff would split
+    sessions) and a stream-health metric at any scale.
+
+    One window shuffle on user_id (ts, event_id in-partition sort —
+    event_id tiebreak makes equal-timestamp gaps deterministic), then
+    a per-user hash aggregate. Gap mean is an int64 sum with one final
+    double divide — identical on any partitioning and on DuckDB.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = (
+        ev.select("user_id", ts_micros(ev).alias("us"), "event_id")
+        .withColumn("gap", F.col("us") - F.lag("us").over(w))
+        .filter(F.col("gap").isNotNull())
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_gaps"),
+        F.min("gap").alias("min_gap_us"),
+        F.max("gap").alias("max_gap_us"),
+        (F.sum("gap").cast("double") / F.count("*").cast("double")).alias(
+            "mean_gap_us"
+        ),
+    )
+
+
+TS_GAP_STATS_SQL = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+  FROM events
+)
+SELECT user_id, COUNT(*) AS n_gaps,
+       CAST(MIN(gap) AS BIGINT) AS min_gap_us,
+       CAST(MAX(gap) AS BIGINT) AS max_gap_us,
+       CAST(CAST(SUM(gap) AS BIGINT) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS mean_gap_us
+FROM g WHERE gap IS NOT NULL GROUP BY user_id
 """
 
 

@@ -483,6 +483,8 @@ query("distinct_dedup", _rel.DISTINCT_SQL)(_rel.distinct_dedup)
 query("string_funcs", _rel.STRING_FUNCS_SQL)(_rel.string_funcs)
 query("date_funcs", _rel.DATE_FUNCS_SQL)(_rel.date_funcs)
 query("array_funcs", _rel.ARRAY_FUNCS_SQL)(_rel.array_funcs)
+query("fn_event_time_pack", _rel.EVENT_TIME_PACK_SQL)(_rel.fn_event_time_pack)
+query("ts_gap_stats", _rel.TS_GAP_STATS_SQL)(_rel.ts_gap_stats)
 query("count_distinct_exact", _rel.COUNT_DISTINCT_SQL)(_rel.count_distinct_exact)
 query("agg_multi_distinct", _rel.AGG_MULTI_DISTINCT_SQL)(_rel.agg_multi_distinct)
 query("agg_collect_ordered", _rel.AGG_COLLECT_SQL)(_rel.agg_collect_ordered)

@@ -212,3 +212,38 @@ def test_approx_aggs_error_bounded(spark, sf_dir):
         assert abs(a["approx_parts"] - e["d"]) / e["d"] < 0.15
         assert e["lo"] <= a["approx_median_price"] <= e["hi"]
         assert abs(a["approx_median_price"] - e["m"]) / e["m"] < 0.25
+
+
+def test_event_time_pack_profile(spark, sf_dir):
+    from spark_streaming_stream_analyzer_spark.sources.tables import load_table
+
+    rows = registry.QUERIES["fn_event_time_pack"](spark, sf_dir).collect()
+    assert rows
+    total = 0
+    for r in rows:
+        assert 0 <= r["hh"] <= 23
+        assert len(r["first_day"]) == 10 and len(r["last_month"]) == 7
+        total += r["n"]
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert total == n_events
+
+
+def test_ts_gap_stats_invariants(spark, sf_dir):
+    from spark_streaming_stream_analyzer_spark.sources.tables import load_table as lt
+
+    got = {r["user_id"]: r for r in registry.QUERIES["ts_gap_stats"](spark, sf_dir).collect()}
+    per_user = {
+        r["user_id"]: r["n"]
+        for r in lt(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for uid, n in per_user.items():
+        if n < 2:
+            assert uid not in got
+            continue
+        r = got[uid]
+        assert r["n_gaps"] == n - 1
+        assert 0 <= r["min_gap_us"] <= r["max_gap_us"]
+        assert r["min_gap_us"] <= r["mean_gap_us"] <= r["max_gap_us"]
