@@ -606,6 +606,52 @@ FROM g WHERE gap IS NOT NULL GROUP BY user_id
 """
 
 
+def ts_rolling_window_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing event-time range frame: for every event, the count and
+    exact-cents sum of the same user's events in the preceding hour
+    (RANGE BETWEEN 1h PRECEDING AND CURRENT ROW over epoch-µs) — the
+    rolling-feature shape a training pipeline computes per example.
+
+    RANGE frames over the integer microsecond timeline are engine-
+    portable (identical peer-inclusion semantics in Spark and DuckDB,
+    no interval-type quirks) and vintage-proof via ``ts_micros``. One
+    window shuffle on user_id; the frame scan is incremental within
+    each partition, never quadratic.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        ts_micros(ev).alias("us"),
+        cents("value").alias("c"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return base.select(
+        "user_id",
+        "event_id",
+        "us",
+        F.count("*").over(w).alias("n_1h"),
+        (F.sum("c").over(w).cast("double") / F.lit(100.0)).alias(
+            "sum_value_1h"
+        ),
+    )
+
+
+TS_ROLLING_1H_SQL = """
+SELECT user_id, event_id, epoch_us(ts) AS us,
+       COUNT(*) OVER w AS n_1h,
+       CAST(CAST(SUM(CAST(round(value*100) AS BIGINT)) OVER w AS BIGINT)
+            AS DOUBLE) / 100.0 AS sum_value_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
 def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array scalar-function pack over embeddings (size / element_at /
     slice / higher-order transform + ordered fold).

@@ -485,6 +485,7 @@ query("date_funcs", _rel.DATE_FUNCS_SQL)(_rel.date_funcs)
 query("array_funcs", _rel.ARRAY_FUNCS_SQL)(_rel.array_funcs)
 query("fn_event_time_pack", _rel.EVENT_TIME_PACK_SQL)(_rel.fn_event_time_pack)
 query("ts_gap_stats", _rel.TS_GAP_STATS_SQL)(_rel.ts_gap_stats)
+query("ts_rolling_window_1h", _rel.TS_ROLLING_1H_SQL)(_rel.ts_rolling_window_1h)
 query("count_distinct_exact", _rel.COUNT_DISTINCT_SQL)(_rel.count_distinct_exact)
 query("agg_multi_distinct", _rel.AGG_MULTI_DISTINCT_SQL)(_rel.agg_multi_distinct)
 query("agg_collect_ordered", _rel.AGG_COLLECT_SQL)(_rel.agg_collect_ordered)

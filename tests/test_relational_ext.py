@@ -247,3 +247,34 @@ def test_ts_gap_stats_invariants(spark, sf_dir):
         assert r["n_gaps"] == n - 1
         assert 0 <= r["min_gap_us"] <= r["max_gap_us"]
         assert r["min_gap_us"] <= r["mean_gap_us"] <= r["max_gap_us"]
+
+
+def test_rolling_1h_matches_bruteforce(spark, sf_dir):
+    from spark_streaming_stream_analyzer_spark.sources.tables import (
+        load_table,
+        ts_micros,
+    )
+
+    got = {
+        (r["user_id"], r["event_id"]): (r["n_1h"], r["sum_value_1h"])
+        for r in registry.QUERIES["ts_rolling_window_1h"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select(
+        "user_id", "event_id", ts_micros(ev).alias("us"), "value"
+    ).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    hour = 3_600_000_000
+    checked = 0
+    for uid, rs in list(by_user.items())[:5]:
+        for r in rs:
+            peers = [
+                x for x in rs if r["us"] - hour <= x["us"] <= r["us"]
+            ]
+            n, s = got[(uid, r["event_id"])]
+            assert n == len(peers)
+            assert s == sum(round(x["value"] * 100) for x in peers) / 100.0
+            checked += 1
+    assert checked > 0
