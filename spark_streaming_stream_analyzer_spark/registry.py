@@ -458,6 +458,7 @@ def q_agg_naive_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 from .operators import relational as _rel  # noqa: E402
+from .sources import sinks as _snk  # noqa: E402
 
 query("q1_pricing_summary", _rel.Q1_SQL)(_rel.q1_pricing_summary)
 query("q3_shipping_priority", _rel.Q3_SQL)(_rel.q3_shipping_priority)
@@ -486,6 +487,7 @@ query("array_funcs", _rel.ARRAY_FUNCS_SQL)(_rel.array_funcs)
 query("fn_event_time_pack", _rel.EVENT_TIME_PACK_SQL)(_rel.fn_event_time_pack)
 query("ts_gap_stats", _rel.TS_GAP_STATS_SQL)(_rel.ts_gap_stats)
 query("ts_rolling_window_1h", _rel.TS_ROLLING_1H_SQL)(_rel.ts_rolling_window_1h)
+query("src_schema_drift", _snk.SRC_SCHEMA_DRIFT_SQL)(_snk.src_schema_drift)
 query("count_distinct_exact", _rel.COUNT_DISTINCT_SQL)(_rel.count_distinct_exact)
 query("agg_multi_distinct", _rel.AGG_MULTI_DISTINCT_SQL)(_rel.agg_multi_distinct)
 query("agg_collect_ordered", _rel.AGG_COLLECT_SQL)(_rel.agg_collect_ordered)

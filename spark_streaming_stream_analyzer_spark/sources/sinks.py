@@ -107,6 +107,54 @@ FROM base, (VALUES ('parquet'), ('csv'), ('json')) t(fmt)
 """
 
 
+def src_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution scan (mergeSchema): two parquet vintages of the
+    event stream — an old one written BEFORE the ``event_type`` column
+    existed (even event_ids) and a new one with it (odd event_ids) —
+    read together with ``mergeSchema=true``, which unions the footers
+    and null-fills the missing column. The per-type rollup labels the
+    pre-schema rows explicitly. This is the drill every long-lived
+    lake table goes through when a column is added mid-stream.
+
+    Scale: schema merge is a footer-only operation (no data rewrite);
+    the scan stays partition-parallel and the aggregate partial/final.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    base = os.path.join(
+        tempfile.gettempdir(), f"sgs_drift_{uuid.uuid4().hex[:12]}"
+    )
+    v1, v2 = os.path.join(base, "v1"), os.path.join(base, "v2")
+    try:
+        ev.filter(F.col("event_id") % 2 == 0).select("event_id", "c").write.parquet(v1)
+        ev.filter(F.col("event_id") % 2 == 1).write.parquet(v2)
+        merged = spark.read.option("mergeSchema", "true").parquet(v1, v2)
+        agg = (
+            merged.groupBy(
+                F.coalesce("event_type", F.lit("<pre-schema>")).alias("event_type")
+            )
+            .agg(
+                F.count("*").alias("n_events"),
+                (F.sum("c").cast("double") / F.lit(100.0)).alias("sum_value"),
+            )
+        )
+        pdf = agg.toPandas()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(pdf, schema=agg.schema)
+
+
+SRC_SCHEMA_DRIFT_SQL = """
+SELECT COALESCE(CASE WHEN event_id % 2 = 1 THEN event_type END,
+                '<pre-schema>') AS event_type,
+       COUNT(*) AS n_events,
+       CAST(CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS DOUBLE)
+         / 100.0 AS sum_value
+FROM events GROUP BY 1
+"""
+
+
 def src_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-pruned lake read: events written to parquet
     partitioned by event_type, read back with a partition-key filter.
