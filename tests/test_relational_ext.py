@@ -278,3 +278,14 @@ def test_rolling_1h_matches_bruteforce(spark, sf_dir):
             assert s == sum(round(x["value"] * 100) for x in peers) / 100.0
             checked += 1
     assert checked > 0
+
+
+def test_schema_drift_labels_pre_schema_rows(spark, sf_dir):
+    from spark_streaming_stream_analyzer_spark.sources.tables import load_table
+
+    rows = registry.QUERIES["src_schema_drift"](spark, sf_dir).collect()
+    by_type = {r["event_type"]: r["n_events"] for r in rows}
+    ev = load_table(spark, sf_dir, "events")
+    n_even = ev.filter(F.col("event_id") % 2 == 0).count()
+    assert by_type["<pre-schema>"] == n_even
+    assert sum(by_type.values()) == ev.count()
