@@ -64,6 +64,9 @@ HEADLINE = [
     "text_decontaminate",
     "ts_rollup_hierarchy",
     "pack_token_budget",
+    "fn_event_time_pack",
+    "ts_gap_stats",
+    "ts_rolling_window_1h",
 ]
 
 #: Throughput probes: query → fixture table whose full scan dominates
@@ -75,6 +78,7 @@ THROUGHPUT_TABLES = {
     "q1_pricing_summary": "lineitem",
     "agg_batch_wordcount": "documents",
     "dedup_minhash_lsh": "documents",
+    "ts_rolling_window_1h": "events",
 }
 
 

@@ -145,3 +145,28 @@ def test_salted_join_spreads_key(spark, sf_dir):
     # salt column becomes part of the join key → hash exchange on both
     # (orderkey, salt) sides, not on orderkey alone
     assert "salt" in plan
+
+
+def test_event_time_pack_prunes_and_aggregates_once(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "fn_event_time_pack")
+    read = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "ts" in read and "event_type" in read
+    assert "props" not in read and "value" not in read  # pruned
+    # one partial/final pair -> exactly one shuffle, no Python
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") == 1
+    assert "EvalPython" not in plan
+
+
+def test_rolling_window_single_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "ts_rolling_window_1h")
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") == 1
+    assert "Window" in plan
+    assert "EvalPython" not in plan
+
+
+def test_gap_stats_single_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "ts_gap_stats")
+    # window and the per-user aggregate share the user_id partitioning:
+    # the aggregate must NOT add a second shuffle
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") == 1
+    assert "EvalPython" not in plan
