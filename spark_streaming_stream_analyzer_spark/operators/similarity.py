@@ -320,6 +320,142 @@ def sim_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.select("vec_id", "cell", F.round("d2", 6).alias("d2"))
 
 
+KMEANS_QSCALE = 1000  #: quantization units per 1.0 of embedding value
+
+
+def sim_kmeans_exact_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact k-means — the iterative quantizer made fully
+    VALUE-ORACLED (the float variant ``sim_kmeans_cells`` is
+    necessarily a rows-only check; this one is bit-comparable on any
+    engine, the same trick ``graph_pagerank_exact`` plays for
+    PageRank):
+
+      - embeddings quantized to int64 units via the portable rounding
+        ``floor(x*Q + 0.5)`` (engine round() half-cases differ);
+      - assignment by exact int64 squared distance, ties to the lowest
+        cell;
+      - centroid update is the elementwise integer mean
+        ``floor(sum/count)`` — sums ≤ ~1e7 are exact in the double
+        divide, so the floor is portable.
+
+    Every round is associative-integer arithmetic → identical on any
+    partitioning and in DuckDB, where the oracle unrolls the
+    KMEANS_ITERS rounds as CTEs over (vec, dim, x) triples.
+
+    Scale shape is the float variant's: assignment = map over a
+    broadcast K×DIM model; update = one partial/final aggregate per
+    round; only the model crosses rounds.
+    """
+    em = load_table_cpu(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(
+                x.cast("double") * KMEANS_QSCALE + F.lit(0.5)
+            ).cast("long"),
+        ).alias("v"),
+    )
+    em = em.cache()
+    cent = (
+        em.orderBy("vec_id")
+        .limit(KMEANS_K)
+        .select(
+            F.row_number().over(Window.orderBy("vec_id")).alias("cell"),
+            F.col("v").alias("c"),
+        )
+    )
+    dist = F.aggregate(
+        F.zip_with("v", "c", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    assigned = None
+    for it in range(KMEANS_ITERS):
+        assigned = (
+            em.crossJoin(F.broadcast(cent))
+            .select("vec_id", "v", "cell", dist.alias("d2"))
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("d2", "cell", "v")).alias("m"))
+            .select(
+                "vec_id",
+                F.col("m.cell").alias("cell"),
+                F.col("m.d2").alias("d2"),
+                F.col("m.v").alias("v"),
+            )
+        )
+        if it == KMEANS_ITERS - 1:
+            break
+        dims = assigned.select("cell", F.posexplode("v").alias("dim", "x"))
+        cur = (
+            dims.groupBy("cell", "dim")
+            .agg(
+                F.floor(
+                    F.sum("x").cast("double") / F.count("*").cast("double")
+                )
+                .cast("long")
+                .alias("cx")
+            )
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "cx"))),
+                    lambda s: s.cx,
+                ).alias("c")
+            )
+        )
+        cent = spark.createDataFrame(
+            cur.collect(), schema="cell int, c array<long>"
+        )
+    return assigned.select("vec_id", "cell", "d2")
+
+
+def _kmeans_exact_sql() -> str:
+    q = KMEANS_QSCALE
+    sql = f"""
+WITH qv AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {q} + 0.5) AS BIGINT) AS x
+  FROM embeddings
+),
+seed AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS cell
+  FROM (SELECT DISTINCT vec_id FROM qv ORDER BY vec_id LIMIT {KMEANS_K})
+),
+c0 AS (
+  SELECT seed.cell, qv.dim, qv.x AS cx FROM seed JOIN qv USING (vec_id)
+)"""
+    prev = "c0"
+    for r in range(1, KMEANS_ITERS + 1):
+        sql += f""",
+d{r} AS (
+  SELECT qv.vec_id, {prev}.cell,
+         CAST(SUM((qv.x - {prev}.cx) * (qv.x - {prev}.cx)) AS BIGINT) AS d2
+  FROM qv JOIN {prev} USING (dim) GROUP BY 1, 2
+),
+a{r} AS (
+  SELECT vec_id, cell, d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+    FROM d{r}
+  ) t WHERE rn = 1
+)"""
+        if r < KMEANS_ITERS:
+            sql += f""",
+c{r} AS (
+  SELECT a{r}.cell, qv.dim,
+         CAST(floor(CAST(CAST(SUM(qv.x) AS BIGINT) AS DOUBLE)
+                    / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS cx
+  FROM a{r} JOIN qv USING (vec_id) GROUP BY 1, 2
+)"""
+            prev = f"c{r}"
+    sql += f"""
+SELECT vec_id, CAST(cell AS INT) AS cell, d2 FROM a{KMEANS_ITERS}
+"""
+    return sql
+
+
+SIM_KMEANS_EXACT_SQL = _kmeans_exact_sql()
+
+
 def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end production ANN: IVF top-3 searched within LEARNED
     k-means cells (``sim_kmeans_cells``) instead of the fixture's

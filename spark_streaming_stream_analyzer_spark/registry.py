@@ -602,6 +602,9 @@ query("dedup_embedding_cosine", _dd.DEDUP_EMB_COSINE_SQL)(_dd.dedup_embedding_co
 query("pipeline_dedup_filter", _dd.PIPELINE_DEDUP_SQL)(_dd.pipeline_dedup_filter)
 query("dedup_minhash_quality", _dd.DEDUP_MINHASH_QUALITY_SQL)(_dd.dedup_minhash_quality)
 query("sim_topk_cosine", _sim.SIM_TOPK_SQL)(_sim.sim_topk_cosine)
+query("sim_kmeans_exact_cells", _sim.SIM_KMEANS_EXACT_SQL)(
+    _sim.sim_kmeans_exact_cells
+)
 query("sim_ivf_topk", _sim.SIM_IVF_SQL)(_sim.sim_ivf_topk)
 query("embedding_norms", _sim.EMB_NORMS_SQL)(_sim.embedding_norms)
 query("sim_ivf_recall", _sim.SIM_RECALL_SQL)(_sim.sim_ivf_recall)

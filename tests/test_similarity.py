@@ -141,3 +141,23 @@ def test_quantized_scores_track_exact_cosine(spark, sf_dir):
     assert overlap, "no overlap between quantized and exact top-k"
     for r, true_cos in overlap:
         assert abs(r["qcos"] - true_cos) < 0.02
+
+
+def test_kmeans_exact_cells_partition_all_vectors(spark, sf_dir):
+    from spark_streaming_stream_analyzer_spark.operators.similarity import (
+        KMEANS_K,
+        sim_kmeans_exact_cells,
+    )
+    from spark_streaming_stream_analyzer_spark.sources.tables import load_table
+
+    rows = sim_kmeans_exact_cells(spark, sf_dir).collect()
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    assert len(rows) == n_vecs
+    assert {r["vec_id"] for r in rows} == set(range(n_vecs))
+    cells = {r["cell"] for r in rows}
+    assert cells <= set(range(1, KMEANS_K + 1))
+    for r in rows:
+        assert r["d2"] >= 0  # exact int64 squared distance
+    # determinism: a second run is bit-identical
+    again = sim_kmeans_exact_cells(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
