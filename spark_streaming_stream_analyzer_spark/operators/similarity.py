@@ -494,6 +494,73 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_ivf_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end ANN with a LEARNED quantizer, fully value-oracled:
+    IVF top-3 searched within ``sim_kmeans_exact_cells`` cells. The
+    float-k-means chain (``sim_ivf_kmeans_topk``) is necessarily a
+    rows-only driver check; here the quantizer is the integer-exact
+    k-means and the cosine scoring is the order-fixed left fold, so
+    the ENTIRE train → assign → cell-pruned-score pipeline hash-matches
+    the DuckDB replica. Same plan shape: broadcast query set, one
+    scan of the indexed side, window top-k."""
+    cells = sim_kmeans_exact_cells(spark, sf_dir).select("vec_id", "cell")
+    em = _with_norm(
+        load_table_cpu(spark, sf_dir, "embeddings"), "embedding", "nrm"
+    ).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb_d"),
+        "nrm",
+    ).join(cells, "vec_id")
+    q = em.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("cell").alias("q_cell"),
+        F.col("emb_d").alias("q_emb_d"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    pairs = em.join(
+        F.broadcast(q),
+        (F.col("cell") == F.col("q_cell")) & (F.col("vec_id") != F.col("q_id")),
+    )
+    dot = _fold_sum(F.zip_with("q_emb_d", "emb_d", lambda x, y: x * y))
+    scored = pairs.select(
+        "q_id", "vec_id", (dot / (F.col("q_nrm") * F.col("nrm"))).alias("cos_sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("q_id", "vec_id", "rank", "cos_sim")
+    )
+
+
+def _ivf_exact_sql() -> str:
+    # reuse the k-means CTE chain, swapping its final SELECT for the
+    # IVF search stages
+    chain, _final = SIM_KMEANS_EXACT_SQL.strip().rsplit("SELECT vec_id", 1)
+    return f"""{chain}, cells AS (SELECT vec_id, cell FROM a{KMEANS_ITERS}),
+q AS (
+  SELECT e.vec_id AS q_id, cells.cell AS q_cell, e.embedding
+  FROM embeddings e JOIN cells ON e.vec_id = cells.vec_id
+  WHERE e.vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.q_id, e.vec_id, {_COS_SQL} AS cos_sim
+  FROM embeddings e
+  JOIN cells ce ON e.vec_id = ce.vec_id
+  JOIN q ON ce.cell = q.q_cell AND e.vec_id <> q.q_id
+)
+SELECT q_id, vec_id, rank, cos_sim FROM (
+  SELECT q_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id)
+           AS rank
+  FROM scored
+) t WHERE rank <= 3
+"""
+
+
+SIM_IVF_EXACT_SQL = _ivf_exact_sql()
+
+
 def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality, measured in-engine: recall@3 of the IVF-pruned
     tier against the brute-force ground truth, per query vector. This

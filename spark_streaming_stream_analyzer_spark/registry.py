@@ -605,6 +605,7 @@ query("sim_topk_cosine", _sim.SIM_TOPK_SQL)(_sim.sim_topk_cosine)
 query("sim_kmeans_exact_cells", _sim.SIM_KMEANS_EXACT_SQL)(
     _sim.sim_kmeans_exact_cells
 )
+query("sim_ivf_exact_topk", _sim.SIM_IVF_EXACT_SQL)(_sim.sim_ivf_exact_topk)
 query("sim_ivf_topk", _sim.SIM_IVF_SQL)(_sim.sim_ivf_topk)
 query("embedding_norms", _sim.EMB_NORMS_SQL)(_sim.embedding_norms)
 query("sim_ivf_recall", _sim.SIM_RECALL_SQL)(_sim.sim_ivf_recall)

@@ -161,3 +161,20 @@ def test_kmeans_exact_cells_partition_all_vectors(spark, sf_dir):
     # determinism: a second run is bit-identical
     again = sim_kmeans_exact_cells(spark, sf_dir).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_ivf_exact_topk_shape_and_rank_order(spark, sf_dir):
+    from spark_streaming_stream_analyzer_spark.operators.similarity import (
+        sim_ivf_exact_topk,
+    )
+
+    rows = sim_ivf_exact_topk(spark, sf_dir).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append(r)
+    for q_id, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        sims = [r["cos_sim"] for r in rs]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r["vec_id"] != q_id for r in rs)
