@@ -488,6 +488,7 @@ query("fn_event_time_pack", _rel.EVENT_TIME_PACK_SQL)(_rel.fn_event_time_pack)
 query("ts_gap_stats", _rel.TS_GAP_STATS_SQL)(_rel.ts_gap_stats)
 query("ts_rolling_window_1h", _rel.TS_ROLLING_1H_SQL)(_rel.ts_rolling_window_1h)
 query("src_schema_drift", _snk.SRC_SCHEMA_DRIFT_SQL)(_snk.src_schema_drift)
+query("obs_pipeline_metrics", _snk.OBS_METRICS_SQL)(_snk.obs_pipeline_metrics)
 query("count_distinct_exact", _rel.COUNT_DISTINCT_SQL)(_rel.count_distinct_exact)
 query("agg_multi_distinct", _rel.AGG_MULTI_DISTINCT_SQL)(_rel.agg_multi_distinct)
 query("agg_collect_ordered", _rel.AGG_COLLECT_SQL)(_rel.agg_collect_ordered)

@@ -107,6 +107,58 @@ FROM base, (VALUES ('parquet'), ('csv'), ('json')) t(fmt)
 """
 
 
+def obs_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-flight pipeline observability via Spark's Observation API:
+    ingest-stage and post-filter row/value metrics ride the SAME pass
+    as the downstream aggregate — ``df.observe`` attaches accumulator
+    metrics to the plan, so data-quality counters cost ZERO extra
+    scans (the production alternative to re-running COUNT(*) audits).
+
+    The observed (stage, n, sum) rows are what a monitoring table
+    ingests; values are exact integer cents, so the driver compare is
+    hash-exact against the oracle's two plain aggregates.
+    """
+    from pyspark.sql import Observation
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    obs_in = Observation("ingest")
+    obs_kept = Observation("kept")
+    staged = ev.observe(
+        obs_in,
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("sum_cents"),
+    )
+    kept = staged.filter(F.col("value") > 0).observe(
+        obs_kept,
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("sum_cents"),
+    )
+    # the action that flows the data (and fills the observations) is
+    # the pipeline's real aggregate, not an extra count
+    kept.groupBy("event_type").agg(F.count("*")).collect()
+    rows = [
+        ("ingest", obs_in.get["n"], obs_in.get["sum_cents"] / 100.0),
+        ("kept", obs_kept.get["n"], obs_kept.get["sum_cents"] / 100.0),
+    ]
+    return spark.createDataFrame(
+        rows, schema="stage string, n_rows long, sum_value double"
+    )
+
+
+OBS_METRICS_SQL = """
+SELECT 'ingest' AS stage, COUNT(*) AS n_rows,
+       CAST(CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS DOUBLE)
+         / 100.0 AS sum_value
+FROM events
+UNION ALL
+SELECT 'kept', COUNT(*),
+       CAST(CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS DOUBLE)
+         / 100.0
+FROM events WHERE value > 0
+"""
+
+
 def src_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-evolution scan (mergeSchema): two parquet vintages of the
     event stream — an old one written BEFORE the ``event_type`` column
