@@ -606,6 +606,70 @@ FROM g WHERE gap IS NOT NULL GROUP BY user_id
 """
 
 
+def fn_bitwise_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar + aggregate surface: per event_type the AND/OR/
+    XOR folds of the event ids and a shifted mask column — the pack a
+    bitmap-index or feature-flag pipeline leans on. All JVM
+    intrinsics; one partial/final aggregate (bit ops are associative,
+    so partials merge exactly like sums)."""
+    ev = load_table(spark, sf_dir, "events")
+    masked = ev.select(
+        "event_type",
+        "event_id",
+        F.expr("shiftleft(event_id & 255, 8) | (user_id & 255)").alias("mask"),
+    )
+    return masked.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.bit_and("event_id").alias("ids_and"),
+        F.bit_or("event_id").alias("ids_or"),
+        F.bit_xor("mask").alias("mask_xor"),
+    )
+
+
+BITWISE_PACK_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       BIT_AND(event_id) AS ids_and,
+       BIT_OR(event_id) AS ids_or,
+       BIT_XOR(((event_id & 255) << 8) | (user_id & 255)) AS mask_xor
+FROM events GROUP BY event_type
+"""
+
+
+def agg_mode_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group mode with deterministic tiebreak (highest count,
+    then lowest value) — built from count + row_number instead of the
+    engine's mode() whose tie semantics differ across engines. Two
+    aggregates sharing one shuffle key prefix; the heavy count is
+    partial/final."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = (
+        li.select("l_returnflag", F.col("l_quantity").alias("qty"))
+        .groupBy("l_returnflag", "qty")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("cnt").desc(), F.col("qty")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", F.col("qty").alias("mode_qty"), "cnt")
+    )
+
+
+AGG_MODE_QTY_SQL = """
+SELECT l_returnflag, qty AS mode_qty, cnt FROM (
+  SELECT l_returnflag, qty, cnt,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY cnt DESC, qty) AS rn
+  FROM (
+    SELECT l_returnflag, l_quantity AS qty, COUNT(*) AS cnt
+    FROM lineitem GROUP BY 1, 2
+  ) c
+) t WHERE rn = 1
+"""
+
+
 def ts_rolling_window_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing event-time range frame: for every event, the count and
     exact-cents sum of the same user's events in the preceding hour

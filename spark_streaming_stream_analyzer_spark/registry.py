@@ -489,6 +489,9 @@ query("ts_gap_stats", _rel.TS_GAP_STATS_SQL)(_rel.ts_gap_stats)
 query("ts_rolling_window_1h", _rel.TS_ROLLING_1H_SQL)(_rel.ts_rolling_window_1h)
 query("src_schema_drift", _snk.SRC_SCHEMA_DRIFT_SQL)(_snk.src_schema_drift)
 query("obs_pipeline_metrics", _snk.OBS_METRICS_SQL)(_snk.obs_pipeline_metrics)
+query("sink_compaction", _snk.SINK_COMPACTION_SQL)(_snk.sink_compaction)
+query("fn_bitwise_pack", _rel.BITWISE_PACK_SQL)(_rel.fn_bitwise_pack)
+query("agg_mode_qty", _rel.AGG_MODE_QTY_SQL)(_rel.agg_mode_qty)
 query("count_distinct_exact", _rel.COUNT_DISTINCT_SQL)(_rel.count_distinct_exact)
 query("agg_multi_distinct", _rel.AGG_MULTI_DISTINCT_SQL)(_rel.agg_multi_distinct)
 query("agg_collect_ordered", _rel.AGG_COLLECT_SQL)(_rel.agg_collect_ordered)
@@ -698,6 +701,9 @@ query("stream_stream_left_join", _sp.STREAM_STREAM_LEFT_SQL)(
     _sp.stream_stream_left_join
 )
 query("stream_file_sink", _sp.STREAM_FILE_SINK_SQL)(_sp.stream_file_sink)
+query("stream_progress_metrics", _sp.STREAM_PROGRESS_SQL)(
+    _sp.stream_progress_metrics
+)
 query("stream_kafka_pipeline", ORACLES["sink_kafka_json"])(_sp.stream_kafka_pipeline)
 query("stream_stats_exact_state", _st.STREAM_STATS_EXACT_SQL)(
     _st.stream_stats_exact_state

@@ -107,6 +107,56 @@ FROM base, (VALUES ('parquet'), ('csv'), ('json')) t(fmt)
 """
 
 
+def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction drill — the lakehouse maintenance job a
+    100 TB table needs continuously: a fragmented write (16-way
+    round-robin → 16 part files) compacted by a coalesced rewrite
+    (2 part files), with the read-back aggregate proving the rewrite
+    lost nothing. ``coalesce`` narrows partitions WITHOUT a shuffle —
+    the whole compaction is one read + one write.
+
+    The returned frame is the post-compaction read-back rollup (hash-
+    exact vs the oracle); the file-count reduction itself is pinned in
+    tests/test_sources_sinks-style pytest (file counts are layout,
+    not data, so they stay out of the oracle row).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    base = os.path.join(
+        tempfile.gettempdir(), f"sgs_compact_{uuid.uuid4().hex[:12]}"
+    )
+    frag, compact = os.path.join(base, "frag"), os.path.join(base, "compact")
+    try:
+        ev.repartition(16).write.parquet(frag)
+        spark.read.parquet(frag).coalesce(2).write.parquet(compact)
+        back = spark.read.parquet(compact)
+        agg = back.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+                / F.lit(100.0)
+            ).alias("sum_value"),
+        )
+        pdf = agg.toPandas()
+        n_frag = len([f for f in os.listdir(frag) if f.endswith(".parquet")])
+        n_comp = len([f for f in os.listdir(compact) if f.endswith(".parquet")])
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    out = spark.createDataFrame(pdf, schema=agg.schema)
+    # stash layout facts for tests without polluting the oracle row
+    sink_compaction.last_file_counts = (n_frag, n_comp)  # type: ignore[attr-defined]
+    return out
+
+
+SINK_COMPACTION_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS DOUBLE)
+         / 100.0 AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
 def obs_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-flight pipeline observability via Spark's Observation API:
     ingest-stage and post-filter row/value metrics ride the SAME pass

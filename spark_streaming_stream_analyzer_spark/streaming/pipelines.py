@@ -705,6 +705,53 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_DEDUP_WM_SQL = STREAM_DEDUP_SQL
 
 
+def stream_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming observability surface: the per-micro-batch
+    StreamingQueryProgress counters (batch id, input rows) of a
+    two-batch replay — what a lag/throughput monitor ingests. The
+    fixture is staged twice with maxFilesPerTrigger=1, so the batch
+    boundaries are deterministic: two batches, each one full copy of
+    the events file; the oracle states exactly that.
+
+    Only batches that moved data are emitted (availableNow appends a
+    closing no-data batch whose input count is 0).
+    """
+    stream = events_file_stream(
+        spark, os.path.join(sf_dir, "events.parquet"), copies=2
+    )
+    counted = stream.groupBy("event_type").agg(F.count("*").alias("n"))
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_CPUS", "32")
+    )
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    ckpt = _tracked_tmp_dir("sgs_prog")
+    q = (
+        counted.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = [
+        (int(p["batchId"]), int(p["numInputRows"]))
+        for p in q.recentProgress
+        if int(p["numInputRows"]) > 0
+    ]
+    _cleanup_tmp_dirs([ckpt])
+    return spark.createDataFrame(
+        rows, schema="batch_id long, num_input_rows long"
+    )
+
+
+STREAM_PROGRESS_SQL = """
+SELECT CAST(b.batch_id AS BIGINT) AS batch_id,
+       (SELECT COUNT(*) FROM events) AS num_input_rows
+FROM (VALUES (0), (1)) b(batch_id)
+"""
+
+
 def stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming parquet file sink — the production lake-writer path:
     events filtered and reshaped in-stream, written to partitioned

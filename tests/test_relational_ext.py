@@ -289,3 +289,12 @@ def test_schema_drift_labels_pre_schema_rows(spark, sf_dir):
     n_even = ev.filter(F.col("event_id") % 2 == 0).count()
     assert by_type["<pre-schema>"] == n_even
     assert sum(by_type.values()) == ev.count()
+
+
+def test_compaction_reduces_file_count(spark, sf_dir):
+    from spark_streaming_stream_analyzer_spark.sources.sinks import sink_compaction
+
+    rows = registry.QUERIES["sink_compaction"](spark, sf_dir).collect()
+    assert sum(r["n_events"] for r in rows) > 0
+    n_frag, n_comp = sink_compaction.last_file_counts
+    assert n_frag == 16 and n_comp == 2  # coalesce narrowed without shuffle
