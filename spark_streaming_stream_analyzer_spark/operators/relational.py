@@ -606,6 +606,40 @@ FROM g WHERE gap IS NOT NULL GROUP BY user_id
 """
 
 
+def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured surface via Spark 4's VARIANT type: the events
+    ``props`` JSON parsed once into a variant column, fields extracted
+    with ``try_variant_get`` — the open-schema path for JSON-heavy
+    pipelines (parse once, extract many, no per-field re-parse; the
+    binary variant encoding scans far faster than JSON text at
+    100 TB). Extracted values are plain columns, so the DuckDB oracle
+    is its ordinary JSON extraction."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+FN_VARIANT_SQL = """
+SELECT event_type,
+       COUNT(CAST(json_extract_string(props, '$.k') AS INT)) AS n_with_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+         AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
 def fn_bitwise_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bitwise scalar + aggregate surface: per event_type the AND/OR/
     XOR folds of the event ids and a shifted mask column — the pack a

@@ -452,3 +452,62 @@ SELECT doc_id,
        md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS canon_md5
 FROM documents
 """
+
+
+# ------------------------------------------------------ Python UDTF --
+
+CHUNK_WIDTH = 80
+
+
+def _chunk_doc_udtf():
+    """Build the UDTF lazily (module import must not require an active
+    SparkSession). Arrow-optimized: rows stream in batches, not one
+    Py4J call per row."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, chunk string", useArrow=True)
+    class ChunkDoc:
+        def eval(self, text: str):  # noqa: D102
+            if text is None:
+                return
+            for i in range(0, len(text), CHUNK_WIDTH):
+                yield i // CHUNK_WIDTH, text[i : i + CHUNK_WIDTH]
+
+    return ChunkDoc
+
+
+def udtf_chunk_docs(spark, sf_dir: str):
+    """Python UDTF surface (Spark 4 table function API): each document
+    exploded into fixed-width character chunks by a LATERAL-joined
+    Python table function. The native-expression chunker
+    (``text_chunk_overlap``) is the production path — this registers
+    the UDTF API itself: polymorphic 1→N row generation in Python,
+    Arrow-batched, invoked from SQL with LATERAL.
+
+    At scale the UDTF is a map-side Python stage (no shuffle); use it
+    for logic that genuinely needs Python (tokenizers, parsers), not
+    for what ``substr``/``explode`` already express.
+    """
+    from ..sources.tables import load_table
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    spark.udtf.register("chunk_doc", _chunk_doc_udtf())
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk
+        FROM documents d, LATERAL chunk_doc(d.text) c
+        """
+    )
+
+
+UDTF_CHUNK_SQL = f"""
+WITH idx AS (
+  SELECT doc_id, text,
+         unnest(range(0, CAST(ceil(length(text)/{CHUNK_WIDTH}.0) AS BIGINT)))
+           AS i
+  FROM documents
+)
+SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+       substr(text, CAST(i*{CHUNK_WIDTH}+1 AS INT), {CHUNK_WIDTH}) AS chunk
+FROM idx
+"""

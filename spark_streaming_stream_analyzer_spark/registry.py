@@ -491,6 +491,7 @@ query("src_schema_drift", _snk.SRC_SCHEMA_DRIFT_SQL)(_snk.src_schema_drift)
 query("obs_pipeline_metrics", _snk.OBS_METRICS_SQL)(_snk.obs_pipeline_metrics)
 query("sink_compaction", _snk.SINK_COMPACTION_SQL)(_snk.sink_compaction)
 query("fn_bitwise_pack", _rel.BITWISE_PACK_SQL)(_rel.fn_bitwise_pack)
+query("fn_variant_json", _rel.FN_VARIANT_SQL)(_rel.fn_variant_json)
 query("agg_mode_qty", _rel.AGG_MODE_QTY_SQL)(_rel.agg_mode_qty)
 query("count_distinct_exact", _rel.COUNT_DISTINCT_SQL)(_rel.count_distinct_exact)
 query("agg_multi_distinct", _rel.AGG_MULTI_DISTINCT_SQL)(_rel.agg_multi_distinct)
@@ -626,6 +627,7 @@ query("doc_fingerprint", _ts.DOC_FINGERPRINT_SQL)(_ts.doc_fingerprint)
 query("pipeline_docs_prep", _ts.PIPELINE_DOCS_SQL)(_ts.pipeline_docs_prep)
 query("doc_winnowing", _ts.DOC_WINNOW_SQL)(_ts.doc_winnowing)
 query("text_bigram_freq", _ts.TEXT_BIGRAM_SQL)(_ts.text_bigram_freq)
+query("udtf_chunk_docs", _ts.UDTF_CHUNK_SQL)(_ts.udtf_chunk_docs)
 query("text_normalize", _ts.TEXT_NORMALIZE_SQL)(_ts.text_normalize)
 query("mm_binary_meta", _mm.MM_BINARY_META_SQL)(_mm.mm_binary_meta)
 query("mm_feature_extract", _mm.MM_FEATURE_SQL)(_mm.mm_feature_extract)
