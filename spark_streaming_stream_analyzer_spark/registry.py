@@ -706,6 +706,7 @@ query("stream_file_sink", _sp.STREAM_FILE_SINK_SQL)(_sp.stream_file_sink)
 query("stream_progress_metrics", _sp.STREAM_PROGRESS_SQL)(
     _sp.stream_progress_metrics
 )
+query("stream_topk_complete", _sp.STREAM_TOPK_SQL)(_sp.stream_topk_complete)
 query("stream_kafka_pipeline", ORACLES["sink_kafka_json"])(_sp.stream_kafka_pipeline)
 query("stream_stats_exact_state", _st.STREAM_STATS_EXACT_SQL)(
     _st.stream_stats_exact_state

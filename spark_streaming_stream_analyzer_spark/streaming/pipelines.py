@@ -705,6 +705,39 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_DEDUP_WM_SQL = STREAM_DEDUP_SQL
 
 
+def stream_topk_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete-mode streaming top-k: the running top-3 event types by
+    count, re-ranked every micro-batch. Sorting a streaming aggregate
+    is legal ONLY in complete output mode (append/update cannot order
+    an unbounded result) — this registers that mode/operator pairing;
+    the memory sink holds the final ranked table after the replay.
+
+    At scale: complete mode re-emits the whole (small, per-key)
+    aggregate each batch — right for dashboards over low-cardinality
+    keys, wrong for high-cardinality output (use update mode + an
+    external ranking store there).
+    """
+    events = events_file_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    counts = (
+        events.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+        )
+        .orderBy(F.col("n_events").desc(), F.col("event_type"))
+        .limit(3)
+    )
+    return _run_to_memory(counts, output_mode="complete")
+
+
+STREAM_TOPK_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY event_type
+ORDER BY n_events DESC, event_type LIMIT 3
+"""
+
+
 def stream_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming observability surface: the per-micro-batch
     StreamingQueryProgress counters (batch id, input rows) of a
