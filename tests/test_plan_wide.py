@@ -41,6 +41,7 @@ ARROW_PYTHON_OK = {
     "mm_audio_chunk",
     "mm_phash_dedup",
     "udf_surface",
+    "udtf_chunk_docs",  # Arrow Python UDTF is the point of the query
 }
 
 
