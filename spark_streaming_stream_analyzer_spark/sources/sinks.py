@@ -107,6 +107,98 @@ FROM base, (VALUES ('parquet'), ('csv'), ('json')) t(fmt)
 """
 
 
+PYSRC_PARTS = 8
+PYSRC_ROWS_PER_PART = 1000
+PYSRC_TAGS = 5
+
+
+def _synthetic_readings_source():
+    """Build the custom DataSource class lazily (the datasource module
+    import must not be a hard dependency of package import)."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class _Reader(DataSourceReader):
+        def __init__(self, n_parts: int, rows_per_part: int):
+            self.n_parts = n_parts
+            self.rows_per_part = rows_per_part
+
+        def partitions(self):
+            return [InputPartition(i) for i in range(self.n_parts)]
+
+        def read(self, partition):
+            base = partition.value * self.rows_per_part
+            for j in range(self.rows_per_part):
+                gid = base + j
+                yield (
+                    f"tag{gid % PYSRC_TAGS}",
+                    float((gid * 37) % 1000) / 10.0,
+                )
+
+    class SyntheticReadings(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "synthetic_readings"
+
+        def schema(self) -> str:
+            return "tag string, reading double"
+
+        def reader(self, schema):
+            return _Reader(
+                int(self.options.get("partitions", PYSRC_PARTS)),
+                int(self.options.get("rowsperpartition", PYSRC_ROWS_PER_PART)),
+            )
+
+    return SyntheticReadings
+
+
+def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom source via Spark 4's Python DataSource API — the
+    pluggable-connector surface (what a bespoke feed becomes when no
+    built-in format fits). The source plans its own InputPartitions,
+    so the scan is executor-parallel like any file source; rows are
+    the reference's BMS sensor-reading shape (tag, numeric reading —
+    ``KafkaStreamAverageCalculator.java:201-215``'s payload) generated
+    deterministically from the partition-global row id, aggregated by
+    the flagship per-tag rollup. The oracle regenerates the same rows
+    with integer arithmetic in SQL.
+
+    ``sf_dir`` is unused: the source IS the data — the point of the
+    API."""
+    spark.dataSource.register(_synthetic_readings_source())
+    df = (
+        spark.read.format("synthetic_readings")
+        .option("partitions", PYSRC_PARTS)
+        .option("rowsperpartition", PYSRC_ROWS_PER_PART)
+        .load()
+    )
+    return df.groupBy("tag").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("reading") * 100).cast("long")).alias("sum_cents"),
+        F.min("reading").alias("min_reading"),
+        F.max("reading").alias("max_reading"),
+    )
+
+
+SRC_PYSRC_SQL = f"""
+WITH g AS (
+  SELECT unnest(range(0, {PYSRC_PARTS * PYSRC_ROWS_PER_PART})) AS gid
+),
+rows_ AS (
+  SELECT 'tag' || CAST(gid % {PYSRC_TAGS} AS VARCHAR) AS tag,
+         CAST((gid * 37) % 1000 AS DOUBLE) / 10.0 AS reading
+  FROM g
+)
+SELECT tag, COUNT(*) AS n,
+       CAST(SUM(CAST(round(reading*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       MIN(reading) AS min_reading, MAX(reading) AS max_reading
+FROM rows_ GROUP BY tag
+"""
+
+
 def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-files compaction drill — the lakehouse maintenance job a
     100 TB table needs continuously: a fragmented write (16-way
