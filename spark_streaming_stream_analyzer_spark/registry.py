@@ -708,6 +708,9 @@ query("stream_progress_metrics", _sp.STREAM_PROGRESS_SQL)(
     _sp.stream_progress_metrics
 )
 query("stream_topk_complete", _sp.STREAM_TOPK_SQL)(_sp.stream_topk_complete)
+query("stream_python_datasource", _sp.STREAM_PYSRC_SQL)(
+    _sp.stream_python_datasource
+)
 query("stream_kafka_pipeline", ORACLES["sink_kafka_json"])(_sp.stream_kafka_pipeline)
 query("stream_stats_exact_state", _st.STREAM_STATS_EXACT_SQL)(
     _st.stream_stats_exact_state

@@ -705,6 +705,127 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_DEDUP_WM_SQL = STREAM_DEDUP_SQL
 
 
+PYSTREAM_BATCHES = 3
+PYSTREAM_ROWS = 100
+PYSTREAM_TAGS = 5
+
+
+def _pystream_source():
+    """Streaming Python DataSource (built lazily): a deterministic
+    micro-batch feed of reference-shaped sensor readings. The reader
+    owns the offset log — a dict {"b": n} — so restart/replay
+    semantics (readBetweenOffsets) are exact."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        SimpleDataSourceStreamReader,
+    )
+
+    def _rows(b: int) -> list:
+        return [
+            (f"tag{g % PYSTREAM_TAGS}", float((g * 37) % 1000) / 10.0)
+            for g in range(b * PYSTREAM_ROWS, (b + 1) * PYSTREAM_ROWS)
+        ]
+
+    class _SR(SimpleDataSourceStreamReader):
+        def initialOffset(self):
+            return {"b": 0}
+
+        def read(self, start):
+            # the runner copy.copy()s the returned iterator for its
+            # prefetch cache — return a list iterator, not a generator
+            b = start["b"]
+            if b >= PYSTREAM_BATCHES:
+                return iter([]), {"b": b}
+            return iter(_rows(b)), {"b": b + 1}
+
+        def readBetweenOffsets(self, start, end):
+            out: list = []
+            for b in range(start["b"], end["b"]):
+                out.extend(_rows(b))
+            return iter(out)
+
+    class PyStreamReadings(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "pystream_readings"
+
+        def schema(self) -> str:
+            return "tag string, reading double"
+
+        def simpleStreamReader(self, schema):
+            return _SR()
+
+    return PyStreamReadings
+
+
+def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming custom connector (Spark 4 Python DataSource,
+    SimpleDataSourceStreamReader): three deterministic micro-batches
+    of reference-shaped readings flow through the flagship per-tag
+    aggregate under a processing-time trigger; the query is stopped
+    once the sink shows every generated row (availableNow snapshots
+    only the first offset of a Python simple reader, so draining is
+    poll-based — the ``stream_stats_heartbeat`` pattern). The offset
+    dict is checkpointed like any source's, so recovery replays
+    exactly. ``sf_dir`` is unused: the source is the data.
+    """
+    import time as _time
+
+    spark.dataSource.register(_pystream_source())
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_CPUS", "32")
+    )
+    stream = spark.readStream.format("pystream_readings").load()
+    agg = stream.groupBy("tag").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("reading") * 100).cast("long")).alias("sum_cents"),
+        F.min("reading").alias("min_reading"),
+        F.max("reading").alias("max_reading"),
+    )
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    ckpt = _tracked_tmp_dir("sgs_pys")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    total = PYSTREAM_BATCHES * PYSTREAM_ROWS
+    try:
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            got = spark.table(name).agg(F.sum("n")).collect()[0][0]
+            if got == total:
+                break
+            _time.sleep(0.5)
+        else:
+            raise TimeoutError("python stream source did not drain")
+    finally:
+        q.stop()
+        q.awaitTermination()
+        _cleanup_tmp_dirs([ckpt])
+    pdf = spark.table(name).toPandas()
+    return spark.createDataFrame(pdf, schema=spark.table(name).schema)
+
+
+STREAM_PYSRC_SQL = f"""
+WITH g AS (
+  SELECT unnest(range(0, {PYSTREAM_BATCHES * PYSTREAM_ROWS})) AS gid
+),
+rows_ AS (
+  SELECT 'tag' || CAST(gid % {PYSTREAM_TAGS} AS VARCHAR) AS tag,
+         CAST((gid * 37) % 1000 AS DOUBLE) / 10.0 AS reading
+  FROM g
+)
+SELECT tag, COUNT(*) AS n,
+       CAST(SUM(CAST(round(reading*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       MIN(reading) AS min_reading, MAX(reading) AS max_reading
+FROM rows_ GROUP BY tag
+"""
+
+
 def stream_topk_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Complete-mode streaming top-k: the running top-3 event types by
     count, re-ranked every micro-batch. Sorting a streaming aggregate
