@@ -606,6 +606,31 @@ FROM g WHERE gap IS NOT NULL GROUP BY user_id
 """
 
 
+def agg_boolean_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/conditional aggregate pack: count_if, bool_and (every),
+    bool_or (any), and a deterministic any_value (min stands in — the
+    engine's any_value is non-deterministic by contract, so the
+    portable form pins the choice). One partial/final aggregate; the
+    predicates fold into the scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_big_discount"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive_qty"),
+        F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
+        F.min("l_linestatus").alias("first_status"),
+    )
+
+
+AGG_BOOLEAN_SQL = """
+SELECT l_returnflag,
+       COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_big_discount,
+       BOOL_AND(l_quantity > 0) AS all_positive_qty,
+       BOOL_OR(l_tax > 0.07) AS any_high_tax,
+       MIN(l_linestatus) AS first_status
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured surface via Spark 4's VARIANT type: the events
     ``props`` JSON parsed once into a variant column, fields extracted
