@@ -606,6 +606,43 @@ FROM g WHERE gap IS NOT NULL GROUP BY user_id
 """
 
 
+def fn_crypto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crypto-function surface: AES-GCM encrypt/decrypt roundtrip plus
+    digest functions over document text. Ciphertexts are random-IV'd
+    (not oracle-comparable) — the portable contract is the IDENTITY:
+    decrypt(encrypt(x)) == x for every row, counted per language; the
+    sha2/md5 digests of the plaintext are directly comparable.
+
+    At scale this is the column-level-encryption pattern (KMS-held
+    key, encrypt at ingest, decrypt on authorized read) — all JVM
+    intrinsics, no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.lit("0123456789abcdef")  # 16-byte demo key; prod: KMS
+    dec = F.aes_decrypt(
+        F.aes_encrypt(F.col("text").cast("binary"), key), key
+    ).cast("string")
+    return (
+        docs.select(
+            "lang",
+            (dec == F.col("text")).alias("roundtrip_ok"),
+            F.sha2(F.col("text"), 256).alias("sha"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_if(F.col("roundtrip_ok")).alias("n_roundtrip_ok"),
+            F.min("sha").alias("min_sha256"),
+        )
+    )
+
+
+FN_CRYPTO_SQL = """
+SELECT lang, COUNT(*) AS n_docs, COUNT(*) AS n_roundtrip_ok,
+       MIN(sha256(text)) AS min_sha256
+FROM documents GROUP BY lang
+"""
+
+
 def agg_boolean_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boolean/conditional aggregate pack: count_if, bool_and (every),
     bool_or (any), and a deterministic any_value (min stands in — the

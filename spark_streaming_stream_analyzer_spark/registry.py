@@ -494,6 +494,7 @@ query("src_python_datasource", _snk.SRC_PYSRC_SQL)(_snk.src_python_datasource)
 query("fn_bitwise_pack", _rel.BITWISE_PACK_SQL)(_rel.fn_bitwise_pack)
 query("fn_variant_json", _rel.FN_VARIANT_SQL)(_rel.fn_variant_json)
 query("agg_boolean_pack", _rel.AGG_BOOLEAN_SQL)(_rel.agg_boolean_pack)
+query("fn_crypto_roundtrip", _rel.FN_CRYPTO_SQL)(_rel.fn_crypto_roundtrip)
 query("agg_mode_qty", _rel.AGG_MODE_QTY_SQL)(_rel.agg_mode_qty)
 query("count_distinct_exact", _rel.COUNT_DISTINCT_SQL)(_rel.count_distinct_exact)
 query("agg_multi_distinct", _rel.AGG_MULTI_DISTINCT_SQL)(_rel.agg_multi_distinct)
