@@ -27,7 +27,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -117,6 +117,91 @@ SELECT doc_id, CAST(i AS INT) AS frame_no,
        md5(substr(text, 1 + i * {FRAME_STRIDE}, {FRAME_LEN})) AS frame_md5
 FROM documents, range({N_FRAMES}) t(i)
 WHERE length(substr(text, 1 + i * {FRAME_STRIDE}, {FRAME_LEN})) > 0
+"""
+
+
+SCENE_CUT_THRESHOLD = 120  #: |luma delta| above this = scene boundary
+
+
+def mm_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over the sampled frame sequence: each
+    frame's "luma" is the exact byte-sum of its window; a cut is a
+    jump of more than SCENE_CUT_THRESHOLD between consecutive frames.
+    The video-curation primitive (shot segmentation before per-shot
+    sampling) with the decode stubbed to the deterministic byte
+    windows — swap luma for a real frame statistic on a cluster with
+    codecs and nothing else changes.
+
+    Entirely JVM expressions: sequence→transform(ascii)→aggregate for
+    the luma, one lag window per doc, a per-doc rollup. Integer sums,
+    engine-portable.
+    """
+    docs = load_table_cpu(spark, sf_dir, "documents")
+    frames = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {N_FRAMES - 1}), "
+                f"i -> substr(text, 1 + i * {FRAME_STRIDE}, {FRAME_LEN}))"
+            )
+        ).alias("frame_no", "w"),
+    ).filter(F.length("w") > 0)
+    luma = F.expr(
+        "aggregate(transform(sequence(1, length(w)), "
+        "i -> CAST(ascii(substr(w, i, 1)) AS BIGINT)), 0L, (a, x) -> a + x)"
+    )
+    lagw = Window.partitionBy("doc_id").orderBy("frame_no")
+    deltas = (
+        frames.select("doc_id", "frame_no", luma.alias("luma"))
+        .withColumn("prev", F.lag("luma").over(lagw))
+        .withColumn(
+            "is_cut",
+            F.when(
+                F.col("prev").isNotNull()
+                & (F.abs(F.col("luma") - F.col("prev")) > SCENE_CUT_THRESHOLD),
+                1,
+            ).otherwise(0),
+        )
+    )
+    return deltas.groupBy("doc_id").agg(
+        F.count("*").alias("n_frames"),
+        F.sum("is_cut").alias("n_cuts"),
+        F.min(F.when(F.col("is_cut") == 1, F.col("frame_no"))).alias(
+            "first_cut_frame"
+        ),
+    )
+
+
+MM_SCENE_CUT_SQL = f"""
+WITH frames AS (
+  SELECT doc_id, CAST(i AS INT) AS frame_no,
+         substr(text, 1 + CAST(i AS INT) * {FRAME_STRIDE}, {FRAME_LEN}) AS w
+  FROM documents, range({N_FRAMES}) t(i)
+  WHERE length(substr(text, 1 + CAST(i AS INT) * {FRAME_STRIDE}, {FRAME_LEN})) > 0
+),
+luma AS (
+  SELECT doc_id, frame_no,
+         CAST(list_sum(list_transform(range(1, length(w) + 1),
+                                      i -> ord(substr(w, CAST(i AS INT), 1))))
+              AS BIGINT) AS luma
+  FROM frames
+),
+deltas AS (
+  SELECT doc_id, frame_no, luma,
+         lag(luma) OVER (PARTITION BY doc_id ORDER BY frame_no) AS prev
+  FROM luma
+),
+cuts AS (
+  SELECT doc_id, frame_no,
+         CASE WHEN prev IS NOT NULL
+                   AND abs(luma - prev) > {SCENE_CUT_THRESHOLD}
+              THEN 1 ELSE 0 END AS is_cut
+  FROM deltas
+)
+SELECT doc_id, COUNT(*) AS n_frames,
+       CAST(SUM(is_cut) AS BIGINT) AS n_cuts,
+       MIN(CASE WHEN is_cut = 1 THEN frame_no END) AS first_cut_frame
+FROM cuts GROUP BY doc_id
 """
 
 

@@ -635,6 +635,7 @@ query("text_normalize", _ts.TEXT_NORMALIZE_SQL)(_ts.text_normalize)
 query("mm_binary_meta", _mm.MM_BINARY_META_SQL)(_mm.mm_binary_meta)
 query("mm_feature_extract", _mm.MM_FEATURE_SQL)(_mm.mm_feature_extract)
 query("mm_frame_sample", _mm.MM_FRAME_SAMPLE_SQL)(_mm.mm_frame_sample)
+query("mm_scene_cut", _mm.MM_SCENE_CUT_SQL)(_mm.mm_scene_cut)
 query("mm_resize", _mm.MM_RESIZE_SQL)(_mm.mm_resize)
 query("mm_audio_chunk", _mm.MM_AUDIO_CHUNK_SQL)(_mm.mm_audio_chunk)
 query("mm_phash_dedup", _mm.MM_PHASH_SQL)(_mm.mm_phash_dedup)
