@@ -922,6 +922,66 @@ FROM sessions s JOIN hot h
 """
 
 
+DOD_ALERT_PCT = 20  #: alert when |day-over-day change| exceeds this %
+
+
+def dq_day_over_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day volume monitoring: per (event_type, day) counts,
+    the previous day's count via lag, and an alert flag when the
+    change exceeds DOD_ALERT_PCT percent — the freshness/volume alarm
+    every ingest pipeline runs. The percent compare is cross-
+    multiplied in integers (|cur-prev|*100 > prev*PCT), so the flag is
+    engine-exact with no float division.
+
+    One partial/final count aggregate, one lag window per type —
+    both keyed small (types × days)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", F.to_date(ts_timestamp(ev)).alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    return (
+        daily.withColumn("prev_n", F.lag("n").over(w))
+        .select(
+            "event_type",
+            F.col("day").cast("string").alias("day"),
+            "n",
+            "prev_n",
+            F.when(
+                F.col("prev_n").isNotNull()
+                & (
+                    F.abs(F.col("n") - F.col("prev_n")) * 100
+                    > F.col("prev_n") * DOD_ALERT_PCT
+                ),
+                True,
+            )
+            .otherwise(False)
+            .alias("alert"),
+        )
+    )
+
+
+DQ_DOD_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+lagged AS (
+  SELECT event_type, day, n,
+         lag(n) OVER (PARTITION BY event_type ORDER BY day) AS prev_n
+  FROM daily
+)
+SELECT event_type, CAST(day AS VARCHAR) AS day, n, prev_n,
+       COALESCE(prev_n IS NOT NULL
+                AND abs(n - prev_n) * 100 > prev_n * {DOD_ALERT_PCT},
+                FALSE) AS alert
+FROM lagged
+"""
+
+
 # ------------------------------------------------------- dyadic EWMA --
 
 EWMA_K = 16  #: events per user in the decay window
