@@ -308,6 +308,80 @@ FROM ranked WHERE rn = 1
 """
 
 
+def join_pit_training_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time training-example assembly — the feature-store
+    join discipline: for every purchase event (the label row), attach
+    (a) temporal features from the user's latest order STRICTLY AT OR
+    BEFORE the event time (as-of semantics — later orders would be
+    label leakage) and (b) static profile features (market segment).
+    Events with no prior order keep the row with null order features
+    (left join): a training pipeline imputes, it does not drop.
+
+    Scale: the as-of reduction is the broadcast range join +
+    max-by-struct collapse of ``join_asof_latest_order``; the static
+    enrich is a broadcast hash join; one shuffle on the fact side
+    total.
+    """
+    ev_raw = load_table(spark, sf_dir, "events")
+    labels = ev_raw.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        ts_timestamp(ev_raw).alias("ev_ts"),
+        F.round(F.col("value") * 100).cast("long").alias("label_cents"),
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    joined = labels.join(
+        F.broadcast(od),
+        (labels.user_id == od.o_custkey) & (od.o_orderdate <= labels.ev_ts),
+        "left",
+    )
+    picked = joined.groupBy(
+        "event_id", "user_id", "label_cents"
+    ).agg(F.max(F.struct("o_orderdate", "o_orderkey", "o_totalprice")).alias("b"))
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    return (
+        picked.join(F.broadcast(cust), picked.user_id == cust.c_custkey, "left")
+        .select(
+            "event_id",
+            "user_id",
+            (F.col("label_cents").cast("double") / F.lit(100.0)).alias("label"),
+            F.col("b.o_orderkey").alias("feat_last_orderkey"),
+            F.col("b.o_totalprice").alias("feat_last_totalprice"),
+            "c_mktsegment",
+            "c_acctbal",
+        )
+    )
+
+
+JOIN_PIT_SQL = """
+WITH labels AS (
+  SELECT event_id, user_id, ts AS ev_ts,
+         CAST(round(value*100) AS BIGINT) AS label_cents
+  FROM events WHERE event_type = 'purchase'
+),
+ranked AS (
+  SELECT l.event_id, l.user_id, l.label_cents,
+         o.o_orderkey, o.o_totalprice,
+         row_number() OVER (PARTITION BY l.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC,
+                                     o.o_totalprice DESC) AS rn
+  FROM labels l LEFT JOIN orders o
+    ON l.user_id = o.o_custkey AND o.o_orderdate <= l.ev_ts
+)
+SELECT r.event_id, r.user_id,
+       CAST(r.label_cents AS DOUBLE) / 100.0 AS label,
+       r.o_orderkey AS feat_last_orderkey,
+       r.o_totalprice AS feat_last_totalprice,
+       c.c_mktsegment, c.c_acctbal
+FROM ranked r LEFT JOIN customer c ON r.user_id = c.c_custkey
+WHERE r.rn = 1
+"""
+
+
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP(returnflag, linestatus) with grouping_id."""
     li = load_table(spark, sf_dir, "lineitem")

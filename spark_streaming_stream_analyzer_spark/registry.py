@@ -469,6 +469,9 @@ query("join_anti", _rel.JOIN_ANTI_SQL)(_rel.join_anti)
 query("join_full_outer", _rel.JOIN_FULL_OUTER_SQL)(_rel.join_full_outer)
 query("agg_mode_argmax", _rel.AGG_MODE_SQL)(_rel.agg_mode_argmax)
 query("join_asof_latest_order", _rel.JOIN_ASOF_SQL)(_rel.join_asof_latest_order)
+query("join_pit_training_assembly", _rel.JOIN_PIT_SQL)(
+    _rel.join_pit_training_assembly
+)
 query("agg_rollup", _rel.AGG_ROLLUP_SQL)(_rel.agg_rollup)
 query("agg_cube", _rel.AGG_CUBE_SQL)(_rel.agg_cube)
 query("window_topk_per_group", _rel.WINDOW_TOPK_SQL)(_rel.window_topk_per_group)
