@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.exact import cents_dec, sum_money
+from ..functions.exact import cents, cents_dec, sum_money
 from ..sources.tables import load_table, ts_micros, ts_timestamp
 from .relational import AGG_SESSION_SQL
 
@@ -919,6 +919,55 @@ SELECT s.user_id, s.session_start_us, h.hour_bucket, s.n_events, h.hour_events
 FROM sessions s JOIN hot h
   ON h.hour_bucket BETWEEN s.session_start_us // {_HOUR_US}
                        AND (s.session_end_us - 1) // {_HOUR_US}
+"""
+
+
+def sample_group_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-holdout split: hash the GROUP key (user_id), not the row,
+    so every event of a user lands in the same train/valid/test split
+    — the leakage-free discipline when examples within a group are
+    correlated (row-hash splits, like ``sample_split_hash``, would put
+    one user's history on both sides of the wall). Same deterministic
+    md5-hash64 buckets; per-split distinct-user and event counts with
+    exact sums prove the partition is a true user-level partition.
+
+    One partial/final aggregate; the group hash is a scan-side
+    expression, no extra shuffle beyond the count's."""
+    ev = load_table(spark, sf_dir, "events")
+    from ..functions.hashing import hash64
+
+    bucket = F.pmod(hash64(F.col("user_id").cast("string")), F.lit(100))
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_VALID_PCT, "valid")
+        .otherwise("test")
+    )
+    return (
+        ev.select(split.alias("split"), "user_id", cents("value").alias("c"))
+        .groupBy("split")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+            (F.sum("c").cast("double") / F.lit(100.0)).alias("sum_value"),
+        )
+    )
+
+
+SAMPLE_GROUP_HOLDOUT_SQL = f"""
+WITH b AS (
+  SELECT user_id, value,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+              AS BIGINT) % 100 AS bucket
+  FROM events
+)
+SELECT CASE WHEN bucket < {SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN bucket < {SPLIT_VALID_PCT} THEN 'valid'
+            ELSE 'test' END AS split,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events,
+       CAST(CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS DOUBLE)
+         / 100.0 AS sum_value
+FROM b GROUP BY 1
 """
 
 

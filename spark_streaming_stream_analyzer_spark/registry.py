@@ -674,6 +674,9 @@ query("join_interval_overlap", _an.JOIN_INTERVAL_SQL)(_an.join_interval_overlap)
 query("ts_ewma_recent", _an.TS_EWMA_SQL)(_an.ts_ewma_recent)
 query("incremental_agg_merge", _an.INCREMENTAL_MERGE_SQL)(_an.incremental_agg_merge)
 query("dq_day_over_day", _an.DQ_DOD_SQL)(_an.dq_day_over_day)
+query("sample_group_holdout", _an.SAMPLE_GROUP_HOLDOUT_SQL)(
+    _an.sample_group_holdout
+)
 query("fuzzy_pairs_symdelete", _cur.FUZZY_PAIRS_SQL)(_cur.fuzzy_pairs_symdelete)
 
 from .operators import graph as _gr  # noqa: E402

@@ -304,3 +304,17 @@ def test_incremental_merge_equals_full(spark, sf_dir):
     for r in rows:  # merged partials == from-scratch recompute
         assert r["n"] == r["n_full"]
         assert r["sum_value"] == r["sum_value_full"]
+
+
+def test_group_holdout_never_splits_a_user(spark, sf_dir):
+    from spark_streaming_stream_analyzer_spark.operators.analytics import (
+        sample_group_holdout,
+    )
+
+    rows = sample_group_holdout(spark, sf_dir).collect()
+    n_users_total = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    # per-split distinct users sum exactly to the global distinct count
+    # -> no user appears in two splits (a row-hash split would violate this)
+    assert sum(r["n_users"] for r in rows) == n_users_total
