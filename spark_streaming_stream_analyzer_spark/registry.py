@@ -755,67 +755,63 @@ except ImportError:
 # (which always runs all of them).
 
 _VERIFY_FIRST: list[str] = [
-    # Round-4 rotation. Slots 1-5: the five queries broken by the
-    # fixture's ts-type change (native timestamp[us]), fixed this
-    # round — must flip red→green in CORRECTNESS_r04. The rest are
-    # queries with no CORRECTNESS row in any round yet (the driver
-    # checks the FIRST 50 queries() entries per round); ~28 more
-    # never-verified queries remain for the round-5 rotation.
-    "agg_session_window",
-    "stream_windowed_wordcount",
-    "stream_session_window",
-    "stream_stream_join",
-    "stream_stream_left_join",
-    # TPC-H shapes never driver-verified
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_values",
-    "q12_late_priority_counts",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_part_supplier_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customer",
-    "q19_disjunctive_filter",
-    "q20_part_promotion_suppliers",
-    "q21_waiting_suppliers",
-    "q22_idle_customers",
-    # curation / corpus-assembly tier (M5+)
-    "text_repetition_metrics",
-    "text_decontaminate",
-    "text_pii_redact",
-    "pipeline_keep_best",
-    "pack_token_budget",
-    "sample_rebalance",
-    "sample_weighted",
-    "corpus_mixture_stats",
-    "text_chunk_overlap",
-    "split_leakage_audit",
-    # dedup / similarity additions
-    "dedup_containment",
-    "dedup_minhash_quality",
-    "mm_phash_dedup",
-    "sim_range_search",
-    "sim_srp_topk",
-    "emb_quantize_int8",
-    "sim_quantized_topk",
-    # sketches
-    "approx_cms_topk",
-    "approx_distinct_merge",
-    "approx_median_hist",
-    # relational / SQL-surface shapes
-    "funnel_conversion",
-    "agg_histogram",
-    "sql_surface",
-    "agg_pivot",
-    "agg_unpivot",
-    "sql_exists_subquery",
-    "sql_recursive",
+    # Round-5 rotation: the 50 queries with no CORRECTNESS row in any
+    # of rounds 1-4 (computed from the four CORRECTNESS files; matches
+    # NOTES_r4.md section 2 and VERDICT round-4 item 1). The driver checks
+    # the FIRST 50 queries() entries, so after round 5 every registered
+    # query has a driver CORRECTNESS row in some round. Queries already
+    # proven green keep their original order after these and remain
+    # covered locally by scripts/selfcheck.py (all 193).
+    "src_partition_prune",
+    "join_pit_training_assembly",
+    "fn_event_time_pack",
+    "ts_gap_stats",
+    "ts_rolling_window_1h",
+    "src_schema_drift",
+    "obs_pipeline_metrics",
+    "sink_compaction",
+    "src_python_datasource",
+    "fn_bitwise_pack",
+    "fn_variant_json",
+    "agg_boolean_pack",
+    "fn_crypto_roundtrip",
+    "agg_mode_qty",
+    "anomaly_zscore",
+    "text_tfidf_topk",
+    "join_salted_skew",
+    "agg_sliding_window",
+    "sample_split_hash",
+    "join_bloom_prefilter",
+    "text_char_ngram_profile",
+    "sample_stratified_topn",
+    "cohort_retention",
+    "sim_kmeans_exact_cells",
+    "sim_ivf_exact_topk",
+    "sim_kmeans_cells",
+    "sim_ivf_kmeans_topk",
+    "udtf_chunk_docs",
+    "mm_scene_cut",
+    "mm_audio_chunk",
+    "ts_rollup_hierarchy",
+    "emb_dim_minmax",
+    "scd2_intervals",
+    "dq_constraint_audit",
+    "skew_key_profile",
+    "json_key_inventory",
+    "join_interval_overlap",
+    "ts_ewma_recent",
+    "incremental_agg_merge",
+    "dq_day_over_day",
+    "sample_group_holdout",
+    "fuzzy_pairs_symdelete",
+    "graph_pagerank_exact",
+    "graph_degree_histogram",
+    "stream_sliding_window",
+    "stream_minute_rollup",
+    "stream_foreachbatch_upsert",
+    "stream_progress_metrics",
+    "stream_topk_complete",
+    "stream_python_datasource",
 ]
 
 
