@@ -760,15 +760,29 @@ def approx_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarantee (estimate ≥ truth) is testable as an invariant.
 
     Scale story: the sketch is CMS_D × CMS_W counters — fixed size
-    regardless of input (vs the exact count's |vocabulary| keys). The
-    counter build is a map-side-combinable aggregate over a 4× explode;
-    the audit tail (top-k join) is broadcast-sized."""
+    regardless of input (vs the exact count's |vocabulary| keys). Word
+    occurrences are pre-aggregated to (word, cnt) BEFORE the CMS_D×
+    explode, so the counter build shuffles |vocabulary|×D rows, not
+    |occurrences|×D — at corpus scale that is the difference between
+    shuffling the corpus four times and shuffling a dictionary. The
+    same (word, cnt) frame feeds the exact top-k, so the tokenize scan
+    runs once. The audit tail (top-k join) is broadcast-sized."""
     from ..functions.hashing import hash64
     from .wordcount import tokenize
 
     words = tokenize(load_table(spark, sf_dir, "documents"), "text")
-    coords = words.select(
+    # one map-side-combinable pass over the corpus: occurrences → vocab.
+    # localCheckpoint: both the counter build and the exact top-k read
+    # this frame — materialize the (small, vocab-sized) result once
+    # instead of re-tokenizing the corpus per consumer.
+    wc = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("exact_n"))
+        .localCheckpoint(eager=False)
+    )
+    coords = wc.select(
         "word",
+        "exact_n",
         F.explode(
             F.array(
                 *[
@@ -783,18 +797,13 @@ def approx_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("c"),
-    ).select("word", "c.d", "c.bucket")
-    counters = coords.groupBy("d", "bucket").agg(F.count("*").alias("cnt"))
+    ).select("word", "exact_n", "c.d", "c.bucket")
+    counters = coords.groupBy("d", "bucket").agg(F.sum("exact_n").alias("cnt"))
     # global top-k via sort+limit, NOT a row_number window: Catalyst
     # plans this as TakeOrderedAndProject (per-partition heaps merged
     # on the driver) — a global window would funnel the whole
     # vocabulary through one partition
-    top = (
-        words.groupBy("word")
-        .agg(F.count("*").alias("exact_n"))
-        .orderBy(F.col("exact_n").desc(), F.col("word"))
-        .limit(CMS_TOPK)
-    )
+    top = wc.orderBy(F.col("exact_n").desc(), F.col("word")).limit(CMS_TOPK)
     top_coords = top.select(
         "word",
         "exact_n",

@@ -720,8 +720,16 @@ def sim_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("emb_d"),
         "nrm",
-    ).withColumn("sig", _srp_sig(F.col("emb_d")))
-    bands = em.select(
+    )
+    # No localCheckpoint here, deliberately (A/B-measured at sf0.1:
+    # checkpointing either the full em frame or a sig-only frame is
+    # slower than recompute). Catalyst makes the multi-consumer reads
+    # cheap on its own: the rerank branches prune the `sig` projection
+    # away entirely, and the query-side branches push `vec_id <
+    # N_QUERIES` down to the parquet scan — so the only full-cost
+    # signature pass is the one band-explode scan, at any scale.
+    sigs = em.select("vec_id", _srp_sig(F.col("emb_d")).alias("sig"))
+    bands = sigs.select(
         "vec_id",
         F.explode(
             F.array(
