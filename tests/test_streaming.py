@@ -253,3 +253,60 @@ def test_heartbeat_reemits_idle_keys(spark, tmp_path):
         assert len(vals) == 2
     finally:
         q.stop()
+
+
+def test_stream_stats_tws_always_registered_and_matches_exact(spark, sf_dir):
+    """stream_stats_tws must be present in queries() regardless of the
+    host's python-protobuf availability, and its result (true TWS path
+    on protobuf hosts, applyInPandasWithState fallback elsewhere) must
+    be row-identical to stream_stats_exact_state on the deterministic
+    oracle columns."""
+    from spark_streaming_stream_analyzer_spark import registry
+    from spark_streaming_stream_analyzer_spark.streaming.state import (
+        stream_stats_exact_state,
+        stream_stats_tws,
+    )
+
+    assert "stream_stats_tws" in registry.QUERIES
+    tws = {r["readTag_id"]: r for r in stream_stats_tws(spark, sf_dir).collect()}
+    exact = {
+        r["readTag_id"]: r for r in stream_stats_exact_state(spark, sf_dir).collect()
+    }
+    assert set(tws) == set(exact) and tws
+    for k, row in exact.items():
+        for col in ("summer", "counter", "sumsqr", "bestmin", "bestmax",
+                    "mean", "m2", "var"):
+            assert tws[k][col] == row[col], (k, col)
+
+
+def test_tws_true_path_runs_where_protobuf_present(spark, tmp_path):
+    """Exercises the real transformWithStateInPandas worker; skipped on
+    protobuf-less containers (this sandbox), runs on codec-complete
+    clusters so the TWS path is not permanently dead code."""
+    from spark_streaming_stream_analyzer_spark.streaming.state import (
+        ExactStatsProcessor,
+        TWS_OUTPUT_SCHEMA,
+        _has_protobuf,
+    )
+    from spark_streaming_stream_analyzer_spark.streaming.pipelines import (
+        _run_to_memory,
+        events_file_stream,
+    )
+
+    if not _has_protobuf():
+        pytest.skip("python-protobuf absent: TWS worker channel unavailable")
+    rows = [(1, 1 * NS, 1, "a", 10.0, "{}"), (2, 2 * NS, 1, "a", 30.0, "{}")]
+    src = _write_event_files(spark, str(tmp_path), [rows])
+    stream = events_file_stream(spark, src)
+    out = (
+        stream.select(F.col("event_type").cast("string").alias("readTag_id"), "value")
+        .groupBy("readTag_id")
+        .transformWithStateInPandas(
+            ExactStatsProcessor(),
+            outputStructType=TWS_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+    res = {r["readTag_id"]: r for r in _run_to_memory(out, output_mode="update").collect()}
+    assert res["a"]["summer"] == 40.0 and res["a"]["counter"] == 2.0
