@@ -1001,17 +1001,26 @@ def stream_kafka_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC-style upsert sink via ``foreachBatch``: each micro-batch's
     per-key latest row (greatest (event time, event_id) tuple) is
-    MERGEd into an accumulated keyed store — the pattern for
+    MERGEd into an accumulated keyed parquet store — the pattern for
     maintaining a mutable serving table from an append-only stream
-    when the sink has no native merge (replace the dict with
-    ``MERGE INTO`` on a lakehouse table and nothing else changes).
+    when the sink has no native merge. Each batch appends only its
+    per-key latest (a map-side-combined aggregate, rows = batch key
+    cardinality); the serving view is a merge-on-read fold —
+    union-all of the appended deltas + per-key argmax — exactly how
+    Delta/Iceberg MERGE-on-read compaction behaves. On a lakehouse
+    this batch fn becomes ``MERGE INTO`` and the fold disappears;
+    nothing here is driver-resident, so the shape survives any key
+    cardinality (the previous harness used a driver-side dict, which
+    would not).
     The fixture is staged twice, so every key arrives in two batches
     and the merge's last-writer-wins discipline is what the oracle
     checks: the final store equals the batch latest-per-key query."""
     stream = events_file_stream(
         spark, os.path.join(sf_dir, "events.parquet"), copies=2
     )
-    store: dict[int, tuple] = {}
+    # store dir outlives this function (the returned frame reads it
+    # lazily) — cleaned at process exit like the staged source dirs
+    store_dir = _tracked_tmp_dir("sgs_ups_store")
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         latest = (
@@ -1020,11 +1029,7 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.max(F.struct("us", "event_id", "value")).alias("s"))
             .select("user_id", "s.us", "s.event_id", "s.value")
         )
-        for r in latest.toPandas().itertuples(index=False):
-            cur = store.get(r.user_id)
-            tup = (int(r.us), int(r.event_id), float(r.value))
-            if cur is None or tup[:2] > cur[:2]:
-                store[r.user_id] = tup
+        latest.write.mode("append").parquet(store_dir)
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
@@ -1042,12 +1047,18 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         _cleanup_tmp_dirs([ckpt])
-    rows = [
-        (int(k), int(us), int(eid), float(v))
-        for k, (us, eid, v) in store.items()
-    ]
-    return spark.createDataFrame(
-        rows, schema="user_id long, last_us long, last_event_id long, last_value double"
+    # merge-on-read: per-key argmax over the union of batch deltas.
+    # One shuffle on user_id; struct-max keeps it a single aggregate.
+    return (
+        spark.read.parquet(store_dir)
+        .groupBy("user_id")
+        .agg(F.max(F.struct("us", "event_id", "value")).alias("s"))
+        .select(
+            "user_id",
+            F.col("s.us").alias("last_us"),
+            F.col("s.event_id").alias("last_event_id"),
+            F.col("s.value").alias("last_value"),
+        )
     )
 
 
