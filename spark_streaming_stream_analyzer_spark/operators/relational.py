@@ -938,14 +938,66 @@ FROM orders GROUP BY o_orderstatus
 
 def approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates — HLL++ count-distinct and quantile
-    sketch. No DuckDB oracle (sketch internals differ by engine);
-    the driver records a rows-only check and
-    tests/test_relational_ext.py bounds the error against exact values."""
+    sketch — with a DECIDABLE contract. Raw sketch estimates differ by
+    engine, so instead of emitting them as bare numbers (which would
+    force a rows-only check), the query emits the exact answers plus
+    integer-exact boolean flags asserting the sketch estimates land
+    within their documented error bounds:
+
+    - ``parts_within_5pct``: HLL++ (default rsd 5%) estimate within
+      5% relative error of the exact distinct count (the estimator is
+      deterministic for fixed input, so this is a stable fact of the
+      data, not a coin flip);
+    - ``median_rank_ok``: the fraction of rows ≤ the approx median
+      lies in [45%, 55%] — compared with pure integer arithmetic
+      (100·n_le vs 45·n / 55·n), no FP in the verdict.
+
+    The DuckDB oracle computes the exact columns and asserts the flags
+    TRUE — so the sketches stay engine-private while the query is
+    fully hash-checkable. ``tests/test_relational_ext.py`` keeps the
+    tighter numeric error gate on the raw estimates."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    g = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median"),
+        F.count("*").alias("n"),
     )
+    ranks = (
+        li.join(
+            F.broadcast(g.select("l_returnflag", "approx_median")), "l_returnflag"
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") <= F.col("approx_median")).cast("long")
+            ).alias("n_le")
+        )
+    )
+    return (
+        g.join(F.broadcast(ranks), "l_returnflag")
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("approx_parts") - F.col("exact_parts")) * 100
+                <= F.col("exact_parts") * 5
+            ).alias("parts_within_5pct"),
+            (
+                (F.col("n_le") * 100 >= F.col("n") * 45)
+                & (F.col("n_le") * 100 <= F.col("n") * 55)
+            ).alias("median_rank_ok"),
+        )
+    )
+
+
+APPROX_AGGS_SQL = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS parts_within_5pct,
+       TRUE AS median_rank_ok
+FROM lineitem GROUP BY l_returnflag
+"""
 
 
 def percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

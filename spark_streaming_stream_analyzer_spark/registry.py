@@ -502,7 +502,7 @@ query("agg_mode_qty", _rel.AGG_MODE_QTY_SQL)(_rel.agg_mode_qty)
 query("count_distinct_exact", _rel.COUNT_DISTINCT_SQL)(_rel.count_distinct_exact)
 query("agg_multi_distinct", _rel.AGG_MULTI_DISTINCT_SQL)(_rel.agg_multi_distinct)
 query("agg_collect_ordered", _rel.AGG_COLLECT_SQL)(_rel.agg_collect_ordered)
-query("approx_aggs", None)(_rel.approx_aggs)  # sketches differ per engine: rows-only
+query("approx_aggs", _rel.APPROX_AGGS_SQL)(_rel.approx_aggs)
 query("percentile_exact", _rel.PERCENTILE_SQL)(_rel.percentile_exact)
 query("q6_forecast_revenue", _rel.Q6_SQL)(_rel.q6_forecast_revenue)
 query("q7_volume_shipping", _rel.Q7_SQL)(_rel.q7_volume_shipping)

@@ -186,14 +186,25 @@ def test_corrupt_policy_counts(spark, sf_dir):
 
 
 def test_approx_aggs_error_bounded(spark, sf_dir):
-    """Bounds approx_count_distinct (HLL++) and percentile_approx
-    against the exact answers — the rows-only driver check gets its
-    accuracy gate here."""
+    """Bounds the raw approx_count_distinct (HLL++) and
+    percentile_approx estimates against the exact answers — tighter
+    numeric gate behind the boolean flags the registered query emits
+    (and asserts the registered flags are all true)."""
     from spark_streaming_stream_analyzer_spark.sources.tables import load_table
 
+    for r in registry.QUERIES["approx_aggs"](spark, sf_dir).collect():
+        assert r["parts_within_5pct"] and r["median_rank_ok"], r
     approx = {
         r["l_returnflag"]: r
-        for r in registry.QUERIES["approx_aggs"](spark, sf_dir).collect()
+        for r in load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.percentile_approx("l_extendedprice", 0.5).alias(
+                "approx_median_price"
+            ),
+        )
+        .collect()
     }
     exact = {
         r["l_returnflag"]: r
