@@ -599,6 +599,16 @@ FROM orders
 """
 
 
+# Oracle vintage note (applies to EVENT_TIME_PACK_SQL, TS_GAP_STATS_SQL,
+# TS_ROLLING_1H_SQL, JOIN_PIT_SQL, DQ_DOD_SQL and any other oracle using
+# epoch_us(ts)/hour(ts)/date_trunc on ts directly): these assume the
+# CURRENT fixture vintage, where events.ts is a native parquet
+# timestamp[us] column DuckDB reads as TIMESTAMP. On the older
+# bigint-nanos fixture vintage only the SPARK side is adaptive
+# (ts_timestamp/ts_micros branch on dtype); the DuckDB oracles would
+# see a BIGINT ts and error. If the fixture ever reverts, mirror the
+# adaptivity by swapping epoch_us(ts) for an epoch-us macro chosen per
+# vintage (ts DIV 1000 on the nanos form) — see NOTES_r4.md §1.
 def fn_event_time_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time scalar-function pack over the events stream's native
     timestamp column (the fixture's ts is parquet timestamp[us]; the
@@ -695,16 +705,23 @@ def fn_crypto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = F.aes_decrypt(
         F.aes_encrypt(F.col("text").cast("binary"), key), key
     ).cast("string")
+    # NULL text (or a decrypt failure yielding NULL) must surface as a
+    # visible n_null_roundtrip count, not as an opaque oracle mismatch:
+    # count_if skips NULL predicate rows while the oracle's COUNT(*)
+    # counts every row, so the decidable claim is
+    # n_roundtrip_ok + n_null_roundtrip == n_docs with n_null == 0.
+    ok = dec == F.col("text")
     return (
         docs.select(
             "lang",
-            (dec == F.col("text")).alias("roundtrip_ok"),
+            ok.alias("roundtrip_ok"),
             F.sha2(F.col("text"), 256).alias("sha"),
         )
         .groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
             F.count_if(F.col("roundtrip_ok")).alias("n_roundtrip_ok"),
+            F.count_if(F.isnull("roundtrip_ok")).alias("n_null_roundtrip"),
             F.min("sha").alias("min_sha256"),
         )
     )
@@ -712,6 +729,7 @@ def fn_crypto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FN_CRYPTO_SQL = """
 SELECT lang, COUNT(*) AS n_docs, COUNT(*) AS n_roundtrip_ok,
+       CAST(0 AS BIGINT) AS n_null_roundtrip,
        MIN(sha256(text)) AS min_sha256
 FROM documents GROUP BY lang
 """

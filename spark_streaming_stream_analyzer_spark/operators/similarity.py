@@ -355,58 +355,69 @@ def sim_kmeans_exact_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long"),
         ).alias("v"),
     )
+    # cache scope = the centroid-iteration loop only (each round's
+    # collect() re-scans em); unpersisted in the finally so repeated
+    # invocations (sim_ivf_exact_topk calls this too) don't accumulate
+    # cached blocks for the life of the session. The returned plan
+    # recomputes em lazily once — a cheap quantize map.
     em = em.cache()
-    cent = (
-        em.orderBy("vec_id")
-        .limit(KMEANS_K)
-        .select(
-            F.row_number().over(Window.orderBy("vec_id")).alias("cell"),
-            F.col("v").alias("c"),
-        )
-    )
-    dist = F.aggregate(
-        F.zip_with("v", "c", lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    assigned = None
-    for it in range(KMEANS_ITERS):
-        assigned = (
-            em.crossJoin(F.broadcast(cent))
-            .select("vec_id", "v", "cell", dist.alias("d2"))
-            .groupBy("vec_id")
-            .agg(F.min(F.struct("d2", "cell", "v")).alias("m"))
+    try:
+        cent = (
+            em.orderBy("vec_id")
+            .limit(KMEANS_K)
             .select(
-                "vec_id",
-                F.col("m.cell").alias("cell"),
-                F.col("m.d2").alias("d2"),
-                F.col("m.v").alias("v"),
+                F.row_number().over(Window.orderBy("vec_id")).alias("cell"),
+                F.col("v").alias("c"),
             )
         )
-        if it == KMEANS_ITERS - 1:
-            break
-        dims = assigned.select("cell", F.posexplode("v").alias("dim", "x"))
-        cur = (
-            dims.groupBy("cell", "dim")
-            .agg(
-                F.floor(
-                    F.sum("x").cast("double") / F.count("*").cast("double")
+        dist = F.aggregate(
+            F.zip_with("v", "c", lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        assigned = None
+        for it in range(KMEANS_ITERS):
+            assigned = (
+                em.crossJoin(F.broadcast(cent))
+                .select("vec_id", "v", "cell", dist.alias("d2"))
+                .groupBy("vec_id")
+                .agg(F.min(F.struct("d2", "cell", "v")).alias("m"))
+                .select(
+                    "vec_id",
+                    F.col("m.cell").alias("cell"),
+                    F.col("m.d2").alias("d2"),
+                    F.col("m.v").alias("v"),
                 )
-                .cast("long")
-                .alias("cx")
             )
-            .groupBy("cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "cx"))),
-                    lambda s: s.cx,
-                ).alias("c")
+            if it == KMEANS_ITERS - 1:
+                break
+            dims = assigned.select("cell", F.posexplode("v").alias("dim", "x"))
+            cur = (
+                dims.groupBy("cell", "dim")
+                .agg(
+                    F.floor(
+                        F.sum("x").cast("double") / F.count("*").cast("double")
+                    )
+                    .cast("long")
+                    .alias("cx")
+                )
+                .groupBy("cell")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("dim", "cx"))),
+                        lambda s: s.cx,
+                    ).alias("c")
+                )
             )
-        )
-        cent = spark.createDataFrame(
-            cur.collect(), schema="cell int, c array<long>"
-        )
-    return assigned.select("vec_id", "cell", "d2")
+            cent = spark.createDataFrame(
+                cur.collect(), schema="cell int, c array<long>"
+            )
+        # materialize the final assignment while the cache is live so
+        # the returned (checkpointed) frame doesn't depend on em at all
+        assigned = assigned.select("vec_id", "cell", "d2").localCheckpoint()
+    finally:
+        em.unpersist()
+    return assigned
 
 
 def _kmeans_exact_sql() -> str:

@@ -772,42 +772,46 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     import time as _time
 
     spark.dataSource.register(_pystream_source())
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
         "spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_CPUS", "32")
     )
-    stream = spark.readStream.format("pystream_readings").load()
-    agg = stream.groupBy("tag").agg(
-        F.count("*").alias("n"),
-        F.sum(F.round(F.col("reading") * 100).cast("long")).alias("sum_cents"),
-        F.min("reading").alias("min_reading"),
-        F.max("reading").alias("max_reading"),
-    )
     name = f"mem_{uuid.uuid4().hex[:12]}"
     ckpt = _tracked_tmp_dir("sgs_pys")
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(processingTime="1 second")
-        .start()
-    )
     total = PYSTREAM_BATCHES * PYSTREAM_ROWS
     try:
-        deadline = _time.time() + 120
-        while _time.time() < deadline:
-            got = spark.table(name).agg(F.sum("n")).collect()[0][0]
-            if got == total:
-                break
-            _time.sleep(0.5)
-        else:
-            raise TimeoutError("python stream source did not drain")
+        stream = spark.readStream.format("pystream_readings").load()
+        agg = stream.groupBy("tag").agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("reading") * 100).cast("long")).alias("sum_cents"),
+            F.min("reading").alias("min_reading"),
+            F.max("reading").alias("max_reading"),
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        try:
+            deadline = _time.time() + 120
+            while _time.time() < deadline:
+                got = spark.table(name).agg(F.sum("n")).collect()[0][0]
+                if got == total:
+                    break
+                _time.sleep(0.5)
+            else:
+                raise TimeoutError("python stream source did not drain")
+        finally:
+            q.stop()
+            q.awaitTermination()
+        pdf = spark.table(name).toPandas()
+        return spark.createDataFrame(pdf, schema=spark.table(name).schema)
     finally:
-        q.stop()
-        q.awaitTermination()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         _cleanup_tmp_dirs([ckpt])
-    pdf = spark.table(name).toPandas()
-    return spark.createDataFrame(pdf, schema=spark.table(name).schema)
 
 
 STREAM_PYSRC_SQL = f"""
@@ -874,26 +878,30 @@ def stream_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, os.path.join(sf_dir, "events.parquet"), copies=2
     )
     counted = stream.groupBy("event_type").agg(F.count("*").alias("n"))
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
         "spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_CPUS", "32")
     )
     name = f"mem_{uuid.uuid4().hex[:12]}"
     ckpt = _tracked_tmp_dir("sgs_prog")
-    q = (
-        counted.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    rows = [
-        (int(p["batchId"]), int(p["numInputRows"]))
-        for p in q.recentProgress
-        if int(p["numInputRows"]) > 0
-    ]
-    _cleanup_tmp_dirs([ckpt])
+    try:
+        q = (
+            counted.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = [
+            (int(p["batchId"]), int(p["numInputRows"]))
+            for p in q.recentProgress
+            if int(p["numInputRows"]) > 0
+        ]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        _cleanup_tmp_dirs([ckpt])
     return spark.createDataFrame(
         rows, schema="batch_id long, num_input_rows long"
     )
