@@ -46,9 +46,13 @@ def test_frame_sample_matches_direct_computation(spark, sf_dir):
         assert hashlib.md5(window).hexdigest() == md5
 
 
-def test_decode_stub_is_gated(spark, sf_dir):
+def test_decode_image_gated_without_pil(spark, sf_dir):
+    from spark_streaming_stream_analyzer_spark.operators.multimodal import has_pil
+
+    if has_pil():
+        pytest.skip("PIL present: real path covered by test_decode_image_real_png")
     stub = decode_image(payloads(spark, sf_dir).limit(1))
-    # schema plumbing is real even though the kernel is stubbed
+    # schema plumbing is real even though the kernel is gated
     assert [f.name for f in stub.schema.fields] == [
         "doc_id", "width", "height", "embedding",
     ]
@@ -56,12 +60,10 @@ def test_decode_stub_is_gated(spark, sf_dir):
         stub.collect()
 
 
-def test_decode_stubs_have_real_plumbing(spark, sf_dir):
-    """The decode kernels are stubs, but their Spark plumbing (schema,
-    Arrow batch wiring) must be real: the plan builds, the schema is
-    the declared one, and execution surfaces NotImplementedError."""
-    import pytest
-
+def test_decode_schemas_are_declared(spark, sf_dir):
+    """The decode kernels' Spark plumbing (schema, Arrow batch wiring)
+    is real regardless of codec availability: plans build with the
+    declared schemas without executing."""
     from spark_streaming_stream_analyzer_spark.operators.multimodal import (
         AUDIO_FEATURES_SCHEMA,
         IMAGE_FEATURES_SCHEMA,
@@ -71,16 +73,77 @@ def test_decode_stubs_have_real_plumbing(spark, sf_dir):
     )
 
     p = payloads(spark, sf_dir).limit(2)
-    img = decode_image(p)
-    aud = decode_audio(p)
-    assert img.schema == IMAGE_FEATURES_SCHEMA
-    assert aud.schema == AUDIO_FEATURES_SCHEMA
-    for df in (img, aud):
-        with pytest.raises(Exception) as ei:
-            df.collect()
-        assert "NotImplementedError" in str(ei.value) or isinstance(
-            ei.value, NotImplementedError
+    assert decode_image(p).schema == IMAGE_FEATURES_SCHEMA
+    assert decode_audio(p).schema == AUDIO_FEATURES_SCHEMA
+
+
+def _wav_bytes(sr: int, nch: int, samples) -> bytes:
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(
+            b"".join(struct.pack("<h", int(s)) for s in samples)
         )
+    return buf.getvalue()
+
+
+def test_decode_audio_real_wav(spark):
+    """decode_audio is NOT a stub: stdlib-wave + numpy MFCC run in any
+    container. A 440 Hz sine and a stereo variant decode to the right
+    sample rate and a finite 13-dim feature vector, and the stereo
+    channel-mean equals the mono signal's features."""
+    import math
+
+    from spark_streaming_stream_analyzer_spark.operators.multimodal import (
+        decode_audio,
+    )
+
+    sr = 16000
+    mono = [12000.0 * math.sin(2 * math.pi * 440 * t / sr) for t in range(sr // 4)]
+    stereo = [v for s in mono for v in (s, s)]
+    df = spark.createDataFrame(
+        [(1, _wav_bytes(sr, 1, mono)), (2, _wav_bytes(sr, 2, stereo))],
+        schema="doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in decode_audio(df).collect()}
+    assert rows[1]["sample_rate"] == sr and rows[2]["sample_rate"] == sr
+    for r in rows.values():
+        assert len(r["mfcc"]) == 13
+        assert all(math.isfinite(v) for v in r["mfcc"])
+    # stereo frames average back to the mono signal → identical MFCCs
+    assert rows[1]["mfcc"] == pytest.approx(rows[2]["mfcc"], abs=1e-4)
+
+
+def test_decode_image_real_png(spark):
+    """Runs the real PIL decode path wherever PIL exists; skips
+    cleanly on codec-less containers so the kernel is not permanently
+    dead code."""
+    from spark_streaming_stream_analyzer_spark.operators.multimodal import (
+        decode_image,
+        has_pil,
+    )
+
+    if not has_pil():
+        pytest.skip("PIL absent in this container")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (32, 16), color=(200, 10, 10)).save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [(7, buf.getvalue())], schema="doc_id long, payload binary"
+    )
+    (row,) = decode_image(df).collect()
+    assert (row["width"], row["height"]) == (32, 16)
+    assert len(row["embedding"]) == 16
+    assert all(0.0 <= v <= 1.0 for v in row["embedding"])
 
 
 def test_audio_chunks_cover_payload_exactly(spark, sf_dir):
