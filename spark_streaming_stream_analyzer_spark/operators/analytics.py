@@ -1192,3 +1192,201 @@ SELECT m.event_type, m.n,
        CAST(f.fs AS DOUBLE) / 100.0 AS sum_value_full
 FROM merged m JOIN full_agg f ON m.event_type = f.event_type
 """
+
+
+# --------------------------------------------------- OHLC bar rollup --
+
+BAR_US = 5 * 60 * 1_000_000  # 5-minute bars
+
+
+def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick rollup: per (event_type, 5-minute bar) the
+    open/high/low/close of ``value`` plus count and exact sum — the
+    market-data/metrics downsampling shape.
+
+    One partial/final aggregate on (event_type, bar): open and close
+    are struct-min/struct-max over (us, event_id, value) — the
+    (us, event_id) pair is unique, so first/last are deterministic
+    without a window (a per-bar row_number window would shuffle the
+    same data for a worse plan). High/low are plain min/max; the sum
+    is integer cents.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        ts_micros(ev).alias("us"),
+        "event_id",
+        "value",
+    ).withColumn("bar", F.expr(f"us DIV {BAR_US}"))
+    return (
+        e.groupBy("event_type", "bar")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("low"),
+            F.max("value").alias("high"),
+            F.min(F.struct("us", "event_id", "value")).alias("o"),
+            F.max(F.struct("us", "event_id", "value")).alias("c"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+        )
+        .select(
+            "event_type",
+            "bar",
+            "n",
+            F.col("o.value").alias("open"),
+            "high",
+            "low",
+            F.col("c.value").alias("close"),
+            "sum_cents",
+        )
+    )
+
+
+TS_OHLC_SQL = f"""
+WITH e AS (
+  SELECT event_type, epoch_us(ts) AS us, event_id, value,
+         epoch_us(ts) // {BAR_US} AS bar
+  FROM events
+),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type, bar
+                            ORDER BY us, event_id) AS rf,
+         row_number() OVER (PARTITION BY event_type, bar
+                            ORDER BY us DESC, event_id DESC) AS rl
+  FROM e
+)
+SELECT event_type, bar, COUNT(*) AS n,
+       MAX(CASE WHEN rf = 1 THEN value END) AS open,
+       MAX(value) AS high, MIN(value) AS low,
+       MAX(CASE WHEN rl = 1 THEN value END) AS close,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM r GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------- last-touch attribution --
+
+ATTR_WINDOW_US = 7 * 86_400 * 1_000_000  # 7-day lookback
+
+
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing last-touch attribution: every ``purchase`` event is
+    attributed to the same user's most recent prior ``click`` within a
+    7-day lookback (NULL touch columns when none exists) — the
+    point-in-time discipline of ``join_pit_training_assembly`` applied
+    to the funnel.
+
+    Single shuffle on user_id: clicks and purchases ride ONE window
+    pass (``last(..., ignorenulls)`` over rows preceding the current),
+    so there is no self-join of the events table; the 7-day cutoff is
+    an integer filter applied after the carry-forward. (us, event_id)
+    ordering makes equal-timestamp sequences deterministic.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        ts_micros(ev).alias("us"),
+        "event_id",
+        "event_type",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_us = F.when(F.col("event_type") == "click", F.col("us"))
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    attributed = (
+        e.withColumn("t_us", F.last(click_us, ignorenulls=True).over(w))
+        .withColumn("t_id", F.last(click_id, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+    )
+    in_window = F.col("t_us").isNotNull() & (
+        F.col("us") - F.col("t_us") <= ATTR_WINDOW_US
+    )
+    return attributed.select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("us").alias("purchase_us"),
+        F.when(in_window, F.col("t_id")).alias("touch_id"),
+        F.when(in_window, F.col("us") - F.col("t_us")).alias("gap_us"),
+    )
+
+
+ATTRIBUTION_SQL = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events
+),
+c AS (
+  SELECT *,
+         last_value(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS t_us,
+         last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS t_id
+  FROM e
+)
+SELECT user_id, event_id AS purchase_id, us AS purchase_us,
+       CASE WHEN t_us IS NOT NULL AND us - t_us <= {ATTR_WINDOW_US}
+            THEN t_id END AS touch_id,
+       CASE WHEN t_us IS NOT NULL AND us - t_us <= {ATTR_WINDOW_US}
+            THEN us - t_us END AS gap_us
+FROM c WHERE event_type = 'purchase'
+"""
+
+
+# --------------------------------------------------- sliding-window DAU --
+
+DAU_DAYS = 7
+
+
+def ts_sliding_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day sliding distinct active users per day — the canonical
+    "sliding distinct" metric that does NOT decompose into mergeable
+    partials. The scalable exact form: dedupe to (user, day) grain
+    first (the big shrink), then each (user, day) contributes to the 7
+    window-days it can serve via a bounded explode, then one
+    count-distinct per window day. No day-range self-join of the raw
+    events, no window function over users.
+
+    Output days are restricted to days with activity (so day 3 of a
+    31-day fixture has a partial lookback by design — stated in the
+    oracle too). dau1 (same-day actives) rides along for ratio reads.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date(ts_timestamp(ev)).alias("day")).distinct()
+    days = ud.select("day").distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"), F.date_add(F.col("day"), DAU_DAYS - 1)
+            )
+        ).alias("wday"),
+    )
+    dau7 = (
+        contrib.join(F.broadcast(days.withColumnRenamed("day", "wday")), "wday")
+        .groupBy("wday")
+        .agg(F.countDistinct("user_id").alias("dau7"))
+    )
+    dau1 = ud.groupBy("day").agg(F.countDistinct("user_id").alias("dau1"))
+    return (
+        dau7.join(dau1, dau7.wday == dau1.day)
+        .select(F.col("wday").cast("string").alias("day"), "dau7", "dau1")
+    )
+
+
+TS_SLIDING_DAU_SQL = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events
+),
+days AS (SELECT DISTINCT day FROM ud)
+SELECT CAST(d.day AS VARCHAR) AS day,
+       COUNT(DISTINCT u.user_id) AS dau7,
+       (SELECT COUNT(DISTINCT u2.user_id) FROM ud u2 WHERE u2.day = d.day)
+         AS dau1
+FROM days d JOIN ud u ON u.day BETWEEN d.day - {DAU_DAYS - 1} AND d.day
+GROUP BY d.day
+"""

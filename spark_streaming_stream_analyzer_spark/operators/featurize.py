@@ -1,0 +1,341 @@
+"""ML featurization operators (round-5 additions).
+
+The feature-engineering tier a training pipeline runs between curation
+and packing: discretization, the hashing trick, leakage-safe target
+encoding, and KMV set-similarity sketches. Same module discipline as
+the rest of ``operators/``: JVM intrinsics only (no Python UDFs),
+exact-integer arithmetic wherever the oracle hash-compares values
+(``functions/exact.py`` + the portable md5 ``hash64``), broadcast the
+small side, and a DuckDB oracle kept textually in sync per op.
+
+Scale notes (100 TB discipline):
+ - ``feature_quantile_bins`` computes exact equi-depth bins WITHOUT a
+   row-level global sort: the cumulative window runs over the
+   (group, value)-aggregated count table — |distinct values| rows, not
+   |rows| — then the bin map broadcasts back. This is the scalable
+   exact form of discretization (a per-group row-level ntile would
+   funnel each group through one task).
+ - ``feature_hash_vectorize`` is wordcount-shaped: explode → one
+   partial/final aggregate on (slot); output is the fixed FH_DIM-row
+   collision profile regardless of corpus size.
+ - ``target_encode_oof`` aggregates the fact table once to a
+   (category × fold) grid; the leave-one-fold-out arithmetic is a
+   window over that tiny grid — standard two-phase decomposition.
+ - ``approx_kmv_jaccard`` keeps a fixed k-minimum-values sketch per
+   set; pairwise estimation touches only K-row sketches, never the
+   raw sets — mergeable like the portable HLL/CMS, and hash-exact so
+   the *approximate* answers still value-match the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.exact import cents
+from ..functions.hashing import hash64, hash64_sql
+from ..sources.tables import load_table
+
+# ----------------------------------------------- equi-depth binning --
+
+N_BINS = 10
+
+
+def feature_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth (quantile) discretization of l_extendedprice
+    per l_returnflag — the feature-binning pass of a tabular-ML
+    pipeline, in its scalable exact form.
+
+    Ties stay together (every row with the same price lands in the
+    same bin): a value's bin is ``floor(rows_before_value · NBINS /
+    total)``, computed from the (flag, cents)-aggregated count table —
+    so the only window runs over distinct values, and the verdict is
+    pure integer arithmetic both engines reproduce bit-for-bit.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pc = (
+        li.select("l_returnflag", cents("l_extendedprice").alias("c"))
+        .groupBy("l_returnflag", "c")
+        .agg(F.count("*").alias("n"))
+    )
+    # integer division end-to-end (no double quotient anywhere: Spark's
+    # double→long cast truncates while DuckDB's rounds, so a FP bin id
+    # would be a portability bug)
+    binned = pc.select(
+        "l_returnflag",
+        "c",
+        "n",
+        F.expr(
+            f"(sum(n) OVER (PARTITION BY l_returnflag ORDER BY c) - n) "
+            f"* {N_BINS} DIV sum(n) OVER (PARTITION BY l_returnflag)"
+        ).alias("bin"),
+    )
+    return binned.groupBy("l_returnflag", "bin").agg(
+        F.sum("n").alias("n_rows"),
+        (F.min("c").cast("double") / 100.0).alias("lo_price"),
+        (F.max("c").cast("double") / 100.0).alias("hi_price"),
+        F.sum(F.col("c") * F.col("n")).alias("sum_cents"),
+    )
+
+
+FEATURE_BINS_SQL = f"""
+WITH pc AS (
+  SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+         COUNT(*) AS n
+  FROM lineitem GROUP BY 1, 2
+),
+b AS (
+  SELECT l_returnflag, c, n,
+         CAST((SUM(n) OVER (PARTITION BY l_returnflag ORDER BY c) - n)
+           * {N_BINS}
+           // SUM(n) OVER (PARTITION BY l_returnflag) AS BIGINT) AS bin
+  FROM pc
+)
+SELECT l_returnflag, bin, CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(MIN(c) AS DOUBLE) / 100.0 AS lo_price,
+       CAST(MAX(c) AS DOUBLE) / 100.0 AS hi_price,
+       CAST(SUM(c * n) AS BIGINT) AS sum_cents
+FROM b GROUP BY 1, 2
+"""
+
+
+# ----------------------------------------------------- hashing trick --
+
+FH_DIM = 64
+
+
+def feature_hash_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick over the documents corpus: every token maps to
+    slot ``hash64(word) mod FH_DIM`` — the fixed-dimension, vocabulary-
+    free vectorizer used when the vocab can't be broadcast. Output is
+    the corpus-level collision profile per slot: total token mass,
+    distinct contributing documents, and distinct colliding words (the
+    quantity that decides whether FH_DIM is large enough).
+
+    Wordcount-shaped: explode → two partial/final aggregates; the
+    result is FH_DIM rows regardless of corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    slotted = toks.select(
+        "doc_id", "word", F.pmod(hash64(F.col("word")), F.lit(FH_DIM)).alias("slot")
+    )
+    return slotted.groupBy("slot").agg(
+        F.count("*").alias("total_cnt"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.countDistinct("word").alias("n_words"),
+    )
+
+
+FEATURE_HASH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, word FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+  ) WHERE word <> ''
+)
+SELECT {hash64_sql('word')} % {FH_DIM} AS slot,
+       COUNT(*) AS total_cnt,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(DISTINCT word) AS n_words
+FROM toks GROUP BY 1
+"""
+
+
+# ------------------------------------------- out-of-fold target enc --
+
+TE_FOLDS = 5
+
+
+def target_encode_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe (out-of-fold) target encoding of o_orderpriority
+    against the o_totalprice target: a row in fold f is encoded with
+    the target mean of its category computed over the OTHER folds —
+    the standard guard against target leakage when a categorical
+    encoding feeds a model trained on the same table.
+
+    Fold assignment hashes the key (``hash64(o_orderkey) mod 5`` —
+    deterministic, reproducible, co-located with nothing). The fact
+    table aggregates ONCE to the (category × fold) grid; the
+    leave-one-out arithmetic is a window over that grid, exact in
+    integer cents with one final double divide.
+    """
+    od = load_table(spark, sf_dir, "orders")
+    g = (
+        od.select(
+            "o_orderpriority",
+            F.pmod(
+                hash64(F.col("o_orderkey").cast("string")), F.lit(TE_FOLDS)
+            ).alias("fold"),
+            cents("o_totalprice").alias("tc"),
+        )
+        .groupBy("o_orderpriority", "fold")
+        .agg(F.count("*").alias("n"), F.sum("tc").alias("sum_c"))
+    )
+    cat = Window.partitionBy("o_orderpriority")
+    oof_n = F.sum("n").over(cat) - F.col("n")
+    oof_sum = F.sum("sum_c").over(cat) - F.col("sum_c")
+    return g.select(
+        "o_orderpriority",
+        "fold",
+        F.col("n").alias("n_rows"),
+        F.when(
+            oof_n > 0, (oof_sum.cast("double") / 100.0) / oof_n.cast("double")
+        ).alias("oof_mean_price"),
+    )
+
+
+TARGET_ENCODE_SQL = f"""
+WITH g AS (
+  SELECT o_orderpriority,
+         {hash64_sql('CAST(o_orderkey AS VARCHAR)')} % {TE_FOLDS} AS fold,
+         COUNT(*) AS n,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_c
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderpriority, fold, n AS n_rows,
+       CASE WHEN SUM(n) OVER (PARTITION BY o_orderpriority) - n > 0 THEN
+         (CAST(SUM(sum_c) OVER (PARTITION BY o_orderpriority) - sum_c AS DOUBLE)
+          / 100.0)
+         / CAST(SUM(n) OVER (PARTITION BY o_orderpriority) - n AS DOUBLE)
+       END AS oof_mean_price
+FROM g
+"""
+
+
+# ------------------------------------------------- KMV set sketches --
+
+KMV_K = 64
+
+
+def approx_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values sketch Jaccard between the user sets of every
+    event-type pair — the fixed-size, mergeable way to estimate
+    pairwise audience overlap when the sets are 100 TB-sized.
+
+    Per set, keep the KMV_K smallest ``hash64(user_id)`` values; for a
+    pair, the estimate is |shared values among the K smallest of the
+    sketch union| / K. Like the portable HLL/CMS, every step is
+    integer arithmetic on the shared md5 hash, so the *approximate*
+    estimate hash-matches the oracle exactly; the exact Jaccard rides
+    along (cheap here, impossible at scale — the sketch is the point)
+    so the estimation error is itself a checkable fact.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    uh = (
+        ev.select(
+            F.col("event_type").alias("t"),
+            hash64(F.col("user_id").cast("string")).alias("h"),
+        )
+        .distinct()
+    )
+    wk = Window.partitionBy("t").orderBy("h")
+    sk = uh.withColumn("rn", F.row_number().over(wk)).filter(
+        F.col("rn") <= KMV_K
+    ).select("t", "h")
+    types = uh.select("t").distinct()
+    pairs = (
+        types.alias("a")
+        .join(types.alias("b"), F.col("a.t") < F.col("b.t"))
+        .select(F.col("a.t").alias("ta"), F.col("b.t").alias("tb"))
+    )
+    # membership of each sketch value in each pair's two sketches
+    m = (
+        sk.join(
+            F.broadcast(pairs),
+            (F.col("t") == F.col("ta")) | (F.col("t") == F.col("tb")),
+        )
+        .groupBy("ta", "tb", "h")
+        .agg(
+            F.max((F.col("t") == F.col("ta")).cast("int")).alias("in_a"),
+            F.max((F.col("t") == F.col("tb")).cast("int")).alias("in_b"),
+        )
+    )
+    wu = Window.partitionBy("ta", "tb").orderBy("h")
+    union_k = m.withColumn("rn", F.row_number().over(wu)).filter(
+        F.col("rn") <= KMV_K
+    )
+    est = union_k.groupBy("ta", "tb").agg(
+        F.count("*").alias("k_used"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_shared"),
+    )
+    # exact Jaccard audit (feasible at fixture scale only)
+    ex = (
+        uh.join(F.broadcast(pairs), (F.col("t") == F.col("ta")) | (F.col("t") == F.col("tb")))
+        .groupBy("ta", "tb", "h")
+        .agg(
+            F.max((F.col("t") == F.col("ta")).cast("int")).alias("in_a"),
+            F.max((F.col("t") == F.col("tb")).cast("int")).alias("in_b"),
+        )
+        .groupBy("ta", "tb")
+        .agg(
+            F.sum(F.col("in_a") * F.col("in_b")).alias("n_inter"),
+            F.count("*").alias("n_union"),
+        )
+    )
+    return est.join(ex, ["ta", "tb"]).select(
+        "ta",
+        "tb",
+        "k_used",
+        "n_shared",
+        (F.col("n_shared").cast("double") / F.col("k_used").cast("double")).alias(
+            "jaccard_est"
+        ),
+        "n_inter",
+        "n_union",
+        (F.col("n_inter").cast("double") / F.col("n_union").cast("double")).alias(
+            "jaccard_exact"
+        ),
+    )
+
+
+KMV_JACCARD_SQL = f"""
+WITH uh AS (
+  SELECT DISTINCT event_type AS t,
+         {hash64_sql('CAST(user_id AS VARCHAR)')} AS h
+  FROM events
+),
+sk AS (
+  SELECT t, h FROM (
+    SELECT t, h, row_number() OVER (PARTITION BY t ORDER BY h) AS rn FROM uh
+  ) WHERE rn <= {KMV_K}
+),
+types AS (SELECT DISTINCT t FROM uh),
+pairs AS (
+  SELECT a.t AS ta, b.t AS tb FROM types a JOIN types b ON a.t < b.t
+),
+m AS (
+  SELECT p.ta, p.tb, s.h,
+         MAX(CASE WHEN s.t = p.ta THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN s.t = p.tb THEN 1 ELSE 0 END) AS in_b
+  FROM sk s JOIN pairs p ON s.t = p.ta OR s.t = p.tb
+  GROUP BY 1, 2, 3
+),
+uk AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn FROM m
+  ) WHERE rn <= {KMV_K}
+),
+est AS (
+  SELECT ta, tb, COUNT(*) AS k_used,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS n_shared
+  FROM uk GROUP BY 1, 2
+),
+ex AS (
+  SELECT ta, tb, CAST(SUM(in_a * in_b) AS BIGINT) AS n_inter,
+         COUNT(*) AS n_union
+  FROM (
+    SELECT p.ta, p.tb, u.h,
+           MAX(CASE WHEN u.t = p.ta THEN 1 ELSE 0 END) AS in_a,
+           MAX(CASE WHEN u.t = p.tb THEN 1 ELSE 0 END) AS in_b
+    FROM uh u JOIN pairs p ON u.t = p.ta OR u.t = p.tb
+    GROUP BY 1, 2, 3
+  ) GROUP BY 1, 2
+)
+SELECT est.ta, est.tb, k_used, n_shared,
+       CAST(n_shared AS DOUBLE) / CAST(k_used AS DOUBLE) AS jaccard_est,
+       n_inter, n_union,
+       CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard_exact
+FROM est JOIN ex ON est.ta = ex.ta AND est.tb = ex.tb
+"""

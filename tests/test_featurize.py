@@ -1,0 +1,193 @@
+"""Invariant + brute-force cross-checks for the round-5 featurization
+and analytics additions (featurize.py, analytics.py OHLC/attribution/
+sliding-DAU). The DuckDB oracles pin values; these tests pin the
+SEMANTICS against independent recomputation."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from spark_streaming_stream_analyzer_spark.operators.featurize import (
+    FH_DIM,
+    KMV_K,
+    N_BINS,
+    TE_FOLDS,
+    approx_kmv_jaccard,
+    feature_hash_vectorize,
+    feature_quantile_bins,
+    target_encode_oof,
+)
+from spark_streaming_stream_analyzer_spark.operators.analytics import (
+    ATTR_WINDOW_US,
+    BAR_US,
+    attribution_last_touch,
+    ts_ohlc_bars,
+    ts_sliding_dau,
+)
+from spark_streaming_stream_analyzer_spark.sources.tables import (
+    load_table,
+    ts_micros,
+)
+
+
+def test_quantile_bins_partition_the_table(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    per_flag_n = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag").agg(F.count("*").alias("n")).collect()
+    }
+    rows = feature_quantile_bins(spark, sf_dir).collect()
+    by_flag: dict[str, list] = {}
+    for r in rows:
+        by_flag.setdefault(r["l_returnflag"], []).append(r)
+    for flag, bins in by_flag.items():
+        bins.sort(key=lambda r: r["bin"])
+        # bins partition the rows exactly
+        assert sum(r["n_rows"] for r in bins) == per_flag_n[flag]
+        # bin ids are within range and value ranges don't overlap
+        assert all(0 <= r["bin"] < N_BINS for r in bins)
+        # ties stay together → bin value ranges are strictly disjoint
+        for a, b in zip(bins, bins[1:]):
+            assert a["hi_price"] < b["lo_price"]
+        # equi-depth: each bin within one max-tie-group of n/NBINS
+        target = per_flag_n[flag] / N_BINS
+        max_tie = (
+            li.filter(F.col("l_returnflag") == flag)
+            .groupBy("l_extendedprice")
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+        for r in bins:
+            assert r["n_rows"] <= target + max_tie
+
+
+def test_feature_hash_conserves_token_mass(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .count()
+    )
+    rows = feature_hash_vectorize(spark, sf_dir).collect()
+    assert sum(r["total_cnt"] for r in rows) == n_tokens
+    assert all(0 <= r["slot"] < FH_DIM for r in rows)
+    assert all(r["n_words"] >= 1 and r["n_docs"] >= 1 for r in rows)
+
+
+def test_target_encode_oof_matches_brute_force(spark, sf_dir):
+    from spark_streaming_stream_analyzer_spark.functions.hashing import hash64
+
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.pmod(hash64(F.col("o_orderkey").cast("string")), F.lit(TE_FOLDS)).alias(
+            "fold"
+        ),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("tc"),
+    )
+    pdf = od.toPandas()
+    got = {
+        (r["o_orderpriority"], r["fold"]): r
+        for r in target_encode_oof(spark, sf_dir).collect()
+    }
+    for (cat, fold), r in got.items():
+        mask = (pdf["o_orderpriority"] == cat) & (pdf["fold"] != fold)
+        oof = pdf[mask]
+        assert r["n_rows"] == int(
+            ((pdf["o_orderpriority"] == cat) & (pdf["fold"] == fold)).sum()
+        )
+        if len(oof):
+            expect = (oof["tc"].sum() / 100.0) / len(oof)
+            assert r["oof_mean_price"] == pytest.approx(expect, rel=1e-12)
+        else:
+            assert r["oof_mean_price"] is None
+
+
+def test_kmv_jaccard_tracks_exact(spark, sf_dir):
+    rows = approx_kmv_jaccard(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["k_used"] <= KMV_K
+        assert 0 <= r["n_shared"] <= r["k_used"]
+        # KMV error bound is O(1/sqrt(k)); 0.3 is a loose determinism
+        # guard, the oracle pins the exact values anyway
+        assert abs(r["jaccard_est"] - r["jaccard_exact"]) <= 0.3
+        # small fixture sets: the sketch should be near-exhaustive when
+        # the union fits in k
+        if r["n_union"] <= r["k_used"]:
+            assert r["n_shared"] == r["n_inter"]
+
+
+def test_ohlc_open_close_match_brute_force(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type", ts_micros(ev).alias("us"), "event_id", "value"
+    ).withColumn("bar", F.expr(f"us DIV {BAR_US}"))
+    pdf = e.filter(F.col("event_type") == "click").toPandas()
+    got = {
+        r["bar"]: r
+        for r in ts_ohlc_bars(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .collect()
+    }
+    for bar, grp in pdf.groupby("bar"):
+        g = grp.sort_values(["us", "event_id"])
+        r = got[bar]
+        assert r["open"] == g.iloc[0]["value"]
+        assert r["close"] == g.iloc[-1]["value"]
+        assert r["low"] == g["value"].min() and r["high"] == g["value"].max()
+        assert r["n"] == len(g)
+
+
+def test_attribution_last_touch_brute_force(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    pdf = (
+        ev.select("user_id", ts_micros(ev).alias("us"), "event_id", "event_type")
+        .toPandas()
+        .sort_values(["user_id", "us", "event_id"])
+    )
+    got = {
+        r["purchase_id"]: r for r in attribution_last_touch(spark, sf_dir).collect()
+    }
+    n_checked = 0
+    for user, grp in list(pdf.groupby("user_id"))[:20]:
+        last_click = None
+        for row in grp.itertuples(index=False):
+            if row.event_type == "purchase":
+                r = got[row.event_id]
+                if (
+                    last_click is not None
+                    and row.us - last_click[0] <= ATTR_WINDOW_US
+                ):
+                    assert r["touch_id"] == last_click[1]
+                    assert r["gap_us"] == row.us - last_click[0]
+                else:
+                    assert r["touch_id"] is None and r["gap_us"] is None
+                n_checked += 1
+            if row.event_type == "click":
+                last_click = (row.us, row.event_id)
+    assert n_checked > 0
+
+
+def test_sliding_dau_brute_force(spark, sf_dir):
+    from spark_streaming_stream_analyzer_spark.sources.tables import ts_timestamp
+
+    ev = load_table(spark, sf_dir, "events")
+    ud = (
+        ev.select("user_id", F.to_date(ts_timestamp(ev)).alias("day"))
+        .distinct()
+        .toPandas()
+    )
+    got = {r["day"]: r for r in ts_sliding_dau(spark, sf_dir).collect()}
+    days = sorted(ud["day"].unique())
+    assert set(str(d) for d in days) == set(got)
+    for d in days:
+        lo = d - pd.Timedelta(days=6)
+        expect7 = ud[(ud["day"] >= lo) & (ud["day"] <= d)]["user_id"].nunique()
+        expect1 = ud[ud["day"] == d]["user_id"].nunique()
+        r = got[str(d)]
+        assert (r["dau7"], r["dau1"]) == (expect7, expect1)
+        assert r["dau7"] >= r["dau1"]
