@@ -339,3 +339,110 @@ SELECT est.ta, est.tb, k_used, n_shared,
        CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard_exact
 FROM est JOIN ex ON est.ta = ex.ta AND est.tb = ex.tb
 """
+
+
+# ----------------------------------------------- forward as-of join --
+
+
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join — the mirror of ``join_asof_latest_order``
+    (relational.py): for each order, the customer's EARLIEST event at
+    or after the order date (e.g. "first site activity after an order
+    ships" for delivery-experience analysis). NULL row when the
+    customer never returns.
+
+    Same scale shape as the backward form: range join fan-out bounded
+    by per-user activity, min-by-struct collapses it with map-side
+    combine; (ev_us, event_id) tiebreak is deterministic. Left join
+    keeps never-returning orders visible (an inner join would silently
+    drop them — the difference IS the metric).
+    """
+    from ..sources.tables import ts_micros as _tsm
+
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.col("o_orderdate").cast("timestamp").alias("od_ts")
+    )
+    ev_raw = load_table(spark, sf_dir, "events")
+    ev = ev_raw.select(
+        "user_id",
+        _tsm(ev_raw).alias("ev_us"),
+        "event_id",
+        "event_type",
+    )
+    od_us = F.unix_timestamp("od_ts") * F.lit(1_000_000)
+    joined = od.withColumn("od_us", od_us).join(
+        ev,
+        (F.col("o_custkey") == F.col("user_id")) & (F.col("ev_us") >= F.col("od_us")),
+        "left",
+    )
+    return (
+        joined.groupBy("o_orderkey")
+        .agg(F.min(F.struct("ev_us", "event_id", "event_type")).alias("first"))
+        .select(
+            "o_orderkey",
+            F.col("first.event_id").alias("next_event_id"),
+            F.col("first.ev_us").alias("next_event_us"),
+            F.col("first.event_type").alias("next_event_type"),
+        )
+    )
+
+
+JOIN_ASOF_FWD_SQL = """
+WITH ranked AS (
+  SELECT o.o_orderkey, e.event_id, epoch_us(e.ts) AS ev_us, e.event_type,
+         row_number() OVER (PARTITION BY o.o_orderkey
+                            ORDER BY epoch_us(e.ts), e.event_id) AS rn
+  FROM orders o LEFT JOIN events e
+    ON o.o_custkey = e.user_id
+   AND epoch_us(e.ts) >= epoch_us(CAST(o.o_orderdate AS TIMESTAMP))
+)
+SELECT o_orderkey, event_id AS next_event_id, ev_us AS next_event_us,
+       event_type AS next_event_type
+FROM ranked WHERE rn = 1
+"""
+
+
+# ------------------------------------------------- freshness SLA DQ --
+
+FRESH_SLA_US = 3_600 * 1_000_000  # 1-hour freshness budget
+
+
+def dq_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness SLA audit: per event_type, how far its latest
+    event lags the pipeline's global high-water mark, and whether that
+    lag is inside the 1-hour budget — the staleness monitor every
+    ingestion DAG publishes.
+
+    Two tiny aggregates (per-type max, global max) with the global
+    row broadcast back via cross join — the fact table is scanned
+    once; everything the verdict needs is integer microseconds.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from ..sources.tables import ts_micros as _tsm
+
+    per_type = (
+        ev.select("event_type", _tsm(ev).alias("us"))
+        .groupBy("event_type")
+        .agg(F.max("us").alias("latest_us"), F.count("*").alias("n_events"))
+    )
+    hwm = per_type.agg(F.max("latest_us").alias("hwm_us"))
+    return per_type.crossJoin(F.broadcast(hwm)).select(
+        "event_type",
+        "n_events",
+        "latest_us",
+        (F.col("hwm_us") - F.col("latest_us")).alias("lag_us"),
+        ((F.col("hwm_us") - F.col("latest_us")) <= FRESH_SLA_US).alias("within_sla"),
+    )
+
+
+DQ_FRESHNESS_SQL = f"""
+WITH per_type AS (
+  SELECT event_type, MAX(epoch_us(ts)) AS latest_us, COUNT(*) AS n_events
+  FROM events GROUP BY 1
+),
+hwm AS (SELECT MAX(latest_us) AS hwm_us FROM per_type)
+SELECT event_type, n_events, latest_us,
+       hwm_us - latest_us AS lag_us,
+       hwm_us - latest_us <= {FRESH_SLA_US} AS within_sla
+FROM per_type CROSS JOIN hwm
+"""

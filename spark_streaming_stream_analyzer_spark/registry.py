@@ -693,6 +693,8 @@ query("approx_kmv_jaccard", _ft.KMV_JACCARD_SQL)(_ft.approx_kmv_jaccard)
 query("ts_ohlc_bars", _an.TS_OHLC_SQL)(_an.ts_ohlc_bars)
 query("attribution_last_touch", _an.ATTRIBUTION_SQL)(_an.attribution_last_touch)
 query("ts_sliding_dau", _an.TS_SLIDING_DAU_SQL)(_an.ts_sliding_dau)
+query("join_asof_forward", _ft.JOIN_ASOF_FWD_SQL)(_ft.join_asof_forward)
+query("dq_freshness_sla", _ft.DQ_FRESHNESS_SQL)(_ft.dq_freshness_sla)
 
 
 # --------------------------------------------------------------------------
@@ -744,6 +746,9 @@ query("stream_stats_heartbeat", _st.STREAM_STATS_HEARTBEAT_SQL)(
 # applyInPandasWithState twin (same state algebra, same output), so
 # the op can't silently vanish from queries() on a protobuf-less host.
 query("stream_stats_tws", _st.STREAM_STATS_TWS_SQL)(_st.stream_stats_tws)
+query("stream_sessionize_custom", _st.STREAM_SESSIONIZE_SQL)(
+    _st.stream_sessionize_custom
+)
 
 
 # --------------------------------------------------------------------------

@@ -477,3 +477,174 @@ def stream_stats_heartbeat(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STREAM_STATS_HEARTBEAT_SQL = STREAM_STATS_EXACT_SQL
+
+
+# ------------------------------------- custom sessionizer (stateful) --
+
+SESS_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+SESS_STATE_SCHEMA = (
+    "start_us LONG, last_us LONG, n LONG, sum_c LONG, last_type STRING"
+)
+
+SESS_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start_us", T.LongType()),
+        T.StructField("session_end_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_cents", T.LongType()),
+    ]
+)
+
+
+def _sessionize_update(
+    key: tuple[int],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user session state machine with CUSTOM close semantics the
+    built-in ``session_window`` cannot express: a session ends on a
+    30-minute inactivity gap OR immediately after a ``purchase`` event
+    (cart-complete). Vectorized: breaks are a boolean vector + cumsum
+    session ids, aggregation is one pandas groupby — per-batch Python
+    cost is O(batch), not O(row)-interpreted.
+
+    Emits every session the batch touched; the still-open session is a
+    provisional row a later batch may supersede (same session_start_us,
+    higher n) — the driver-facing query keeps the final emission per
+    (user, start) exactly like ``stream_stats_exact_state`` keeps the
+    final per-key row."""
+    import numpy as np
+
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    if len(batch) == 0:
+        return
+    batch = batch.sort_values(["us", "event_id"]).reset_index(drop=True)
+
+    if state.exists:
+        start_us, last_us, n0, sum_c0, last_type = state.get
+        prev_us = np.concatenate([[last_us], batch["us"].to_numpy()[:-1]])
+        prev_type = np.concatenate(
+            [[last_type], batch["event_type"].to_numpy()[:-1]]
+        )
+    else:
+        start_us = last_us = n0 = sum_c0 = None
+        prev_us = np.concatenate([[-1], batch["us"].to_numpy()[:-1]])
+        prev_type = np.concatenate([[""], batch["event_type"].to_numpy()[:-1]])
+        prev_us[0] = batch["us"].iloc[0]  # first row never "breaks"
+
+    gap_break = batch["us"].to_numpy() - prev_us > SESS_GAP_US
+    purchase_break = prev_type == "purchase"
+    brk = gap_break | purchase_break
+    if state.exists:
+        pass  # first row may continue or break the carried session
+    else:
+        brk[0] = False
+    sess_id = np.cumsum(brk)
+
+    g = batch.assign(sess=sess_id).groupby("sess")
+    agg = g.agg(
+        start=("us", "min"),
+        end=("us", "max"),
+        n=("us", "size"),
+        sum_c=("c", "sum"),
+    ).sort_index()
+
+    out = []
+    uid = key[0]
+    carried_open = state.exists
+    for sess, row in agg.iterrows():
+        if sess == 0 and carried_open:
+            # continuation of the carried session
+            s, e = int(start_us), int(row["end"])
+            n, sc = int(n0 + row["n"]), int(sum_c0 + row["sum_c"])
+        else:
+            s, e = int(row["start"]), int(row["end"])
+            n, sc = int(row["n"]), int(row["sum_c"])
+        out.append((uid, s, e, n, sc))
+
+    # persist the (possibly new) open session
+    last_row = batch.iloc[-1]
+    final = out[-1]
+    state.update(
+        (final[1], int(last_row["us"]), final[3], final[4], str(last_row["event_type"]))
+    )
+    yield pd.DataFrame(
+        out,
+        columns=[
+            "user_id",
+            "session_start_us",
+            "session_end_us",
+            "n_events",
+            "sum_cents",
+        ],
+    )
+
+
+def sessionize_custom(events: DataFrame) -> DataFrame:
+    """Wire the custom sessionizer over a (streaming) events frame
+    already projected to (user_id, us, event_id, event_type, c)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _sessionize_update,
+        outputStructType=SESS_OUTPUT_SCHEMA,
+        stateStructType=SESS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_sessionize_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing query: custom-rule sessionization (30-min gap OR
+    purchase-terminated) of the fixture replay; final emission per
+    (user, session_start) wins. The fixture stages as one chronological
+    batch here; ``tests/test_streaming.py`` drills the multi-batch
+    carry (sessions spanning micro-batch boundaries merge, purchase
+    carried in state splits the next batch's first row)."""
+    from .pipelines import _run_to_memory, events_file_stream
+    from ..sources.tables import ts_micros
+
+    ev = events_file_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    proj = ev.select(
+        "user_id",
+        ts_micros(ev).alias("us"),
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    mem = _run_to_memory(sessionize_custom(proj), output_mode="update")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "session_start_us").orderBy(
+        F.col("n_events").desc()
+    )
+    return (
+        mem.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+STREAM_SESSIONIZE_SQL = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+s AS (
+  SELECT *,
+         CASE WHEN us - lag(us) OVER w > {SESS_GAP_US}
+                OR lag(event_type) OVER w = 'purchase'
+              THEN 1 ELSE 0 END AS brk
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+g AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sess
+  FROM s
+)
+SELECT user_id, MIN(us) AS session_start_us, MAX(us) AS session_end_us,
+       COUNT(*) AS n_events, CAST(SUM(c) AS BIGINT) AS sum_cents
+FROM g GROUP BY user_id, sess
+"""

@@ -310,3 +310,76 @@ def test_tws_true_path_runs_where_protobuf_present(spark, tmp_path):
     )
     res = {r["readTag_id"]: r for r in _run_to_memory(out, output_mode="update").collect()}
     assert res["a"]["summer"] == 40.0 and res["a"]["counter"] == 2.0
+
+
+def test_custom_sessionizer_multibatch_carry(spark, tmp_path):
+    """Sessions spanning micro-batch boundaries must merge, and a
+    'purchase' carried in state must split the NEXT batch's first row
+    — the two behaviors that distinguish real cross-batch state from
+    per-batch sessionization."""
+    from spark_streaming_stream_analyzer_spark.streaming.pipelines import (
+        _run_to_memory,
+        events_file_stream,
+    )
+    from spark_streaming_stream_analyzer_spark.streaming.state import (
+        SESS_GAP_US,
+        sessionize_custom,
+    )
+
+    US = 1_000_000
+    MIN = 60 * US
+    # user 1: session continues across the batch boundary (gap 5 min);
+    # user 2: batch-1 ends with a purchase → batch-2 row starts a NEW
+    #         session even though the gap is tiny;
+    # user 3: gap break across the boundary (40 min > 30).
+    b1 = [
+        (1, 0, 1, "view", 1.0, "{}"),
+        (2, 2 * MIN * 1000, 1, "click", 2.0, "{}"),
+        (3, 1 * MIN * 1000, 2, "view", 3.0, "{}"),
+        (4, 3 * MIN * 1000, 2, "purchase", 4.0, "{}"),
+        (5, 1 * MIN * 1000, 3, "view", 5.0, "{}"),
+    ]
+    b2 = [
+        (6, 7 * MIN * 1000, 1, "view", 6.0, "{}"),
+        (7, 4 * MIN * 1000, 2, "view", 7.0, "{}"),
+        (8, 45 * MIN * 1000, 3, "click", 8.0, "{}"),
+    ]
+    src = _write_event_files(spark, str(tmp_path), [b1, b2])
+    ev = events_file_stream(spark, src)
+    # the test frames carry ts as bigint nanos (written by pandas from
+    # int), so micros = ts DIV 1000 — mirror stream_sessionize_custom's
+    # projection via the adaptive helper
+    from spark_streaming_stream_analyzer_spark.sources.tables import ts_micros
+
+    proj = ev.select(
+        "user_id",
+        ts_micros(ev).alias("us"),
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    mem = _run_to_memory(sessionize_custom(proj), output_mode="update")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id", "session_start_us").orderBy(
+        F.col("n_events").desc()
+    )
+    rows = (
+        mem.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .collect()
+    )
+    sess = {(r["user_id"], r["session_start_us"]): r for r in rows}
+    # user 1: ONE session over both batches (0,2,7 min), n=3
+    assert sess[(1, 0)]["n_events"] == 3
+    assert sess[(1, 0)]["session_end_us"] == 7 * MIN
+    assert sess[(1, 0)]["sum_cents"] == 100 + 200 + 600
+    # user 2: purchase closed session 1 (n=2); batch-2 row is a NEW
+    # session despite the 1-minute gap
+    assert sess[(2, 1 * MIN)]["n_events"] == 2
+    assert sess[(2, 4 * MIN)]["n_events"] == 1
+    # user 3: 44-minute gap across the boundary → two sessions
+    assert sess[(3, 1 * MIN)]["n_events"] == 1
+    assert sess[(3, 45 * MIN)]["n_events"] == 1
+    assert len(sess) == 5
