@@ -67,6 +67,14 @@ HEADLINE = [
     "fn_event_time_pack",
     "ts_gap_stats",
     "ts_rolling_window_1h",
+    # round-5 additions: featurization + time-series analytics tier
+    "feature_quantile_bins",
+    "feature_hash_vectorize",
+    "target_encode_oof",
+    "approx_kmv_jaccard",
+    "ts_ohlc_bars",
+    "attribution_last_touch",
+    "ts_sliding_dau",
 ]
 
 #: Throughput probes: query → fixture table whose full scan dominates

@@ -49,8 +49,17 @@ def feature_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ties stay together (every row with the same price lands in the
     same bin): a value's bin is ``floor(rows_before_value · NBINS /
     total)``, computed from the (flag, cents)-aggregated count table —
-    so the only window runs over distinct values, and the verdict is
+    the only window runs over distinct values, and the verdict is
     pure integer arithmetic both engines reproduce bit-for-bit.
+
+    Scale honesty: the aggregation shrinks the window input only as
+    much as values repeat — on a near-continuous column (prices here)
+    |distinct| ≈ |rows| and each group's cumulative sum funnels
+    through one task. That is the inherent cost of EXACT equi-depth
+    bins; the 100 TB production form swaps the cut points for
+    ``approx_percentile``'s mergeable KLL sketch (broadcast back,
+    same join shape) and keeps this exact form for |distinct| ≪ |rows|
+    columns and for auditing the sketch's boundaries at sample scale.
     """
     li = load_table(spark, sf_dir, "lineitem")
     pc = (

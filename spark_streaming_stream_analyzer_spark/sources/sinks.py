@@ -382,3 +382,136 @@ SELECT event_type, COUNT(*) AS n_events,
 FROM events WHERE event_type IN ('click', 'error')
 GROUP BY 1
 """
+
+
+# -------------------------------------------- Python DataSource sink --
+
+
+def _audited_jsonl_sink():
+    """Custom Python DataSourceWriter (built lazily, like the reader
+    twin ``_synthetic_readings_source``): JSON-lines files with a
+    two-phase commit — tasks write partition files and return audit
+    commit messages (file, row count, checksum-sum); the driver-side
+    ``commit()`` writes a _MANIFEST only after every task reported, so
+    a half-failed write leaves no manifest and readers see nothing
+    (the atomicity contract a real object-store sink implements)."""
+    import json as _json
+
+    from dataclasses import dataclass
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    @dataclass
+    class _Msg(WriterCommitMessage):
+        file: str
+        n_rows: int
+        sum_cents: int
+
+    class _Writer(DataSourceWriter):
+        def __init__(self, path: str):
+            self.path = path
+
+        def write(self, iterator):
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            fname = f"part-{pid:05d}.jsonl"
+            n = 0
+            sc = 0
+            with open(os.path.join(self.path, fname), "w") as f:
+                for row in iterator:
+                    f.write(
+                        _json.dumps(
+                            {
+                                "event_type": row.event_type,
+                                "n": row.n,
+                                "sum_cents": row.sum_cents,
+                            }
+                        )
+                        + "\n"
+                    )
+                    n += 1
+                    sc += row.sum_cents
+            return _Msg(file=fname, n_rows=n, sum_cents=sc)
+
+        def commit(self, messages):
+            manifest = {
+                "files": sorted(m.file for m in messages if m is not None),
+                "total_rows": sum(m.n_rows for m in messages if m is not None),
+                "total_sum_cents": sum(
+                    m.sum_cents for m in messages if m is not None
+                ),
+            }
+            with open(os.path.join(self.path, "_MANIFEST"), "w") as f:
+                _json.dump(manifest, f)
+
+        def abort(self, messages):
+            for m in messages:
+                if m is not None:
+                    try:
+                        os.remove(os.path.join(self.path, m.file))
+                    except OSError:
+                        pass
+
+    class AuditedJsonl(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "audited_jsonl"
+
+        def writer(self, schema, overwrite: bool):
+            return _Writer(self.options["path"])
+
+    return AuditedJsonl
+
+
+def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom SINK via Spark 4's Python DataSource writer API — the
+    write-side twin of ``src_python_datasource``: the flagship per-type
+    rollup is written through the audited JSON-lines sink (task files +
+    manifest two-phase commit), then read back FROM the manifest's file
+    list and re-validated — so the oracle equality proves the entire
+    write→commit→read cycle preserved every value, and the manifest's
+    own totals are cross-checked against the read rows.
+
+    Writer parallelism follows the upstream partitioning exactly like
+    a JVM sink; commit is one driver-side metadata write (no data moves
+    through the driver)."""
+    spark.dataSource.register(_audited_jsonl_sink())
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+    )
+    out_dir = os.path.join(tempfile.gettempdir(), f"sgs_pysink_{uuid.uuid4().hex[:12]}")
+    os.makedirs(out_dir)
+    try:
+        agg.write.format("audited_jsonl").option("path", out_dir).mode(
+            "append"
+        ).save()
+        import json as _json
+
+        with open(os.path.join(out_dir, "_MANIFEST")) as f:
+            manifest = _json.load(f)
+        paths = [os.path.join(out_dir, fn) for fn in manifest["files"]]
+        back = spark.read.schema("event_type string, n long, sum_cents long").json(
+            paths
+        )
+        pdf = back.toPandas()
+        if int(pdf["n"].count()) != len(pdf) or len(pdf) != manifest["total_rows"]:
+            raise AssertionError("manifest/read-back row mismatch")
+        if int(pdf["sum_cents"].sum()) != manifest["total_sum_cents"]:
+            raise AssertionError("manifest/read-back checksum mismatch")
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return spark.createDataFrame(pdf, schema="event_type string, n long, sum_cents long")
+
+
+SINK_PYSINK_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY event_type
+"""
