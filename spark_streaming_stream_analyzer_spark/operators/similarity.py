@@ -976,3 +976,78 @@ SELECT q_id, vec_id, rank, qcos FROM (
   FROM scored
 ) t WHERE rank <= {TOP_K}
 """
+
+
+# --------------------------------------- matryoshka truncation audit --
+
+MRL_DIM = 16  # prefix dims retained (DIM // 4)
+
+
+def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation audit: for each query vector, the top-1
+    cosine neighbor under the FULL embedding vs under the first
+    MRL_DIM dims only — the measurement that decides whether a
+    prefix-truncated (matryoshka) index can serve retrieval at 1/4 the
+    storage and FLOPs. Emits both neighbors, both scores, and the
+    agreement flag per query.
+
+    Brute-force tier by design (|Q| broadcast against one scan, the
+    same shape as ``sim_topk_cosine``); the truncated variant is the
+    one that would graduate to the IVF/SRP tiers at scale. Argmax is
+    a max-by-struct aggregate — no per-query window, ties broken to
+    the smaller vec_id exactly like the rank-based oracles.
+    """
+    em = load_table_cpu(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = em.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    pairs = em.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+    cos_full = _cosine(F.col("q_emb"), F.col("embedding"))
+    cos_trunc = _cosine(
+        F.slice(F.col("q_emb"), 1, MRL_DIM), F.slice(F.col("embedding"), 1, MRL_DIM)
+    )
+    scored = pairs.select(
+        "q_id",
+        "vec_id",
+        cos_full.alias("cf"),
+        cos_trunc.alias("ct"),
+    )
+    best = scored.groupBy("q_id").agg(
+        F.max(F.struct(F.col("cf"), (-F.col("vec_id")).alias("nv"))).alias("bf"),
+        F.max(F.struct(F.col("ct"), (-F.col("vec_id")).alias("nv"))).alias("bt"),
+    )
+    return best.select(
+        "q_id",
+        (-F.col("bf.nv")).alias("top1_full"),
+        F.col("bf.cf").alias("cos_full"),
+        (-F.col("bt.nv")).alias("top1_trunc"),
+        F.col("bt.ct").alias("cos_trunc"),
+        (F.col("bf.nv") == F.col("bt.nv")).alias("agree"),
+    )
+
+
+_COS_TRUNC_SQL = _COS_SQL.replace(f"generate_series(1, {DIM})", f"generate_series(1, {MRL_DIM})")
+
+MATRYOSHKA_SQL = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         {_COS_SQL} AS cf,
+         {_COS_TRUNC_SQL} AS ct
+  FROM embeddings e JOIN q ON e.vec_id <> q.q_id
+),
+rf AS (
+  SELECT q_id, vec_id AS top1_full, cf AS cos_full,
+         row_number() OVER (PARTITION BY q_id ORDER BY cf DESC, vec_id) AS rn
+  FROM scored
+),
+rt AS (
+  SELECT q_id, vec_id AS top1_trunc, ct AS cos_trunc,
+         row_number() OVER (PARTITION BY q_id ORDER BY ct DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT rf.q_id, rf.top1_full, rf.cos_full, rt.top1_trunc, rt.cos_trunc,
+       rf.top1_full = rt.top1_trunc AS agree
+FROM rf JOIN rt ON rf.q_id = rt.q_id AND rf.rn = 1 AND rt.rn = 1
+WHERE rf.rn = 1 AND rt.rn = 1
+"""

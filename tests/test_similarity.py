@@ -178,3 +178,42 @@ def test_ivf_exact_topk_shape_and_rank_order(spark, sf_dir):
         sims = [r["cos_sim"] for r in rs]
         assert sims == sorted(sims, reverse=True)
         assert all(r["vec_id"] != q_id for r in rs)
+
+
+def test_matryoshka_truncated_top1_matches_numpy(spark, sf_dir):
+    """Brute-force numpy cross-check of both the full-dim and the
+    MRL_DIM-prefix top-1 neighbors (cosine, smaller-vec_id ties)."""
+    import numpy as np
+
+    from spark_streaming_stream_analyzer_spark.operators.similarity import (
+        MRL_DIM,
+        N_QUERIES,
+        emb_matryoshka_recall,
+    )
+    from spark_streaming_stream_analyzer_spark.sources.tables import load_table_cpu
+
+    pdf = load_table_cpu(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    M = np.stack(pdf["embedding"].map(np.asarray)).astype("float64")
+
+    def top1(mat, qrow, qid):
+        cos = (mat @ qrow) / (
+            np.linalg.norm(mat, axis=1) * np.linalg.norm(qrow)
+        )
+        cos[ids == qid] = -np.inf
+        best = cos.max()
+        return int(ids[cos == best].min())
+
+    got = {r["q_id"]: r for r in emb_matryoshka_recall(spark, sf_dir).collect()}
+    assert set(got) == set(range(N_QUERIES))
+    for qid in range(N_QUERIES):
+        qrow = M[ids == qid][0]
+        assert got[qid]["top1_full"] == top1(M, qrow, qid)
+        assert got[qid]["top1_trunc"] == top1(
+            M[:, :MRL_DIM], qrow[:MRL_DIM], qid
+        )
+        assert got[qid]["agree"] == (
+            got[qid]["top1_full"] == got[qid]["top1_trunc"]
+        )
