@@ -1390,3 +1390,91 @@ SELECT CAST(d.day AS VARCHAR) AS day,
 FROM days d JOIN ud u ON u.day BETWEEN d.day - {DAU_DAYS - 1} AND d.day
 GROUP BY d.day
 """
+
+
+# ------------------------------------------ grid interval self-join --
+
+
+def join_interval_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join where BOTH sides are large — the
+    case ``join_interval_overlap``'s broadcast trick can't serve. Per
+    session: how many OTHER users' sessions were concurrent with it
+    (half-open overlap), the concurrency metric behind capacity
+    planning and contention analysis.
+
+    The quadratic trap is avoided with the grid join: every interval
+    explodes to the hour buckets it spans (bounded fan-out: duration/1h
+    + the 4h session gap), the self-join is a plain equi-join ON THE
+    BUCKET (hash-partitionable, AQE-skew-splittable — no theta join
+    anywhere), the overlap predicate refines pairs inside a bucket, and
+    pairs spanning several shared buckets are deduped AFTER the cheap
+    refine. Sessions with zero concurrency survive via the final left
+    join. The oracle states the same result quadratically — feasible
+    for DuckDB at fixture scale, which is exactly why the grid form is
+    the one that ships."""
+    from .relational import agg_session_window
+
+    # one sessionization shuffle, consumed three times (both join
+    # sides + the final left join) — materialize the small table once
+    s = agg_session_window(spark, sf_dir).localCheckpoint(eager=False)
+    b = s.select(
+        "user_id",
+        "session_start_us",
+        "session_end_us",
+        F.explode(
+            F.sequence(
+                F.expr(f"session_start_us DIV {_HOUR_US}"),
+                F.expr(f"(session_end_us - 1) DIV {_HOUR_US}"),
+            )
+        ).alias("gb"),
+    )
+    a_side, b_side = b.alias("a"), b.alias("b")
+    pairs = (
+        a_side.join(
+            b_side,
+            (F.col("a.gb") == F.col("b.gb"))
+            & (F.col("a.user_id") != F.col("b.user_id")),
+        )
+        .filter(
+            (F.col("a.session_start_us") < F.col("b.session_end_us"))
+            & (F.col("b.session_start_us") < F.col("a.session_end_us"))
+        )
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.session_start_us").alias("session_start_us"),
+            F.col("b.user_id").alias("ou"),
+            F.col("b.session_start_us").alias("os"),
+        )
+        .distinct()
+    )
+    counts = pairs.groupBy("user_id", "session_start_us").agg(
+        F.count("*").alias("n_concurrent")
+    )
+    return s.join(counts, ["user_id", "session_start_us"], "left").select(
+        "user_id",
+        "session_start_us",
+        "session_end_us",
+        "n_events",
+        F.coalesce("n_concurrent", F.lit(0)).alias("n_concurrent"),
+    )
+
+
+JOIN_INTERVAL_GRID_SQL = f"""
+WITH sessions AS ({{AGG_SESSION}}),
+pairs AS (
+  SELECT a.user_id, a.session_start_us, COUNT(*) AS n_concurrent
+  FROM sessions a JOIN sessions b
+    ON a.user_id <> b.user_id
+   AND a.session_start_us < b.session_end_us
+   AND b.session_start_us < a.session_end_us
+  GROUP BY 1, 2
+)
+SELECT s.user_id, s.session_start_us, s.session_end_us, s.n_events,
+       COALESCE(p.n_concurrent, 0) AS n_concurrent
+FROM sessions s LEFT JOIN pairs p
+  ON s.user_id = p.user_id AND s.session_start_us = p.session_start_us
+"""
+
+JOIN_INTERVAL_GRID_SQL = JOIN_INTERVAL_GRID_SQL.replace(
+    "{AGG_SESSION}", AGG_SESSION_SQL.strip()
+)

@@ -673,6 +673,7 @@ query("dq_constraint_audit", _au.DQ_AUDIT_SQL)(_au.dq_constraint_audit)
 query("skew_key_profile", _au.SKEW_PROFILE_SQL)(_au.skew_key_profile)
 query("json_key_inventory", _jsonf.JSON_KEY_INVENTORY_SQL)(_jsonf.json_key_inventory)
 query("join_interval_overlap", _an.JOIN_INTERVAL_SQL)(_an.join_interval_overlap)
+query("join_interval_grid", _an.JOIN_INTERVAL_GRID_SQL)(_an.join_interval_grid)
 query("ts_ewma_recent", _an.TS_EWMA_SQL)(_an.ts_ewma_recent)
 query("incremental_agg_merge", _an.INCREMENTAL_MERGE_SQL)(_an.incremental_agg_merge)
 query("dq_day_over_day", _an.DQ_DOD_SQL)(_an.dq_day_over_day)

@@ -191,3 +191,40 @@ def test_sliding_dau_brute_force(spark, sf_dir):
         r = got[str(d)]
         assert (r["dau7"], r["dau1"]) == (expect7, expect1)
         assert r["dau7"] >= r["dau1"]
+
+
+def test_interval_grid_equals_quadratic(spark, sf_dir):
+    """The grid-bucketed interval self-join must equal the direct
+    quadratic overlap join, and its physical plan must be an equi-join
+    on the bucket (no BroadcastNestedLoopJoin / cartesian)."""
+    from spark_streaming_stream_analyzer_spark.operators.analytics import (
+        join_interval_grid,
+    )
+    from spark_streaming_stream_analyzer_spark.operators.relational import (
+        agg_session_window,
+    )
+
+    got = {
+        (r["user_id"], r["session_start_us"]): r["n_concurrent"]
+        for r in join_interval_grid(spark, sf_dir).collect()
+    }
+    s = agg_session_window(spark, sf_dir)
+    a, b = s.alias("a"), s.alias("b")
+    quad = (
+        a.join(
+            b,
+            (F.col("a.user_id") != F.col("b.user_id"))
+            & (F.col("a.session_start_us") < F.col("b.session_end_us"))
+            & (F.col("b.session_start_us") < F.col("a.session_end_us")),
+        )
+        .groupBy(F.col("a.user_id"), F.col("a.session_start_us"))
+        .count()
+        .collect()
+    )
+    expect = {(r["user_id"], r["session_start_us"]): r["count"] for r in quad}
+    for k, n in got.items():
+        assert n == expect.get(k, 0), k
+    assert sum(got.values()) == sum(expect.values())
+
+    plan = join_interval_grid(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
