@@ -121,8 +121,15 @@ def feature_hash_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct contributing documents, and distinct colliding words (the
     quantity that decides whether FH_DIM is large enough).
 
-    Wordcount-shaped: explode → two partial/final aggregates; the
-    result is FH_DIM rows regardless of corpus size.
+    Wordcount-shaped: one tokenize scan into one groupBy with two
+    countDistincts. The dual distinct costs an Expand (the shuffle
+    carries ~3× the exploded token stream) — A/B-measured against the
+    split form (separate vocab-aggregate + (slot, doc) distinct joined
+    at the end): the split halves the shuffled bytes but pays a second
+    corpus scan and loses at both sf0.1 and 10× (1.1 s/5.3 s vs
+    0.7 s/4.1 s). Scan cost dominates shuffle cost for this shape; at
+    100 TB the same holds harder (the corpus read is the expensive
+    part), so the single-scan Expand form is the keeper.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
