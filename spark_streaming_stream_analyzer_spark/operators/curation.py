@@ -667,3 +667,103 @@ cand AS (
 SELECT word_a, word_b, freq_a, freq_b
 FROM cand WHERE levenshtein(word_a, word_b) = 1
 """
+
+
+# ------------------------------------------------ gate funnel report --
+
+FUNNEL_MIN_WORDS = 5
+FUNNEL_LANGS = ("en", "de", "fr", "es")  # zh dropped by the demo policy
+
+
+def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-gate attrition report for a sequential curation funnel —
+    the observability artifact every corpus-curation run publishes
+    (which gate ate the data?). Gates, in order:
+
+      1. ``min_length``  — at least FUNNEL_MIN_WORDS whitespace words;
+      2. ``lang_allowed`` — language in the configured allowlist;
+      3. ``dedup_exact`` — first doc_id per exact text (md5) wins;
+      4. ``has_stopword`` — at least one known stopword (the cheap
+         gibberish screen).
+
+    Each gate's input is the previous gate's survivors, so the report
+    is the conjunction cascade: one scan computes all flags (the dedup
+    flag adds one hash-partitioned window), one tiny aggregate sums
+    the cascade, and the 4-row report is unpivoted from that single
+    row — no per-gate rescans, at any scale. Every verdict is an
+    integer count.
+    """
+    from pyspark.sql import Window
+
+    from .textstats import STOPWORDS
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_words = F.size(F.filter(words, lambda w: w != ""))
+    n_stop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    flags = docs.select(
+        (n_words >= FUNNEL_MIN_WORDS).alias("g1"),
+        F.col("lang").isin(*FUNNEL_LANGS).alias("g2"),
+        (F.row_number().over(w) == 1).alias("g3"),
+        (n_stop >= 1).alias("g4"),
+    )
+    c = flags.agg(
+        F.count("*").alias("n0"),
+        F.count_if("g1").alias("n1"),
+        F.count_if(F.col("g1") & F.col("g2")).alias("n2"),
+        F.count_if(F.col("g1") & F.col("g2") & F.col("g3")).alias("n3"),
+        F.count_if(
+            F.col("g1") & F.col("g2") & F.col("g3") & F.col("g4")
+        ).alias("n4"),
+    )
+    return c.select(
+        F.expr(
+            "stack(4, "
+            "1, 'min_length',   n0, n1, "
+            "2, 'lang_allowed', n1, n2, "
+            "3, 'dedup_exact',  n2, n3, "
+            "4, 'has_stopword', n3, n4) AS (gate_no, gate, n_in, n_pass)"
+        )
+    ).withColumn("n_fail", F.col("n_in") - F.col("n_pass"))
+
+
+_FUNNEL_LANGS_SQL = ", ".join(f"'{lang}'" for lang in FUNNEL_LANGS)
+
+CURATION_FUNNEL_SQL = f"""
+WITH flags AS (
+  SELECT
+    len(list_filter(string_split(text, ' '), w -> w <> ''))
+      >= {FUNNEL_MIN_WORDS} AS g1,
+    lang IN ({_FUNNEL_LANGS_SQL}) AS g2,
+    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1 AS g3,
+    len(list_filter(string_split(text, ' '),
+        w -> w IN ({{STOPS}}))) >= 1 AS g4
+  FROM documents
+),
+c AS (
+  SELECT COUNT(*) AS n0,
+         COUNT(*) FILTER (g1) AS n1,
+         COUNT(*) FILTER (g1 AND g2) AS n2,
+         COUNT(*) FILTER (g1 AND g2 AND g3) AS n3,
+         COUNT(*) FILTER (g1 AND g2 AND g3 AND g4) AS n4
+  FROM flags
+)
+SELECT * FROM (
+  SELECT 1 AS gate_no, 'min_length' AS gate, n0 AS n_in, n1 AS n_pass,
+         n0 - n1 AS n_fail FROM c
+  UNION ALL
+  SELECT 2, 'lang_allowed', n1, n2, n1 - n2 FROM c
+  UNION ALL
+  SELECT 3, 'dedup_exact', n2, n3, n2 - n3 FROM c
+  UNION ALL
+  SELECT 4, 'has_stopword', n3, n4, n3 - n4 FROM c
+)
+"""
+
+
+from .textstats import STOPWORDS as _STOPWORDS  # noqa: E402
+
+CURATION_FUNNEL_SQL = CURATION_FUNNEL_SQL.replace(
+    "{STOPS}", ", ".join(f"'{w}'" for w in _STOPWORDS)
+)

@@ -681,6 +681,9 @@ query("sample_group_holdout", _an.SAMPLE_GROUP_HOLDOUT_SQL)(
     _an.sample_group_holdout
 )
 query("fuzzy_pairs_symdelete", _cur.FUZZY_PAIRS_SQL)(_cur.fuzzy_pairs_symdelete)
+query("curation_funnel_report", _cur.CURATION_FUNNEL_SQL)(
+    _cur.curation_funnel_report
+)
 
 from .operators import graph as _gr  # noqa: E402
 
