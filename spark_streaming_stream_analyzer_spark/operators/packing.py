@@ -229,3 +229,90 @@ SELECT source, n_docs, n_tokens,
          AS weight_rel
 FROM per CROSS JOIN tot
 """
+
+
+# --------------------------------------- temperature-mixed sampling --
+
+MIX_TARGET = 200          # documents to draw across all sources
+MIX_W_SCALE = 1_000_000   # sqrt weights quantized to integer micro-units
+
+
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing — the τ=0.5 sampling schedule
+    LLM pretraining uses to up-weight small sources without letting
+    the biggest source dominate: source i's share ∝ n_i^τ. Emits each
+    source's integer document quota such that quotas sum EXACTLY to
+    MIX_TARGET (largest-remainder apportionment), plus the achievable
+    take (a source can't supply more than it has).
+
+    Portability discipline: τ=0.5 is deliberate — IEEE sqrt is
+    correctly rounded in every engine (a pow(x, 0.7) would differ in
+    the last ulp between libm implementations), and the sqrt weights
+    are immediately quantized to integer micro-units, so the share
+    division, remainders, and tie-broken largest-remainder ranking are
+    ALL integer arithmetic — bit-identical on any engine and any
+    partitioning. The whole computation runs on the |sources|-row
+    aggregate; the corpus is scanned once for counts.
+    """
+    docs = load_table_cpu(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    w = F.floor(F.sqrt(F.col("n_docs").cast("double")) * MIX_W_SCALE).cast("long")
+    weighted = counts.select("source", "n_docs", w.alias("w"))
+    tot = Window.partitionBy()
+    shares = weighted.select(
+        "source",
+        "n_docs",
+        "w",
+        F.expr(f"({MIX_TARGET} * w) DIV SUM(w) OVER ()").alias("base_quota"),
+        F.expr(f"({MIX_TARGET} * w) % SUM(w) OVER ()").alias("rem"),
+    )
+    short = F.lit(MIX_TARGET) - F.sum("base_quota").over(tot)
+    ranked = shares.select(
+        "source",
+        "n_docs",
+        "w",
+        "base_quota",
+        (
+            F.row_number().over(
+                Window.orderBy(F.col("rem").desc(), F.col("source"))
+            )
+            <= short
+        ).cast("long").alias("extra"),
+    )
+    return ranked.select(
+        "source",
+        "n_docs",
+        "w",
+        (F.col("base_quota") + F.col("extra")).alias("quota"),
+        F.least(
+            F.col("base_quota") + F.col("extra"), F.col("n_docs")
+        ).alias("n_taken"),
+    )
+
+
+SAMPLE_TEMPERATURE_SQL = f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1
+),
+weighted AS (
+  SELECT source, n_docs,
+         CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * {MIX_W_SCALE}) AS BIGINT) AS w
+  FROM counts
+),
+shares AS (
+  SELECT source, n_docs, w,
+         ({MIX_TARGET} * w) // SUM(w) OVER () AS base_quota,
+         ({MIX_TARGET} * w) % SUM(w) OVER () AS rem
+  FROM weighted
+),
+ranked AS (
+  SELECT source, n_docs, w, base_quota,
+         CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+              <= {MIX_TARGET} - SUM(base_quota) OVER () THEN 1 ELSE 0 END AS extra
+  FROM shares
+)
+SELECT source, n_docs, w,
+       CAST(base_quota + extra AS BIGINT) AS quota,
+       CAST(LEAST(base_quota + extra, n_docs) AS BIGINT) AS n_taken
+FROM ranked
+"""

@@ -659,6 +659,9 @@ from .operators import packing as _pk  # noqa: E402
 
 query("pack_token_budget", _pk.PACK_SQL)(_pk.pack_token_budget)
 query("sample_rebalance", _pk.REBALANCE_SQL)(_pk.sample_rebalance)
+query("sample_temperature_mixture", _pk.SAMPLE_TEMPERATURE_SQL)(
+    _pk.sample_temperature_mixture
+)
 query("sample_weighted", _pk.WEIGHTED_SQL)(_pk.sample_weighted)
 query("corpus_mixture_stats", _pk.MIXTURE_SQL)(_pk.corpus_mixture_stats)
 query("text_chunk_overlap", _cur.TEXT_CHUNK_SQL)(_cur.text_chunk_overlap)

@@ -71,3 +71,30 @@ def test_mixture_shares_sum_to_one(spark, sf_dir):
     for r in rows:
         # sqrt damping: rel weight >= raw share ratio for sub-max sources
         assert 0 < r["weight_rel"] <= 1.0
+
+
+def test_temperature_mixture_quotas_sum_to_target(spark, sf_dir):
+    """Largest-remainder apportionment: quotas sum EXACTLY to the
+    target, are each within 1 of the ideal real-valued share, and the
+    sqrt temperature compresses shares (small sources get more than
+    their raw proportion, large sources less)."""
+    import math
+
+    from spark_streaming_stream_analyzer_spark.operators.packing import (
+        MIX_TARGET,
+        sample_temperature_mixture,
+    )
+
+    rows = sample_temperature_mixture(spark, sf_dir).collect()
+    assert sum(r["quota"] for r in rows) == MIX_TARGET
+    W = sum(r["w"] for r in rows)
+    n_tot = sum(r["n_docs"] for r in rows)
+    for r in rows:
+        ideal = MIX_TARGET * r["w"] / W
+        assert math.floor(ideal) <= r["quota"] <= math.floor(ideal) + 1
+        assert r["n_taken"] == min(r["quota"], r["n_docs"])
+        # temperature compression: quota share vs raw doc share
+        raw_share = r["n_docs"] / n_tot
+        q_share = r["quota"] / MIX_TARGET
+        if raw_share < 1 / len(rows):
+            assert q_share >= raw_share - 1 / MIX_TARGET
