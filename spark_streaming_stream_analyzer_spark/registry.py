@@ -495,6 +495,7 @@ query("obs_pipeline_metrics", _snk.OBS_METRICS_SQL)(_snk.obs_pipeline_metrics)
 query("sink_compaction", _snk.SINK_COMPACTION_SQL)(_snk.sink_compaction)
 query("src_python_datasource", _snk.SRC_PYSRC_SQL)(_snk.src_python_datasource)
 query("sink_python_datasource", _snk.SINK_PYSINK_SQL)(_snk.sink_python_datasource)
+query("src_binary_files", _snk.SRC_BINFILE_SQL)(_snk.src_binary_files)
 query("fn_bitwise_pack", _rel.BITWISE_PACK_SQL)(_rel.fn_bitwise_pack)
 query("fn_variant_json", _rel.FN_VARIANT_SQL)(_rel.fn_variant_json)
 query("agg_boolean_pack", _rel.AGG_BOOLEAN_SQL)(_rel.agg_boolean_pack)

@@ -515,3 +515,62 @@ SELECT event_type, COUNT(*) AS n,
        CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM events GROUP BY event_type
 """
+
+
+# -------------------------------------------------- binaryFile source --
+
+BINFILE_DOCS = 20
+
+
+def src_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``binaryFile`` ingest source — how image/audio/video blobs
+    enter a multimodal pipeline as (path, length, content) rows before
+    the ``operators/multimodal.py`` decode tier. A bounded staging set
+    (the first BINFILE_DOCS documents' UTF-8 bytes, one file each) is
+    read back through the format; the query re-derives doc_id from the
+    file name and fingerprints the content, and the oracle recomputes
+    length+sha from the source table — proving the source preserved
+    every byte.
+
+    Scale: binaryFile scans parallelize per-file and push
+    ``pathGlobFilter``/recursive lookups into the listing; content is
+    one column — never project it unless the kernel needs the bytes.
+    """
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < BINFILE_DOCS)
+        .select("doc_id", "text")
+        .collect()
+    )
+    d = os.path.join(tempfile.gettempdir(), f"sgs_bin_{uuid.uuid4().hex[:12]}")
+    os.makedirs(d)
+    try:
+        for r in docs:
+            with open(os.path.join(d, f"doc_{r['doc_id']}.bin"), "wb") as f:
+                f.write(r["text"].encode("utf-8"))
+        df = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.bin")
+            .load(d)
+        )
+        out = df.select(
+            F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("length").alias("n_bytes"),
+            F.sha2("content", 256).alias("sha256"),
+        )
+        pdf = out.toPandas()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(
+        pdf, schema="doc_id long, n_bytes long, sha256 string"
+    )
+
+
+SRC_BINFILE_SQL = f"""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256
+FROM documents WHERE doc_id < {BINFILE_DOCS}
+"""
