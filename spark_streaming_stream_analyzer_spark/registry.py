@@ -759,6 +759,9 @@ query("stream_stats_tws", _st.STREAM_STATS_TWS_SQL)(_st.stream_stats_tws)
 query("stream_sessionize_custom", _st.STREAM_SESSIONIZE_SQL)(
     _st.stream_sessionize_custom
 )
+query("stream_stats_rocksdb", _st.STREAM_STATS_ROCKSDB_SQL)(
+    _st.stream_stats_rocksdb
+)
 
 
 # --------------------------------------------------------------------------

@@ -648,3 +648,42 @@ SELECT user_id, MIN(us) AS session_start_us, MAX(us) AS session_end_us,
        COUNT(*) AS n_events, CAST(SUM(c) AS BIGINT) AS sum_cents
 FROM g GROUP BY user_id, sess
 """
+
+
+# ------------------------------------------- RocksDB provider variant --
+
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def stream_stats_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship exact-state op under the RocksDB state store
+    provider — the 100 TB configuration: per-key state lives off-heap
+    in RocksDB with changelog checkpointing, so key cardinality is
+    bounded by disk, not executor memory. Same state algebra, same
+    oracle as ``stream_stats_exact_state``; what this query registers
+    is that the OPERATOR IS PROVIDER-AGNOSTIC — the provider conf is
+    scoped to this query (saved/restored), and the emitted rows are
+    identical to the default-provider run.
+
+    The memory sink is fully materialized before the conf restore, so
+    the returned frame is provider-independent by the time the driver
+    collects it."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, _ROCKSDB_PROVIDER)
+    try:
+        out = stream_stats_exact_state(spark, sf_dir)
+        # force the streaming query (and its RocksDB state) to finish
+        # while the provider conf is still in effect
+        pdf = out.toPandas()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    return spark.createDataFrame(pdf, schema=out.schema)
+
+
+STREAM_STATS_ROCKSDB_SQL = STREAM_STATS_EXACT_SQL
