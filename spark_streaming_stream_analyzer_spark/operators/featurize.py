@@ -462,3 +462,181 @@ SELECT event_type, n_events, latest_us,
        hwm_us - latest_us <= {FRESH_SLA_US} AS within_sla
 FROM per_type CROSS JOIN hwm
 """
+
+
+# ------------------------------------- HLL intersection (incl-excl) --
+
+
+def approx_distinct_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation via HLL inclusion-exclusion:
+    |A∩B| ≈ est(A) + est(B) − est(A∪B), where est(A∪B) comes from
+    MERGING the two per-set sketches (bucket-wise max) — no rescan of
+    the union, which is the whole point at 100 TB: sketches are built
+    once per set, every pairwise overlap is then sketch-size work.
+    Completes the portable sketch family (HLL count + merge, CMS, KMV)
+    with its intersection estimator; the exact intersection rides
+    along as the error audit (feasible only at fixture scale).
+
+    The set element is the USER-DAY (user_id:day), not the bare user:
+    the fixture has only 150 users — deep inside HLL's small-range
+    regime where the raw estimator (deliberately correction-free, see
+    ``hll_estimate``: a linear-counting branch needs ln(), whose last
+    ulp differs between libm implementations and would break the
+    hash-match) is badly biased. User-day cardinality (~4k/set) sits
+    in the raw sweet spot, and "co-active user-days" is the overlap a
+    capacity/engagement analysis wants anyway.
+
+    Every sketch step is the shared integer HLL of
+    ``functions/hashing.py`` — bit-identical in DuckDB — and the three
+    estimates subtract in a fixed expression order, so the
+    *approximate* overlap hash-matches the oracle exactly.
+    """
+    from ..functions.hashing import HLL_ALPHA, HLL_M, HLL_REST_BITS
+    from ..sources.tables import ts_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    day = (ts_micros(ev) / F.lit(86_400_000_000)).cast("long")
+    elem = F.concat(
+        F.col("user_id").cast("string"), F.lit(":"), day.cast("string")
+    )
+    h = hash64(elem)
+    bucket = F.pmod(h, F.lit(HLL_M))
+    rest = (h - bucket) / F.lit(HLL_M)
+    rho = F.lit(HLL_REST_BITS + 1) - F.length(F.bin(rest.cast("long")))
+    sk = (
+        ev.select(F.col("event_type").alias("t"), bucket.alias("bkt"), rho.alias("rho"))
+        .groupBy("t", "bkt")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+    types = sk.select("t").distinct()
+    pairs = (
+        types.alias("a")
+        .join(types.alias("b"), F.col("a.t") < F.col("b.t"))
+        .select(F.col("a.t").alias("ta"), F.col("b.t").alias("tb"))
+    )
+    m = sk.join(
+        F.broadcast(pairs), (F.col("t") == F.col("ta")) | (F.col("t") == F.col("tb"))
+    )
+    weight_of = lambda c: F.pow(  # noqa: E731
+        F.lit(2.0), F.lit(HLL_REST_BITS + 1) - c
+    ).cast("long")
+    grid = m.groupBy("ta", "tb", "bkt").agg(
+        F.max(F.when(F.col("t") == F.col("ta"), F.col("max_rho"))).alias("ra"),
+        F.max(F.when(F.col("t") == F.col("tb"), F.col("max_rho"))).alias("rb"),
+        F.max("max_rho").alias("ru"),
+    )
+    # empty buckets contribute weight 2^(REST+1) (rho-less bucket);
+    # per-set sketches may miss buckets the pair grid has, so coalesce
+    # a missing side to rho 0 → full weight, same as the oracle
+    zero_w = 1 << (HLL_REST_BITS + 1)
+    agg = grid.groupBy("ta", "tb").agg(
+        (
+            F.sum(F.coalesce(weight_of(F.col("ra")), F.lit(zero_w)))
+            + F.lit(zero_w) * (F.lit(HLL_M) - F.count("*"))
+        ).alias("wa"),
+        (
+            F.sum(F.coalesce(weight_of(F.col("rb")), F.lit(zero_w)))
+            + F.lit(zero_w) * (F.lit(HLL_M) - F.count("*"))
+        ).alias("wb"),
+        (
+            F.sum(weight_of(F.col("ru")))
+            + F.lit(zero_w) * (F.lit(HLL_M) - F.count("*"))
+        ).alias("wu"),
+    )
+    scale = HLL_ALPHA * HLL_M * HLL_M * float(1 << (HLL_REST_BITS + 1))
+    est = lambda w: F.lit(scale) / F.col(w).cast("double")  # noqa: E731
+    uh = ev.select(F.col("event_type").alias("t"), elem.alias("u")).distinct()
+    ex = (
+        uh.join(F.broadcast(pairs), (F.col("t") == F.col("ta")) | (F.col("t") == F.col("tb")))
+        .groupBy("ta", "tb", "u")
+        .agg(
+            F.max((F.col("t") == F.col("ta")).cast("int")).alias("ia"),
+            F.max((F.col("t") == F.col("tb")).cast("int")).alias("ib"),
+        )
+        .groupBy("ta", "tb")
+        .agg(F.sum(F.col("ia") * F.col("ib")).cast("long").alias("n_inter_exact"))
+    )
+    return (
+        agg.join(ex, ["ta", "tb"])
+        .select(
+            "ta",
+            "tb",
+            est("wa").alias("est_a"),
+            est("wb").alias("est_b"),
+            est("wu").alias("est_union"),
+            (est("wa") + est("wb") - est("wu")).alias("est_inter"),
+            "n_inter_exact",
+        )
+    )
+
+
+def _hll_intersect_sql() -> str:
+    from ..functions.hashing import (
+        HLL_ALPHA,
+        HLL_M,
+        HLL_REST_BITS,
+        hash64_sql,
+    )
+
+    h = hash64_sql("elem")
+    r1 = HLL_REST_BITS + 1
+    zw = 1 << r1
+    scale = HLL_ALPHA * HLL_M * HLL_M * float(zw)
+    return f"""
+WITH elems AS (
+  SELECT event_type,
+         CAST(user_id AS VARCHAR) || ':' ||
+           CAST(epoch_us(ts) // 86400000000 AS VARCHAR) AS elem
+  FROM events
+),
+hashed AS (
+  SELECT event_type AS t, {h} AS h FROM elems
+),
+sk AS (
+  SELECT t, h % {HLL_M} AS bkt,
+         MAX({r1} - length(bin(CAST((h - h % {HLL_M}) / {HLL_M} AS BIGINT)))) AS max_rho
+  FROM hashed GROUP BY 1, 2
+),
+types AS (SELECT DISTINCT t FROM sk),
+pairs AS (SELECT a.t AS ta, b.t AS tb FROM types a JOIN types b ON a.t < b.t),
+grid AS (
+  SELECT p.ta, p.tb, s.bkt,
+         MAX(CASE WHEN s.t = p.ta THEN s.max_rho END) AS ra,
+         MAX(CASE WHEN s.t = p.tb THEN s.max_rho END) AS rb,
+         MAX(s.max_rho) AS ru
+  FROM sk s JOIN pairs p ON s.t = p.ta OR s.t = p.tb
+  GROUP BY 1, 2, 3
+),
+agg AS (
+  SELECT ta, tb,
+    CAST(SUM(COALESCE(CAST(power(2.0, {r1} - ra) AS BIGINT), {zw}))
+         + {zw} * ({HLL_M} - COUNT(*)) AS BIGINT) AS wa,
+    CAST(SUM(COALESCE(CAST(power(2.0, {r1} - rb) AS BIGINT), {zw}))
+         + {zw} * ({HLL_M} - COUNT(*)) AS BIGINT) AS wb,
+    CAST(SUM(CAST(power(2.0, {r1} - ru) AS BIGINT))
+         + {zw} * ({HLL_M} - COUNT(*)) AS BIGINT) AS wu
+  FROM grid GROUP BY 1, 2
+),
+ex AS (
+  SELECT ta, tb, CAST(SUM(ia * ib) AS BIGINT) AS n_inter_exact
+  FROM (
+    SELECT p.ta, p.tb, u.u,
+           MAX(CASE WHEN u.t = p.ta THEN 1 ELSE 0 END) AS ia,
+           MAX(CASE WHEN u.t = p.tb THEN 1 ELSE 0 END) AS ib
+    FROM (SELECT DISTINCT event_type AS t, elem AS u FROM elems) u
+    JOIN pairs p ON u.t = p.ta OR u.t = p.tb
+    GROUP BY 1, 2, 3
+  ) GROUP BY 1, 2
+)
+SELECT agg.ta, agg.tb,
+       {scale!r} / CAST(wa AS DOUBLE) AS est_a,
+       {scale!r} / CAST(wb AS DOUBLE) AS est_b,
+       {scale!r} / CAST(wu AS DOUBLE) AS est_union,
+       {scale!r} / CAST(wa AS DOUBLE) + {scale!r} / CAST(wb AS DOUBLE)
+         - {scale!r} / CAST(wu AS DOUBLE) AS est_inter,
+       n_inter_exact
+FROM agg JOIN ex ON agg.ta = ex.ta AND agg.tb = ex.tb
+"""
+
+
+HLL_INTERSECT_SQL = _hll_intersect_sql()

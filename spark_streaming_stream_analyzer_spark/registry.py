@@ -700,6 +700,9 @@ query("feature_quantile_bins", _ft.FEATURE_BINS_SQL)(_ft.feature_quantile_bins)
 query("feature_hash_vectorize", _ft.FEATURE_HASH_SQL)(_ft.feature_hash_vectorize)
 query("target_encode_oof", _ft.TARGET_ENCODE_SQL)(_ft.target_encode_oof)
 query("approx_kmv_jaccard", _ft.KMV_JACCARD_SQL)(_ft.approx_kmv_jaccard)
+query("approx_distinct_intersect", _ft.HLL_INTERSECT_SQL)(
+    _ft.approx_distinct_intersect
+)
 query("ts_ohlc_bars", _an.TS_OHLC_SQL)(_an.ts_ohlc_bars)
 query("attribution_last_touch", _an.ATTRIBUTION_SQL)(_an.attribution_last_touch)
 query("ts_sliding_dau", _an.TS_SLIDING_DAU_SQL)(_an.ts_sliding_dau)

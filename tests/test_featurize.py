@@ -228,3 +228,42 @@ def test_interval_grid_equals_quadratic(spark, sf_dir):
 
     plan = join_interval_grid(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_hll_intersect_error_bounds(spark):
+    """Single-set and union HLL estimates stay within ~3 sigma of the
+    6.5% standard error; the inclusion-exclusion intersection carries
+    the method's amplified error (difference of three sketches), so
+    its bound is proportional to the UNION size, not the intersection.
+
+    Pinned to sf0.01: the correction-free raw estimator's accuracy
+    contract requires cardinality >~ 2.5·m ≈ 640 (documented in the
+    op); sf0.001's ~160 user-days/set sit below it by design."""
+    from spark_streaming_stream_analyzer_spark.operators.featurize import (
+        approx_distinct_intersect,
+    )
+    from spark_streaming_stream_analyzer_spark.sources.tables import (
+        load_table,
+        ts_micros,
+    )
+
+    sf_dir = "/root/testdata/sf0.01"
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(ts_micros(ev) / F.lit(86_400_000_000)).cast("long")
+    ud = ev.select(
+        F.col("event_type").alias("t"),
+        F.concat(F.col("user_id").cast("string"), F.lit(":"), day.cast("string")).alias("u"),
+    ).distinct()
+    exact = {r["t"]: r["n"] for r in ud.groupBy("t").agg(F.countDistinct("u").alias("n")).collect()}
+    rows = approx_distinct_intersect(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["est_a"] / exact[r["ta"]] - 1) < 0.20
+        assert abs(r["est_b"] / exact[r["tb"]] - 1) < 0.20
+        n_union = (
+            ud.filter(F.col("t").isin(r["ta"], r["tb"]))
+            .select("u").distinct().count()
+        )
+        assert abs(r["est_union"] / n_union - 1) < 0.20
+        # incl-excl error scales with the union estimate
+        assert abs(r["est_inter"] - r["n_inter_exact"]) < 0.35 * n_union
