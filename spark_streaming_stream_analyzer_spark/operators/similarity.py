@@ -1051,3 +1051,187 @@ SELECT rf.q_id, rf.top1_full, rf.cos_full, rt.top1_trunc, rt.cos_trunc,
 FROM rf JOIN rt ON rf.q_id = rt.q_id AND rf.rn = 1 AND rt.rn = 1
 WHERE rf.rn = 1 AND rt.rn = 1
 """
+
+
+# --------------------------------------------- product quantization --
+
+PQ_M = 4                    # subspaces
+PQ_SUBDIM = DIM // PQ_M     # dims per subspace (16)
+PQ_K = 8                    # codebook entries per subspace
+PQ_ITERS = 2
+
+
+def _pq_assign(spark: SparkSession, em: DataFrame, m: int) -> DataFrame:
+    """Exact-integer k-means (the ``sim_kmeans_exact_cells`` algebra:
+    quantized int64 coordinates, int64 distances, floor(sum/count)
+    centroid updates, ties to the lowest cell) over subspace ``m``'s
+    PQ_SUBDIM-dim slice. Returns (vec_id, code_m, d2_m)."""
+    sub = em.select(
+        "vec_id", F.slice("v", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("v")
+    )
+    cent = (
+        sub.orderBy("vec_id")
+        .limit(PQ_K)
+        .select(
+            F.row_number().over(Window.orderBy("vec_id")).alias("cell"),
+            F.col("v").alias("c"),
+        )
+    )
+    dist = F.aggregate(
+        F.zip_with("v", "c", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    assigned = None
+    for it in range(PQ_ITERS):
+        assigned = (
+            sub.crossJoin(F.broadcast(cent))
+            .select("vec_id", "v", "cell", dist.alias("d2"))
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("d2", "cell", "v")).alias("mn"))
+            .select(
+                "vec_id",
+                F.col("mn.cell").alias("cell"),
+                F.col("mn.d2").alias("d2"),
+                F.col("mn.v").alias("v"),
+            )
+        )
+        if it == PQ_ITERS - 1:
+            break
+        dims = assigned.select("cell", F.posexplode("v").alias("dim", "x"))
+        cur = (
+            dims.groupBy("cell", "dim")
+            .agg(
+                F.floor(
+                    F.sum("x").cast("double") / F.count("*").cast("double")
+                )
+                .cast("long")
+                .alias("cx")
+            )
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "cx"))),
+                    lambda s: s.cx,
+                ).alias("c")
+            )
+        )
+        cent = spark.createDataFrame(cur.collect(), schema="cell int, c array<long>")
+    return assigned.select(
+        "vec_id",
+        F.col("cell").alias(f"code{m}"),
+        F.col("d2").alias(f"d2_{m}"),
+    )
+
+
+def emb_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization — the vector-compression tier between
+    scalar int8 (``emb_quantize_int8``) and raw floats: the embedding
+    splits into PQ_M subspaces, each learns a PQ_K-entry codebook by
+    k-means, and every vector compresses to PQ_M one-byte codes
+    (64 floats → 4 bytes here). Emits each vector's code word plus the
+    per-subspace and total squared reconstruction error — the quantity
+    that decides codebook size at index-build time.
+
+    Fully VALUE-oracled despite being iterative: the same exact-
+    integer k-means trick as ``sim_kmeans_exact_cells`` (every round
+    is associative integer arithmetic), so DuckDB unrolls all
+    PQ_M × PQ_ITERS rounds as CTEs and agrees bit-for-bit.
+
+    Scale: training touches |rows| × PQ_M sub-vectors per round with a
+    broadcast K×SUBDIM model (map-side assign, one partial/final agg
+    per update); encoding is one map pass; ADC search against the
+    codes is a PQ_M-term lookup-table sum — never a float dot product
+    against raw vectors.
+    """
+    em = load_table_cpu(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(
+                x.cast("double") * KMEANS_QSCALE + F.lit(0.5)
+            ).cast("long"),
+        ).alias("v"),
+    )
+    em = em.cache()
+    try:
+        parts = [_pq_assign(spark, em, m) for m in range(PQ_M)]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.join(p, "vec_id")
+        total = sum(F.col(f"d2_{m}") for m in range(PQ_M))
+        out = out.select(
+            "vec_id",
+            *[F.col(f"code{m}") for m in range(PQ_M)],
+            *[F.col(f"d2_{m}") for m in range(PQ_M)],
+            total.alias("total_d2"),
+        ).localCheckpoint()
+    finally:
+        em.unpersist()
+    return out
+
+
+def _pq_sql() -> str:
+    q = KMEANS_QSCALE
+    sql = f"""
+WITH qv AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {q} + 0.5) AS BIGINT) AS x
+  FROM embeddings
+),
+seed AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS cell
+  FROM (SELECT DISTINCT vec_id FROM qv ORDER BY vec_id LIMIT {PQ_K})
+)"""
+    finals = []
+    for m in range(PQ_M):
+        lo, hi = m * PQ_SUBDIM, (m + 1) * PQ_SUBDIM
+        sql += f""",
+qv{m} AS (
+  SELECT vec_id, dim, x FROM qv WHERE dim > {lo} AND dim <= {hi}
+),
+s{m}c0 AS (
+  SELECT seed.cell, qv{m}.dim, qv{m}.x AS cx
+  FROM seed JOIN qv{m} USING (vec_id)
+)"""
+        prev = f"s{m}c0"
+        for r in range(1, PQ_ITERS + 1):
+            sql += f""",
+s{m}d{r} AS (
+  SELECT qv{m}.vec_id, {prev}.cell,
+         CAST(SUM((qv{m}.x - {prev}.cx) * (qv{m}.x - {prev}.cx)) AS BIGINT) AS d2
+  FROM qv{m} JOIN {prev} USING (dim) GROUP BY 1, 2
+),
+s{m}a{r} AS (
+  SELECT vec_id, cell, d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+    FROM s{m}d{r}
+  ) t WHERE rn = 1
+)"""
+            if r < PQ_ITERS:
+                sql += f""",
+s{m}c{r} AS (
+  SELECT s{m}a{r}.cell, qv{m}.dim,
+         CAST(floor(CAST(CAST(SUM(qv{m}.x) AS BIGINT) AS DOUBLE)
+                    / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS cx
+  FROM s{m}a{r} JOIN qv{m} USING (vec_id) GROUP BY 1, 2
+)"""
+                prev = f"s{m}c{r}"
+        finals.append(f"s{m}a{PQ_ITERS}")
+    code_cols = ", ".join(
+        f"CAST({finals[m]}.cell AS INT) AS code{m}" for m in range(PQ_M)
+    )
+    d2_cols = ", ".join(f"{finals[m]}.d2 AS d2_{m}" for m in range(PQ_M))
+    total = " + ".join(f"{finals[m]}.d2" for m in range(PQ_M))
+    joins = finals[0]
+    for f_ in finals[1:]:
+        joins += f" JOIN {f_} USING (vec_id)"
+    sql += f"""
+SELECT vec_id, {code_cols}, {d2_cols},
+       CAST({total} AS BIGINT) AS total_d2
+FROM {joins}
+"""
+    return sql
+
+
+EMB_PQ_SQL = _pq_sql()

