@@ -1117,10 +1117,13 @@ def _pq_assign(spark: SparkSession, em: DataFrame, m: int) -> DataFrame:
             )
         )
         cent = spark.createDataFrame(cur.collect(), schema="cell int, c array<long>")
-    return assigned.select(
-        "vec_id",
-        F.col("cell").alias(f"code{m}"),
-        F.col("d2").alias(f"d2_{m}"),
+    return (
+        assigned.select(
+            "vec_id",
+            F.col("cell").alias(f"code{m}"),
+            F.col("d2").alias(f"d2_{m}"),
+        ),
+        cent,  # the final codebook the last assignment used
     )
 
 
@@ -1155,7 +1158,7 @@ def emb_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     em = em.cache()
     try:
-        parts = [_pq_assign(spark, em, m) for m in range(PQ_M)]
+        parts = [_pq_assign(spark, em, m)[0] for m in range(PQ_M)]
         out = parts[0]
         for p in parts[1:]:
             out = out.join(p, "vec_id")
@@ -1235,3 +1238,129 @@ FROM {joins}
 
 
 EMB_PQ_SQL = _pq_sql()
+
+
+PQ_ADC_TOPK = 3
+
+
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ serving path — asymmetric distance computation (ADC): each
+    query keeps full precision, every candidate is ONLY its PQ_M code
+    bytes, and the estimated distance is a sum of PQ_M lookup-table
+    entries d2(query_sub, codebook[code]). Top-PQ_ADC_TOPK per query,
+    ties to the smaller vec_id. This is how a 100 TB vector index
+    actually answers queries: the raw vectors never leave the
+    index-build job; serving scans 4-byte codes plus a K×PQ_M LUT per
+    query.
+
+    Entirely integer arithmetic (quantized queries, integer codebooks
+    from the exact k-means), so like ``emb_pq_codebook`` this
+    APPROXIMATE search is value-oracled bit-for-bit — DuckDB rebuilds
+    the codebooks via the unrolled CTEs and sums the same LUTs.
+
+    Plan shape: per subspace, the LUT is |Q|×PQ_K rows (broadcast);
+    codes join the LUT map-side; one final (q_id, vec_id) aggregate
+    sums the PQ_M terms; TakeOrderedAndProject-style ranking per
+    query. No full-vector math anywhere after index build.
+    """
+    em = load_table_cpu(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(
+                x.cast("double") * KMEANS_QSCALE + F.lit(0.5)
+            ).cast("long"),
+        ).alias("v"),
+    )
+    em = em.cache()
+    try:
+        dist = F.aggregate(
+            F.zip_with("v", "c", lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        per_sub = []
+        for m in range(PQ_M):
+            codes, cent = _pq_assign(spark, em, m)
+            q_sub = (
+                em.filter(F.col("vec_id") < N_QUERIES)
+                .select(
+                    F.col("vec_id").alias("q_id"),
+                    F.slice("v", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("v"),
+                )
+            )
+            lut = q_sub.crossJoin(F.broadcast(cent)).select(
+                "q_id", "cell", dist.alias("d2q")
+            )
+            per_sub.append(
+                codes.select("vec_id", F.col(f"code{m}").alias("cell"))
+                .join(F.broadcast(lut), "cell")
+                .select("q_id", "vec_id", F.col("d2q").alias(f"t{m}"))
+            )
+        joined = per_sub[0]
+        for m in range(1, PQ_M):
+            joined = joined.join(per_sub[m], ["q_id", "vec_id"])
+        adc = joined.select(
+            "q_id",
+            "vec_id",
+            sum(F.col(f"t{m}") for m in range(PQ_M)).alias("adc_d2"),
+        ).filter(F.col("q_id") != F.col("vec_id"))
+        w = Window.partitionBy("q_id").orderBy("adc_d2", "vec_id")
+        out = (
+            adc.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= PQ_ADC_TOPK)
+            .select("q_id", "vec_id", "rank", "adc_d2")
+            .localCheckpoint()
+        )
+    finally:
+        em.unpersist()
+    return out
+
+
+def _pq_adc_sql() -> str:
+    """Extends the PQ CTE chain: rebuild each subspace's FINAL codebook
+    (the centroids the last assignment used), build per-query LUTs,
+    join codes, sum, rank."""
+    base = _pq_sql()
+    # strip the final SELECT — reuse the CTE chain
+    head = base[: base.rindex("SELECT vec_id,")]
+    luts, joins = [], []
+    for m in range(PQ_M):
+        # final codebook CTE name: s{m}c{PQ_ITERS-1} (or s{m}c0 if 1 iter)
+        cb = f"s{m}c{PQ_ITERS - 1}"
+        luts.append(
+            f"""lut{m} AS (
+  SELECT q.vec_id AS q_id, {cb}.cell,
+         CAST(SUM((q.x - {cb}.cx) * (q.x - {cb}.cx)) AS BIGINT) AS d2q
+  FROM qv{m} q JOIN {cb} USING (dim)
+  WHERE q.vec_id < {N_QUERIES}
+  GROUP BY 1, 2
+),
+term{m} AS (
+  SELECT l.q_id, a.vec_id, l.d2q AS t{m}
+  FROM s{m}a{PQ_ITERS} a JOIN lut{m} l ON a.cell = l.cell
+)"""
+        )
+        joins.append(f"term{m}")
+    join_chain = joins[0]
+    for t in joins[1:]:
+        join_chain += f" JOIN {t} USING (q_id, vec_id)"
+    total = " + ".join(f"t{m}" for m in range(PQ_M))
+    return (
+        head
+        + ",\n"
+        + ",\n".join(luts)
+        + f"""
+SELECT q_id, vec_id, rank, adc_d2 FROM (
+  SELECT q_id, vec_id,
+         CAST({total} AS BIGINT) AS adc_d2,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY {total}, vec_id) AS rank
+  FROM {join_chain}
+  WHERE q_id <> vec_id
+) WHERE rank <= {PQ_ADC_TOPK}
+"""
+    )
+
+
+SIM_PQ_ADC_SQL = _pq_adc_sql()

@@ -244,3 +244,24 @@ def test_pq_codebook_invariants(spark, sf_dir):
     # multiple codebook entries are actually in use per subspace
     for m in range(PQ_M):
         assert len({r[f"code{m}"] for r in rows}) > 1
+
+
+def test_pq_adc_ranks_are_coherent(spark, sf_dir):
+    from spark_streaming_stream_analyzer_spark.operators.similarity import (
+        N_QUERIES,
+        PQ_ADC_TOPK,
+        sim_pq_adc_topk,
+    )
+
+    rows = sim_pq_adc_topk(spark, sf_dir).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert r["q_id"] != r["vec_id"]
+        by_q.setdefault(r["q_id"], []).append(r)
+    assert set(by_q) == set(range(N_QUERIES))
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, PQ_ADC_TOPK + 1))
+        # ADC distance non-decreasing in rank; ties broken by vec_id
+        for a, b in zip(rs, rs[1:]):
+            assert (a["adc_d2"], a["vec_id"]) < (b["adc_d2"], b["vec_id"])
