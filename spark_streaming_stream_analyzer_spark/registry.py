@@ -767,6 +767,9 @@ query("stream_sessionize_custom", _st.STREAM_SESSIONIZE_SQL)(
 query("stream_stats_rocksdb", _st.STREAM_STATS_ROCKSDB_SQL)(
     _st.stream_stats_rocksdb
 )
+query("stream_attribution_last_touch", _st.STREAM_ATTRIBUTION_SQL)(
+    _st.stream_attribution_last_touch
+)
 
 
 # --------------------------------------------------------------------------

@@ -687,3 +687,109 @@ def stream_stats_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STREAM_STATS_ROCKSDB_SQL = STREAM_STATS_EXACT_SQL
+
+
+# ------------------------------------- streaming last-touch attribution --
+
+ATTR_STATE_SCHEMA = "last_click_us LONG, last_click_id LONG"
+
+ATTR_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("purchase_id", T.LongType()),
+        T.StructField("purchase_us", T.LongType()),
+        T.StructField("touch_id", T.LongType()),
+        T.StructField("gap_us", T.LongType()),
+    ]
+)
+
+_ATTR_WINDOW_US = 7 * 86_400 * 1_000_000
+
+
+def _attr_update(
+    key: tuple[int],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Streaming form of ``analytics.attribution_last_touch``: the
+    per-user state is just (last click us, id); each purchase is
+    attributed AT ARRIVAL to the most recent prior click within the
+    7-day window — so attribution latency is one micro-batch, not one
+    nightly batch job. Vectorized: clicks forward-fill within the
+    sorted batch (seeded from state), purchases read the fill."""
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    if len(batch) == 0:
+        return
+    batch = batch.sort_values(["us", "event_id"]).reset_index(drop=True)
+
+    last_us, last_id = state.get if state.exists else (None, None)
+    is_click = batch["event_type"] == "click"
+    # previous-click carry: shift so a click attributes only LATER rows.
+    # Nullable Int64 throughout — a float64 NaN-carry would silently
+    # corrupt ids above 2^53 at production id ranges.
+    c_us = batch["us"].astype("Int64").where(is_click).shift(1).ffill()
+    c_id = batch["event_id"].astype("Int64").where(is_click).shift(1).ffill()
+    if last_us is not None:
+        c_us = c_us.fillna(last_us)
+        c_id = c_id.fillna(last_id)
+
+    purch = batch[batch["event_type"] == "purchase"]
+    if len(purch):
+        t_us = c_us[purch.index]
+        t_id = c_id[purch.index]
+        gap = purch["us"] - t_us
+        ok = t_us.notna() & (gap <= _ATTR_WINDOW_US)
+        out = pd.DataFrame(
+            {
+                "user_id": key[0],
+                "purchase_id": purch["event_id"].astype("int64"),
+                "purchase_us": purch["us"].astype("int64"),
+                "touch_id": t_id.where(ok).astype("Int64"),
+                "gap_us": gap.where(ok).astype("Int64"),
+            }
+        )
+        yield out
+
+    clicks = batch[is_click]
+    if len(clicks):
+        last_row = clicks.iloc[-1]
+        state.update((int(last_row["us"]), int(last_row["event_id"])))
+    elif state.exists:
+        state.update((int(last_us), int(last_id)))
+
+
+def stream_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing query: chronological replay of the fixture through
+    the stateful attributor; same oracle as the batch op
+    (``ATTRIBUTION_SQL``) because a chronological replay must produce
+    identical attributions — the batch/stream parity that makes the
+    streaming form trustworthy. Multi-batch state carry is drilled in
+    ``tests/test_streaming.py`` (click in batch 1 attributes a purchase
+    in batch 2)."""
+    from .pipelines import _run_to_memory, events_file_stream
+    from ..sources.tables import ts_micros
+
+    ev = events_file_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    proj = ev.select(
+        "user_id",
+        ts_micros(ev).alias("us"),
+        "event_id",
+        "event_type",
+    ).filter(F.col("event_type").isin("click", "purchase"))
+    out = proj.groupBy("user_id").applyInPandasWithState(
+        _attr_update,
+        outputStructType=ATTR_OUTPUT_SCHEMA,
+        stateStructType=ATTR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(out, output_mode="append")
+
+
+def _stream_attr_sql() -> str:
+    from ..operators.analytics import ATTRIBUTION_SQL
+
+    return ATTRIBUTION_SQL
+
+
+STREAM_ATTRIBUTION_SQL = _stream_attr_sql()

@@ -383,3 +383,48 @@ def test_custom_sessionizer_multibatch_carry(spark, tmp_path):
     assert sess[(3, 1 * MIN)]["n_events"] == 1
     assert sess[(3, 45 * MIN)]["n_events"] == 1
     assert len(sess) == 5
+
+
+def test_stream_attribution_carries_click_across_batches(spark, tmp_path):
+    """A click in batch 1 must attribute a purchase arriving in batch
+    2 (state carry), and a purchase preceding any click stays
+    unattributed."""
+    from spark_streaming_stream_analyzer_spark.streaming.pipelines import (
+        _run_to_memory,
+        events_file_stream,
+    )
+    from spark_streaming_stream_analyzer_spark.streaming.state import (
+        ATTR_OUTPUT_SCHEMA,
+        ATTR_STATE_SCHEMA,
+        _attr_update,
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from spark_streaming_stream_analyzer_spark.sources.tables import ts_micros
+
+    MIN = 60 * 1_000_000
+    b1 = [
+        (1, 0, 1, "purchase", 1.0, "{}"),          # before any click → null
+        (2, 1 * MIN * 1000, 1, "click", 2.0, "{}"),
+    ]
+    b2 = [
+        (3, 5 * MIN * 1000, 1, "purchase", 3.0, "{}"),  # attributed to 2
+    ]
+    src = _write_event_files(spark, str(tmp_path), [b1, b2])
+    ev = events_file_stream(spark, src)
+    proj = ev.select(
+        "user_id",
+        ts_micros(ev).alias("us"),
+        "event_id",
+        "event_type",
+    ).filter(F.col("event_type").isin("click", "purchase"))
+    out = proj.groupBy("user_id").applyInPandasWithState(
+        _attr_update,
+        outputStructType=ATTR_OUTPUT_SCHEMA,
+        stateStructType=ATTR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    rows = {r["purchase_id"]: r for r in _run_to_memory(out, output_mode="append").collect()}
+    assert rows[1]["touch_id"] is None and rows[1]["gap_us"] is None
+    assert rows[3]["touch_id"] == 2
+    assert rows[3]["gap_us"] == 4 * MIN
