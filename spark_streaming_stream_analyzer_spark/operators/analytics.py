@@ -1478,3 +1478,90 @@ FROM sessions s LEFT JOIN pairs p
 JOIN_INTERVAL_GRID_SQL = JOIN_INTERVAL_GRID_SQL.replace(
     "{AGG_SESSION}", AGG_SESSION_SQL.strip()
 )
+
+
+# ------------------------------------------------ exact OLS trend --
+
+
+def agg_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend of value against event time (the
+    drift/trend monitor: is this metric creeping up?): slope in
+    value-units per hour, intercept at the epoch hour, and R² — the
+    regr_slope/regr_intercept/regr_r2 family computed from exact
+    integer moments.
+
+    Portability: x = epoch hours (integer), y = integer cents, and the
+    four sufficient statistics (Σx, Σy, Σxy, Σx², Σy², n) are exact
+    int64/decimal sums — associative, partition-order-free. The final
+    slope/intercept/R² are a fixed expression over those identical
+    integers, so both engines produce bit-equal doubles. One
+    partial/final aggregate; no window, no second pass.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # epoch hour via exact integer division (module discipline: a
+    # double quotient + cast would truncate in Spark but round in a
+    # DuckDB CAST, and loses exactness beyond 2^53 µs anyway)
+    us = ts_micros(ev)
+    x = ((us - F.pmod(us, F.lit(3_600_000_000))) / F.lit(3_600_000_000)).cast(
+        "long"
+    )
+    y = cents("value")
+    base = ev.select("event_type", x.alias("x"), y.alias("y"))
+    g = base.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(_D38)).cast(_D38).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(_D38)).cast(_D38).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(_D38)).cast(_D38).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    cov_n = sxy - sx * sy / n          # n·cov
+    var_x_n = sxx - sx * sx / n        # n·var(x)
+    var_y_n = syy - sy * sy / n
+    slope = cov_n / var_x_n            # cents per hour
+    return g.select(
+        "event_type",
+        "n",
+        (slope / F.lit(100.0)).alias("slope_per_hour"),
+        ((sy / n - slope * sx / n) / F.lit(100.0)).alias("intercept"),
+        ((cov_n * cov_n) / (var_x_n * var_y_n)).alias("r2"),
+    )
+
+
+AGG_REGRESSION_SQL = """
+WITH base AS (
+  SELECT event_type,
+         epoch_us(ts) // 3600000000 AS x,
+         CAST(round(value * 100) AS BIGINT) AS y
+  FROM events
+),
+g AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+         CAST(SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy
+  FROM base GROUP BY 1
+)
+SELECT event_type, n,
+       ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+         / 100.0 AS slope_per_hour,
+       (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+        - ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+           / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+          * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0 AS intercept,
+       ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+       / ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+          * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+         AS r2
+FROM g
+"""

@@ -708,6 +708,7 @@ query("approx_distinct_intersect", _ft.HLL_INTERSECT_SQL)(
 query("ts_ohlc_bars", _an.TS_OHLC_SQL)(_an.ts_ohlc_bars)
 query("attribution_last_touch", _an.ATTRIBUTION_SQL)(_an.attribution_last_touch)
 query("ts_sliding_dau", _an.TS_SLIDING_DAU_SQL)(_an.ts_sliding_dau)
+query("agg_regression_trend", _an.AGG_REGRESSION_SQL)(_an.agg_regression_trend)
 query("join_asof_forward", _ft.JOIN_ASOF_FWD_SQL)(_ft.join_asof_forward)
 query("dq_freshness_sla", _ft.DQ_FRESHNESS_SQL)(_ft.dq_freshness_sla)
 
@@ -770,6 +771,7 @@ query("stream_stats_rocksdb", _st.STREAM_STATS_ROCKSDB_SQL)(
 query("stream_attribution_last_touch", _st.STREAM_ATTRIBUTION_SQL)(
     _st.stream_attribution_last_touch
 )
+query("stream_ohlc_bars", _an.TS_OHLC_SQL)(_sp.stream_ohlc_bars)
 
 
 # --------------------------------------------------------------------------

@@ -1079,3 +1079,55 @@ FROM (
   FROM events
 ) t WHERE rn = 1
 """
+
+
+def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``analytics.ts_ohlc_bars``: OHLC candles
+    maintained incrementally by a windowed streaming aggregate —
+    open/close as struct-min/struct-max over (us, event_id, value),
+    high/low/count/sum as plain aggregates, per (event_type, 5-minute
+    event-time window). Complete-mode replay of the fixture must equal
+    the batch OHLC oracle exactly — the batch/stream parity that lets a
+    dashboard switch to the live feed without re-deriving semantics.
+
+    At scale: struct-min/max is an associative streaming-state
+    aggregate (a few scalars per open window), and a production run
+    adds a watermark to bound state; the replay here is complete-mode
+    so every bar is emitted once at the end.
+    """
+    from ..operators.analytics import BAR_US
+    from ..sources.tables import ts_micros, ts_timestamp
+
+    ev = events_file_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    us = ts_micros(ev)
+    base = ev.select(
+        "event_type",
+        ts_timestamp(ev).alias("ev_ts"),
+        us.alias("us"),
+        "event_id",
+        "value",
+    )
+    agg = (
+        base.groupBy("event_type", F.window("ev_ts", f"{BAR_US // 1_000_000} seconds"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("low"),
+            F.max("value").alias("high"),
+            F.min(F.struct("us", "event_id", "value")).alias("o"),
+            F.max(F.struct("us", "event_id", "value")).alias("c"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+        )
+        .select(
+            "event_type",
+            (F.unix_micros(F.col("window.start")) / F.lit(BAR_US))
+            .cast("long")
+            .alias("bar"),
+            "n",
+            F.col("o.value").alias("open"),
+            "high",
+            "low",
+            F.col("c.value").alias("close"),
+            "sum_cents",
+        )
+    )
+    return _run_to_memory(agg, output_mode="complete")
