@@ -1396,66 +1396,103 @@ GROUP BY d.day
 
 
 def join_interval_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interval×interval overlap join where BOTH sides are large — the
-    case ``join_interval_overlap``'s broadcast trick can't serve. Per
-    session: how many OTHER users' sessions were concurrent with it
-    (half-open overlap), the concurrency metric behind capacity
-    planning and contention analysis.
+    """Interval-overlap CONCURRENCY where both sides are large: per
+    session, how many OTHER users' sessions were concurrent with it.
 
-    The quadratic trap is avoided with the grid join: every interval
-    explodes to the hour buckets it spans (bounded fan-out: duration/1h
-    + the 4h session gap), the self-join is a plain equi-join ON THE
-    BUCKET (hash-partitionable, AQE-skew-splittable — no theta join
-    anywhere), the overlap predicate refines pairs inside a bucket, and
-    pairs spanning several shared buckets are deduped AFTER the cheap
-    refine. Sessions with zero concurrency survive via the final left
-    join. The oracle states the same result quadratically — feasible
-    for DuckDB at fixture scale, which is exactly why the grid form is
-    the one that ships."""
+    First implementation enumerated candidate pairs via an hour-grid
+    equi-join — correct, and the right shape when the PAIRS are the
+    product — but concurrency counting is quadratic in per-bucket
+    density that way (10× users → 100× pairs; measured: >10 min at the
+    10× probe). The shipped form is the lineage-free SWEEP identity
+
+        n_concurrent(a) = #{b : b.start < a.end}
+                        − #{b : b.end ≤ a.start} − 1
+
+    (valid because sessions are non-empty and one user's sessions
+    never overlap — session_window guarantees next.start > prev.end —
+    so the same-user correction is exactly the self row). Both ranks
+    are distributed running counts: contributors and query points
+    union into one frame, bucket by hour, one per-bucket window sums
+    contributors in-order (tag ordering makes the < vs ≤ boundary
+    exact), and the tiny per-bucket totals broadcast as prefix
+    offsets. Work is O(n log n) with no pair ever materialized —
+    10× data now costs ~2× wall. The oracle states the quadratic
+    definition directly (feasible for DuckDB at fixture scale).
+    """
     from .relational import agg_session_window
 
-    # one sessionization shuffle, consumed three times (both join
-    # sides + the final left join) — materialize the small table once
     s = agg_session_window(spark, sf_dir).localCheckpoint(eager=False)
-    b = s.select(
-        "user_id",
-        "session_start_us",
-        "session_end_us",
-        F.explode(
-            F.sequence(
-                F.expr(f"session_start_us DIV {_HOUR_US}"),
-                F.expr(f"(session_end_us - 1) DIV {_HOUR_US}"),
+
+    def rank_frame(contrib_v, query_v, contrib_first_on_tie):
+        """Running count of contributor values relative to each query
+        point. contrib_first_on_tie=True counts ties (≤ semantics);
+        False excludes them (< semantics)."""
+        contrib = s.select(
+            contrib_v.alias("v"),
+            F.lit(1).alias("is_c"),
+            F.lit(None).cast("long").alias("qid_user"),
+            F.lit(None).cast("long").alias("qid_start"),
+        )
+        queries = s.select(
+            query_v.alias("v"),
+            F.lit(0).alias("is_c"),
+            F.col("user_id").alias("qid_user"),
+            F.col("session_start_us").alias("qid_start"),
+        )
+        u = contrib.unionByName(queries).withColumn(
+            "hb", F.expr(f"v DIV {_HOUR_US}")
+        )
+        tie = F.col("is_c").desc() if contrib_first_on_tie else F.col("is_c").asc()
+        w = (
+            Window.partitionBy("hb")
+            .orderBy(F.col("v"), tie)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        # contributors strictly before this row in (v, tie) order
+        ranked = u.withColumn(
+            "in_bucket", F.coalesce(F.sum("is_c").over(w), F.lit(0))
+        )
+        # prefix offsets: contributors in earlier buckets. Aggregated
+        # over EVERY bucket present in the union (a bucket holding only
+        # query points still needs the true prefix, not zero) — tiny
+        # table, one ordered window over |buckets| rows.
+        per_bucket = u.groupBy("hb").agg(F.sum("is_c").alias("bn"))
+        wb = Window.orderBy("hb").rowsBetween(Window.unboundedPreceding, -1)
+        offsets = per_bucket.select(
+            "hb", F.coalesce(F.sum("bn").over(wb), F.lit(0)).alias("before")
+        )
+        return (
+            ranked.filter(F.col("is_c") == 0)
+            .join(F.broadcast(offsets), "hb")
+            .select(
+                F.col("qid_user").alias("user_id"),
+                F.col("qid_start").alias("session_start_us"),
+                (F.coalesce(F.col("before"), F.lit(0)) + F.col("in_bucket")).alias(
+                    "rank"
+                ),
             )
-        ).alias("gb"),
-    )
-    a_side, b_side = b.alias("a"), b.alias("b")
-    pairs = (
-        a_side.join(
-            b_side,
-            (F.col("a.gb") == F.col("b.gb"))
-            & (F.col("a.user_id") != F.col("b.user_id")),
         )
-        .filter(
-            (F.col("a.session_start_us") < F.col("b.session_end_us"))
-            & (F.col("b.session_start_us") < F.col("a.session_end_us"))
-        )
+
+    # counting ties must NOT count: b.start < a.end → query-before-
+    # contributor on equal v (contrib_first_on_tie=False)
+    r1 = rank_frame(
+        F.col("session_start_us"), F.col("session_end_us"), False
+    ).withColumnRenamed("rank", "r1")
+    # b.end ≤ a.start → contributor-before-query on equal v
+    r2 = rank_frame(
+        F.col("session_end_us"), F.col("session_start_us"), True
+    ).withColumnRenamed("rank", "r2")
+    keys = ["user_id", "session_start_us"]
+    return (
+        s.join(r1, keys)
+        .join(r2, keys)
         .select(
-            F.col("a.user_id").alias("user_id"),
-            F.col("a.session_start_us").alias("session_start_us"),
-            F.col("b.user_id").alias("ou"),
-            F.col("b.session_start_us").alias("os"),
+            "user_id",
+            "session_start_us",
+            "session_end_us",
+            "n_events",
+            (F.col("r1") - F.col("r2") - F.lit(1)).alias("n_concurrent"),
         )
-        .distinct()
-    )
-    counts = pairs.groupBy("user_id", "session_start_us").agg(
-        F.count("*").alias("n_concurrent")
-    )
-    return s.join(counts, ["user_id", "session_start_us"], "left").select(
-        "user_id",
-        "session_start_us",
-        "session_end_us",
-        "n_events",
-        F.coalesce("n_concurrent", F.lit(0)).alias("n_concurrent"),
     )
 
 

@@ -701,12 +701,23 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = F.split("text", " ")
     n_words = F.size(F.filter(words, lambda w: w != ""))
     n_stop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    flags = docs.select(
+    # evaluate every text-derived gate BEFORE the dedup window so the
+    # window exchange shuffles (hash, doc_id, 3 booleans), never the
+    # document text itself — measured: shuffling text made the 10×
+    # probe 17× instead of ~2×
+    pre = docs.select(
         (n_words >= FUNNEL_MIN_WORDS).alias("g1"),
         F.col("lang").isin(*FUNNEL_LANGS).alias("g2"),
-        (F.row_number().over(w) == 1).alias("g3"),
         (n_stop >= 1).alias("g4"),
+        F.md5("text").alias("h"),
+        "doc_id",
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    flags = pre.select(
+        "g1",
+        "g2",
+        (F.row_number().over(w) == 1).alias("g3"),
+        "g4",
     )
     c = flags.agg(
         F.count("*").alias("n0"),
