@@ -122,3 +122,224 @@ WITH {_EDGES_SQL.strip()}
 SELECT substr(src, 1, 1) AS kind, d, COUNT(*) AS n_nodes
 FROM deg GROUP BY 1, 2
 """
+
+
+# ------------------------------------------------ connected components --
+
+# The component graph is customer<->part "bought at top quantity":
+# both sides are keyspace-large, so the qty>=49 thinning genuinely
+# fragments it (24 components at sf0.001, 240 at sf0.01) — unlike the
+# part<->supplier graph, whose hub suppliers keep it one component at
+# every threshold (measured).
+CC_MIN_QTY = 49
+
+
+def _cc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected edges of the qty-thinned customer<->part purchase
+    graph with integer node ids (customer c -> 2c, part p -> 2p+1),
+    both directions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.filter(F.col("l_quantity") >= CC_MIN_QTY)
+        .select(F.col("l_orderkey").alias("o_orderkey"), "l_partkey")
+        .join(od, "o_orderkey")
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_partkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    return e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact connected components via min-label propagation run to
+    fixpoint, then a per-component profile (size, part/supplier mix).
+
+    Each iteration is one join + one min-aggregate (the hash-join /
+    hash-agg form of label propagation); convergence is detected by an
+    exact changed-row count, so the loop runs diameter-many rounds and
+    the result is engine-independent — which lets an inherently
+    iterative algorithm be fully value-oracled (the oracle reaches the
+    same fixpoint through a recursive CTE that propagates labels
+    downhill: a label travels to a neighbor only while it is smaller,
+    and the component min reaches every member).
+
+    Scale: the classic dataframe-CC shape (Kiveris et al.'s large-star
+    is the constant-factor upgrade at extreme diameters; the join+agg
+    per round and the shuffle-by-node-id partitioning are identical).
+    Per-iteration ``localCheckpoint`` truncates the growing lineage —
+    without it round k replays rounds 1..k-1. The convergence check
+    collects one scalar per round.
+    """
+    edges = _cc_edges(spark, sf_dir).localCheckpoint(eager=False)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint(eager=False)
+    )
+    while True:
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
+                (F.coalesce("nbr_lbl", "lbl") < F.col("lbl")).alias("chg"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = new.filter("chg").count()
+        labels = new.drop("chg")
+        if changed == 0:
+            break
+    return labels.groupBy(F.col("lbl").alias("component")).agg(
+        F.count("*").alias("n_nodes"),
+        F.sum(F.when(F.col("node") % 2 == 0, 1).otherwise(0)).alias(
+            "n_customers"
+        ),
+        F.sum(F.col("node") % 2).alias("n_parts"),
+        F.max("node").alias("max_node"),
+    )
+
+
+GRAPH_CC_SQL = f"""
+WITH RECURSIVE e0 AS (
+  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_partkey * 2 + 1 AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_quantity >= {CC_MIN_QTY}
+),
+cedges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+reach(node, lbl) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM cedges) n
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN cedges e ON e.src = r.node
+  WHERE r.lbl < e.dst
+),
+comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY 1)
+SELECT component, COUNT(*) AS n_nodes,
+       CAST(SUM(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_customers,
+       CAST(SUM(node % 2) AS BIGINT) AS n_parts,
+       MAX(node) AS max_node
+FROM comp GROUP BY 1
+"""
+
+
+# --------------------------------------------------- triangle counting --
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct undirected co-purchase edges: parts appearing in the
+    same order, stored once as (a < b)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+
+
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle census of the part co-purchase graph (parts
+    bought together in one order) — one global row: nodes, edges,
+    wedges, triangles, and the global clustering coefficient in exact
+    ppm (3·tri·1e6 DIV wedges).
+
+    Degree-ordered orientation (Suri–Vassilvitskii MR-triangles):
+    every edge points from its lower-(degree, id) endpoint to the
+    higher one, so each triangle is counted exactly once and — the
+    scale property — every join fans out by ORIENTED out-degree,
+    which is O(sqrt(|E|))-bounded per node regardless of how skewed
+    the raw degree distribution is. A hub with a million neighbors
+    contributes only its few out-edges to the path join. Two shuffle
+    joins + one aggregate; wedges come from the undirected degree
+    table (sum d·(d-1)/2), integer end-to-end.
+    """
+    e = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    und = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy("u").agg(F.count("*").alias("d"))
+    # orientation key: degree-major, id-minor (a single sortable int)
+    ok = deg.select("u", (F.col("d") * F.lit(1 << 32) + F.col("u")).alias("ok"))
+    du = ok.withColumnRenamed("u", "n").withColumnRenamed("ok", "ok_n")
+    ori = (
+        und.join(du.withColumnRenamed("n", "u").withColumnRenamed("ok_n", "ok_u"), "u")
+        .join(du.withColumnRenamed("n", "v").withColumnRenamed("ok_n", "ok_v"), "v")
+        .filter(F.col("ok_u") < F.col("ok_v"))
+        .select("u", "v")
+        .localCheckpoint(eager=False)
+    )
+    # paths u->v, u->w (v != w) closed by oriented edge v->w or w->v:
+    # with a total order each triangle appears exactly once as the
+    # (lowest-ok apex, its two out-neighbors) wedge
+    p1 = ori.alias("p1")
+    p2 = ori.alias("p2")
+    paths = p1.join(p2, F.col("p1.u") == F.col("p2.u")).filter(
+        F.col("p1.v") < F.col("p2.v")
+    ).select(F.col("p1.v").alias("x"), F.col("p2.v").alias("y"))
+    closing = ori.select(
+        F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y")
+    )
+    tri = paths.join(closing, ["x", "y"]).agg(
+        F.count("*").alias("n_triangles")
+    )
+    stats = (
+        deg.agg(
+            F.count("*").alias("n_nodes"),
+            (F.sum("d") / 2).cast("long").alias("n_edges"),
+            (F.sum(F.col("d") * (F.col("d") - 1)) / 2).cast("long").alias("n_wedges"),
+        )
+    )
+    # crossJoin of two 1-row aggregates (broadcast scalar pattern)
+    return stats.crossJoin(tri).select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.expr("3 * n_triangles * 1000000 DIV n_wedges").alias("clustering_ppm"),
+    )
+
+
+GRAPH_TRIANGLE_SQL = """
+WITH ce AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+),
+und AS (SELECT u, v FROM ce UNION ALL SELECT v AS u, u AS v FROM ce),
+deg AS (SELECT u, COUNT(*) AS d FROM und GROUP BY 1),
+ok AS (SELECT u, d * 4294967296 + u AS ok FROM deg),
+ori AS (
+  SELECT e.u, e.v FROM und e
+  JOIN ok a ON a.u = e.u JOIN ok b ON b.u = e.v
+  WHERE a.ok < b.ok
+),
+tri AS (
+  SELECT COUNT(*) AS t FROM (
+    SELECT p1.v AS x, p2.v AS y
+    FROM ori p1 JOIN ori p2 ON p1.u = p2.u AND p1.v < p2.v
+  ) w
+  JOIN (SELECT LEAST(u, v) AS x, GREATEST(u, v) AS y FROM ori) c
+    USING (x, y)
+)
+SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+       CAST((SELECT SUM(d) FROM deg) / 2 AS BIGINT) AS n_edges,
+       CAST((SELECT SUM(d * (d - 1)) FROM deg) / 2 AS BIGINT) AS n_wedges,
+       CAST(t AS BIGINT) AS n_triangles,
+       CAST(3 * t * 1000000 // (SELECT SUM(d * (d - 1)) / 2 FROM deg) AS BIGINT)
+         AS clustering_ppm
+FROM tri
+"""

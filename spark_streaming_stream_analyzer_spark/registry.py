@@ -695,6 +695,10 @@ from .operators import graph as _gr  # noqa: E402
 
 query("graph_pagerank_exact", _gr.GRAPH_PAGERANK_SQL)(_gr.graph_pagerank_exact)
 query("graph_degree_histogram", _gr.GRAPH_DEGREE_SQL)(_gr.graph_degree_histogram)
+query("graph_connected_components", _gr.GRAPH_CC_SQL)(
+    _gr.graph_connected_components
+)
+query("graph_triangle_count", _gr.GRAPH_TRIANGLE_SQL)(_gr.graph_triangle_count)
 
 from .operators import featurize as _ft  # noqa: E402
 

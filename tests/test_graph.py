@@ -49,3 +49,93 @@ def test_degree_histogram_consistency(spark, sf_dir):
     n_nodes = sum(r["n_nodes"] for r in rows)
     pr = gr.graph_pagerank_exact(spark, sf_dir).collect()
     assert len(pr) == n_nodes
+
+
+def _cc_brute(edges):
+    """Union-find components of an undirected edge list."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_vs_union_find(spark, sf_dir):
+    """The dataframe fixpoint must agree with a driver-side union-find
+    over the same edge list, component for component."""
+    edges = [
+        (r["src"], r["dst"]) for r in gr._cc_edges(spark, sf_dir).collect()
+    ]
+    comp = _cc_brute(edges)
+    expect: dict[int, int] = {}
+    for n, c in comp.items():
+        expect[c] = expect.get(c, 0) + 1
+    got = {
+        r["component"]: r["n_nodes"]
+        for r in gr.graph_connected_components(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # component label is its minimum member, so every label is a member
+    assert all(c in comp and comp[c] == c for c in got)
+
+
+def test_connected_components_planted(spark):
+    # two orders: custs {1,2} share part 7; cust 3 alone on part 9 ->
+    # components {2,4,15} and {6,19}
+    li = spark.createDataFrame(
+        [(100, 7, 50.0), (101, 7, 50.0), (102, 9, 50.0)],
+        "l_orderkey long, l_partkey long, l_quantity double",
+    )
+    od = spark.createDataFrame(
+        [(100, 1), (101, 2), (102, 3)], "o_orderkey long, o_custkey long"
+    )
+    orig = gr.load_table
+    gr.load_table = lambda _s, _d, name: {"lineitem": li, "orders": od}[name]
+    try:
+        rows = {
+            r["component"]: (r["n_nodes"], r["n_customers"], r["n_parts"])
+            for r in gr.graph_connected_components(spark, "x").collect()
+        }
+    finally:
+        gr.load_table = orig
+    assert rows == {2: (3, 2, 1), 6: (2, 1, 1)}
+
+
+def _tri_brute(pairs):
+    und = set()
+    for a, b in pairs:
+        und.add((a, b))
+        und.add((b, a))
+    adj: dict[int, set[int]] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+    tri = 0
+    for a, b in und:
+        if a < b:
+            tri += sum(1 for c in adj[a] & adj[b] if c > b)
+    wedges = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
+    return len(adj), len(und) // 2, wedges, tri
+
+
+def test_triangle_count_vs_brute(spark, sf_dir):
+    pairs = [
+        (r["u"], r["v"]) for r in gr._copurchase_edges(spark, sf_dir).collect()
+    ]
+    n, e, w, t = _tri_brute(pairs)
+    row = gr.graph_triangle_count(spark, sf_dir).collect()[0]
+    assert (
+        row["n_nodes"],
+        row["n_edges"],
+        row["n_wedges"],
+        row["n_triangles"],
+    ) == (n, e, w, t)
+    assert row["clustering_ppm"] == 3 * t * 1_000_000 // w
