@@ -640,3 +640,80 @@ FROM agg JOIN ex ON agg.ta = ex.ta AND agg.tb = ex.tb
 
 
 HLL_INTERSECT_SQL = _hll_intersect_sql()
+
+
+# ------------------------------------------------ nearest as-of join --
+
+NEAR_WIN_US = 3 * 24 * 3_600 * 1_000_000  # +/- 3-day search radius
+
+
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join: for each order, the customer's
+    event CLOSEST in time (either direction) within a ±3-day radius —
+    the "what was the user doing around this transaction" join of
+    fraud/attribution features, completing the backward
+    (``join_asof_latest_order``) / forward (``join_asof_forward``)
+    pair. Ties (equidistant before/after) go to the EARLIER event,
+    then event_id; orders with no activity in the radius keep a NULL
+    row (the silence is the feature).
+
+    Same scale shape as the directional forms: equi-join on the user
+    key with the radius as a post-filter — fan-out bounded by per-user
+    activity inside the window — then one min-by-struct aggregate with
+    map-side combine. No window function, no per-order sort.
+    """
+    from ..sources.tables import ts_micros as _tsm
+
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        (F.unix_timestamp(F.col("o_orderdate").cast("timestamp")) * 1_000_000)
+        .alias("od_us"),
+    )
+    ev_raw = load_table(spark, sf_dir, "events")
+    ev = ev_raw.select(
+        "user_id", _tsm(ev_raw).alias("ev_us"), "event_id", "event_type"
+    )
+    joined = od.join(
+        ev,
+        (F.col("o_custkey") == F.col("user_id"))
+        & (F.abs(F.col("ev_us") - F.col("od_us")) <= NEAR_WIN_US),
+        "left",
+    )
+    best = F.min(
+        F.struct(
+            F.abs(F.col("ev_us") - F.col("od_us")).alias("adist"),
+            F.col("ev_us").alias("ev_us"),
+            F.col("event_id").alias("event_id"),
+            F.col("event_type").alias("event_type"),
+        )
+    ).alias("b")
+    return joined.groupBy("o_orderkey").agg(best).select(
+        "o_orderkey",
+        F.col("b.event_id").alias("near_event_id"),
+        F.col("b.ev_us").alias("near_event_us"),
+        F.col("b.adist").alias("near_delta_us"),
+        F.col("b.event_type").alias("near_event_type"),
+    )
+
+
+JOIN_ASOF_NEAR_SQL = f"""
+WITH ranked AS (
+  SELECT o.o_orderkey, e.event_id, epoch_us(e.ts) AS ev_us, e.event_type,
+         abs(epoch_us(e.ts) - epoch_us(CAST(o.o_orderdate AS TIMESTAMP)))
+           AS adist,
+         row_number() OVER (
+           PARTITION BY o.o_orderkey
+           ORDER BY abs(epoch_us(e.ts)
+                        - epoch_us(CAST(o.o_orderdate AS TIMESTAMP))),
+                    epoch_us(e.ts), e.event_id
+         ) AS rn
+  FROM orders o LEFT JOIN events e
+    ON o.o_custkey = e.user_id
+   AND abs(epoch_us(e.ts) - epoch_us(CAST(o.o_orderdate AS TIMESTAMP)))
+       <= {NEAR_WIN_US}
+)
+SELECT o_orderkey, event_id AS near_event_id, ev_us AS near_event_us,
+       adist AS near_delta_us, event_type AS near_event_type
+FROM ranked WHERE rn = 1
+"""

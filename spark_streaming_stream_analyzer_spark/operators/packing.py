@@ -316,3 +316,54 @@ SELECT source, n_docs, w,
        CAST(LEAST(base_quota + extra, n_docs) AS BIGINT) AS n_taken
 FROM ranked
 """
+
+
+# -------------------------------------------- per-group reservoir sample --
+
+RSV_K = 20        # sample size per group
+RSV_SALTS = 16    # phase-1 fan-out
+
+
+def sample_reservoir_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group "reservoir" sample: each source keeps
+    the RSV_K documents with the smallest portable hash of their id —
+    the seeded, rerun-stable form of uniform group sampling (a true
+    random reservoir can't be value-oracled; a hash-rank one can, and
+    is what reproducible training pipelines use anyway).
+
+    Two-phase exact top-k: phase 1 ranks within (source, salt) buckets
+    — RSV_SALTS parallel partial top-k's, so no single task ever sorts
+    a whole group — then phase 2 ranks the <= K·RSV_SALTS survivors per
+    source. This is the scale-correct exact form: a one-window
+    row_number funnels each group through one task, which at 100 TB
+    with a handful of sources is a straggler by construction. Measured
+    plan: both windows shuffle only (source, salt/doc_id, hash).
+    """
+    docs = load_table_cpu(spark, sf_dir, "documents")
+    h = hash64(F.concat(F.lit("rsv:"), F.col("doc_id").cast("string")))
+    base = docs.select("source", "doc_id", h.alias("sample_key"))
+    w1 = Window.partitionBy(
+        "source", (F.col("doc_id") % RSV_SALTS)
+    ).orderBy("sample_key", "doc_id")
+    cand = base.withColumn("rn1", F.row_number().over(w1)).filter(
+        F.col("rn1") <= RSV_K
+    )
+    w2 = Window.partitionBy("source").orderBy("sample_key", "doc_id")
+    return (
+        cand.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= RSV_K)
+        .select("source", "doc_id", "rk", "sample_key")
+    )
+
+
+RESERVOIR_SQL = f"""
+SELECT source, doc_id, rk, sample_key FROM (
+  SELECT source, doc_id,
+         {hash64_sql("'rsv:' || CAST(doc_id AS VARCHAR)")} AS sample_key,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {hash64_sql("'rsv:' || CAST(doc_id AS VARCHAR)")}, doc_id
+         ) AS rk
+  FROM documents
+) t WHERE rk <= {RSV_K}
+"""

@@ -666,6 +666,7 @@ query("sample_temperature_mixture", _pk.SAMPLE_TEMPERATURE_SQL)(
     _pk.sample_temperature_mixture
 )
 query("sample_weighted", _pk.WEIGHTED_SQL)(_pk.sample_weighted)
+query("sample_reservoir_group", _pk.RESERVOIR_SQL)(_pk.sample_reservoir_group)
 query("corpus_mixture_stats", _pk.MIXTURE_SQL)(_pk.corpus_mixture_stats)
 query("text_chunk_overlap", _cur.TEXT_CHUNK_SQL)(_cur.text_chunk_overlap)
 query("split_leakage_audit", _cur.SPLIT_LEAKAGE_SQL)(_cur.split_leakage_audit)
@@ -714,6 +715,7 @@ query("attribution_last_touch", _an.ATTRIBUTION_SQL)(_an.attribution_last_touch)
 query("ts_sliding_dau", _an.TS_SLIDING_DAU_SQL)(_an.ts_sliding_dau)
 query("agg_regression_trend", _an.AGG_REGRESSION_SQL)(_an.agg_regression_trend)
 query("join_asof_forward", _ft.JOIN_ASOF_FWD_SQL)(_ft.join_asof_forward)
+query("join_asof_nearest", _ft.JOIN_ASOF_NEAR_SQL)(_ft.join_asof_nearest)
 query("dq_freshness_sla", _ft.DQ_FRESHNESS_SQL)(_ft.dq_freshness_sla)
 
 

@@ -267,3 +267,46 @@ def test_hll_intersect_error_bounds(spark):
         assert abs(r["est_union"] / n_union - 1) < 0.20
         # incl-excl error scales with the union estimate
         assert abs(r["est_inter"] - r["n_inter_exact"]) < 0.35 * n_union
+
+
+def test_join_asof_nearest_vs_brute(spark, sf_dir):
+    """Nearest-direction as-of must equal a per-order brute scan with
+    the (distance, earlier-first, event_id) tiebreak."""
+    from spark_streaming_stream_analyzer_spark.operators import featurize as ft
+    from spark_streaming_stream_analyzer_spark.sources.tables import (
+        load_table,
+        ts_micros,
+    )
+    from pyspark.sql import functions as F
+
+    ev_raw = load_table(spark, sf_dir, "events")
+    events = ev_raw.select(
+        "user_id", ts_micros(ev_raw).alias("us"), "event_id"
+    ).collect()
+    by_user = {}
+    for r in events:
+        by_user.setdefault(r["user_id"], []).append((r["us"], r["event_id"]))
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            (F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))
+             * 1_000_000).alias("od_us"),
+        )
+        .collect()
+    )
+    expect = {}
+    for o in orders:
+        cands = [
+            (abs(us - o["od_us"]), us, eid)
+            for us, eid in by_user.get(o["o_custkey"], [])
+            if abs(us - o["od_us"]) <= ft.NEAR_WIN_US
+        ]
+        expect[o["o_orderkey"]] = min(cands)[2] if cands else None
+    got = {
+        r["o_orderkey"]: r["near_event_id"]
+        for r in ft.join_asof_nearest(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert any(v is None for v in got.values())  # silence rows survive

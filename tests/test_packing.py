@@ -98,3 +98,38 @@ def test_temperature_mixture_quotas_sum_to_target(spark, sf_dir):
         q_share = r["quota"] / MIX_TARGET
         if raw_share < 1 / len(rows):
             assert q_share >= raw_share - 1 / MIX_TARGET
+
+
+def test_reservoir_group_matches_hash_rank_brute(spark, sf_dir):
+    """Two-phase top-k must equal the single-pass hash ranking."""
+    import hashlib
+
+    from spark_streaming_stream_analyzer_spark.operators import packing as pk
+
+    docs = pk.load_table_cpu(spark, sf_dir, "documents").select(
+        "source", "doc_id"
+    ).collect()
+
+    def key(doc_id):
+        return int(
+            hashlib.md5(f"rsv:{doc_id}".encode()).hexdigest()[:15], 16
+        )
+
+    by_src = {}
+    for r in docs:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    expect = {}
+    for s, ids in by_src.items():
+        ranked = sorted(ids, key=lambda d: (key(d), d))[: pk.RSV_K]
+        for i, d in enumerate(ranked, start=1):
+            expect[(s, d)] = i
+    got = {
+        (r["source"], r["doc_id"]): r["rk"]
+        for r in pk.sample_reservoir_group(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # every full group contributes exactly RSV_K rows
+    for s, ids in by_src.items():
+        assert sum(1 for (src, _) in got if src == s) == min(
+            pk.RSV_K, len(ids)
+        )
