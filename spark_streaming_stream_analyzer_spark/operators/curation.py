@@ -778,3 +778,106 @@ from .textstats import STOPWORDS as _STOPWORDS  # noqa: E402
 CURATION_FUNNEL_SQL = CURATION_FUNNEL_SQL.replace(
     "{STOPS}", ", ".join(f"'{w}'" for w in _STOPWORDS)
 )
+
+
+# ------------------------------------------- Gopher-style rule gates --
+
+# Independent quality rules in the style of the Gopher corpus filters
+# (Rae et al. 2021, "Scaling Language Models"), thresholds tuned to the
+# synthetic corpus so every rule actually discriminates (word counts
+# run 10-99, mean word length 3.7-5.1, distinct-token ratio 0.28-1.0):
+GOPHER_MIN_WORDS = 30
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MWL_LO = 4          # mean word length lower bound (chars/word)
+GOPHER_MWL_HI = 10
+GOPHER_MIN_STOPWORDS = 2   # distinct stopwords that must appear
+# duplicate-token mass: distinct/total >= 1/2
+
+
+def text_gopher_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document-quality rule pack, reported per source:
+    how many docs fail each INDEPENDENT rule and how many pass all —
+    unlike ``curation_funnel_report`` (a sequential cascade, each gate
+    seeing only prior survivors) this is the diagnostic grid curation
+    teams use to TUNE thresholds before ordering them into a funnel.
+
+      fail_wc   — word count outside [30, 100000];
+      fail_mwl  — mean word length outside [4, 10] chars
+                  (integer cross-multiplication, no FP quotient);
+      fail_stop — fewer than 2 distinct known stopwords;
+      fail_dup  — over half the tokens are repeats
+                  (2·distinct < total).
+
+    One scan, all flags from per-row array expressions, one aggregate.
+    Nothing shuffles but (source, 4 booleans) — the document text
+    never leaves the scan stage (the lesson ``curation_funnel_report``
+    measured: shuffling text made its 10× probe 17× instead of ~2×).
+    """
+    from .textstats import STOPWORDS
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda w: w != "")
+    n_words = F.size(words)
+    n_chars = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    n_distinct = F.size(F.array_distinct(words))
+    n_stop = F.size(
+        F.filter(
+            F.array_distinct(words), lambda w: w.isin(*STOPWORDS)
+        )
+    )
+    flags = docs.select(
+        "source",
+        (
+            (n_words < GOPHER_MIN_WORDS) | (n_words > GOPHER_MAX_WORDS)
+        ).alias("f_wc"),
+        (
+            (n_chars < GOPHER_MWL_LO * n_words)
+            | (n_chars > GOPHER_MWL_HI * n_words)
+        ).alias("f_mwl"),
+        (n_stop < GOPHER_MIN_STOPWORDS).alias("f_stop"),
+        (2 * n_distinct < n_words).alias("f_dup"),
+    )
+    cnt = lambda c: F.sum(F.col(c).cast("long")).alias  # noqa: E731
+    return flags.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        cnt("f_wc")("n_fail_wc"),
+        cnt("f_mwl")("n_fail_mwl"),
+        cnt("f_stop")("n_fail_stop"),
+        cnt("f_dup")("n_fail_dup"),
+        F.sum(
+            (~F.col("f_wc") & ~F.col("f_mwl") & ~F.col("f_stop")
+             & ~F.col("f_dup")).cast("long")
+        ).alias("n_pass"),
+    )
+
+
+_GOPHER_STOP_LIST = "'the','a','of','and','to','in','is','it','for','on'"
+
+TEXT_GOPHER_SQL = f"""
+WITH w AS (
+  SELECT source,
+         list_filter(string_split(text, ' '), x -> x <> '') AS ws,
+         length(replace(text, ' ', '')) AS chars
+  FROM documents
+),
+flags AS (
+  SELECT source,
+         (len(ws) < {GOPHER_MIN_WORDS} OR len(ws) > {GOPHER_MAX_WORDS})
+           AS f_wc,
+         (chars < {GOPHER_MWL_LO} * len(ws)
+          OR chars > {GOPHER_MWL_HI} * len(ws)) AS f_mwl,
+         (len(list_filter(list_distinct(ws),
+              x -> x IN ({_GOPHER_STOP_LIST}))) < {GOPHER_MIN_STOPWORDS})
+           AS f_stop,
+         (2 * len(list_distinct(ws)) < len(ws)) AS f_dup
+  FROM w
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN f_wc THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_wc,
+       CAST(SUM(CASE WHEN f_mwl THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_mwl,
+       CAST(SUM(CASE WHEN f_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stop,
+       CAST(SUM(CASE WHEN f_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_dup,
+       CAST(SUM(CASE WHEN NOT f_wc AND NOT f_mwl AND NOT f_stop
+                      AND NOT f_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+FROM flags GROUP BY source
+"""

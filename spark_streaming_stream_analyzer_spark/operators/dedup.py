@@ -890,3 +890,89 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh AS DOUBLE) >= {CONTAIN_TAU}
    OR CAST(n_common AS DOUBLE) / CAST(sb.n_sh AS DOUBLE) >= {CONTAIN_TAU}
 """
+
+
+# ------------------------------------- winnowing-fingerprint overlap --
+
+FP_DOCFREQ_CAP = 20   # drop boilerplate fingerprints shared by > cap docs
+FP_MIN_SHARED = 2     # pair survives with >= this many shared prints
+
+
+def dedup_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by shared winnowing fingerprints — the
+    MOSS/plagiarism-detector pairing built on ``doc_winnowing``'s
+    selected hashes (textstats.py). Two docs pair when they share at
+    least FP_MIN_SHARED fingerprints; the verdict carries the exact
+    overlap count and a containment-style ppm score
+    (shared·1e6 DIV (|A| + |B| − shared)).
+
+    Scale: candidates come from a fingerprint equi-self-join — the
+    inverted-index shape, |pairs| = Σ_f C(df_f, 2) — and BOILERPLATE
+    fingerprints (doc-frequency above FP_DOCFREQ_CAP) are dropped
+    before the join, the same quadratic-blowup guard as
+    ``dedup_minhash_lsh``'s hot-bucket cap: a header shared by a
+    million docs otherwise contributes 5·10^11 candidate pairs by
+    itself. On this corpus the cap is a no-op (max doc-freq 7 at
+    sf0.01, measured) but the plan carries it by construction.
+    """
+    from .textstats import doc_winnowing
+
+    fp = doc_winnowing(spark, sf_dir).localCheckpoint(eager=False)
+    df = fp.groupBy("fingerprint").agg(F.count("*").alias("nd"))
+    keep = fp.join(
+        F.broadcast(df.filter(F.col("nd") <= FP_DOCFREQ_CAP).select("fingerprint")),
+        "fingerprint",
+    )
+    sizes = keep.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    a = keep.select(F.col("doc_id").alias("doc_a"), "fingerprint")
+    b = keep.select(F.col("doc_id").alias("doc_b"), "fingerprint")
+    pairs = (
+        a.join(b, "fingerprint")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= FP_MIN_SHARED)
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.expr(
+                "n_shared * 1000000 DIV (n_a + n_b - n_shared)"
+            ).alias("overlap_ppm"),
+        )
+    )
+
+
+def _fp_overlap_sql() -> str:
+    from .textstats import DOC_WINNOW_SQL
+
+    return f"""
+WITH fp AS ({DOC_WINNOW_SQL.strip()}),
+docfreq AS (
+  SELECT fingerprint FROM fp GROUP BY 1
+  HAVING COUNT(*) <= {FP_DOCFREQ_CAP}
+),
+keep AS (SELECT fp.* FROM fp JOIN docfreq USING (fingerprint)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_fp FROM keep GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM keep a JOIN keep b
+    ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {FP_MIN_SHARED}
+)
+SELECT doc_a, doc_b, n_shared,
+       n_shared * 1000000 // (sa.n_fp + sb.n_fp - n_shared) AS overlap_ppm
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+"""
+
+
+FP_OVERLAP_SQL = _fp_overlap_sql()

@@ -614,6 +614,9 @@ query("dedup_cluster_keep", _dd.DEDUP_CLUSTER_SQL)(_dd.dedup_cluster_keep)
 query("dedup_embedding_cosine", _dd.DEDUP_EMB_COSINE_SQL)(_dd.dedup_embedding_cosine)
 query("pipeline_dedup_filter", _dd.PIPELINE_DEDUP_SQL)(_dd.pipeline_dedup_filter)
 query("dedup_minhash_quality", _dd.DEDUP_MINHASH_QUALITY_SQL)(_dd.dedup_minhash_quality)
+query("dedup_fingerprint_overlap", _dd.FP_OVERLAP_SQL)(
+    _dd.dedup_fingerprint_overlap
+)
 query("sim_topk_cosine", _sim.SIM_TOPK_SQL)(_sim.sim_topk_cosine)
 query("sim_kmeans_exact_cells", _sim.SIM_KMEANS_EXACT_SQL)(
     _sim.sim_kmeans_exact_cells
@@ -654,6 +657,7 @@ query("text_repetition_metrics", _cur.TEXT_REPETITION_SQL)(
     _cur.text_repetition_metrics
 )
 query("text_decontaminate", _cur.TEXT_DECONTAM_SQL)(_cur.text_decontaminate)
+query("text_gopher_gates", _cur.TEXT_GOPHER_SQL)(_cur.text_gopher_gates)
 query("text_pii_redact", _cur.TEXT_PII_SQL)(_cur.text_pii_redact)
 query("ts_rollup_hierarchy", _cur.TS_ROLLUP_SQL)(_cur.ts_rollup_hierarchy)
 query("pipeline_keep_best", _cur.PIPELINE_KEEP_BEST_SQL)(_cur.pipeline_keep_best)

@@ -228,3 +228,44 @@ def test_fuzzy_symdelete_finds_planted_typos(spark, sf_dir):
 
     for a, b in pairs:
         assert lev1(a, b), (a, b)
+
+
+def test_gopher_gates_vs_brute(spark, sf_dir):
+    from spark_streaming_stream_analyzer_spark.operators import curation as cu
+    from spark_streaming_stream_analyzer_spark.operators.textstats import (
+        STOPWORDS,
+    )
+    from spark_streaming_stream_analyzer_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "text"
+    ).collect()
+    agg = {}
+    for r in docs:
+        ws = [w for w in r["text"].split(" ") if w]
+        chars = sum(len(w) for w in ws)
+        f_wc = len(ws) < cu.GOPHER_MIN_WORDS or len(ws) > cu.GOPHER_MAX_WORDS
+        f_mwl = (
+            chars < cu.GOPHER_MWL_LO * len(ws)
+            or chars > cu.GOPHER_MWL_HI * len(ws)
+        )
+        f_stop = len({w for w in ws if w in STOPWORDS}) < cu.GOPHER_MIN_STOPWORDS
+        f_dup = 2 * len(set(ws)) < len(ws)
+        a = agg.setdefault(r["source"], [0, 0, 0, 0, 0, 0])
+        a[0] += 1
+        a[1] += f_wc
+        a[2] += f_mwl
+        a[3] += f_stop
+        a[4] += f_dup
+        a[5] += not (f_wc or f_mwl or f_stop or f_dup)
+    got = {
+        r["source"]: [
+            r["n_docs"], r["n_fail_wc"], r["n_fail_mwl"],
+            r["n_fail_stop"], r["n_fail_dup"], r["n_pass"],
+        ]
+        for r in cu.text_gopher_gates(spark, sf_dir).collect()
+    }
+    assert got == agg
+    # every rule discriminates on this corpus (thresholds aren't dead)
+    tot = [sum(v[i] for v in got.values()) for i in range(6)]
+    assert all(t > 0 for t in tot[1:5]) and tot[5] > 0

@@ -164,3 +164,40 @@ def test_containment_dominates_jaccard(spark, sf_dir):
             assert r["cont_in_a"] >= j - 1e-12
             assert r["cont_in_b"] >= j - 1e-12
     assert seen > 0
+
+
+def test_fingerprint_overlap_vs_brute(spark, sf_dir):
+    """Pair overlap counts must equal a brute pairing of the winnowing
+    output itself (inverted-index join == per-doc set intersection)."""
+    from itertools import combinations
+
+    from spark_streaming_stream_analyzer_spark.operators import dedup as dd
+    from spark_streaming_stream_analyzer_spark.operators.textstats import (
+        doc_winnowing,
+    )
+
+    fps = {}
+    for r in doc_winnowing(spark, sf_dir).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    docfreq = {}
+    for s in fps.values():
+        for f in s:
+            docfreq[f] = docfreq.get(f, 0) + 1
+    kept = {
+        d: {f for f in s if docfreq[f] <= dd.FP_DOCFREQ_CAP}
+        for d, s in fps.items()
+    }
+    expect = {}
+    for a, b in combinations(sorted(kept), 2):
+        n = len(kept[a] & kept[b])
+        if n >= dd.FP_MIN_SHARED:
+            expect[(a, b)] = (
+                n,
+                n * 1_000_000 // (len(kept[a]) + len(kept[b]) - n),
+            )
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["n_shared"], r["overlap_ppm"])
+        for r in dd.dedup_fingerprint_overlap(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert got  # the corpus does contain overlapping pairs
