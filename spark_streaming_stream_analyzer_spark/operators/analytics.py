@@ -1602,3 +1602,148 @@ SELECT event_type, n,
          AS r2
 FROM g
 """
+
+
+# ------------------------------------------------- MAD outlier audit --
+
+
+def _with_median_picks(df: DataFrame, v: str) -> DataFrame:
+    """Tag each (event_type, v, n, cum, tot) row with lo/hi median
+    picks: the value at 1-indexed position p is the least v whose
+    cumulative count reaches p (p = (tot+1) DIV 2 and (tot+2) DIV 2 —
+    integer division, so both engines agree)."""
+    return df.select(
+        "event_type",
+        v,
+        "n",
+        "tot",
+        F.when(F.col("cum") >= F.expr("(tot + 1) DIV 2"), F.col(v)).alias("pk_lo"),
+        F.when(F.col("cum") >= F.expr("(tot + 2) DIV 2"), F.col(v)).alias("pk_hi"),
+    )
+
+
+def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event_type: flag events farther
+    than 3 median-absolute-deviations from the median — the
+    skew-immune alternative to ``anomaly_zscore`` (one fat-tailed
+    burst inflates a stddev but barely moves a MAD).
+
+    EXACT end-to-end: values become integer micro-units; the median is
+    found positionally on the (type, value)-aggregated count table (2x
+    the median stays an integer: lo+hi picks), deviations are
+    2·|x−med| integers, the MAD repeats the positional pick on the
+    deviation table, and the 3-MAD verdict is the integer comparison
+    2·dev2 > 3·mad4. No FP quotient anywhere, so both engines agree
+    bit-for-bit — the reason this is oracle-checkable at all.
+
+    Scale: both medians run as windows over per-type DISTINCT-value
+    count tables (same shape/caveat as ``feature_quantile_bins``: on
+    near-continuous data that is the inherent cost of exactness; the
+    100 TB form swaps in approx_percentile's mergeable KLL sketch and
+    keeps this as the sample-scale auditor). The two median frames are
+    5-row broadcasts back onto the aggregated tables — the raw event
+    stream is scanned once.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    vc = (
+        ev.select(
+            "event_type", F.round(F.col("value") * 1_000_000).cast("long").alias("m")
+        )
+        .groupBy("event_type", "m")
+        .agg(F.count("*").alias("n"))
+    )
+    wt = Window.partitionBy("event_type")
+    wc = wt.orderBy("m").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_cum = vc.select(
+        "event_type", "m", "n",
+        F.sum("n").over(wc).alias("cum"), F.sum("n").over(wt).alias("tot"),
+    )
+    med = _with_median_picks(with_cum, "m").groupBy("event_type").agg(
+        (F.min("pk_lo") + F.min("pk_hi")).alias("med2"),
+        F.min("tot").alias("n_events"),
+    )
+    dev = (
+        vc.join(F.broadcast(med.select("event_type", "med2")), "event_type")
+        .select(
+            "event_type", F.abs(2 * F.col("m") - F.col("med2")).alias("dev2"), "n"
+        )
+        .groupBy("event_type", "dev2")
+        .agg(F.sum("n").alias("n"))
+    )
+    dcum = dev.select(
+        "event_type", "dev2", "n",
+        F.sum("n").over(wt.orderBy("dev2").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)).alias("cum"),
+        F.sum("n").over(wt).alias("tot"),
+    )
+    mad = _with_median_picks(dcum, "dev2").groupBy("event_type").agg(
+        (F.min("pk_lo") + F.min("pk_hi")).alias("mad4")
+    )
+    out = (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(2 * F.col("dev2") > 3 * F.col("mad4"), F.col("n"))
+                  .otherwise(F.lit(0))).alias("n_outliers"),
+            F.first("mad4").alias("mad4"),
+        )
+    )
+    return (
+        med.join(out, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            "n_outliers",
+            (F.col("med2").cast("double") / 2e6).alias("med_value"),
+            (F.col("mad4").cast("double") / 4e6).alias("mad_value"),
+        )
+    )
+
+
+TS_ANOMALY_MAD_SQL = """
+WITH vc AS (
+  SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS m,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+cumt AS (
+  SELECT event_type, m, n,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY m) AS cum,
+         SUM(n) OVER (PARTITION BY event_type) AS tot
+  FROM vc
+),
+med AS (
+  SELECT event_type,
+         MIN(CASE WHEN cum >= (tot + 1) // 2 THEN m END)
+         + MIN(CASE WHEN cum >= (tot + 2) // 2 THEN m END) AS med2,
+         CAST(MIN(tot) AS BIGINT) AS n_events
+  FROM cumt GROUP BY 1
+),
+dev AS (
+  SELECT vc.event_type, abs(2 * m - med2) AS dev2, CAST(SUM(n) AS BIGINT) AS n
+  FROM vc JOIN med USING (event_type) GROUP BY 1, 2
+),
+dcum AS (
+  SELECT event_type, dev2, n,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY dev2) AS cum,
+         SUM(n) OVER (PARTITION BY event_type) AS tot
+  FROM dev
+),
+mad AS (
+  SELECT event_type,
+         MIN(CASE WHEN cum >= (tot + 1) // 2 THEN dev2 END)
+         + MIN(CASE WHEN cum >= (tot + 2) // 2 THEN dev2 END) AS mad4
+  FROM dcum GROUP BY 1
+),
+outl AS (
+  SELECT dev.event_type,
+         CAST(SUM(CASE WHEN 2 * dev2 > 3 * mad4 THEN n ELSE 0 END) AS BIGINT)
+           AS n_outliers,
+         MIN(mad4) AS mad4
+  FROM dev JOIN mad USING (event_type) GROUP BY 1
+)
+SELECT med.event_type, n_events, n_outliers,
+       CAST(med2 AS DOUBLE) / 2000000.0 AS med_value,
+       CAST(mad4 AS DOUBLE) / 4000000.0 AS mad_value
+FROM med JOIN outl ON med.event_type = outl.event_type
+"""

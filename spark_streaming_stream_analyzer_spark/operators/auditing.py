@@ -283,3 +283,67 @@ FROM counts CROSS JOIN tot
 ORDER BY cnt DESC, o_custkey
 LIMIT {SKEW_TOP_K}
 """
+
+
+# ------------------------------------------------------ Benford audit --
+
+# floor(log10(1 + 1/d) * 1e6) — hard-coded integer ppm so both engines
+# compare against the identical expectation with zero float evaluation
+BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    fabricated-numbers screen (a synthetic or tampered amount column
+    deviates from the log-law digit distribution long before any
+    per-row rule fires). Emits, per leading digit 1-9, the observed
+    count, observed ppm, the Benford expectation ppm (hard-coded
+    integer constants), and the signed deviation.
+
+    One scan -> 9-group aggregate; the total rides back via a
+    broadcast scalar cross join. All-integer verdict (ppm = n·1e6 DIV
+    total), so the audit itself is value-oracled. On uniform synthetic
+    prices the deviation is ENORMOUS — which is the point of keeping
+    the audit around: it fires on exactly the data a generator forgot
+    to make log-uniform.
+    """
+    od = load_table(spark, sf_dir, "orders")
+    digit = F.substring(cents("o_totalprice").cast("string"), 1, 1).cast("int")
+    by_d = od.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").alias("n_obs")
+    )
+    tot = by_d.agg(F.sum("n_obs").alias("n_total"))
+    exp_case = "CASE digit " + " ".join(
+        f"WHEN {d} THEN {p}" for d, p in BENFORD_PPM.items()
+    ) + " END"
+    return by_d.crossJoin(tot).select(
+        "digit",
+        "n_obs",
+        F.expr("n_obs * 1000000 DIV n_total").alias("obs_ppm"),
+        F.expr(exp_case).cast("long").alias("exp_ppm"),
+        F.expr(f"n_obs * 1000000 DIV n_total - ({exp_case})").alias("dev_ppm"),
+    )
+
+
+_BENFORD_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {p}" for d, p in BENFORD_PPM.items()
+) + " END"
+
+DQ_BENFORD_SQL = f"""
+WITH by_d AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+         COUNT(*) AS n_obs
+  FROM orders GROUP BY 1
+),
+tot AS (SELECT SUM(n_obs) AS n_total FROM by_d)
+SELECT digit, n_obs,
+       CAST(n_obs * 1000000 // n_total AS BIGINT) AS obs_ppm,
+       CAST({_BENFORD_CASE} AS BIGINT) AS exp_ppm,
+       CAST(n_obs * 1000000 // n_total - ({_BENFORD_CASE}) AS BIGINT)
+         AS dev_ppm
+FROM by_d, tot
+"""

@@ -318,3 +318,40 @@ def test_group_holdout_never_splits_a_user(spark, sf_dir):
     # per-split distinct users sum exactly to the global distinct count
     # -> no user appears in two splits (a row-hash split would violate this)
     assert sum(r["n_users"] for r in rows) == n_users_total
+
+
+def test_ts_anomaly_mad_vs_brute(spark, sf_dir):
+    """Positional median/MAD picks must equal a literal sort-and-index
+    median with the 3-MAD rule."""
+    from spark_streaming_stream_analyzer_spark.operators import analytics as an
+    from spark_streaming_stream_analyzer_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_dir, "events").select(
+        "event_type", "value"
+    ).collect()
+    by_t = {}
+    for r in rows:
+        by_t.setdefault(r["event_type"], []).append(
+            round(r["value"] * 1_000_000)
+        )
+
+    def med2(vals):  # 2x median as an exact integer
+        s = sorted(vals)
+        n = len(s)
+        return s[(n - 1) // 2] + s[n // 2]
+
+    expect = {}
+    for t, vals in by_t.items():
+        m2 = med2(vals)
+        dev2 = [abs(2 * v - m2) for v in vals]
+        m4 = med2(dev2)
+        n_out = sum(1 for d in dev2 if 2 * d > 3 * m4)
+        expect[t] = (len(vals), n_out, m2 / 2e6, m4 / 4e6)
+    got = {
+        r["event_type"]: (
+            r["n_events"], r["n_outliers"], r["med_value"], r["mad_value"]
+        )
+        for r in an.ts_anomaly_mad(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert any(v[1] > 0 for v in got.values())  # outliers exist

@@ -78,3 +78,26 @@ def test_skew_profile_ordering(spark, sf_dir):
     for a, b in zip(rows, rows[1:]):
         if a["cnt"] == b["cnt"]:
             assert a["o_custkey"] < b["o_custkey"]
+
+
+def test_benford_vs_brute(spark, sf_dir):
+    from spark_streaming_stream_analyzer_spark.operators import auditing as au
+    from spark_streaming_stream_analyzer_spark.sources.tables import load_table
+
+    prices = [
+        r["o_totalprice"]
+        for r in load_table(spark, sf_dir, "orders").collect()
+    ]
+    counts = {}
+    for p in prices:
+        d = int(str(round(p * 100))[0])
+        counts[d] = counts.get(d, 0) + 1
+    n = sum(counts.values())
+    got = {r["digit"]: r for r in au.dq_benford(spark, sf_dir).collect()}
+    assert {d: r["n_obs"] for d, r in got.items()} == counts
+    for d, r in got.items():
+        assert r["obs_ppm"] == counts[d] * 1_000_000 // n
+        assert r["exp_ppm"] == au.BENFORD_PPM[d]
+        assert r["dev_ppm"] == r["obs_ppm"] - r["exp_ppm"]
+    # the ppm table is a (floor-truncated) probability distribution
+    assert 999_990 <= sum(au.BENFORD_PPM.values()) <= 1_000_000
