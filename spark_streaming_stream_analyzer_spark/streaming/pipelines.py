@@ -1131,3 +1131,87 @@ def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(agg, output_mode="complete")
+
+
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply with DELETE semantics — the step beyond
+    ``stream_foreachbatch_upsert``: the change stream carries
+    upserts AND tombstones (op = 'D' when event_type = 'error', the
+    "account closed" signal; every other event upserts the user's
+    latest value), and the serving table must make tombstoned keys
+    DISAPPEAR, not just go stale.
+
+    Mechanics: each micro-batch appends its per-key latest change —
+    including the tombstone rows — to a keyed parquet delta store; the
+    serving view is merge-on-read: per-key argmax over all deltas,
+    then tombstone filter. Keeping tombstones in the deltas (rather
+    than deleting matching rows per batch) is exactly how
+    Delta/Iceberg merge-on-read handles DELETE: the tombstone must
+    win the argmax against any OLDER upsert from a previous batch,
+    which a per-batch in-place delete would get wrong whenever a
+    late upsert for the same key arrived after the delete's batch.
+    Nothing is driver-resident; one shuffle per batch on the key.
+
+    The fixture streams twice (every key crosses batches), and the
+    oracle is the batch latest-per-key with final-op-wins delete
+    filtering — last-writer-wins INCLUDING deletes.
+    """
+    stream = events_file_stream(
+        spark, os.path.join(sf_dir, "events.parquet"), copies=2
+    )
+    store_dir = _tracked_tmp_dir("sgs_cdc_store")
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        latest = (
+            batch_df.withColumn("us", ts_micros(batch_df))
+            .withColumn(
+                "op",
+                F.when(F.col("event_type") == "error", F.lit("D")).otherwise(
+                    F.lit("U")
+                ),
+            )
+            .groupBy("user_id")
+            .agg(F.max(F.struct("us", "event_id", "op", "value")).alias("s"))
+            .select("user_id", "s.us", "s.event_id", "s.op", "s.value")
+        )
+        latest.write.mode("append").parquet(store_dir)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_CPUS", "32")
+    )
+    ckpt = _tracked_tmp_dir("sgs_cdc")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        _cleanup_tmp_dirs([ckpt])
+    return (
+        spark.read.parquet(store_dir)
+        .groupBy("user_id")
+        .agg(F.max(F.struct("us", "event_id", "op", "value")).alias("s"))
+        .filter(F.col("s.op") != "D")
+        .select(
+            "user_id",
+            F.col("s.us").alias("last_us"),
+            F.col("s.event_id").alias("last_event_id"),
+            F.col("s.value").alias("last_value"),
+        )
+    )
+
+
+STREAM_CDC_SQL = """
+SELECT user_id, epoch_us(ts) AS last_us, event_id AS last_event_id,
+       value AS last_value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+  FROM events
+) t WHERE rn = 1 AND event_type <> 'error'
+"""

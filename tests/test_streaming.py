@@ -428,3 +428,40 @@ def test_stream_attribution_carries_click_across_batches(spark, tmp_path):
     assert rows[1]["touch_id"] is None and rows[1]["gap_us"] is None
     assert rows[3]["touch_id"] == 2
     assert rows[3]["gap_us"] == 4 * MIN
+
+
+def test_cdc_apply_tombstone_semantics(spark, tmp_path):
+    """Delete-wins-by-event-time: a tombstone must remove the key even
+    when an OLDER upsert arrives in a later replay batch, and an
+    upsert newer than a tombstone must resurrect the key."""
+    import pandas as pd
+
+    from spark_streaming_stream_analyzer_spark.streaming.pipelines import (
+        stream_cdc_apply,
+    )
+
+    US = 1_000_000
+    rows = [
+        # user 10: upsert t=1, delete t=5  -> absent
+        (1, 1 * US * 1000, 10, "view", 1.0, "{}"),
+        (2, 5 * US * 1000, 10, "error", 2.0, "{}"),
+        # user 20: delete t=1, upsert t=5  -> present (resurrected)
+        (3, 1 * US * 1000, 20, "error", 3.0, "{}"),
+        (4, 5 * US * 1000, 20, "click", 4.0, "{}"),
+        # user 30: upserts only -> present with the latest value
+        (5, 1 * US * 1000, 30, "view", 5.0, "{}"),
+        (6, 9 * US * 1000, 30, "purchase", 6.0, "{}"),
+    ]
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    pdf.to_parquet(str(tmp_path / "events.parquet"), index=False)
+    got = {
+        r["user_id"]: (r["last_us"], r["last_event_id"], r["last_value"])
+        for r in stream_cdc_apply(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        20: (5 * US, 4, 4.0),
+        30: (9 * US, 6, 6.0),
+    }
