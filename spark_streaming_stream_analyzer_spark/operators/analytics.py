@@ -1747,3 +1747,129 @@ SELECT med.event_type, n_events, n_outliers,
        CAST(mad4 AS DOUBLE) / 4000000.0 AS mad_value
 FROM med JOIN outl ON med.event_type = outl.event_type
 """
+
+
+# ------------------------------------------- linear-interp resample --
+
+
+def ts_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample with LINEAR INTERPOLATION across gaps — the
+    numeric companion to ``ts_resample_ffill`` (a forward fill biases
+    a trending series; the interpolated grid is what forecasting
+    featurizers actually consume). Per event_type, the hourly mean in
+    integer milli-cents; gap hours get
+    ``prev + (next − prev)·(h − h_prev) DIV (h_next − h_prev)``,
+    hours outside the observed span stay NULL (kind = 'edge' — no
+    extrapolation). All arithmetic is integer with non-negative DIV
+    numerators via a sign split, because Spark's DIV truncates toward
+    zero while DuckDB's ``//`` floors — they only agree on
+    non-negatives (the feature_quantile_bins lesson, applied to
+    interpolation).
+
+    Scale: one aggregate to (type, hour) cells, a broadcast-scaffold
+    explode over the span, and two window passes per type (running
+    last-observed backward, first-observed forward). Nothing touches
+    raw rows after the first aggregate; the scaffold is
+    |types|·|hours|, partitioned by type.
+    """
+    HOUR_US = 3_600_000_000
+    ev = load_table(spark, sf_dir, "events")
+    obs = (
+        ev.select("event_type", ts_micros(ev).alias("us"), cents("value").alias("c"))
+        .select("event_type", F.expr(f"us DIV {HOUR_US}").alias("h"), "c")
+        .groupBy("event_type", "h")
+        .agg(F.expr("sum(c) * 1000 DIV count(*)").alias("m"))
+    )
+    span = obs.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    hours = span.select(F.explode(F.sequence("h0", "h1")).alias("h"))
+    types = obs.select("event_type").distinct()
+    scaffold = types.crossJoin(F.broadcast(hours))
+    g = scaffold.join(obs, ["event_type", "h"], "left")
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    filled = g.select(
+        "event_type",
+        "h",
+        "m",
+        F.last("m", ignorenulls=True).over(wb).alias("pm"),
+        F.last(F.when(F.col("m").isNotNull(), F.col("h")), ignorenulls=True)
+        .over(wb)
+        .alias("ph"),
+        F.first("m", ignorenulls=True).over(wf).alias("nm"),
+        F.first(F.when(F.col("m").isNotNull(), F.col("h")), ignorenulls=True)
+        .over(wf)
+        .alias("nh"),
+    )
+    interp = F.expr(
+        """
+        CASE WHEN nm >= pm
+             THEN pm + (nm - pm) * (h - ph) DIV (nh - ph)
+             ELSE pm - (pm - nm) * (h - ph) DIV (nh - ph) END
+        """
+    )
+    return filled.select(
+        "event_type",
+        "h",
+        F.when(F.col("m").isNotNull(), F.lit("obs"))
+        .when(F.col("ph").isNull() | F.col("nh").isNull(), F.lit("edge"))
+        .otherwise(F.lit("interp"))
+        .alias("kind"),
+        F.when(F.col("m").isNotNull(), F.col("m"))
+        .when(F.col("ph").isNull() | F.col("nh").isNull(), F.lit(None))
+        .otherwise(interp)
+        .alias("value_milli"),
+    )
+
+
+TS_INTERP_SQL = """
+WITH obs AS (
+  SELECT event_type,
+         epoch_us(ts) // 3600000000 AS h,
+         SUM(CAST(round(value * 100) AS BIGINT)) * 1000 // COUNT(*) AS m
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM obs),
+hours AS (SELECT unnest(range(h0, h1 + 1)) AS h FROM span),
+scaffold AS (
+  SELECT t.event_type, hours.h
+  FROM (SELECT DISTINCT event_type FROM obs) t, hours
+),
+g AS (
+  SELECT s.event_type, s.h, obs.m FROM scaffold s
+  LEFT JOIN obs ON obs.event_type = s.event_type AND obs.h = s.h
+),
+filled AS (
+  SELECT event_type, h, m,
+         last_value(m IGNORE NULLS) OVER
+           (PARTITION BY event_type ORDER BY h
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pm,
+         last_value(CASE WHEN m IS NOT NULL THEN h END IGNORE NULLS) OVER
+           (PARTITION BY event_type ORDER BY h
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+         first_value(m IGNORE NULLS) OVER
+           (PARTITION BY event_type ORDER BY h
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nm,
+         first_value(CASE WHEN m IS NOT NULL THEN h END IGNORE NULLS) OVER
+           (PARTITION BY event_type ORDER BY h
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+  FROM g
+)
+SELECT event_type, h,
+       CASE WHEN m IS NOT NULL THEN 'obs'
+            WHEN ph IS NULL OR nh IS NULL THEN 'edge'
+            ELSE 'interp' END AS kind,
+       CAST(CASE WHEN m IS NOT NULL THEN m
+            WHEN ph IS NULL OR nh IS NULL THEN NULL
+            WHEN nm >= pm THEN pm + (nm - pm) * (h - ph) // (nh - ph)
+            ELSE pm - (pm - nm) * (h - ph) // (nh - ph) END AS BIGINT)
+         AS value_milli
+FROM filled
+"""

@@ -347,3 +347,86 @@ SELECT digit, n_obs,
          AS dev_ppm
 FROM by_d, tot
 """
+
+
+# --------------------------------------------------- z-order layout --
+
+ZORDER_BITS = 16          # bits per dimension
+ZBUCKET_SHIFT = 14        # file granularity: z >> shift
+
+
+def _z_expr(x: str, y: str, shl, shr) -> str:
+    """Bit-interleave expression builder; ``shl``/``shr`` render a
+    shift for the target dialect."""
+    terms = []
+    for i in range(ZORDER_BITS):
+        terms.append(shl(f"({shr(x, i)} & 1)", 2 * i))
+        terms.append(shl(f"({shr(y, i)} & 1)", 2 * i + 1))
+    return " + ".join(terms)
+
+
+_Z_SPARK = _z_expr(
+    "xd", "yd",
+    lambda e, n: f"shiftleft({e}, {n})",
+    lambda e, n: f"shiftright({e}, {n})",
+)
+_Z_DUCK = _z_expr(
+    "xd", "yd",
+    lambda e, n: f"(({e}) << {n})",
+    lambda e, n: f"({e} >> {n})",
+)
+
+
+def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) layout audit: interleave the bits of
+    (o_custkey, order-day) into a 32-bit z-value, bucket rows at file
+    granularity (z >> 20), and report each bucket's row count and
+    per-dimension min/max envelope — the statistics a lakehouse
+    data-skipping layer keeps per file. Z-ordered buckets have TIGHT
+    envelopes on BOTH dimensions simultaneously, which is the whole
+    point of the curve: a predicate on either column prunes most
+    buckets, where a sort by one column leaves the other's envelopes
+    spanning the full domain.
+
+    Why an audit and not a writer: the 100 TB production form is
+    ``df.repartitionByRange(N, z).sortWithinPartitions(z)
+    .write...`` — the z-expression below IS that layout key, and this
+    operator is the envelope report you run to prove the layout
+    skips. Pure integer bit arithmetic (32 shift-and-mask terms,
+    whole-stage-codegen'd, no UDF), one aggregate.
+    """
+    od = load_table(spark, sf_dir, "orders")
+    base = od.select(
+        (F.col("o_custkey").cast("long") % (1 << ZORDER_BITS)).alias("xd"),
+        F.expr(
+            f"datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')"
+            f" % {1 << ZORDER_BITS}"
+        ).alias("yd"),
+    )
+    z = base.select("xd", "yd", F.expr(_Z_SPARK).alias("z"))
+    return (
+        z.select("xd", "yd", F.expr(f"z DIV {1 << ZBUCKET_SHIFT}").alias("zbucket"))
+        .groupBy("zbucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("xd").alias("min_cust"),
+            F.max("xd").alias("max_cust"),
+            F.min("yd").alias("min_day"),
+            F.max("yd").alias("max_day"),
+        )
+    )
+
+
+DQ_ZORDER_SQL = f"""
+WITH base AS (
+  SELECT CAST(o_custkey % {1 << ZORDER_BITS} AS BIGINT) AS xd,
+         CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+              % {1 << ZORDER_BITS} AS BIGINT) AS yd
+  FROM orders
+),
+zed AS (SELECT xd, yd, {_Z_DUCK} AS z FROM base)
+SELECT z // {1 << ZBUCKET_SHIFT} AS zbucket, COUNT(*) AS n_rows,
+       MIN(xd) AS min_cust, MAX(xd) AS max_cust,
+       MIN(yd) AS min_day, MAX(yd) AS max_day
+FROM zed GROUP BY 1
+"""

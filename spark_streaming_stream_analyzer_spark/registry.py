@@ -543,6 +543,7 @@ query("q12_late_priority_counts", _an.Q12_SQL)(_an.q12_late_priority_counts)
 query("q21_waiting_suppliers", _an.Q21_SQL)(_an.q21_waiting_suppliers)
 query("anomaly_zscore", _an.ANOMALY_ZSCORE_SQL)(_an.anomaly_zscore)
 query("ts_anomaly_mad", _an.TS_ANOMALY_MAD_SQL)(_an.ts_anomaly_mad)
+query("ts_resample_interp", _an.TS_INTERP_SQL)(_an.ts_resample_interp)
 query("text_tfidf_topk", _an.TEXT_TFIDF_SQL)(_an.text_tfidf_topk)
 query("join_salted_skew", _an.JOIN_SALTED_SQL)(_an.join_salted_skew)
 query("agg_sliding_window", _an.AGG_SLIDING_SQL)(_an.agg_sliding_window)
@@ -683,6 +684,7 @@ query("approx_median_hist", _au.APPROX_MEDIAN_SQL)(_au.approx_median_hist)
 query("scd2_intervals", _au.SCD2_SQL)(_au.scd2_intervals)
 query("dq_constraint_audit", _au.DQ_AUDIT_SQL)(_au.dq_constraint_audit)
 query("dq_benford", _au.DQ_BENFORD_SQL)(_au.dq_benford)
+query("layout_zorder_stats", _au.DQ_ZORDER_SQL)(_au.layout_zorder_stats)
 query("skew_key_profile", _au.SKEW_PROFILE_SQL)(_au.skew_key_profile)
 query("json_key_inventory", _jsonf.JSON_KEY_INVENTORY_SQL)(_jsonf.json_key_inventory)
 query("join_interval_overlap", _an.JOIN_INTERVAL_SQL)(_an.join_interval_overlap)

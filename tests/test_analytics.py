@@ -355,3 +355,50 @@ def test_ts_anomaly_mad_vs_brute(spark, sf_dir):
     }
     assert got == expect
     assert any(v[1] > 0 for v in got.values())  # outliers exist
+
+
+def test_resample_interp_vs_brute(spark, sf_dir):
+    from spark_streaming_stream_analyzer_spark.operators import analytics as an
+    from spark_streaming_stream_analyzer_spark.sources.tables import (
+        load_table,
+        ts_micros,
+    )
+
+    HOUR = 3_600_000_000
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select(
+        "event_type", ts_micros(ev).alias("us"), "value"
+    ).collect()
+    cells = {}
+    for r in rows:
+        key = (r["event_type"], r["us"] // HOUR)
+        cells.setdefault(key, []).append(round(r["value"] * 100))
+    obs = {k: sum(v) * 1000 // len(v) for k, v in cells.items()}
+    h0 = min(h for _, h in obs)
+    h1 = max(h for _, h in obs)
+    types = {t for t, _ in obs}
+    expect = {}
+    for t in types:
+        hs = sorted(h for tt, h in obs if tt == t)
+        for h in range(h0, h1 + 1):
+            if (t, h) in obs:
+                expect[(t, h)] = ("obs", obs[(t, h)])
+                continue
+            prev = max((x for x in hs if x < h), default=None)
+            nxt = min((x for x in hs if x > h), default=None)
+            if prev is None or nxt is None:
+                expect[(t, h)] = ("edge", None)
+                continue
+            pm, nm = obs[(t, prev)], obs[(t, nxt)]
+            if nm >= pm:
+                v = pm + (nm - pm) * (h - prev) // (nxt - prev)
+            else:
+                v = pm - (pm - nm) * (h - prev) // (nxt - prev)
+            expect[(t, h)] = ("interp", v)
+    got = {
+        (r["event_type"], r["h"]): (r["kind"], r["value_milli"])
+        for r in an.ts_resample_interp(spark, sf_dir).collect()
+    }
+    assert got == expect
+    kinds = {k for k, _ in got.values()}
+    assert "interp" in kinds  # gaps exist and get filled

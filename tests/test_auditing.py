@@ -101,3 +101,49 @@ def test_benford_vs_brute(spark, sf_dir):
         assert r["dev_ppm"] == r["obs_ppm"] - r["exp_ppm"]
     # the ppm table is a (floor-truncated) probability distribution
     assert 999_990 <= sum(au.BENFORD_PPM.values()) <= 1_000_000
+
+
+def _morton(x, y, bits):
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zorder_stats_vs_brute(spark, sf_dir):
+    from datetime import date
+
+    from spark_streaming_stream_analyzer_spark.operators import auditing as au
+    from spark_streaming_stream_analyzer_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate"
+    ).collect()
+    M = 1 << au.ZORDER_BITS
+    buckets = {}
+    for r in orders:
+        x = r["o_custkey"] % M
+        y = (r["o_orderdate"].date() - date(1970, 1, 1)).days % M
+        b = _morton(x, y, au.ZORDER_BITS) >> au.ZBUCKET_SHIFT
+        s = buckets.setdefault(b, [0, x, x, y, y])
+        s[0] += 1
+        s[1] = min(s[1], x)
+        s[2] = max(s[2], x)
+        s[3] = min(s[3], y)
+        s[4] = max(s[4], y)
+    got = {
+        r["zbucket"]: [
+            r["n_rows"], r["min_cust"], r["max_cust"],
+            r["min_day"], r["max_day"],
+        ]
+        for r in au.layout_zorder_stats(spark, sf_dir).collect()
+    }
+    assert got == {b: list(v) for b, v in buckets.items()}
+    # Morton guarantee: a z >> SHIFT bucket is a 2^ceil(S/2) x 2^(S//2)
+    # tile, so every bucket's envelope is bounded per dimension —
+    # rows inside a bucket agree on all higher interleaved bits
+    x_tile = 1 << ((au.ZBUCKET_SHIFT + 1) // 2)
+    y_tile = 1 << (au.ZBUCKET_SHIFT // 2)
+    assert all(v[2] - v[1] < x_tile for v in got.values())
+    assert all(v[4] - v[3] < y_tile for v in got.values())
