@@ -1364,3 +1364,153 @@ SELECT q_id, vec_id, rank, adc_d2 FROM (
 
 
 SIM_PQ_ADC_SQL = _pq_adc_sql()
+
+
+# ------------------------------------------------ power-iteration PCA --
+
+PCA_ITERS = 60         # flat random spectra (lam1/lam2 ~ 1.01) need this
+PCA_Q = 1_000          # component quantization (milli-units)
+PCA_V = 1_000_000      # eigenvector scale between iterations
+
+
+def _sgn_div(num: str, den: str) -> str:
+    """Sign-split integer division that both engines evaluate
+    identically (Spark DIV truncates toward zero, DuckDB // floors;
+    they agree only on non-negative numerators)."""
+    return (
+        f"CASE WHEN {num} >= 0 THEN ({num}) DIV ({den})"
+        f" ELSE -((-({num})) DIV ({den})) END"
+    )
+
+
+def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding cloud by POWER
+    ITERATION on the centered Gram matrix — distributed linear algebra
+    as dataframes, the same iterate-as-join pattern as
+    ``graph_pagerank_exact``, and like it fully VALUE-oracled because
+    every step is associative integer arithmetic: components quantize
+    to milli-units, the 64x64 covariance accumulates exact int64
+    products, and each iteration renormalizes with sign-split integer
+    division (max-abs to ~PCA_V), so a fixed 3 rounds is
+    bit-reproducible on any engine. Float PCA could only ever be
+    rows-only checked; this is the portable formulation.
+
+    Overflow headroom is designed, not hoped: |x_c| <= ~1.1·PCA_Q, so
+    A entries are <= rows·1.2e6 (~6e9 at 5e3 rows, 6e11 at 100x) and
+    the matvec adds a PCA_V factor plus a 64-way sum — peaking ~4e17
+    at 100x data, under int64's 9.2e18.
+
+    Scale: the Gram build is the only row-proportional stage — a
+    per-vector 64x64 outer-product explode, partial-aggregated map-
+    side into at most 4096 groups (classic X^T·X as groupBy). The
+    iterations then run DRIVER-SIDE on the collected 64x64 matrix in
+    exact Python integers — model state is O(d²), not data-
+    proportional, the same collect-the-model discipline as the
+    k-means centroid loop; PCA_ITERS=60 because the synthetic cloud's
+    spectrum is flat (lam1/lam2 ≈ 1.01 measured at sf0.01 — power
+    iteration needs ~1/log(ratio) rounds) and 60 tiny matvecs on the
+    driver cost microseconds where 60 chained dataframe joins would
+    cost 60 plan analyses.
+    """
+    em = load_table_cpu(spark, sf_dir, "embeddings")
+    qv = em.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("dim"),
+        F.floor(F.col("x").cast("double") * PCA_Q + F.lit(0.5))
+        .cast("long")
+        .alias("xq"),
+    )
+    means = qv.groupBy("dim").agg(
+        F.sum("xq").alias("s"), F.count("*").alias("n")
+    ).select("dim", F.expr(_sgn_div("s", "n")).alias("mu"))
+    xc = qv.join(F.broadcast(means), "dim").select(
+        "vec_id", "dim", (F.col("xq") - F.col("mu")).alias("xc")
+    )
+    a = xc.select("vec_id", F.col("dim").alias("i"), F.col("xc").alias("xi"))
+    b = xc.select("vec_id", F.col("dim").alias("j"), F.col("xc").alias("xj"))
+    A = (
+        a.join(b, "vec_id")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("xi") * F.col("xj")).alias("a_ij"))
+    )
+    # O(d^2) model collect; every arithmetic step below is exact int
+    # (Python ints are a superset of the oracle's BIGINT range here —
+    # matvec magnitudes stay ~1e13, measured)
+    amat: dict[tuple[int, int], int] = {
+        (r["i"], r["j"]): r["a_ij"] for r in A.collect()
+    }
+    dims = sorted({i for i, _ in amat})
+    v = {d: PCA_V for d in dims}
+    for _ in range(PCA_ITERS):
+        u = {
+            i: sum(amat[(i, j)] * v[j] for j in dims) for i in dims
+        }
+        m = max(abs(x) for x in u.values())
+        den = (m // PCA_V) + 1
+        v = {
+            i: (x // den if x >= 0 else -((-x) // den))
+            for i, x in u.items()
+        }
+    out = spark.createDataFrame(
+        [(d, v[d]) for d in dims], "dim int, v_scaled long"
+    )
+    return out.select(
+        "dim",
+        "v_scaled",
+        (F.col("v_scaled").cast("double") / PCA_V).alias("loading"),
+    )
+
+
+def _pca_sql() -> str:
+    # Every CTE is MATERIALIZED: u_k/v_k are each referenced twice, so
+    # DuckDB's default inlining would re-expand the chain exponentially
+    # (2^ITERS scans of the base table — observed as an fd exhaustion).
+    parts = [
+        f"""
+WITH qv AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {PCA_Q} + 0.5)
+              AS BIGINT) AS xq
+  FROM embeddings
+),
+means AS MATERIALIZED (
+  SELECT dim, {_sgn_div('SUM(xq)', 'COUNT(*)').replace('DIV', '//')} AS mu
+  FROM qv GROUP BY 1
+),
+xc AS MATERIALIZED (
+  SELECT qv.vec_id, qv.dim, qv.xq - means.mu AS xc
+  FROM qv JOIN means USING (dim)
+),
+A AS MATERIALIZED (
+  SELECT a.dim AS i, b.dim AS j, CAST(SUM(a.xc * b.xc) AS BIGINT) AS a_ij
+  FROM xc a JOIN xc b ON a.vec_id = b.vec_id GROUP BY 1, 2
+),
+v0 AS MATERIALIZED (SELECT dim, CAST({PCA_V} AS BIGINT) AS v FROM means)"""
+    ]
+    for k in range(1, PCA_ITERS + 1):
+        den = f"(m // {PCA_V}) + 1"
+        norm = (
+            f"CASE WHEN u >= 0 THEN (u) // ({den})"
+            f" ELSE -((-(u)) // ({den})) END"
+        )
+        parts.append(
+            f""",
+u{k} AS MATERIALIZED (
+  SELECT A.i AS dim, CAST(SUM(A.a_ij * v.v) AS BIGINT) AS u
+  FROM A JOIN v{k - 1} v ON A.j = v.dim GROUP BY 1
+),
+m{k} AS MATERIALIZED (SELECT MAX(abs(u)) AS m FROM u{k}),
+v{k} AS MATERIALIZED (
+  SELECT dim, CAST({norm} AS BIGINT) AS v FROM u{k}, m{k})"""
+        )
+    parts.append(
+        f"""
+SELECT dim, v AS v_scaled, CAST(v AS DOUBLE) / {PCA_V} AS loading
+FROM v{PCA_ITERS}"""
+    )
+    return "".join(parts)
+
+
+EMB_PCA_SQL = _pca_sql()

@@ -629,6 +629,7 @@ query("embedding_norms", _sim.EMB_NORMS_SQL)(_sim.embedding_norms)
 query("sim_ivf_recall", _sim.SIM_RECALL_SQL)(_sim.sim_ivf_recall)
 query("emb_matryoshka_recall", _sim.MATRYOSHKA_SQL)(_sim.emb_matryoshka_recall)
 query("emb_pq_codebook", _sim.EMB_PQ_SQL)(_sim.emb_pq_codebook)
+query("emb_pca_power", _sim.EMB_PCA_SQL)(_sim.emb_pca_power)
 query("sim_pq_adc_topk", _sim.SIM_PQ_ADC_SQL)(_sim.sim_pq_adc_topk)
 query("sim_range_search", _sim.SIM_RANGE_SQL)(_sim.sim_range_search)
 query("sim_srp_topk", _sim.SIM_SRP_SQL)(_sim.sim_srp_topk)

@@ -265,3 +265,37 @@ def test_pq_adc_ranks_are_coherent(spark, sf_dir):
         # ADC distance non-decreasing in rank; ties broken by vec_id
         for a, b in zip(rs, rs[1:]):
             assert (a["adc_d2"], a["vec_id"]) < (b["adc_d2"], b["vec_id"])
+
+
+def test_pca_power_exact_and_converged(spark, sf_dir):
+    """The dataframe power iteration must (a) equal a literal Python
+    replay of the integer algorithm bit-for-bit and (b) align with
+    numpy's true top eigenvector of the centered covariance."""
+    import numpy as np
+
+    from spark_streaming_stream_analyzer_spark.operators import similarity as sim
+    from spark_streaming_stream_analyzer_spark.sources.tables import load_table_cpu
+
+    rows = load_table_cpu(spark, sf_dir, "embeddings").select(
+        "embedding"
+    ).collect()
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    Q = np.floor(X * sim.PCA_Q + 0.5).astype(np.int64)
+    n = Q.shape[0]
+    s = Q.sum(axis=0)
+    mu = np.where(s >= 0, s // n, -((-s) // n))
+    C = Q - mu
+    A = C.T @ C  # exact int64
+    v = np.full(64, sim.PCA_V, dtype=np.int64)
+    for _ in range(sim.PCA_ITERS):
+        u = A @ v
+        m = np.abs(u).max()
+        d = (m // sim.PCA_V) + 1
+        v = np.where(u >= 0, u // d, -((-u) // d))
+    got = {r["dim"]: r["v_scaled"] for r in sim.emb_pca_power(spark, sf_dir).collect()}
+    assert got == {i + 1: int(v[i]) for i in range(64)}
+    # alignment with true float PCA of the same centered matrix
+    w, V = np.linalg.eigh((C.astype(np.float64).T @ C))
+    top = V[:, np.argmax(w)]
+    cos = abs(np.dot(top, v / np.linalg.norm(v)))
+    assert cos > 0.99
