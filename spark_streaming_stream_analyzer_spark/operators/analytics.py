@@ -1873,3 +1873,72 @@ SELECT event_type, h,
          AS value_milli
 FROM filled
 """
+
+
+# ------------------------------------------- sequential pattern scan --
+
+SEQ_GAP_US = 24 * 3_600 * 1_000_000  # max gap between consecutive steps
+
+
+def seq_pattern_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequential pattern scan: per user, count
+    occurrences of the CONSECUTIVE event sequence view -> click ->
+    purchase where both adjacent gaps are <= 24 hours — the "qualified
+    conversion path" matcher (funnel_conversion counts step reachers;
+    this demands adjacency: no intervening event of any kind breaks
+    the match, which is what MATCH_RECOGNIZE's strict contiguity
+    means). Emits per-user match count plus the tightest observed
+    total path time; users with no match keep a zero row.
+
+    One window pass: two leads of (event_type, us) per row, then an
+    aggregate — the standard way to run strict-contiguity patterns of
+    fixed length k on a dataframe engine (k-1 leads), shuffling once
+    by user. Variable-length patterns escalate to
+    ``applyInPandasWithState`` (the sessionizer's machinery), not to
+    bigger windows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select("user_id", ts_micros(ev).alias("us"), "event_type", "event_id")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    lead1t = F.lead("event_type", 1).over(w)
+    lead2t = F.lead("event_type", 2).over(w)
+    lead1u = F.lead("us", 1).over(w)
+    lead2u = F.lead("us", 2).over(w)
+    hits = base.select(
+        "user_id",
+        "us",
+        (
+            (F.col("event_type") == "view")
+            & (lead1t == "click")
+            & (lead2t == "purchase")
+            & ((lead1u - F.col("us")) <= SEQ_GAP_US)
+            & ((lead2u - lead1u) <= SEQ_GAP_US)
+        ).alias("hit"),
+        (lead2u - F.col("us")).alias("span_us"),
+    )
+    return hits.groupBy("user_id").agg(
+        F.sum(F.col("hit").cast("long")).alias("n_matches"),
+        F.min(F.when(F.col("hit"), F.col("span_us"))).alias("min_span_us"),
+    )
+
+
+SEQ_PATTERN_SQL = f"""
+WITH base AS (
+  SELECT user_id, epoch_us(ts) AS us, event_type, event_id FROM events
+),
+leads AS (
+  SELECT user_id, us,
+         event_type = 'view'
+         AND lead(event_type, 1) OVER w = 'click'
+         AND lead(event_type, 2) OVER w = 'purchase'
+         AND lead(us, 1) OVER w - us <= {SEQ_GAP_US}
+         AND lead(us, 2) OVER w - lead(us, 1) OVER w <= {SEQ_GAP_US} AS hit,
+         lead(us, 2) OVER w - us AS span_us
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+)
+SELECT user_id,
+       CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_matches,
+       MIN(CASE WHEN hit THEN span_us END) AS min_span_us
+FROM leads GROUP BY 1
+"""

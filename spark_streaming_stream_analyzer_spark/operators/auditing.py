@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.exact import cents
+from ..functions.hashing import hash64, hash64_sql
 from ..sources.tables import load_table, ts_micros, ts_timestamp
 
 # ------------------------------------------------- histogram median --
@@ -429,4 +430,62 @@ SELECT z // {1 << ZBUCKET_SHIFT} AS zbucket, COUNT(*) AS n_rows,
        MIN(xd) AS min_cust, MAX(xd) AS max_cust,
        MIN(yd) AS min_day, MAX(yd) AS max_day
 FROM zed GROUP BY 1
+"""
+
+
+# ---------------------------------------------- reconciliation sums --
+
+CKSUM_BUCKET = 1_000  # orderkeys per reconciliation bucket
+
+
+def dq_checksum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed checksum buckets — the table-reconciliation primitive:
+    hash every row's business fields, XOR-fold the hashes within
+    key-range buckets, and compare bucket digests between two copies
+    of a table (replica sync, migration cutover, CDC drift). Equal
+    digests skip the bucket; a mismatch narrows the diff to one key
+    range — O(|table| / bucket) comparisons instead of a full join,
+    which is the entire trick at 100 TB.
+
+    XOR is the right fold: commutative/associative (partial
+    aggregates compose in any order), width-preserving (no overflow),
+    and any single-row change flips the digest. One scan, one
+    hash-agg; the row hash is the portable md5-based ``hash64`` over
+    a canonical field serialization, so an independent engine (the
+    oracle here, a replica's checksummer in production) derives
+    identical digests.
+    """
+    od = load_table(spark, sf_dir, "orders")
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        cents("o_totalprice").cast("string"),
+        F.col("o_orderdate").cast("date").cast("string"),
+    )
+    return (
+        od.select(
+            F.expr(f"o_orderkey DIV {CKSUM_BUCKET}").alias("bucket"),
+            hash64(row_str).alias("h"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.expr("bit_xor(h)").alias("digest"),
+        )
+    )
+
+
+_CKSUM_ROW = (
+    "CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)"
+    " || '|' || o_orderstatus || '|' ||"
+    " CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)"
+    " || '|' || CAST(CAST(o_orderdate AS DATE) AS VARCHAR)"
+)
+
+DQ_CKSUM_SQL = f"""
+SELECT o_orderkey // {CKSUM_BUCKET} AS bucket, COUNT(*) AS n_rows,
+       bit_xor({hash64_sql(_CKSUM_ROW)}) AS digest
+FROM orders GROUP BY 1
 """

@@ -511,3 +511,68 @@ SELECT doc_id, CAST(i AS INT) AS chunk_idx,
        substr(text, CAST(i*{CHUNK_WIDTH}+1 AS INT), {CHUNK_WIDTH}) AS chunk
 FROM idx
 """
+
+
+# ----------------------------------------------------- OOV-rate audit --
+
+OOV_VOCAB_K = 30  # corpus vocabulary size (top-K tokens by count)
+
+
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus's own
+    top-K token vocabulary — the cheap proxy for "will the tokenizer
+    shred this doc" and the gate that catches wrong-language or
+    gibberish docs a per-doc heuristic misses (the vocabulary is
+    GLOBAL evidence). Emits per doc the token count, OOV token count,
+    and the exact ppm rate.
+
+    Two-phase: one wordcount pass builds the vocabulary (top-K by
+    count, token tiebreak — deterministic), which BROADCASTS back
+    into a per-row array-membership scan. The fact table is read
+    twice but shuffled never-at-row-grain: phase 1 shuffles (token,
+    count) pairs, phase 2 is map-only. K is chosen to split the
+    synthetic corpus's ~40-token vocabulary; production K (32-256k,
+    a real tokenizer vocab) changes only the broadcast size.
+    """
+    docs = load_table_cpu(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda w: w != "")
+    vocab = (
+        docs.select(F.explode(words).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("w"))
+        .limit(OOV_VOCAB_K)
+        .agg(F.collect_list("w").alias("vs"))
+    )
+    joined = docs.select("doc_id", words.alias("ws")).crossJoin(
+        F.broadcast(vocab)
+    )
+    n_tok = F.size("ws")
+    n_oov = F.size(F.filter("ws", lambda w: ~F.array_contains("vs", w)))
+    return joined.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_oov.alias("n_oov"),
+        F.expr("size(filter(ws, w -> NOT array_contains(vs, w))) * 1000000"
+               " DIV size(ws)").alias("oov_ppm"),
+    )
+
+
+TEXT_OOV_SQL = f"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+),
+vocab AS (
+  SELECT list(tok ORDER BY cnt DESC, tok) AS vs FROM (
+    SELECT tok, COUNT(*) AS cnt
+    FROM (SELECT unnest(ws) AS tok FROM w) u
+    GROUP BY 1 ORDER BY cnt DESC, tok LIMIT {OOV_VOCAB_K}
+  )
+)
+SELECT doc_id, len(ws) AS n_tokens,
+       len(list_filter(ws, x -> NOT list_contains(vs, x))) AS n_oov,
+       len(list_filter(ws, x -> NOT list_contains(vs, x))) * 1000000
+         // len(ws) AS oov_ppm
+FROM w, vocab
+"""

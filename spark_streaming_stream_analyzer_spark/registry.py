@@ -544,6 +544,7 @@ query("q21_waiting_suppliers", _an.Q21_SQL)(_an.q21_waiting_suppliers)
 query("anomaly_zscore", _an.ANOMALY_ZSCORE_SQL)(_an.anomaly_zscore)
 query("ts_anomaly_mad", _an.TS_ANOMALY_MAD_SQL)(_an.ts_anomaly_mad)
 query("ts_resample_interp", _an.TS_INTERP_SQL)(_an.ts_resample_interp)
+query("seq_pattern_triples", _an.SEQ_PATTERN_SQL)(_an.seq_pattern_triples)
 query("text_tfidf_topk", _an.TEXT_TFIDF_SQL)(_an.text_tfidf_topk)
 query("join_salted_skew", _an.JOIN_SALTED_SQL)(_an.join_salted_skew)
 query("agg_sliding_window", _an.AGG_SLIDING_SQL)(_an.agg_sliding_window)
@@ -644,6 +645,7 @@ query("doc_fingerprint", _ts.DOC_FINGERPRINT_SQL)(_ts.doc_fingerprint)
 query("pipeline_docs_prep", _ts.PIPELINE_DOCS_SQL)(_ts.pipeline_docs_prep)
 query("doc_winnowing", _ts.DOC_WINNOW_SQL)(_ts.doc_winnowing)
 query("text_bigram_freq", _ts.TEXT_BIGRAM_SQL)(_ts.text_bigram_freq)
+query("text_oov_rate", _ts.TEXT_OOV_SQL)(_ts.text_oov_rate)
 query("udtf_chunk_docs", _ts.UDTF_CHUNK_SQL)(_ts.udtf_chunk_docs)
 query("text_normalize", _ts.TEXT_NORMALIZE_SQL)(_ts.text_normalize)
 query("mm_binary_meta", _mm.MM_BINARY_META_SQL)(_mm.mm_binary_meta)
@@ -686,6 +688,7 @@ query("scd2_intervals", _au.SCD2_SQL)(_au.scd2_intervals)
 query("dq_constraint_audit", _au.DQ_AUDIT_SQL)(_au.dq_constraint_audit)
 query("dq_benford", _au.DQ_BENFORD_SQL)(_au.dq_benford)
 query("layout_zorder_stats", _au.DQ_ZORDER_SQL)(_au.layout_zorder_stats)
+query("dq_checksum_buckets", _au.DQ_CKSUM_SQL)(_au.dq_checksum_buckets)
 query("skew_key_profile", _au.SKEW_PROFILE_SQL)(_au.skew_key_profile)
 query("json_key_inventory", _jsonf.JSON_KEY_INVENTORY_SQL)(_jsonf.json_key_inventory)
 query("join_interval_overlap", _an.JOIN_INTERVAL_SQL)(_an.join_interval_overlap)

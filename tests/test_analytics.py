@@ -402,3 +402,41 @@ def test_resample_interp_vs_brute(spark, sf_dir):
     assert got == expect
     kinds = {k for k, _ in got.values()}
     assert "interp" in kinds  # gaps exist and get filled
+
+
+def test_seq_pattern_triples_vs_brute(spark, sf_dir):
+    from spark_streaming_stream_analyzer_spark.operators import analytics as an
+    from spark_streaming_stream_analyzer_spark.sources.tables import (
+        load_table,
+        ts_micros,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select(
+        "user_id", ts_micros(ev).alias("us"), "event_type", "event_id"
+    ).collect()
+    by_u = {}
+    for r in rows:
+        by_u.setdefault(r["user_id"], []).append(
+            (r["us"], r["event_id"], r["event_type"])
+        )
+    expect = {}
+    for u, evs in by_u.items():
+        evs.sort()
+        n, best = 0, None
+        for i in range(len(evs) - 2):
+            (u0, _, t0), (u1, _, t1), (u2, _, t2) = evs[i], evs[i + 1], evs[i + 2]
+            if (
+                (t0, t1, t2) == ("view", "click", "purchase")
+                and u1 - u0 <= an.SEQ_GAP_US
+                and u2 - u1 <= an.SEQ_GAP_US
+            ):
+                n += 1
+                best = u2 - u0 if best is None else min(best, u2 - u0)
+        expect[u] = (n, best)
+    got = {
+        r["user_id"]: (r["n_matches"], r["min_span_us"])
+        for r in an.seq_pattern_triples(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert any(n > 0 for n, _ in got.values())

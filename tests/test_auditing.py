@@ -147,3 +147,46 @@ def test_zorder_stats_vs_brute(spark, sf_dir):
     y_tile = 1 << (au.ZBUCKET_SHIFT // 2)
     assert all(v[2] - v[1] < x_tile for v in got.values())
     assert all(v[4] - v[3] < y_tile for v in got.values())
+
+
+def test_checksum_buckets_localize_a_diff(spark, sf_dir):
+    """Digests must equal an independent fold, and a single-row edit
+    must flip exactly the bucket containing that key."""
+    import hashlib
+
+    from spark_streaming_stream_analyzer_spark.operators import auditing as au
+    from spark_streaming_stream_analyzer_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate",
+    ).collect()
+
+    def h(r, price=None):
+        p = r["o_totalprice"] if price is None else price
+        s = "|".join([
+            str(r["o_orderkey"]), str(r["o_custkey"]), r["o_orderstatus"],
+            str(round(p * 100)), str(r["o_orderdate"].date()),
+        ])
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def fold(rows, mutate_key=None):
+        out = {}
+        for r in rows:
+            b = r["o_orderkey"] // au.CKSUM_BUCKET
+            price = 9.99 if r["o_orderkey"] == mutate_key else None
+            n, d = out.get(b, (0, 0))
+            out[b] = (n + 1, d ^ h(r, price))
+        return out
+
+    expect = fold(rows)
+    got = {
+        r["bucket"]: (r["n_rows"], r["digest"])
+        for r in au.dq_checksum_buckets(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # reconciliation property: one mutated row -> exactly one bucket diff
+    key = rows[0]["o_orderkey"]
+    mutated = fold(rows, mutate_key=key)
+    diff = [b for b in expect if expect[b] != mutated[b]]
+    assert diff == [key // au.CKSUM_BUCKET]
