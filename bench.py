@@ -75,6 +75,13 @@ HEADLINE = [
     "ts_ohlc_bars",
     "attribution_last_touch",
     "ts_sliding_dau",
+    # round-5 additions, second wave: pattern/audit/layout tier
+    "seq_pattern_triples",
+    "ts_anomaly_mad",
+    "dq_checksum_buckets",
+    "sample_reservoir_group",
+    "layout_zorder_stats",
+    "dedup_fingerprint_overlap",
 ]
 
 #: Throughput probes: query → fixture table whose full scan dominates

@@ -1942,3 +1942,82 @@ SELECT user_id,
        MIN(CASE WHEN hit THEN span_us END) AS min_span_us
 FROM leads GROUP BY 1
 """
+
+
+# --------------------------------------------- association rules --
+
+ASSOC_TOP_K = 50
+ASSOC_MIN_AB = 3  # minimum co-occurrence support (baskets)
+
+
+def assoc_rules_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: the top co-purchased part pairs with
+    exact integer support and lift — the frequent-itemset/association-
+    rule primitive at its k=2 workhorse size (recommenders and
+    planogram analytics rarely go past pairs at full scale). lift > 1e6
+    ppm means the pair co-occurs more than independence predicts.
+
+    Shape: baskets deduplicate to (order, part), pairs come from the
+    orderkey self-join (fan-out C(basket,2) — bounded by basket size,
+    never |parts|²), and the item-frequency table broadcasts back for
+    the lift arithmetic. Counts stay integers through the verdict:
+    support_ppm = n_ab·1e6 DIV N, lift_ppm = n_ab·N·1e6 DIV (n_a·n_b)
+    (peak product ~1e13 at 100x — headroom designed). Top-K by
+    support with (part_a, part_b) tiebreak = TakeOrderedAndProject,
+    not a global sort.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    nb = li.agg(F.countDistinct("l_orderkey").alias("nbask"))
+    item = li.groupBy("l_partkey").agg(F.count("*").alias("n_item"))
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= ASSOC_MIN_AB)
+    )
+    ia = item.select(F.col("l_partkey").alias("pa"), F.col("n_item").alias("n_a"))
+    ib = item.select(F.col("l_partkey").alias("pb"), F.col("n_item").alias("n_b"))
+    scored = (
+        pairs.join(F.broadcast(ia), "pa")
+        .join(F.broadcast(ib), "pb")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            "n_ab",
+            F.expr("n_ab * 1000000 DIV nbask").alias("support_ppm"),
+            F.expr(
+                "n_ab * nbask * 1000000 DIV (n_a * n_b)"
+            ).alias("lift_ppm"),
+        )
+    )
+    return scored.orderBy(
+        F.col("n_ab").desc(), "part_a", "part_b"
+    ).limit(ASSOC_TOP_K)
+
+
+ASSOC_RULES_SQL = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+nb AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM li),
+item AS (SELECT l_partkey, COUNT(*) AS n_item FROM li GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n_ab
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {ASSOC_MIN_AB}
+)
+SELECT pa AS part_a, pb AS part_b, n_ab,
+       CAST(n_ab * 1000000 // nb.n AS BIGINT) AS support_ppm,
+       CAST(n_ab * nb.n * 1000000 // (ia.n_item * ib.n_item) AS BIGINT)
+         AS lift_ppm
+FROM pairs, nb
+JOIN item ia ON ia.l_partkey = pa
+JOIN item ib ON ib.l_partkey = pb
+ORDER BY n_ab DESC, part_a, part_b
+LIMIT {ASSOC_TOP_K}
+"""

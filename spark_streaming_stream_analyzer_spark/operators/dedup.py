@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import hash64
+from ..functions.hashing import hash64, hash64_sql
 from ..sources.tables import load_table, load_table_cpu
 
 SIG_N = 32          # minhash permutations
@@ -976,3 +976,78 @@ JOIN sizes sb ON sb.doc_id = doc_b
 
 
 FP_OVERLAP_SQL = _fp_overlap_sql()
+
+
+# -------------------------------------- duplicated n-gram fraction --
+
+DUPG_N = 8  # gram length (words)
+
+
+def text_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-text exposure: the fraction of a doc's
+    word 8-grams that also occur ANYWHERE else in the corpus — the
+    dataframe form of the exact-substring memorization screen (Lee et
+    al. 2022 dedup the other way round: they drop the repeats; this
+    measures how much of each doc is repeat). Emits per doc the gram
+    count, duplicated-gram count, and exact ppm fraction.
+
+    Shape: one explode to (gram-hash, doc) pairs, one count per hash,
+    and a semi-join-style membership flag folded back per doc — all
+    hash-partitioned, the inverted-index discipline again (never
+    doc x doc). The gram table is the big intermediate (|tokens| rows);
+    at 100 TB it is the same table the suffix-array dedup pipelines
+    shard, and the per-hash count is where boilerplate shows up as
+    hot keys — counts are map-side combined, so a million-doc
+    boilerplate gram is one (hash, n) row after the partial agg.
+    """
+    docs = load_table_cpu(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda w: w != "")
+    n_words = F.size(words)
+    grams = F.when(
+        n_words >= DUPG_N,
+        F.transform(
+            F.sequence(F.lit(1), n_words - F.lit(DUPG_N - 1)),
+            lambda i: hash64(
+                F.concat_ws(" ", F.slice(words, i, DUPG_N))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    g = docs.select("doc_id", F.explode(grams).alias("gh"))
+    # distinct per doc BEFORE the global count so a doc repeating its
+    # own gram doesn't count itself as a corpus duplicate
+    gd = g.distinct()
+    freq = gd.groupBy("gh").agg(F.count("*").alias("nd"))
+    flagged = g.join(freq, "gh").select(
+        "doc_id", (F.col("nd") >= 2).cast("long").alias("dup")
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.sum("dup").alias("n_dup_grams"),
+        F.expr("sum(dup) * 1000000 DIV count(*)").alias("dup_ppm"),
+    )
+
+
+TEXT_DUP_NGRAM_SQL = f"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws) - {DUPG_N} + 2),
+           i -> {hash64_sql("array_to_string(list_slice(ws, i, i + " + str(DUPG_N - 1) + "), ' ')")}
+         )) AS gh
+  FROM w WHERE len(ws) >= {DUPG_N}
+),
+freq AS (
+  SELECT gh, COUNT(*) AS nd FROM (SELECT DISTINCT doc_id, gh FROM g) d
+  GROUP BY 1
+)
+SELECT doc_id, COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_grams,
+       CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+            AS BIGINT) AS dup_ppm
+FROM g JOIN freq USING (gh)
+GROUP BY doc_id
+"""

@@ -367,3 +367,55 @@ SELECT source, doc_id, rk, sample_key FROM (
   FROM documents
 ) t WHERE rk <= {RSV_K}
 """
+
+
+# ---------------------------------------------- mixture concentration --
+
+
+def corpus_contrib_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concentration of the training mixture: the Gini coefficient of
+    per-source token contribution, in exact ppm — the one-number
+    answer to "is the corpus a few sources wearing a trench coat".
+    0 = perfectly even mixture, ->1 = one source dominates. Companion
+    to ``corpus_mixture_stats`` (which lists the shares; this scores
+    them).
+
+    Gini over k sorted shares x_1<=...<=x_k:
+    (2·Σ i·x_i) / (k·Σ x_i) − (k+1)/k, computed by integer
+    cross-multiplication in ppm: one wordcount-shaped aggregate to
+    (source, tokens), one k-row window to rank, one scalar fold.
+    The heavy stage is the token count (map-side combined); the Gini
+    arithmetic touches k rows — free at any corpus size.
+    """
+    docs = load_table_cpu(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split("text", " "), lambda w: w != ""))
+    per_src = docs.groupBy("source").agg(F.sum(n_tok).alias("tok"))
+    w = Window.orderBy("tok", "source")
+    ranked = per_src.select(
+        "tok", F.row_number().over(w).alias("i")
+    )
+    return ranked.agg(
+        F.count("*").alias("n_sources"),
+        F.sum("tok").alias("total_tokens"),
+        F.expr(
+            "(2 * sum(i * tok) * 1000000 DIV (count(*) * sum(tok)))"
+            " - ((count(*) + 1) * 1000000 DIV count(*))"
+        ).alias("gini_ppm"),
+    )
+
+
+CORPUS_GINI_SQL = """
+WITH per_src AS (
+  SELECT source,
+         CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> '')))
+              AS BIGINT) AS tok
+  FROM documents GROUP BY 1
+),
+ranked AS (
+  SELECT tok, row_number() OVER (ORDER BY tok, source) AS i FROM per_src
+)
+SELECT COUNT(*) AS n_sources, CAST(SUM(tok) AS BIGINT) AS total_tokens,
+       CAST((2 * SUM(i * tok) * 1000000 // (COUNT(*) * SUM(tok)))
+            - ((COUNT(*) + 1) * 1000000 // COUNT(*)) AS BIGINT) AS gini_ppm
+FROM ranked
+"""

@@ -545,6 +545,7 @@ query("anomaly_zscore", _an.ANOMALY_ZSCORE_SQL)(_an.anomaly_zscore)
 query("ts_anomaly_mad", _an.TS_ANOMALY_MAD_SQL)(_an.ts_anomaly_mad)
 query("ts_resample_interp", _an.TS_INTERP_SQL)(_an.ts_resample_interp)
 query("seq_pattern_triples", _an.SEQ_PATTERN_SQL)(_an.seq_pattern_triples)
+query("assoc_rules_pairs", _an.ASSOC_RULES_SQL)(_an.assoc_rules_pairs)
 query("text_tfidf_topk", _an.TEXT_TFIDF_SQL)(_an.text_tfidf_topk)
 query("join_salted_skew", _an.JOIN_SALTED_SQL)(_an.join_salted_skew)
 query("agg_sliding_window", _an.AGG_SLIDING_SQL)(_an.agg_sliding_window)
@@ -620,6 +621,9 @@ query("dedup_minhash_quality", _dd.DEDUP_MINHASH_QUALITY_SQL)(_dd.dedup_minhash_
 query("dedup_fingerprint_overlap", _dd.FP_OVERLAP_SQL)(
     _dd.dedup_fingerprint_overlap
 )
+query("text_dup_ngram_fraction", _dd.TEXT_DUP_NGRAM_SQL)(
+    _dd.text_dup_ngram_fraction
+)
 query("sim_topk_cosine", _sim.SIM_TOPK_SQL)(_sim.sim_topk_cosine)
 query("sim_kmeans_exact_cells", _sim.SIM_KMEANS_EXACT_SQL)(
     _sim.sim_kmeans_exact_cells
@@ -676,6 +680,7 @@ query("sample_temperature_mixture", _pk.SAMPLE_TEMPERATURE_SQL)(
 )
 query("sample_weighted", _pk.WEIGHTED_SQL)(_pk.sample_weighted)
 query("sample_reservoir_group", _pk.RESERVOIR_SQL)(_pk.sample_reservoir_group)
+query("corpus_contrib_gini", _pk.CORPUS_GINI_SQL)(_pk.corpus_contrib_gini)
 query("corpus_mixture_stats", _pk.MIXTURE_SQL)(_pk.corpus_mixture_stats)
 query("text_chunk_overlap", _cur.TEXT_CHUNK_SQL)(_cur.text_chunk_overlap)
 query("split_leakage_audit", _cur.SPLIT_LEAKAGE_SQL)(_cur.split_leakage_audit)

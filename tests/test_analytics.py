@@ -440,3 +440,43 @@ def test_seq_pattern_triples_vs_brute(spark, sf_dir):
     }
     assert got == expect
     assert any(n > 0 for n, _ in got.values())
+
+
+def test_assoc_rules_vs_brute(spark, sf_dir):
+    from itertools import combinations
+
+    from spark_streaming_stream_analyzer_spark.operators import analytics as an
+    from spark_streaming_stream_analyzer_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    baskets = {}
+    for r in li:
+        baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    N = len(baskets)
+    item = {}
+    pair = {}
+    for parts in baskets.values():
+        for p in parts:
+            item[p] = item.get(p, 0) + 1
+        for a, b in combinations(sorted(parts), 2):
+            pair[(a, b)] = pair.get((a, b), 0) + 1
+    cands = [
+        (n, a, b) for (a, b), n in pair.items() if n >= an.ASSOC_MIN_AB
+    ]
+    cands.sort(key=lambda t: (-t[0], t[1], t[2]))
+    expect = [
+        (
+            a, b, n,
+            n * 1_000_000 // N,
+            n * N * 1_000_000 // (item[a] * item[b]),
+        )
+        for n, a, b in cands[: an.ASSOC_TOP_K]
+    ]
+    got = [
+        (r["part_a"], r["part_b"], r["n_ab"], r["support_ppm"], r["lift_ppm"])
+        for r in an.assoc_rules_pairs(spark, sf_dir).collect()
+    ]
+    assert got == expect
+    assert got and all(r[4] > 0 for r in got)

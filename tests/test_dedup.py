@@ -201,3 +201,44 @@ def test_fingerprint_overlap_vs_brute(spark, sf_dir):
     }
     assert got == expect
     assert got  # the corpus does contain overlapping pairs
+
+
+def test_dup_ngram_fraction_vs_brute(spark, sf_dir):
+    import hashlib
+
+    from spark_streaming_stream_analyzer_spark.operators import dedup as dd
+    from spark_streaming_stream_analyzer_spark.sources.tables import (
+        load_table_cpu,
+    )
+
+    docs = load_table_cpu(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect()
+
+    def grams(text):
+        ws = [w for w in text.split(" ") if w]
+        return [
+            " ".join(ws[i : i + dd.DUPG_N])
+            for i in range(len(ws) - dd.DUPG_N + 1)
+        ]
+
+    def h(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+
+    per_doc = {r["doc_id"]: [h(g) for g in grams(r["text"])] for r in docs}
+    freq = {}
+    for d, gs in per_doc.items():
+        for gh in set(gs):
+            freq[gh] = freq.get(gh, 0) + 1
+    expect = {}
+    for d, gs in per_doc.items():
+        if not gs:
+            continue
+        dup = sum(1 for gh in gs if freq[gh] >= 2)
+        expect[d] = (len(gs), dup, dup * 1_000_000 // len(gs))
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_dup_grams"], r["dup_ppm"])
+        for r in dd.text_dup_ngram_fraction(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert any(v[1] > 0 for v in got.values())  # corpus has repeats

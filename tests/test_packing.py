@@ -133,3 +133,28 @@ def test_reservoir_group_matches_hash_rank_brute(spark, sf_dir):
         assert sum(1 for (src, _) in got if src == s) == min(
             pk.RSV_K, len(ids)
         )
+
+
+def test_gini_matches_brute_and_bounds(spark, sf_dir):
+    from spark_streaming_stream_analyzer_spark.operators import packing as pk
+
+    docs = pk.load_table_cpu(spark, sf_dir, "documents").select(
+        "source", "text"
+    ).collect()
+    per = {}
+    for r in docs:
+        per[r["source"]] = per.get(r["source"], 0) + len(
+            [w for w in r["text"].split(" ") if w]
+        )
+    toks = sorted(per.items(), key=lambda kv: (kv[1], kv[0]))
+    k = len(toks)
+    tot = sum(v for _, v in toks)
+    gini = (
+        2 * sum((i + 1) * v for i, (_, v) in enumerate(toks)) * 1_000_000
+        // (k * tot)
+    ) - ((k + 1) * 1_000_000 // k)
+    row = pk.corpus_contrib_gini(spark, sf_dir).collect()[0]
+    assert (row["n_sources"], row["total_tokens"], row["gini_ppm"]) == (
+        k, tot, gini,
+    )
+    assert 0 <= row["gini_ppm"] < 1_000_000
