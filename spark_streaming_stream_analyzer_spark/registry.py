@@ -760,6 +760,9 @@ query("stream_sliding_window", _sp.STREAM_SLIDING_SQL)(_sp.stream_sliding_window
 query("stream_minute_rollup", _sp.STREAM_MINUTE_ROLLUP_SQL)(_sp.stream_minute_rollup)
 query("stream_foreachbatch_upsert", _sp.STREAM_UPSERT_SQL)(_sp.stream_foreachbatch_upsert)
 query("stream_cdc_apply", _sp.STREAM_CDC_SQL)(_sp.stream_cdc_apply)
+query("stream_freshness_watermark", _ft.DQ_FRESHNESS_SQL)(
+    _sp.stream_freshness_watermark
+)
 query("stream_dedup", _sp.STREAM_DEDUP_SQL)(_sp.stream_dedup)
 query("stream_dedup_watermark", _sp.STREAM_DEDUP_WM_SQL)(_sp.stream_dedup_watermark)
 query("stream_stream_left_join", _sp.STREAM_STREAM_LEFT_SQL)(

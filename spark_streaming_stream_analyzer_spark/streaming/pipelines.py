@@ -1215,3 +1215,72 @@ FROM (
   FROM events
 ) t WHERE rn = 1 AND event_type <> 'error'
 """
+
+
+def stream_freshness_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``featurize.dq_freshness_sla``: the freshness
+    monitor maintained INCREMENTALLY — per micro-batch, a running
+    (max event time, count) per event_type folds into a keyed parquet
+    delta store via foreachBatch (max and count are associative, so
+    per-batch partials merge exactly); the serving view computes each
+    type's lag behind the global high-water mark. The batch oracle
+    over the same fixture must match exactly — a freshness dashboard
+    can switch from nightly batch to the live stream without its
+    numbers moving.
+
+    Same merge-on-read discipline as the upsert/CDC sinks: nothing
+    driver-resident, one tiny (|types|-row) append per batch, fold =
+    group-max/group-sum over the deltas.
+    """
+    from ..operators.featurize import FRESH_SLA_US
+
+    stream = events_file_stream(
+        spark, os.path.join(sf_dir, "events.parquet"), copies=2
+    )
+    store_dir = _tracked_tmp_dir("sgs_fresh_store")
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        part = (
+            batch_df.withColumn("us", ts_micros(batch_df))
+            .groupBy("event_type")
+            .agg(F.max("us").alias("latest_us"), F.count("*").alias("n"))
+        )
+        part.write.mode("append").parquet(store_dir)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_CPUS", "32")
+    )
+    ckpt = _tracked_tmp_dir("sgs_fresh")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(fold_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        _cleanup_tmp_dirs([ckpt])
+    # counts fold additively, so the 2x fixture replay doubles them —
+    # normalize by the known replay factor; max() is replay-idempotent
+    # and needs nothing. The deltas stay pure partial aggregates.
+    per_type = (
+        spark.read.parquet(store_dir)
+        .groupBy("event_type")
+        .agg(
+            F.max("latest_us").alias("latest_us"),
+            (F.sum("n") / 2).cast("long").alias("n_events"),
+        )
+    )
+    hwm = per_type.agg(F.max("latest_us").alias("hwm_us"))
+    return per_type.crossJoin(F.broadcast(hwm)).select(
+        "event_type",
+        "n_events",
+        "latest_us",
+        (F.col("hwm_us") - F.col("latest_us")).alias("lag_us"),
+        ((F.col("hwm_us") - F.col("latest_us")) <= FRESH_SLA_US).alias(
+            "within_sla"
+        ),
+    )

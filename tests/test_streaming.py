@@ -465,3 +465,29 @@ def test_cdc_apply_tombstone_semantics(spark, tmp_path):
         20: (5 * US, 4, 4.0),
         30: (9 * US, 6, 6.0),
     }
+
+
+def test_stream_freshness_matches_batch(spark, sf_dir):
+    """The incrementally-folded freshness report must equal the batch
+    operator row for row (max is replay-idempotent, counts normalize
+    by the replay factor)."""
+    from spark_streaming_stream_analyzer_spark.operators.featurize import (
+        dq_freshness_sla,
+    )
+    from spark_streaming_stream_analyzer_spark.streaming.pipelines import (
+        stream_freshness_watermark,
+    )
+
+    batch = {
+        r["event_type"]: (
+            r["n_events"], r["latest_us"], r["lag_us"], r["within_sla"]
+        )
+        for r in dq_freshness_sla(spark, sf_dir).collect()
+    }
+    stream = {
+        r["event_type"]: (
+            r["n_events"], r["latest_us"], r["lag_us"], r["within_sla"]
+        )
+        for r in stream_freshness_watermark(spark, sf_dir).collect()
+    }
+    assert stream == batch
