@@ -2021,3 +2021,78 @@ JOIN item ib ON ib.l_partkey = pb
 ORDER BY n_ab DESC, part_a, part_b
 LIMIT {ASSOC_TOP_K}
 """
+
+
+# ---------------------------------------------- seasonal profile --
+
+
+def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality profile per event_type: mean value in
+    exact milli-cents per (type, hour-of-day) cell, each cell's lift
+    vs the type's overall mean in ppm, and a peak-hour flag — the
+    additive-decomposition first step every ops dashboard and
+    forecasting featurizer runs.
+
+    One scan -> 24x|types| cells (sum-cents + count, map-side
+    combined); the per-type totals ride back via a broadcast join and
+    everything downstream is integer: cell_mean_milli = sum·1000 DIV
+    n, lift_ppm = cell_mean·1e6 DIV type_mean. Peak = max-by-struct
+    over 24 rows. Time zone is fixed UTC session-wide (session.py),
+    so hour() is deterministic.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.hour(ts_timestamp(ev)).alias("hod"),
+        cents("value").alias("c"),
+    )
+    cells = base.groupBy("event_type", "hod").agg(
+        F.sum("c").alias("s"), F.count("*").alias("n")
+    )
+    totals = cells.groupBy("event_type").agg(
+        F.sum("s").alias("ts_"), F.sum("n").alias("tn")
+    )
+    j = cells.join(F.broadcast(totals), "event_type").select(
+        "event_type",
+        "hod",
+        "n",
+        F.expr("s * 1000 DIV n").alias("mean_milli"),
+        F.expr("(s * 1000 DIV n) * 1000000 DIV (ts_ * 1000 DIV tn)").alias(
+            "lift_ppm"
+        ),
+    )
+    w = Window.partitionBy("event_type")
+    return j.select(
+        "event_type",
+        "hod",
+        "n",
+        "mean_milli",
+        "lift_ppm",
+        (
+            F.struct("mean_milli", "hod")
+            == F.max(F.struct("mean_milli", "hod")).over(w)
+        ).alias("is_peak_hour"),
+    )
+
+
+TS_SEASONAL_SQL = """
+WITH cells AS (
+  SELECT event_type, EXTRACT(hour FROM ts) AS hod,
+         SUM(CAST(round(value * 100) AS BIGINT)) AS s, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+totals AS (
+  SELECT event_type, SUM(s) AS ts_, SUM(n) AS tn FROM cells GROUP BY 1
+),
+j AS (
+  SELECT c.event_type, c.hod, c.n,
+         CAST(c.s * 1000 // c.n AS BIGINT) AS mean_milli,
+         CAST((c.s * 1000 // c.n) * 1000000
+              // (t.ts_ * 1000 // t.tn) AS BIGINT) AS lift_ppm
+  FROM cells c JOIN totals t USING (event_type)
+)
+SELECT event_type, CAST(hod AS BIGINT) AS hod, n, mean_milli, lift_ppm,
+       (mean_milli, hod) = (MAX((mean_milli, hod))
+         OVER (PARTITION BY event_type)) AS is_peak_hour
+FROM j
+"""

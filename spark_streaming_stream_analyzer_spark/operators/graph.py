@@ -343,3 +343,85 @@ SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
          AS clustering_ppm
 FROM tri
 """
+
+
+# ------------------------------------------------------ BFS distances --
+
+
+def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the thinned customer<->part graph: hop
+    distance from the seed set (every component's minimum node — the
+    CC representatives) to every reachable node, as a distance
+    histogram per hop. Frontier-as-dataframe iteration: each round
+    joins the frontier to edges and anti-joins already-visited nodes;
+    terminates when the frontier empties (diameter-many rounds, same
+    loop discipline as ``graph_connected_components``).
+
+    The oracle reaches the same distances through a recursive CTE that
+    propagates (node, dist) pairs and keeps MIN(dist) — BFS layering
+    as monotone fixpoint, engine-independent because hop counts are
+    integers (no weights, no FP).
+
+    Scale: per round one hash join frontier⋈edges + one anti join vs
+    the visited set — the Pregel superstep shape; visited is the only
+    growing state and is exactly the final output size. At 100 TB the
+    anti join is the cost center and is why production BFS keeps
+    visited bucketed by node id (stated here, same plan).
+    """
+    edges = _cc_edges(spark, sf_dir).localCheckpoint(eager=False)
+    # seeds = per-component min node == the CC labels themselves
+    comp = graph_connected_components(spark, sf_dir)
+    seeds = comp.select(F.col("component").alias("node"))
+    visited = seeds.select(
+        "node", F.lit(0).cast("long").alias("dist")
+    ).localCheckpoint(eager=False)
+    frontier = visited
+    d = 0
+    while True:
+        d += 1
+        nxt = (
+            edges.join(
+                frontier.select(F.col("node").alias("src")), "src"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(d).cast("long").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    return visited.groupBy("dist").agg(
+        F.count("*").alias("n_nodes"),
+        F.min("node").alias("min_node"),
+        F.max("node").alias("max_node"),
+    )
+
+
+GRAPH_BFS_SQL = f"""
+WITH RECURSIVE e0 AS (
+  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_partkey * 2 + 1 AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_quantity >= {CC_MIN_QTY}
+),
+cedges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+reach(node, lbl) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM cedges) n
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN cedges e ON e.src = r.node
+  WHERE r.lbl < e.dst
+),
+seeds AS (SELECT MIN(lbl) AS node FROM reach GROUP BY node),
+walk(node, dist) AS (
+  SELECT DISTINCT node, CAST(0 AS BIGINT) FROM seeds
+  UNION
+  SELECT e.dst, w.dist + 1 FROM walk w JOIN cedges e ON e.src = w.node
+  WHERE w.dist + 1 < 64
+),
+best AS (SELECT node, MIN(dist) AS dist FROM walk GROUP BY 1)
+SELECT dist, COUNT(*) AS n_nodes, MIN(node) AS min_node,
+       MAX(node) AS max_node
+FROM best GROUP BY 1
+"""

@@ -419,3 +419,67 @@ SELECT COUNT(*) AS n_sources, CAST(SUM(tok) AS BIGINT) AS total_tokens,
             - ((COUNT(*) + 1) * 1000000 // COUNT(*)) AS BIGINT) AS gini_ppm
 FROM ranked
 """
+
+
+# ------------------------------------------------- length bucketing --
+
+
+def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching audit: documents grouped into
+    power-of-two token-length buckets (the dynamic-batching scheme
+    that pads each sequence only to its bucket ceiling, not the global
+    max), reporting per bucket the doc count, real token mass, padded
+    mass, and exact padding-waste ppm — the number that decides
+    whether bucketed batching is worth the loader complexity.
+
+    One scan, one 2^k bucket expression (integer bit math via
+    ceil-log2 on the token count), one aggregate. The waste ppm is
+    (padded − real)·1e6 DIV padded, all integer.
+    """
+    docs = load_table_cpu(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split("text", " "), lambda w: w != ""))
+    # smallest power of two >= n, in pure integer bit math: 1 <<
+    # bitlength(n-1) (a float ceil(log2(n)) would be a portability
+    # bug at exact-power boundaries)
+    bucket = F.expr(
+        "CASE WHEN n_tok <= 1 THEN CAST(1 AS BIGINT)"
+        " ELSE shiftleft(CAST(1 AS BIGINT), length(bin(n_tok - 1))) END"
+    )
+    toks = docs.select(n_tok.alias("n_tok")).withColumn("bucket", bucket)
+    return (
+        toks.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("real_tokens"),
+            (F.count("*") * F.col("bucket")).alias("padded_tokens"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "real_tokens",
+            "padded_tokens",
+            F.expr(
+                "(padded_tokens - real_tokens) * 1000000 DIV padded_tokens"
+            ).alias("waste_ppm"),
+        )
+    )
+
+
+PACK_LENGTH_SQL = """
+WITH toks AS (
+  SELECT len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok
+  FROM documents
+),
+b AS (
+  SELECT n_tok,
+         CASE WHEN n_tok <= 1 THEN CAST(1 AS BIGINT)
+              ELSE CAST(1 AS BIGINT) << length(bin(n_tok - 1)) END AS bucket
+  FROM toks
+)
+SELECT bucket, COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS real_tokens,
+       CAST(COUNT(*) * bucket AS BIGINT) AS padded_tokens,
+       CAST((COUNT(*) * bucket - SUM(n_tok)) * 1000000
+            // (COUNT(*) * bucket) AS BIGINT) AS waste_ppm
+FROM b GROUP BY 1
+"""

@@ -546,6 +546,7 @@ query("ts_anomaly_mad", _an.TS_ANOMALY_MAD_SQL)(_an.ts_anomaly_mad)
 query("ts_resample_interp", _an.TS_INTERP_SQL)(_an.ts_resample_interp)
 query("seq_pattern_triples", _an.SEQ_PATTERN_SQL)(_an.seq_pattern_triples)
 query("assoc_rules_pairs", _an.ASSOC_RULES_SQL)(_an.assoc_rules_pairs)
+query("ts_seasonal_profile", _an.TS_SEASONAL_SQL)(_an.ts_seasonal_profile)
 query("text_tfidf_topk", _an.TEXT_TFIDF_SQL)(_an.text_tfidf_topk)
 query("join_salted_skew", _an.JOIN_SALTED_SQL)(_an.join_salted_skew)
 query("agg_sliding_window", _an.AGG_SLIDING_SQL)(_an.agg_sliding_window)
@@ -681,6 +682,7 @@ query("sample_temperature_mixture", _pk.SAMPLE_TEMPERATURE_SQL)(
 query("sample_weighted", _pk.WEIGHTED_SQL)(_pk.sample_weighted)
 query("sample_reservoir_group", _pk.RESERVOIR_SQL)(_pk.sample_reservoir_group)
 query("corpus_contrib_gini", _pk.CORPUS_GINI_SQL)(_pk.corpus_contrib_gini)
+query("pack_length_buckets", _pk.PACK_LENGTH_SQL)(_pk.pack_length_buckets)
 query("corpus_mixture_stats", _pk.MIXTURE_SQL)(_pk.corpus_mixture_stats)
 query("text_chunk_overlap", _cur.TEXT_CHUNK_SQL)(_cur.text_chunk_overlap)
 query("split_leakage_audit", _cur.SPLIT_LEAKAGE_SQL)(_cur.split_leakage_audit)
@@ -717,6 +719,7 @@ query("graph_connected_components", _gr.GRAPH_CC_SQL)(
     _gr.graph_connected_components
 )
 query("graph_triangle_count", _gr.GRAPH_TRIANGLE_SQL)(_gr.graph_triangle_count)
+query("graph_bfs_distances", _gr.GRAPH_BFS_SQL)(_gr.graph_bfs_distances)
 
 from .operators import featurize as _ft  # noqa: E402
 

@@ -480,3 +480,45 @@ def test_assoc_rules_vs_brute(spark, sf_dir):
     ]
     assert got == expect
     assert got and all(r[4] > 0 for r in got)
+
+
+def test_seasonal_profile_vs_brute(spark, sf_dir):
+    from spark_streaming_stream_analyzer_spark.operators import analytics as an
+    from spark_streaming_stream_analyzer_spark.sources.tables import (
+        load_table,
+        ts_timestamp,
+    )
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select(
+        "event_type", F.hour(ts_timestamp(ev)).alias("hod"), "value"
+    ).collect()
+    cells = {}
+    for r in rows:
+        k = (r["event_type"], r["hod"])
+        s, n = cells.get(k, (0, 0))
+        cells[k] = (s + round(r["value"] * 100), n + 1)
+    totals = {}
+    for (t, _), (s, n) in cells.items():
+        ts_, tn = totals.get(t, (0, 0))
+        totals[t] = (ts_ + s, tn + n)
+    expect = {}
+    for (t, h), (s, n) in cells.items():
+        mm = s * 1000 // n
+        tm = totals[t][0] * 1000 // totals[t][1]
+        expect[(t, h)] = (n, mm, mm * 1_000_000 // tm)
+    peaks = {}
+    for (t, h), (_, mm, _) in expect.items():
+        cur = peaks.get(t)
+        if cur is None or (mm, h) > cur:
+            peaks[t] = (mm, h)
+    got = {
+        (r["event_type"], r["hod"]): (
+            r["n"], r["mean_milli"], r["lift_ppm"], r["is_peak_hour"]
+        )
+        for r in an.ts_seasonal_profile(spark, sf_dir).collect()
+    }
+    assert {k: v[:3] for k, v in got.items()} == expect
+    for (t, h), (_, mm, _, pk) in got.items():
+        assert pk == (peaks[t] == (mm, h))

@@ -139,3 +139,35 @@ def test_triangle_count_vs_brute(spark, sf_dir):
         row["n_triangles"],
     ) == (n, e, w, t)
     assert row["clustering_ppm"] == 3 * t * 1_000_000 // w
+
+
+def test_bfs_distances_vs_brute(spark, sf_dir):
+    from collections import deque
+
+    edges = {}
+    for r in gr._cc_edges(spark, sf_dir).collect():
+        edges.setdefault(r["src"], []).append(r["dst"])
+    comp = _cc_brute(
+        [(s, d) for s, ds in edges.items() for d in ds]
+    )
+    seeds = sorted({c for c in comp.values()})
+    dist = {s: 0 for s in seeds}
+    q = deque(seeds)
+    while q:
+        n = q.popleft()
+        for m in edges.get(n, []):
+            if m not in dist:
+                dist[m] = dist[n] + 1
+                q.append(m)
+    expect = {}
+    for n, d in dist.items():
+        e = expect.setdefault(d, [0, n, n])
+        e[0] += 1
+        e[1] = min(e[1], n)
+        e[2] = max(e[2], n)
+    got = {
+        r["dist"]: [r["n_nodes"], r["min_node"], r["max_node"]]
+        for r in gr.graph_bfs_distances(spark, sf_dir).collect()
+    }
+    assert got == {d: list(v) for d, v in expect.items()}
+    assert max(got) >= 2  # layered structure, not just seeds+neighbors

@@ -158,3 +158,29 @@ def test_gini_matches_brute_and_bounds(spark, sf_dir):
         k, tot, gini,
     )
     assert 0 <= row["gini_ppm"] < 1_000_000
+
+
+def test_length_buckets_vs_brute(spark, sf_dir):
+    from spark_streaming_stream_analyzer_spark.operators import packing as pk
+
+    docs = pk.load_table_cpu(spark, sf_dir, "documents").select(
+        "text"
+    ).collect()
+    buckets = {}
+    for r in docs:
+        n = len([w for w in r["text"].split(" ") if w])
+        b = 1 if n <= 1 else 1 << (n - 1).bit_length()
+        c, s = buckets.get(b, (0, 0))
+        buckets[b] = (c + 1, s + n)
+    got = {
+        r["bucket"]: (
+            r["n_docs"], r["real_tokens"], r["padded_tokens"], r["waste_ppm"]
+        )
+        for r in pk.pack_length_buckets(spark, sf_dir).collect()
+    }
+    for b, (c, s) in buckets.items():
+        pad = c * b
+        assert got[b] == (c, s, pad, (pad - s) * 1_000_000 // pad)
+    assert set(got) == set(buckets)
+    # buckets are powers of two
+    assert all(b & (b - 1) == 0 for b in got)
