@@ -793,3 +793,126 @@ def _stream_attr_sql() -> str:
 
 
 STREAM_ATTRIBUTION_SQL = _stream_attr_sql()
+
+
+# ------------------------------------------- streaming pattern match --
+
+SEQP_STATE_SCHEMA = (
+    "u1 LONG, e1 LONG, t1 STRING, u2 LONG, e2 LONG, t2 STRING"
+)
+
+SEQP_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_matches", T.LongType()),
+        T.StructField("min_span_us", T.LongType()),
+    ]
+)
+
+
+def _seqp_update(
+    key: tuple[int],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Streaming form of ``analytics.seq_pattern_triples``: strict-
+    contiguity view->click->purchase matching with the last TWO events
+    carried per user across micro-batches — the minimal state of a
+    length-3 pattern (a k-step pattern carries k-1 rows, not the whole
+    history). A triple is counted in the batch contributing its LAST
+    element, so every match is emitted exactly once across the stream.
+    Emits one per-batch partial (n_matches, min span) per user; the
+    serving fold sums/mins the partials."""
+    from ..operators.analytics import SEQ_GAP_US
+
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    if len(batch) == 0:
+        return
+    batch = batch.sort_values(["us", "event_id"]).reset_index(drop=True)
+
+    carried = 0
+    if state.exists:
+        u1, e1, t1, u2, e2, t2 = state.get
+        rows = []
+        if u1 is not None:
+            rows.append((u1, e1, t1))
+        if u2 is not None:
+            rows.append((u2, e2, t2))
+        carried = len(rows)
+        if carried:
+            head = pd.DataFrame(
+                rows, columns=["us", "event_id", "event_type"]
+            )
+            batch = pd.concat(
+                [head, batch[["us", "event_id", "event_type"]]],
+                ignore_index=True,
+            )
+    ev_t = batch["event_type"].to_numpy()
+    ev_u = batch["us"].to_numpy()
+    n = len(batch)
+    n_matches = 0
+    min_span = None
+    for i in range(n - 2):
+        if i + 2 < carried:
+            continue  # fully inside prior batches: already counted
+        if (
+            ev_t[i] == "view"
+            and ev_t[i + 1] == "click"
+            and ev_t[i + 2] == "purchase"
+            and ev_u[i + 1] - ev_u[i] <= SEQ_GAP_US
+            and ev_u[i + 2] - ev_u[i + 1] <= SEQ_GAP_US
+        ):
+            n_matches += 1
+            span = int(ev_u[i + 2] - ev_u[i])
+            min_span = span if min_span is None else min(min_span, span)
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_matches": [n_matches],
+            "min_span_us": pd.array([min_span], dtype="Int64"),
+        }
+    )
+    tail = batch.iloc[-2:]
+    vals: list = []
+    for _, r in tail.iterrows():
+        vals.extend([int(r["us"]), int(r["event_id"]), str(r["event_type"])])
+    while len(vals) < 6:
+        vals = [None, None, None] + vals
+    state.update(tuple(vals))
+
+
+def stream_seq_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing query: chronological replay through the stateful
+    matcher, then a sum/min fold of the per-batch partials — same
+    oracle as the batch ``seq_pattern_triples`` (replay parity). The
+    cross-batch carry (a view+click at the end of batch 1 completing
+    with a purchase at the start of batch 2) is drilled in
+    tests/test_streaming.py."""
+    from .pipelines import _run_to_memory, events_file_stream
+    from ..sources.tables import ts_micros
+
+    ev = events_file_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    proj = ev.select(
+        "user_id", ts_micros(ev).alias("us"), "event_id", "event_type"
+    )
+    out = proj.groupBy("user_id").applyInPandasWithState(
+        _seqp_update,
+        outputStructType=SEQP_OUTPUT_SCHEMA,
+        stateStructType=SEQP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    mem = _run_to_memory(out, output_mode="append")
+    return mem.groupBy("user_id").agg(
+        F.sum("n_matches").alias("n_matches"),
+        F.min("min_span_us").alias("min_span_us"),
+    )
+
+
+def _stream_seqp_sql() -> str:
+    from ..operators.analytics import SEQ_PATTERN_SQL
+
+    return SEQ_PATTERN_SQL
+
+
+STREAM_SEQP_SQL = _stream_seqp_sql()

@@ -491,3 +491,64 @@ def test_stream_freshness_matches_batch(spark, sf_dir):
         for r in stream_freshness_watermark(spark, sf_dir).collect()
     }
     assert stream == batch
+
+
+def test_stream_seq_pattern_cross_batch_carry(spark, tmp_path):
+    """A view+click ending batch 1 must complete with batch 2's
+    purchase (state carry), and a triple wholly inside batch 1 must
+    count exactly once (no recount from carried rows)."""
+    from spark_streaming_stream_analyzer_spark.streaming.pipelines import (
+        _run_to_memory,
+        events_file_stream,
+    )
+    from spark_streaming_stream_analyzer_spark.streaming.state import (
+        SEQP_OUTPUT_SCHEMA,
+        SEQP_STATE_SCHEMA,
+        _seqp_update,
+    )
+    from spark_streaming_stream_analyzer_spark.sources.tables import ts_micros
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    US = 1_000_000
+    MIN = 60 * US
+    # user 1: full triple in batch 1 (counted once), then view+click at
+    #         the batch-1 tail completing with batch-2 purchase
+    b1 = [
+        (1, 0 * MIN * 1000, 1, "view", 1.0, "{}"),
+        (2, 1 * MIN * 1000, 1, "click", 1.0, "{}"),
+        (3, 2 * MIN * 1000, 1, "purchase", 1.0, "{}"),
+        (4, 3 * MIN * 1000, 1, "view", 1.0, "{}"),
+        (5, 4 * MIN * 1000, 1, "click", 1.0, "{}"),
+        # user 2: view then click split across the boundary
+        (6, 0 * MIN * 1000, 2, "view", 1.0, "{}"),
+    ]
+    b2 = [
+        (7, 5 * MIN * 1000, 1, "purchase", 1.0, "{}"),
+        (8, 1 * MIN * 1000, 2, "click", 1.0, "{}"),
+        (9, 2 * MIN * 1000, 2, "purchase", 1.0, "{}"),
+    ]
+    src = _write_event_files(spark, str(tmp_path), [b1, b2])
+    ev = events_file_stream(spark, src)
+    proj = ev.select(
+        "user_id", ts_micros(ev).alias("us"), "event_id", "event_type"
+    )
+    out = proj.groupBy("user_id").applyInPandasWithState(
+        _seqp_update,
+        outputStructType=SEQP_OUTPUT_SCHEMA,
+        stateStructType=SEQP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    mem = _run_to_memory(out, output_mode="append")
+    tot = {
+        r["user_id"]: (r["n"], r["ms"])
+        for r in mem.groupBy("user_id")
+        .agg(
+            F.sum("n_matches").alias("n"), F.min("min_span_us").alias("ms")
+        )
+        .collect()
+    }
+    # user 1: triple in batch 1 (span 2 min) + boundary triple (span 2
+    # min) -> 2 matches; user 2: one boundary-spanning triple
+    assert tot[1] == (2, 2 * MIN)
+    assert tot[2] == (1, 2 * MIN)
