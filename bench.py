@@ -82,6 +82,7 @@ HEADLINE = [
     "sample_reservoir_group",
     "layout_zorder_stats",
     "dedup_fingerprint_overlap",
+    "pipeline_pretrain_corpus",
 ]
 
 #: Throughput probes: query → fixture table whose full scan dominates

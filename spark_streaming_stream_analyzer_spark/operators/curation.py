@@ -881,3 +881,142 @@ SELECT source, COUNT(*) AS n_docs,
                       AND NOT f_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
 FROM flags GROUP BY source
 """
+
+
+# ------------------------------------- end-to-end corpus pipeline --
+
+PIPE_SRC_CAP = 150  # per-source doc quota after gating+dedup
+
+
+def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE end-to-end corpus build, as one Catalyst DAG: Gopher-style
+    quality gates -> exact dedup (first doc per md5 wins) -> per-source
+    quota sampling (deterministic hash rank) -> sequence-packing
+    manifest (PACK_BUDGET-token bins per source). The output is what a
+    training loader consumes: per (source, bin) doc counts, token
+    sums, and doc-id ranges — the composition proof that the tier
+    operators (text_gopher_gates / dedup_exact / sample_reservoir_group
+    / pack_token_budget) actually chain.
+
+    Plan shape, deliberately: gates are per-row array expressions
+    evaluated in the scan stage; dedup is ONE window over (md5 hash,
+    doc_id) — shuffling hash + id + the precomputed token count + 4
+    booleans, never text (the funnel-report lesson); quota is one
+    window over (source); packing is one window over (source, doc_id)
+    + the final aggregate. Three window exchanges + one agg shuffle
+    total — each on a different key because each stage genuinely
+    re-keys. At 100 TB the quota window swaps for the two-phase salted
+    top-k (``sample_reservoir_group``) with the same output contract.
+    """
+    from .textstats import STOPWORDS
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    wsf = F.filter(words, lambda w: w != "")
+    n_words = F.size(wsf)
+    n_chars = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    n_distinct = F.size(F.array_distinct(wsf))
+    n_stop = F.size(
+        F.filter(F.array_distinct(wsf), lambda w: w.isin(*STOPWORDS))
+    )
+    gated = docs.select(
+        "source",
+        "doc_id",
+        n_words.alias("tok"),
+        F.md5("text").alias("h"),
+    ).where(
+        (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS)
+        & (n_chars >= GOPHER_MWL_LO * n_words)
+        & (n_chars <= GOPHER_MWL_HI * n_words)
+        & (n_stop >= GOPHER_MIN_STOPWORDS)
+        & (2 * n_distinct >= n_words)
+    )
+    from pyspark.sql import Window
+
+    wd = Window.partitionBy("h").orderBy("doc_id")
+    deduped = (
+        gated.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "h")
+    )
+    from ..functions.hashing import hash64 as _h64
+
+    wq = Window.partitionBy("source").orderBy(
+        _h64(F.concat(F.lit("rsv:"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    quota = (
+        deduped.withColumn("qr", F.row_number().over(wq))
+        .filter(F.col("qr") <= PIPE_SRC_CAP)
+        .drop("qr")
+    )
+    from .packing import PACK_BUDGET
+
+    wp = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    packed = quota.withColumn(
+        "bin",
+        F.expr(f"(sum(tok) OVER (PARTITION BY source ORDER BY doc_id"
+               f" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+               f" - tok) DIV {PACK_BUDGET}"),
+    )
+    _ = wp  # documented above; expression form keeps DIV integer
+    return packed.groupBy("source", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("tok").alias("sum_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+PIPELINE_PRETRAIN_SQL = f"""
+WITH w AS (
+  SELECT source, doc_id, text,
+         list_filter(string_split(text, ' '), x -> x <> '') AS ws,
+         length(replace(text, ' ', '')) AS chars
+  FROM documents
+),
+gated AS (
+  SELECT source, doc_id, len(ws) AS tok, md5(text) AS h
+  FROM w
+  WHERE len(ws) >= {GOPHER_MIN_WORDS} AND len(ws) <= {GOPHER_MAX_WORDS}
+    AND chars >= {GOPHER_MWL_LO} * len(ws)
+    AND chars <= {GOPHER_MWL_HI} * len(ws)
+    AND len(list_filter(list_distinct(ws),
+          x -> x IN ({_GOPHER_STOP_LIST}))) >= {GOPHER_MIN_STOPWORDS}
+    AND 2 * len(list_distinct(ws)) >= len(ws)
+),
+deduped AS (
+  SELECT source, doc_id, tok FROM (
+    SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+    FROM gated
+  ) t WHERE rn = 1
+),
+quota AS (
+  SELECT source, doc_id, tok FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY source
+      ORDER BY CAST('0x' || substr(md5('rsv:' || CAST(doc_id AS VARCHAR)),
+                                   1, 15) AS BIGINT), doc_id
+    ) AS qr FROM deduped
+  ) t WHERE qr <= {PIPE_SRC_CAP}
+),
+packed AS (
+  SELECT source, doc_id, tok,
+         CAST((SUM(tok) OVER (PARTITION BY source ORDER BY doc_id) - tok)
+              // {{budget}} AS BIGINT) AS bin
+  FROM quota
+)
+SELECT source, bin, COUNT(*) AS n_docs,
+       CAST(SUM(tok) AS BIGINT) AS sum_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM packed GROUP BY 1, 2
+"""
+
+
+def _pipe_sql() -> str:
+    from .packing import PACK_BUDGET
+
+    return PIPELINE_PRETRAIN_SQL.format(budget=PACK_BUDGET)

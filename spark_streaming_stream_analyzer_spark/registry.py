@@ -668,6 +668,9 @@ query("text_repetition_metrics", _cur.TEXT_REPETITION_SQL)(
 )
 query("text_decontaminate", _cur.TEXT_DECONTAM_SQL)(_cur.text_decontaminate)
 query("text_gopher_gates", _cur.TEXT_GOPHER_SQL)(_cur.text_gopher_gates)
+query("pipeline_pretrain_corpus", _cur._pipe_sql())(
+    _cur.pipeline_pretrain_corpus
+)
 query("text_pii_redact", _cur.TEXT_PII_SQL)(_cur.text_pii_redact)
 query("ts_rollup_hierarchy", _cur.TS_ROLLUP_SQL)(_cur.ts_rollup_hierarchy)
 query("pipeline_keep_best", _cur.PIPELINE_KEEP_BEST_SQL)(_cur.pipeline_keep_best)

@@ -269,3 +269,69 @@ def test_gopher_gates_vs_brute(spark, sf_dir):
     # every rule discriminates on this corpus (thresholds aren't dead)
     tot = [sum(v[i] for v in got.values()) for i in range(6)]
     assert all(t > 0 for t in tot[1:5]) and tot[5] > 0
+
+
+def test_pipeline_pretrain_corpus_vs_brute(spark, sf_dir):
+    """Full pipeline brute replication: gates -> md5 dedup -> hash-rank
+    quota -> cumsum packing, stage for stage."""
+    import hashlib
+
+    from spark_streaming_stream_analyzer_spark.operators import curation as cu
+    from spark_streaming_stream_analyzer_spark.operators.packing import (
+        PACK_BUDGET,
+    )
+    from spark_streaming_stream_analyzer_spark.operators.textstats import (
+        STOPWORDS,
+    )
+    from spark_streaming_stream_analyzer_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "text"
+    ).collect()
+    survivors = []
+    seen_md5 = {}
+    for r in sorted(docs, key=lambda r: r["doc_id"]):
+        ws = [w for w in r["text"].split(" ") if w]
+        chars = sum(len(w) for w in ws)
+        if not (
+            cu.GOPHER_MIN_WORDS <= len(ws) <= cu.GOPHER_MAX_WORDS
+            and cu.GOPHER_MWL_LO * len(ws) <= chars <= cu.GOPHER_MWL_HI * len(ws)
+            and len({w for w in ws if w in STOPWORDS}) >= cu.GOPHER_MIN_STOPWORDS
+            and 2 * len(set(ws)) >= len(ws)
+        ):
+            continue
+        h = hashlib.md5(r["text"].encode()).hexdigest()
+        if h in seen_md5:
+            continue
+        seen_md5[h] = r["doc_id"]
+        survivors.append((r["source"], r["doc_id"], len(ws)))
+
+    def rk(doc_id):
+        return int(
+            hashlib.md5(f"rsv:{doc_id}".encode()).hexdigest()[:15], 16
+        )
+
+    by_src = {}
+    for s, d, t in survivors:
+        by_src.setdefault(s, []).append((d, t))
+    expect = {}
+    for s, rows in by_src.items():
+        kept = sorted(rows, key=lambda dt: (rk(dt[0]), dt[0]))[: cu.PIPE_SRC_CAP]
+        kept.sort()  # pack in doc_id order
+        cum = 0
+        for d, t in kept:
+            b = cum // PACK_BUDGET
+            cum += t
+            e = expect.setdefault((s, b), [0, 0, d, d])
+            e[0] += 1
+            e[1] += t
+            e[2] = min(e[2], d)
+            e[3] = max(e[3], d)
+    got = {
+        (r["source"], r["bin"]): [
+            r["n_docs"], r["sum_tokens"], r["first_doc"], r["last_doc"]
+        ]
+        for r in cu.pipeline_pretrain_corpus(spark, sf_dir).collect()
+    }
+    assert got == {k: list(v) for k, v in expect.items()}
+    assert got  # the pipeline keeps a corpus
