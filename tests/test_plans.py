@@ -170,3 +170,62 @@ def test_gap_stats_single_shuffle(spark, sf_dir):
     # the aggregate must NOT add a second shuffle
     assert plan.count("Exchange") - plan.count("BroadcastExchange") == 1
     assert "EvalPython" not in plan
+
+
+def test_fingerprint_overlap_no_nested_loop(spark, sf_dir):
+    """The pair join must be the inverted-index equi-join, never a
+    cartesian/BNLJ pairing of documents."""
+    plan = plan_of(spark, sf_dir, "dedup_fingerprint_overlap")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_assoc_rules_broadcast_and_topk(spark, sf_dir):
+    """Item frequencies and the basket count ride as broadcasts; the
+    top-K is TakeOrderedAndProject, not a global sort."""
+    plan = plan_of(spark, sf_dir, "assoc_rules_pairs")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_triangle_count_pair_joins_are_hash_or_merge(spark, sf_dir):
+    """The path/closing joins must be keyed (sort-merge/hash) — the
+    only nested-loop allowed is the final 1-row x 1-row scalar
+    crossJoin of the two aggregates."""
+    plan = plan_of(spark, sf_dir, "graph_triangle_count")
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+    # scalar-combine BNLJ appears at most once (stats x tri)
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_pipeline_pretrain_shuffles_bounded_and_textless(spark, sf_dir):
+    """The end-to-end corpus build re-keys three times (dedup hash,
+    source quota, source packing) + the final aggregate — and no
+    exchange may carry the document text."""
+    plan = plan_of(spark, sf_dir, "pipeline_pretrain_corpus")
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert 0 < len(exchanges) <= 5, plan[:2000]
+    assert all("text" not in ln for ln in exchanges)
+
+
+def test_reservoir_two_phase_ranking(spark, sf_dir):
+    """Both ranking phases must appear (salted partial + final) — the
+    single-window form would funnel each source through one task."""
+    plan = plan_of(spark, sf_dir, "sample_reservoir_group")
+    assert plan.count("row_number") >= 2
+    # the heavy phase-1 exchange partitions by (source, salt), not
+    # source alone
+    assert "pmod" in plan or "%" in plan
+
+
+def test_zorder_stays_native_and_pruned(spark, sf_dir):
+    """The 32-term Morton interleave must stay a native Project (no
+    Python anywhere) over a two-column pruned scan."""
+    plan = plan_of(spark, sf_dir, "layout_zorder_stats")
+    assert "shiftleft" in plan  # interleave evaluated JVM-side
+    assert "BatchEvalPython" not in plan and "EvalPython" not in plan
+    assert "ReadSchema: struct<o_custkey:bigint,o_orderdate" in plan
