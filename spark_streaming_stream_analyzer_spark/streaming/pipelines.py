@@ -1284,3 +1284,89 @@ def stream_freshness_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             "within_sla"
         ),
     )
+
+
+def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-user estimation with the PORTABLE HLL
+    (functions/hashing.py) held as foreachBatch state: each micro-batch
+    appends its per-(event_type, bucket) max-rho partial sketch to a
+    keyed delta store, and the serving view merges max-of-max per
+    bucket before applying the estimate formula. Because HLL register
+    maxima are associative AND idempotent, the double fixture replay
+    needs NO normalization (contrast ``stream_freshness_watermark``'s
+    count division) — the merged sketch is bit-identical to the batch
+    sketch, so the *approximate* streaming answer still hash-matches
+    the batch oracle exactly.
+
+    This is the 100 TB streaming-cardinality pattern: state per key is
+    256 small integers regardless of stream length, deltas are a few
+    KB per batch, and the merge reads sketches, never events.
+    """
+    from ..functions.hashing import (
+        HLL_ALPHA,
+        HLL_M,
+        HLL_REST_BITS,
+        hash64,
+    )
+
+    stream = events_file_stream(
+        spark, os.path.join(sf_dir, "events.parquet"), copies=2
+    )
+    store_dir = _tracked_tmp_dir("sgs_hll_store")
+
+    def sketch_batch(batch_df: DataFrame, batch_id: int) -> None:
+        h = hash64(F.col("user_id").cast("string"))
+        bucket = F.pmod(h, F.lit(HLL_M))
+        rest = (h - bucket) / F.lit(HLL_M)
+        rho = F.lit(HLL_REST_BITS + 1) - F.length(F.bin(rest.cast("long")))
+        part = (
+            batch_df.select(
+                "event_type", bucket.alias("bkt"), rho.alias("rho")
+            )
+            .groupBy("event_type", "bkt")
+            .agg(F.max("rho").alias("max_rho"))
+        )
+        part.write.mode("append").parquet(store_dir)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_CPUS", "32")
+    )
+    ckpt = _tracked_tmp_dir("sgs_hll")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(sketch_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        _cleanup_tmp_dirs([ckpt])
+    merged = (
+        spark.read.parquet(store_dir)
+        .groupBy("event_type", "bkt")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    weight = F.pow(
+        F.lit(2.0), F.lit(HLL_REST_BITS + 1) - F.col("max_rho")
+    ).cast("long")
+    agg = merged.groupBy("event_type").agg(
+        F.sum(weight).alias("wsum"), F.count("*").alias("n_buckets")
+    )
+    scale = HLL_ALPHA * HLL_M * HLL_M * float(1 << (HLL_REST_BITS + 1))
+    return agg.select(
+        "event_type",
+        (F.lit(scale) / F.col("wsum").cast("double")).alias("approx_distinct"),
+        "n_buckets",
+    )
+
+
+def _stream_hll_sql() -> str:
+    from ..functions.hashing import hll_oracle_sql
+
+    return hll_oracle_sql("events", "event_type", "CAST(user_id AS VARCHAR)")
+
+
+STREAM_HLL_SQL = _stream_hll_sql()

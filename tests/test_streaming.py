@@ -552,3 +552,29 @@ def test_stream_seq_pattern_cross_batch_carry(spark, tmp_path):
     # min) -> 2 matches; user 2: one boundary-spanning triple
     assert tot[1] == (2, 2 * MIN)
     assert tot[2] == (1, 2 * MIN)
+
+
+def test_stream_hll_bit_identical_to_batch(spark, sf_dir):
+    """HLL register maxima are associative AND idempotent, so the
+    stream-merged sketch must be bit-identical to the batch sketch —
+    despite the 2x replay and arbitrary batch splits."""
+    from spark_streaming_stream_analyzer_spark.functions.hashing import (
+        hll_estimate,
+    )
+    from spark_streaming_stream_analyzer_spark.sources.tables import load_table
+    from spark_streaming_stream_analyzer_spark.streaming.pipelines import (
+        stream_hll_distinct,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("user_id").cast("string").alias("u")
+    )
+    batch = {
+        r["event_type"]: (r["approx_distinct"], r["n_buckets"])
+        for r in hll_estimate(ev, ["event_type"], "u").collect()
+    }
+    stream = {
+        r["event_type"]: (r["approx_distinct"], r["n_buckets"])
+        for r in stream_hll_distinct(spark, sf_dir).collect()
+    }
+    assert stream == batch  # float-equal because the integers are equal
