@@ -2096,3 +2096,156 @@ SELECT event_type, CAST(hod AS BIGINT) AS hod, n, mean_milli, lift_ppm,
          OVER (PARTITION BY event_type)) AS is_peak_hour
 FROM j
 """
+
+
+# ------------------------------------------------ weighted median --
+
+
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag — the
+    "median dollar" (half the UNITS sold cost less than this), which
+    divides differently from the row median whenever price and volume
+    correlate. Exact: the (flag, price-cents) aggregated table carries
+    summed integer weights, one cumulative window finds the least
+    price whose doubled cumulative weight reaches the total, and the
+    verdict is pure integer comparison (2·cumw >= totw — no halving,
+    no FP).
+
+    Same scale shape as ``feature_quantile_bins`` / ``ts_anomaly_mad``:
+    the window runs over distinct values, not rows, and the heavy
+    stage is a map-side-combined aggregate.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    vc = (
+        li.select(
+            "l_returnflag",
+            cents("l_extendedprice").alias("c"),
+            F.col("l_quantity").cast("long").alias("w"),
+        )
+        .groupBy("l_returnflag", "c")
+        .agg(F.sum("w").alias("w"))
+    )
+    wt = Window.partitionBy("l_returnflag")
+    wc = wt.orderBy("c").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = vc.select(
+        "l_returnflag",
+        "c",
+        "w",
+        F.sum("w").over(wc).alias("cumw"),
+        F.sum("w").over(wt).alias("totw"),
+    )
+    return cum.groupBy("l_returnflag").agg(
+        F.min(F.when(2 * F.col("cumw") >= F.col("totw"), F.col("c")))
+        .alias("wmedian_cents"),
+        F.min("totw").alias("total_weight"),
+    ).select(
+        "l_returnflag",
+        (F.col("wmedian_cents").cast("double") / 100.0).alias("wmedian_price"),
+        "total_weight",
+    )
+
+
+AGG_WMEDIAN_SQL = """
+WITH vc AS (
+  SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2
+),
+cum AS (
+  SELECT l_returnflag, c, w,
+         SUM(w) OVER (PARTITION BY l_returnflag ORDER BY c) AS cumw,
+         SUM(w) OVER (PARTITION BY l_returnflag) AS totw
+  FROM vc
+)
+SELECT l_returnflag,
+       CAST(MIN(CASE WHEN 2 * cumw >= totw THEN c END) AS DOUBLE) / 100.0
+         AS wmedian_price,
+       CAST(MIN(totw) AS BIGINT) AS total_weight
+FROM cum GROUP BY 1
+"""
+
+
+# ----------------------------------------------------- CUSUM drift --
+
+# k sits just below the fixture's ~50-unit mean so upward-drifting
+# types accumulate and alarm while in-control types hover at zero —
+# the calibration a real deployment does against its baseline mean
+CUSUM_K_MICRO = 50_000_000   # drift allowance per event (50 micro-units)
+CUSUM_H_MICRO = 100_000_000  # alarm threshold (100 in micro-units)
+
+
+def ts_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detection per event_type — the classic
+    sequential change detector (Page 1954): s_t = max(0, s_{t-1} +
+    x_t − k), alarm when s_t > h. The recursion LOOKS unexpressible
+    in SQL, but the reset-at-zero form has a closed window identity:
+
+        s_t = cum_t − min(cum_0..cum_t),  cum = running Σ(x − k)
+
+    so two window passes over the ordered stream compute the exact
+    CUSUM path — no UDF, no iteration, bit-reproducible in integer
+    micro-units. Emits per type the alarm count, max excursion, and
+    first alarm time.
+
+    Scale: one shuffle on event_type with in-partition time sort (the
+    inherent cost of an ordered scan statistic); everything else is
+    map-side. The streaming twin would carry (cum, runmin) as two
+    integers of state — noted, not built.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        ts_micros(ev).alias("us"),
+        "event_id",
+        (F.round(F.col("value") * 1_000_000).cast("long") - CUSUM_K_MICRO)
+        .alias("d"),
+    )
+    w = Window.partitionBy("event_type").orderBy("us", "event_id")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    path = base.select(
+        "event_type",
+        "us",
+        "event_id",
+        F.sum("d").over(wc).alias("cum"),
+    ).select(
+        "event_type",
+        "us",
+        (F.col("cum") - F.least(F.min("cum").over(wc), F.lit(0))).alias("s"),
+    )
+    return path.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum((F.col("s") > CUSUM_H_MICRO).cast("long")).alias("n_alarms"),
+        F.max("s").alias("max_excursion"),
+        F.min(F.when(F.col("s") > CUSUM_H_MICRO, F.col("us"))).alias(
+            "first_alarm_us"
+        ),
+    )
+
+
+TS_CUSUM_SQL = f"""
+WITH base AS (
+  SELECT event_type, epoch_us(ts) AS us, event_id,
+         CAST(round(value * 1000000) AS BIGINT) - {CUSUM_K_MICRO} AS d
+  FROM events
+),
+cums AS (
+  SELECT event_type, us, event_id,
+         SUM(d) OVER (PARTITION BY event_type ORDER BY us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM base
+),
+path AS (
+  SELECT event_type, us,
+         cum - LEAST(MIN(cum) OVER (
+           PARTITION BY event_type ORDER BY us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS s
+  FROM cums
+)
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN s > {CUSUM_H_MICRO} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_alarms,
+       CAST(MAX(s) AS BIGINT) AS max_excursion,
+       MIN(CASE WHEN s > {CUSUM_H_MICRO} THEN us END) AS first_alarm_us
+FROM path GROUP BY 1
+"""

@@ -547,6 +547,8 @@ query("ts_resample_interp", _an.TS_INTERP_SQL)(_an.ts_resample_interp)
 query("seq_pattern_triples", _an.SEQ_PATTERN_SQL)(_an.seq_pattern_triples)
 query("assoc_rules_pairs", _an.ASSOC_RULES_SQL)(_an.assoc_rules_pairs)
 query("ts_seasonal_profile", _an.TS_SEASONAL_SQL)(_an.ts_seasonal_profile)
+query("agg_weighted_median", _an.AGG_WMEDIAN_SQL)(_an.agg_weighted_median)
+query("ts_cusum_alarm", _an.TS_CUSUM_SQL)(_an.ts_cusum_alarm)
 query("text_tfidf_topk", _an.TEXT_TFIDF_SQL)(_an.text_tfidf_topk)
 query("join_salted_skew", _an.JOIN_SALTED_SQL)(_an.join_salted_skew)
 query("agg_sliding_window", _an.AGG_SLIDING_SQL)(_an.agg_sliding_window)

@@ -522,3 +522,78 @@ def test_seasonal_profile_vs_brute(spark, sf_dir):
     assert {k: v[:3] for k, v in got.items()} == expect
     for (t, h), (_, mm, _, pk) in got.items():
         assert pk == (peaks[t] == (mm, h))
+
+
+def test_cusum_matches_sequential_recursion(spark, sf_dir):
+    """The window identity s = cum - min(prefix cum, 0) must equal the
+    literal Page recursion s_t = max(0, s_{t-1} + x_t - k)."""
+    from spark_streaming_stream_analyzer_spark.operators import analytics as an
+    from spark_streaming_stream_analyzer_spark.sources.tables import (
+        load_table,
+        ts_micros,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select(
+        "event_type", ts_micros(ev).alias("us"), "event_id", "value"
+    ).collect()
+    by_t = {}
+    for r in rows:
+        by_t.setdefault(r["event_type"], []).append(
+            (r["us"], r["event_id"], round(r["value"] * 1_000_000))
+        )
+    expect = {}
+    for t, evs in by_t.items():
+        evs.sort()
+        s = 0
+        n_alarm = 0
+        mx = 0
+        first = None
+        for us, _, x in evs:
+            s = max(0, s + x - an.CUSUM_K_MICRO)
+            mx = max(mx, s)
+            if s > an.CUSUM_H_MICRO:
+                n_alarm += 1
+                if first is None:
+                    first = us
+        expect[t] = (len(evs), n_alarm, mx, first)
+    got = {
+        r["event_type"]: (
+            r["n_events"], r["n_alarms"], r["max_excursion"],
+            r["first_alarm_us"],
+        )
+        for r in an.ts_cusum_alarm(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert any(v[1] > 0 for v in got.values())  # detector actually fires
+
+
+def test_weighted_median_vs_brute(spark, sf_dir):
+    from spark_streaming_stream_analyzer_spark.operators import analytics as an
+    from spark_streaming_stream_analyzer_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    ).collect()
+    by_f = {}
+    for r in rows:
+        by_f.setdefault(r["l_returnflag"], []).append(
+            (round(r["l_extendedprice"] * 100), int(r["l_quantity"]))
+        )
+    expect = {}
+    for f, vals in by_f.items():
+        vals.sort()
+        tot = sum(w for _, w in vals)
+        cum = 0
+        med = None
+        for c, w in vals:
+            cum += w
+            if 2 * cum >= tot:
+                med = c
+                break
+        expect[f] = (med / 100.0, tot)
+    got = {
+        r["l_returnflag"]: (r["wmedian_price"], r["total_weight"])
+        for r in an.agg_weighted_median(spark, sf_dir).collect()
+    }
+    assert got == expect
