@@ -2249,3 +2249,278 @@ SELECT event_type, COUNT(*) AS n_events,
        MIN(CASE WHEN s > {CUSUM_H_MICRO} THEN us END) AS first_alarm_us
 FROM path GROUP BY 1
 """
+
+
+# ------------------------------------------- sequence analytics 3 --
+
+SEQ_DAY_US = 86_400_000_000
+
+
+def seq_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences: for every ordered adjacent pair in a user's stream,
+    count (from_type → to_type) and express the row-conditional
+    probability in integer ppm — the session-flow summary behind
+    next-event prediction and funnel design (the reference's key/value
+    stream carries the same event-type tags, ``SURVEY.md §2.1 #2``).
+
+    EXACT: transition counts are integers; p_ppm = n·1e6 DIV row
+    total, so both engines agree bit-for-bit (log-free discipline, as
+    ``text_tfidf_topk``).
+
+    Scale: one shuffle on user_id with in-partition (ts, event_id)
+    sort for the lead pass — the same single-shuffle shape as
+    ``ts_cusum_alarm``; the (from, to) aggregate is |types|² rows and
+    the row-total window runs on that tiny table, not the stream.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", "event_type", ts_micros(ev).alias("us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    pairs = base.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n_transitions")
+    )
+    row_tot = F.sum("n_transitions").over(Window.partitionBy("from_type"))
+    return counts.withColumn("row_total", row_tot).select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        "row_total",
+        F.expr("(n_transitions * 1000000) DIV row_total").alias("p_ppm"),
+    )
+
+
+SEQ_TRANSITION_SQL = """
+WITH base AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events
+),
+pairs AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY us, event_id) AS to_type
+  FROM base
+),
+counts AS (
+  SELECT from_type, to_type, COUNT(*) AS n_transitions
+  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, CAST(n_transitions AS BIGINT) AS n_transitions,
+       CAST(SUM(n_transitions) OVER (PARTITION BY from_type) AS BIGINT)
+         AS row_total,
+       CAST((n_transitions * 1000000)
+            // SUM(n_transitions) OVER (PARTITION BY from_type) AS BIGINT)
+         AS p_ppm
+FROM counts
+"""
+
+
+AUTOCORR_MAX_LAG = 7
+
+
+def ts_autocorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the per-type daily event-count
+    series at lags 1..7 — the seasonality detector feeding
+    ``ts_seasonal_profile`` (a weekly cycle shows as a lag-7 peak).
+
+    EXACT without a single float: Pearson r at lag L over integer
+    daily counts has integer numerator num = n·Σxy − Σx·Σy and
+    integer variance terms denx/deny; r² in ppm is
+    (num² · 1e6) DIV (denx·deny) computed in DECIMAL(38,0) (Spark)
+    / HUGEINT (DuckDB) — both exact integer arithmetic, verified to
+    share `div` truncation semantics. The sign rides separately
+    (r_sign), so r ≈ r_sign·sqrt(r2_ppm/1e6) is recoverable while
+    the stored columns stay bit-portable.
+
+    Scale: the day grain collapses the stream to |types|·|days| rows
+    in one partial/final aggregate; the lag self-join and the moment
+    sums run on that tiny series table. At 100 TB the only full-data
+    pass is the first count — the classic pre-aggregate-then-analyze
+    shape.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", ts_micros(ev).alias("us"))
+        .select("event_type", F.expr(f"us DIV {SEQ_DAY_US}").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("x"))
+    )
+    lags = spark.range(1, AUTOCORR_MAX_LAG + 1).select(
+        F.col("id").alias("lag")
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    paired = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("b.day") == F.col("a.day") + F.col("lag")),
+        )
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            "lag",
+            F.col("a.x").alias("x"),
+            F.col("b.x").alias("y"),
+        )
+    )
+    m = paired.groupBy("event_type", "lag").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    stats = m.select(
+        "event_type",
+        "lag",
+        "n_pairs",
+        (F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
+        (F.col("n_pairs") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("denx"),
+        (F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy")).alias("deny"),
+    )
+    return stats.select(
+        "event_type",
+        "lag",
+        "n_pairs",
+        F.signum("num").cast("long").alias("r_sign"),
+        F.when(
+            (F.col("denx") > 0) & (F.col("deny") > 0),
+            F.expr(
+                f"(CAST(num AS {_D18}) * CAST(num AS {_D18}) * 1000000)"
+                f" div (CAST(denx AS {_D18}) * CAST(deny AS {_D18}))"
+            ),
+        ).alias("r2_ppm"),
+    )
+
+
+TS_AUTOCORR_SQL = f"""
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // {SEQ_DAY_US} AS day, COUNT(*) AS x
+  FROM events GROUP BY 1, 2
+),
+lags AS (SELECT UNNEST(range(1, {AUTOCORR_MAX_LAG + 1})) AS lag),
+paired AS (
+  SELECT a.event_type, l.lag, a.x AS x, b.x AS y
+  FROM daily a CROSS JOIN lags l
+  JOIN daily b ON b.event_type = a.event_type AND b.day = a.day + l.lag
+),
+m AS (
+  SELECT event_type, lag, COUNT(*) AS n_pairs,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM paired GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, lag, n_pairs,
+         n_pairs * sxy - sx * sy AS num,
+         n_pairs * sxx - sx * sx AS denx,
+         n_pairs * syy - sy * sy AS deny
+  FROM m
+)
+SELECT event_type, CAST(lag AS BIGINT) AS lag,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END AS BIGINT)
+         AS r_sign,
+       CASE WHEN denx > 0 AND deny > 0 THEN
+         CAST((CAST(num AS HUGEINT) * CAST(num AS HUGEINT) * 1000000)
+              // (CAST(denx AS HUGEINT) * CAST(deny AS HUGEINT)) AS BIGINT)
+       END AS r2_ppm
+FROM stats
+"""
+
+
+def agg_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per event_type: the median of all
+    pairwise slopes of the daily-count series — the outlier-immune
+    complement to ``agg_regression_trend``'s OLS line (one corrupted
+    day swings an OLS slope but not the pairwise-slope median).
+
+    EXACT: each pair's slope becomes the signed integer
+    sign·((|Δx|·1e6) DIV Δday) (sign split keeps the quotient
+    non-negative — the house `DIV` discipline), and the median over
+    the slope multiset is positional lo/hi picks on a count table
+    (``_with_median_picks``), so 2·median stays an integer.
+
+    Scale: O(days²) pairs per type — but on the DAY-grain aggregate,
+    not events (90 days → ~4k pairs; a year → 66k). The only
+    full-data pass is the daily count; the quadratic runs on a
+    broadcast-sized series, the knowingly-bounded cost of the exact
+    estimator (the 100 TB escape is lag-capped pairs, noted).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", ts_micros(ev).alias("us"))
+        .select("event_type", F.expr(f"us DIV {SEQ_DAY_US}").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("x"))
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    slopes = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("b.day") > F.col("a.day")),
+        )
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            (
+                F.signum(F.col("b.x") - F.col("a.x")).cast("long")
+                * F.expr("(abs(b.x - a.x) * 1000000) DIV (b.day - a.day)")
+            ).alias("s"),
+        )
+    )
+    sc = slopes.groupBy("event_type", "s").agg(F.count("*").alias("n"))
+    wt = Window.partitionBy("event_type")
+    wc = wt.orderBy("s").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = sc.select(
+        "event_type", "s", "n",
+        F.sum("n").over(wc).alias("cum"),
+        F.sum("n").over(wt).alias("tot"),
+    )
+    picks = cum.select(
+        "event_type", "tot",
+        F.when(F.col("cum") >= F.expr("(tot + 1) DIV 2"), F.col("s")).alias("pk_lo"),
+        F.when(F.col("cum") >= F.expr("(tot + 2) DIV 2"), F.col("s")).alias("pk_hi"),
+    )
+    return picks.groupBy("event_type").agg(
+        F.min("tot").alias("n_pairs"),
+        (F.min("pk_lo") + F.min("pk_hi")).alias("slope_ppm_2x"),
+    )
+
+
+AGG_THEIL_SEN_SQL = f"""
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // {SEQ_DAY_US} AS day, COUNT(*) AS x
+  FROM events GROUP BY 1, 2
+),
+slopes AS (
+  SELECT a.event_type,
+         CAST(CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END
+              AS BIGINT)
+           * ((abs(b.x - a.x) * 1000000) // (b.day - a.day)) AS s
+  FROM daily a JOIN daily b
+    ON b.event_type = a.event_type AND b.day > a.day
+),
+sc AS (
+  SELECT event_type, s, COUNT(*) AS n FROM slopes GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, s, n,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(n) OVER (PARTITION BY event_type) AS tot
+  FROM sc
+)
+SELECT event_type, CAST(MIN(tot) AS BIGINT) AS n_pairs,
+       CAST(MIN(CASE WHEN cum >= (tot + 1) // 2 THEN s END)
+            + MIN(CASE WHEN cum >= (tot + 2) // 2 THEN s END) AS BIGINT)
+         AS slope_ppm_2x
+FROM cum GROUP BY 1
+"""

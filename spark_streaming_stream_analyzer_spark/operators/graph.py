@@ -425,3 +425,213 @@ SELECT dist, COUNT(*) AS n_nodes, MIN(node) AS min_node,
        MAX(node) AS max_node
 FROM best GROUP BY 1
 """
+
+
+# ----------------------------------------------- neighborhood overlap --
+
+JACCARD_TOPK = 100
+
+
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by neighborhood overlap: for every part pair
+    sharing at least one co-purchase neighbor, the Jaccard similarity
+    of their neighbor sets in exact ppm — |N(u)∩N(v)|·1e6 DIV
+    |N(u)∪N(v)| — keeping the top-100 most-similar pairs.
+
+    Wedge-join shape: common-neighbor counts come from joining the
+    (both-directions) edge list with itself on the shared endpoint —
+    one shuffle on the wedge center — then per-node degrees broadcast
+    onto the pair table (|pairs| ≪ wedges after the groupBy). Integer
+    DIV end-to-end; ties break on (u, v), so top-k is deterministic.
+
+    Scale: wedge count is Σ deg(w)², the known hot spot — the 100 TB
+    run caps contributions per center (same quarantine idea as
+    ``dedup_minhash_lsh``'s LSH_BUCKET_CAP) or minhashes the neighbor
+    sets; at fixture scale the exact census is the point.
+    """
+    und = _copurchase_edges(spark, sf_dir)
+    edges = und.unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = edges.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").alias("deg")
+    )
+    e1 = edges.select(F.col("u").alias("w"), F.col("v").alias("a"))
+    e2 = edges.select(F.col("u").alias("w"), F.col("v").alias("b"))
+    inter = (
+        e1.join(e2, "w")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    scored = (
+        inter.join(
+            F.broadcast(deg.select(F.col("node").alias("a"),
+                                   F.col("deg").alias("deg_a"))), "a")
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("b"),
+                                   F.col("deg").alias("deg_b"))), "b")
+        .select(
+            F.col("a").alias("u"),
+            F.col("b").alias("v"),
+            "n_common",
+            (F.col("deg_a") + F.col("deg_b") - F.col("n_common"))
+            .alias("n_union"),
+            F.expr(
+                "(n_common * 1000000)"
+                " DIV (deg_a + deg_b - n_common)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("jaccard_ppm"), F.asc("u"), F.asc("v")
+    ).limit(JACCARD_TOPK)
+
+
+GRAPH_JACCARD_SQL = f"""
+WITH und AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+),
+edges AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+deg AS (SELECT u AS node, COUNT(*) AS deg FROM edges GROUP BY 1),
+inter AS (
+  SELECT e1.v AS a, e2.v AS b, COUNT(*) AS n_common
+  FROM edges e1 JOIN edges e2 ON e1.u = e2.u
+  WHERE e1.v < e2.v GROUP BY 1, 2
+)
+SELECT i.a AS u, i.b AS v, CAST(i.n_common AS BIGINT) AS n_common,
+       CAST(da.deg + db.deg - i.n_common AS BIGINT) AS n_union,
+       CAST((i.n_common * 1000000) // (da.deg + db.deg - i.n_common)
+            AS BIGINT) AS jaccard_ppm
+FROM inter i
+JOIN deg da ON da.node = i.a
+JOIN deg db ON db.node = i.b
+ORDER BY jaccard_ppm DESC, u ASC, v ASC
+LIMIT {JACCARD_TOPK}
+"""
+
+
+# ----------------------------------------------------------- k-core --
+
+KCORE_K = 3
+KCORE_ROUNDS = 10
+# Own qty threshold: at CC_MIN_QTY=49 the 3-core is EMPTY at every test
+# sf (measured); 45 yields a dense-enough graph that peeling does real
+# work (sf0.01: 2576 nodes -> 2298 survivors) while staying qty-thinned.
+KCORE_MIN_QTY = 45
+
+
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core decomposition (k=KCORE_K=3) of the qty-thinned
+    customer↔part purchase graph by iterative peeling: drop nodes of
+    degree < k, recompute degrees in the induced subgraph, repeat —
+    the standard dense-region extractor (spam/bot rings, core
+    communities).
+
+    Runs EXACTLY ``KCORE_ROUNDS`` peels rather than testing
+    convergence: extra rounds past the fixpoint remove nothing, so
+    the bounded loop is deterministic and equals the true k-core once
+    converged — which is what makes an inherently iterative algorithm
+    value-oracle-able (the DuckDB oracle unrolls the same 10 rounds as
+    MATERIALIZED CTEs; plain CTEs re-expand the doubly-referenced
+    chain exponentially — the ``emb_pca_power`` lesson).
+
+    Scale: each peel is one self-join + hash-agg shuffled on node id;
+    ``localCheckpoint`` truncates lineage per round as
+    ``graph_connected_components`` does. Output is the per-degree
+    census of the surviving core, not per-node rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.filter(F.col("l_quantity") >= KCORE_MIN_QTY)
+        .select(F.col("l_orderkey").alias("o_orderkey"), "l_partkey")
+        .join(od, "o_orderkey")
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_partkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    nodes = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").alias("deg"))
+        .filter(F.col("deg") >= KCORE_K)
+        .select("node")
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(KCORE_ROUNDS - 1):
+        sub = edges.join(
+            nodes.select(F.col("node").alias("src")), "src"
+        ).join(nodes.select(F.col("node").alias("dst")), "dst")
+        nodes = (
+            sub.groupBy(F.col("src").alias("node"))
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= KCORE_K)
+            .select("node")
+            .localCheckpoint(eager=False)
+        )
+    final = edges.join(
+        nodes.select(F.col("node").alias("src")), "src"
+    ).join(nodes.select(F.col("node").alias("dst")), "dst")
+    degs = final.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("deg")
+    )
+    return degs.groupBy("deg").agg(
+        F.count("*").alias("n_nodes"),
+        F.sum(F.when(F.col("node") % 2 == 0, 1).otherwise(0))
+        .alias("n_customers"),
+        F.sum(F.col("node") % 2).alias("n_parts"),
+        F.min("node").alias("min_node"),
+    )
+
+
+def _kcore_round_sql(prev: str, cur: str) -> str:
+    return f"""{cur} AS MATERIALIZED (
+  SELECT e.src AS node, COUNT(*) AS deg
+  FROM cedges e
+  JOIN {prev} a ON e.src = a.node
+  JOIN {prev} b ON e.dst = b.node
+  GROUP BY 1 HAVING COUNT(*) >= {KCORE_K}
+)"""
+
+
+_KCORE_CHAIN = ",\n".join(
+    _kcore_round_sql(f"n{i}", f"n{i + 1}")
+    for i in range(1, KCORE_ROUNDS)
+)
+
+
+GRAPH_KCORE_SQL = f"""
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_partkey * 2 + 1 AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_quantity >= {KCORE_MIN_QTY}
+),
+cedges AS MATERIALIZED (
+  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+),
+n1 AS MATERIALIZED (
+  SELECT src AS node, COUNT(*) AS deg FROM cedges
+  GROUP BY 1 HAVING COUNT(*) >= {KCORE_K}
+),
+{_KCORE_CHAIN},
+final AS (
+  SELECT e.src AS node, COUNT(*) AS deg
+  FROM cedges e
+  JOIN n{KCORE_ROUNDS} a ON e.src = a.node
+  JOIN n{KCORE_ROUNDS} b ON e.dst = b.node
+  GROUP BY 1
+)
+SELECT CAST(deg AS BIGINT) AS deg, COUNT(*) AS n_nodes,
+       CAST(SUM(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_customers,
+       CAST(SUM(node % 2) AS BIGINT) AS n_parts,
+       MIN(node) AS min_node
+FROM final GROUP BY 1
+"""

@@ -549,6 +549,9 @@ query("assoc_rules_pairs", _an.ASSOC_RULES_SQL)(_an.assoc_rules_pairs)
 query("ts_seasonal_profile", _an.TS_SEASONAL_SQL)(_an.ts_seasonal_profile)
 query("agg_weighted_median", _an.AGG_WMEDIAN_SQL)(_an.agg_weighted_median)
 query("ts_cusum_alarm", _an.TS_CUSUM_SQL)(_an.ts_cusum_alarm)
+query("seq_transition_matrix", _an.SEQ_TRANSITION_SQL)(_an.seq_transition_matrix)
+query("ts_autocorr_lag", _an.TS_AUTOCORR_SQL)(_an.ts_autocorr_lag)
+query("agg_theil_sen", _an.AGG_THEIL_SEN_SQL)(_an.agg_theil_sen)
 query("text_tfidf_topk", _an.TEXT_TFIDF_SQL)(_an.text_tfidf_topk)
 query("join_salted_skew", _an.JOIN_SALTED_SQL)(_an.join_salted_skew)
 query("agg_sliding_window", _an.AGG_SLIDING_SQL)(_an.agg_sliding_window)
@@ -725,6 +728,8 @@ query("graph_connected_components", _gr.GRAPH_CC_SQL)(
 )
 query("graph_triangle_count", _gr.GRAPH_TRIANGLE_SQL)(_gr.graph_triangle_count)
 query("graph_bfs_distances", _gr.GRAPH_BFS_SQL)(_gr.graph_bfs_distances)
+query("graph_jaccard_neighbors", _gr.GRAPH_JACCARD_SQL)(_gr.graph_jaccard_neighbors)
+query("graph_kcore", _gr.GRAPH_KCORE_SQL)(_gr.graph_kcore)
 
 from .operators import featurize as _ft  # noqa: E402
 

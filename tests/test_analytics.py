@@ -597,3 +597,133 @@ def test_weighted_median_vs_brute(spark, sf_dir):
         for r in an.agg_weighted_median(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_seq_transition_matrix_vs_brute(spark, sf_dir):
+    """Transition counts must equal a literal per-user adjacent-pair
+    walk, and ppm rows must sum to ~1e6 per from_type."""
+    from spark_streaming_stream_analyzer_spark.operators import analytics as an
+    from spark_streaming_stream_analyzer_spark.sources.tables import (
+        load_table,
+        ts_micros,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select(
+        "user_id", "event_type", ts_micros(ev).alias("us"), "event_id"
+    ).collect()
+    by_u = {}
+    for r in rows:
+        by_u.setdefault(r["user_id"], []).append(
+            (r["us"], r["event_id"], r["event_type"])
+        )
+    expect = {}
+    for seq in by_u.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            expect[(a, b)] = expect.get((a, b), 0) + 1
+    got = {
+        (r["from_type"], r["to_type"]): (
+            r["n_transitions"], r["row_total"], r["p_ppm"]
+        )
+        for r in an.seq_transition_matrix(spark, sf_dir).collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == expect
+    for (a, _), (n, tot, ppm) in got.items():
+        assert tot == sum(v for (x, _), v in expect.items() if x == a)
+        assert ppm == (n * 1_000_000) // tot
+    # ppm floor-sums to within |types| of 1e6 per row
+    from collections import defaultdict
+
+    ppm_sum = defaultdict(int)
+    for (a, _), (_, _, ppm) in got.items():
+        ppm_sum[a] += ppm
+    for a, s in ppm_sum.items():
+        assert 1_000_000 - len(ppm_sum) * 2 <= s <= 1_000_000
+
+
+def test_ts_autocorr_lag_vs_brute(spark, sf_dir):
+    """r_sign/r2_ppm must equal an exact-integer Pearson on the
+    brute-force daily-count series, and lag-0 self-correlation of a
+    constant-free series is near 1e6 only when actually correlated."""
+    from spark_streaming_stream_analyzer_spark.operators import analytics as an
+    from spark_streaming_stream_analyzer_spark.sources.tables import (
+        load_table,
+        ts_micros,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select("event_type", ts_micros(ev).alias("us")).collect()
+    daily = {}
+    for r in rows:
+        k = (r["event_type"], r["us"] // an.SEQ_DAY_US)
+        daily[k] = daily.get(k, 0) + 1
+    expect = {}
+    types = sorted({t for t, _ in daily})
+    for t in types:
+        series = {d: x for (tt, d), x in daily.items() if tt == t}
+        for lag in range(1, an.AUTOCORR_MAX_LAG + 1):
+            pairs = [
+                (x, series[d + lag])
+                for d, x in series.items()
+                if d + lag in series
+            ]
+            if not pairs:
+                continue
+            n = len(pairs)
+            sx = sum(x for x, _ in pairs)
+            sy = sum(y for _, y in pairs)
+            sxx = sum(x * x for x, _ in pairs)
+            syy = sum(y * y for _, y in pairs)
+            sxy = sum(x * y for x, y in pairs)
+            num = n * sxy - sx * sy
+            denx = n * sxx - sx * sx
+            deny = n * syy - sy * sy
+            r2 = (
+                (num * num * 1_000_000) // (denx * deny)
+                if denx > 0 and deny > 0
+                else None
+            )
+            sign = 0 if num == 0 else (1 if num > 0 else -1)
+            expect[(t, lag)] = (n, sign, r2)
+    got = {
+        (r["event_type"], r["lag"]): (r["n_pairs"], r["r_sign"], r["r2_ppm"])
+        for r in an.ts_autocorr_lag(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert all(v[2] is None or v[2] <= 1_000_000 for v in got.values())
+
+
+def test_agg_theil_sen_vs_brute(spark, sf_dir):
+    from spark_streaming_stream_analyzer_spark.operators import analytics as an
+    from spark_streaming_stream_analyzer_spark.sources.tables import (
+        load_table,
+        ts_micros,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select("event_type", ts_micros(ev).alias("us")).collect()
+    daily = {}
+    for r in rows:
+        k = (r["event_type"], r["us"] // an.SEQ_DAY_US)
+        daily[k] = daily.get(k, 0) + 1
+    expect = {}
+    for t in sorted({t for t, _ in daily}):
+        series = sorted(
+            (d, x) for (tt, d), x in daily.items() if tt == t
+        )
+        slopes = []
+        for i, (di, xi) in enumerate(series):
+            for dj, xj in series[i + 1:]:
+                sign = 0 if xj == xi else (1 if xj > xi else -1)
+                slopes.append(sign * ((abs(xj - xi) * 1_000_000) // (dj - di)))
+        slopes.sort()
+        n = len(slopes)
+        lo = slopes[(n + 1) // 2 - 1]
+        hi = slopes[(n + 2) // 2 - 1]
+        expect[t] = (n, lo + hi)
+    got = {
+        r["event_type"]: (r["n_pairs"], r["slope_ppm_2x"])
+        for r in an.agg_theil_sen(spark, sf_dir).collect()
+    }
+    assert got == expect

@@ -171,3 +171,93 @@ def test_bfs_distances_vs_brute(spark, sf_dir):
     }
     assert got == {d: list(v) for d, v in expect.items()}
     assert max(got) >= 2  # layered structure, not just seeds+neighbors
+
+
+def test_jaccard_neighbors_vs_brute(spark, sf_dir):
+    """Top-k pairs must equal a literal neighbor-set Jaccard over the
+    co-purchase graph with the same (ppm desc, u, v) tie-break."""
+    from spark_streaming_stream_analyzer_spark.sources.tables import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    )
+    by_o = {}
+    for r in rows:
+        by_o.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    nbrs = {}
+    for parts in by_o.values():
+        ps = sorted(parts)
+        for i, u in enumerate(ps):
+            for v in ps[i + 1:]:
+                nbrs.setdefault(u, set()).add(v)
+                nbrs.setdefault(v, set()).add(u)
+    cand = {}
+    for w, ns in nbrs.items():
+        ns_sorted = sorted(ns)
+        for i, a in enumerate(ns_sorted):
+            for b in ns_sorted[i + 1:]:
+                cand[(a, b)] = cand.get((a, b), 0) + 1
+    scored = []
+    for (a, b), inter in cand.items():
+        union = len(nbrs[a]) + len(nbrs[b]) - inter
+        scored.append(((inter * 1_000_000) // union, a, b, inter, union))
+    scored.sort(key=lambda t: (-t[0], t[1], t[2]))
+    expect = [
+        (u, v, inter, union, ppm)
+        for ppm, u, v, inter, union in scored[: gr.JACCARD_TOPK]
+    ]
+    got = [
+        (r["u"], r["v"], r["n_common"], r["n_union"], r["jaccard_ppm"])
+        for r in gr.graph_jaccard_neighbors(spark, sf_dir).collect()
+    ]
+    assert got == expect
+
+
+def test_kcore_vs_brute_peel(spark, sf_dir):
+    """The bounded 10-round peel must equal a run-to-fixpoint python
+    peel (the fixture graph converges well inside 10 rounds), and the
+    core must be non-empty with every degree >= K."""
+    from spark_streaming_stream_analyzer_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    ).collect()
+    od = {
+        r["o_orderkey"]: r["o_custkey"]
+        for r in load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .collect()
+    }
+    edges = set()
+    for r in li:
+        if r["l_quantity"] >= gr.KCORE_MIN_QTY and r["l_orderkey"] in od:
+            c = od[r["l_orderkey"]] * 2
+            p = r["l_partkey"] * 2 + 1
+            edges.add((c, p))
+    adj = {}
+    for c, p in edges:
+        adj.setdefault(c, set()).add(p)
+        adj.setdefault(p, set()).add(c)
+    alive = set(adj)
+    while True:
+        drop = {n for n in alive
+                if len(adj[n] & alive) < gr.KCORE_K}
+        if not drop:
+            break
+        alive -= drop
+    hist = {}
+    for n in alive:
+        d = len(adj[n] & alive)
+        e = hist.setdefault(d, [0, 0, 0, None])
+        e[0] += 1
+        e[1] += 1 if n % 2 == 0 else 0
+        e[2] += n % 2
+        e[3] = n if e[3] is None else min(e[3], n)
+    got = {
+        r["deg"]: [r["n_nodes"], r["n_customers"], r["n_parts"], r["min_node"]]
+        for r in gr.graph_kcore(spark, sf_dir).collect()
+    }
+    assert got == {d: v for d, v in hist.items()}
+    assert got and min(got) >= gr.KCORE_K
