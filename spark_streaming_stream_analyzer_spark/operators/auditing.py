@@ -489,3 +489,181 @@ SELECT o_orderkey // {CKSUM_BUCKET} AS bucket, COUNT(*) AS n_rows,
        bit_xor({hash64_sql(_CKSUM_ROW)}) AS digest
 FROM orders GROUP BY 1
 """
+
+
+# ------------------------------------------------- column profiling --
+
+_PROFILE_COLS = [
+    # (name, null-safe min/max expression rendered to string)
+    ("event_id", "CAST({c} AS STRING)"),
+    ("user_id", "CAST({c} AS STRING)"),
+    ("event_type", "{c}"),
+    ("value", "CAST(CAST(round({c} * 100) AS BIGINT) AS STRING)"),
+    ("props", "{c}"),
+]
+
+
+def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table column profiler in ONE scan: per column the row
+    count, null count, exact distinct count, and min/max — the
+    schema-health summary every ingestion pipeline snapshots per
+    batch (Deequ's ``Analyzer`` set, dbt's ``describe``).
+
+    Min/max are emitted as STRINGS with a per-type exact rendering
+    (bigints via cast, doubles via integer cents) so one result
+    schema covers heterogeneous columns and both engines format
+    identically — double→string directly would diverge in
+    scientific-notation corners.
+
+    Scale: the 5 distinct-counts in one agg expand the scan 5× (the
+    documented ``agg_multi_distinct`` Expand shape) but stay one
+    pass / one partial+final aggregate, no joins; at 100 TB swap
+    exact distincts for HLL (``approx_distinct_portable``) — the
+    profile shape is unchanged.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    aggs = [F.count("*").alias("n_rows")]
+    for name, render in _PROFILE_COLS:
+        aggs.extend(
+            [
+                F.sum(F.col(name).isNull().cast("long")).alias(f"nn_{name}"),
+                F.count_distinct(F.col(name)).alias(f"nd_{name}"),
+                F.expr(render.format(c=f"min({name})")).alias(f"mn_{name}"),
+                F.expr(render.format(c=f"max({name})")).alias(f"mx_{name}"),
+            ]
+        )
+    prof = ev.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', nn_{name}, nd_{name}, mn_{name}, mx_{name}"
+        for name, _ in _PROFILE_COLS
+    )
+    return prof.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args})"
+            " AS (col_name, n_null, n_distinct, min_s, max_s)"
+        ),
+    ).select("col_name", "n_rows", "n_null", "n_distinct", "min_s", "max_s")
+
+
+def _profile_branch_sql(name: str, render: str) -> str:
+    mn = render.format(c=f"MIN({name})")
+    mx = render.format(c=f"MAX({name})")
+    return f"""
+  SELECT '{name}' AS col_name, COUNT(*) AS n_rows,
+         CAST(SUM(CASE WHEN {name} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null,
+         COUNT(DISTINCT {name}) AS n_distinct,
+         {mn} AS min_s, {mx} AS max_s
+  FROM events"""
+
+
+DQ_PROFILE_SQL = "\nUNION ALL\n".join(
+    _profile_branch_sql(
+        name,
+        render.replace("AS STRING", "AS VARCHAR"),
+    )
+    for name, render in _PROFILE_COLS
+)
+
+
+# -------------------------------------------- distribution drift --
+
+DRIFT_ALERT_PPM = 20_000
+
+
+def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Category-share drift between the first and second half of the
+    event stream's day range: per event_type the share (ppm) in each
+    half, the signed delta, and an alert flag at ±2% — plus the
+    half-total-variation distance is recoverable as Σ|delta| DIV 2.
+    The train/serve skew monitor in its simplest decidable form (PSI
+    needs logs; TVD is the log-free, integer-exact drift metric —
+    same discipline as ``text_tfidf_topk``).
+
+    Scale: one scan → (type, half) counts; the day-range boundary is
+    a 1-row broadcast scalar (same shape as ``dq_benford``'s total),
+    and shares are windows over the |types|-row aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("event_type", ts_micros(ev).alias("us")).select(
+        "event_type", F.expr("us DIV 86400000000").alias("day")
+    )
+    rng = days.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    halves = days.crossJoin(F.broadcast(rng)).select(
+        "event_type",
+        F.when(
+            F.col("day") < F.expr("(d0 + d1 + 1) DIV 2"), F.lit("ref")
+        ).otherwise(F.lit("cur")).alias("half"),
+    )
+    counts = halves.groupBy("event_type", "half").agg(
+        F.count("*").alias("n")
+    )
+    tot = F.sum("n").over(Window.partitionBy("half"))
+    shares = counts.withColumn("tot", tot).select(
+        "event_type", "half", "n",
+        F.expr("(n * 1000000) DIV tot").alias("share_ppm"),
+    )
+    ref = shares.filter("half = 'ref'").select(
+        "event_type",
+        F.col("n").alias("ref_n"),
+        F.col("share_ppm").alias("ref_ppm"),
+    )
+    cur = shares.filter("half = 'cur'").select(
+        "event_type",
+        F.col("n").alias("cur_n"),
+        F.col("share_ppm").alias("cur_ppm"),
+    )
+    return (
+        ref.join(cur, "event_type", "full")
+        .select(
+            "event_type",
+            F.coalesce("ref_n", F.lit(0)).alias("ref_n"),
+            F.coalesce("cur_n", F.lit(0)).alias("cur_n"),
+            F.coalesce("ref_ppm", F.lit(0)).alias("ref_ppm"),
+            F.coalesce("cur_ppm", F.lit(0)).alias("cur_ppm"),
+        )
+        .withColumn("delta_ppm", F.col("cur_ppm") - F.col("ref_ppm"))
+        .withColumn(
+            "drift_alert",
+            (F.abs(F.col("delta_ppm")) > DRIFT_ALERT_PPM).cast("int"),
+        )
+    )
+
+
+DQ_DRIFT_SQL = f"""
+WITH days AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day FROM events
+),
+rng AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM days),
+halves AS (
+  SELECT event_type,
+         CASE WHEN day < (d0 + d1 + 1) // 2 THEN 'ref' ELSE 'cur' END AS half
+  FROM days CROSS JOIN rng
+),
+counts AS (
+  SELECT event_type, half, COUNT(*) AS n FROM halves GROUP BY 1, 2
+),
+shares AS (
+  SELECT event_type, half, n,
+         (n * 1000000) // SUM(n) OVER (PARTITION BY half) AS share_ppm
+  FROM counts
+),
+ref AS (SELECT event_type, n AS ref_n, share_ppm AS ref_ppm
+        FROM shares WHERE half = 'ref'),
+cur AS (SELECT event_type, n AS cur_n, share_ppm AS cur_ppm
+        FROM shares WHERE half = 'cur')
+SELECT COALESCE(r.event_type, c.event_type) AS event_type,
+       CAST(COALESCE(r.ref_n, 0) AS BIGINT) AS ref_n,
+       CAST(COALESCE(c.cur_n, 0) AS BIGINT) AS cur_n,
+       CAST(COALESCE(r.ref_ppm, 0) AS BIGINT) AS ref_ppm,
+       CAST(COALESCE(c.cur_ppm, 0) AS BIGINT) AS cur_ppm,
+       CAST(COALESCE(c.cur_ppm, 0) - COALESCE(r.ref_ppm, 0) AS BIGINT)
+         AS delta_ppm,
+       CAST(CASE WHEN abs(COALESCE(c.cur_ppm, 0) - COALESCE(r.ref_ppm, 0))
+                      > {DRIFT_ALERT_PPM}
+                 THEN 1 ELSE 0 END AS INTEGER) AS drift_alert
+FROM ref r FULL JOIN cur c ON r.event_type = c.event_type
+"""

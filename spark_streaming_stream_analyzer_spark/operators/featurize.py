@@ -717,3 +717,138 @@ SELECT o_orderkey, event_id AS near_event_id, ev_us AS near_event_us,
        adist AS near_delta_us, event_type AS near_event_type
 FROM ranked WHERE rn = 1
 """
+
+
+# ------------------------------------------ chi-square selection --
+
+CHI2_MIN_DF = 5
+CHI2_TOPK = 10
+_CHI2_D19 = "decimal(19,0)"
+
+
+def feature_chi2_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square feature selection: for every (source, token) pair
+    the 2×2-contingency χ² statistic of "document contains token"
+    vs "document belongs to source", keeping each source's top-10
+    most-discriminative tokens — the classic supervised vocabulary
+    selector for text classifiers (and the corpus-mixture telltale:
+    a token that over-indexes one source signals template leakage).
+
+    EXACT: with a = |docs of s with t|, S = |docs of s|, T = |docs
+    with t|, N = |docs|: b = S−a, c = T−a, d = N−S−T+a and
+      χ²·1e3 = (N·(ad−bc)²·1000) DIV ((a+b)(c+d)(a+c)(b+d))
+    computed in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — the
+    intermediate (ad−bc)² overflows int64 at fixture scale already,
+    the same widening ``ts_autocorr_lag`` uses. Log-free, DIV-only.
+
+    Scale: distinct (doc, token) is wordcount-shaped; the three
+    margins are two tiny aggregates (|sources|, |vocab|) broadcast
+    onto the (source, token) table; top-k repartitions by source.
+    Tokens under CHI2_MIN_DF docs are dropped first — the classic
+    low-df guard that also caps the pair table.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    n_docs = docs.select(F.count("*").alias("n_total"))
+    src_sz = docs.groupBy("source").agg(F.count("*").alias("s_docs"))
+    doc_tok = (
+        docs.select(
+            "doc_id", "source",
+            F.explode(F.split("text", " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .select("doc_id", "source", "token")
+        .distinct()
+    )
+    tok_df = doc_tok.groupBy("token").agg(
+        F.count("*").alias("t_docs")
+    ).filter(F.col("t_docs") >= CHI2_MIN_DF)
+    a_tab = doc_tok.join(F.broadcast(tok_df), "token").groupBy(
+        "source", "token", "t_docs"
+    ).agg(F.count("*").alias("a"))
+    cells = (
+        a_tab.join(F.broadcast(src_sz), "source")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "source", "token", "a",
+            (F.col("s_docs") - F.col("a")).alias("b"),
+            (F.col("t_docs") - F.col("a")).alias("c"),
+            (F.col("n_total") - F.col("s_docs") - F.col("t_docs")
+             + F.col("a")).alias("d"),
+            "n_total",
+        )
+    )
+    chi2 = cells.select(
+        "source", "token", "a", "b", "c", "d",
+        F.expr(
+            f"""CASE WHEN (a + b) > 0 AND (c + d) > 0
+                      AND (a + c) > 0 AND (b + d) > 0
+                THEN (CAST(n_total AS {_CHI2_D19})
+                      * CAST(a * d - b * c AS {_CHI2_D19})
+                      * CAST(a * d - b * c AS {_CHI2_D19}) * 1000)
+                     div (CAST((a + b) AS {_CHI2_D19})
+                          * CAST((c + d) AS {_CHI2_D19})
+                          * CAST((a + c) AS {_CHI2_D19})
+                          * CAST((b + d) AS {_CHI2_D19}))
+                END"""
+        ).alias("chi2_e3"),
+    ).filter(F.col("chi2_e3").isNotNull())
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.desc("chi2_e3"), F.asc("token")
+        )
+    )
+    return (
+        chi2.withColumn("rn", rn)
+        .filter(F.col("rn") <= CHI2_TOPK)
+        .select("source", "token", "a", "b", "c", "d", "chi2_e3", "rn")
+    )
+
+
+FEATURE_CHI2_SQL = f"""
+WITH docs AS (SELECT doc_id, source, text FROM documents),
+n AS (SELECT COUNT(*) AS n_total FROM docs),
+src_sz AS (SELECT source, COUNT(*) AS s_docs FROM docs GROUP BY 1),
+doc_tok AS (
+  SELECT DISTINCT doc_id, source, token FROM (
+    SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+    FROM docs
+  ) WHERE token <> ''
+),
+tok_df AS (
+  SELECT token, COUNT(*) AS t_docs FROM doc_tok GROUP BY 1
+  HAVING COUNT(*) >= {CHI2_MIN_DF}
+),
+a_tab AS (
+  SELECT dt.source, dt.token, td.t_docs, COUNT(*) AS a
+  FROM doc_tok dt JOIN tok_df td ON dt.token = td.token
+  GROUP BY 1, 2, 3
+),
+cells AS (
+  SELECT a_tab.source, token, a,
+         s_docs - a AS b, t_docs - a AS c,
+         n_total - s_docs - t_docs + a AS d, n_total
+  FROM a_tab JOIN src_sz ON a_tab.source = src_sz.source CROSS JOIN n
+),
+chi2 AS (
+  SELECT source, token, a, b, c, d,
+         (CAST(n_total AS HUGEINT)
+          * CAST(a * d - b * c AS HUGEINT)
+          * CAST(a * d - b * c AS HUGEINT) * 1000)
+         // (CAST(a + b AS HUGEINT) * CAST(c + d AS HUGEINT)
+             * CAST(a + c AS HUGEINT) * CAST(b + d AS HUGEINT)) AS chi2_e3
+  FROM cells
+  WHERE (a + b) > 0 AND (c + d) > 0 AND (a + c) > 0 AND (b + d) > 0
+),
+ranked AS (
+  SELECT source, token, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+         CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
+         CAST(chi2_e3 AS BIGINT) AS chi2_e3,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY chi2_e3 DESC, token ASC) AS rn
+  FROM chi2
+)
+SELECT source, token, a, b, c, d, chi2_e3, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= {CHI2_TOPK}
+"""

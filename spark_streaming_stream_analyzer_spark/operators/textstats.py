@@ -576,3 +576,71 @@ SELECT doc_id, len(ws) AS n_tokens,
          // len(ws) AS oov_ppm
 FROM w, vocab
 """
+
+
+# --------------------------------------------- lexical diversity --
+
+
+def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical-diversity panel: token count, type
+    (distinct-word) count, type-token ratio in ppm, hapax-legomena
+    count, and Yule's K characteristic scaled ×1e4 — the vocabulary-
+    richness signals a curation pipeline uses to separate boilerplate
+    and keyword-stuffed spam (near-zero TTR) from natural prose.
+
+    All-integer: ttr_ppm = types·1e6 DIV tokens; Yule's K =
+    1e4·(Σf²−N)/N² becomes (Σf²−N)·1e4 DIV (N·N) (log-free, DIV
+    discipline — both engines agree bit-for-bit).
+
+    Scale: wordcount-shaped — explode → (doc, word) hash-aggregate →
+    per-doc aggregate; partial aggregation absorbs the explode and
+    nothing leaves the JVM.
+    """
+    docs = load_table_cpu(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("f"))
+    return (
+        tf.groupBy("doc_id")
+        .agg(
+            F.sum("f").alias("n_tokens"),
+            F.count("*").alias("n_types"),
+            F.sum(F.when(F.col("f") == 1, 1).otherwise(0)).alias("n_hapax"),
+            F.sum(F.col("f") * F.col("f")).alias("sum_f2"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            F.expr("(n_types * 1000000) DIV n_tokens").alias("ttr_ppm"),
+            F.expr(
+                "((sum_f2 - n_tokens) * 10000) DIV (n_tokens * n_tokens)"
+            ).alias("yule_k_e4"),
+        )
+    )
+
+
+TEXT_LEXDIV_SQL = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+tf AS (
+  SELECT doc_id, word, COUNT(*) AS f
+  FROM words WHERE word <> '' GROUP BY 1, 2
+),
+agg AS (
+  SELECT doc_id, SUM(f) AS n_tokens, COUNT(*) AS n_types,
+         SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS n_hapax,
+         SUM(f * f) AS sum_f2
+  FROM tf GROUP BY 1
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_types AS BIGINT) AS n_types,
+       CAST(n_hapax AS BIGINT) AS n_hapax,
+       CAST((n_types * 1000000) // n_tokens AS BIGINT) AS ttr_ppm,
+       CAST(((sum_f2 - n_tokens) * 10000) // (n_tokens * n_tokens) AS BIGINT)
+         AS yule_k_e4
+FROM agg
+"""

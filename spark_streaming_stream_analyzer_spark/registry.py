@@ -656,6 +656,7 @@ query("pipeline_docs_prep", _ts.PIPELINE_DOCS_SQL)(_ts.pipeline_docs_prep)
 query("doc_winnowing", _ts.DOC_WINNOW_SQL)(_ts.doc_winnowing)
 query("text_bigram_freq", _ts.TEXT_BIGRAM_SQL)(_ts.text_bigram_freq)
 query("text_oov_rate", _ts.TEXT_OOV_SQL)(_ts.text_oov_rate)
+query("text_lexical_diversity", _ts.TEXT_LEXDIV_SQL)(_ts.text_lexical_diversity)
 query("udtf_chunk_docs", _ts.UDTF_CHUNK_SQL)(_ts.udtf_chunk_docs)
 query("text_normalize", _ts.TEXT_NORMALIZE_SQL)(_ts.text_normalize)
 query("mm_binary_meta", _mm.MM_BINARY_META_SQL)(_mm.mm_binary_meta)
@@ -704,6 +705,8 @@ query("dq_constraint_audit", _au.DQ_AUDIT_SQL)(_au.dq_constraint_audit)
 query("dq_benford", _au.DQ_BENFORD_SQL)(_au.dq_benford)
 query("layout_zorder_stats", _au.DQ_ZORDER_SQL)(_au.layout_zorder_stats)
 query("dq_checksum_buckets", _au.DQ_CKSUM_SQL)(_au.dq_checksum_buckets)
+query("dq_column_profile", _au.DQ_PROFILE_SQL)(_au.dq_column_profile)
+query("dq_distribution_drift", _au.DQ_DRIFT_SQL)(_au.dq_distribution_drift)
 query("skew_key_profile", _au.SKEW_PROFILE_SQL)(_au.skew_key_profile)
 query("json_key_inventory", _jsonf.JSON_KEY_INVENTORY_SQL)(_jsonf.json_key_inventory)
 query("join_interval_overlap", _an.JOIN_INTERVAL_SQL)(_an.join_interval_overlap)
@@ -735,6 +738,7 @@ from .operators import featurize as _ft  # noqa: E402
 
 query("feature_quantile_bins", _ft.FEATURE_BINS_SQL)(_ft.feature_quantile_bins)
 query("feature_hash_vectorize", _ft.FEATURE_HASH_SQL)(_ft.feature_hash_vectorize)
+query("feature_chi2_select", _ft.FEATURE_CHI2_SQL)(_ft.feature_chi2_select)
 query("target_encode_oof", _ft.TARGET_ENCODE_SQL)(_ft.target_encode_oof)
 query("approx_kmv_jaccard", _ft.KMV_JACCARD_SQL)(_ft.approx_kmv_jaccard)
 query("approx_distinct_intersect", _ft.HLL_INTERSECT_SQL)(

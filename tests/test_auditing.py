@@ -190,3 +190,46 @@ def test_checksum_buckets_localize_a_diff(spark, sf_dir):
     mutated = fold(rows, mutate_key=key)
     diff = [b for b in expect if expect[b] != mutated[b]]
     assert diff == [key // au.CKSUM_BUCKET]
+
+
+def test_column_profile_vs_pandas(spark, sf_dir):
+    """Profile rows must equal a pandas-side profile of the same
+    parquet, including the per-type exact min/max rendering."""
+    import pandas as pd
+
+    from spark_streaming_stream_analyzer_spark.operators import auditing as au
+
+    pdf = pd.read_parquet(f"{sf_dir}/events.parquet")
+    got = {
+        r["col_name"]: (
+            r["n_rows"], r["n_null"], r["n_distinct"], r["min_s"], r["max_s"]
+        )
+        for r in au.dq_column_profile(spark, sf_dir).collect()
+    }
+    assert set(got) == {c for c, _ in au._PROFILE_COLS}
+    n = len(pdf)
+    for col, _ in au._PROFILE_COLS:
+        s = pdf[col]
+        if col == "value":
+            mn = str(round(s.min() * 100))
+            mx = str(round(s.max() * 100))
+        else:
+            mn, mx = str(s.min()), str(s.max())
+        assert got[col] == (n, int(s.isna().sum()), s.nunique(), mn, mx)
+
+
+def test_distribution_drift_shares_sum(spark, sf_dir):
+    """Each half's share ppms floor-sum to ~1e6 and deltas cancel to
+    within rounding; counts reconstruct the table total."""
+    from spark_streaming_stream_analyzer_spark.operators import auditing as au
+    from spark_streaming_stream_analyzer_spark.sources.tables import load_table
+
+    rows = au.dq_distribution_drift(spark, sf_dir).collect()
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert sum(r["ref_n"] + r["cur_n"] for r in rows) == n_events
+    for side in ("ref_ppm", "cur_ppm"):
+        s = sum(r[side] for r in rows)
+        assert 1_000_000 - 2 * len(rows) <= s <= 1_000_000
+    for r in rows:
+        assert r["delta_ppm"] == r["cur_ppm"] - r["ref_ppm"]
+        assert r["drift_alert"] == int(abs(r["delta_ppm"]) > au.DRIFT_ALERT_PPM)

@@ -335,3 +335,36 @@ def test_pipeline_pretrain_corpus_vs_brute(spark, sf_dir):
     }
     assert got == {k: list(v) for k, v in expect.items()}
     assert got  # the pipeline keeps a corpus
+
+
+def test_lexical_diversity_vs_brute(spark, sf_dir):
+    from collections import Counter
+
+    from spark_streaming_stream_analyzer_spark.operators import textstats as ts
+    from spark_streaming_stream_analyzer_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    expect = {}
+    for r in rows:
+        f = Counter(t for t in r["text"].split(" ") if t)
+        n = sum(f.values())
+        if n == 0:
+            continue
+        types = len(f)
+        hapax = sum(1 for v in f.values() if v == 1)
+        sum_f2 = sum(v * v for v in f.values())
+        expect[r["doc_id"]] = (
+            n, types, hapax,
+            (types * 1_000_000) // n,
+            ((sum_f2 - n) * 10_000) // (n * n),
+        )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["n_types"], r["n_hapax"], r["ttr_ppm"],
+            r["yule_k_e4"],
+        )
+        for r in ts.text_lexical_diversity(spark, sf_dir).collect()
+    }
+    assert got == expect

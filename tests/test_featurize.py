@@ -310,3 +310,49 @@ def test_join_asof_nearest_vs_brute(spark, sf_dir):
     }
     assert got == expect
     assert any(v is None for v in got.values())  # silence rows survive
+
+
+def test_chi2_select_vs_brute(spark, sf_dir):
+    """Top-k rows must equal a literal 2x2 chi-square over python
+    sets, same integer scaling and tie-break."""
+    from spark_streaming_stream_analyzer_spark.operators import featurize as ft
+    from spark_streaming_stream_analyzer_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    ).collect()
+    n_total = len(rows)
+    src_docs = {}
+    tok_docs = {}
+    pair_docs = {}
+    for r in rows:
+        src_docs[r["source"]] = src_docs.get(r["source"], 0) + 1
+        toks = {t for t in r["text"].split(" ") if t}
+        for t in toks:
+            tok_docs[t] = tok_docs.get(t, 0) + 1
+            pair_docs[(r["source"], t)] = pair_docs.get((r["source"], t), 0) + 1
+    expect_rows = {}
+    for (s, t), a in pair_docs.items():
+        T = tok_docs[t]
+        if T < ft.CHI2_MIN_DF:
+            continue
+        b = src_docs[s] - a
+        c = T - a
+        d = n_total - src_docs[s] - T + a
+        if min(a + b, c + d, a + c, b + d) <= 0:
+            continue
+        num = n_total * (a * d - b * c) ** 2 * 1000
+        den = (a + b) * (c + d) * (a + c) * (b + d)
+        chi2 = num // den
+        expect_rows.setdefault(s, []).append((chi2, t, a, b, c, d))
+    expect = []
+    for s in expect_rows:
+        ranked = sorted(expect_rows[s], key=lambda x: (-x[0], x[1]))
+        for i, (chi2, t, a, b, c, d) in enumerate(ranked[: ft.CHI2_TOPK], 1):
+            expect.append((s, t, a, b, c, d, chi2, i))
+    got = [
+        (r["source"], r["token"], r["a"], r["b"], r["c"], r["d"],
+         r["chi2_e3"], r["rn"])
+        for r in ft.feature_chi2_select(spark, sf_dir).collect()
+    ]
+    assert sorted(got) == sorted(expect)
