@@ -916,3 +916,109 @@ def _stream_seqp_sql() -> str:
 
 
 STREAM_SEQP_SQL = _stream_seqp_sql()
+
+
+# ------------------------------------------------ streaming CUSUM --
+
+CUSUM_STATE_SCHEMA = "cum LONG, runmin LONG"
+
+CUSUM_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_alarms", T.LongType()),
+        T.StructField("max_excursion", T.LongType()),
+        T.StructField("first_alarm_us", T.LongType()),
+    ]
+)
+
+
+def _cusum_update(
+    key: tuple[str],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Streaming form of ``analytics.ts_cusum_alarm``: the one-sided
+    Page CUSUM carried across micro-batches as exactly TWO integers
+    per key — the running sum of (x−k) and the running minimum of
+    that sum (clamped at 0) — since s_t = cum_t − min(0, min prefix
+    cum). Integer micro-units end-to-end, so the streaming path is
+    bit-identical to the batch window identity. Emits one per-batch
+    partial; the serving fold sums counts, maxes the excursion, and
+    mins the first-alarm time (each alarm row is seen exactly once,
+    in the batch whose event crosses h)."""
+    import numpy as np
+
+    from ..operators.analytics import CUSUM_H_MICRO, CUSUM_K_MICRO
+
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    if len(batch) == 0:
+        return
+    batch = batch.sort_values(["us", "event_id"]).reset_index(drop=True)
+    prev_cum, prev_runmin = (0, 0)
+    if state.exists:
+        prev_cum, prev_runmin = state.get
+    v = batch["value"].to_numpy() * 1_000_000
+    # Spark/DuckDB round() is half-AWAY-from-zero; np.rint is half-even
+    d = (
+        (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        - CUSUM_K_MICRO
+    )
+    cums = prev_cum + np.cumsum(d)
+    runmins = np.minimum(prev_runmin, np.minimum.accumulate(cums))
+    s = cums - runmins
+    alarms = s > CUSUM_H_MICRO
+    first_idx = int(np.argmax(alarms)) if alarms.any() else None
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "n_events": [len(batch)],
+            "n_alarms": [int(alarms.sum())],
+            "max_excursion": [int(s.max())],
+            "first_alarm_us": pd.array(
+                [None if first_idx is None
+                 else int(batch["us"].iloc[first_idx])],
+                dtype="Int64",
+            ),
+        }
+    )
+    state.update((int(cums[-1]), int(min(runmins[-1], 0))))
+
+
+def stream_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing query: chronological replay through the stateful
+    CUSUM, then the partial fold — same oracle as the batch
+    ``ts_cusum_alarm`` (the ``TS_CUSUM_SQL`` window identity), proving
+    the 2-integer state form computes the identical alarm path. The
+    cross-batch carry (an excursion climbing over a batch boundary) is
+    drilled in tests/test_streaming.py."""
+    from .pipelines import _run_to_memory, events_file_stream
+    from ..sources.tables import ts_micros
+
+    ev = events_file_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    proj = ev.select(
+        "event_type", ts_micros(ev).alias("us"), "event_id", "value"
+    )
+    out = proj.groupBy("event_type").applyInPandasWithState(
+        _cusum_update,
+        outputStructType=CUSUM_OUTPUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    mem = _run_to_memory(out, output_mode="append")
+    return mem.groupBy("event_type").agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("n_alarms").alias("n_alarms"),
+        F.max("max_excursion").alias("max_excursion"),
+        F.min("first_alarm_us").alias("first_alarm_us"),
+    )
+
+
+def _stream_cusum_sql() -> str:
+    from ..operators.analytics import TS_CUSUM_SQL
+
+    return TS_CUSUM_SQL
+
+
+STREAM_CUSUM_SQL = _stream_cusum_sql()

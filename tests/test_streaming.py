@@ -578,3 +578,72 @@ def test_stream_hll_bit_identical_to_batch(spark, sf_dir):
         for r in stream_hll_distinct(spark, sf_dir).collect()
     }
     assert stream == batch  # float-equal because the integers are equal
+
+
+def test_stream_cusum_cross_batch_carry(spark, tmp_path):
+    """An excursion climbing across the batch boundary must alarm in
+    batch 2 using batch 1's carried (cum, runmin) — and the whole
+    path must equal the literal Page recursion."""
+    from spark_streaming_stream_analyzer_spark.operators.analytics import (
+        CUSUM_H_MICRO,
+        CUSUM_K_MICRO,
+    )
+    from spark_streaming_stream_analyzer_spark.streaming.pipelines import (
+        _run_to_memory,
+        events_file_stream,
+    )
+    from spark_streaming_stream_analyzer_spark.streaming.state import (
+        CUSUM_OUTPUT_SCHEMA,
+        CUSUM_STATE_SCHEMA,
+        _cusum_update,
+    )
+    from spark_streaming_stream_analyzer_spark.sources.tables import ts_micros
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    k = CUSUM_K_MICRO / 1e6
+    h = CUSUM_H_MICRO / 1e6
+    step = (h / 4) + k  # each event adds h/4 of excursion
+    # 3 steps in batch 1 (no alarm yet), 2 more in batch 2 -> s crosses
+    # h only with the carried state; a fresh batch-2 start would not.
+    b1 = [(i, i * NS, 1, "t", step, "{}") for i in range(1, 4)]
+    b2 = [(i, i * NS, 1, "t", step, "{}") for i in range(4, 6)]
+    src = _write_event_files(spark, str(tmp_path), [b1, b2])
+    ev = events_file_stream(spark, src)
+    proj = ev.select(
+        "event_type", ts_micros(ev).alias("us"), "event_id", "value"
+    )
+    out = proj.groupBy("event_type").applyInPandasWithState(
+        _cusum_update,
+        outputStructType=CUSUM_OUTPUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    mem = _run_to_memory(out, output_mode="append")
+    got = (
+        mem.groupBy("event_type")
+        .agg(
+            F.sum("n_events").alias("n"),
+            F.sum("n_alarms").alias("a"),
+            F.max("max_excursion").alias("mx"),
+            F.min("first_alarm_us").alias("fa"),
+        )
+        .collect()[0]
+    )
+    # literal recursion over the concatenated stream
+    s = 0
+    alarms = 0
+    mx = 0
+    first = None
+    for i in range(1, 6):
+        d = round(step * 1e6) - CUSUM_K_MICRO
+        s = max(0, s + d)
+        mx = max(mx, s)
+        if s > CUSUM_H_MICRO:
+            alarms += 1
+            if first is None:
+                first = i * NS // 1000
+    assert (got["n"], got["a"], got["mx"], got["fa"]) == (
+        5, alarms, mx, first
+    )
+    assert alarms >= 1  # the boundary-crossing alarm actually fired
