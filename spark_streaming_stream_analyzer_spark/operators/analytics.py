@@ -2524,3 +2524,73 @@ SELECT event_type, CAST(MIN(tot) AS BIGINT) AS n_pairs,
          AS slope_ppm_2x
 FROM cum GROUP BY 1
 """
+
+
+PEAK_RADIUS_DAYS = 3
+
+
+def ts_peak_prominence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-peak detection on the per-type daily count series: a day
+    is a peak when its count strictly exceeds every day within ±3
+    days — the burst-day report that pairs with ``ts_cusum_alarm``
+    (CUSUM finds sustained drift; this finds isolated spikes). Emits
+    each peak with its count, the neighborhood max it beat, and its
+    margin (all integers; missing neighbor days count as 0, so
+    range-edge days can be peaks).
+
+    Scale: the stream collapses to the |types|·|days| day grain
+    first; peak logic is two RANGE-frame windows over that tiny
+    series — one shuffle total, on the day-grain table not events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", ts_micros(ev).alias("us"))
+        .select("event_type", F.expr(f"us DIV {SEQ_DAY_US}").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("x"))
+    )
+    wl = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rangeBetween(-PEAK_RADIUS_DAYS, -1)
+    )
+    wr = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rangeBetween(1, PEAK_RADIUS_DAYS)
+    )
+    scored = daily.select(
+        "event_type",
+        "day",
+        "x",
+        F.greatest(
+            F.coalesce(F.max("x").over(wl), F.lit(0)),
+            F.coalesce(F.max("x").over(wr), F.lit(0)),
+        ).alias("nbr_max"),
+    )
+    return scored.filter(F.col("x") > F.col("nbr_max")).select(
+        "event_type", "day", "x", "nbr_max",
+        (F.col("x") - F.col("nbr_max")).alias("margin"),
+    )
+
+
+TS_PEAK_SQL = f"""
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // {SEQ_DAY_US} AS day, COUNT(*) AS x
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT event_type, day, x,
+         GREATEST(
+           COALESCE(MAX(x) OVER (PARTITION BY event_type ORDER BY day
+             RANGE BETWEEN {PEAK_RADIUS_DAYS} PRECEDING AND 1 PRECEDING), 0),
+           COALESCE(MAX(x) OVER (PARTITION BY event_type ORDER BY day
+             RANGE BETWEEN 1 FOLLOWING AND {PEAK_RADIUS_DAYS} FOLLOWING), 0)
+         ) AS nbr_max
+  FROM daily
+)
+SELECT event_type, CAST(day AS BIGINT) AS day, CAST(x AS BIGINT) AS x,
+       CAST(nbr_max AS BIGINT) AS nbr_max,
+       CAST(x - nbr_max AS BIGINT) AS margin
+FROM scored WHERE x > nbr_max
+"""

@@ -644,3 +644,76 @@ SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
          AS yule_k_e4
 FROM agg
 """
+
+
+# ----------------------------------------------- n-gram novelty --
+
+NOVELTY_N = 8
+
+
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty relative to everything BEFORE it in
+    doc_id order: the ppm fraction of the doc's distinct word 8-grams
+    whose corpus-wide FIRST occurrence is this doc — the
+    incremental-crawl signal ("how much genuinely new text does this
+    snapshot add?") and the dual of ``text_dup_ngram_fraction``'s
+    anywhere-duplicated exposure.
+
+    Shape: explode to (gram-hash, doc) pairs, per-doc distinct, then
+    a min(doc_id)-per-hash aggregate joined back — first-occurrence
+    attribution with no doc×doc comparison (inverted-index
+    discipline). All-integer ppm.
+
+    Scale: |token|-sized gram table, map-side-combined min per hash;
+    boilerplate grams collapse to one (hash, min_doc) row. Same
+    100 TB sharding story as the dedup tier.
+    """
+    docs = load_table_cpu(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda w: w != "")
+    n_words = F.size(words)
+    grams = F.when(
+        n_words >= NOVELTY_N,
+        F.transform(
+            F.sequence(F.lit(1), n_words - F.lit(NOVELTY_N - 1)),
+            lambda i: hash64(
+                F.concat_ws(" ", F.slice(words, i, NOVELTY_N))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    gd = docs.select(
+        "doc_id", F.explode(grams).alias("gh")
+    ).distinct()
+    first = gd.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
+    flagged = gd.join(first, "gh").select(
+        "doc_id", (F.col("first_doc") == F.col("doc_id")).cast("long").alias("nv")
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_distinct_grams"),
+        F.sum("nv").alias("n_novel_grams"),
+        F.expr("sum(nv) * 1000000 DIV count(*)").alias("novelty_ppm"),
+    )
+
+
+TEXT_NOVELTY_SQL = f"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+),
+gd AS (
+  SELECT DISTINCT doc_id, gh FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(ws) - {NOVELTY_N} + 2),
+             i -> CAST('0x' || substr(md5(array_to_string(list_slice(ws, i, i + 7), ' ')), 1, 15) AS BIGINT)
+           )) AS gh
+    FROM w WHERE len(ws) >= {NOVELTY_N}
+  )
+),
+first AS (SELECT gh, MIN(doc_id) AS first_doc FROM gd GROUP BY 1)
+SELECT doc_id, COUNT(*) AS n_distinct_grams,
+       CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel_grams,
+       CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS novelty_ppm
+FROM gd JOIN first USING (gh)
+GROUP BY doc_id
+"""

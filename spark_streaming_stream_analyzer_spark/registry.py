@@ -552,6 +552,7 @@ query("ts_cusum_alarm", _an.TS_CUSUM_SQL)(_an.ts_cusum_alarm)
 query("seq_transition_matrix", _an.SEQ_TRANSITION_SQL)(_an.seq_transition_matrix)
 query("ts_autocorr_lag", _an.TS_AUTOCORR_SQL)(_an.ts_autocorr_lag)
 query("agg_theil_sen", _an.AGG_THEIL_SEN_SQL)(_an.agg_theil_sen)
+query("ts_peak_prominence", _an.TS_PEAK_SQL)(_an.ts_peak_prominence)
 query("text_tfidf_topk", _an.TEXT_TFIDF_SQL)(_an.text_tfidf_topk)
 query("join_salted_skew", _an.JOIN_SALTED_SQL)(_an.join_salted_skew)
 query("agg_sliding_window", _an.AGG_SLIDING_SQL)(_an.agg_sliding_window)
@@ -657,6 +658,7 @@ query("doc_winnowing", _ts.DOC_WINNOW_SQL)(_ts.doc_winnowing)
 query("text_bigram_freq", _ts.TEXT_BIGRAM_SQL)(_ts.text_bigram_freq)
 query("text_oov_rate", _ts.TEXT_OOV_SQL)(_ts.text_oov_rate)
 query("text_lexical_diversity", _ts.TEXT_LEXDIV_SQL)(_ts.text_lexical_diversity)
+query("text_ngram_novelty", _ts.TEXT_NOVELTY_SQL)(_ts.text_ngram_novelty)
 query("udtf_chunk_docs", _ts.UDTF_CHUNK_SQL)(_ts.udtf_chunk_docs)
 query("text_normalize", _ts.TEXT_NORMALIZE_SQL)(_ts.text_normalize)
 query("mm_binary_meta", _mm.MM_BINARY_META_SQL)(_mm.mm_binary_meta)

@@ -727,3 +727,36 @@ def test_agg_theil_sen_vs_brute(spark, sf_dir):
         for r in an.agg_theil_sen(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_ts_peak_prominence_vs_brute(spark, sf_dir):
+    from spark_streaming_stream_analyzer_spark.operators import analytics as an
+    from spark_streaming_stream_analyzer_spark.sources.tables import (
+        load_table,
+        ts_micros,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select("event_type", ts_micros(ev).alias("us")).collect()
+    daily = {}
+    for r in rows:
+        k = (r["event_type"], r["us"] // an.SEQ_DAY_US)
+        daily[k] = daily.get(k, 0) + 1
+    expect = {}
+    for (t, d), x in daily.items():
+        nbr = max(
+            (
+                daily.get((t, d + o), 0)
+                for o in range(-an.PEAK_RADIUS_DAYS, an.PEAK_RADIUS_DAYS + 1)
+                if o != 0
+            ),
+            default=0,
+        )
+        if x > nbr:
+            expect[(t, d)] = (x, nbr, x - nbr)
+    got = {
+        (r["event_type"], r["day"]): (r["x"], r["nbr_max"], r["margin"])
+        for r in an.ts_peak_prominence(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert got  # fixture series actually has local peaks

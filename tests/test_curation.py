@@ -368,3 +368,41 @@ def test_lexical_diversity_vs_brute(spark, sf_dir):
         for r in ts.text_lexical_diversity(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_ngram_novelty_vs_brute(spark, sf_dir):
+    """Novelty must equal a literal first-occurrence scan in doc_id
+    order, and the doc_id-min doc of any shared gram gets the credit."""
+    from spark_streaming_stream_analyzer_spark.operators import textstats as ts
+    from spark_streaming_stream_analyzer_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    grams_by_doc = {}
+    for r in rows:
+        ws = [t for t in r["text"].split(" ") if t]
+        if len(ws) < ts.NOVELTY_N:
+            continue
+        grams_by_doc[r["doc_id"]] = {
+            " ".join(ws[i: i + ts.NOVELTY_N])
+            for i in range(len(ws) - ts.NOVELTY_N + 1)
+        }
+    first = {}
+    for d in sorted(grams_by_doc):
+        for g in grams_by_doc[d]:
+            first.setdefault(g, d)
+    expect = {}
+    for d, gs in grams_by_doc.items():
+        novel = sum(1 for g in gs if first[g] == d)
+        expect[d] = (len(gs), novel, (novel * 1_000_000) // len(gs))
+    got = {
+        r["doc_id"]: (
+            r["n_distinct_grams"], r["n_novel_grams"], r["novelty_ppm"]
+        )
+        for r in ts.text_ngram_novelty(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # the lowest doc_id is all-novel by construction
+    d0 = min(expect)
+    assert got[d0][2] == 1_000_000
