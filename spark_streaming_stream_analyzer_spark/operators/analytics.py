@@ -2594,3 +2594,61 @@ SELECT event_type, CAST(day AS BIGINT) AS day, CAST(x AS BIGINT) AS x,
        CAST(x - nbr_max AS BIGINT) AS margin
 FROM scored WHERE x > nbr_max
 """
+
+
+def agg_gini_impurity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day Gini impurity of the event-type mix — the log-free
+    diversity index (1 − Σ pᵢ²): 0 when a day is one event type,
+    → 1−1/k for a uniform k-way mix. The drift/diversity summary that
+    pairs with ``dq_distribution_drift`` (that compares two windows;
+    this tracks per-day mix concentration over time).
+
+    EXACT: gini_ppm = ((tot² − Σnᵢ²)·1e6) DIV tot² — integers
+    end-to-end (the reason to prefer Gini over Shannon entropy here:
+    no logarithm, so both engines agree bit-for-bit).
+
+    Scale: one partial/final count aggregate to the (day, type)
+    grain, then a |days|-row re-aggregate. Nothing else.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(ts_micros(ev).alias("us"), "event_type")
+        .select(F.expr(f"us DIV {SEQ_DAY_US}").alias("day"), "event_type")
+        .groupBy("day", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        daily.groupBy("day")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.count("*").alias("n_types"),
+            F.sum(F.col("n") * F.col("n")).alias("sum_n2"),
+        )
+        .select(
+            "day",
+            "n_events",
+            "n_types",
+            F.expr(
+                "((n_events * n_events - sum_n2) * 1000000)"
+                " DIV (n_events * n_events)"
+            ).alias("gini_ppm"),
+        )
+    )
+
+
+AGG_GINI_SQL = f"""
+WITH daily AS (
+  SELECT epoch_us(ts) // {SEQ_DAY_US} AS day, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+agg AS (
+  SELECT day, SUM(n) AS n_events, COUNT(*) AS n_types,
+         SUM(n * n) AS sum_n2
+  FROM daily GROUP BY 1
+)
+SELECT CAST(day AS BIGINT) AS day, CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_types AS BIGINT) AS n_types,
+       CAST(((n_events * n_events - sum_n2) * 1000000)
+            // (n_events * n_events) AS BIGINT) AS gini_ppm
+FROM agg
+"""

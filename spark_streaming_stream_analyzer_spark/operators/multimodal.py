@@ -628,3 +628,63 @@ FROM cand c JOIN sigs a ON c.doc_a = a.doc_id
 WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
     + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= {PHASH_HAM_T}
 """
+
+
+# ------------------------------------------------ shard manifest --
+
+SHARD_BYTES = 4096
+
+
+def mm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style shard packing manifest for the binary tier:
+    per origin, blobs in doc_id order are packed contiguously into
+    ~SHARD_BYTES shards (a blob lands in the shard where its first
+    byte falls — the byte-budget twin of ``pack_token_budget``); per
+    shard the blob count, byte sum, and doc range a loader needs.
+
+    One window (per-origin running byte offset) + one hash-agg, the
+    sequence-packing plan shape; the payload itself never moves —
+    the manifest is computed from lengths alone, which is what lets
+    a 100 TB shard build run as metadata-only until the copy stage.
+    """
+    p = payloads(spark, sf_dir)
+    sized = p.select(
+        "doc_id",
+        F.col("meta.origin").alias("origin"),
+        F.length("payload").cast("long").alias("n_bytes"),
+    )
+    w = (
+        Window.partitionBy("origin")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start_off = F.sum("n_bytes").over(w) - F.col("n_bytes")
+    binned = sized.withColumn("_off", start_off).withColumn(
+        "shard", F.expr(f"_off DIV {SHARD_BYTES}")
+    )
+    return binned.groupBy("origin", "shard").agg(
+        F.count("*").alias("n_blobs"),
+        F.sum("n_bytes").alias("sum_bytes"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+MM_SHARD_SQL = f"""
+WITH sized AS (
+  SELECT doc_id, source AS origin,
+         CAST(length(text) AS BIGINT) AS n_bytes
+  FROM documents
+),
+binned AS (
+  SELECT origin, doc_id, n_bytes,
+         (SUM(n_bytes) OVER (PARTITION BY origin ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_bytes)
+           // {SHARD_BYTES} AS shard
+  FROM sized
+)
+SELECT origin, CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_blobs,
+       CAST(SUM(n_bytes) AS BIGINT) AS sum_bytes,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM binned GROUP BY 1, 2
+"""

@@ -1514,3 +1514,93 @@ FROM v{PCA_ITERS}"""
 
 
 EMB_PCA_SQL = _pca_sql()
+
+
+# ------------------------------------------------ mutual kNN graph --
+
+KNN_K = 5
+
+
+def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual k-nearest-neighbor graph over the embedding table: an
+    edge (u, v) survives when each vector ranks in the other's cosine
+    top-5 — the standard graph-construction step before
+    graph-clustering a corpus (mutual-kNN prunes the hub vectors that
+    plain kNN wires to everything).
+
+    Exactness: cosine via the shared left-fold helpers (`_fold_sum`)
+    so both engines add in the same IEEE order; the mutual test and
+    ranks are integers. Symmetric by construction (x·y folds the same
+    forwards as y·x), so one score per unordered pair is emitted.
+
+    Scale: brute-force all-pairs at fixture scale (the exact
+    baseline); the 100 TB path swaps the candidate generator for the
+    SRP-LSH bucket join (``sim_srp_topk``) and keeps THIS mutual-rank
+    filter unchanged on the candidate set. One broadcast of the
+    smaller side, top-k via per-src window on |N|·k survivors.
+    """
+    em = _with_norm(
+        load_table_cpu(spark, sf_dir, "embeddings"), "embedding", "nrm"
+    ).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb_d"),
+        "nrm",
+    )
+    other = em.select(
+        F.col("vec_id").alias("o_id"),
+        F.col("emb_d").alias("o_emb_d"),
+        F.col("nrm").alias("o_nrm"),
+    )
+    pairs = em.join(F.broadcast(other), F.col("vec_id") != F.col("o_id"))
+    dot = _fold_sum(F.zip_with("emb_d", "o_emb_d", lambda x, y: x * y))
+    scored = pairs.select(
+        "vec_id",
+        "o_id",
+        (dot / (F.col("nrm") * F.col("o_nrm"))).alias("cos_sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("o_id")
+    )
+    topk = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= KNN_K
+    )
+    fwd = topk.filter(F.col("vec_id") < F.col("o_id")).select(
+        F.col("vec_id").alias("u"),
+        F.col("o_id").alias("v"),
+        "cos_sim",
+        F.col("rank").alias("rank_uv"),
+    )
+    bwd = topk.filter(F.col("vec_id") > F.col("o_id")).select(
+        F.col("o_id").alias("u"),
+        F.col("vec_id").alias("v"),
+        F.col("rank").alias("rank_vu"),
+    )
+    return fwd.join(bwd, ["u", "v"]).select(
+        "u", "v", "cos_sim", "rank_uv", "rank_vu"
+    )
+
+
+EMB_KNN_SQL = f"""
+WITH scored AS (
+  SELECT q.vec_id AS vec_id, e.vec_id AS o_id, {_COS_SQL} AS cos_sim
+  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+),
+topk AS (
+  SELECT vec_id, o_id, cos_sim,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos_sim DESC, o_id) AS rank
+  FROM scored
+  QUALIFY rank <= {KNN_K}
+),
+fwd AS (
+  SELECT vec_id AS u, o_id AS v, cos_sim, rank AS rank_uv
+  FROM topk WHERE vec_id < o_id
+),
+bwd AS (
+  SELECT o_id AS u, vec_id AS v, rank AS rank_vu
+  FROM topk WHERE vec_id > o_id
+)
+SELECT u, v, cos_sim, CAST(rank_uv AS BIGINT) AS rank_uv,
+       CAST(rank_vu AS BIGINT) AS rank_vu
+FROM fwd JOIN bwd USING (u, v)
+"""

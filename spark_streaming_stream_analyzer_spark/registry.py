@@ -553,6 +553,7 @@ query("seq_transition_matrix", _an.SEQ_TRANSITION_SQL)(_an.seq_transition_matrix
 query("ts_autocorr_lag", _an.TS_AUTOCORR_SQL)(_an.ts_autocorr_lag)
 query("agg_theil_sen", _an.AGG_THEIL_SEN_SQL)(_an.agg_theil_sen)
 query("ts_peak_prominence", _an.TS_PEAK_SQL)(_an.ts_peak_prominence)
+query("agg_gini_impurity", _an.AGG_GINI_SQL)(_an.agg_gini_impurity)
 query("text_tfidf_topk", _an.TEXT_TFIDF_SQL)(_an.text_tfidf_topk)
 query("join_salted_skew", _an.JOIN_SALTED_SQL)(_an.join_salted_skew)
 query("agg_sliding_window", _an.AGG_SLIDING_SQL)(_an.agg_sliding_window)
@@ -642,6 +643,7 @@ query("sim_ivf_recall", _sim.SIM_RECALL_SQL)(_sim.sim_ivf_recall)
 query("emb_matryoshka_recall", _sim.MATRYOSHKA_SQL)(_sim.emb_matryoshka_recall)
 query("emb_pq_codebook", _sim.EMB_PQ_SQL)(_sim.emb_pq_codebook)
 query("emb_pca_power", _sim.EMB_PCA_SQL)(_sim.emb_pca_power)
+query("emb_knn_graph", _sim.EMB_KNN_SQL)(_sim.emb_knn_graph)
 query("sim_pq_adc_topk", _sim.SIM_PQ_ADC_SQL)(_sim.sim_pq_adc_topk)
 query("sim_range_search", _sim.SIM_RANGE_SQL)(_sim.sim_range_search)
 query("sim_srp_topk", _sim.SIM_SRP_SQL)(_sim.sim_srp_topk)
@@ -668,6 +670,7 @@ query("mm_scene_cut", _mm.MM_SCENE_CUT_SQL)(_mm.mm_scene_cut)
 query("mm_resize", _mm.MM_RESIZE_SQL)(_mm.mm_resize)
 query("mm_audio_chunk", _mm.MM_AUDIO_CHUNK_SQL)(_mm.mm_audio_chunk)
 query("mm_phash_dedup", _mm.MM_PHASH_SQL)(_mm.mm_phash_dedup)
+query("mm_shard_manifest", _mm.MM_SHARD_SQL)(_mm.mm_shard_manifest)
 
 from .operators import curation as _cur  # noqa: E402
 

@@ -760,3 +760,34 @@ def test_ts_peak_prominence_vs_brute(spark, sf_dir):
     }
     assert got == expect
     assert got  # fixture series actually has local peaks
+
+
+def test_gini_impurity_vs_brute(spark, sf_dir):
+    from spark_streaming_stream_analyzer_spark.operators import analytics as an
+    from spark_streaming_stream_analyzer_spark.sources.tables import (
+        load_table,
+        ts_micros,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select(ts_micros(ev).alias("us"), "event_type").collect()
+    daily = {}
+    for r in rows:
+        d = r["us"] // an.SEQ_DAY_US
+        daily.setdefault(d, {}).setdefault(r["event_type"], 0)
+        daily[d][r["event_type"]] += 1
+    expect = {}
+    for d, counts in daily.items():
+        tot = sum(counts.values())
+        s2 = sum(v * v for v in counts.values())
+        expect[d] = (
+            tot, len(counts), ((tot * tot - s2) * 1_000_000) // (tot * tot)
+        )
+    got = {
+        r["day"]: (r["n_events"], r["n_types"], r["gini_ppm"])
+        for r in an.agg_gini_impurity(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # sanity: impurity bounded by 1 - 1/k
+    for d, (_, k, g) in got.items():
+        assert 0 <= g <= 1_000_000 - 1_000_000 // k

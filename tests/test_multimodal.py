@@ -183,3 +183,42 @@ def test_phash_pairs_are_ordered_and_verified(spark, sf_dir):
     for r in rows:
         assert r["doc_a"] < r["doc_b"]
         assert 0 <= r["hamming"] <= mm.PHASH_HAM_T
+
+
+def test_shard_manifest_packs_contiguously(spark, sf_dir):
+    """Shards partition each origin's blobs; byte sums reconstruct
+    the origin total; doc ranges of consecutive shards don't overlap."""
+    from spark_streaming_stream_analyzer_spark.operators import multimodal as mm
+    from spark_streaming_stream_analyzer_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    ).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(
+            (r["doc_id"], len(r["text"].encode("utf-8")))
+        )
+    expect = {}
+    for src, docs in by_src.items():
+        docs.sort()
+        off = 0
+        for d, nb in docs:
+            sh = off // mm.SHARD_BYTES
+            e = expect.setdefault((src, sh), [0, 0, None, None])
+            e[0] += 1
+            e[1] += nb
+            e[2] = d if e[2] is None else min(e[2], d)
+            e[3] = d if e[3] is None else max(e[3], d)
+            off += nb
+    got = {
+        (r["origin"], r["shard"]): [
+            r["n_blobs"], r["sum_bytes"], r["first_doc"], r["last_doc"]
+        ]
+        for r in mm.mm_shard_manifest(spark, sf_dir).collect()
+    }
+    assert got == {k: v for k, v in expect.items()}
+    for (src, sh), (_, _, fd, ld) in got.items():
+        nxt = got.get((src, sh + 1))
+        if nxt:
+            assert nxt[2] > ld or nxt[2] == ld  # boundary doc may straddle

@@ -299,3 +299,41 @@ def test_pca_power_exact_and_converged(spark, sf_dir):
     top = V[:, np.argmax(w)]
     cos = abs(np.dot(top, v / np.linalg.norm(v)))
     assert cos > 0.99
+
+
+def test_knn_graph_mutual_vs_brute(spark, sf_dir):
+    """Mutual edges must equal a numpy brute-force mutual-kNN with
+    the same (cos desc, id) tie-break, and every edge is mutual."""
+    import numpy as np
+
+    from spark_streaming_stream_analyzer_spark.operators import similarity as sim
+    from spark_streaming_stream_analyzer_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).collect()
+    ids = [r["vec_id"] for r in rows]
+    M = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    nrm = np.linalg.norm(M, axis=1)
+    keep = nrm > 0
+    ids = [i for i, k in zip(ids, keep) if k]
+    M, nrm = M[keep], nrm[keep]
+    S = (M @ M.T) / np.outer(nrm, nrm)
+    topk = {}
+    for a, ia in enumerate(ids):
+        order = sorted(
+            ((S[a, b], ib) for b, ib in enumerate(ids) if ib != ia),
+            key=lambda t: (-t[0], t[1]),
+        )
+        topk[ia] = {ib: r + 1 for r, (_, ib) in enumerate(order[: sim.KNN_K])}
+    expect = set()
+    for ia in ids:
+        for ib, r_uv in topk[ia].items():
+            if ia < ib and ia in topk[ib]:
+                expect.add((ia, ib, r_uv, topk[ib][ia]))
+    got = {
+        (r["u"], r["v"], r["rank_uv"], r["rank_vu"])
+        for r in sim.emb_knn_graph(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert got  # mutual edges exist on the fixture
