@@ -15,8 +15,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.exact import cents
 from ..functions.hashing import hash64, hash64_sql
-from ..sources.tables import load_table_cpu
+from ..sources.tables import load_table, load_table_cpu
 
 # --------------------------------------------------- token-budget packing --
 
@@ -483,3 +484,103 @@ SELECT bucket, COUNT(*) AS n_docs,
             // (COUNT(*) * bucket) AS BIGINT) AS waste_ppm
 FROM b GROUP BY 1
 """
+
+
+# ---------------------------------------------- Poisson bootstrap --
+
+BOOT_B = 16
+#: cumulative Poisson(λ=1) CDF in ppm, P(X <= k) for k = 0..8; a draw
+#: above the last threshold caps at k=9. Hard-coded integer constants
+#: (the dq_benford discipline) so both engines branch identically.
+BOOT_CDF_PPM = (
+    367879, 735759, 919699, 981012, 996340,
+    999406, 999917, 999990, 999999,
+)
+
+
+def _boot_k_case(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(BOOT_CDF_PPM)
+    )
+    return f"CASE {branches} ELSE {len(BOOT_CDF_PPM)} END"
+
+
+def sample_bootstrap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap over orders: B=16 resample replicas computed
+    in ONE distributed pass — each row's multiplicity in replica r is
+    a deterministic hash-Poisson(1) draw (the Chamandy et al. /
+    streaming-bootstrap trick: at n→∞, per-row Binomial(n, 1/n)
+    multiplicities ARE Poisson(1), so no replica needs a global
+    resample). Emits per-replica draw count and exact integer-cents
+    sum/mean of o_totalprice — the spread across replicas is the
+    bootstrap standard error of the mean, computed without ever
+    materializing a resampled table.
+
+    EXACT: multiplicities come from hash-ppm uniforms pushed through
+    a hard-coded integer CDF (λ=1 in ppm, the ``dq_benford``
+    constant-table discipline); sums are integer cents; mean is DIV.
+
+    Scale: explode ×B then one partial/final aggregate — B·|rows|
+    flat-mapped, nothing shuffles but B partial rows per partition.
+    The classic 100 TB bootstrap (per-executor partials, no resample
+    shuffle).
+    """
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", cents("o_totalprice").alias("c")
+    )
+    reps = od.select(
+        "o_orderkey", "c",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("rep"),
+    )
+    u = F.pmod(
+        hash64(
+            F.concat(
+                F.lit("bs#"),
+                F.col("rep").cast("string"),
+                F.lit("#"),
+                F.col("o_orderkey").cast("string"),
+            )
+        ),
+        F.lit(1_000_000),
+    )
+    drawn = reps.withColumn("u", u).withColumn(
+        "k", F.expr(_boot_k_case("u"))
+    )
+    return (
+        drawn.groupBy("rep")
+        .agg(
+            F.sum("k").alias("n_draws"),
+            F.sum(F.col("k") * F.col("c")).alias("sum_cents"),
+        )
+        .select(
+            "rep",
+            "n_draws",
+            "sum_cents",
+            F.expr("sum_cents DIV n_draws").alias("mean_cents"),
+        )
+    )
+
+
+def _boot_sql() -> str:
+    h = hash64_sql(
+        "'bs#' || CAST(rep AS VARCHAR) || '#' || CAST(o_orderkey AS VARCHAR)"
+    )
+    u = f"(({h}) % 1000000 + 1000000) % 1000000"
+    return f"""
+WITH reps AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+         unnest(range(0, {BOOT_B})) AS rep
+  FROM orders
+),
+drawn AS (
+  SELECT rep, c, {_boot_k_case(u)} AS k FROM reps
+)
+SELECT CAST(rep AS BIGINT) AS rep, CAST(SUM(k) AS BIGINT) AS n_draws,
+       CAST(SUM(k * c) AS BIGINT) AS sum_cents,
+       CAST(CAST(SUM(k * c) AS BIGINT) // CAST(SUM(k) AS BIGINT) AS BIGINT)
+         AS mean_cents
+FROM drawn GROUP BY 1
+"""
+
+
+SAMPLE_BOOTSTRAP_SQL = _boot_sql()

@@ -695,6 +695,7 @@ query("sample_temperature_mixture", _pk.SAMPLE_TEMPERATURE_SQL)(
 )
 query("sample_weighted", _pk.WEIGHTED_SQL)(_pk.sample_weighted)
 query("sample_reservoir_group", _pk.RESERVOIR_SQL)(_pk.sample_reservoir_group)
+query("sample_bootstrap_stats", _pk.SAMPLE_BOOTSTRAP_SQL)(_pk.sample_bootstrap_stats)
 query("corpus_contrib_gini", _pk.CORPUS_GINI_SQL)(_pk.corpus_contrib_gini)
 query("pack_length_buckets", _pk.PACK_LENGTH_SQL)(_pk.pack_length_buckets)
 query("corpus_mixture_stats", _pk.MIXTURE_SQL)(_pk.corpus_mixture_stats)
@@ -823,6 +824,7 @@ query("stream_attribution_last_touch", _st.STREAM_ATTRIBUTION_SQL)(
 )
 query("stream_seq_pattern", _st.STREAM_SEQP_SQL)(_st.stream_seq_pattern)
 query("stream_cusum_alarm", _st.STREAM_CUSUM_SQL)(_st.stream_cusum_alarm)
+query("stream_transition_matrix", _st.STREAM_TRANS_SQL)(_st.stream_transition_matrix)
 query("stream_ohlc_bars", _an.TS_OHLC_SQL)(_sp.stream_ohlc_bars)
 
 

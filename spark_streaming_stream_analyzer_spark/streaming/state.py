@@ -1022,3 +1022,99 @@ def _stream_cusum_sql() -> str:
 
 
 STREAM_CUSUM_SQL = _stream_cusum_sql()
+
+
+# ---------------------------------------- streaming transitions --
+
+TRANS_STATE_SCHEMA = "us LONG, event_id LONG, event_type STRING"
+
+TRANS_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("from_type", T.StringType()),
+        T.StructField("to_type", T.StringType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def _trans_update(
+    key: tuple[int],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Streaming form of ``analytics.seq_transition_matrix``: the
+    per-user LAST event is the entire carried state (a first-order
+    chain needs exactly one row of memory), prepended to each batch so
+    the boundary transition is counted in the batch holding its
+    SECOND event — each adjacent pair counted exactly once."""
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    if len(batch) == 0:
+        return
+    batch = batch.sort_values(["us", "event_id"]).reset_index(drop=True)
+    seq = list(batch["event_type"])
+    if state.exists:
+        _, _, last_t = state.get
+        seq = [last_t] + seq
+    counts: dict = {}
+    for a, b in zip(seq, seq[1:]):
+        counts[(a, b)] = counts.get((a, b), 0) + 1
+    if counts:
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(counts),
+                "from_type": [a for a, _ in counts],
+                "to_type": [b for _, b in counts],
+                "n": list(counts.values()),
+            }
+        )
+    tail = batch.iloc[-1]
+    state.update(
+        (int(tail["us"]), int(tail["event_id"]), str(tail["event_type"]))
+    )
+
+
+def stream_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing query: replay through the 1-row-state matcher,
+    sum the per-batch partial counts across users, then attach row
+    totals and conditional ppm — same oracle as the batch
+    ``seq_transition_matrix`` (replay parity). Boundary-transition
+    carry is drilled in tests/test_streaming.py."""
+    from .pipelines import _run_to_memory, events_file_stream
+    from ..operators.analytics import SEQ_TRANSITION_SQL  # noqa: F401
+    from ..sources.tables import ts_micros
+
+    ev = events_file_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    proj = ev.select(
+        "user_id", ts_micros(ev).alias("us"), "event_id", "event_type"
+    )
+    out = proj.groupBy("user_id").applyInPandasWithState(
+        _trans_update,
+        outputStructType=TRANS_OUTPUT_SCHEMA,
+        stateStructType=TRANS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    mem = _run_to_memory(out, output_mode="append")
+    counts = mem.groupBy("from_type", "to_type").agg(
+        F.sum("n").alias("n_transitions")
+    )
+    from pyspark.sql import Window as W
+
+    row_tot = F.sum("n_transitions").over(W.partitionBy("from_type"))
+    return counts.withColumn("row_total", row_tot).select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        "row_total",
+        F.expr("(n_transitions * 1000000) DIV row_total").alias("p_ppm"),
+    )
+
+
+def _stream_trans_sql() -> str:
+    from ..operators.analytics import SEQ_TRANSITION_SQL
+
+    return SEQ_TRANSITION_SQL
+
+
+STREAM_TRANS_SQL = _stream_trans_sql()

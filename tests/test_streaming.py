@@ -647,3 +647,71 @@ def test_stream_cusum_cross_batch_carry(spark, tmp_path):
         5, alarms, mx, first
     )
     assert alarms >= 1  # the boundary-crossing alarm actually fired
+
+
+def test_stream_transitions_cross_batch_carry(spark, tmp_path):
+    """The transition across the batch boundary must be counted via
+    the carried last event — and exactly once."""
+    from spark_streaming_stream_analyzer_spark.streaming.pipelines import (
+        _run_to_memory,
+        events_file_stream,
+    )
+    from spark_streaming_stream_analyzer_spark.streaming.state import (
+        TRANS_OUTPUT_SCHEMA,
+        TRANS_STATE_SCHEMA,
+        _trans_update,
+    )
+    from spark_streaming_stream_analyzer_spark.sources.tables import ts_micros
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    b1 = [
+        (1, 1 * NS, 1, "view", 0.0, "{}"),
+        (2, 2 * NS, 1, "click", 0.0, "{}"),
+    ]
+    b2 = [
+        (3, 3 * NS, 1, "purchase", 0.0, "{}"),
+        (4, 4 * NS, 1, "view", 0.0, "{}"),
+    ]
+    src = _write_event_files(spark, str(tmp_path), [b1, b2])
+    ev = events_file_stream(spark, src)
+    proj = ev.select(
+        "user_id", ts_micros(ev).alias("us"), "event_id", "event_type"
+    )
+    out = proj.groupBy("user_id").applyInPandasWithState(
+        _trans_update,
+        outputStructType=TRANS_OUTPUT_SCHEMA,
+        stateStructType=TRANS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    mem = _run_to_memory(out, output_mode="append")
+    got = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in mem.groupBy("from_type", "to_type")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    }
+    assert got == {
+        ("view", "click"): 1,
+        ("click", "purchase"): 1,  # the boundary transition
+        ("purchase", "view"): 1,
+    }
+
+
+def test_bootstrap_stats_deterministic_and_plausible(spark, sf_dir):
+    """Replica draw totals hover around n (Poisson(1) mass ~ n); the
+    op is deterministic across invocations; means are DIV-exact."""
+    from spark_streaming_stream_analyzer_spark.operators import packing as pk
+    from spark_streaming_stream_analyzer_spark.sources.tables import load_table
+
+    n = load_table(spark, sf_dir, "orders").count()
+    rows1 = {r["rep"]: (r["n_draws"], r["sum_cents"], r["mean_cents"])
+             for r in pk.sample_bootstrap_stats(spark, sf_dir).collect()}
+    rows2 = {r["rep"]: (r["n_draws"], r["sum_cents"], r["mean_cents"])
+             for r in pk.sample_bootstrap_stats(spark, sf_dir).collect()}
+    assert rows1 == rows2 and len(rows1) == pk.BOOT_B
+    for rep, (nd, sc, mc) in rows1.items():
+        assert abs(nd - n) < 5 * (n ** 0.5) + 10  # ~5 sigma
+        assert mc == sc // nd
+    # replicas genuinely differ (resampling actually happened)
+    assert len({v[0] for v in rows1.values()}) > 1
