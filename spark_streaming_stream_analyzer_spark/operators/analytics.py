@@ -2652,3 +2652,146 @@ SELECT CAST(day AS BIGINT) AS day, CAST(n_events AS BIGINT) AS n_events,
             // (n_events * n_events) AS BIGINT) AS gini_ppm
 FROM agg
 """
+
+
+SEQW_LEN = 8      # events per training window
+SEQW_STRIDE = 4   # window start stride
+
+
+def seq_training_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-model example builder: each user's event-type stream
+    cut into fixed-length windows (8 events, stride 4) with the
+    following event as the next-token label — the sessions→examples
+    step of a behavioral-sequence training pipeline, kept at the
+    day job of ``pack_token_budget`` (examples, not text).
+
+    The window is emitted as a '>'-joined string, not an array — the
+    round-1 lesson: the driver canonicalizer hashes array cells
+    unreliably, joined strings compare exactly.
+
+    Scale: one shuffle keyed user_id builds the per-user ordered
+    sequence (``collect_list`` over a sorted struct — deterministic);
+    window cutting is per-row array slicing, map-side. Long user
+    histories bound state: a user's whole sequence must fit a row —
+    the 100 TB guard is a session-split upstream (``agg_session_window``)
+    before windowing, noted not needed at fixture scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    seqs = (
+        ev.select(
+            "user_id",
+            F.struct(
+                ts_micros(ev).alias("us"),
+                F.col("event_id").alias("eid"),
+                F.col("event_type").alias("t"),
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("s")).alias("seq"))
+        .select(
+            "user_id",
+            F.transform("seq", lambda s: s["t"]).alias("types"),
+        )
+    )
+    n = F.size("types")
+    # guard: Spark sequence(1, 0) DESCENDS instead of being empty
+    starts = F.when(
+        n > SEQW_LEN,
+        F.filter(
+            F.sequence(F.lit(1), n - SEQW_LEN),
+            lambda i: (i - 1) % SEQW_STRIDE == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    wins = seqs.select(
+        "user_id",
+        F.explode(starts).alias("pos"),
+        "types",
+    )
+    return wins.select(
+        "user_id",
+        (F.col("pos") - 1).alias("win_start"),
+        F.concat_ws(">", F.slice("types", F.col("pos"), SEQW_LEN)).alias("seq"),
+        F.element_at("types", F.col("pos") + SEQW_LEN).alias("next_type"),
+    )
+
+
+SEQ_WINDOWS_SQL = f"""
+WITH ordered AS (
+  SELECT user_id,
+         list(event_type ORDER BY epoch_us(ts), event_id) AS types
+  FROM events GROUP BY 1
+),
+wins AS (
+  SELECT user_id, unnest(range(1, GREATEST(len(types) - {SEQW_LEN}, 0) + 1,
+                               {SEQW_STRIDE})) AS pos, types
+  FROM ordered
+)
+SELECT user_id, CAST(pos - 1 AS BIGINT) AS win_start,
+       array_to_string(list_slice(types, pos, pos + {SEQW_LEN} - 1), '>')
+         AS seq,
+       types[pos + {SEQW_LEN}] AS next_type
+FROM wins
+"""
+
+
+def pipeline_anomaly_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition flagship for the monitoring tier: the three
+    complementary detectors — MAD outliers (isolated bad values),
+    CUSUM alarms (sustained drift), local peaks (burst days) — joined
+    into one per-type health row, the page an on-call dashboard
+    actually shows. Each detector is the already-oracled operator
+    composed as a Catalyst subtree (one driver program, one DAG —
+    the ``pipeline_pretrain_corpus`` pattern applied to observability).
+
+    The three |types|-row summaries broadcast-join; total cost is the
+    three detector scans (each one shuffle as documented on the
+    component ops)."""
+    mad = ts_anomaly_mad(spark, sf_dir).select(
+        "event_type", "n_events", F.col("n_outliers").alias("mad_outliers")
+    )
+    cusum = ts_cusum_alarm(spark, sf_dir).select(
+        "event_type",
+        F.col("n_alarms").alias("cusum_alarms"),
+        "first_alarm_us",
+    )
+    peaks = ts_peak_prominence(spark, sf_dir).groupBy("event_type").agg(
+        F.count("*").alias("n_peak_days"),
+        F.max("margin").alias("max_peak_margin"),
+    )
+    return (
+        mad.join(cusum, "event_type", "left")
+        .join(peaks, "event_type", "left")
+        .select(
+            "event_type",
+            "n_events",
+            "mad_outliers",
+            F.coalesce("cusum_alarms", F.lit(0)).alias("cusum_alarms"),
+            "first_alarm_us",
+            F.coalesce("n_peak_days", F.lit(0)).alias("n_peak_days"),
+            F.coalesce("max_peak_margin", F.lit(0)).alias("max_peak_margin"),
+        )
+    )
+
+
+def _anomaly_panel_sql() -> str:
+    return f"""
+WITH mad_t AS ({TS_ANOMALY_MAD_SQL.strip()}),
+cusum_t AS ({TS_CUSUM_SQL.strip()}),
+peaks_t AS ({TS_PEAK_SQL.strip()}),
+peaks_agg AS (
+  SELECT event_type, COUNT(*) AS n_peak_days, MAX(margin) AS max_peak_margin
+  FROM peaks_t GROUP BY 1
+)
+SELECT m.event_type, m.n_events,
+       m.n_outliers AS mad_outliers,
+       COALESCE(c.n_alarms, 0) AS cusum_alarms,
+       c.first_alarm_us,
+       CAST(COALESCE(p.n_peak_days, 0) AS BIGINT) AS n_peak_days,
+       CAST(COALESCE(p.max_peak_margin, 0) AS BIGINT) AS max_peak_margin
+FROM mad_t m
+LEFT JOIN cusum_t c ON c.event_type = m.event_type
+LEFT JOIN peaks_agg p ON p.event_type = m.event_type
+"""
+
+
+PIPELINE_ANOMALY_SQL = _anomaly_panel_sql()

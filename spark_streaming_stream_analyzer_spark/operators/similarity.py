@@ -1604,3 +1604,66 @@ SELECT u, v, cos_sim, CAST(rank_uv AS BIGINT) AS rank_uv,
        CAST(rank_vu AS BIGINT) AS rank_vu
 FROM fwd JOIN bwd USING (u, v)
 """
+
+
+# ------------------------------------------------ class centroids --
+
+CENTROID_Q = 1_000_000
+
+
+def emb_class_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label class centroids in exact fixed-point: each embedding
+    dimension is quantized to integer micro-units (float32 → double
+    is an exact widening, round(x·1e6) is one deterministic float op)
+    and the centroid is the integer mean per (label, dim) — the class
+    prototypes behind nearest-centroid classification and per-class
+    recall audits, emitted as (label, dim) rows rather than an array
+    column so the result is hash-comparable.
+
+    Scale: one explode to |rows|·64 (dim, q) pairs, one partial/final
+    aggregate keyed (label, dim) — map-side combine absorbs the
+    explode; output is |labels|·64 rows. Integer sums overflow at
+    ~9e12 rows/label·1e6-magnitude — the DECIMAL(38) widening of
+    ``streaming/state.py`` applies beyond that.
+    """
+    em = load_table_cpu(spark, sf_dir, "embeddings").select(
+        "label", F.posexplode("embedding").alias("dim", "x")
+    )
+    q = em.select(
+        "label",
+        "dim",
+        F.round(F.col("x").cast("double") * CENTROID_Q).cast("long").alias("q"),
+    )
+    return (
+        q.groupBy("label", "dim")
+        .agg(F.count("*").alias("n_vecs"), F.sum("q").alias("sum_q"))
+        .select(
+            "label",
+            "dim",
+            "n_vecs",
+            "sum_q",
+            F.expr(
+                "CASE WHEN sum_q >= 0 THEN sum_q DIV n_vecs"
+                " ELSE -((-sum_q) DIV n_vecs) END"
+            ).alias("centroid_q"),
+        )
+    )
+
+
+EMB_CENTROID_SQL = f"""
+WITH q AS (
+  SELECT label, dim - 1 AS dim,
+         CAST(round(CAST(x AS DOUBLE) * {CENTROID_Q}) AS BIGINT) AS q
+  FROM (
+    SELECT label, unnest(embedding) AS x,
+           generate_subscripts(embedding, 1) AS dim
+    FROM embeddings
+  )
+)
+SELECT CAST(label AS INTEGER) AS label, CAST(dim AS INTEGER) AS dim,
+       COUNT(*) AS n_vecs, CAST(SUM(q) AS BIGINT) AS sum_q,
+       CAST(CASE WHEN SUM(q) >= 0 THEN CAST(SUM(q) AS BIGINT) // COUNT(*)
+                 ELSE -((-CAST(SUM(q) AS BIGINT)) // COUNT(*)) END AS BIGINT)
+         AS centroid_q
+FROM q GROUP BY 1, 2
+"""

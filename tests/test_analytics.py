@@ -791,3 +791,56 @@ def test_gini_impurity_vs_brute(spark, sf_dir):
     # sanity: impurity bounded by 1 - 1/k
     for d, (_, k, g) in got.items():
         assert 0 <= g <= 1_000_000 - 1_000_000 // k
+
+
+def test_seq_training_windows_vs_brute(spark, sf_dir):
+    from spark_streaming_stream_analyzer_spark.operators import analytics as an
+    from spark_streaming_stream_analyzer_spark.sources.tables import (
+        load_table,
+        ts_micros,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select(
+        "user_id", ts_micros(ev).alias("us"), "event_id", "event_type"
+    ).collect()
+    by_u = {}
+    for r in rows:
+        by_u.setdefault(r["user_id"], []).append(
+            (r["us"], r["event_id"], r["event_type"])
+        )
+    expect = set()
+    for u, seq in by_u.items():
+        seq.sort()
+        types = [t for _, _, t in seq]
+        for pos in range(0, len(types) - an.SEQW_LEN, an.SEQW_STRIDE):
+            expect.add((
+                u, pos,
+                ">".join(types[pos: pos + an.SEQW_LEN]),
+                types[pos + an.SEQW_LEN],
+            ))
+    got = {
+        (r["user_id"], r["win_start"], r["seq"], r["next_type"])
+        for r in an.seq_training_windows(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert got  # fixture users have >8-event histories
+
+
+def test_anomaly_panel_equals_components(spark, sf_dir):
+    from spark_streaming_stream_analyzer_spark.operators import analytics as an
+
+    mad = {r["event_type"]: r["n_outliers"]
+           for r in an.ts_anomaly_mad(spark, sf_dir).collect()}
+    cusum = {r["event_type"]: r["n_alarms"]
+             for r in an.ts_cusum_alarm(spark, sf_dir).collect()}
+    peaks = {}
+    for r in an.ts_peak_prominence(spark, sf_dir).collect():
+        peaks[r["event_type"]] = peaks.get(r["event_type"], 0) + 1
+    panel = an.pipeline_anomaly_panel(spark, sf_dir).collect()
+    assert {r["event_type"] for r in panel} == set(mad)
+    for r in panel:
+        t = r["event_type"]
+        assert r["mad_outliers"] == mad[t]
+        assert r["cusum_alarms"] == cusum.get(t, 0)
+        assert r["n_peak_days"] == peaks.get(t, 0)

@@ -337,3 +337,35 @@ def test_knn_graph_mutual_vs_brute(spark, sf_dir):
     }
     assert got == expect
     assert got  # mutual edges exist on the fixture
+
+
+def test_class_centroids_vs_numpy(spark, sf_dir):
+    import numpy as np
+
+    from spark_streaming_stream_analyzer_spark.operators import similarity as sim
+    from spark_streaming_stream_analyzer_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_dir, "embeddings").select(
+        "label", "embedding"
+    ).collect()
+    by_l = {}
+    for r in rows:
+        by_l.setdefault(r["label"], []).append(r["embedding"])
+    expect = {}
+    for lbl, vecs in by_l.items():
+        q = np.array([
+            [float(np.sign(x) * np.floor(abs(float(x)) * sim.CENTROID_Q + 0.5))
+             for x in v]
+            for v in vecs
+        ], dtype=np.int64)
+        s = q.sum(axis=0)
+        n = len(vecs)
+        for d in range(q.shape[1]):
+            sq = int(s[d])
+            cen = sq // n if sq >= 0 else -((-sq) // n)
+            expect[(lbl, d)] = (n, sq, cen)
+    got = {
+        (r["label"], r["dim"]): (r["n_vecs"], r["sum_q"], r["centroid_q"])
+        for r in sim.emb_class_centroids(spark, sf_dir).collect()
+    }
+    assert got == expect
