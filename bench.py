@@ -83,6 +83,16 @@ HEADLINE = [
     "layout_zorder_stats",
     "dedup_fingerprint_overlap",
     "pipeline_pretrain_corpus",
+    # round-5 additions, third wave: sequence/graph/audit analytics
+    "seq_transition_matrix",
+    "ts_autocorr_lag",
+    "graph_jaccard_neighbors",
+    "dq_column_profile",
+    "text_lexical_diversity",
+    "text_ngram_novelty",
+    "feature_chi2_select",
+    "sample_bootstrap_stats",
+    "pipeline_anomaly_panel",
 ]
 
 #: Throughput probes: query → fixture table whose full scan dominates
