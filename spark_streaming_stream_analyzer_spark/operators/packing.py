@@ -584,3 +584,81 @@ FROM drawn GROUP BY 1
 
 
 SAMPLE_BOOTSTRAP_SQL = _boot_sql()
+
+
+# ------------------------------------------------ 80/20 analysis --
+
+
+def agg_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concentration report per source: how many of its largest
+    documents cover 80% of its token mass (the 80/20 audit that
+    decides whether a source's value lives in a few mega-docs — a
+    dedup/curation risk signal — or is spread evenly). Emits the doc
+    count, token total, the minimal top-k covering 80%, and that k as
+    a ppm share of the doc count.
+
+    EXACT: the 80% test is 5·cumsum ≥ 4·total in integers; ranking
+    ties break on doc_id. One wordcount-shaped token count, one
+    per-source window cumsum on the (source, doc) table, one
+    aggregate.
+    """
+    docs = load_table_cpu(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda w: w != ""))
+        .cast("long").alias("tok"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("tok"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("source")
+    ranked = toks.select(
+        "source",
+        F.sum("tok").over(w).alias("cum"),
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(F.desc("tok"), F.asc("doc_id"))
+        ).alias("rk"),
+        F.sum("tok").over(wt).alias("total_tokens"),
+        F.count("*").over(wt).alias("n_docs"),
+    )
+    return (
+        ranked.filter(F.col("cum") * 5 >= F.col("total_tokens") * 4)
+        .groupBy("source")
+        .agg(
+            F.min("n_docs").alias("n_docs"),
+            F.min("total_tokens").alias("total_tokens"),
+            F.min("rk").alias("k80"),
+        )
+        .select(
+            "source", "n_docs", "total_tokens", "k80",
+            F.expr("(k80 * 1000000) DIV n_docs").alias("k80_ppm"),
+        )
+    )
+
+
+AGG_PARETO_SQL = """
+WITH toks AS (
+  SELECT source, doc_id,
+         CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+              AS BIGINT) AS tok
+  FROM documents
+),
+ranked AS (
+  SELECT source,
+         SUM(tok) OVER (PARTITION BY source ORDER BY tok DESC, doc_id
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY tok DESC, doc_id)
+           AS rk,
+         SUM(tok) OVER (PARTITION BY source) AS total_tokens,
+         COUNT(*) OVER (PARTITION BY source) AS n_docs
+  FROM toks
+)
+SELECT source, CAST(MIN(n_docs) AS BIGINT) AS n_docs,
+       CAST(MIN(total_tokens) AS BIGINT) AS total_tokens,
+       CAST(MIN(rk) AS BIGINT) AS k80,
+       CAST((MIN(rk) * 1000000) // MIN(n_docs) AS BIGINT) AS k80_ppm
+FROM ranked WHERE cum * 5 >= total_tokens * 4
+GROUP BY 1
+"""

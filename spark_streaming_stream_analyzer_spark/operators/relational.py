@@ -2665,3 +2665,128 @@ SELECT strftime(mo.m, '%Y-%m') AS month,
        CAST(COALESCE(t.rev_cents, 0) AS BIGINT) AS rev_cents
 FROM months mo LEFT JOIN monthly t ON mo.m = t.m
 """
+
+
+# ---------------------------------------------- synthetic generator --
+
+GEN_N = 20_000
+GEN_TYPES = ("view", "click", "purchase", "refund", "hold")
+
+
+def src_synthetic_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic distributed data generator (the dbgen role):
+    ``spark.range`` fanned to synthetic rows whose every column is a
+    pure function of the row id through the portable hash — no RNG
+    state, so any executor can generate any split independently and
+    the output is bit-identical at any parallelism (the property that
+    lets a 100 TB benchmark dataset be generated in-place, no
+    shuffle, no seed files). The oracle generates the same table from
+    DuckDB's ``range`` — proving generator portability, not just
+    query parity.
+
+    Columns: hash-uniform user bucket, 5-way type from the hash
+    tail, integer-cents value — the events-table shape.
+    """
+    from ..functions.hashing import hash64
+
+    base = spark.range(GEN_N).select(F.col("id").alias("row_id"))
+    h1 = hash64(F.concat(F.lit("gen#"), F.col("row_id").cast("string")))
+    h2 = hash64(F.concat(F.lit("gv#"), F.col("row_id").cast("string")))
+    type_case = "CASE h1 % 5 " + " ".join(
+        f"WHEN {i} THEN '{t}'" for i, t in enumerate(GEN_TYPES)
+    ) + " END"
+    return (
+        base.withColumn("h1", h1)
+        .withColumn("h2", h2)
+        .select(
+            "row_id",
+            (F.col("h1") % 1000).alias("user_id"),
+            F.expr(type_case).alias("event_type"),
+            (F.col("h2") % 1_000_000).alias("value_cents"),
+            F.expr(f"row_id DIV {GEN_N // 30}").alias("day"),
+        )
+    )
+
+
+def _gen_sql() -> str:
+    from ..functions.hashing import hash64_sql
+
+    h1 = hash64_sql("'gen#' || CAST(row_id AS VARCHAR)")
+    h2 = hash64_sql("'gv#' || CAST(row_id AS VARCHAR)")
+    type_case = "CASE h1 % 5 " + " ".join(
+        f"WHEN {i} THEN '{t}'" for i, t in enumerate(GEN_TYPES)
+    ) + " END"
+    return f"""
+WITH base AS (SELECT unnest(range(0, {GEN_N})) AS row_id),
+hashed AS (
+  SELECT row_id, {h1} AS h1, {h2} AS h2 FROM base
+)
+SELECT row_id, h1 % 1000 AS user_id, {type_case} AS event_type,
+       h2 % 1000000 AS value_cents,
+       row_id // {GEN_N // 30} AS day
+FROM hashed
+"""
+
+
+SRC_GEN_SQL = _gen_sql()
+
+
+# --------------------------------------------------- pareto front --
+
+
+def sort_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto front (skyline) of orders: maximize total price,
+    minimize order date — "the biggest order as of each date", the
+    multi-criteria top-k that no single ORDER BY expresses. A row is
+    dominated when some order is at least as early AND at least as
+    expensive (one strictly); survivors form the price/date frontier.
+
+    Window form, not the naive O(n²) self-join: sorted by day, the
+    strictly-earlier running price max (RANGE frame) plus a same-day
+    max catch the two domination cases in one shuffle. Integer cents
+    and epoch days end-to-end.
+    """
+    od = load_table(spark, sf_dir, "orders")
+    base = od.select(
+        "o_orderkey",
+        cents("o_totalprice").alias("price_c"),
+        ts_micros(od, "o_orderdate").alias("us"),
+    ).select(
+        "o_orderkey", "price_c",
+        F.expr("us DIV 86400000000").alias("day"),
+    )
+    w_before = (
+        Window.orderBy("day").rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same = Window.partitionBy("day")
+    flagged = base.select(
+        "o_orderkey",
+        "price_c",
+        "day",
+        F.coalesce(F.max("price_c").over(w_before), F.lit(-1)).alias("max_before"),
+        F.max("price_c").over(w_same).alias("max_same"),
+    )
+    return flagged.filter(
+        (F.col("price_c") > F.col("max_before"))
+        & (F.col("price_c") >= F.col("max_same"))
+    ).select("o_orderkey", "price_c", "day")
+
+
+SORT_PARETO_SQL = """
+WITH base AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+         epoch_us(o_orderdate) // 86400000000 AS day
+  FROM orders
+),
+flagged AS (
+  SELECT o_orderkey, price_c, day,
+         COALESCE(MAX(price_c) OVER (ORDER BY day
+           RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+           AS max_before,
+         MAX(price_c) OVER (PARTITION BY day) AS max_same
+  FROM base
+)
+SELECT o_orderkey, price_c, CAST(day AS BIGINT) AS day
+FROM flagged
+WHERE price_c > max_before AND price_c >= max_same
+"""

@@ -535,6 +535,8 @@ query("q18_large_volume_customer", _rel.Q18_SQL)(_rel.q18_large_volume_customer)
 query("q22_idle_customers", _rel.Q22_SQL)(_rel.q22_idle_customers)
 query("q16_part_supplier_counts", _rel.Q16_SQL)(_rel.q16_part_supplier_counts)
 query("q20_part_promotion_suppliers", _rel.Q20_SQL)(_rel.q20_part_promotion_suppliers)
+query("src_synthetic_gen", _rel.SRC_GEN_SQL)(_rel.src_synthetic_gen)
+query("sort_pareto_front", _rel.SORT_PARETO_SQL)(_rel.sort_pareto_front)
 
 from .operators import analytics as _an  # noqa: E402
 
@@ -699,6 +701,7 @@ query("sample_temperature_mixture", _pk.SAMPLE_TEMPERATURE_SQL)(
 query("sample_weighted", _pk.WEIGHTED_SQL)(_pk.sample_weighted)
 query("sample_reservoir_group", _pk.RESERVOIR_SQL)(_pk.sample_reservoir_group)
 query("sample_bootstrap_stats", _pk.SAMPLE_BOOTSTRAP_SQL)(_pk.sample_bootstrap_stats)
+query("agg_pareto_8020", _pk.AGG_PARETO_SQL)(_pk.agg_pareto_8020)
 query("corpus_contrib_gini", _pk.CORPUS_GINI_SQL)(_pk.corpus_contrib_gini)
 query("pack_length_buckets", _pk.PACK_LENGTH_SQL)(_pk.pack_length_buckets)
 query("corpus_mixture_stats", _pk.MIXTURE_SQL)(_pk.corpus_mixture_stats)

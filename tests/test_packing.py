@@ -184,3 +184,35 @@ def test_length_buckets_vs_brute(spark, sf_dir):
     assert set(got) == set(buckets)
     # buckets are powers of two
     assert all(b & (b - 1) == 0 for b in got)
+
+
+def test_pareto_8020_vs_brute(spark, sf_dir):
+    from spark_streaming_stream_analyzer_spark.operators import packing as pk
+    from spark_streaming_stream_analyzer_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "text"
+    ).collect()
+    by_s = {}
+    for r in rows:
+        tok = len([t for t in r["text"].split(" ") if t])
+        by_s.setdefault(r["source"], []).append((tok, r["doc_id"]))
+    expect = {}
+    for s, docs in by_s.items():
+        docs.sort(key=lambda t: (-t[0], t[1]))
+        total = sum(t for t, _ in docs)
+        cum = 0
+        k80 = None
+        for i, (t, _) in enumerate(docs, 1):
+            cum += t
+            if cum * 5 >= total * 4:
+                k80 = i
+                break
+        expect[s] = (
+            len(docs), total, k80, (k80 * 1_000_000) // len(docs)
+        )
+    got = {
+        r["source"]: (r["n_docs"], r["total_tokens"], r["k80"], r["k80_ppm"])
+        for r in pk.agg_pareto_8020(spark, sf_dir).collect()
+    }
+    assert got == expect

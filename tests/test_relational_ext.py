@@ -309,3 +309,50 @@ def test_compaction_reduces_file_count(spark, sf_dir):
     assert sum(r["n_events"] for r in rows) > 0
     n_frag, n_comp = sink_compaction.last_file_counts
     assert n_frag == 16 and n_comp == 2  # coalesce narrowed without shuffle
+
+
+def test_synthetic_gen_parallelism_invariant(spark, sf_dir):
+    """The generator must produce identical rows at 1 and 8
+    partitions (pure function of id — the no-RNG property)."""
+    from spark_streaming_stream_analyzer_spark.operators import relational as rel
+
+    df = rel.src_synthetic_gen(spark, sf_dir)
+    a = sorted(map(tuple, df.coalesce(1).collect()))
+    b = sorted(map(tuple, df.repartition(8).collect()))
+    assert a == b and len(a) == rel.GEN_N
+    types = {r[2] for r in a}
+    assert types == set(rel.GEN_TYPES)
+    assert all(0 <= r[1] < 1000 and 0 <= r[3] < 1_000_000 for r in a)
+
+
+def test_pareto_front_vs_quadratic(spark, sf_dir):
+    """The window-form skyline must equal the O(n^2) domination scan."""
+    from spark_streaming_stream_analyzer_spark.operators import relational as rel
+    from spark_streaming_stream_analyzer_spark.sources.tables import (
+        load_table,
+        ts_micros,
+    )
+
+    od = load_table(spark, sf_dir, "orders")
+    rows = [
+        (r["o_orderkey"], round(r["p"] * 100), r["us"] // 86_400_000_000)
+        for r in od.select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("p"),
+            ts_micros(od, "o_orderdate").alias("us"),
+        ).collect()
+    ]
+    expect = set()
+    for k1, p1, d1 in rows:
+        dominated = any(
+            (p2 >= p1 and d2 <= d1 and (p2 > p1 or d2 < d1))
+            for _, p2, d2 in rows
+        )
+        if not dominated:
+            expect.add((k1, p1, d1))
+    got = {
+        (r["o_orderkey"], r["price_c"], r["day"])
+        for r in rel.sort_pareto_front(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert got
