@@ -86,7 +86,10 @@ HEADLINE = [
     # round-5 additions, third wave: sequence/graph/audit analytics
     "seq_transition_matrix",
     "ts_autocorr_lag",
-    "graph_jaccard_neighbors",
+    # graph_jaccard_neighbors excluded: exact wedge census is
+    # O(sum deg^2) = 298M wedges at sf0.1 (dense co-purchase graph) —
+    # registered + oracled, but not a headline-latency query
+    "graph_kcore",
     "dq_column_profile",
     "text_lexical_diversity",
     "text_ngram_novelty",

@@ -2795,3 +2795,99 @@ LEFT JOIN peaks_agg p ON p.event_type = m.event_type
 
 
 PIPELINE_ANOMALY_SQL = _anomaly_panel_sql()
+
+
+AB_VARIANTS = 2
+
+
+def ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users deterministically hash-split
+    into 2 variants (the ``sample_split_hash`` assignment trick), per
+    variant the exposed-user count (≥1 view), converted-user count
+    (≥1 purchase), conversion rate in ppm, and mean purchase value in
+    exact cents — the end-of-experiment table an analyst actually
+    reads. Assignment-by-hash means any executor can re-derive any
+    user's arm with no assignment table to join.
+
+    Scale: one scan → per-(user, variant) boolean/cents partials
+    (hash-agg on user_id), then a 2-row re-aggregate. No joins.
+    """
+    from ..functions.hashing import hash64
+
+    ev = load_table(spark, sf_dir, "events")
+    arm = F.pmod(
+        hash64(F.concat(F.lit("ab#"), F.col("user_id").cast("string"))),
+        F.lit(AB_VARIANTS),
+    )
+    per_user = (
+        ev.select(
+            "user_id",
+            arm.alias("variant"),
+            (F.col("event_type") == "view").cast("long").alias("is_view"),
+            (F.col("event_type") == "purchase").cast("long").alias("is_buy"),
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(F.lit(0)).alias("buy_cents"),
+        )
+        .groupBy("user_id", "variant")
+        .agg(
+            F.max("is_view").alias("exposed"),
+            F.max("is_buy").alias("converted"),
+            F.sum("buy_cents").alias("cents"),
+            F.sum("is_buy").alias("n_buys"),
+        )
+    )
+    return (
+        per_user.groupBy("variant")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("exposed").alias("n_exposed"),
+            F.sum("converted").alias("n_converted"),
+            F.sum("cents").alias("buy_cents"),
+            F.sum("n_buys").alias("n_buys"),
+        )
+        .select(
+            "variant",
+            "n_users",
+            "n_exposed",
+            "n_converted",
+            F.expr("(n_converted * 1000000) DIV n_exposed").alias("cvr_ppm"),
+            F.expr(
+                "CASE WHEN n_buys > 0 THEN buy_cents DIV n_buys END"
+            ).alias("mean_buy_cents"),
+        )
+    )
+
+
+def _ab_sql() -> str:
+    from ..functions.hashing import hash64_sql
+
+    h = hash64_sql("'ab#' || CAST(user_id AS VARCHAR)")
+    return f"""
+WITH per_user AS (
+  SELECT user_id, (({h}) % {AB_VARIANTS} + {AB_VARIANTS}) % {AB_VARIANTS}
+           AS variant,
+         MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS exposed,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted,
+         SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+           AS cents,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_buys
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(variant AS BIGINT) AS variant, COUNT(*) AS n_users,
+       CAST(SUM(exposed) AS BIGINT) AS n_exposed,
+       CAST(SUM(converted) AS BIGINT) AS n_converted,
+       CAST((CAST(SUM(converted) AS BIGINT) * 1000000)
+            // CAST(SUM(exposed) AS BIGINT) AS BIGINT) AS cvr_ppm,
+       CAST(CASE WHEN SUM(n_buys) > 0
+                 THEN CAST(SUM(cents) AS BIGINT)
+                      // CAST(SUM(n_buys) AS BIGINT) END AS BIGINT)
+         AS mean_buy_cents
+FROM per_user GROUP BY 1
+"""
+
+
+AB_TEST_SQL = _ab_sql()

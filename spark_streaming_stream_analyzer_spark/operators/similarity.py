@@ -1667,3 +1667,82 @@ SELECT CAST(label AS INTEGER) AS label, CAST(dim AS INTEGER) AS dim,
          AS centroid_q
 FROM q GROUP BY 1, 2
 """
+
+
+OUTLIER_TOPK = 5
+
+
+def emb_class_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise screen: each label's 5 farthest members from the
+    class centroid by exact quantized squared distance — the
+    mislabeled-embedding audit that pairs with
+    ``emb_class_centroids`` (a vector far from its own prototype is
+    either an outlier or mis-tagged; both belong in review).
+
+    EXACT end-to-end: vectors and centroids live in the same integer
+    micro-units, dist² = Σ(q−c)² is int64-safe (64·(2e6)² ≈ 2.6e14),
+    ranking ties break on vec_id.
+
+    Scale: the centroid table (|labels|·64 rows) broadcasts onto the
+    exploded vector table; one hash-agg per vec_id re-folds dist² —
+    the same explode the centroid build already paid, nothing
+    quadratic.
+    """
+    cen = emb_class_centroids(spark, sf_dir).select(
+        "label", "dim", "centroid_q"
+    )
+    q = load_table_cpu(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.round(F.col("x").cast("double") * CENTROID_Q).cast("long").alias("q"),
+    )
+    d2 = (
+        q.join(F.broadcast(cen), ["label", "dim"])
+        .select(
+            "vec_id", "label",
+            ((F.col("q") - F.col("centroid_q"))
+             * (F.col("q") - F.col("centroid_q"))).alias("dd"),
+        )
+        .groupBy("label", "vec_id")
+        .agg(F.sum("dd").alias("dist2_q"))
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.desc("dist2_q"), F.asc("vec_id")
+    )
+    return (
+        d2.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= OUTLIER_TOPK)
+        .select("label", "vec_id", "dist2_q", "rnk")
+    )
+
+
+EMB_OUTLIER_SQL = f"""
+WITH cen AS ({EMB_CENTROID_SQL.strip()}),
+q AS (
+  SELECT vec_id, label, dim - 1 AS dim,
+         CAST(round(CAST(x AS DOUBLE) * {CENTROID_Q}) AS BIGINT) AS q
+  FROM (
+    SELECT vec_id, label, unnest(embedding) AS x,
+           generate_subscripts(embedding, 1) AS dim
+    FROM embeddings
+  )
+),
+d2 AS (
+  SELECT q.label, q.vec_id,
+         SUM((q.q - c.centroid_q) * (q.q - c.centroid_q)) AS dist2_q
+  FROM q JOIN cen c ON c.label = q.label AND c.dim = q.dim
+  GROUP BY 1, 2
+)
+SELECT CAST(label AS INTEGER) AS label, vec_id,
+       CAST(dist2_q AS BIGINT) AS dist2_q,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT label, vec_id, dist2_q,
+         ROW_NUMBER() OVER (PARTITION BY label
+                            ORDER BY dist2_q DESC, vec_id) AS rnk
+  FROM d2
+) t WHERE rnk <= {OUTLIER_TOPK}
+"""

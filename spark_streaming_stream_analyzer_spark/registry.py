@@ -558,6 +558,7 @@ query("ts_peak_prominence", _an.TS_PEAK_SQL)(_an.ts_peak_prominence)
 query("agg_gini_impurity", _an.AGG_GINI_SQL)(_an.agg_gini_impurity)
 query("seq_training_windows", _an.SEQ_WINDOWS_SQL)(_an.seq_training_windows)
 query("pipeline_anomaly_panel", _an.PIPELINE_ANOMALY_SQL)(_an.pipeline_anomaly_panel)
+query("ab_test_report", _an.AB_TEST_SQL)(_an.ab_test_report)
 query("text_tfidf_topk", _an.TEXT_TFIDF_SQL)(_an.text_tfidf_topk)
 query("join_salted_skew", _an.JOIN_SALTED_SQL)(_an.join_salted_skew)
 query("agg_sliding_window", _an.AGG_SLIDING_SQL)(_an.agg_sliding_window)
@@ -649,6 +650,7 @@ query("emb_pq_codebook", _sim.EMB_PQ_SQL)(_sim.emb_pq_codebook)
 query("emb_pca_power", _sim.EMB_PCA_SQL)(_sim.emb_pca_power)
 query("emb_knn_graph", _sim.EMB_KNN_SQL)(_sim.emb_knn_graph)
 query("emb_class_centroids", _sim.EMB_CENTROID_SQL)(_sim.emb_class_centroids)
+query("emb_class_outliers", _sim.EMB_OUTLIER_SQL)(_sim.emb_class_outliers)
 query("sim_pq_adc_topk", _sim.SIM_PQ_ADC_SQL)(_sim.sim_pq_adc_topk)
 query("sim_range_search", _sim.SIM_RANGE_SQL)(_sim.sim_range_search)
 query("sim_srp_topk", _sim.SIM_SRP_SQL)(_sim.sim_srp_topk)

@@ -844,3 +844,55 @@ def test_anomaly_panel_equals_components(spark, sf_dir):
         assert r["mad_outliers"] == mad[t]
         assert r["cusum_alarms"] == cusum.get(t, 0)
         assert r["n_peak_days"] == peaks.get(t, 0)
+
+
+def test_ab_test_report_vs_brute(spark, sf_dir):
+    from spark_streaming_stream_analyzer_spark.operators import analytics as an
+    from spark_streaming_stream_analyzer_spark.functions.hashing import hash64
+    from spark_streaming_stream_analyzer_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    arms = {
+        r["user_id"]: r["arm"]
+        for r in ev.select("user_id").distinct().select(
+            "user_id",
+            F.pmod(
+                hash64(F.concat(F.lit("ab#"), F.col("user_id").cast("string"))),
+                F.lit(an.AB_VARIANTS),
+            ).alias("arm"),
+        ).collect()
+    }
+    rows = ev.select("user_id", "event_type", "value").collect()
+    per_user = {}
+    for r in rows:
+        e = per_user.setdefault(r["user_id"], [0, 0, 0, 0])
+        if r["event_type"] == "view":
+            e[0] = 1
+        if r["event_type"] == "purchase":
+            e[1] = 1
+            e[2] += round(r["value"] * 100)
+            e[3] += 1
+    agg = {}
+    for u, (ex, cv, cents, nb) in per_user.items():
+        a = agg.setdefault(arms[u], [0, 0, 0, 0, 0])
+        a[0] += 1
+        a[1] += ex
+        a[2] += cv
+        a[3] += cents
+        a[4] += nb
+    expect = {
+        v: (
+            n, ex, cv, (cv * 1_000_000) // ex,
+            cents // nb if nb else None,
+        )
+        for v, (n, ex, cv, cents, nb) in agg.items()
+    }
+    got = {
+        r["variant"]: (
+            r["n_users"], r["n_exposed"], r["n_converted"], r["cvr_ppm"],
+            r["mean_buy_cents"],
+        )
+        for r in an.ab_test_report(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert set(got) == set(range(an.AB_VARIANTS))

@@ -369,3 +369,39 @@ def test_class_centroids_vs_numpy(spark, sf_dir):
         for r in sim.emb_class_centroids(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_class_outliers_are_farthest(spark, sf_dir):
+    """Every reported outlier's quantized distance must match a direct
+    recomputation against the op's own centroids, and nothing omitted
+    ranks farther."""
+    from spark_streaming_stream_analyzer_spark.operators import similarity as sim
+    from spark_streaming_stream_analyzer_spark.sources.tables import load_table
+
+    cen = {}
+    for r in sim.emb_class_centroids(spark, sf_dir).collect():
+        cen.setdefault(r["label"], {})[r["dim"]] = r["centroid_q"]
+    rows = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    ).collect()
+    dists = {}
+    for r in rows:
+        c = cen[r["label"]]
+        d2 = 0
+        import math
+
+        for d, x in enumerate(r["embedding"]):
+            xf = float(x) * sim.CENTROID_Q
+            q = int(math.copysign(math.floor(abs(xf) + 0.5), xf))
+            d2 += (q - c[d]) ** 2
+        dists.setdefault(r["label"], []).append((d2, r["vec_id"]))
+    expect = set()
+    for lbl, ds in dists.items():
+        ds.sort(key=lambda t: (-t[0], t[1]))
+        for rnk, (d2, vid) in enumerate(ds[: sim.OUTLIER_TOPK], 1):
+            expect.add((lbl, vid, d2, rnk))
+    got = {
+        (r["label"], r["vec_id"], r["dist2_q"], r["rnk"])
+        for r in sim.emb_class_outliers(spark, sf_dir).collect()
+    }
+    assert got == expect
