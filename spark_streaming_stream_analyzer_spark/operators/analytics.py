@@ -2891,3 +2891,73 @@ FROM per_user GROUP BY 1
 
 
 AB_TEST_SQL = _ab_sql()
+
+
+def ts_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands per user: consecutive-active-day streaks via
+    the classic day − ROW_NUMBER() island key (a run of consecutive
+    days shares one difference), then per-user streak profile —
+    active days, streak count, longest streak and its start day. The
+    engagement feature set behind retention models, at the day grain
+    ``agg_session_window`` doesn't cover (sessions split on idle
+    HOURS; streaks split on missing DAYS).
+
+    All integers; ties on equal-length streaks resolve to the
+    earliest start. One shuffle on user_id with in-partition day sort
+    (the window), then two tiny aggregates.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    days = (
+        ev.select("user_id", ts_micros(ev).alias("us"))
+        .select("user_id", F.expr(f"us DIV {SEQ_DAY_US}").alias("day"))
+        .distinct()
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy("day")
+    )
+    islands = days.withColumn("isl", F.col("day") - rn)
+    streaks = islands.groupBy("user_id", "isl").agg(
+        F.count("*").alias("len"),
+        F.min("day").alias("start_day"),
+    )
+    return (
+        streaks
+        .withColumn(
+            "best", F.max("len").over(Window.partitionBy("user_id"))
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("len").alias("n_active_days"),
+            F.count("*").alias("n_streaks"),
+            F.max("len").alias("max_streak"),
+            F.min(
+                F.when(F.col("len") == F.col("best"), F.col("start_day"))
+            ).alias("max_streak_start"),
+        )
+    )
+
+
+TS_STREAKS_SQL = f"""
+WITH days AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {SEQ_DAY_US} AS day FROM events
+),
+islands AS (
+  SELECT user_id, day,
+         day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS isl
+  FROM days
+),
+streaks AS (
+  SELECT user_id, isl, COUNT(*) AS len, MIN(day) AS start_day
+  FROM islands GROUP BY 1, 2
+),
+best AS (
+  SELECT user_id, isl, len, start_day,
+         MAX(len) OVER (PARTITION BY user_id) AS b
+  FROM streaks
+)
+SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+       COUNT(*) AS n_streaks, CAST(MAX(len) AS BIGINT) AS max_streak,
+       CAST(MIN(CASE WHEN len = b THEN start_day END) AS BIGINT)
+         AS max_streak_start
+FROM best GROUP BY 1
+"""

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ..functions.exact import cents
 from ..functions.hashing import hash64, hash64_sql
-from ..sources.tables import load_table, ts_micros, ts_timestamp
+from ..sources.tables import load_table, load_table_cpu, ts_micros, ts_timestamp
 
 # ------------------------------------------------- histogram median --
 
@@ -666,4 +666,222 @@ SELECT COALESCE(r.event_type, c.event_type) AS event_type,
                       > {DRIFT_ALERT_PPM}
                  THEN 1 ELSE 0 END AS INTEGER) AS drift_alert
 FROM ref r FULL JOIN cur c ON r.event_type = c.event_type
+"""
+
+
+# ---------------------------------------------- portable Bloom --
+
+BLOOM_M = 1 << 16   # filter bits
+BLOOM_K = 4         # hash functions
+BLOOM_PROBES = (
+    "the", "data", "model", "pipeline", "quantum", "xylophone",
+)
+
+
+def fn_bloom_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable Bloom filter over each source's vocabulary, built and
+    probed entirely in SQL — completing the mergeable-sketch family
+    (HLL distinct, CMS heavy hitters, KMV Jaccard… Bloom membership).
+    Per (source, probe-word): the k-of-k bit test verdict plus the
+    filter's exact popcount (its fill level, the FPR driver). Same
+    engine-portability point as ``approx_distinct_portable``: the
+    filter is k md5-derived bit positions, so ANY engine — or an
+    ingest service far from Spark — can probe the same filter.
+
+    Scale: the bit table is ≤ m rows per source after the distinct
+    (map-side combined); probes are a |probes|·k-row broadcast joined
+    against it. Merge across shards = bitwise OR = the same distinct.
+    """
+    docs = load_table_cpu(spark, sf_dir, "documents")
+    words = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "").distinct()
+    ks = F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("k")
+    bits = words.select(
+        "source",
+        ks,
+        "w",
+    ).select(
+        "source",
+        F.pmod(
+            hash64(F.concat(F.lit("bf"), F.col("k").cast("string"),
+                            F.lit("#"), F.col("w"))),
+            F.lit(BLOOM_M),
+        ).alias("bit"),
+    ).distinct()
+    pop = bits.groupBy("source").agg(F.count("*").alias("popcount"))
+    probes = spark.createDataFrame(
+        [(p,) for p in BLOOM_PROBES], "probe string"
+    )
+    probe_bits = probes.select(
+        "probe",
+        F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("k"),
+    ).select(
+        "probe",
+        F.pmod(
+            hash64(F.concat(F.lit("bf"), F.col("k").cast("string"),
+                            F.lit("#"), F.col("probe"))),
+            F.lit(BLOOM_M),
+        ).alias("bit"),
+    )
+    hits = (
+        bits.join(F.broadcast(probe_bits), "bit")
+        .groupBy("source", "probe")
+        .agg(F.count("*").alias("n_bits_hit"))
+    )
+    grid = pop.crossJoin(F.broadcast(probes))
+    return (
+        grid.join(hits, ["source", "probe"], "left")
+        .select(
+            "source",
+            "probe",
+            "popcount",
+            F.coalesce("n_bits_hit", F.lit(0)).alias("n_bits_hit"),
+            (F.coalesce("n_bits_hit", F.lit(0)) == BLOOM_K)
+            .cast("int").alias("maybe_present"),
+        )
+    )
+
+
+def _bloom_sql() -> str:
+    h = hash64_sql("'bf' || CAST(k AS VARCHAR) || '#' || w")
+    hp = hash64_sql("'bf' || CAST(k AS VARCHAR) || '#' || probe")
+    probes = ", ".join(f"('{p}')" for p in BLOOM_PROBES)
+    return f"""
+WITH words AS (
+  SELECT DISTINCT source, w FROM (
+    SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE w <> ''
+),
+bits AS (
+  SELECT DISTINCT source,
+         (({h}) % {BLOOM_M} + {BLOOM_M}) % {BLOOM_M} AS bit
+  FROM words CROSS JOIN (SELECT unnest(range(0, {BLOOM_K})) AS k)
+),
+pop AS (SELECT source, COUNT(*) AS popcount FROM bits GROUP BY 1),
+probes(probe) AS (VALUES {probes}),
+probe_bits AS (
+  SELECT probe, (({hp}) % {BLOOM_M} + {BLOOM_M}) % {BLOOM_M} AS bit
+  FROM probes CROSS JOIN (SELECT unnest(range(0, {BLOOM_K})) AS k)
+),
+hits AS (
+  SELECT b.source, p.probe, COUNT(*) AS n_bits_hit
+  FROM bits b JOIN probe_bits p ON p.bit = b.bit
+  GROUP BY 1, 2
+)
+SELECT g.source, g.probe, CAST(g.popcount AS BIGINT) AS popcount,
+       CAST(COALESCE(h.n_bits_hit, 0) AS BIGINT) AS n_bits_hit,
+       CAST(CASE WHEN COALESCE(h.n_bits_hit, 0) = {BLOOM_K}
+                 THEN 1 ELSE 0 END AS INTEGER) AS maybe_present
+FROM (SELECT source, popcount, probe FROM pop CROSS JOIN probes) g
+LEFT JOIN hits h ON h.source = g.source AND h.probe = g.probe
+"""
+
+
+FN_BLOOM_SQL = _bloom_sql()
+
+
+# ------------------------------------------ two-sample KS test --
+
+
+def dq_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance per event_type between
+    the first- and second-half-of-days value distributions — the
+    nonparametric "did the SHAPE of the metric change?" test that
+    catches what the share-based ``dq_distribution_drift`` cannot
+    (same event mix, shifted values).
+
+    EXACT: with values as integer micro-units, D = max_x |F₁−F₂|
+    becomes max |cum₁·n₂ − cum₂·n₁| over the merged distinct-value
+    grid — all int64 (cum ≤ 3e5, n ≤ 3e5 → 9e10 at sf0.1) — and
+    ks_ppm = D·1e6 DIV (n₁·n₂). No ordering ambiguity: the max runs
+    over every distinct value, which is where a step CDF attains it.
+
+    Scale: one scan → (type, value, half) counts; the CDF race is a
+    window cumsum over the per-type distinct-value table (the
+    ``ts_anomaly_mad`` count-table discipline — the raw stream is
+    never re-sorted, only its value histogram).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        ts_micros(ev).alias("us"),
+        F.round(F.col("value") * 1_000_000).cast("long").alias("m"),
+    ).select(
+        "event_type", "m", F.expr("us DIV 86400000000").alias("day")
+    )
+    rng = base.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    halved = base.crossJoin(F.broadcast(rng)).select(
+        "event_type",
+        "m",
+        F.when(F.col("day") < F.expr("(d0 + d1 + 1) DIV 2"), 1)
+        .otherwise(0).alias("is_ref"),
+    )
+    counts = halved.groupBy("event_type", "m").agg(
+        F.sum("is_ref").alias("c_ref"),
+        F.sum(1 - F.col("is_ref")).alias("c_cur"),
+    )
+    wt = Window.partitionBy("event_type")
+    wc = wt.orderBy("m").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = counts.select(
+        "event_type",
+        F.sum("c_ref").over(wc).alias("cum_ref"),
+        F.sum("c_cur").over(wc).alias("cum_cur"),
+        F.sum("c_ref").over(wt).alias("n_ref"),
+        F.sum("c_cur").over(wt).alias("n_cur"),
+    )
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            F.min("n_ref").alias("n_ref"),
+            F.min("n_cur").alias("n_cur"),
+            F.max(
+                F.abs(
+                    F.col("cum_ref") * F.col("n_cur")
+                    - F.col("cum_cur") * F.col("n_ref")
+                )
+            ).alias("d_num"),
+        )
+        .select(
+            "event_type", "n_ref", "n_cur", "d_num",
+            F.expr("(d_num * 1000000) DIV (n_ref * n_cur)").alias("ks_ppm"),
+        )
+    )
+
+
+DQ_KS_SQL = """
+WITH base AS (
+  SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS m,
+         epoch_us(ts) // 86400000000 AS day
+  FROM events
+),
+rng AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM base),
+halved AS (
+  SELECT event_type, m,
+         CASE WHEN day < (d0 + d1 + 1) // 2 THEN 1 ELSE 0 END AS is_ref
+  FROM base CROSS JOIN rng
+),
+counts AS (
+  SELECT event_type, m, SUM(is_ref) AS c_ref,
+         SUM(1 - is_ref) AS c_cur
+  FROM halved GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type,
+         SUM(c_ref) OVER (PARTITION BY event_type ORDER BY m
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_ref,
+         SUM(c_cur) OVER (PARTITION BY event_type ORDER BY m
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cur,
+         SUM(c_ref) OVER (PARTITION BY event_type) AS n_ref,
+         SUM(c_cur) OVER (PARTITION BY event_type) AS n_cur
+  FROM counts
+)
+SELECT event_type, CAST(MIN(n_ref) AS BIGINT) AS n_ref,
+       CAST(MIN(n_cur) AS BIGINT) AS n_cur,
+       CAST(MAX(abs(cum_ref * n_cur - cum_cur * n_ref)) AS BIGINT) AS d_num,
+       CAST((MAX(abs(cum_ref * n_cur - cum_cur * n_ref)) * 1000000)
+            // (MIN(n_ref) * MIN(n_cur)) AS BIGINT) AS ks_ppm
+FROM cum GROUP BY 1
 """

@@ -635,3 +635,94 @@ SELECT CAST(deg AS BIGINT) AS deg, COUNT(*) AS n_nodes,
        MIN(node) AS min_node
 FROM final GROUP BY 1
 """
+
+
+# ----------------------------------------- degree assortativity --
+
+_AD18 = "decimal(18,0)"
+
+
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph: the Pearson
+    correlation of endpoint degrees over all directed edges — the
+    one-number summary of whether hubs link to hubs (assortative,
+    social-network-like) or to leaves (disassortative, hub-and-spoke
+    retail). Emits the exact integer moment sums plus sign and r² in
+    ppm — the ``ts_autocorr_lag`` integer-Pearson recipe applied to
+    graph structure (num² in DECIMAL(38)/HUGEINT, sign split, DIV).
+
+    Scale: degrees are one hash-agg; the moment fold joins the
+    |nodes|-row degree table onto the edge list twice (broadcast at
+    fixture scale, shuffle-on-node beyond) and reduces to ONE row.
+    """
+    und = _copurchase_edges(spark, sf_dir)
+    edges = und.unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = edges.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").alias("deg")
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("dx"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dy"))
+    m = (
+        edges.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .agg(
+            F.count("*").alias("n_edges"),
+            F.sum("dx").alias("sx"),
+            F.sum("dy").alias("sy"),
+            F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+            F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+            F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        )
+    )
+    stats = m.select(
+        "n_edges",
+        (F.col("n_edges") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
+        (F.col("n_edges") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("denx"),
+        (F.col("n_edges") * F.col("syy") - F.col("sy") * F.col("sy")).alias("deny"),
+    )
+    return stats.select(
+        "n_edges",
+        F.signum("num").cast("long").alias("r_sign"),
+        F.when(
+            (F.col("denx") > 0) & (F.col("deny") > 0),
+            F.expr(
+                f"(CAST(num AS {_AD18}) * CAST(num AS {_AD18}) * 1000000)"
+                f" div (CAST(denx AS {_AD18}) * CAST(deny AS {_AD18}))"
+            ),
+        ).alias("r2_ppm"),
+    )
+
+
+GRAPH_ASSORT_SQL = """
+WITH und AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+),
+edges AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+deg AS (SELECT u AS node, COUNT(*) AS deg FROM edges GROUP BY 1),
+m AS (
+  SELECT COUNT(*) AS n_edges,
+         SUM(du.deg) AS sx, SUM(dv.deg) AS sy,
+         SUM(du.deg * du.deg) AS sxx, SUM(dv.deg * dv.deg) AS syy,
+         SUM(du.deg * dv.deg) AS sxy
+  FROM edges e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+),
+stats AS (
+  SELECT n_edges,
+         n_edges * sxy - sx * sy AS num,
+         n_edges * sxx - sx * sx AS denx,
+         n_edges * syy - sy * sy AS deny
+  FROM m
+)
+SELECT CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END
+            AS BIGINT) AS r_sign,
+       CASE WHEN denx > 0 AND deny > 0 THEN
+         CAST((CAST(num AS HUGEINT) * CAST(num AS HUGEINT) * 1000000)
+              // (CAST(denx AS HUGEINT) * CAST(deny AS HUGEINT)) AS BIGINT)
+       END AS r2_ppm
+FROM stats
+"""

@@ -2755,21 +2755,29 @@ def sort_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "price_c",
         F.expr("us DIV 86400000000").alias("day"),
     )
+    # Two-level skyline: survivors must tie their day's max price, so
+    # prune to per-day maxima FIRST (partitioned window — parallel),
+    # then run the global earlier-day race on the |days|-sized
+    # candidate table. The unavoidable single-partition global window
+    # thus sees |days| rows, not |orders| (the 10x probe read 3.9x
+    # before this pruning, ~1x after — the local-skyline-then-merge
+    # pattern every distributed skyline paper uses).
+    w_same = Window.partitionBy("day")
+    cands = base.withColumn(
+        "max_same", F.max("price_c").over(w_same)
+    ).filter(F.col("price_c") >= F.col("max_same"))
     w_before = (
         Window.orderBy("day").rangeBetween(Window.unboundedPreceding, -1)
     )
-    w_same = Window.partitionBy("day")
-    flagged = base.select(
+    flagged = cands.select(
         "o_orderkey",
         "price_c",
         "day",
         F.coalesce(F.max("price_c").over(w_before), F.lit(-1)).alias("max_before"),
-        F.max("price_c").over(w_same).alias("max_same"),
     )
-    return flagged.filter(
-        (F.col("price_c") > F.col("max_before"))
-        & (F.col("price_c") >= F.col("max_same"))
-    ).select("o_orderkey", "price_c", "day")
+    return flagged.filter(F.col("price_c") > F.col("max_before")).select(
+        "o_orderkey", "price_c", "day"
+    )
 
 
 SORT_PARETO_SQL = """

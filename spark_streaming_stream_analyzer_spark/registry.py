@@ -559,6 +559,7 @@ query("agg_gini_impurity", _an.AGG_GINI_SQL)(_an.agg_gini_impurity)
 query("seq_training_windows", _an.SEQ_WINDOWS_SQL)(_an.seq_training_windows)
 query("pipeline_anomaly_panel", _an.PIPELINE_ANOMALY_SQL)(_an.pipeline_anomaly_panel)
 query("ab_test_report", _an.AB_TEST_SQL)(_an.ab_test_report)
+query("ts_activity_streaks", _an.TS_STREAKS_SQL)(_an.ts_activity_streaks)
 query("text_tfidf_topk", _an.TEXT_TFIDF_SQL)(_an.text_tfidf_topk)
 query("join_salted_skew", _an.JOIN_SALTED_SQL)(_an.join_salted_skew)
 query("agg_sliding_window", _an.AGG_SLIDING_SQL)(_an.agg_sliding_window)
@@ -721,6 +722,8 @@ query("layout_zorder_stats", _au.DQ_ZORDER_SQL)(_au.layout_zorder_stats)
 query("dq_checksum_buckets", _au.DQ_CKSUM_SQL)(_au.dq_checksum_buckets)
 query("dq_column_profile", _au.DQ_PROFILE_SQL)(_au.dq_column_profile)
 query("dq_distribution_drift", _au.DQ_DRIFT_SQL)(_au.dq_distribution_drift)
+query("fn_bloom_portable", _au.FN_BLOOM_SQL)(_au.fn_bloom_portable)
+query("dq_ks_two_sample", _au.DQ_KS_SQL)(_au.dq_ks_two_sample)
 query("skew_key_profile", _au.SKEW_PROFILE_SQL)(_au.skew_key_profile)
 query("json_key_inventory", _jsonf.JSON_KEY_INVENTORY_SQL)(_jsonf.json_key_inventory)
 query("join_interval_overlap", _an.JOIN_INTERVAL_SQL)(_an.join_interval_overlap)
@@ -747,6 +750,7 @@ query("graph_triangle_count", _gr.GRAPH_TRIANGLE_SQL)(_gr.graph_triangle_count)
 query("graph_bfs_distances", _gr.GRAPH_BFS_SQL)(_gr.graph_bfs_distances)
 query("graph_jaccard_neighbors", _gr.GRAPH_JACCARD_SQL)(_gr.graph_jaccard_neighbors)
 query("graph_kcore", _gr.GRAPH_KCORE_SQL)(_gr.graph_kcore)
+query("graph_degree_assortativity", _gr.GRAPH_ASSORT_SQL)(_gr.graph_degree_assortativity)
 
 from .operators import featurize as _ft  # noqa: E402
 

@@ -896,3 +896,42 @@ def test_ab_test_report_vs_brute(spark, sf_dir):
     }
     assert got == expect
     assert set(got) == set(range(an.AB_VARIANTS))
+
+
+def test_activity_streaks_vs_brute(spark, sf_dir):
+    from spark_streaming_stream_analyzer_spark.operators import analytics as an
+    from spark_streaming_stream_analyzer_spark.sources.tables import (
+        load_table,
+        ts_micros,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select("user_id", ts_micros(ev).alias("us")).collect()
+    days = {}
+    for r in rows:
+        days.setdefault(r["user_id"], set()).add(r["us"] // an.SEQ_DAY_US)
+    expect = {}
+    for u, ds in days.items():
+        ds = sorted(ds)
+        streaks = []
+        start = prev = ds[0]
+        for d in ds[1:]:
+            if d == prev + 1:
+                prev = d
+                continue
+            streaks.append((prev - start + 1, start))
+            start = prev = d
+        streaks.append((prev - start + 1, start))
+        best = max(l for l, _ in streaks)
+        expect[u] = (
+            len(ds), len(streaks), best,
+            min(s for l, s in streaks if l == best),
+        )
+    got = {
+        r["user_id"]: (
+            r["n_active_days"], r["n_streaks"], r["max_streak"],
+            r["max_streak_start"],
+        )
+        for r in an.ts_activity_streaks(spark, sf_dir).collect()
+    }
+    assert got == expect

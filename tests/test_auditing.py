@@ -233,3 +233,37 @@ def test_distribution_drift_shares_sum(spark, sf_dir):
     for r in rows:
         assert r["delta_ppm"] == r["cur_ppm"] - r["ref_ppm"]
         assert r["drift_alert"] == int(abs(r["delta_ppm"]) > au.DRIFT_ALERT_PPM)
+
+
+def test_bloom_portable_no_false_negatives(spark, sf_dir):
+    """Present words must always hit k-of-k; absent nonsense words
+    should (at this fill level) miss; popcount <= k * vocab."""
+    from spark_streaming_stream_analyzer_spark.operators import auditing as au
+    from spark_streaming_stream_analyzer_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_dir, "documents").select(
+        "source", "text"
+    ).collect()
+    vocab = {}
+    for r in rows:
+        vocab.setdefault(r["source"], set()).update(
+            t for t in r["text"].split(" ") if t
+        )
+    got = {
+        (r["source"], r["probe"]): (
+            r["popcount"], r["n_bits_hit"], r["maybe_present"]
+        )
+        for r in au.fn_bloom_portable(spark, sf_dir).collect()
+    }
+    assert {s for s, _ in got} == set(vocab)
+    for (s, p), (pop, hit, maybe) in got.items():
+        assert pop <= au.BLOOM_K * len(vocab[s])
+        assert maybe == int(hit == au.BLOOM_K)
+        if p in vocab[s]:
+            assert maybe == 1  # Bloom guarantees no false negatives
+    # at least one genuinely-absent probe misses somewhere
+    assert any(
+        m == 0
+        for (s, p), (_, _, m) in got.items()
+        if p not in vocab[s]
+    )

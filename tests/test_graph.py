@@ -261,3 +261,35 @@ def test_kcore_vs_brute_peel(spark, sf_dir):
     }
     assert got == {d: v for d, v in hist.items()}
     assert got and min(got) >= gr.KCORE_K
+
+
+def test_assortativity_vs_brute(spark, sf_dir):
+    from spark_streaming_stream_analyzer_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    by_o = {}
+    for r in rows:
+        by_o.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    nbrs = {}
+    for parts in by_o.values():
+        ps = sorted(parts)
+        for i, u in enumerate(ps):
+            for v in ps[i + 1:]:
+                nbrs.setdefault(u, set()).add(v)
+                nbrs.setdefault(v, set()).add(u)
+    edges = [(u, v) for u, ns in nbrs.items() for v in ns]
+    n = len(edges)
+    sx = sum(len(nbrs[u]) for u, _ in edges)
+    sy = sum(len(nbrs[v]) for _, v in edges)
+    sxx = sum(len(nbrs[u]) ** 2 for u, _ in edges)
+    syy = sum(len(nbrs[v]) ** 2 for _, v in edges)
+    sxy = sum(len(nbrs[u]) * len(nbrs[v]) for u, v in edges)
+    num = n * sxy - sx * sy
+    denx = n * sxx - sx * sx
+    deny = n * syy - sy * sy
+    r2 = (num * num * 1_000_000) // (denx * deny) if denx and deny else None
+    sign = 0 if num == 0 else (1 if num > 0 else -1)
+    row = gr.graph_degree_assortativity(spark, sf_dir).collect()[0]
+    assert (row["n_edges"], row["r_sign"], row["r2_ppm"]) == (n, sign, r2)
