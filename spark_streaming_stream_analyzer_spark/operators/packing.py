@@ -528,24 +528,26 @@ def sample_bootstrap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", cents("o_totalprice").alias("c")
     )
-    reps = od.select(
+    # Kirsch–Mitzenmacher double hashing: TWO md5s per row mixed as
+    # h1 + rep·h2 replace one md5 per (row, replica) — measured 8×
+    # less hashing (the md5 was the whole cost under the noop sink).
+    # h2 is folded to 2^40 so rep·h2 stays far from int64 overflow.
+    hashed = od.select(
         "o_orderkey", "c",
+        hash64(F.concat(F.lit("bsA#"), F.col("o_orderkey").cast("string")))
+        .alias("h1"),
+        F.pmod(
+            hash64(F.concat(F.lit("bsB#"), F.col("o_orderkey").cast("string"))),
+            F.lit(1 << 40),
+        ).alias("h2"),
+    )
+    reps = hashed.select(
+        "c", "h1", "h2",
         F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("rep"),
     )
-    u = F.pmod(
-        hash64(
-            F.concat(
-                F.lit("bs#"),
-                F.col("rep").cast("string"),
-                F.lit("#"),
-                F.col("o_orderkey").cast("string"),
-            )
-        ),
-        F.lit(1_000_000),
-    )
-    drawn = reps.withColumn("u", u).withColumn(
-        "k", F.expr(_boot_k_case("u"))
-    )
+    drawn = reps.withColumn(
+        "u", F.expr("(h1 + rep * h2) % 1000000")
+    ).withColumn("k", F.expr(_boot_k_case("u")))
     return (
         drawn.groupBy("rep")
         .agg(
@@ -562,15 +564,18 @@ def sample_bootstrap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _boot_sql() -> str:
-    h = hash64_sql(
-        "'bs#' || CAST(rep AS VARCHAR) || '#' || CAST(o_orderkey AS VARCHAR)"
-    )
-    u = f"(({h}) % 1000000 + 1000000) % 1000000"
+    h1 = hash64_sql("'bsA#' || CAST(o_orderkey AS VARCHAR)")
+    h2 = hash64_sql("'bsB#' || CAST(o_orderkey AS VARCHAR)")
+    u = "((h1 + rep * h2) % 1000000 + 1000000) % 1000000"
     return f"""
-WITH reps AS (
+WITH hashed AS (
   SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS c,
-         unnest(range(0, {BOOT_B})) AS rep
+         {h1} AS h1,
+         ((({h2}) % {1 << 40}) + {1 << 40}) % {1 << 40} AS h2
   FROM orders
+),
+reps AS (
+  SELECT c, h1, h2, unnest(range(0, {BOOT_B})) AS rep FROM hashed
 ),
 drawn AS (
   SELECT rep, c, {_boot_k_case(u)} AS k FROM reps
