@@ -2961,3 +2961,70 @@ SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
          AS max_streak_start
 FROM best GROUP BY 1
 """
+
+
+PATHS_TOPK = 10
+
+
+def seq_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-traveled 3-step paths: every contiguous event-type triple
+    in any user's stream, counted globally, top-10 with share in ppm
+    — the open-vocabulary complement to ``seq_pattern_triples``
+    (which matches ONE fixed pattern) and the 3-gram extension of
+    ``seq_transition_matrix``. The product question it answers:
+    "what do users actually do, in order?".
+
+    Path strings are '>'-joined (the array-cell canonicalizer
+    lesson); counts and shares integer; ties on the path string.
+
+    Scale: one user_id shuffle for the double-lead window, then a
+    wordcount-shaped global count whose top-k is
+    TakeOrderedAndProject — no global sort materializes.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    base = ev.select(
+        "user_id", ts_micros(ev).alias("us"), "event_id", "event_type"
+    )
+    triples = base.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    counts = triples.select(
+        F.concat_ws(">", "t1", "t2", "t3").alias("path")
+    ).groupBy("path").agg(F.count("*").alias("n"))
+    tot = counts.agg(F.sum("n").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "path", "n", "total",
+            F.expr("(n * 1000000) DIV total").alias("share_ppm"),
+        )
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(PATHS_TOPK)
+    )
+
+
+SEQ_TOP_PATHS_SQL = f"""
+WITH base AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events
+),
+triples AS (
+  SELECT event_type AS t1,
+         LEAD(event_type, 1) OVER w AS t2,
+         LEAD(event_type, 2) OVER w AS t3
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+counts AS (
+  SELECT t1 || '>' || t2 || '>' || t3 AS path, COUNT(*) AS n
+  FROM triples WHERE t3 IS NOT NULL GROUP BY 1
+),
+tot AS (SELECT SUM(n) AS total FROM counts)
+SELECT path, CAST(n AS BIGINT) AS n, CAST(total AS BIGINT) AS total,
+       CAST((n * 1000000) // total AS BIGINT) AS share_ppm
+FROM counts CROSS JOIN tot
+ORDER BY n DESC, path ASC
+LIMIT {PATHS_TOPK}
+"""

@@ -935,3 +935,39 @@ def test_activity_streaks_vs_brute(spark, sf_dir):
         for r in an.ts_activity_streaks(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_seq_top_paths_vs_brute(spark, sf_dir):
+    from spark_streaming_stream_analyzer_spark.operators import analytics as an
+    from spark_streaming_stream_analyzer_spark.sources.tables import (
+        load_table,
+        ts_micros,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select(
+        "user_id", ts_micros(ev).alias("us"), "event_id", "event_type"
+    ).collect()
+    by_u = {}
+    for r in rows:
+        by_u.setdefault(r["user_id"], []).append(
+            (r["us"], r["event_id"], r["event_type"])
+        )
+    counts = {}
+    for seq in by_u.values():
+        seq.sort()
+        ts_ = [t for _, _, t in seq]
+        for i in range(len(ts_) - 2):
+            p = ">".join(ts_[i: i + 3])
+            counts[p] = counts.get(p, 0) + 1
+    total = sum(counts.values())
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    expect = [
+        (p, n, total, (n * 1_000_000) // total)
+        for p, n in ranked[: an.PATHS_TOPK]
+    ]
+    got = [
+        (r["path"], r["n"], r["total"], r["share_ppm"])
+        for r in an.seq_top_paths(spark, sf_dir).collect()
+    ]
+    assert got == expect
