@@ -3028,3 +3028,87 @@ FROM counts CROSS JOIN tot
 ORDER BY n DESC, path ASC
 LIMIT {PATHS_TOPK}
 """
+
+
+def ts_backtest_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast skill backtest per event_type: the seasonal-naive
+    predictor (x̂_d = x_{d−7}) scored against the plain-naive
+    (x̂_d = x_{d−1}) on the daily count series — MASE's integer
+    core. A skill ratio under 1e6 ppm means the weekly cycle is real
+    and a forecaster should use it; ≥ 1e6 means last-day carryover
+    already beats it. The eval harness every forecasting feature
+    pipeline needs BEFORE any model.
+
+    EXACT: absolute count errors are integers; MAE is emitted ×1000
+    via DIV; the skill ratio is snaive_mae·1e6 DIV naive_mae (NULL
+    when the naive error is 0). Backtest days require BOTH lags to
+    exist (equi-joins on day−1/day−7 — no lag() over a gappy grid).
+
+    Scale: day-grain aggregate first; the two lag joins run on the
+    |types|·|days| series table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", ts_micros(ev).alias("us"))
+        .select("event_type", F.expr(f"us DIV {SEQ_DAY_US}").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("x"))
+    )
+    cur = daily.alias("c")
+    l1 = daily.alias("l1")
+    l7 = daily.alias("l7")
+    joined = (
+        cur.join(
+            l1,
+            (F.col("c.event_type") == F.col("l1.event_type"))
+            & (F.col("l1.day") == F.col("c.day") - 1),
+        )
+        .join(
+            l7,
+            (F.col("c.event_type") == F.col("l7.event_type"))
+            & (F.col("l7.day") == F.col("c.day") - 7),
+        )
+        .select(
+            F.col("c.event_type").alias("event_type"),
+            F.abs(F.col("c.x") - F.col("l7.x")).alias("e_s"),
+            F.abs(F.col("c.x") - F.col("l1.x")).alias("e_n"),
+        )
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_backtest"),
+            F.sum("e_s").alias("se_s"),
+            F.sum("e_n").alias("se_n"),
+        )
+        .select(
+            "event_type",
+            "n_backtest",
+            F.expr("(se_s * 1000) DIV n_backtest").alias("snaive_mae_e3"),
+            F.expr("(se_n * 1000) DIV n_backtest").alias("naive_mae_e3"),
+            F.expr(
+                "CASE WHEN se_n > 0 THEN (se_s * 1000000) DIV se_n END"
+            ).alias("skill_ppm"),
+        )
+    )
+
+
+TS_SNAIVE_SQL = f"""
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // {SEQ_DAY_US} AS day, COUNT(*) AS x
+  FROM events GROUP BY 1, 2
+),
+joined AS (
+  SELECT c.event_type, abs(c.x - l7.x) AS e_s, abs(c.x - l1.x) AS e_n
+  FROM daily c
+  JOIN daily l1 ON l1.event_type = c.event_type AND l1.day = c.day - 1
+  JOIN daily l7 ON l7.event_type = c.event_type AND l7.day = c.day - 7
+)
+SELECT event_type, COUNT(*) AS n_backtest,
+       CAST((SUM(e_s) * 1000) // COUNT(*) AS BIGINT) AS snaive_mae_e3,
+       CAST((SUM(e_n) * 1000) // COUNT(*) AS BIGINT) AS naive_mae_e3,
+       CAST(CASE WHEN SUM(e_n) > 0
+                 THEN (SUM(e_s) * 1000000) // SUM(e_n) END AS BIGINT)
+         AS skill_ppm
+FROM joined GROUP BY 1
+"""

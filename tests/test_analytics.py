@@ -971,3 +971,40 @@ def test_seq_top_paths_vs_brute(spark, sf_dir):
         for r in an.seq_top_paths(spark, sf_dir).collect()
     ]
     assert got == expect
+
+
+def test_backtest_snaive_vs_brute(spark, sf_dir):
+    from spark_streaming_stream_analyzer_spark.operators import analytics as an
+    from spark_streaming_stream_analyzer_spark.sources.tables import (
+        load_table,
+        ts_micros,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select("event_type", ts_micros(ev).alias("us")).collect()
+    daily = {}
+    for r in rows:
+        k = (r["event_type"], r["us"] // an.SEQ_DAY_US)
+        daily[k] = daily.get(k, 0) + 1
+    expect = {}
+    for t in sorted({t for t, _ in daily}):
+        series = {d: x for (tt, d), x in daily.items() if tt == t}
+        es = en = n = 0
+        for d, x in series.items():
+            if d - 1 in series and d - 7 in series:
+                n += 1
+                es += abs(x - series[d - 7])
+                en += abs(x - series[d - 1])
+        if n:
+            expect[t] = (
+                n, (es * 1000) // n, (en * 1000) // n,
+                (es * 1_000_000) // en if en else None,
+            )
+    got = {
+        r["event_type"]: (
+            r["n_backtest"], r["snaive_mae_e3"], r["naive_mae_e3"],
+            r["skill_ppm"],
+        )
+        for r in an.ts_backtest_snaive(spark, sf_dir).collect()
+    }
+    assert got == expect
