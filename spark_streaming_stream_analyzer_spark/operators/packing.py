@@ -667,3 +667,47 @@ SELECT source, CAST(MIN(n_docs) AS BIGINT) AS n_docs,
 FROM ranked WHERE cum * 5 >= total_tokens * 4
 GROUP BY 1
 """
+
+
+# ------------------------------------------- interleave order --
+
+
+def pack_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic round-robin interleave across sources: documents
+    take their within-source rank (by doc_id), then the global
+    training order cycles source-by-source — the data-mixing order a
+    curriculum loader consumes so no source floods any window of
+    training (the streaming-mixture twin of ``sample_rebalance``'s
+    counts-only view).
+
+    The global position is a row_number over (rank, source) — a
+    single-partition window, acceptable because its input is already
+    the final manifest (one row per doc). The 100 TB form replaces it
+    with rank·|sources| + source-index arithmetic after padding, or a
+    prefix-sum of per-(rank) counts — noted; at manifest scale the
+    window is simpler and exact.
+    """
+    docs = load_table_cpu(spark, sf_dir, "documents")
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy("doc_id")
+    )
+    ranked = docs.select("doc_id", "source").withColumn("rn", rn)
+    pos = F.row_number().over(
+        Window.orderBy("rn", "source", "doc_id")
+    )
+    return ranked.withColumn("position", pos).select(
+        "doc_id", "source", "rn", "position"
+    )
+
+
+PACK_INTERLEAVE_SQL = """
+WITH ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, source, CAST(rn AS BIGINT) AS rn,
+       CAST(ROW_NUMBER() OVER (ORDER BY rn, source, doc_id) AS BIGINT)
+         AS position
+FROM ranked
+"""

@@ -723,3 +723,89 @@ SELECT doc_id, COUNT(*) AS n_distinct_grams,
 FROM gd JOIN first USING (gh)
 GROUP BY doc_id
 """
+
+
+# ------------------------------------------ source similarity --
+
+STYLE_TOP_V = 50
+
+
+def text_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise stylistic distance between sources: each source's
+    unigram profile over the corpus-wide top-50 words (frequency in
+    ppm of the source's token mass), compared pairwise by total
+    variation distance — the template-farm detector (two "different"
+    crawl sources whose profiles sit a few ppm apart are one
+    generator wearing two hats) and the integer-exact stand-in for
+    profile cosine.
+
+    Scale: wordcount → top-V global vocabulary (broadcast) → a
+    |sources|·V profile grid → a V-row-keyed pair join over the
+    |sources|² grid. Everything after the first count runs on tiny
+    tables; TVD is Σ|Δppm| DIV 2, log-free.
+    """
+    docs = load_table_cpu(spark, sf_dir, "documents")
+    words = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    wc = words.groupBy("source", "w").agg(F.count("*").alias("n"))
+    top_v = (
+        wc.groupBy("w")
+        .agg(F.sum("n").alias("tot"))
+        .orderBy(F.desc("tot"), F.asc("w"))
+        .limit(STYLE_TOP_V)
+        .select("w")
+    )
+    totals = wc.groupBy("source").agg(F.sum("n").alias("src_tot"))
+    grid = totals.crossJoin(F.broadcast(top_v))
+    prof = (
+        grid.join(wc, ["source", "w"], "left")
+        .select(
+            "source", "w",
+            F.expr(
+                "(COALESCE(n, 0) * 1000000) DIV src_tot"
+            ).alias("ppm"),
+        )
+    )
+    a = prof.select(
+        F.col("source").alias("source_a"), "w", F.col("ppm").alias("pa")
+    )
+    b = prof.select(
+        F.col("source").alias("source_b"), "w", F.col("ppm").alias("pb")
+    )
+    pairs = a.join(b, "w").filter(F.col("source_a") < F.col("source_b"))
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(F.sum(F.abs(F.col("pa") - F.col("pb"))).alias("l1_ppm"))
+        .select(
+            "source_a", "source_b",
+            F.expr("l1_ppm DIV 2").alias("tvd_ppm"),
+        )
+    )
+
+
+TEXT_SRC_SIM_SQL = f"""
+WITH words AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+),
+wc AS (
+  SELECT source, w, COUNT(*) AS n FROM words WHERE w <> '' GROUP BY 1, 2
+),
+top_v AS (
+  SELECT w FROM (
+    SELECT w, SUM(n) AS tot FROM wc GROUP BY 1
+    ORDER BY tot DESC, w ASC LIMIT {STYLE_TOP_V}
+  )
+),
+totals AS (SELECT source, SUM(n) AS src_tot FROM wc GROUP BY 1),
+prof AS (
+  SELECT t.source, v.w,
+         (COALESCE(wc.n, 0) * 1000000) // t.src_tot AS ppm
+  FROM totals t CROSS JOIN top_v v
+  LEFT JOIN wc ON wc.source = t.source AND wc.w = v.w
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(SUM(abs(a.ppm - b.ppm)) // 2 AS BIGINT) AS tvd_ppm
+FROM prof a JOIN prof b ON a.w = b.w AND a.source < b.source
+GROUP BY 1, 2
+"""

@@ -671,6 +671,7 @@ query("text_bigram_freq", _ts.TEXT_BIGRAM_SQL)(_ts.text_bigram_freq)
 query("text_oov_rate", _ts.TEXT_OOV_SQL)(_ts.text_oov_rate)
 query("text_lexical_diversity", _ts.TEXT_LEXDIV_SQL)(_ts.text_lexical_diversity)
 query("text_ngram_novelty", _ts.TEXT_NOVELTY_SQL)(_ts.text_ngram_novelty)
+query("text_source_similarity", _ts.TEXT_SRC_SIM_SQL)(_ts.text_source_similarity)
 query("udtf_chunk_docs", _ts.UDTF_CHUNK_SQL)(_ts.udtf_chunk_docs)
 query("text_normalize", _ts.TEXT_NORMALIZE_SQL)(_ts.text_normalize)
 query("mm_binary_meta", _mm.MM_BINARY_META_SQL)(_mm.mm_binary_meta)
@@ -707,6 +708,7 @@ query("sample_weighted", _pk.WEIGHTED_SQL)(_pk.sample_weighted)
 query("sample_reservoir_group", _pk.RESERVOIR_SQL)(_pk.sample_reservoir_group)
 query("sample_bootstrap_stats", _pk.SAMPLE_BOOTSTRAP_SQL)(_pk.sample_bootstrap_stats)
 query("agg_pareto_8020", _pk.AGG_PARETO_SQL)(_pk.agg_pareto_8020)
+query("pack_interleave_order", _pk.PACK_INTERLEAVE_SQL)(_pk.pack_interleave_order)
 query("corpus_contrib_gini", _pk.CORPUS_GINI_SQL)(_pk.corpus_contrib_gini)
 query("pack_length_buckets", _pk.PACK_LENGTH_SQL)(_pk.pack_length_buckets)
 query("corpus_mixture_stats", _pk.MIXTURE_SQL)(_pk.corpus_mixture_stats)

@@ -406,3 +406,63 @@ def test_ngram_novelty_vs_brute(spark, sf_dir):
     # the lowest doc_id is all-novel by construction
     d0 = min(expect)
     assert got[d0][2] == 1_000_000
+
+
+def test_source_similarity_vs_brute(spark, sf_dir):
+    from collections import Counter
+
+    from spark_streaming_stream_analyzer_spark.operators import textstats as ts
+    from spark_streaming_stream_analyzer_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_dir, "documents").select(
+        "source", "text"
+    ).collect()
+    wc = {}
+    glob = Counter()
+    for r in rows:
+        c = wc.setdefault(r["source"], Counter())
+        for t in r["text"].split(" "):
+            if t:
+                c[t] += 1
+                glob[t] += 1
+    top_v = [
+        w for w, _ in sorted(
+            glob.items(), key=lambda kv: (-kv[1], kv[0])
+        )[: ts.STYLE_TOP_V]
+    ]
+    prof = {}
+    for s, c in wc.items():
+        tot = sum(c.values())
+        prof[s] = {w: (c.get(w, 0) * 1_000_000) // tot for w in top_v}
+    srcs = sorted(wc)
+    expect = {}
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            l1 = sum(abs(prof[a][w] - prof[b][w]) for w in top_v)
+            expect[(a, b)] = l1 // 2
+    got = {
+        (r["source_a"], r["source_b"]): r["tvd_ppm"]
+        for r in ts.text_source_similarity(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_interleave_order_round_robin(spark, sf_dir):
+    """Positions are a permutation; consecutive same-rank blocks cycle
+    sources in order; within a source, positions are increasing."""
+    from spark_streaming_stream_analyzer_spark.operators import packing as pk
+
+    rows = pk.pack_interleave_order(spark, sf_dir).collect()
+    n = len(rows)
+    assert sorted(r["position"] for r in rows) == list(range(1, n + 1))
+    ordered = sorted(rows, key=lambda r: r["position"])
+    assert [
+        (r["rn"], r["source"], r["doc_id"]) for r in ordered
+    ] == sorted(
+        (r["rn"], r["source"], r["doc_id"]) for r in rows
+    )
+    by_src = {}
+    for r in ordered:
+        by_src.setdefault(r["source"], []).append(r["position"])
+    for ps in by_src.values():
+        assert ps == sorted(ps)
