@@ -1051,3 +1051,72 @@ SELECT doc_id, COUNT(*) AS n_grams,
 FROM g JOIN freq USING (gh)
 GROUP BY doc_id
 """
+
+
+# ------------------------------------------ index tuning report --
+
+
+def dedup_index_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational tuning view of the fingerprint inverted index: the
+    doc-frequency histogram of winnowing fingerprints with each df
+    level's candidate-pair mass (n·C(df,2)) and its ppm share — the
+    report that justifies (or retunes) ``FP_DOCFREQ_CAP``: pair work
+    explodes quadratically at the hot tail, and this shows exactly
+    where the mass sits BEFORE a 100 TB pairing job is launched.
+
+    One aggregate over the fingerprint table, then a |distinct-df|-row
+    histogram — pure metadata, no pairing executed.
+    """
+    from .textstats import doc_winnowing
+
+    fp = doc_winnowing(spark, sf_dir)
+    df_t = fp.groupBy("fingerprint").agg(F.count("*").alias("df"))
+    hist = df_t.groupBy("df").agg(F.count("*").alias("n_fingerprints"))
+    mass = hist.select(
+        "df",
+        "n_fingerprints",
+        # integer DIV, not /2-then-cast: the product is even by
+        # construction, but a double quotient loses bits past 2^53
+        F.expr("(n_fingerprints * df * (df - 1)) DIV 2").alias("pair_mass"),
+    )
+    tot = mass.agg(F.sum("pair_mass").alias("total_mass"))
+    return (
+        mass.crossJoin(F.broadcast(tot))
+        .select(
+            "df",
+            "n_fingerprints",
+            "pair_mass",
+            F.expr(
+                "CASE WHEN total_mass > 0"
+                " THEN (pair_mass * 1000000) DIV total_mass ELSE 0 END"
+            ).alias("mass_ppm"),
+            (F.col("df") > FP_DOCFREQ_CAP).cast("int").alias("over_cap"),
+        )
+    )
+
+
+def _index_tuning_sql() -> str:
+    from .textstats import DOC_WINNOW_SQL
+
+    return f"""
+WITH fp AS ({DOC_WINNOW_SQL.strip()}),
+df_t AS (SELECT fingerprint, COUNT(*) AS df FROM fp GROUP BY 1),
+hist AS (SELECT df, COUNT(*) AS n_fingerprints FROM df_t GROUP BY 1),
+mass AS (
+  SELECT df, n_fingerprints,
+         (n_fingerprints * df * (df - 1)) // 2 AS pair_mass
+  FROM hist
+),
+tot AS (SELECT SUM(pair_mass) AS total_mass FROM mass)
+SELECT CAST(df AS BIGINT) AS df,
+       CAST(n_fingerprints AS BIGINT) AS n_fingerprints, pair_mass,
+       CAST(CASE WHEN total_mass > 0
+                 THEN (pair_mass * 1000000) // total_mass
+                 ELSE 0 END AS BIGINT) AS mass_ppm,
+       CAST(CASE WHEN df > {FP_DOCFREQ_CAP} THEN 1 ELSE 0 END AS INTEGER)
+         AS over_cap
+FROM mass CROSS JOIN tot
+"""
+
+
+DEDUP_TUNING_SQL = _index_tuning_sql()

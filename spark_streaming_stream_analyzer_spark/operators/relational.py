@@ -2798,3 +2798,37 @@ SELECT o_orderkey, price_c, CAST(day AS BIGINT) AS day
 FROM flagged
 WHERE price_c > max_before AND price_c >= max_same
 """
+
+
+def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset completions of ``set_ops``: INTERSECT ALL / EXCEPT
+    ALL keep MULTIPLICITY (min / truncated-difference of per-value
+    counts) — the bag semantics reconciliation jobs need (a value
+    present 5× on one side and 3× on the other is a 2-row diff, not
+    zero). Tagged union of both results, counted per key so the
+    output is compact and the multiplicity is visible.
+    """
+    cu = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    su = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    inter = cu.intersectAll(su).groupBy("nationkey").agg(
+        F.count("*").alias("n")
+    ).withColumn("op", F.lit("intersect_all"))
+    exc = cu.exceptAll(su).groupBy("nationkey").agg(
+        F.count("*").alias("n")
+    ).withColumn("op", F.lit("except_all"))
+    return inter.unionByName(exc).select("op", "nationkey", "n")
+
+
+SET_OPS_ALL_SQL = """
+SELECT 'intersect_all' AS op, nationkey, COUNT(*) AS n FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  INTERSECT ALL SELECT s_nationkey FROM supplier) GROUP BY 2
+UNION ALL
+SELECT 'except_all' AS op, nationkey, COUNT(*) AS n FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  EXCEPT ALL SELECT s_nationkey FROM supplier) GROUP BY 2
+"""

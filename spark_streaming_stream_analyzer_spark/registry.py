@@ -537,6 +537,7 @@ query("q16_part_supplier_counts", _rel.Q16_SQL)(_rel.q16_part_supplier_counts)
 query("q20_part_promotion_suppliers", _rel.Q20_SQL)(_rel.q20_part_promotion_suppliers)
 query("src_synthetic_gen", _rel.SRC_GEN_SQL)(_rel.src_synthetic_gen)
 query("sort_pareto_front", _rel.SORT_PARETO_SQL)(_rel.sort_pareto_front)
+query("set_ops_all", _rel.SET_OPS_ALL_SQL)(_rel.set_ops_all)
 
 from .operators import analytics as _an  # noqa: E402
 
@@ -636,6 +637,9 @@ query("pipeline_dedup_filter", _dd.PIPELINE_DEDUP_SQL)(_dd.pipeline_dedup_filter
 query("dedup_minhash_quality", _dd.DEDUP_MINHASH_QUALITY_SQL)(_dd.dedup_minhash_quality)
 query("dedup_fingerprint_overlap", _dd.FP_OVERLAP_SQL)(
     _dd.dedup_fingerprint_overlap
+)
+query("dedup_index_tuning_report", _dd.DEDUP_TUNING_SQL)(
+    _dd.dedup_index_tuning_report
 )
 query("text_dup_ngram_fraction", _dd.TEXT_DUP_NGRAM_SQL)(
     _dd.text_dup_ngram_fraction

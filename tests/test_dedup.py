@@ -242,3 +242,38 @@ def test_dup_ngram_fraction_vs_brute(spark, sf_dir):
     }
     assert got == expect
     assert any(v[1] > 0 for v in got.values())  # corpus has repeats
+
+
+def test_index_tuning_report_vs_brute(spark, sf_dir):
+    from collections import Counter
+
+    from spark_streaming_stream_analyzer_spark.operators import dedup as dd
+    from spark_streaming_stream_analyzer_spark.operators.textstats import (
+        doc_winnowing,
+    )
+
+    dfs = Counter(
+        r["df"]
+        for r in doc_winnowing(spark, sf_dir)
+        .groupBy("fingerprint")
+        .count()
+        .withColumnRenamed("count", "df")
+        .collect()
+    )
+    mass = {d: n * d * (d - 1) // 2 for d, n in dfs.items()}
+    total = sum(mass.values())
+    got = {
+        r["df"]: (
+            r["n_fingerprints"], r["pair_mass"], r["mass_ppm"], r["over_cap"]
+        )
+        for r in dd.dedup_index_tuning_report(spark, sf_dir).collect()
+    }
+    assert got == {
+        d: (
+            n, mass[d],
+            (mass[d] * 1_000_000) // total if total else 0,
+            int(d > dd.FP_DOCFREQ_CAP),
+        )
+        for d, n in dfs.items()
+    }
+    assert sum(v[2] for v in got.values()) <= 1_000_000

@@ -356,3 +356,34 @@ def test_pareto_front_vs_quadratic(spark, sf_dir):
     }
     assert got == expect
     assert got
+
+
+def test_set_ops_all_multiplicity(spark, sf_dir):
+    """INTERSECT ALL multiplicity = min(count_a, count_b); EXCEPT ALL
+    = max(0, count_a - count_b) — verified against direct counts."""
+    from collections import Counter
+
+    from spark_streaming_stream_analyzer_spark.operators import relational as rel
+    from spark_streaming_stream_analyzer_spark.sources.tables import load_table
+
+    ca = Counter(
+        r["c_nationkey"]
+        for r in load_table(spark, sf_dir, "customer").select("c_nationkey").collect()
+    )
+    sa = Counter(
+        r["s_nationkey"]
+        for r in load_table(spark, sf_dir, "supplier").select("s_nationkey").collect()
+    )
+    expect = {}
+    for k in set(ca) | set(sa):
+        m = min(ca.get(k, 0), sa.get(k, 0))
+        if m:
+            expect[("intersect_all", k)] = m
+        d = ca.get(k, 0) - sa.get(k, 0)
+        if d > 0:
+            expect[("except_all", k)] = d
+    got = {
+        (r["op"], r["nationkey"]): r["n"]
+        for r in rel.set_ops_all(spark, sf_dir).collect()
+    }
+    assert got == expect
