@@ -3112,3 +3112,60 @@ SELECT event_type, COUNT(*) AS n_backtest,
          AS skill_ppm
 FROM joined GROUP BY 1
 """
+
+
+def ts_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting by day: active users, NEW users (first-ever
+    appearance), returning = active − new, and the cumulative
+    registered-user curve — the DAU/new/returning split every growth
+    dashboard opens with, derived exactly from the event stream (no
+    user dimension table needed: first-seen day IS min(day) per
+    user).
+
+    Scale: distinct (user, day) then min-day per user — two hash
+    aggregates on user_id; the day-grain rollup and its cumulative
+    window run on |days| rows. No joins against the raw stream.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ud = (
+        ev.select("user_id", ts_micros(ev).alias("us"))
+        .select("user_id", F.expr(f"us DIV {SEQ_DAY_US}").alias("day"))
+        .distinct()
+    )
+    first = ud.groupBy("user_id").agg(F.min("day").alias("fday"))
+    active = ud.groupBy("day").agg(F.count("*").alias("n_active"))
+    new = first.groupBy(F.col("fday").alias("day")).agg(
+        F.count("*").alias("n_new")
+    )
+    joined = active.join(new, "day", "left").select(
+        "day",
+        "n_active",
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return joined.select(
+        "day",
+        "n_active",
+        "n_new",
+        (F.col("n_active") - F.col("n_new")).alias("n_returning"),
+        F.sum("n_new").over(w).alias("cum_users"),
+    )
+
+
+TS_CUMUSERS_SQL = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {SEQ_DAY_US} AS day FROM events
+),
+first AS (SELECT user_id, MIN(day) AS fday FROM ud GROUP BY 1),
+active AS (SELECT day, COUNT(*) AS n_active FROM ud GROUP BY 1),
+new AS (SELECT fday AS day, COUNT(*) AS n_new FROM first GROUP BY 1)
+SELECT a.day AS day, CAST(a.n_active AS BIGINT) AS n_active,
+       CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new,
+       CAST(a.n_active - COALESCE(n.n_new, 0) AS BIGINT) AS n_returning,
+       CAST(SUM(COALESCE(n.n_new, 0)) OVER (ORDER BY a.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_users
+FROM active a LEFT JOIN new n ON n.day = a.day
+"""

@@ -563,6 +563,7 @@ query("ab_test_report", _an.AB_TEST_SQL)(_an.ab_test_report)
 query("ts_activity_streaks", _an.TS_STREAKS_SQL)(_an.ts_activity_streaks)
 query("seq_top_paths", _an.SEQ_TOP_PATHS_SQL)(_an.seq_top_paths)
 query("ts_backtest_snaive", _an.TS_SNAIVE_SQL)(_an.ts_backtest_snaive)
+query("ts_cumulative_users", _an.TS_CUMUSERS_SQL)(_an.ts_cumulative_users)
 query("text_tfidf_topk", _an.TEXT_TFIDF_SQL)(_an.text_tfidf_topk)
 query("join_salted_skew", _an.JOIN_SALTED_SQL)(_an.join_salted_skew)
 query("agg_sliding_window", _an.AGG_SLIDING_SQL)(_an.agg_sliding_window)

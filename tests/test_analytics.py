@@ -1008,3 +1008,32 @@ def test_backtest_snaive_vs_brute(spark, sf_dir):
         for r in an.ts_backtest_snaive(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_cumulative_users_vs_brute(spark, sf_dir):
+    from spark_streaming_stream_analyzer_spark.operators import analytics as an
+    from spark_streaming_stream_analyzer_spark.sources.tables import (
+        load_table,
+        ts_micros,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select("user_id", ts_micros(ev).alias("us")).collect()
+    ud = {(r["user_id"], r["us"] // an.SEQ_DAY_US) for r in rows}
+    first = {}
+    for u, d in ud:
+        first[u] = min(first.get(u, d), d)
+    days = sorted({d for _, d in ud})
+    cum = 0
+    expect = {}
+    for d in days:
+        act = sum(1 for _, dd in ud if dd == d)
+        new = sum(1 for f in first.values() if f == d)
+        cum += new
+        expect[d] = (act, new, act - new, cum)
+    got = {
+        r["day"]: (r["n_active"], r["n_new"], r["n_returning"], r["cum_users"])
+        for r in an.ts_cumulative_users(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert list(got[max(got)])[3] == len(first)
