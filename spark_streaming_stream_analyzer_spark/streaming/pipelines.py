@@ -1370,3 +1370,105 @@ def _stream_hll_sql() -> str:
 
 
 STREAM_HLL_SQL = _stream_hll_sql()
+
+
+def stream_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``auditing.dq_column_profile`` minus the
+    distinct counts: per micro-batch the per-column (rows, nulls,
+    min, max) partials fold into a keyed parquet delta store via
+    foreachBatch — all four are associative, so the merge-on-read
+    fold is exact and the live profile equals the nightly batch one
+    row-for-row (distinct counts are the one non-associative column;
+    the streaming form would carry the portable HLL as
+    ``stream_hll_distinct`` does — composable, not duplicated here).
+
+    Same no-driver-state discipline as ``stream_freshness_watermark``:
+    one 5-row partial per batch, group-fold at serve time.
+    """
+    from ..operators.auditing import _PROFILE_COLS
+
+    stream = events_file_stream(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )
+    store_dir = _tracked_tmp_dir("sgs_prof_store")
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # partials stay in their NATIVE types (one wide row): a
+        # string-rendered min would fold lexicographically ("100" <
+        # "99") — rendering happens once, at serve time
+        aggs = [F.count("*").alias("n_rows")]
+        for name, _render in _PROFILE_COLS:
+            aggs.extend(
+                [
+                    F.sum(F.col(name).isNull().cast("long")).alias(f"nn_{name}"),
+                    F.min(name).alias(f"mn_{name}"),
+                    F.max(name).alias(f"mx_{name}"),
+                ]
+            )
+        batch_df.agg(*aggs).write.mode("append").parquet(store_dir)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_CPUS", "32")
+    )
+    ckpt = _tracked_tmp_dir("sgs_prof")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(fold_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        _cleanup_tmp_dirs([ckpt])
+    store = spark.read.parquet(store_dir)
+    fold_aggs = [F.sum("n_rows").alias("n_rows")]
+    for name, _render in _PROFILE_COLS:
+        fold_aggs.extend(
+            [
+                F.sum(f"nn_{name}").alias(f"nn_{name}"),
+                F.min(f"mn_{name}").alias(f"mn_{name}"),
+                F.max(f"mx_{name}").alias(f"mx_{name}"),
+            ]
+        )
+    folded = store.agg(*fold_aggs)
+    rendered = folded.select(
+        "n_rows",
+        *[
+            F.expr(render.format(c=f"mn_{name}")).alias(f"rmn_{name}")
+            for name, render in _PROFILE_COLS
+        ],
+        *[
+            F.expr(render.format(c=f"mx_{name}")).alias(f"rmx_{name}")
+            for name, render in _PROFILE_COLS
+        ],
+        *[F.col(f"nn_{name}") for name, _ in _PROFILE_COLS],
+    )
+    stack_args = ", ".join(
+        f"'{name}', nn_{name}, rmn_{name}, rmx_{name}"
+        for name, _ in _PROFILE_COLS
+    )
+    return rendered.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args})"
+            " AS (col_name, n_null, min_s, max_s)"
+        ),
+    ).select("col_name", "n_rows", "n_null", "min_s", "max_s")
+
+
+def _stream_profile_sql() -> str:
+    from ..operators.auditing import _PROFILE_COLS, _profile_branch_sql
+
+    branches = []
+    for name, render in _PROFILE_COLS:
+        b = _profile_branch_sql(name, render.replace("AS STRING", "AS VARCHAR"))
+        # drop the n_distinct column: not associative without a sketch
+        b = b.replace("\n         COUNT(DISTINCT " + name + ") AS n_distinct,", "")
+        branches.append(b)
+    return "\nUNION ALL\n".join(branches)
+
+
+STREAM_PROFILE_SQL = _stream_profile_sql()

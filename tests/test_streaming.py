@@ -715,3 +715,40 @@ def test_bootstrap_stats_deterministic_and_plausible(spark, sf_dir):
         assert mc == sc // nd
     # replicas genuinely differ (resampling actually happened)
     assert len({v[0] for v in rows1.values()}) > 1
+
+
+def test_stream_column_profile_multibatch_fold(spark, tmp_path):
+    """Numeric min/max must fold NUMERICALLY across batches — the
+    lexicographic trap ("100" < "99") is the planted case here."""
+    from spark_streaming_stream_analyzer_spark.streaming.pipelines import (
+        _cleanup_tmp_dirs,
+        _tracked_tmp_dir,
+        events_file_stream,
+    )
+    from spark_streaming_stream_analyzer_spark.operators.auditing import (
+        _PROFILE_COLS,
+    )
+    import spark_streaming_stream_analyzer_spark.streaming.pipelines as sp
+
+    # batch 1 has event_id 99 (string-max trap); batch 2 has 100
+    b1 = [(99, 1 * NS, 7, "a", 9.5, "{}")]
+    b2 = [(100, 2 * NS, 3, "b", -1.25, "{}")]
+    src = _write_event_files(spark, str(tmp_path), [b1, b2])
+
+    import os as _os
+    from unittest import mock
+
+    real = sp.events_file_stream
+
+    def fake_stream(s, path, copies=1):
+        return real(s, src)
+
+    with mock.patch.object(sp, "events_file_stream", fake_stream):
+        got = {
+            r["col_name"]: (r["n_rows"], r["n_null"], r["min_s"], r["max_s"])
+            for r in sp.stream_column_profile(spark, str(tmp_path)).collect()
+        }
+    assert got["event_id"] == (2, 0, "99", "100")   # numeric, not lexicographic
+    assert got["user_id"] == (2, 0, "3", "7")
+    assert got["value"] == (2, 0, "-125", "950")    # exact integer cents
+    assert got["event_type"] == (2, 0, "a", "b")
