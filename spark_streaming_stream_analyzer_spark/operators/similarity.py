@@ -1746,3 +1746,98 @@ FROM (
   FROM d2
 ) t WHERE rnk <= {OUTLIER_TOPK}
 """
+
+
+def emb_nearest_centroid_confusion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Nearest-centroid classification of every embedding against the
+    class prototypes, reported as a confusion matrix (true label ×
+    predicted label × count) plus per-cell share of the true class —
+    the 1-NN-to-prototype eval that turns ``emb_class_centroids``
+    into a labeled-data quality score (an off-diagonal-heavy row
+    means that class's embeddings don't cluster — label noise or a
+    bad encoder).
+
+    EXACT: squared distances in shared integer micro-units (the
+    ``emb_class_outliers`` arithmetic); argmin ties break on the
+    smaller label id; shares are integer ppm.
+
+    Scale: |labels|·64 centroid rows broadcast twice (once per side
+    of the distance fold); per-vector work is |labels| distance sums
+    from ONE explode — a map-side cross of the vector table with a
+    tiny prototype table, then an argmin window per vec_id.
+    """
+    cen = emb_class_centroids(spark, sf_dir).select(
+        F.col("label").alias("cand"), "dim", "centroid_q"
+    )
+    q = load_table_cpu(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.round(F.col("x").cast("double") * CENTROID_Q).cast("long").alias("q"),
+    )
+    d2 = (
+        q.join(F.broadcast(cen), "dim")
+        .select(
+            "vec_id", "label", "cand",
+            ((F.col("q") - F.col("centroid_q"))
+             * (F.col("q") - F.col("centroid_q"))).alias("dd"),
+        )
+        .groupBy("vec_id", "label", "cand")
+        .agg(F.sum("dd").alias("dist2"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("cand"))
+    pred = (
+        d2.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "label", F.col("cand").alias("pred"))
+    )
+    conf = pred.groupBy("label", "pred").agg(F.count("*").alias("n"))
+    row_tot = F.sum("n").over(Window.partitionBy("label"))
+    return conf.withColumn("label_total", row_tot).select(
+        "label",
+        "pred",
+        "n",
+        "label_total",
+        F.expr("(n * 1000000) DIV label_total").alias("share_ppm"),
+    )
+
+
+EMB_CONFUSION_SQL = f"""
+WITH cen AS ({EMB_CENTROID_SQL.strip()}),
+q AS (
+  SELECT vec_id, label, dim - 1 AS dim,
+         CAST(round(CAST(x AS DOUBLE) * {CENTROID_Q}) AS BIGINT) AS q
+  FROM (
+    SELECT vec_id, label, unnest(embedding) AS x,
+           generate_subscripts(embedding, 1) AS dim
+    FROM embeddings
+  )
+),
+d2 AS (
+  SELECT q.vec_id, q.label, c.label AS cand,
+         SUM((q.q - c.centroid_q) * (q.q - c.centroid_q)) AS dist2
+  FROM q JOIN cen c ON c.dim = q.dim
+  GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT vec_id, label, cand AS pred FROM (
+    SELECT vec_id, label, cand,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY dist2 ASC, cand ASC) AS rk
+    FROM d2
+  ) t WHERE rk = 1
+),
+conf AS (
+  SELECT label, pred, COUNT(*) AS n FROM pred GROUP BY 1, 2
+)
+SELECT CAST(label AS INTEGER) AS label, CAST(pred AS INTEGER) AS pred,
+       CAST(n AS BIGINT) AS n,
+       CAST(SUM(n) OVER (PARTITION BY label) AS BIGINT) AS label_total,
+       CAST((n * 1000000) // SUM(n) OVER (PARTITION BY label) AS BIGINT)
+         AS share_ppm
+FROM conf
+"""

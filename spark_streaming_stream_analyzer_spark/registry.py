@@ -659,6 +659,9 @@ query("emb_pca_power", _sim.EMB_PCA_SQL)(_sim.emb_pca_power)
 query("emb_knn_graph", _sim.EMB_KNN_SQL)(_sim.emb_knn_graph)
 query("emb_class_centroids", _sim.EMB_CENTROID_SQL)(_sim.emb_class_centroids)
 query("emb_class_outliers", _sim.EMB_OUTLIER_SQL)(_sim.emb_class_outliers)
+query("emb_nearest_centroid_confusion", _sim.EMB_CONFUSION_SQL)(
+    _sim.emb_nearest_centroid_confusion
+)
 query("sim_pq_adc_topk", _sim.SIM_PQ_ADC_SQL)(_sim.sim_pq_adc_topk)
 query("sim_range_search", _sim.SIM_RANGE_SQL)(_sim.sim_range_search)
 query("sim_srp_topk", _sim.SIM_SRP_SQL)(_sim.sim_srp_topk)

@@ -405,3 +405,46 @@ def test_class_outliers_are_farthest(spark, sf_dir):
         for r in sim.emb_class_outliers(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_centroid_confusion_vs_brute(spark, sf_dir):
+    import math
+
+    from spark_streaming_stream_analyzer_spark.operators import similarity as sim
+    from spark_streaming_stream_analyzer_spark.sources.tables import load_table
+
+    cen = {}
+    for r in sim.emb_class_centroids(spark, sf_dir).collect():
+        cen.setdefault(r["label"], {})[r["dim"]] = r["centroid_q"]
+    rows = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    ).collect()
+    conf = {}
+    for r in rows:
+        qv = [
+            int(math.copysign(
+                math.floor(abs(float(x) * sim.CENTROID_Q) + 0.5), float(x)
+            ))
+            for x in r["embedding"]
+        ]
+        best = None
+        for lbl in sorted(cen):
+            d2 = sum((q - cen[lbl][d]) ** 2 for d, q in enumerate(qv))
+            if best is None or d2 < best[0]:
+                best = (d2, lbl)
+        conf[(r["label"], best[1])] = conf.get((r["label"], best[1]), 0) + 1
+    totals = {}
+    for (lbl, _), n in conf.items():
+        totals[lbl] = totals.get(lbl, 0) + n
+    expect = {
+        (lbl, p): (n, totals[lbl], (n * 1_000_000) // totals[lbl])
+        for (lbl, p), n in conf.items()
+    }
+    got = {
+        (r["label"], r["pred"]): (r["n"], r["label_total"], r["share_ppm"])
+        for r in sim.emb_nearest_centroid_confusion(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # the diagonal should carry real mass (prototypes aren't noise)
+    diag = sum(n for (l, p), (n, _, _) in got.items() if l == p)
+    assert diag >= len(rows) // 4
