@@ -3169,3 +3169,112 @@ SELECT a.day AS day, CAST(a.n_active AS BIGINT) AS n_active,
          AS cum_users
 FROM active a LEFT JOIN new n ON n.day = a.day
 """
+
+
+WINSOR_LO_PCT = 5
+WINSOR_HI_PCT = 95
+
+
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per event_type: values clipped at the exact
+    positional p5/p95 before averaging — the robust mean that keeps
+    outliers' EXISTENCE (unlike a trimmed mean) but caps their
+    leverage, the standard metric-hardening step before alerting on
+    averages.
+
+    EXACT: both cut points are positional picks on the per-type
+    (value, count) table (p-th value at 1-indexed position
+    ceil(n·p/100) — integer arithmetic, the ``ts_anomaly_mad``
+    discipline); clipping and summing happen in integer micro-units;
+    the mean is one final DIV (emitted ×1e6).
+
+    Scale: two passes over the aggregated value-count table (pick,
+    then clip+sum) — the raw stream is scanned once into that table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    vc = (
+        ev.select(
+            "event_type",
+            F.round(F.col("value") * 1_000_000).cast("long").alias("m"),
+        )
+        .groupBy("event_type", "m")
+        .agg(F.count("*").alias("n"))
+    )
+    wt = Window.partitionBy("event_type")
+    wc = wt.orderBy("m").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = vc.select(
+        "event_type", "m", "n",
+        F.sum("n").over(wc).alias("cum"),
+        F.sum("n").over(wt).alias("tot"),
+    )
+    picks = cum.groupBy("event_type").agg(
+        F.min(
+            F.when(
+                F.col("cum") * 100 >= F.col("tot") * WINSOR_LO_PCT, F.col("m")
+            )
+        ).alias("lo"),
+        F.min(
+            F.when(
+                F.col("cum") * 100 >= F.col("tot") * WINSOR_HI_PCT, F.col("m")
+            )
+        ).alias("hi"),
+        F.min("tot").alias("n_events"),
+    )
+    clipped = vc.join(F.broadcast(picks), "event_type").select(
+        "event_type", "n", "n_events", "lo", "hi",
+        F.greatest(F.least(F.col("m"), F.col("hi")), F.col("lo")).alias("w"),
+    )
+    return (
+        clipped.groupBy("event_type")
+        .agg(
+            F.min("n_events").alias("n_events"),
+            F.min("lo").alias("p5_micro"),
+            F.min("hi").alias("p95_micro"),
+            F.sum(F.col("w") * F.col("n")).alias("wsum"),
+        )
+        .select(
+            "event_type", "n_events", "p5_micro", "p95_micro",
+            F.expr(
+                "CASE WHEN wsum >= 0 THEN wsum DIV n_events"
+                " ELSE -((-wsum) DIV n_events) END"
+            ).alias("winsor_mean_micro"),
+        )
+    )
+
+
+AGG_WINSOR_SQL = f"""
+WITH vc AS (
+  SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS m,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, m, n,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY m
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         SUM(n) OVER (PARTITION BY event_type) AS tot
+  FROM vc
+),
+picks AS (
+  SELECT event_type,
+         MIN(CASE WHEN cum * 100 >= tot * {WINSOR_LO_PCT} THEN m END) AS lo,
+         MIN(CASE WHEN cum * 100 >= tot * {WINSOR_HI_PCT} THEN m END) AS hi,
+         MIN(tot) AS n_events
+  FROM cum GROUP BY 1
+),
+clipped AS (
+  SELECT vc.event_type, vc.n, p.n_events, p.lo, p.hi,
+         GREATEST(LEAST(vc.m, p.hi), p.lo) AS w
+  FROM vc JOIN picks p ON p.event_type = vc.event_type
+)
+SELECT event_type, CAST(MIN(n_events) AS BIGINT) AS n_events,
+       CAST(MIN(lo) AS BIGINT) AS p5_micro,
+       CAST(MIN(hi) AS BIGINT) AS p95_micro,
+       CAST(CASE WHEN SUM(w * n) >= 0
+                 THEN CAST(SUM(w * n) AS BIGINT) // CAST(MIN(n_events) AS BIGINT)
+                 ELSE -((-CAST(SUM(w * n) AS BIGINT))
+                        // CAST(MIN(n_events) AS BIGINT)) END AS BIGINT)
+         AS winsor_mean_micro
+FROM clipped GROUP BY 1
+"""

@@ -10,7 +10,7 @@ integer-operand double divides so the DuckDB oracle matches bit-exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash64
@@ -808,4 +808,65 @@ SELECT a.source AS source_a, b.source AS source_b,
        CAST(SUM(abs(a.ppm - b.ppm)) // 2 AS BIGINT) AS tvd_ppm
 FROM prof a JOIN prof b ON a.w = b.w AND a.source < b.source
 GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------ lexical rarity --
+
+
+def text_lexical_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-free surprisal proxy per document: every word's corpus
+    frequency RANK is bucketed by its binary magnitude
+    (bucket = len(bin(rank)) = ⌊log₂ rank⌋ + 1 — an exact integer
+    "log" via the binary string length, no float logarithm), and the
+    doc score is the token-weighted mean bucket ×1000. Common words
+    land in low buckets, rare words in high ones — a high score flags
+    jargon-dense or OOV-heavy text, the cheap stand-in for LM
+    perplexity in curation gates.
+
+    Scale: wordcount → rank by (count desc, word) over the |vocab|
+    table → broadcast the (word, bucket) dictionary back onto the
+    token stream. One full-data pass.
+    """
+    docs = load_table_cpu(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    vocab = words.groupBy("w").agg(F.count("*").alias("cnt"))
+    rank = F.row_number().over(
+        Window.orderBy(F.desc("cnt"), F.asc("w"))
+    )
+    dict_t = vocab.withColumn("rank", rank).select(
+        "w", F.length(F.bin("rank")).cast("long").alias("bucket")
+    )
+    scored = words.join(F.broadcast(dict_t), "w")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("bucket").alias("bucket_sum"),
+        )
+        .select(
+            "doc_id", "n_tokens",
+            F.expr("(bucket_sum * 1000) DIV n_tokens").alias("rarity_e3"),
+        )
+    )
+
+
+TEXT_RARITY_SQL = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+toks AS (SELECT doc_id, w FROM words WHERE w <> ''),
+vocab AS (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY 1),
+dict_t AS (
+  SELECT w, CAST(length(bin(
+           ROW_NUMBER() OVER (ORDER BY cnt DESC, w ASC))) AS BIGINT)
+           AS bucket
+  FROM vocab
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       CAST((SUM(bucket) * 1000) // COUNT(*) AS BIGINT) AS rarity_e3
+FROM toks JOIN dict_t USING (w)
+GROUP BY 1
 """

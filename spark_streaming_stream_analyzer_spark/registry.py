@@ -564,6 +564,7 @@ query("ts_activity_streaks", _an.TS_STREAKS_SQL)(_an.ts_activity_streaks)
 query("seq_top_paths", _an.SEQ_TOP_PATHS_SQL)(_an.seq_top_paths)
 query("ts_backtest_snaive", _an.TS_SNAIVE_SQL)(_an.ts_backtest_snaive)
 query("ts_cumulative_users", _an.TS_CUMUSERS_SQL)(_an.ts_cumulative_users)
+query("agg_winsorized_mean", _an.AGG_WINSOR_SQL)(_an.agg_winsorized_mean)
 query("text_tfidf_topk", _an.TEXT_TFIDF_SQL)(_an.text_tfidf_topk)
 query("join_salted_skew", _an.JOIN_SALTED_SQL)(_an.join_salted_skew)
 query("agg_sliding_window", _an.AGG_SLIDING_SQL)(_an.agg_sliding_window)
@@ -680,6 +681,7 @@ query("text_oov_rate", _ts.TEXT_OOV_SQL)(_ts.text_oov_rate)
 query("text_lexical_diversity", _ts.TEXT_LEXDIV_SQL)(_ts.text_lexical_diversity)
 query("text_ngram_novelty", _ts.TEXT_NOVELTY_SQL)(_ts.text_ngram_novelty)
 query("text_source_similarity", _ts.TEXT_SRC_SIM_SQL)(_ts.text_source_similarity)
+query("text_lexical_rarity", _ts.TEXT_RARITY_SQL)(_ts.text_lexical_rarity)
 query("udtf_chunk_docs", _ts.UDTF_CHUNK_SQL)(_ts.udtf_chunk_docs)
 query("text_normalize", _ts.TEXT_NORMALIZE_SQL)(_ts.text_normalize)
 query("mm_binary_meta", _mm.MM_BINARY_META_SQL)(_mm.mm_binary_meta)

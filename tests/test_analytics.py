@@ -1037,3 +1037,39 @@ def test_cumulative_users_vs_brute(spark, sf_dir):
     }
     assert got == expect
     assert list(got[max(got)])[3] == len(first)
+
+
+def test_winsorized_mean_vs_brute(spark, sf_dir):
+    from spark_streaming_stream_analyzer_spark.operators import analytics as an
+    from spark_streaming_stream_analyzer_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_dir, "events").select(
+        "event_type", "value"
+    ).collect()
+    by_t = {}
+    for r in rows:
+        by_t.setdefault(r["event_type"], []).append(
+            round(r["value"] * 1_000_000)
+        )
+    expect = {}
+    for t, vals in by_t.items():
+        vals.sort()
+        n = len(vals)
+
+        def pick(pct):
+            # least value whose cumulative count reaches ceil(n*pct/100)
+            pos = -(-n * pct // 100)  # ceil
+            return vals[pos - 1]
+
+        lo, hi = pick(an.WINSOR_LO_PCT), pick(an.WINSOR_HI_PCT)
+        wsum = sum(min(max(v, lo), hi) for v in vals)
+        mean = wsum // n if wsum >= 0 else -((-wsum) // n)
+        expect[t] = (n, lo, hi, mean)
+    got = {
+        r["event_type"]: (
+            r["n_events"], r["p5_micro"], r["p95_micro"],
+            r["winsor_mean_micro"],
+        )
+        for r in an.agg_winsorized_mean(spark, sf_dir).collect()
+    }
+    assert got == expect

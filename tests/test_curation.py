@@ -466,3 +466,35 @@ def test_interleave_order_round_robin(spark, sf_dir):
         by_src.setdefault(r["source"], []).append(r["position"])
     for ps in by_src.values():
         assert ps == sorted(ps)
+
+
+def test_lexical_rarity_vs_brute(spark, sf_dir):
+    from collections import Counter
+
+    from spark_streaming_stream_analyzer_spark.operators import textstats as ts
+    from spark_streaming_stream_analyzer_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    vocab = Counter()
+    toks = {}
+    for r in rows:
+        ws = [t for t in r["text"].split(" ") if t]
+        toks[r["doc_id"]] = ws
+        vocab.update(ws)
+    ranked = sorted(vocab.items(), key=lambda kv: (-kv[1], kv[0]))
+    bucket = {w: (i + 1).bit_length() for i, (w, _) in enumerate(ranked)}
+    expect = {}
+    for d, ws in toks.items():
+        if not ws:
+            continue
+        bs = sum(bucket[w] for w in ws)
+        expect[d] = (len(ws), (bs * 1000) // len(ws))
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["rarity_e3"])
+        for r in ts.text_lexical_rarity(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # sanity: rare-word docs score higher than the global min bucket
+    assert max(v[1] for v in got.values()) > 1000
