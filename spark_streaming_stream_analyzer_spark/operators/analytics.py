@@ -3278,3 +3278,73 @@ SELECT event_type, CAST(MIN(n_events) AS BIGINT) AS n_events,
          AS winsor_mean_micro
 FROM clipped GROUP BY 1
 """
+
+
+def ts_atr_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average True Range per event_type over the 5-minute OHLC bars
+    — the classic volatility rollup ON TOP of ``ts_ohlc_bars``
+    (composition, not recomputation): true range = max(high−low,
+    |high−prev_close|, |low−prev_close|), first bar falls back to
+    high−low, averaged per type. Gap-tolerant: "previous" is the
+    prior EXISTING bar in sequence, deterministic under the (type,
+    bar) ordering.
+
+    EXACT: prices to integer cents before any arithmetic; ATR is
+    ΣTR·1000 DIV bars. One lag window over the |types|·|bars| bar
+    table — the stream was already collapsed by the OHLC aggregate.
+    """
+    bars = ts_ohlc_bars(spark, sf_dir).select(
+        "event_type",
+        "bar",
+        F.round(F.col("high") * 100).cast("long").alias("h"),
+        F.round(F.col("low") * 100).cast("long").alias("l"),
+        F.round(F.col("close") * 100).cast("long").alias("c"),
+    )
+    w = Window.partitionBy("event_type").orderBy("bar")
+    tr = bars.withColumn("pc", F.lag("c").over(w)).select(
+        "event_type",
+        "bar",
+        F.when(
+            F.col("pc").isNull(), F.col("h") - F.col("l")
+        ).otherwise(
+            F.greatest(
+                F.col("h") - F.col("l"),
+                F.abs(F.col("h") - F.col("pc")),
+                F.abs(F.col("l") - F.col("pc")),
+            )
+        ).alias("tr"),
+    )
+    return tr.groupBy("event_type").agg(
+        F.count("*").alias("n_bars"),
+        F.max("tr").alias("max_tr_cents"),
+        F.expr("(SUM(tr) * 1000) DIV COUNT(*)").alias("atr_cents_e3"),
+    )
+
+
+def _atr_sql() -> str:
+    return f"""
+WITH ohlc AS ({TS_OHLC_SQL.strip()}),
+bars AS (
+  SELECT event_type, bar,
+         CAST(round(high * 100) AS BIGINT) AS h,
+         CAST(round(low * 100) AS BIGINT) AS l,
+         CAST(round(close * 100) AS BIGINT) AS c
+  FROM ohlc
+),
+tr AS (
+  SELECT event_type, bar,
+         CASE WHEN pc IS NULL THEN h - l
+              ELSE GREATEST(h - l, abs(h - pc), abs(l - pc)) END AS tr
+  FROM (
+    SELECT *, LAG(c) OVER (PARTITION BY event_type ORDER BY bar) AS pc
+    FROM bars
+  )
+)
+SELECT event_type, COUNT(*) AS n_bars,
+       CAST(MAX(tr) AS BIGINT) AS max_tr_cents,
+       CAST((SUM(tr) * 1000) // COUNT(*) AS BIGINT) AS atr_cents_e3
+FROM tr GROUP BY 1
+"""
+
+
+TS_ATR_SQL = _atr_sql()

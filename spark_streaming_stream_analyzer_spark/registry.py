@@ -565,6 +565,7 @@ query("seq_top_paths", _an.SEQ_TOP_PATHS_SQL)(_an.seq_top_paths)
 query("ts_backtest_snaive", _an.TS_SNAIVE_SQL)(_an.ts_backtest_snaive)
 query("ts_cumulative_users", _an.TS_CUMUSERS_SQL)(_an.ts_cumulative_users)
 query("agg_winsorized_mean", _an.AGG_WINSOR_SQL)(_an.agg_winsorized_mean)
+query("ts_atr_volatility", _an.TS_ATR_SQL)(_an.ts_atr_volatility)
 query("text_tfidf_topk", _an.TEXT_TFIDF_SQL)(_an.text_tfidf_topk)
 query("join_salted_skew", _an.JOIN_SALTED_SQL)(_an.join_salted_skew)
 query("agg_sliding_window", _an.AGG_SLIDING_SQL)(_an.agg_sliding_window)
@@ -814,6 +815,7 @@ query("stream_freshness_watermark", _ft.DQ_FRESHNESS_SQL)(
 )
 query("stream_hll_distinct", _sp.STREAM_HLL_SQL)(_sp.stream_hll_distinct)
 query("stream_column_profile", _sp.STREAM_PROFILE_SQL)(_sp.stream_column_profile)
+query("stream_pareto_front", _sp.STREAM_PARETO_SQL)(_sp.stream_pareto_front)
 query("stream_dedup", _sp.STREAM_DEDUP_SQL)(_sp.stream_dedup)
 query("stream_dedup_watermark", _sp.STREAM_DEDUP_WM_SQL)(_sp.stream_dedup_watermark)
 query("stream_stream_left_join", _sp.STREAM_STREAM_LEFT_SQL)(

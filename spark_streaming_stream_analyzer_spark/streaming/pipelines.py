@@ -1472,3 +1472,98 @@ def _stream_profile_sql() -> str:
 
 
 STREAM_PROFILE_SQL = _stream_profile_sql()
+
+
+def stream_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming skyline: the price/date Pareto frontier of orders
+    maintained incrementally — each micro-batch contributes its LOCAL
+    frontier to a parquet candidate store (skylines are associative:
+    pareto(A ∪ B) = pareto(pareto(A) ∪ pareto(B)), so per-batch
+    pruning is lossless), and the serving fold runs the same frontier
+    pass over the union of candidates. Matches the batch
+    ``sort_pareto_front`` oracle row-for-row — the dominance-pruning
+    discipline that keeps unbounded-stream skyline state at frontier
+    size, not stream size.
+    """
+    from pyspark.sql import Window as W
+
+    from ..functions.exact import cents
+
+    path = os.path.join(sf_dir, "orders.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_stage_stream_dir(path))
+    )
+    store_dir = _tracked_tmp_dir("sgs_sky_store")
+
+    def local_frontier(df: DataFrame) -> DataFrame:
+        base = df.select(
+            "o_orderkey",
+            cents("o_totalprice").alias("price_c"),
+            ts_micros(df, "o_orderdate").alias("us"),
+        ).select(
+            "o_orderkey", "price_c",
+            F.expr("us DIV 86400000000").alias("day"),
+        )
+        w_same = W.partitionBy("day")
+        cands = base.withColumn(
+            "max_same", F.max("price_c").over(w_same)
+        ).filter(F.col("price_c") >= F.col("max_same"))
+        w_before = W.orderBy("day").rangeBetween(W.unboundedPreceding, -1)
+        return (
+            cands.withColumn(
+                "max_before",
+                F.coalesce(F.max("price_c").over(w_before), F.lit(-1)),
+            )
+            .filter(F.col("price_c") > F.col("max_before"))
+            .select("o_orderkey", "price_c", "day")
+        )
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        local_frontier(batch_df).write.mode("append").parquet(store_dir)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_CPUS", "32")
+    )
+    ckpt = _tracked_tmp_dir("sgs_sky")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(fold_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        _cleanup_tmp_dirs([ckpt])
+    cands = spark.read.parquet(store_dir)
+    from pyspark.sql import Window as W2
+
+    w_same = W2.partitionBy("day")
+    pruned = cands.withColumn(
+        "max_same", F.max("price_c").over(w_same)
+    ).filter(F.col("price_c") >= F.col("max_same"))
+    w_before = W2.orderBy("day").rangeBetween(W2.unboundedPreceding, -1)
+    return (
+        pruned.withColumn(
+            "max_before",
+            F.coalesce(F.max("price_c").over(w_before), F.lit(-1)),
+        )
+        .filter(F.col("price_c") > F.col("max_before"))
+        .select("o_orderkey", "price_c", "day")
+    )
+
+
+def _stream_sky_sql() -> str:
+    from ..operators.relational import SORT_PARETO_SQL
+
+    return SORT_PARETO_SQL
+
+
+STREAM_PARETO_SQL = _stream_sky_sql()

@@ -1073,3 +1073,31 @@ def test_winsorized_mean_vs_brute(spark, sf_dir):
         for r in an.agg_winsorized_mean(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_atr_vs_brute(spark, sf_dir):
+    from spark_streaming_stream_analyzer_spark.operators import analytics as an
+
+    bars = {}
+    for r in an.ts_ohlc_bars(spark, sf_dir).collect():
+        bars.setdefault(r["event_type"], []).append(
+            (r["bar"], round(r["high"] * 100), round(r["low"] * 100),
+             round(r["close"] * 100))
+        )
+    expect = {}
+    for t, bs in bars.items():
+        bs.sort()
+        trs = []
+        pc = None
+        for _, h, l, c in bs:
+            if pc is None:
+                trs.append(h - l)
+            else:
+                trs.append(max(h - l, abs(h - pc), abs(l - pc)))
+            pc = c
+        expect[t] = (len(trs), max(trs), (sum(trs) * 1000) // len(trs))
+    got = {
+        r["event_type"]: (r["n_bars"], r["max_tr_cents"], r["atr_cents_e3"])
+        for r in an.ts_atr_volatility(spark, sf_dir).collect()
+    }
+    assert got == expect

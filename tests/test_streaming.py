@@ -752,3 +752,44 @@ def test_stream_column_profile_multibatch_fold(spark, tmp_path):
     assert got["user_id"] == (2, 0, "3", "7")
     assert got["value"] == (2, 0, "-125", "950")    # exact integer cents
     assert got["event_type"] == (2, 0, "a", "b")
+
+
+def test_stream_pareto_front_multibatch_dominance(spark, tmp_path):
+    """A batch-1 local-frontier point must be evicted by a dominating
+    batch-2 point at serve time (associativity of skyline folds)."""
+    import pandas as pd
+    from unittest import mock
+
+    import spark_streaming_stream_analyzer_spark.streaming.pipelines as sp
+
+    day = 86_400_000_000_000  # ns
+    # batch 1: order 1 (day 5, $100) is its local frontier together
+    # with order 2 (day 1, $50).
+    b1 = pd.DataFrame(
+        [(1, 10, "O", 100.0, 5 * day, "A"), (2, 11, "O", 50.0, 1 * day, "A")],
+        columns=["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                 "o_orderdate", "o_orderpriority"],
+    )
+    # batch 2: order 3 (day 2, $200) dominates BOTH batch-1 points.
+    b2 = pd.DataFrame(
+        [(3, 12, "O", 200.0, 2 * day, "A")],
+        columns=b1.columns,
+    )
+    src = os.path.join(str(tmp_path), "orders_stream")
+    os.makedirs(src)
+    b1.to_parquet(os.path.join(src, "0000.parquet"), index=False)
+    b2.to_parquet(os.path.join(src, "0001.parquet"), index=False)
+    single = os.path.join(str(tmp_path), "orders.parquet")
+    pd.concat([b1, b2]).to_parquet(single, index=False)
+
+    real_stage = sp._stage_stream_dir
+
+    def fake_stage(*paths):
+        return src
+
+    with mock.patch.object(sp, "_stage_stream_dir", fake_stage):
+        got = {
+            (r["o_orderkey"], r["price_c"], r["day"])
+            for r in sp.stream_pareto_front(spark, str(tmp_path)).collect()
+        }
+    assert got == {(3, 20000, 2), (2, 5000, 1)}
