@@ -1118,3 +1118,92 @@ def _stream_trans_sql() -> str:
 
 
 STREAM_TRANS_SQL = _stream_trans_sql()
+
+
+# ------------------------------------------ streaming new users --
+
+NEWU_STATE_SCHEMA = "first_day LONG"
+
+NEWU_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("day", T.LongType()),
+        T.StructField("is_new", T.LongType()),
+    ]
+)
+
+_NEWU_DAY_US = 86_400_000_000
+
+
+def _newu_update(
+    key: tuple[int],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Streaming form of ``analytics.ts_cumulative_users``: the
+    entire per-user state is ONE integer (first-seen day). A user is
+    "new" on the earliest day of their first batch; every later
+    (user, day) appearance emits is_new=0 — so the day-grain serve
+    fold reproduces the batch growth-accounting table exactly."""
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    if len(batch) == 0:
+        return
+    days = sorted({int(us) // _NEWU_DAY_US for us in batch["us"]})
+    known = state.exists
+    first_day = int(state.get[0]) if known else days[0]
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]] * len(days),
+            "day": days,
+            "is_new": [
+                1 if (not known and d == days[0]) else 0 for d in days
+            ],
+        }
+    )
+    state.update((min(first_day, days[0]),))
+
+
+def stream_new_user_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing query: replay through the first-seen tracker,
+    then the day-grain fold (active/new/returning/cumulative) — same
+    oracle as the batch ``ts_cumulative_users``. The first-batch/
+    later-batch new-user split is drilled in tests/test_streaming.py."""
+    from .pipelines import _run_to_memory, events_file_stream
+    from ..sources.tables import ts_micros
+
+    ev = events_file_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    proj = ev.select("user_id", ts_micros(ev).alias("us"))
+    out = proj.groupBy("user_id").applyInPandasWithState(
+        _newu_update,
+        outputStructType=NEWU_OUTPUT_SCHEMA,
+        stateStructType=NEWU_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    mem = _run_to_memory(out, output_mode="append")
+    # a (user, day) pair may appear in several batches — collapse, and
+    # OR the is_new flag (it fires in exactly one batch)
+    ud = mem.groupBy("user_id", "day").agg(F.max("is_new").alias("is_new"))
+    daily = ud.groupBy("day").agg(
+        F.count("*").alias("n_active"),
+        F.sum("is_new").alias("n_new"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return daily.select(
+        "day",
+        "n_active",
+        "n_new",
+        (F.col("n_active") - F.col("n_new")).alias("n_returning"),
+        F.sum("n_new").over(w).alias("cum_users"),
+    )
+
+
+def _stream_newu_sql() -> str:
+    from ..operators.analytics import TS_CUMUSERS_SQL
+
+    return TS_CUMUSERS_SQL
+
+
+STREAM_NEWU_SQL = _stream_newu_sql()

@@ -793,3 +793,44 @@ def test_stream_pareto_front_multibatch_dominance(spark, tmp_path):
             for r in sp.stream_pareto_front(spark, str(tmp_path)).collect()
         }
     assert got == {(3, 20000, 2), (2, 5000, 1)}
+
+
+def test_stream_new_users_cross_batch(spark, tmp_path):
+    """A user seen in batch 1 must NOT count as new again in batch 2;
+    a user first seen in batch 2 must."""
+    from spark_streaming_stream_analyzer_spark.streaming.pipelines import (
+        _run_to_memory,
+        events_file_stream,
+    )
+    from spark_streaming_stream_analyzer_spark.streaming.state import (
+        NEWU_OUTPUT_SCHEMA,
+        NEWU_STATE_SCHEMA,
+        _newu_update,
+    )
+    from spark_streaming_stream_analyzer_spark.sources.tables import ts_micros
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    DAY = 86_400 * NS
+    b1 = [(1, 0 * DAY, 1, "a", 0.0, "{}")]
+    b2 = [
+        (2, 1 * DAY, 1, "a", 0.0, "{}"),   # user 1 returning
+        (3, 1 * DAY, 2, "a", 0.0, "{}"),   # user 2 new on day 1
+    ]
+    src = _write_event_files(spark, str(tmp_path), [b1, b2])
+    ev = events_file_stream(spark, src)
+    proj = ev.select("user_id", ts_micros(ev).alias("us"))
+    out = proj.groupBy("user_id").applyInPandasWithState(
+        _newu_update,
+        outputStructType=NEWU_OUTPUT_SCHEMA,
+        stateStructType=NEWU_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    mem = _run_to_memory(out, output_mode="append")
+    got = {
+        (r["user_id"], r["day"]): r["is_new"]
+        for r in mem.groupBy("user_id", "day")
+        .agg(F.max("is_new").alias("is_new"))
+        .collect()
+    }
+    assert got == {(1, 0): 1, (1, 1): 0, (2, 1): 1}
