@@ -3348,3 +3348,86 @@ FROM tr GROUP BY 1
 
 
 TS_ATR_SQL = _atr_sql()
+
+
+def funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per converting user the gap from
+    FIRST view to FIRST subsequent purchase, summarized as exact
+    positional median and p90 over all converters plus the converter
+    count — the latency histogram behind "how long does the funnel
+    take?", where ``funnel_conversion`` only answers "how many make
+    it?".
+
+    EXACT: gaps are integer microseconds; quantiles are the
+    ``_with_median_picks``-style positional picks ((tot+1) DIV 2 for
+    the median-low, ceil(9n/10) for p90) on the gap count table. One
+    user-keyed aggregate builds the per-user gap; the quantile pass
+    runs on |converters| rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", "event_type", ts_micros(ev).alias("us")
+    )
+    firsts = base.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("us"))).alias("v0")
+    )
+    buys = base.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("us").alias("pus")
+    )
+    gaps = (
+        buys.join(F.broadcast(firsts), "user_id")
+        .filter(F.col("v0").isNotNull() & (F.col("pus") >= F.col("v0")))
+        .groupBy("user_id")
+        .agg((F.min("pus") - F.min("v0")).alias("gap_us"))
+    )
+    gc = gaps.groupBy("gap_us").agg(F.count("*").alias("n"))
+    w = Window.orderBy("gap_us").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = gc.select(
+        "gap_us", "n",
+        F.sum("n").over(w).alias("cum"),
+        F.sum("n").over(Window.partitionBy()).alias("tot"),
+    )
+    return cum.agg(
+        F.min("tot").alias("n_converters"),
+        F.min(
+            F.when(F.col("cum") * 2 >= F.col("tot"), F.col("gap_us"))
+        ).alias("median_gap_us"),
+        F.min(
+            F.when(F.col("cum") * 10 >= F.col("tot") * 9, F.col("gap_us"))
+        ).alias("p90_gap_us"),
+    )
+
+
+FUNNEL_LATENCY_SQL = """
+WITH base AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+),
+firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN us END) AS v0
+  FROM base GROUP BY 1
+),
+gaps AS (
+  SELECT b.user_id, MIN(b.us) - MIN(f.v0) AS gap_us
+  FROM base b JOIN firsts f ON f.user_id = b.user_id
+  WHERE b.event_type = 'purchase' AND f.v0 IS NOT NULL AND b.us >= f.v0
+  GROUP BY 1
+),
+gc AS (SELECT gap_us, COUNT(*) AS n FROM gaps GROUP BY 1),
+cum AS (
+  SELECT gap_us, n,
+         SUM(n) OVER (ORDER BY gap_us
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         SUM(n) OVER () AS tot
+  FROM gc
+)
+SELECT CAST(MIN(tot) AS BIGINT) AS n_converters,
+       CAST(MIN(CASE WHEN cum * 2 >= tot THEN gap_us END) AS BIGINT)
+         AS median_gap_us,
+       CAST(MIN(CASE WHEN cum * 10 >= tot * 9 THEN gap_us END) AS BIGINT)
+         AS p90_gap_us
+FROM cum
+"""

@@ -1120,3 +1120,94 @@ FROM mass CROSS JOIN tot
 
 
 DEDUP_TUNING_SQL = _index_tuning_sql()
+
+
+# ------------------------------------- cross-source overlap matrix --
+
+
+def dedup_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level contamination matrix: for every SOURCE pair, the
+    Jaccard overlap (ppm) of their distinct word-8-gram sets — the
+    crawl-vs-crawl dedup planning view ("these two feeds are 30%
+    the same text; dedup them jointly, not independently"), one level
+    up from the per-document pairing ops.
+
+    Shape: (source, gram-hash) distinct table → per-gram source list
+    via a gram-keyed self-join (wedge on the gram, ≤ C(|sources|,2)
+    pairs per gram) → per-pair intersection counts joined against
+    per-source set sizes. All integers; |sources|² output.
+
+    Scale: the per-gram pair fan-out is capped by |sources| (20 here,
+    maybe thousands at worst in production) — not by corpus size; a
+    boilerplate gram shared by every source costs C(|sources|,2)
+    rows once, after the distinct.
+    """
+    docs = load_table_cpu(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda w: w != "")
+    n_words = F.size(words)
+    grams = F.when(
+        n_words >= DUPG_N,
+        F.transform(
+            F.sequence(F.lit(1), n_words - F.lit(DUPG_N - 1)),
+            lambda i: hash64(F.concat_ws(" ", F.slice(words, i, DUPG_N))),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    sg = docs.select(
+        "source", F.explode(grams).alias("gh")
+    ).distinct()
+    sizes = sg.groupBy("source").agg(F.count("*").alias("n_grams"))
+    a = sg.select(F.col("source").alias("source_a"), "gh")
+    b = sg.select(F.col("source").alias("source_b"), "gh")
+    inter = (
+        a.join(b, "gh")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("n_grams").alias("ga")
+    )
+    sb = sizes.select(
+        F.col("source").alias("source_b"), F.col("n_grams").alias("gb")
+    )
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.expr(
+                "(n_shared * 1000000) DIV (ga + gb - n_shared)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+
+
+DEDUP_SRC_OVERLAP_SQL = f"""
+WITH w AS (
+  SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+),
+sg AS (
+  SELECT DISTINCT source, gh FROM (
+    SELECT source,
+           unnest(list_transform(range(1, len(ws) - {DUPG_N} + 2),
+             i -> {hash64_sql("array_to_string(list_slice(ws, i, i + " + str(DUPG_N - 1) + "), ' ')")}
+           )) AS gh
+    FROM w WHERE len(ws) >= {DUPG_N}
+  )
+),
+sizes AS (SELECT source, COUNT(*) AS n_grams FROM sg GROUP BY 1),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+  FROM sg a JOIN sg b ON a.gh = b.gh AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, CAST(n_shared AS BIGINT) AS n_shared,
+       CAST((n_shared * 1000000) // (sa.n_grams + sb.n_grams - n_shared)
+            AS BIGINT) AS jaccard_ppm
+FROM inter
+JOIN sizes sa ON sa.source = source_a
+JOIN sizes sb ON sb.source = source_b
+"""

@@ -566,6 +566,7 @@ query("ts_backtest_snaive", _an.TS_SNAIVE_SQL)(_an.ts_backtest_snaive)
 query("ts_cumulative_users", _an.TS_CUMUSERS_SQL)(_an.ts_cumulative_users)
 query("agg_winsorized_mean", _an.AGG_WINSOR_SQL)(_an.agg_winsorized_mean)
 query("ts_atr_volatility", _an.TS_ATR_SQL)(_an.ts_atr_volatility)
+query("funnel_latency_quantiles", _an.FUNNEL_LATENCY_SQL)(_an.funnel_latency_quantiles)
 query("text_tfidf_topk", _an.TEXT_TFIDF_SQL)(_an.text_tfidf_topk)
 query("join_salted_skew", _an.JOIN_SALTED_SQL)(_an.join_salted_skew)
 query("agg_sliding_window", _an.AGG_SLIDING_SQL)(_an.agg_sliding_window)
@@ -643,6 +644,9 @@ query("dedup_fingerprint_overlap", _dd.FP_OVERLAP_SQL)(
 )
 query("dedup_index_tuning_report", _dd.DEDUP_TUNING_SQL)(
     _dd.dedup_index_tuning_report
+)
+query("dedup_source_overlap_matrix", _dd.DEDUP_SRC_OVERLAP_SQL)(
+    _dd.dedup_source_overlap_matrix
 )
 query("text_dup_ngram_fraction", _dd.TEXT_DUP_NGRAM_SQL)(
     _dd.text_dup_ngram_fraction

@@ -1101,3 +1101,42 @@ def test_atr_vs_brute(spark, sf_dir):
         for r in an.ts_atr_volatility(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_funnel_latency_vs_brute(spark, sf_dir):
+    from spark_streaming_stream_analyzer_spark.operators import analytics as an
+    from spark_streaming_stream_analyzer_spark.sources.tables import (
+        load_table,
+        ts_micros,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select(
+        "user_id", "event_type", ts_micros(ev).alias("us")
+    ).collect()
+    v0 = {}
+    buys = {}
+    for r in rows:
+        if r["event_type"] == "view":
+            v0[r["user_id"]] = min(v0.get(r["user_id"], r["us"]), r["us"])
+    for r in rows:
+        if r["event_type"] == "purchase" and r["user_id"] in v0:
+            if r["us"] >= v0[r["user_id"]]:
+                u = r["user_id"]
+                buys[u] = min(buys.get(u, r["us"]), r["us"])
+    gaps = sorted(buys[u] - v0[u] for u in buys)
+    n = len(gaps)
+
+    def pick(mult_n, mult_p):
+        cum = 0
+        from collections import Counter
+
+        for g, c in sorted(Counter(gaps).items()):
+            cum += c
+            if cum * mult_n >= n * mult_p:
+                return g
+
+    expect = (n, pick(2, 1), pick(10, 9))
+    r = an.funnel_latency_quantiles(spark, sf_dir).collect()[0]
+    assert (r["n_converters"], r["median_gap_us"], r["p90_gap_us"]) == expect
+    assert r["median_gap_us"] <= r["p90_gap_us"]

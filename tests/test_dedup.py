@@ -277,3 +277,31 @@ def test_index_tuning_report_vs_brute(spark, sf_dir):
         for d, n in dfs.items()
     }
     assert sum(v[2] for v in got.values()) <= 1_000_000
+
+
+def test_source_overlap_vs_brute(spark, sf_dir):
+    from spark_streaming_stream_analyzer_spark.operators import dedup as dd
+    from spark_streaming_stream_analyzer_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_dir, "documents").select(
+        "source", "text"
+    ).collect()
+    grams = {}
+    for r in rows:
+        ws = [t for t in r["text"].split(" ") if t]
+        gs = grams.setdefault(r["source"], set())
+        for i in range(len(ws) - dd.DUPG_N + 1):
+            gs.add(" ".join(ws[i: i + dd.DUPG_N]))
+    srcs = sorted(grams)
+    expect = {}
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            inter = len(grams[a] & grams[b])
+            if inter:
+                union = len(grams[a]) + len(grams[b]) - inter
+                expect[(a, b)] = (inter, (inter * 1_000_000) // union)
+    got = {
+        (r["source_a"], r["source_b"]): (r["n_shared"], r["jaccard_ppm"])
+        for r in dd.dedup_source_overlap_matrix(spark, sf_dir).collect()
+    }
+    assert got == expect
