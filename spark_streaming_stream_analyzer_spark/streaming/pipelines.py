@@ -1567,3 +1567,107 @@ def _stream_sky_sql() -> str:
 
 
 STREAM_PARETO_SQL = _stream_sky_sql()
+
+
+def stream_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min sketch: per micro-batch the batch's CMS
+    counter partials (d × bucket sums) AND its vocab count partials
+    fold into parquet delta stores — counters are LINEAR in the word
+    counts, so summed per-batch counters are bit-identical to the
+    batch-built sketch, and the served top-k audit (estimate ≥ exact,
+    same md5 coordinates) matches ``approx_cms_topk``'s oracle
+    row-for-row. Completes the streaming sketch family:
+    ``stream_hll_distinct`` (register max), this (counter sum) —
+    both merges associative, both engine-portable.
+    """
+    from ..functions.hashing import hash64
+    from ..operators.analytics import CMS_D, CMS_TOPK, CMS_W
+    from ..operators.wordcount import tokenize
+
+    stream = events_file_stream(  # documents streamed via schema of docs
+        spark, os.path.join(sf_dir, "documents.parquet")
+    )
+    cnt_store = _tracked_tmp_dir("sgs_cms_counters")
+    wc_store = _tracked_tmp_dir("sgs_cms_wc")
+
+    def coords_of(wc: DataFrame) -> DataFrame:
+        return wc.select(
+            "word",
+            "n",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("d"),
+                            F.pmod(
+                                hash64(
+                                    F.concat(F.lit(f"cms{d}:"), F.col("word"))
+                                ),
+                                F.lit(CMS_W),
+                            ).alias("bucket"),
+                        )
+                        for d in range(CMS_D)
+                    ]
+                )
+            ).alias("c"),
+        ).select("word", "n", "c.d", "c.bucket")
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        wc = tokenize(batch_df, "text").groupBy("word").agg(
+            F.count("*").alias("n")
+        )
+        wc.write.mode("append").parquet(wc_store)
+        coords_of(wc).groupBy("d", "bucket").agg(
+            F.sum("n").alias("cnt")
+        ).write.mode("append").parquet(cnt_store)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_CPUS", "32")
+    )
+    ckpt = _tracked_tmp_dir("sgs_cms")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(fold_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        _cleanup_tmp_dirs([ckpt])
+    counters = (
+        spark.read.parquet(cnt_store)
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    wc = (
+        spark.read.parquet(wc_store)
+        .groupBy("word")
+        .agg(F.sum("n").alias("exact_n"))
+    )
+    top = wc.orderBy(F.col("exact_n").desc(), F.col("word")).limit(CMS_TOPK)
+    top_coords = coords_of(
+        top.select("word", F.col("exact_n").alias("n"))
+    ).select("word", F.col("n").alias("exact_n"), "d", "bucket")
+    return (
+        top_coords.join(F.broadcast(counters), ["d", "bucket"])
+        .groupBy("word", "exact_n")
+        .agg(F.min("cnt").alias("cms_est"))
+        .select(
+            "word",
+            "exact_n",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_n")).alias("overestimate"),
+        )
+    )
+
+
+def _stream_cms_sql() -> str:
+    from ..operators.analytics import CMS_SQL
+
+    return CMS_SQL
+
+
+STREAM_CMS_SQL = _stream_cms_sql()

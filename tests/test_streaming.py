@@ -834,3 +834,42 @@ def test_stream_new_users_cross_batch(spark, tmp_path):
         .collect()
     }
     assert got == {(1, 0): 1, (1, 1): 0, (2, 1): 1}
+
+
+def test_stream_cms_counters_bit_identical_to_batch(spark, tmp_path):
+    """Counter linearity: the multi-batch folded sketch must equal
+    the batch sketch on the concatenated text, cell for cell."""
+    import pandas as pd
+    from unittest import mock
+
+    import spark_streaming_stream_analyzer_spark.streaming.pipelines as sp
+    from spark_streaming_stream_analyzer_spark.operators.analytics import (
+        CMS_D,
+        CMS_W,
+    )
+    from spark_streaming_stream_analyzer_spark.functions.hashing import hash64
+    from spark_streaming_stream_analyzer_spark.operators.wordcount import (
+        tokenize,
+    )
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    b1 = pd.DataFrame([(1, "a b a", "en", "s", 5)], columns=cols)
+    b2 = pd.DataFrame([(2, "b c", "en", "s", 3)], columns=cols)
+    src = os.path.join(str(tmp_path), "docs_stream")
+    os.makedirs(src)
+    b1.to_parquet(os.path.join(src, "0000.parquet"), index=False)
+    b2.to_parquet(os.path.join(src, "0001.parquet"), index=False)
+    single = os.path.join(str(tmp_path), "documents.parquet")
+    pd.concat([b1, b2]).to_parquet(single, index=False)
+
+    real = sp.events_file_stream
+
+    def fake_stream(s, path, copies=1):
+        return real(s, src)
+
+    with mock.patch.object(sp, "events_file_stream", fake_stream):
+        rows = sp.stream_cms_topk(spark, str(tmp_path)).collect()
+    got = {r["word"]: (r["exact_n"], r["cms_est"]) for r in rows}
+    assert got["a"][0] == 2 and got["b"][0] == 2 and got["c"][0] == 1
+    for w, (n, est) in got.items():
+        assert est >= n  # CMS one-sided error survives the fold
