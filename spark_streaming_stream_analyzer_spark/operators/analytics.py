@@ -3431,3 +3431,70 @@ SELECT CAST(MIN(tot) AS BIGINT) AS n_converters,
          AS p90_gap_us
 FROM cum
 """
+
+
+def ts_peak_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Root-cause attribution for burst days: each detected local
+    peak (``ts_peak_prominence``) joined to its top contributing user
+    that day — who drove the spike, with their event count and share
+    of the day's volume in ppm. The on-call question after every
+    alert ("is this one runaway client?"), answered in the same DAG
+    that found the alert.
+
+    Shape: the peak table (tiny) broadcast against the (type, day,
+    user) count aggregate; argmax via min-struct over (−n, user) —
+    deterministic ties to the smaller user id.
+    """
+    peaks = ts_peak_prominence(spark, sf_dir).select(
+        "event_type", "day", F.col("x").alias("day_total")
+    )
+    ev = load_table(spark, sf_dir, "events")
+    udc = (
+        ev.select("event_type", "user_id", ts_micros(ev).alias("us"))
+        .select(
+            "event_type", "user_id",
+            F.expr(f"us DIV {SEQ_DAY_US}").alias("day"),
+        )
+        .groupBy("event_type", "day", "user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    contrib = udc.join(F.broadcast(peaks), ["event_type", "day"])
+    top = contrib.groupBy("event_type", "day", "day_total").agg(
+        F.min(F.struct((-F.col("n")).alias("neg_n"), "user_id")).alias("t")
+    )
+    return top.select(
+        "event_type",
+        "day",
+        "day_total",
+        F.col("t.user_id").alias("top_user"),
+        (-F.col("t.neg_n")).alias("top_user_events"),
+        F.expr("((-t.neg_n) * 1000000) DIV day_total").alias("top_share_ppm"),
+    )
+
+
+def _peak_attr_sql() -> str:
+    return f"""
+WITH peaks AS ({TS_PEAK_SQL.strip()}),
+udc AS (
+  SELECT event_type, epoch_us(ts) // {SEQ_DAY_US} AS day, user_id,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2, 3
+),
+contrib AS (
+  SELECT u.event_type, u.day, p.x AS day_total, u.user_id, u.n
+  FROM udc u JOIN peaks p ON p.event_type = u.event_type AND p.day = u.day
+),
+ranked AS (
+  SELECT event_type, day, day_total, user_id, n,
+         ROW_NUMBER() OVER (PARTITION BY event_type, day
+                            ORDER BY n DESC, user_id ASC) AS rk
+  FROM contrib
+)
+SELECT event_type, day, CAST(day_total AS BIGINT) AS day_total,
+       user_id AS top_user, CAST(n AS BIGINT) AS top_user_events,
+       CAST((n * 1000000) // day_total AS BIGINT) AS top_share_ppm
+FROM ranked WHERE rk = 1
+"""
+
+
+TS_PEAK_ATTR_SQL = _peak_attr_sql()

@@ -870,3 +870,68 @@ SELECT doc_id, COUNT(*) AS n_tokens,
 FROM toks JOIN dict_t USING (w)
 GROUP BY 1
 """
+
+
+def pipeline_doc_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality scorecard: the curation tier's per-doc
+    signals — heuristic quality score, type-token diversity, lexical
+    rarity, duplicated-8-gram exposure, first-occurrence novelty —
+    joined into ONE row per document, the feature vector a learned
+    quality filter trains on (each column is an already-oracled
+    operator composed as a Catalyst subtree; the scans share the
+    documents table read).
+
+    Docs below the 8-gram threshold carry NULL dup/novelty columns
+    (left joins) rather than vanishing — a scorecard must cover every
+    document it scores.
+    """
+    base = text_quality_score(spark, sf_dir).select(
+        "doc_id", "n_words", "quality_score"
+    )
+    lexdiv = text_lexical_diversity(spark, sf_dir).select(
+        "doc_id", "ttr_ppm", "yule_k_e4"
+    )
+    rarity = text_lexical_rarity(spark, sf_dir).select(
+        "doc_id", "rarity_e3"
+    )
+    from .dedup import text_dup_ngram_fraction as _dup
+
+    dup = _dup(spark, sf_dir).select("doc_id", "dup_ppm")
+    novelty = text_ngram_novelty(spark, sf_dir).select(
+        "doc_id", "novelty_ppm"
+    )
+    return (
+        base.join(lexdiv, "doc_id", "left")
+        .join(rarity, "doc_id", "left")
+        .join(dup, "doc_id", "left")
+        .join(novelty, "doc_id", "left")
+        .select(
+            "doc_id", "n_words", "quality_score", "ttr_ppm", "yule_k_e4",
+            "rarity_e3", "dup_ppm", "novelty_ppm",
+        )
+    )
+
+
+def _scorecard_sql() -> str:
+    from .dedup import TEXT_DUP_NGRAM_SQL
+
+    return f"""
+WITH q AS ({TEXT_QUALITY_SQL.strip()}),
+ld AS ({TEXT_LEXDIV_SQL.strip()}),
+ra AS ({TEXT_RARITY_SQL.strip()}),
+du AS ({TEXT_DUP_NGRAM_SQL.strip()}),
+nv AS ({TEXT_NOVELTY_SQL.strip()})
+SELECT q.doc_id, q.n_words, q.quality_score,
+       ld.ttr_ppm, ld.yule_k_e4, ra.rarity_e3,
+       du.dup_ppm, nv.novelty_ppm
+FROM q
+LEFT JOIN ld ON ld.doc_id = q.doc_id
+LEFT JOIN ra ON ra.doc_id = q.doc_id
+LEFT JOIN du ON du.doc_id = q.doc_id
+LEFT JOIN nv ON nv.doc_id = q.doc_id
+"""
+
+
+# NOTE: evaluated lazily by the registry (dedup.py imports this module
+# for doc_winnowing, so a module-level _scorecard_sql() call would be a
+# circular import)

@@ -567,6 +567,7 @@ query("ts_cumulative_users", _an.TS_CUMUSERS_SQL)(_an.ts_cumulative_users)
 query("agg_winsorized_mean", _an.AGG_WINSOR_SQL)(_an.agg_winsorized_mean)
 query("ts_atr_volatility", _an.TS_ATR_SQL)(_an.ts_atr_volatility)
 query("funnel_latency_quantiles", _an.FUNNEL_LATENCY_SQL)(_an.funnel_latency_quantiles)
+query("ts_peak_attribution", _an.TS_PEAK_ATTR_SQL)(_an.ts_peak_attribution)
 query("text_tfidf_topk", _an.TEXT_TFIDF_SQL)(_an.text_tfidf_topk)
 query("join_salted_skew", _an.JOIN_SALTED_SQL)(_an.join_salted_skew)
 query("agg_sliding_window", _an.AGG_SLIDING_SQL)(_an.agg_sliding_window)
@@ -687,6 +688,7 @@ query("text_lexical_diversity", _ts.TEXT_LEXDIV_SQL)(_ts.text_lexical_diversity)
 query("text_ngram_novelty", _ts.TEXT_NOVELTY_SQL)(_ts.text_ngram_novelty)
 query("text_source_similarity", _ts.TEXT_SRC_SIM_SQL)(_ts.text_source_similarity)
 query("text_lexical_rarity", _ts.TEXT_RARITY_SQL)(_ts.text_lexical_rarity)
+query("pipeline_doc_scorecard", _ts._scorecard_sql())(_ts.pipeline_doc_scorecard)
 query("udtf_chunk_docs", _ts.UDTF_CHUNK_SQL)(_ts.udtf_chunk_docs)
 query("text_normalize", _ts.TEXT_NORMALIZE_SQL)(_ts.text_normalize)
 query("mm_binary_meta", _mm.MM_BINARY_META_SQL)(_mm.mm_binary_meta)

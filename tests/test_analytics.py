@@ -1140,3 +1140,40 @@ def test_funnel_latency_vs_brute(spark, sf_dir):
     r = an.funnel_latency_quantiles(spark, sf_dir).collect()[0]
     assert (r["n_converters"], r["median_gap_us"], r["p90_gap_us"]) == expect
     assert r["median_gap_us"] <= r["p90_gap_us"]
+
+
+def test_peak_attribution_consistent_with_peaks(spark, sf_dir):
+    from spark_streaming_stream_analyzer_spark.operators import analytics as an
+    from spark_streaming_stream_analyzer_spark.sources.tables import (
+        load_table,
+        ts_micros,
+    )
+
+    peaks = {
+        (r["event_type"], r["day"]): r["x"]
+        for r in an.ts_peak_prominence(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select(
+        "event_type", "user_id", ts_micros(ev).alias("us")
+    ).collect()
+    udc = {}
+    for r in rows:
+        k = (r["event_type"], r["us"] // an.SEQ_DAY_US, r["user_id"])
+        udc[k] = udc.get(k, 0) + 1
+    expect = {}
+    for (t, d), total in peaks.items():
+        cands = sorted(
+            ((-n, u) for (tt, dd, u), n in udc.items()
+             if tt == t and dd == d),
+        )
+        neg_n, u = cands[0]
+        expect[(t, d)] = (total, u, -neg_n, ((-neg_n) * 1_000_000) // total)
+    got = {
+        (r["event_type"], r["day"]): (
+            r["day_total"], r["top_user"], r["top_user_events"],
+            r["top_share_ppm"],
+        )
+        for r in an.ts_peak_attribution(spark, sf_dir).collect()
+    }
+    assert got == expect

@@ -498,3 +498,21 @@ def test_lexical_rarity_vs_brute(spark, sf_dir):
     assert got == expect
     # sanity: rare-word docs score higher than the global min bucket
     assert max(v[1] for v in got.values()) > 1000
+
+
+def test_doc_scorecard_matches_components(spark, sf_dir):
+    from spark_streaming_stream_analyzer_spark.operators import textstats as ts
+
+    card = {r["doc_id"]: r for r in
+            ts.pipeline_doc_scorecard(spark, sf_dir).collect()}
+    q = {r["doc_id"]: r["quality_score"]
+         for r in ts.text_quality_score(spark, sf_dir).collect()}
+    ra = {r["doc_id"]: r["rarity_e3"]
+          for r in ts.text_lexical_rarity(spark, sf_dir).collect()}
+    nv = {r["doc_id"]: r["novelty_ppm"]
+          for r in ts.text_ngram_novelty(spark, sf_dir).collect()}
+    assert set(card) == set(q)  # every scored doc has a card
+    for d, r in card.items():
+        assert r["quality_score"] == q[d]
+        assert r["rarity_e3"] == ra.get(d)
+        assert r["novelty_ppm"] == nv.get(d)
