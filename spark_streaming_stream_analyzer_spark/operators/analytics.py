@@ -3498,3 +3498,84 @@ FROM ranked WHERE rk = 1
 
 
 TS_PEAK_ATTR_SQL = _peak_attr_sql()
+
+
+ROLL_WIN_DAYS = 7
+ROLL_Z2 = 9  # alert when squared deviation > 9 x rolling variance (|z| > 3)
+
+
+def ts_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window anomaly flags on the daily count series: a day
+    alarms when its squared deviation from the PRIOR 7 days' mean
+    exceeds 9× their variance — the |z| > 3 rule computed without a
+    square root via the identity
+
+        (x − S/n)² > 9·(nQ − S²)/n²  ⇔  (n·x − S)² > 9·(n·Q − S²)
+
+    (S, Q = rolling sum and sum-of-squares, all int64 at day grain).
+    The windowed complement of ``anomaly_zscore`` (global moments)
+    and ``ts_cusum_alarm`` (cumulative drift): local context, sharp
+    spikes. Emits flagged days with their window stats.
+
+    Scale: day-grain aggregate first; two RANGE-frame window sums
+    over the |types|·|days| series — one shuffle on event_type.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", ts_micros(ev).alias("us"))
+        .select("event_type", F.expr(f"us DIV {SEQ_DAY_US}").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("x"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rangeBetween(-ROLL_WIN_DAYS, -1)
+    )
+    stats = daily.select(
+        "event_type",
+        "day",
+        "x",
+        F.count("x").over(w).alias("n"),
+        F.coalesce(F.sum("x").over(w), F.lit(0)).alias("s"),
+        F.coalesce(F.sum(F.col("x") * F.col("x")).over(w), F.lit(0))
+        .alias("q"),
+    ).filter(F.col("n") >= 3)
+    flagged = stats.select(
+        "event_type",
+        "day",
+        "x",
+        "n",
+        "s",
+        (
+            (F.col("n") * F.col("x") - F.col("s"))
+            * (F.col("n") * F.col("x") - F.col("s"))
+        ).alias("dev2n2"),
+        (F.col("n") * F.col("q") - F.col("s") * F.col("s")).alias("varn2"),
+    )
+    return flagged.filter(
+        F.col("dev2n2") > ROLL_Z2 * F.col("varn2")
+    ).select("event_type", "day", "x", "n", "s", "dev2n2", "varn2")
+
+
+TS_ROLL_ANOM_SQL = f"""
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // {SEQ_DAY_US} AS day, COUNT(*) AS x
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, day, x,
+         COUNT(x) OVER w AS n,
+         COALESCE(SUM(x) OVER w, 0) AS s,
+         COALESCE(SUM(x * x) OVER w, 0) AS q
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               RANGE BETWEEN {ROLL_WIN_DAYS} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, CAST(day AS BIGINT) AS day, CAST(x AS BIGINT) AS x,
+       CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS s,
+       CAST((n * x - s) * (n * x - s) AS BIGINT) AS dev2n2,
+       CAST(n * q - s * s AS BIGINT) AS varn2
+FROM stats
+WHERE n >= 3 AND (n * x - s) * (n * x - s) > {ROLL_Z2} * (n * q - s * s)
+"""

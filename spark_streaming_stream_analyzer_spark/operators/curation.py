@@ -15,7 +15,7 @@ bit-exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.exact import cents
@@ -1020,3 +1020,104 @@ def _pipe_sql() -> str:
     from .packing import PACK_BUDGET
 
     return PIPELINE_PRETRAIN_SQL.format(budget=PACK_BUDGET)
+
+
+# ------------------------------------------- threshold sweep --
+
+
+def curation_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tuning curve for the quality gate: documents bucketed by
+    quality-score decile, with per-bucket doc counts and token mass
+    plus the CUMULATIVE keep statistics if the threshold were set at
+    that decile — the curve a curation team reads before picking
+    ``pipeline_keep_best``'s cut (what fraction of tokens does each
+    extra decile of strictness cost?).
+
+    The decile is floor(score*10) clamped to [0, 9] — one
+    deterministic float op on the bit-portable score, then integers
+    only. One scan plus a 10-row cumulative window.
+    """
+    from .textstats import text_quality_score
+
+    docs = load_table_cpu(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda w: w != ""))
+        .cast("long")
+        .alias("tok"),
+    )
+    scored = text_quality_score(spark, sf_dir).select(
+        "doc_id", "quality_score"
+    )
+    bucketed = scored.join(docs, "doc_id").select(
+        F.least(
+            F.greatest(F.floor(F.col("quality_score") * 10), F.lit(0)),
+            F.lit(9),
+        ).cast("long").alias("decile"),
+        "tok",
+    )
+    hist = bucketed.groupBy("decile").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("tok").alias("sum_tokens"),
+    )
+    w = Window.orderBy(F.desc("decile")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        hist.withColumn(
+            "tot_tokens", F.sum("sum_tokens").over(Window.partitionBy())
+        )
+        .select(
+            "decile",
+            "n_docs",
+            "sum_tokens",
+            F.sum("n_docs").over(w).alias("kept_docs_at_cut"),
+            F.sum("sum_tokens").over(w).alias("kept_tokens_at_cut"),
+            "tot_tokens",
+        )
+        .select(
+            "decile", "n_docs", "sum_tokens", "kept_docs_at_cut",
+            "kept_tokens_at_cut",
+            F.expr(
+                "(kept_tokens_at_cut * 1000000) DIV tot_tokens"
+            ).alias("kept_tokens_ppm"),
+        )
+    )
+
+
+def _sweep_sql() -> str:
+    from .textstats import TEXT_QUALITY_SQL
+
+    return f"""
+WITH q AS ({TEXT_QUALITY_SQL.strip()}),
+toks AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+              AS BIGINT) AS tok
+  FROM documents
+),
+bucketed AS (
+  SELECT LEAST(GREATEST(CAST(floor(q.quality_score * 10) AS BIGINT), 0), 9)
+           AS decile,
+         t.tok
+  FROM q JOIN toks t ON t.doc_id = q.doc_id
+),
+hist AS (
+  SELECT decile, COUNT(*) AS n_docs, SUM(tok) AS sum_tokens
+  FROM bucketed GROUP BY 1
+)
+SELECT decile, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(sum_tokens AS BIGINT) AS sum_tokens,
+       CAST(SUM(n_docs) OVER (ORDER BY decile DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS kept_docs_at_cut,
+       CAST(SUM(sum_tokens) OVER (ORDER BY decile DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS kept_tokens_at_cut,
+       CAST((SUM(sum_tokens) OVER (ORDER BY decile DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000)
+         // SUM(sum_tokens) OVER () AS BIGINT) AS kept_tokens_ppm
+FROM hist
+"""
+
+
+CURATION_SWEEP_SQL = _sweep_sql()

@@ -568,6 +568,7 @@ query("agg_winsorized_mean", _an.AGG_WINSOR_SQL)(_an.agg_winsorized_mean)
 query("ts_atr_volatility", _an.TS_ATR_SQL)(_an.ts_atr_volatility)
 query("funnel_latency_quantiles", _an.FUNNEL_LATENCY_SQL)(_an.funnel_latency_quantiles)
 query("ts_peak_attribution", _an.TS_PEAK_ATTR_SQL)(_an.ts_peak_attribution)
+query("ts_rolling_anomaly", _an.TS_ROLL_ANOM_SQL)(_an.ts_rolling_anomaly)
 query("text_tfidf_topk", _an.TEXT_TFIDF_SQL)(_an.text_tfidf_topk)
 query("join_salted_skew", _an.JOIN_SALTED_SQL)(_an.join_salted_skew)
 query("agg_sliding_window", _an.AGG_SLIDING_SQL)(_an.agg_sliding_window)
@@ -758,6 +759,9 @@ query("sample_group_holdout", _an.SAMPLE_GROUP_HOLDOUT_SQL)(
 query("fuzzy_pairs_symdelete", _cur.FUZZY_PAIRS_SQL)(_cur.fuzzy_pairs_symdelete)
 query("curation_funnel_report", _cur.CURATION_FUNNEL_SQL)(
     _cur.curation_funnel_report
+)
+query("curation_threshold_sweep", _cur.CURATION_SWEEP_SQL)(
+    _cur.curation_threshold_sweep
 )
 
 from .operators import graph as _gr  # noqa: E402

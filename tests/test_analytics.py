@@ -1177,3 +1177,40 @@ def test_peak_attribution_consistent_with_peaks(spark, sf_dir):
         for r in an.ts_peak_attribution(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_rolling_anomaly_vs_brute(spark, sf_dir):
+    from spark_streaming_stream_analyzer_spark.operators import analytics as an
+    from spark_streaming_stream_analyzer_spark.sources.tables import (
+        load_table,
+        ts_micros,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select("event_type", ts_micros(ev).alias("us")).collect()
+    daily = {}
+    for r in rows:
+        k = (r["event_type"], r["us"] // an.SEQ_DAY_US)
+        daily[k] = daily.get(k, 0) + 1
+    expect = {}
+    for t in sorted({t for t, _ in daily}):
+        series = {d: x for (tt, d), x in daily.items() if tt == t}
+        for d, x in series.items():
+            win = [series[dd] for dd in range(d - an.ROLL_WIN_DAYS, d)
+                   if dd in series]
+            n = len(win)
+            if n < 3:
+                continue
+            s = sum(win)
+            q = sum(v * v for v in win)
+            dev2n2 = (n * x - s) ** 2
+            varn2 = n * q - s * s
+            if dev2n2 > an.ROLL_Z2 * varn2:
+                expect[(t, d)] = (x, n, s, dev2n2, varn2)
+    got = {
+        (r["event_type"], r["day"]): (
+            r["x"], r["n"], r["s"], r["dev2n2"], r["varn2"]
+        )
+        for r in an.ts_rolling_anomaly(spark, sf_dir).collect()
+    }
+    assert got == expect

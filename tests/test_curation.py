@@ -516,3 +516,42 @@ def test_doc_scorecard_matches_components(spark, sf_dir):
         assert r["quality_score"] == q[d]
         assert r["rarity_e3"] == ra.get(d)
         assert r["novelty_ppm"] == nv.get(d)
+
+
+def test_threshold_sweep_vs_brute(spark, sf_dir):
+    from spark_streaming_stream_analyzer_spark.operators import curation as cu
+    from spark_streaming_stream_analyzer_spark.operators import textstats as ts
+    from spark_streaming_stream_analyzer_spark.sources.tables import load_table
+
+    scores = {r["doc_id"]: r["quality_score"]
+              for r in ts.text_quality_score(spark, sf_dir).collect()}
+    toks = {
+        r["doc_id"]: len([t for t in r["text"].split(" ") if t])
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text").collect()
+    }
+    import math
+
+    hist = {}
+    for d, sc in scores.items():
+        dec = min(max(int(math.floor(sc * 10)), 0), 9)
+        e = hist.setdefault(dec, [0, 0])
+        e[0] += 1
+        e[1] += toks[d]
+    total_tok = sum(v[1] for v in hist.values())
+    expect = {}
+    for dec in hist:
+        kd = sum(v[0] for dd, v in hist.items() if dd >= dec)
+        kt = sum(v[1] for dd, v in hist.items() if dd >= dec)
+        expect[dec] = (
+            hist[dec][0], hist[dec][1], kd, kt,
+            (kt * 1_000_000) // total_tok,
+        )
+    got = {
+        r["decile"]: (
+            r["n_docs"], r["sum_tokens"], r["kept_docs_at_cut"],
+            r["kept_tokens_at_cut"], r["kept_tokens_ppm"],
+        )
+        for r in cu.curation_threshold_sweep(spark, sf_dir).collect()
+    }
+    assert got == expect
