@@ -935,3 +935,38 @@ LEFT JOIN nv ON nv.doc_id = q.doc_id
 # NOTE: evaluated lazily by the registry (dedup.py imports this module
 # for doc_winnowing, so a module-level _scorecard_sql() call would be a
 # circular import)
+
+
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation: the marker-word classifier's confusion
+    matrix against the labeled ``lang`` column — (truth, prediction,
+    count, row share ppm) — the accuracy audit that belongs next to
+    any heuristic classifier before its output routes documents (the
+    ``emb_nearest_centroid_confusion`` pattern on the text tier).
+
+    Composition over the already-oracled ``lang_id_ngram``; the
+    matrix aggregate is |langs|² rows.
+    """
+    pred = lang_id_ngram(spark, sf_dir).select("doc_id", "lang", "pred_lang")
+    conf = pred.groupBy("lang", "pred_lang").agg(F.count("*").alias("n"))
+    row_tot = F.sum("n").over(Window.partitionBy("lang"))
+    return conf.withColumn("lang_total", row_tot).select(
+        "lang",
+        "pred_lang",
+        "n",
+        "lang_total",
+        F.expr("(n * 1000000) DIV lang_total").alias("share_ppm"),
+    )
+
+
+TEXT_LANGID_CONF_SQL = f"""
+WITH pred AS ({LANG_ID_SQL.strip()}),
+conf AS (
+  SELECT lang, pred_lang, COUNT(*) AS n FROM pred GROUP BY 1, 2
+)
+SELECT lang, pred_lang, CAST(n AS BIGINT) AS n,
+       CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS lang_total,
+       CAST((n * 1000000) // SUM(n) OVER (PARTITION BY lang) AS BIGINT)
+         AS share_ppm
+FROM conf
+"""

@@ -555,3 +555,29 @@ def test_threshold_sweep_vs_brute(spark, sf_dir):
         for r in cu.curation_threshold_sweep(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_langid_confusion_consistent(spark, sf_dir):
+    from collections import Counter
+
+    from spark_streaming_stream_analyzer_spark.operators import textstats as ts
+
+    pred = Counter(
+        (r["lang"], r["pred_lang"])
+        for r in ts.lang_id_ngram(spark, sf_dir).collect()
+    )
+    totals = Counter()
+    for (l, _), n in pred.items():
+        totals[l] += n
+    got = {
+        (r["lang"], r["pred_lang"]): (r["n"], r["lang_total"], r["share_ppm"])
+        for r in ts.text_langid_confusion(spark, sf_dir).collect()
+    }
+    assert got == {
+        (l, p): (n, totals[l], (n * 1_000_000) // totals[l])
+        for (l, p), n in pred.items()
+    }
+    # better than uniform-random over the 5 langs + 'und' (the fixture
+    # text is synthetic jargon, so absolute accuracy is modest)
+    diag = sum(n for (l, p), (n, _, _) in got.items() if l == p)
+    assert diag * 6 > sum(totals.values())
