@@ -885,3 +885,85 @@ SELECT event_type, CAST(MIN(n_ref) AS BIGINT) AS n_ref,
             // (MIN(n_ref) * MIN(n_cur)) AS BIGINT) AS ks_ppm
 FROM cum GROUP BY 1
 """
+
+
+# ------------------------------------- relationship cardinality --
+
+
+def dq_relationship_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential cardinality map for the star schema's four FK
+    relations (orders→customer, lineitem→orders, lineitem→part,
+    lineitem→supplier): child rows, referenced parents, orphan
+    children, max fan-out per parent, and mean fan-out ×1000 — the
+    one-page report data modeling reviews start from (an unexpected
+    orphan count or fan-out explosion is a broken load, visible
+    before any query goes wrong).
+
+    Per relation: one child-side count aggregate keyed by the FK +
+    one left join against the parent key set (broadcast for dims) —
+    no row-level output, |relations| result rows.
+    """
+    rels = [
+        ("orders.o_custkey->customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+         "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+         "supplier", "s_suppkey"),
+    ]
+    out = None
+    for name, child, fk, parent, pk in rels:
+        c = load_table(spark, sf_dir, child).groupBy(
+            F.col(fk).alias("k")
+        ).agg(F.count("*").alias("fan"))
+        p = load_table(spark, sf_dir, parent).select(
+            F.col(pk).alias("k")
+        ).distinct()
+        j = c.join(p.withColumn("has_parent", F.lit(1)), "k", "left")
+        rel = j.agg(
+            F.lit(name).alias("relation"),
+            F.sum("fan").alias("n_child_rows"),
+            F.sum(F.when(F.col("has_parent").isNotNull(), 1).otherwise(0))
+            .alias("n_parents_referenced"),
+            F.sum(
+                F.when(F.col("has_parent").isNull(), F.col("fan")).otherwise(0)
+            ).alias("n_orphan_rows"),
+            F.max("fan").alias("max_fanout"),
+            F.expr("(SUM(fan) * 1000) DIV COUNT(*)").alias("mean_fanout_e3"),
+        )
+        out = rel if out is None else out.unionByName(rel)
+    return out
+
+
+def _rel_profile_branch(name, child, fk, parent, pk) -> str:
+    return f"""
+  SELECT '{name}' AS relation,
+         CAST(SUM(fan) AS BIGINT) AS n_child_rows,
+         CAST(SUM(CASE WHEN has_parent THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_parents_referenced,
+         CAST(SUM(CASE WHEN has_parent THEN 0 ELSE fan END) AS BIGINT)
+           AS n_orphan_rows,
+         CAST(MAX(fan) AS BIGINT) AS max_fanout,
+         CAST((SUM(fan) * 1000) // COUNT(*) AS BIGINT) AS mean_fanout_e3
+  FROM (
+    SELECT c.k, c.fan, p.k IS NOT NULL AS has_parent
+    FROM (SELECT {fk} AS k, COUNT(*) AS fan FROM {child} GROUP BY 1) c
+    LEFT JOIN (SELECT DISTINCT {pk} AS k FROM {parent}) p ON p.k = c.k
+  )"""
+
+
+DQ_REL_PROFILE_SQL = "\nUNION ALL\n".join(
+    _rel_profile_branch(*r)
+    for r in [
+        ("orders.o_custkey->customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+         "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+         "supplier", "s_suppkey"),
+    ]
+)

@@ -1841,3 +1841,117 @@ SELECT CAST(label AS INTEGER) AS label, CAST(pred AS INTEGER) AS pred,
          AS share_ppm
 FROM conf
 """
+
+
+def emb_class_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality summary per label: mean squared distance of
+    members to their OWN centroid (cohesion — via the identity
+    mean-pairwise-dist² = 2·mean-dist²-to-centroid, no pair
+    enumeration) vs the squared distance from the class centroid to
+    the GLOBAL centroid (separation) — the silhouette-style readout
+    for "are these labels real clusters?", all in the shared integer
+    micro-units.
+
+    Scale: reuses the one exploded pass that built the centroids;
+    the global centroid is a 64-row broadcast; nothing pairwise.
+    """
+    cen = emb_class_centroids(spark, sf_dir).select(
+        "label", "dim", "n_vecs", "sum_q", "centroid_q"
+    )
+    glob = (
+        cen.groupBy("dim")
+        .agg(
+            F.sum("sum_q").alias("gsum"),
+            F.sum("n_vecs").alias("gn"),
+        )
+        .select(
+            "dim",
+            F.expr(
+                "CASE WHEN gsum >= 0 THEN gsum DIV gn"
+                " ELSE -((-gsum) DIV gn) END"
+            ).alias("gcent_q"),
+        )
+    )
+    q = load_table_cpu(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "vec_id", "label", "dim",
+        F.round(F.col("x").cast("double") * CENTROID_Q).cast("long").alias("q"),
+    )
+    coh = (
+        q.join(F.broadcast(cen.select("label", "dim", "centroid_q")),
+               ["label", "dim"])
+        .select(
+            "label",
+            ((F.col("q") - F.col("centroid_q"))
+             * (F.col("q") - F.col("centroid_q"))).alias("dd"),
+        )
+        .groupBy("label")
+        .agg(F.sum("dd").alias("sum_dist2"))
+    )
+    sep = (
+        cen.join(F.broadcast(glob), "dim")
+        .select(
+            "label",
+            ((F.col("centroid_q") - F.col("gcent_q"))
+             * (F.col("centroid_q") - F.col("gcent_q"))).alias("sd"),
+        )
+        .groupBy("label")
+        .agg(F.sum("sd").alias("centroid_sep2"))
+    )
+    sizes = cen.groupBy("label").agg(F.max("n_vecs").alias("n_vecs"))
+    return (
+        sizes.join(coh, "label")
+        .join(sep, "label")
+        .select(
+            "label",
+            "n_vecs",
+            "sum_dist2",
+            F.expr("sum_dist2 DIV n_vecs").alias("mean_dist2"),
+            "centroid_sep2",
+        )
+    )
+
+
+EMB_SEPARATION_SQL = f"""
+WITH cen AS ({EMB_CENTROID_SQL.strip()}),
+gcent AS (
+  SELECT dim,
+         CASE WHEN SUM(sum_q) >= 0
+              THEN CAST(SUM(sum_q) AS BIGINT) // CAST(SUM(n_vecs) AS BIGINT)
+              ELSE -((-CAST(SUM(sum_q) AS BIGINT))
+                     // CAST(SUM(n_vecs) AS BIGINT)) END AS gcent_q
+  FROM cen GROUP BY 1
+),
+q AS (
+  SELECT vec_id, label, dim - 1 AS dim,
+         CAST(round(CAST(x AS DOUBLE) * {CENTROID_Q}) AS BIGINT) AS q
+  FROM (
+    SELECT vec_id, label, unnest(embedding) AS x,
+           generate_subscripts(embedding, 1) AS dim
+    FROM embeddings
+  )
+),
+coh AS (
+  SELECT q.label, SUM((q.q - c.centroid_q) * (q.q - c.centroid_q))
+           AS sum_dist2
+  FROM q JOIN cen c ON c.label = q.label AND c.dim = q.dim
+  GROUP BY 1
+),
+sep AS (
+  SELECT c.label,
+         SUM((c.centroid_q - g.gcent_q) * (c.centroid_q - g.gcent_q))
+           AS centroid_sep2
+  FROM cen c JOIN gcent g ON g.dim = c.dim
+  GROUP BY 1
+),
+sizes AS (SELECT label, MAX(n_vecs) AS n_vecs FROM cen GROUP BY 1)
+SELECT CAST(s.label AS INTEGER) AS label, CAST(s.n_vecs AS BIGINT) AS n_vecs,
+       CAST(coh.sum_dist2 AS BIGINT) AS sum_dist2,
+       CAST(CAST(coh.sum_dist2 AS BIGINT) // CAST(s.n_vecs AS BIGINT)
+            AS BIGINT) AS mean_dist2,
+       CAST(sep.centroid_sep2 AS BIGINT) AS centroid_sep2
+FROM sizes s
+JOIN coh ON coh.label = s.label
+JOIN sep ON sep.label = s.label
+"""

@@ -670,6 +670,9 @@ query("emb_class_outliers", _sim.EMB_OUTLIER_SQL)(_sim.emb_class_outliers)
 query("emb_nearest_centroid_confusion", _sim.EMB_CONFUSION_SQL)(
     _sim.emb_nearest_centroid_confusion
 )
+query("emb_class_separation", _sim.EMB_SEPARATION_SQL)(
+    _sim.emb_class_separation
+)
 query("sim_pq_adc_topk", _sim.SIM_PQ_ADC_SQL)(_sim.sim_pq_adc_topk)
 query("sim_range_search", _sim.SIM_RANGE_SQL)(_sim.sim_range_search)
 query("sim_srp_topk", _sim.SIM_SRP_SQL)(_sim.sim_srp_topk)
@@ -747,6 +750,9 @@ query("dq_column_profile", _au.DQ_PROFILE_SQL)(_au.dq_column_profile)
 query("dq_distribution_drift", _au.DQ_DRIFT_SQL)(_au.dq_distribution_drift)
 query("fn_bloom_portable", _au.FN_BLOOM_SQL)(_au.fn_bloom_portable)
 query("dq_ks_two_sample", _au.DQ_KS_SQL)(_au.dq_ks_two_sample)
+query("dq_relationship_profile", _au.DQ_REL_PROFILE_SQL)(
+    _au.dq_relationship_profile
+)
 query("skew_key_profile", _au.SKEW_PROFILE_SQL)(_au.skew_key_profile)
 query("json_key_inventory", _jsonf.JSON_KEY_INVENTORY_SQL)(_jsonf.json_key_inventory)
 query("join_interval_overlap", _an.JOIN_INTERVAL_SQL)(_an.join_interval_overlap)

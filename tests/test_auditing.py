@@ -267,3 +267,41 @@ def test_bloom_portable_no_false_negatives(spark, sf_dir):
         for (s, p), (_, _, m) in got.items()
         if p not in vocab[s]
     )
+
+
+def test_relationship_profile_vs_brute(spark, sf_dir):
+    from collections import Counter
+
+    from spark_streaming_stream_analyzer_spark.operators import auditing as au
+    from spark_streaming_stream_analyzer_spark.sources.tables import load_table
+
+    cases = {
+        "orders.o_custkey->customer": ("orders", "o_custkey",
+                                       "customer", "c_custkey"),
+        "lineitem.l_orderkey->orders": ("lineitem", "l_orderkey",
+                                        "orders", "o_orderkey"),
+        "lineitem.l_partkey->part": ("lineitem", "l_partkey",
+                                     "part", "p_partkey"),
+        "lineitem.l_suppkey->supplier": ("lineitem", "l_suppkey",
+                                         "supplier", "s_suppkey"),
+    }
+    got = {r["relation"]: r for r in
+           au.dq_relationship_profile(spark, sf_dir).collect()}
+    assert set(got) == set(cases)
+    for name, (child, fk, parent, pk) in cases.items():
+        fans = Counter(
+            r[fk] for r in load_table(spark, sf_dir, child).select(fk).collect()
+        )
+        parents = {
+            r[pk] for r in load_table(spark, sf_dir, parent).select(pk).collect()
+        }
+        r = got[name]
+        assert r["n_child_rows"] == sum(fans.values())
+        assert r["n_parents_referenced"] == sum(
+            1 for k in fans if k in parents
+        )
+        assert r["n_orphan_rows"] == sum(
+            n for k, n in fans.items() if k not in parents
+        )
+        assert r["max_fanout"] == max(fans.values())
+        assert r["mean_fanout_e3"] == (sum(fans.values()) * 1000) // len(fans)

