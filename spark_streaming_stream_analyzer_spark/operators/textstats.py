@@ -878,8 +878,13 @@ def pipeline_doc_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     rarity, duplicated-8-gram exposure, first-occurrence novelty —
     joined into ONE row per document, the feature vector a learned
     quality filter trains on (each column is an already-oracled
-    operator composed as a Catalyst subtree; the scans share the
-    documents table read).
+    operator composed as a Catalyst subtree).
+
+    Cost honesty: the five components each scan the documents table
+    (Catalyst does not fuse independent reads) — 5 passes here. The
+    100 TB form hoists the shared (doc, word/gram) explode into one
+    materialized intermediate and derives all five signals from it;
+    at fixture scale the extra scans cost less than the complexity.
 
     Docs below the 8-gram threshold carry NULL dup/novelty columns
     (left joins) rather than vanishing — a scorecard must cover every
