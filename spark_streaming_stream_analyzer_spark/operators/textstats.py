@@ -975,3 +975,137 @@ SELECT lang, pred_lang, CAST(n AS BIGINT) AS n,
          AS share_ppm
 FROM conf
 """
+
+
+def pipeline_text_features_fused(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The fused form promised by ``pipeline_doc_scorecard``'s cost
+    note: ONE tokenize pass materialized (``localCheckpoint``), and
+    the per-doc (tokens, types, hapax, TTR) AND the corpus-rank
+    rarity score both derived from it — two scorecard signals, one
+    corpus scan (vs one scan each composed). The pattern to hoist
+    any shared explode at 100 TB: materialize the (doc, word, f)
+    grain once, fan out aggregates.
+
+    Output matches joining ``text_lexical_diversity`` ×
+    ``text_lexical_rarity`` column-for-column — asserted in pytest.
+    """
+    docs = load_table_cpu(spark, sf_dir, "documents").select("doc_id", "text")
+    tf = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("f"))
+        .localCheckpoint(eager=False)
+    )
+    lexdiv = tf.groupBy("doc_id").agg(
+        F.sum("f").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.sum(F.when(F.col("f") == 1, 1).otherwise(0)).alias("n_hapax"),
+    )
+    vocab = tf.groupBy("w").agg(F.sum("f").alias("cnt"))
+    rank = F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("w")))
+    dict_t = vocab.withColumn("rank", rank).select(
+        "w", F.length(F.bin("rank")).cast("long").alias("bucket")
+    )
+    rarity = (
+        tf.join(F.broadcast(dict_t), "w")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("bucket") * F.col("f")).alias("bucket_sum"))
+    )
+    return (
+        lexdiv.join(rarity, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            F.expr("(n_types * 1000000) DIV n_tokens").alias("ttr_ppm"),
+            F.expr("(bucket_sum * 1000) DIV n_tokens").alias("rarity_e3"),
+        )
+    )
+
+
+PIPELINE_FUSED_SQL = """
+WITH tf AS (
+  SELECT doc_id, w, COUNT(*) AS f FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  ) t WHERE w <> '' GROUP BY 1, 2
+),
+lexdiv AS (
+  SELECT doc_id, SUM(f) AS n_tokens, COUNT(*) AS n_types,
+         SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS n_hapax
+  FROM tf GROUP BY 1
+),
+vocab AS (SELECT w, SUM(f) AS cnt FROM tf GROUP BY 1),
+dict_t AS (
+  SELECT w, CAST(length(bin(
+           ROW_NUMBER() OVER (ORDER BY cnt DESC, w ASC))) AS BIGINT)
+           AS bucket
+  FROM vocab
+),
+rarity AS (
+  SELECT doc_id, SUM(bucket * f) AS bucket_sum
+  FROM tf JOIN dict_t USING (w) GROUP BY 1
+)
+SELECT l.doc_id, CAST(l.n_tokens AS BIGINT) AS n_tokens,
+       CAST(l.n_types AS BIGINT) AS n_types,
+       CAST(l.n_hapax AS BIGINT) AS n_hapax,
+       CAST((l.n_types * 1000000) // l.n_tokens AS BIGINT) AS ttr_ppm,
+       CAST((r.bucket_sum * 1000) // l.n_tokens AS BIGINT) AS rarity_e3
+FROM lexdiv l JOIN rarity r ON r.doc_id = l.doc_id
+"""
+
+
+TEMPLATE_PREFIX_N = 4
+TEMPLATE_TOPK = 20
+
+
+def text_prefix_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-header detector: the corpus's most common document
+    PREFIXES (first 4 words), top-20 with doc counts and corpus share
+    in ppm — scraped templates and mirrored pages announce themselves
+    in the first line long before a full near-dup pass runs.
+
+    One map-side prefix projection → wordcount-shaped aggregate →
+    TakeOrderedAndProject top-k. Prefixes are '>'-joined strings.
+    """
+    docs = load_table_cpu(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda w: w != "")
+    prefix = F.concat_ws(">", F.slice(words, 1, TEMPLATE_PREFIX_N))
+    base = docs.select(prefix.alias("prefix")).filter(F.col("prefix") != "")
+    counts = base.groupBy("prefix").agg(F.count("*").alias("n_docs"))
+    tot = counts.agg(F.sum("n_docs").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "prefix", "n_docs", "total",
+            F.expr("(n_docs * 1000000) DIV total").alias("share_ppm"),
+        )
+        .orderBy(F.desc("n_docs"), F.asc("prefix"))
+        .limit(TEMPLATE_TOPK)
+    )
+
+
+TEXT_TEMPLATES_SQL = f"""
+WITH base AS (
+  SELECT array_to_string(
+           list_slice(list_filter(string_split(text, ' '), w -> w <> ''),
+                      1, {TEMPLATE_PREFIX_N}), '>') AS prefix
+  FROM documents
+),
+counts AS (
+  SELECT prefix, COUNT(*) AS n_docs FROM base
+  WHERE prefix <> '' GROUP BY 1
+),
+tot AS (SELECT SUM(n_docs) AS total FROM counts)
+SELECT prefix, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(total AS BIGINT) AS total,
+       CAST((n_docs * 1000000) // total AS BIGINT) AS share_ppm
+FROM counts CROSS JOIN tot
+ORDER BY n_docs DESC, prefix ASC
+LIMIT {TEMPLATE_TOPK}
+"""

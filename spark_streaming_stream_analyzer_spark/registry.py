@@ -694,6 +694,10 @@ query("text_source_similarity", _ts.TEXT_SRC_SIM_SQL)(_ts.text_source_similarity
 query("text_lexical_rarity", _ts.TEXT_RARITY_SQL)(_ts.text_lexical_rarity)
 query("pipeline_doc_scorecard", _ts._scorecard_sql())(_ts.pipeline_doc_scorecard)
 query("text_langid_confusion", _ts.TEXT_LANGID_CONF_SQL)(_ts.text_langid_confusion)
+query("pipeline_text_features_fused", _ts.PIPELINE_FUSED_SQL)(
+    _ts.pipeline_text_features_fused
+)
+query("text_prefix_templates", _ts.TEXT_TEMPLATES_SQL)(_ts.text_prefix_templates)
 query("udtf_chunk_docs", _ts.UDTF_CHUNK_SQL)(_ts.udtf_chunk_docs)
 query("text_normalize", _ts.TEXT_NORMALIZE_SQL)(_ts.text_normalize)
 query("mm_binary_meta", _mm.MM_BINARY_META_SQL)(_mm.mm_binary_meta)

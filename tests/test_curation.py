@@ -581,3 +581,48 @@ def test_langid_confusion_consistent(spark, sf_dir):
     # text is synthetic jargon, so absolute accuracy is modest)
     diag = sum(n for (l, p), (n, _, _) in got.items() if l == p)
     assert diag * 6 > sum(totals.values())
+
+
+def test_fused_features_equal_components(spark, sf_dir):
+    """The one-scan fused op must equal the joined component ops
+    column-for-column (the fusion changed the plan, not the math)."""
+    from spark_streaming_stream_analyzer_spark.operators import textstats as ts
+
+    fused = {r["doc_id"]: (r["n_tokens"], r["n_types"], r["n_hapax"],
+                           r["ttr_ppm"], r["rarity_e3"])
+             for r in ts.pipeline_text_features_fused(spark, sf_dir).collect()}
+    lex = {r["doc_id"]: (r["n_tokens"], r["n_types"], r["n_hapax"],
+                         r["ttr_ppm"])
+           for r in ts.text_lexical_diversity(spark, sf_dir).collect()}
+    ra = {r["doc_id"]: r["rarity_e3"]
+          for r in ts.text_lexical_rarity(spark, sf_dir).collect()}
+    assert set(fused) == set(lex)
+    for d, v in fused.items():
+        assert v[:4] == lex[d]
+        assert v[4] == ra[d]
+
+
+def test_prefix_templates_vs_brute(spark, sf_dir):
+    from collections import Counter
+
+    from spark_streaming_stream_analyzer_spark.operators import textstats as ts
+    from spark_streaming_stream_analyzer_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_dir, "documents").select("text").collect()
+    counts = Counter()
+    for r in rows:
+        ws = [t for t in r["text"].split(" ") if t]
+        p = ">".join(ws[: ts.TEMPLATE_PREFIX_N])
+        if p:
+            counts[p] += 1
+    total = sum(counts.values())
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    expect = [
+        (p, n, total, (n * 1_000_000) // total)
+        for p, n in ranked[: ts.TEMPLATE_TOPK]
+    ]
+    got = [
+        (r["prefix"], r["n_docs"], r["total"], r["share_ppm"])
+        for r in ts.text_prefix_templates(spark, sf_dir).collect()
+    ]
+    assert got == expect
