@@ -3579,3 +3579,75 @@ SELECT event_type, CAST(day AS BIGINT) AS day, CAST(x AS BIGINT) AS x,
 FROM stats
 WHERE n >= 3 AND (n * x - s) * (n * x - s) > {ROLL_Z2} * (n * q - s * s)
 """
+
+
+SESSION_GAP_US_360 = 30 * 60 * 1_000_000
+
+
+def mart_user_360(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-360 mart row: per user the full engagement/value summary
+    — events, sessions (30-min idle gap), purchases, lifetime value
+    in exact cents, first/last activity, active days — the
+    one-row-per-user table every downstream team joins instead of
+    re-scanning the event log. The mart pattern itself is the point:
+    one ordered pass builds every column.
+
+    One shuffle on user_id: the session-start flags ride a lag
+    window, everything else folds in the same per-user aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        ts_micros(ev).alias("us"),
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    flagged = base.withColumn(
+        "new_session",
+        F.when(
+            F.col("us") - F.lag("us").over(w) > SESSION_GAP_US_360, 1
+        ).otherwise(
+            F.when(F.lag("us").over(w).isNull(), 1).otherwise(0)
+        ),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum("new_session").alias("n_sessions"),
+        F.sum((F.col("event_type") == "purchase").cast("long"))
+        .alias("n_purchases"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("cents"))
+            .otherwise(0)
+        ).alias("ltv_cents"),
+        F.min("us").alias("first_us"),
+        F.max("us").alias("last_us"),
+        F.count_distinct(F.expr("us DIV 86400000000")).alias("n_active_days"),
+    )
+
+
+MART_USER_360_SQL = f"""
+WITH base AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+flagged AS (
+  SELECT *,
+         CASE WHEN LAG(us) OVER w IS NULL THEN 1
+              WHEN us - LAG(us) OVER w > {SESSION_GAP_US_360} THEN 1
+              ELSE 0 END AS new_session
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+)
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchases,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END)
+            AS BIGINT) AS ltv_cents,
+       MIN(us) AS first_us, MAX(us) AS last_us,
+       COUNT(DISTINCT us // 86400000000) AS n_active_days
+FROM flagged GROUP BY 1
+"""

@@ -569,6 +569,7 @@ query("ts_atr_volatility", _an.TS_ATR_SQL)(_an.ts_atr_volatility)
 query("funnel_latency_quantiles", _an.FUNNEL_LATENCY_SQL)(_an.funnel_latency_quantiles)
 query("ts_peak_attribution", _an.TS_PEAK_ATTR_SQL)(_an.ts_peak_attribution)
 query("ts_rolling_anomaly", _an.TS_ROLL_ANOM_SQL)(_an.ts_rolling_anomaly)
+query("mart_user_360", _an.MART_USER_360_SQL)(_an.mart_user_360)
 query("text_tfidf_topk", _an.TEXT_TFIDF_SQL)(_an.text_tfidf_topk)
 query("join_salted_skew", _an.JOIN_SALTED_SQL)(_an.join_salted_skew)
 query("agg_sliding_window", _an.AGG_SLIDING_SQL)(_an.agg_sliding_window)

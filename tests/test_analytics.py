@@ -1214,3 +1214,43 @@ def test_rolling_anomaly_vs_brute(spark, sf_dir):
         for r in an.ts_rolling_anomaly(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_user_360_vs_brute(spark, sf_dir):
+    from spark_streaming_stream_analyzer_spark.operators import analytics as an
+    from spark_streaming_stream_analyzer_spark.sources.tables import (
+        load_table,
+        ts_micros,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select(
+        "user_id", ts_micros(ev).alias("us"), "event_id", "event_type",
+        "value",
+    ).collect()
+    by_u = {}
+    for r in rows:
+        by_u.setdefault(r["user_id"], []).append(
+            (r["us"], r["event_id"], r["event_type"], round(r["value"] * 100))
+        )
+    expect = {}
+    for u, seq in by_u.items():
+        seq.sort()
+        sessions = 1
+        for (a, _, _, _), (b, _, _, _) in zip(seq, seq[1:]):
+            if b - a > an.SESSION_GAP_US_360:
+                sessions += 1
+        buys = [(c) for _, _, t, c in seq if t == "purchase"]
+        expect[u] = (
+            len(seq), sessions, len(buys), sum(buys),
+            seq[0][0], seq[-1][0],
+            len({us // 86_400_000_000 for us, _, _, _ in seq}),
+        )
+    got = {
+        r["user_id"]: (
+            r["n_events"], r["n_sessions"], r["n_purchases"], r["ltv_cents"],
+            r["first_us"], r["last_us"], r["n_active_days"],
+        )
+        for r in an.mart_user_360(spark, sf_dir).collect()
+    }
+    assert got == expect
