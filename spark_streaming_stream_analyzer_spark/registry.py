@@ -878,6 +878,7 @@ query("stream_seq_pattern", _st.STREAM_SEQP_SQL)(_st.stream_seq_pattern)
 query("stream_cusum_alarm", _st.STREAM_CUSUM_SQL)(_st.stream_cusum_alarm)
 query("stream_transition_matrix", _st.STREAM_TRANS_SQL)(_st.stream_transition_matrix)
 query("stream_new_user_monitor", _st.STREAM_NEWU_SQL)(_st.stream_new_user_monitor)
+query("stream_user_360", _st.STREAM_U360_SQL)(_st.stream_user_360)
 query("stream_ohlc_bars", _an.TS_OHLC_SQL)(_sp.stream_ohlc_bars)
 
 

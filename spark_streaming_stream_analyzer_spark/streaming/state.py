@@ -1207,3 +1207,127 @@ def _stream_newu_sql() -> str:
 
 
 STREAM_NEWU_SQL = _stream_newu_sql()
+
+
+# ------------------------------------------- streaming user 360 --
+
+U360_STATE_SCHEMA = (
+    "n_events LONG, n_sessions LONG, n_purchases LONG, ltv_cents LONG, "
+    "first_us LONG, last_us LONG, last_day LONG, n_active_days LONG"
+)
+
+U360_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_sessions", T.LongType()),
+        T.StructField("n_purchases", T.LongType()),
+        T.StructField("ltv_cents", T.LongType()),
+        T.StructField("first_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n_active_days", T.LongType()),
+    ]
+)
+
+_U360_DAY_US = 86_400_000_000
+
+
+def _u360_update(
+    key: tuple[int],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Streaming form of ``analytics.mart_user_360``: eight integers
+    of state per user. Sessions and active days are the two
+    non-trivially-associative columns; both reduce to one carried
+    scalar under CHRONOLOGICAL replay — the previous event time
+    (session boundary test) and the previous day (distinct-day test,
+    since days arrive non-decreasing per user)."""
+    import numpy as np
+
+    from ..operators.analytics import SESSION_GAP_US_360
+
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    if len(batch) == 0:
+        return
+    batch = batch.sort_values(["us", "event_id"]).reset_index(drop=True)
+    us = batch["us"].to_numpy(dtype=np.int64)
+    cents = (
+        np.sign(batch["value"].to_numpy() * 100)
+        * np.floor(np.abs(batch["value"].to_numpy() * 100) + 0.5)
+    ).astype(np.int64)
+    is_buy = (batch["event_type"] == "purchase").to_numpy()
+    days = us // _U360_DAY_US
+    if state.exists:
+        (n_ev, n_se, n_pu, ltv, f_us, l_us, l_day, n_days) = state.get
+    else:
+        n_ev = n_se = n_pu = ltv = n_days = 0
+        f_us = int(us[0])
+        l_us = None
+        l_day = None
+    prev = np.concatenate(([l_us if l_us is not None else -(10**18)], us[:-1]))
+    n_se += int((us - prev > SESSION_GAP_US_360).sum())
+    prev_day = np.concatenate(
+        ([l_day if l_day is not None else -(10**18)], days[:-1])
+    )
+    n_days += int((days != prev_day).sum())
+    n_ev += len(batch)
+    n_pu += int(is_buy.sum())
+    ltv += int(cents[is_buy].sum())
+    l_us = int(us[-1])
+    l_day = int(days[-1])
+    state.update((n_ev, n_se, n_pu, ltv, f_us, l_us, l_day, n_days))
+    yield pd.DataFrame(
+        [
+            {
+                "user_id": key[0],
+                "n_events": n_ev,
+                "n_sessions": n_se,
+                "n_purchases": n_pu,
+                "ltv_cents": ltv,
+                "first_us": f_us,
+                "last_us": l_us,
+                "n_active_days": n_days,
+            }
+        ]
+    )
+
+
+def stream_user_360(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing query: replay through the 8-int-state mart
+    builder, keep each user's LAST snapshot (highest n_events) — same
+    oracle as the batch ``mart_user_360``. The session-boundary and
+    day-boundary carries are drilled in tests/test_streaming.py."""
+    from .pipelines import _run_to_memory, events_file_stream
+    from ..sources.tables import ts_micros
+
+    ev = events_file_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    proj = ev.select(
+        "user_id", ts_micros(ev).alias("us"), "event_id", "event_type",
+        "value",
+    )
+    out = proj.groupBy("user_id").applyInPandasWithState(
+        _u360_update,
+        outputStructType=U360_OUTPUT_SCHEMA,
+        stateStructType=U360_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    mem = _run_to_memory(out, output_mode="update")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        mem.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def _stream_u360_sql() -> str:
+    from ..operators.analytics import MART_USER_360_SQL
+
+    return MART_USER_360_SQL
+
+
+STREAM_U360_SQL = _stream_u360_sql()

@@ -873,3 +873,55 @@ def test_stream_cms_counters_bit_identical_to_batch(spark, tmp_path):
     assert got["a"][0] == 2 and got["b"][0] == 2 and got["c"][0] == 1
     for w, (n, est) in got.items():
         assert est >= n  # CMS one-sided error survives the fold
+
+
+def test_stream_user360_boundary_carries(spark, tmp_path):
+    """Session and day boundaries that straddle the batch split must
+    use the carried last_us/last_day — a session continuing across
+    batches must NOT count twice, a new day must."""
+    from spark_streaming_stream_analyzer_spark.streaming.pipelines import (
+        _run_to_memory,
+        events_file_stream,
+    )
+    from spark_streaming_stream_analyzer_spark.streaming.state import (
+        U360_OUTPUT_SCHEMA,
+        U360_STATE_SCHEMA,
+        _u360_update,
+    )
+    from spark_streaming_stream_analyzer_spark.sources.tables import ts_micros
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    MIN = 60 * NS
+    DAY = 86_400 * NS
+    b1 = [
+        (1, 0 * MIN, 1, "view", 1.0, "{}"),
+        (2, 10 * MIN, 1, "purchase", 25.0, "{}"),
+    ]
+    b2 = [
+        # 10 min after batch-1 tail: SAME session, SAME day
+        (3, 20 * MIN, 1, "click", 1.0, "{}"),
+        # next day, 40-min gap -> new session AND new day
+        (4, 1 * DAY + 60 * MIN, 1, "purchase", 10.5, "{}"),
+    ]
+    src = _write_event_files(spark, str(tmp_path), [b1, b2])
+    ev = events_file_stream(spark, src)
+    proj = ev.select(
+        "user_id", ts_micros(ev).alias("us"), "event_id", "event_type",
+        "value",
+    )
+    out = proj.groupBy("user_id").applyInPandasWithState(
+        _u360_update,
+        outputStructType=U360_OUTPUT_SCHEMA,
+        stateStructType=U360_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    mem = _run_to_memory(out, output_mode="update")
+    final = (
+        mem.orderBy(F.desc("n_events")).limit(1).collect()[0]
+    )
+    assert final["n_events"] == 4
+    assert final["n_sessions"] == 2      # batch boundary did not split
+    assert final["n_purchases"] == 2
+    assert final["ltv_cents"] == 2500 + 1050
+    assert final["n_active_days"] == 2   # day carry counted once each
