@@ -3651,3 +3651,79 @@ SELECT user_id, COUNT(*) AS n_events,
        COUNT(DISTINCT us // 86400000000) AS n_active_days
 FROM flagged GROUP BY 1
 """
+
+
+def ts_weekend_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekend-vs-weekday behavior lift per event_type: mean daily
+    count on weekend days vs weekdays and their ratio in ppm — the
+    calendar-effect summary that decides whether models/alerts need
+    dow features (epoch day 0 = Thursday 1970-01-01, so dow =
+    (day + 4) % 7 with 0 = Sunday — the same convention both
+    engines compute from the integer day).
+
+    All-integer: per-type weekend/weekday event and day counts, means
+    ×1000 via DIV, lift = weekend_mean·1e6 DIV weekday_mean.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", ts_micros(ev).alias("us"))
+        .select("event_type", F.expr(f"us DIV {SEQ_DAY_US}").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("x"))
+        .withColumn(
+            "is_weekend",
+            F.expr("CASE WHEN (day + 4) % 7 IN (0, 6) THEN 1 ELSE 0 END"),
+        )
+    )
+    agg = daily.groupBy("event_type").agg(
+        F.sum(F.when(F.col("is_weekend") == 1, F.col("x")).otherwise(0))
+        .alias("we_events"),
+        F.sum("is_weekend").alias("we_days"),
+        F.sum(F.when(F.col("is_weekend") == 0, F.col("x")).otherwise(0))
+        .alias("wd_events"),
+        F.sum(1 - F.col("is_weekend")).alias("wd_days"),
+    )
+    return agg.select(
+        "event_type",
+        "we_events",
+        "we_days",
+        "wd_events",
+        "wd_days",
+        F.expr("(we_events * 1000) DIV we_days").alias("we_mean_e3"),
+        F.expr("(wd_events * 1000) DIV wd_days").alias("wd_mean_e3"),
+        F.expr(
+            "CASE WHEN wd_events > 0 THEN"
+            " (we_events * wd_days * 1000000) DIV (wd_events * we_days)"
+            " END"
+        ).alias("weekend_lift_ppm"),
+    )
+
+
+TS_WEEKEND_SQL = f"""
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // {SEQ_DAY_US} AS day, COUNT(*) AS x
+  FROM events GROUP BY 1, 2
+),
+tagged AS (
+  SELECT *, CASE WHEN (day + 4) % 7 IN (0, 6) THEN 1 ELSE 0 END AS is_weekend
+  FROM daily
+),
+agg AS (
+  SELECT event_type,
+         SUM(CASE WHEN is_weekend = 1 THEN x ELSE 0 END) AS we_events,
+         SUM(is_weekend) AS we_days,
+         SUM(CASE WHEN is_weekend = 0 THEN x ELSE 0 END) AS wd_events,
+         SUM(1 - is_weekend) AS wd_days
+  FROM tagged GROUP BY 1
+)
+SELECT event_type, CAST(we_events AS BIGINT) AS we_events,
+       CAST(we_days AS BIGINT) AS we_days,
+       CAST(wd_events AS BIGINT) AS wd_events,
+       CAST(wd_days AS BIGINT) AS wd_days,
+       CAST((we_events * 1000) // we_days AS BIGINT) AS we_mean_e3,
+       CAST((wd_events * 1000) // wd_days AS BIGINT) AS wd_mean_e3,
+       CAST(CASE WHEN wd_events > 0 THEN
+         (we_events * wd_days * 1000000) // (wd_events * we_days)
+       END AS BIGINT) AS weekend_lift_ppm
+FROM agg
+"""

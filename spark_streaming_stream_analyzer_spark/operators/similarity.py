@@ -1955,3 +1955,54 @@ FROM sizes s
 JOIN coh ON coh.label = s.label
 JOIN sep ON sep.label = s.label
 """
+
+
+def emb_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension variance ranking of the embedding space — the
+    pre-PCA diagnostic ("how many dims carry signal?") and the
+    pruning guide for ``emb_matryoshka_recall``-style truncation.
+    Variance is emitted as the exact integer n²·var = n·Q − S² over
+    quantized micro-units (no division, no float), ranked descending
+    with rank ties broken by dim.
+
+    One exploded pass, one (dim)-keyed aggregate, 64-row output.
+    """
+    q = load_table_cpu(spark, sf_dir, "embeddings").select(
+        F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "dim",
+        F.round(F.col("x").cast("double") * CENTROID_Q).cast("long").alias("q"),
+    )
+    m = q.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum("q").alias("s"),
+        F.sum(F.col("q") * F.col("q")).alias("qq"),
+    )
+    varn2 = (F.col("n") * F.col("qq") - F.col("s") * F.col("s")).alias("var_n2")
+    ranked = m.select("dim", "n", varn2)
+    w = Window.orderBy(F.desc("var_n2"), F.asc("dim"))
+    return ranked.withColumn(
+        "var_rank", F.row_number().over(w)
+    ).select("dim", "n", "var_n2", "var_rank")
+
+
+EMB_DIM_VAR_SQL = f"""
+WITH q AS (
+  SELECT dim - 1 AS dim,
+         CAST(round(CAST(x AS DOUBLE) * {CENTROID_Q}) AS BIGINT) AS q
+  FROM (
+    SELECT unnest(embedding) AS x,
+           generate_subscripts(embedding, 1) AS dim
+    FROM embeddings
+  )
+),
+m AS (
+  SELECT dim, COUNT(*) AS n, SUM(q) AS s, SUM(q * q) AS qq
+  FROM q GROUP BY 1
+)
+SELECT CAST(dim AS INTEGER) AS dim, CAST(n AS BIGINT) AS n,
+       CAST(n * qq - s * s AS BIGINT) AS var_n2,
+       CAST(ROW_NUMBER() OVER (ORDER BY n * qq - s * s DESC, dim)
+            AS BIGINT) AS var_rank
+FROM m
+"""

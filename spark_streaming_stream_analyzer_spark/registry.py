@@ -570,6 +570,7 @@ query("funnel_latency_quantiles", _an.FUNNEL_LATENCY_SQL)(_an.funnel_latency_qua
 query("ts_peak_attribution", _an.TS_PEAK_ATTR_SQL)(_an.ts_peak_attribution)
 query("ts_rolling_anomaly", _an.TS_ROLL_ANOM_SQL)(_an.ts_rolling_anomaly)
 query("mart_user_360", _an.MART_USER_360_SQL)(_an.mart_user_360)
+query("ts_weekend_lift", _an.TS_WEEKEND_SQL)(_an.ts_weekend_lift)
 query("text_tfidf_topk", _an.TEXT_TFIDF_SQL)(_an.text_tfidf_topk)
 query("join_salted_skew", _an.JOIN_SALTED_SQL)(_an.join_salted_skew)
 query("agg_sliding_window", _an.AGG_SLIDING_SQL)(_an.agg_sliding_window)
@@ -674,6 +675,7 @@ query("emb_nearest_centroid_confusion", _sim.EMB_CONFUSION_SQL)(
 query("emb_class_separation", _sim.EMB_SEPARATION_SQL)(
     _sim.emb_class_separation
 )
+query("emb_dim_variance", _sim.EMB_DIM_VAR_SQL)(_sim.emb_dim_variance)
 query("sim_pq_adc_topk", _sim.SIM_PQ_ADC_SQL)(_sim.sim_pq_adc_topk)
 query("sim_range_search", _sim.SIM_RANGE_SQL)(_sim.sim_range_search)
 query("sim_srp_topk", _sim.SIM_SRP_SQL)(_sim.sim_srp_topk)

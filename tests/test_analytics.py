@@ -1254,3 +1254,45 @@ def test_user_360_vs_brute(spark, sf_dir):
         for r in an.mart_user_360(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_weekend_lift_vs_brute(spark, sf_dir):
+    from spark_streaming_stream_analyzer_spark.operators import analytics as an
+    from spark_streaming_stream_analyzer_spark.sources.tables import (
+        load_table,
+        ts_micros,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select("event_type", ts_micros(ev).alias("us")).collect()
+    daily = {}
+    for r in rows:
+        k = (r["event_type"], r["us"] // an.SEQ_DAY_US)
+        daily[k] = daily.get(k, 0) + 1
+    expect = {}
+    for t in sorted({t for t, _ in daily}):
+        we_e = we_d = wd_e = wd_d = 0
+        for (tt, d), x in daily.items():
+            if tt != t:
+                continue
+            if (d + 4) % 7 in (0, 6):
+                we_e += x
+                we_d += 1
+            else:
+                wd_e += x
+                wd_d += 1
+        lift = (
+            (we_e * wd_d * 1_000_000) // (wd_e * we_d) if wd_e else None
+        )
+        expect[t] = (
+            we_e, we_d, wd_e, wd_d,
+            (we_e * 1000) // we_d, (wd_e * 1000) // wd_d, lift,
+        )
+    got = {
+        r["event_type"]: (
+            r["we_events"], r["we_days"], r["wd_events"], r["wd_days"],
+            r["we_mean_e3"], r["wd_mean_e3"], r["weekend_lift_ppm"],
+        )
+        for r in an.ts_weekend_lift(spark, sf_dir).collect()
+    }
+    assert got == expect

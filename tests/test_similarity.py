@@ -465,3 +465,34 @@ def test_class_separation_identity(spark, sf_dir):
     for lbl, r in coh.items():
         assert r["mean_dist2"] == r["sum_dist2"] // r["n_vecs"]
         assert r["n_vecs"] > 0 and r["sum_dist2"] >= 0
+
+
+def test_dim_variance_vs_numpy(spark, sf_dir):
+    import math
+
+    import numpy as np
+
+    from spark_streaming_stream_analyzer_spark.operators import similarity as sim
+    from spark_streaming_stream_analyzer_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_dir, "embeddings").select("embedding").collect()
+    M = np.array([
+        [int(math.copysign(math.floor(abs(float(x) * sim.CENTROID_Q) + 0.5),
+                           float(x)))
+         for x in r["embedding"]]
+        for r in rows
+    ], dtype=object)
+    n = len(rows)
+    expect = {}
+    for d in range(M.shape[1]):
+        col = [int(v) for v in M[:, d]]
+        s = sum(col)
+        qq = sum(v * v for v in col)
+        expect[d] = n * qq - s * s
+    order = sorted(expect, key=lambda d: (-expect[d], d))
+    ranks = {d: i + 1 for i, d in enumerate(order)}
+    got = {
+        r["dim"]: (r["n"], r["var_n2"], r["var_rank"])
+        for r in sim.emb_dim_variance(spark, sf_dir).collect()
+    }
+    assert got == {d: (n, expect[d], ranks[d]) for d in expect}
