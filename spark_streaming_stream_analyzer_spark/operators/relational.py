@@ -2832,3 +2832,63 @@ SELECT 'except_all' AS op, nationkey, COUNT(*) AS n FROM (
   SELECT c_nationkey AS nationkey FROM customer
   EXCEPT ALL SELECT s_nationkey FROM supplier) GROUP BY 2
 """
+
+
+DECILE_PCTS = tuple(range(10, 100, 10))
+
+
+def agg_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full decile table of order values per priority class: the nine
+    exact positional cut points (p10..p90) as integer cents — the
+    distribution summary a pricing/fraud review reads, computed with
+    the ``ts_anomaly_mad`` count-table discipline (cuts are least
+    values whose cumulative count reaches ceil(n·p/100); no
+    interpolation, no floats, so both engines agree bit-for-bit).
+
+    One scan → per-(priority, cents) count table → one cumulative
+    window → nine conditional-min picks in a single aggregate.
+    """
+    od = load_table(spark, sf_dir, "orders")
+    vc = od.select(
+        "o_orderpriority", cents("o_totalprice").alias("c")
+    ).groupBy("o_orderpriority", "c").agg(F.count("*").alias("n"))
+    wt = Window.partitionBy("o_orderpriority")
+    wc = wt.orderBy("c").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = vc.select(
+        "o_orderpriority", "c", "n",
+        F.sum("n").over(wc).alias("cum"),
+        F.sum("n").over(wt).alias("tot"),
+    )
+    picks = [F.min("tot").alias("n_orders")] + [
+        F.min(
+            F.when(F.col("cum") * 100 >= F.col("tot") * p, F.col("c"))
+        ).alias(f"p{p}_cents")
+        for p in DECILE_PCTS
+    ]
+    return cum.groupBy("o_orderpriority").agg(*picks)
+
+
+_DECILE_PICKS_SQL = ",\n       ".join(
+    f"CAST(MIN(CASE WHEN cum * 100 >= tot * {p} THEN c END) AS BIGINT)"
+    f" AS p{p}_cents"
+    for p in DECILE_PCTS
+)
+
+AGG_DECILES_SQL = f"""
+WITH vc AS (
+  SELECT o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+         COUNT(*) AS n
+  FROM orders GROUP BY 1, 2
+),
+cum AS (
+  SELECT o_orderpriority, c, n,
+         SUM(n) OVER (PARTITION BY o_orderpriority ORDER BY c
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         SUM(n) OVER (PARTITION BY o_orderpriority) AS tot
+  FROM vc
+)
+SELECT o_orderpriority, CAST(MIN(tot) AS BIGINT) AS n_orders,
+       {_DECILE_PICKS_SQL}
+FROM cum GROUP BY 1
+"""

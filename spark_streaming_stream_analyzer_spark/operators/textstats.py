@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import hash64
+from ..functions.hashing import hash64, hash64_sql
 from ..sources.tables import load_table_cpu
 
 #: Tiny marker-word profiles per language (n-gram-heuristic stand-in;
@@ -1109,3 +1109,108 @@ FROM counts CROSS JOIN tot
 ORDER BY n_docs DESC, prefix ASC
 LIMIT {TEMPLATE_TOPK}
 """
+
+
+# -------------------------------------------- word subsampling --
+
+SUBSAMPLE_T_PPM = 20_000   # frequency threshold t as share ppm
+_SUB_M = 1 << 20
+
+
+def sample_word_subsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-word subsampling (the word2vec trick): occurrence i of
+    word w survives with probability √(t / f_w) — computed WITHOUT a
+    square root by squaring the hash test:
+
+        keep  ⇔  u/M < √(t/f)  ⇔  u²·f_ppm < t_ppm·M²
+
+    (u = per-occurrence hash uniform < M=2²⁰; f_ppm = the word's
+    corpus share; all int64: u²·f ≤ 2⁴⁰·10⁶ < 2⁶⁰). Deterministic —
+    re-running keeps exactly the same occurrences — and exact, so the
+    non-uniform sampler itself is value-oracled, not just its rates.
+    Emits the top-30 words with original and kept counts.
+
+    Scale: one tokenize pass with a broadcast (word, f_ppm) dict;
+    the keep test is map-side; nothing but the count partials move.
+    """
+    docs = load_table_cpu(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split("text", " "), lambda w: w != "")
+        ).alias("pos", "w"),
+    )
+    vocab = words.groupBy("w").agg(F.count("*").alias("f"))
+    tot = vocab.agg(F.sum("f").alias("total"))
+    dict_t = vocab.crossJoin(F.broadcast(tot)).select(
+        "w", "f", F.expr("(f * 1000000) DIV total").alias("f_ppm")
+    )
+    u = F.pmod(
+        hash64(
+            F.concat(
+                F.lit("ss#"),
+                F.col("doc_id").cast("string"),
+                F.lit("#"),
+                F.col("pos").cast("string"),
+            )
+        ),
+        F.lit(_SUB_M),
+    )
+    tested = words.join(F.broadcast(dict_t), "w").select(
+        "w",
+        "f",
+        (
+            (u * u * F.col("f_ppm"))
+            # literal product as one precomputed long: int32 lits would
+            # overflow under ANSI before widening
+            < F.lit(SUBSAMPLE_T_PPM * _SUB_M * _SUB_M)
+        ).cast("long").alias("keep"),
+    )
+    return (
+        tested.groupBy("w", "f")
+        .agg(F.sum("keep").alias("kept"))
+        .orderBy(F.desc("f"), F.asc("w"))
+        .limit(30)
+        .select(
+            "w", "f", "kept",
+            F.expr("(kept * 1000000) DIV f").alias("kept_ppm"),
+        )
+    )
+
+
+def _subsample_sql() -> str:
+    h = hash64_sql(
+        "'ss#' || CAST(doc_id AS VARCHAR) || '#' || CAST(pos - 1 AS VARCHAR)"
+    )
+    u = f"(({h}) % {_SUB_M} + {_SUB_M}) % {_SUB_M}"
+    return f"""
+WITH words AS (
+  SELECT doc_id, pos, w FROM (
+    SELECT doc_id,
+           generate_subscripts(list_filter(string_split(text, ' '),
+                                           x -> x <> ''), 1) AS pos,
+           unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+    FROM documents
+  )
+),
+vocab AS (SELECT w, COUNT(*) AS f FROM words GROUP BY 1),
+tot AS (SELECT SUM(f) AS total FROM vocab),
+dict_t AS (
+  SELECT w, f, (f * 1000000) // total AS f_ppm FROM vocab CROSS JOIN tot
+),
+tested AS (
+  SELECT words.w, d.f,
+         CASE WHEN ({u}) * ({u}) * d.f_ppm
+                   < CAST({SUBSAMPLE_T_PPM} AS BIGINT) * {_SUB_M} * {_SUB_M}
+              THEN 1 ELSE 0 END AS keep
+  FROM words JOIN dict_t d ON d.w = words.w
+)
+SELECT w, CAST(f AS BIGINT) AS f, CAST(SUM(keep) AS BIGINT) AS kept,
+       CAST((SUM(keep) * 1000000) // f AS BIGINT) AS kept_ppm
+FROM tested GROUP BY w, f
+ORDER BY f DESC, w ASC
+LIMIT 30
+"""
+
+
+SAMPLE_SUBSAMPLE_SQL = _subsample_sql()

@@ -538,6 +538,7 @@ query("q20_part_promotion_suppliers", _rel.Q20_SQL)(_rel.q20_part_promotion_supp
 query("src_synthetic_gen", _rel.SRC_GEN_SQL)(_rel.src_synthetic_gen)
 query("sort_pareto_front", _rel.SORT_PARETO_SQL)(_rel.sort_pareto_front)
 query("set_ops_all", _rel.SET_OPS_ALL_SQL)(_rel.set_ops_all)
+query("agg_value_deciles", _rel.AGG_DECILES_SQL)(_rel.agg_value_deciles)
 
 from .operators import analytics as _an  # noqa: E402
 
@@ -701,6 +702,7 @@ query("pipeline_text_features_fused", _ts.PIPELINE_FUSED_SQL)(
     _ts.pipeline_text_features_fused
 )
 query("text_prefix_templates", _ts.TEXT_TEMPLATES_SQL)(_ts.text_prefix_templates)
+query("sample_word_subsample", _ts.SAMPLE_SUBSAMPLE_SQL)(_ts.sample_word_subsample)
 query("udtf_chunk_docs", _ts.UDTF_CHUNK_SQL)(_ts.udtf_chunk_docs)
 query("text_normalize", _ts.TEXT_NORMALIZE_SQL)(_ts.text_normalize)
 query("mm_binary_meta", _mm.MM_BINARY_META_SQL)(_mm.mm_binary_meta)

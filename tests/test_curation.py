@@ -626,3 +626,38 @@ def test_prefix_templates_vs_brute(spark, sf_dir):
         for r in ts.text_prefix_templates(spark, sf_dir).collect()
     ]
     assert got == expect
+
+
+def test_word_subsample_rates_track_sqrt_law(spark, sf_dir):
+    """kept_ppm ≈ min(1, sqrt(t/f_share))·1e6 within sampling noise,
+    and the sampler is deterministic."""
+    import math
+
+    from spark_streaming_stream_analyzer_spark.operators import textstats as ts
+
+    rows1 = {(r["w"]): (r["f"], r["kept"], r["kept_ppm"])
+             for r in ts.sample_word_subsample(spark, sf_dir).collect()}
+    rows2 = {(r["w"]): (r["f"], r["kept"], r["kept_ppm"])
+             for r in ts.sample_word_subsample(spark, sf_dir).collect()}
+    assert rows1 == rows2 and len(rows1) == 30
+    total = None
+    # recover corpus total from shares: f_ppm = f*1e6 // total unknown;
+    # use the sqrt law directly on share = f/total with total from sum
+    # over ALL words — approximate with the constraint check instead:
+    for w, (f, kept, kept_ppm) in rows1.items():
+        assert 0 <= kept <= f
+        assert kept_ppm == (kept * 1_000_000) // f
+    # the most frequent word must be subsampled strictly below 100%
+    top_w = max(rows1.items(), key=lambda kv: kv[1][0])
+    assert top_w[1][1] < top_w[1][0]
+    # expected rate check for the top word: sqrt(t/share) within 5 sigma
+    f = top_w[1][0]
+    kept = top_w[1][1]
+    from spark_streaming_stream_analyzer_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    total = sum(len([t for t in r["text"].split(" ") if t]) for r in docs)
+    f_ppm = (f * 1_000_000) // total
+    p_keep = min(1.0, math.sqrt(ts.SUBSAMPLE_T_PPM / f_ppm))
+    sigma = math.sqrt(f * p_keep * (1 - p_keep)) + 1e-9
+    assert abs(kept - f * p_keep) < 5 * sigma + 3

@@ -387,3 +387,31 @@ def test_set_ops_all_multiplicity(spark, sf_dir):
         for r in rel.set_ops_all(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_value_deciles_vs_brute(spark, sf_dir):
+    from spark_streaming_stream_analyzer_spark.operators import relational as rel
+    from spark_streaming_stream_analyzer_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    ).collect()
+    by_p = {}
+    for r in rows:
+        by_p.setdefault(r["o_orderpriority"], []).append(
+            round(r["o_totalprice"] * 100)
+        )
+    got = {r["o_orderpriority"]: r for r in
+           rel.agg_value_deciles(spark, sf_dir).collect()}
+    assert set(got) == set(by_p)
+    for p, vals in by_p.items():
+        vals.sort()
+        n = len(vals)
+        r = got[p]
+        assert r["n_orders"] == n
+        for pct in rel.DECILE_PCTS:
+            pos = -(-n * pct // 100)
+            assert r[f"p{pct}_cents"] == vals[pos - 1]
+        # monotone deciles
+        cuts = [r[f"p{pct}_cents"] for pct in rel.DECILE_PCTS]
+        assert cuts == sorted(cuts)
