@@ -967,3 +967,141 @@ DQ_REL_PROFILE_SQL = "\nUNION ALL\n".join(
          "supplier", "s_suppkey"),
     ]
 )
+
+
+# -------------------------------------------------- k-anonymity --
+
+KANON_K = 5
+KANON_BUCKET = 100
+
+
+def privacy_kanon_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-anonymized release of the event log: user ids generalized to
+    buckets of 100, (event_type, day, bucket) cells below k=5 rows
+    SUPPRESSED, surviving cells released with exact counts and value
+    sums — the governance step before an event extract leaves the
+    boundary, with the suppression tally carried per (type, day) so
+    reviewers see what the privacy floor cost.
+
+    One scan → cell aggregate → HAVING-style filter; the suppression
+    tally is a second tiny aggregate over the cell table, joined
+    back broadcast.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            "event_type",
+            ts_micros(ev).alias("us"),
+            F.expr(f"user_id DIV {KANON_BUCKET}").alias("user_bucket"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .select(
+            "event_type",
+            F.expr("us DIV 86400000000").alias("day"),
+            "user_bucket",
+            "cents",
+        )
+        .groupBy("event_type", "day", "user_bucket")
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("sum_cents"))
+    )
+    supp = cells.groupBy("event_type", "day").agg(
+        F.sum(F.when(F.col("n") < KANON_K, 1).otherwise(0))
+        .alias("n_suppressed_cells"),
+        F.sum(F.when(F.col("n") < KANON_K, F.col("n")).otherwise(0))
+        .alias("n_suppressed_rows"),
+    )
+    return (
+        cells.filter(F.col("n") >= KANON_K)
+        .join(F.broadcast(supp), ["event_type", "day"])
+        .select(
+            "event_type", "day", "user_bucket", "n", "sum_cents",
+            "n_suppressed_cells", "n_suppressed_rows",
+        )
+    )
+
+
+PRIVACY_KANON_SQL = f"""
+WITH cells AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         user_id // {KANON_BUCKET} AS user_bucket,
+         COUNT(*) AS n,
+         SUM(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+  FROM events GROUP BY 1, 2, 3
+),
+supp AS (
+  SELECT event_type, day,
+         SUM(CASE WHEN n < {KANON_K} THEN 1 ELSE 0 END)
+           AS n_suppressed_cells,
+         SUM(CASE WHEN n < {KANON_K} THEN n ELSE 0 END)
+           AS n_suppressed_rows
+  FROM cells GROUP BY 1, 2
+)
+SELECT c.event_type, CAST(c.day AS BIGINT) AS day,
+       CAST(c.user_bucket AS BIGINT) AS user_bucket,
+       CAST(c.n AS BIGINT) AS n, CAST(c.sum_cents AS BIGINT) AS sum_cents,
+       CAST(s.n_suppressed_cells AS BIGINT) AS n_suppressed_cells,
+       CAST(s.n_suppressed_rows AS BIGINT) AS n_suppressed_rows
+FROM cells c JOIN supp s ON s.event_type = c.event_type AND s.day = c.day
+WHERE c.n >= {KANON_K}
+"""
+
+
+# ---------------------------------------------- rounding audit --
+
+
+def fn_rounding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money-rounding policy audit: for value→cents conversion, how
+    often HALF-UP (Spark/DuckDB ``round``) and HALF-EVEN (banker's,
+    IEEE default) disagree, and the total drift in cents between the
+    two policies — the reconciliation explainer when two systems
+    "round differently" (the classic penny-gap incident). Banker's
+    rounding is derived integer-exactly from the half-up result: the
+    policies differ only at exact .5, where half-even keeps the even
+    neighbor.
+
+    One scan, one aggregate row per event_type.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v2 = F.col("value") * 200  # exact-half test: value*100 is k+0.5 ⇔ v2 odd
+    half_up = F.round(F.col("value") * 100).cast("long")
+    is_exact_half = (v2 == F.floor(v2)) & (
+        F.pmod(F.floor(v2).cast("long"), F.lit(2)) == 1
+    )
+    # at an exact half, half-up went AWAY from zero; half-even keeps
+    # the even neighbor: subtract the sign when the half-up result is odd
+    banker = F.when(
+        is_exact_half & (F.pmod(half_up, F.lit(2)) != 0),
+        half_up - F.signum("value").cast("long"),
+    ).otherwise(half_up)
+    per = ev.select(
+        "event_type", half_up.alias("hu"), banker.alias("be")
+    )
+    return per.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.sum((F.col("hu") != F.col("be")).cast("long")).alias("n_diff"),
+        F.sum("hu").alias("sum_half_up"),
+        F.sum("be").alias("sum_bankers"),
+        (F.sum("hu") - F.sum("be")).alias("drift_cents"),
+    )
+
+
+FN_ROUNDING_SQL = """
+WITH per AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS hu,
+         CASE WHEN value * 200 = floor(value * 200)
+                   AND CAST(floor(value * 200) AS BIGINT) % 2 = 1
+                   AND CAST(round(value * 100) AS BIGINT) % 2 <> 0
+              THEN CAST(round(value * 100) AS BIGINT)
+                   - CAST(CASE WHEN value > 0 THEN 1
+                               WHEN value < 0 THEN -1 ELSE 0 END AS BIGINT)
+              ELSE CAST(round(value * 100) AS BIGINT) END AS be
+  FROM events
+)
+SELECT event_type, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN hu <> be THEN 1 ELSE 0 END) AS BIGINT) AS n_diff,
+       CAST(SUM(hu) AS BIGINT) AS sum_half_up,
+       CAST(SUM(be) AS BIGINT) AS sum_bankers,
+       CAST(SUM(hu) - SUM(be) AS BIGINT) AS drift_cents
+FROM per GROUP BY 1
+"""

@@ -305,3 +305,75 @@ def test_relationship_profile_vs_brute(spark, sf_dir):
         )
         assert r["max_fanout"] == max(fans.values())
         assert r["mean_fanout_e3"] == (sum(fans.values()) * 1000) // len(fans)
+
+
+def test_kanon_no_small_cells_and_conservation(spark, sf_dir):
+    from spark_streaming_stream_analyzer_spark.operators import auditing as au
+    from spark_streaming_stream_analyzer_spark.sources.tables import load_table
+
+    rows = au.privacy_kanon_cells(spark, sf_dir).collect()
+    assert rows and all(r["n"] >= au.KANON_K for r in rows)
+    # released + suppressed rows reconstruct the table total
+    released = sum(r["n"] for r in rows)
+    supp = {}
+    for r in rows:
+        supp[(r["event_type"], r["day"])] = r["n_suppressed_rows"]
+    # (type, day) groups with ONLY suppressed cells are absent from the
+    # output — recount directly
+    ev = load_table(spark, sf_dir, "events").count()
+    assert released <= ev
+    from collections import Counter
+
+    raw = Counter()
+    from spark_streaming_stream_analyzer_spark.sources.tables import ts_micros
+
+    evdf = load_table(spark, sf_dir, "events")
+    for r in evdf.select(
+        "event_type", ts_micros(evdf).alias("us"), "user_id"
+    ).collect():
+        raw[
+            (r["event_type"], r["us"] // 86_400_000_000,
+             r["user_id"] // au.KANON_BUCKET)
+        ] += 1
+    expect_released = sum(n for n in raw.values() if n >= au.KANON_K)
+    assert released == expect_released
+
+
+def test_rounding_audit_policies_differ_only_at_halves(spark, sf_dir):
+    import decimal
+
+    from spark_streaming_stream_analyzer_spark.operators import auditing as au
+    from spark_streaming_stream_analyzer_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_dir, "events").select(
+        "event_type", "value"
+    ).collect()
+    from collections import defaultdict
+
+    exp = defaultdict(lambda: [0, 0, 0, 0])
+    for r in rows:
+        v = r["value"]
+        x = v * 100
+        import math
+
+        hu = int(math.copysign(math.floor(abs(x) + 0.5), x))
+        if v * 200 == math.floor(v * 200) and int(math.floor(v * 200)) % 2 == 1 \
+                and hu % 2 != 0:
+            be = hu - (1 if v > 0 else -1 if v < 0 else 0)
+        else:
+            be = hu
+        e = exp[r["event_type"]]
+        e[0] += 1
+        e[1] += int(hu != be)
+        e[2] += hu
+        e[3] += be
+    got = {
+        r["event_type"]: (
+            r["n_rows"], r["n_diff"], r["sum_half_up"], r["sum_bankers"],
+            r["drift_cents"],
+        )
+        for r in au.fn_rounding_audit(spark, sf_dir).collect()
+    }
+    assert got == {
+        t: (n, d, shu, sbe, shu - sbe) for t, (n, d, shu, sbe) in exp.items()
+    }
