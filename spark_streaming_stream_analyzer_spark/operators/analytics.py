@@ -3727,3 +3727,81 @@ SELECT event_type, CAST(we_events AS BIGINT) AS we_events,
        END AS BIGINT) AS weekend_lift_ppm
 FROM agg
 """
+
+
+WEEK_US = 7 * 86_400_000_000
+
+
+def cohort_ltv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort × age LTV matrix: users grouped by first-seen week,
+    each cohort's purchase revenue tracked by week-age since joining,
+    with the running cumulative — the curve pair every growth model
+    fits (does week-3 revenue of the March cohort match February's?).
+    Extends ``cohort_retention`` (presence) with VALUE.
+
+    Exact integer cents; weeks are epoch-microsecond DIV. Shape: the
+    per-user first-seen aggregate joins back broadcast; the matrix is
+    |cohorts|·|ages| rows and the cumulative is a window over it.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        ts_micros(ev).alias("us"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).withColumn("week", F.expr(f"us DIV {WEEK_US}"))
+    first = base.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    buys = base.filter(F.col("event_type") == "purchase")
+    cells = (
+        buys.join(F.broadcast(first), "user_id")
+        .select(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("age_weeks"),
+            "user_id",
+            "cents",
+        )
+        .groupBy("cohort_week", "age_weeks")
+        .agg(
+            F.count_distinct("user_id").alias("n_buyers"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cells.select(
+        "cohort_week",
+        "age_weeks",
+        "n_buyers",
+        "revenue_cents",
+        F.sum("revenue_cents").over(w).alias("cum_revenue_cents"),
+    )
+
+
+COHORT_LTV_SQL = f"""
+WITH base AS (
+  SELECT user_id, epoch_us(ts) AS us, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         epoch_us(ts) // {WEEK_US} AS week
+  FROM events
+),
+first AS (SELECT user_id, MIN(week) AS cohort_week FROM base GROUP BY 1),
+cells AS (
+  SELECT f.cohort_week, b.week - f.cohort_week AS age_weeks,
+         COUNT(DISTINCT b.user_id) AS n_buyers,
+         SUM(b.cents) AS revenue_cents
+  FROM base b JOIN first f ON f.user_id = b.user_id
+  WHERE b.event_type = 'purchase'
+  GROUP BY 1, 2
+)
+SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+       CAST(age_weeks AS BIGINT) AS age_weeks,
+       CAST(n_buyers AS BIGINT) AS n_buyers,
+       CAST(revenue_cents AS BIGINT) AS revenue_cents,
+       CAST(SUM(revenue_cents) OVER (PARTITION BY cohort_week
+         ORDER BY age_weeks ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS cum_revenue_cents
+FROM cells
+"""

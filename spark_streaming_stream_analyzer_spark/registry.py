@@ -572,6 +572,7 @@ query("ts_peak_attribution", _an.TS_PEAK_ATTR_SQL)(_an.ts_peak_attribution)
 query("ts_rolling_anomaly", _an.TS_ROLL_ANOM_SQL)(_an.ts_rolling_anomaly)
 query("mart_user_360", _an.MART_USER_360_SQL)(_an.mart_user_360)
 query("ts_weekend_lift", _an.TS_WEEKEND_SQL)(_an.ts_weekend_lift)
+query("cohort_ltv_matrix", _an.COHORT_LTV_SQL)(_an.cohort_ltv_matrix)
 query("text_tfidf_topk", _an.TEXT_TFIDF_SQL)(_an.text_tfidf_topk)
 query("join_salted_skew", _an.JOIN_SALTED_SQL)(_an.join_salted_skew)
 query("agg_sliding_window", _an.AGG_SLIDING_SQL)(_an.agg_sliding_window)

@@ -1296,3 +1296,43 @@ def test_weekend_lift_vs_brute(spark, sf_dir):
         for r in an.ts_weekend_lift(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_cohort_ltv_vs_brute(spark, sf_dir):
+    from spark_streaming_stream_analyzer_spark.operators import analytics as an
+    from spark_streaming_stream_analyzer_spark.sources.tables import (
+        load_table,
+        ts_micros,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select(
+        "user_id", ts_micros(ev).alias("us"), "event_type", "value"
+    ).collect()
+    first = {}
+    for r in rows:
+        w = r["us"] // an.WEEK_US
+        first[r["user_id"]] = min(first.get(r["user_id"], w), w)
+    cells = {}
+    for r in rows:
+        if r["event_type"] != "purchase":
+            continue
+        cw = first[r["user_id"]]
+        age = r["us"] // an.WEEK_US - cw
+        e = cells.setdefault((cw, age), [set(), 0])
+        e[0].add(r["user_id"])
+        e[1] += round(r["value"] * 100)
+    expect = {}
+    for cw in {c for c, _ in cells}:
+        cum = 0
+        for age in sorted(a for c, a in cells if c == cw):
+            buyers, rev = cells[(cw, age)]
+            cum += rev
+            expect[(cw, age)] = (len(buyers), rev, cum)
+    got = {
+        (r["cohort_week"], r["age_weeks"]): (
+            r["n_buyers"], r["revenue_cents"], r["cum_revenue_cents"]
+        )
+        for r in an.cohort_ltv_matrix(spark, sf_dir).collect()
+    }
+    assert got == expect
