@@ -1214,3 +1214,86 @@ LIMIT 30
 
 
 SAMPLE_SUBSAMPLE_SQL = _subsample_sql()
+
+
+# ---------------------------------------------- skip-gram pairs --
+
+SKIPGRAM_WINDOW = 2
+SKIPGRAM_TOPK = 30
+
+
+def text_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram training-pair extraction (the word2vec/embedding
+    corpus builder): for every token, its co-occurrences within a
+    ±2-token window, counted as unordered pairs corpus-wide, top-30
+    by count — the (center, context) supply that embedding trainers
+    stream, plus the co-occurrence census behind PMI-style
+    collocation mining.
+
+    Bounded explode, not a positional self-join: each token emits at
+    most SKIPGRAM_WINDOW forward pairs via array slicing (symmetric
+    pairs counted once), so the blow-up factor is the window size —
+    map-side, join-free until the final count.
+    """
+    docs = load_table_cpu(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda w: w != "")
+    wcol = docs.select(words.alias("ws")).filter(F.size("ws") >= 2)
+    offsets = list(range(1, SKIPGRAM_WINDOW + 1))
+    pair_arrays = [
+        F.zip_with(
+            F.col("ws"),
+            F.slice(
+                F.col("ws"), 1 + off,
+                F.greatest(F.size("ws") - off, F.lit(0)),
+            ),
+            lambda a, b: F.when(
+                b.isNotNull(),
+                F.when(a <= b, F.concat_ws(">", a, b)).otherwise(
+                    F.concat_ws(">", b, a)
+                ),
+            ),
+        )
+        for off in offsets
+    ]
+    pairs = wcol.select(
+        F.explode(F.flatten(F.array(*pair_arrays))).alias("pair")
+    ).filter(F.col("pair").isNotNull())
+    counts = pairs.groupBy("pair").agg(F.count("*").alias("n"))
+    return (
+        counts.orderBy(F.desc("n"), F.asc("pair"))
+        .limit(SKIPGRAM_TOPK)
+        .select(
+            F.split("pair", ">").getItem(0).alias("w1"),
+            F.split("pair", ">").getItem(1).alias("w2"),
+            "n",
+        )
+    )
+
+
+def _skipgram_sql() -> str:
+    branches = []
+    for off in range(1, SKIPGRAM_WINDOW + 1):
+        branches.append(f"""
+  SELECT CASE WHEN ws[i] <= ws[i + {off}] THEN ws[i] ELSE ws[i + {off}] END
+           AS wa,
+         CASE WHEN ws[i] <= ws[i + {off}] THEN ws[i + {off}] ELSE ws[i] END
+           AS wb
+  FROM w, LATERAL (SELECT unnest(range(1, len(ws) - {off} + 1)) AS i)
+""")
+    union = "\nUNION ALL\n".join(branches)
+    return f"""
+WITH w AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+  WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 2
+),
+pairs AS ({union}),
+counts AS (SELECT wa, wb, COUNT(*) AS n FROM pairs GROUP BY 1, 2)
+SELECT wa AS w1, wb AS w2, CAST(n AS BIGINT) AS n
+FROM counts
+ORDER BY n DESC, (wa || '>' || wb) ASC
+LIMIT {SKIPGRAM_TOPK}
+"""
+
+
+TEXT_SKIPGRAM_SQL = _skipgram_sql()

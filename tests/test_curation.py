@@ -661,3 +661,29 @@ def test_word_subsample_rates_track_sqrt_law(spark, sf_dir):
     p_keep = min(1.0, math.sqrt(ts.SUBSAMPLE_T_PPM / f_ppm))
     sigma = math.sqrt(f * p_keep * (1 - p_keep)) + 1e-9
     assert abs(kept - f * p_keep) < 5 * sigma + 3
+
+
+def test_skipgram_pairs_vs_brute(spark, sf_dir):
+    from collections import Counter
+
+    from spark_streaming_stream_analyzer_spark.operators import textstats as ts
+    from spark_streaming_stream_analyzer_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_dir, "documents").select("text").collect()
+    counts = Counter()
+    for r in rows:
+        ws = [t for t in r["text"].split(" ") if t]
+        for i, a in enumerate(ws):
+            for off in range(1, ts.SKIPGRAM_WINDOW + 1):
+                if i + off < len(ws):
+                    b = ws[i + off]
+                    counts[(min(a, b), max(a, b))] += 1
+    ranked = sorted(
+        counts.items(), key=lambda kv: (-kv[1], kv[0][0] + ">" + kv[0][1])
+    )
+    expect = [(a, b, n) for (a, b), n in ranked[: ts.SKIPGRAM_TOPK]]
+    got = [
+        (r["w1"], r["w2"], r["n"])
+        for r in ts.text_skipgram_pairs(spark, sf_dir).collect()
+    ]
+    assert got == expect
