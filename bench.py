@@ -96,6 +96,15 @@ HEADLINE = [
     "feature_chi2_select",
     "sample_bootstrap_stats",
     "pipeline_anomaly_panel",
+    # round-5 additions, fourth wave: governance/eval/mart tier
+    "fn_bloom_portable",
+    "ts_activity_streaks",
+    "dq_ks_two_sample",
+    "mart_user_360",
+    "agg_value_deciles",
+    "privacy_kanon_cells",
+    "text_skipgram_pairs",
+    "pipeline_doc_scorecard",
 ]
 
 #: Throughput probes: query → fixture table whose full scan dominates
