@@ -228,3 +228,82 @@ def test_hist_median_error_bound(spark, cents_vals):
     w = (max(cents_vals) - min(cents_vals)) // au.HIST_BINS + 1
     assert abs(got["approx_median"] * 100 - true_med) <= w + 0.51
     assert got["n"] == len(cents_vals)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-1000, max_value=1000), min_size=1,
+             max_size=60),
+    st.integers(min_value=0, max_value=200),
+)
+def test_cusum_prefix_min_identity(ds, k):
+    """The window identity s_t = cum_t − min(0, min prefix cum) must
+    equal Page's recursion s_t = max(0, s_{t-1} + d_t) for ANY
+    integer drift sequence — the algebra both ts_cusum_alarm and
+    stream_cusum_alarm stand on. (Pure python: no Spark session.)"""
+    drifts = [d - k for d in ds]
+    s_rec = 0
+    cum = 0
+    runmin = 0
+    for d in drifts:
+        s_rec = max(0, s_rec + d)
+        cum += d
+        runmin = min(runmin, cum)
+        s_ident = cum - min(runmin, 0)
+        assert s_ident == s_rec
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 50), st.integers(0, 50)),
+             min_size=1, max_size=40),
+)
+def test_skyline_fold_associativity(pts):
+    """pareto(A ∪ B) == pareto(pareto(A) ∪ pareto(B)) for any split —
+    the lossless-pruning property stream_pareto_front's per-batch
+    local frontiers rely on. Domination: price ≥ & day ≤, one strict."""
+    def dominated(p, s):
+        return any(
+            q[0] >= p[0] and q[1] <= p[1] and q != p
+            for q in s
+        ) and any(
+            (q[0] > p[0] or q[1] < p[1]) and q[0] >= p[0] and q[1] <= p[1]
+            for q in s
+        )
+
+    def pareto(s):
+        s = set(s)
+        return {p for p in s if not dominated(p, s)}
+
+    half = len(pts) // 2
+    a, b = pts[:half], pts[half:]
+    assert pareto(pts) == pareto(pareto(a) | pareto(b))
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(st.integers(-50, 50), min_size=1, max_size=30),
+    st.lists(st.integers(-50, 50), min_size=1, max_size=30),
+)
+def test_ks_grid_max_is_sufficient(xs, ys):
+    """max |F1 − F2| over the merged DISTINCT-value grid equals the
+    supremum over all real thresholds (step CDFs attain their sup at
+    sample points) — the dq_ks_two_sample reduction."""
+    n1, n2 = len(xs), len(ys)
+    grid = sorted(set(xs) | set(ys))
+    d_grid = max(
+        abs(sum(1 for x in xs if x <= t) * n2
+            - sum(1 for y in ys if y <= t) * n1)
+        for t in grid
+    )
+    # supremum probe: midpoints and outside points can't beat the grid
+    probes = (
+        [g - 0.5 for g in grid] + [g + 0.5 for g in grid]
+        + [grid[0] - 1, grid[-1] + 1]
+    )
+    d_probe = max(
+        abs(sum(1 for x in xs if x <= t) * n2
+            - sum(1 for y in ys if y <= t) * n1)
+        for t in probes
+    )
+    assert d_grid >= d_probe
