@@ -847,6 +847,7 @@ query("stream_hll_distinct", _sp.STREAM_HLL_SQL)(_sp.stream_hll_distinct)
 query("stream_column_profile", _sp.STREAM_PROFILE_SQL)(_sp.stream_column_profile)
 query("stream_pareto_front", _sp.STREAM_PARETO_SQL)(_sp.stream_pareto_front)
 query("stream_cms_topk", _sp.STREAM_CMS_SQL)(_sp.stream_cms_topk)
+query("stream_kanon_cells", _sp.STREAM_KANON_SQL)(_sp.stream_kanon_cells)
 query("stream_dedup", _sp.STREAM_DEDUP_SQL)(_sp.stream_dedup)
 query("stream_dedup_watermark", _sp.STREAM_DEDUP_WM_SQL)(_sp.stream_dedup_watermark)
 query("stream_stream_left_join", _sp.STREAM_STREAM_LEFT_SQL)(

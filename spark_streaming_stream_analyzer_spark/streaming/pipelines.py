@@ -1671,3 +1671,86 @@ def _stream_cms_sql() -> str:
 
 
 STREAM_CMS_SQL = _stream_cms_sql()
+
+
+def stream_kanon_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``auditing.privacy_kanon_cells``: the
+    anonymized extract maintained live — per micro-batch the
+    (type, day, user-bucket) cell partials fold into a parquet delta
+    store (counts and cent-sums add), and the k=5 suppression floor
+    is applied AT SERVE TIME over the folded totals. Order matters
+    and this is the right order: suppressing per batch would leak
+    cells that only clear k cumulatively, and under-release ones
+    that do — the fold-then-floor rule is what makes a privacy
+    gate streamable at all. Batch-parity oracle.
+    """
+    from ..operators.auditing import KANON_BUCKET, KANON_K
+
+    stream = events_file_stream(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )
+    store_dir = _tracked_tmp_dir("sgs_kanon_store")
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cells = (
+            batch_df.select(
+                "event_type",
+                ts_micros(batch_df).alias("us"),
+                F.expr(f"user_id DIV {KANON_BUCKET}").alias("user_bucket"),
+                F.round(F.col("value") * 100).cast("long").alias("cents"),
+            )
+            .select(
+                "event_type",
+                F.expr("us DIV 86400000000").alias("day"),
+                "user_bucket",
+                "cents",
+            )
+            .groupBy("event_type", "day", "user_bucket")
+            .agg(F.count("*").alias("n"), F.sum("cents").alias("sum_cents"))
+        )
+        cells.write.mode("append").parquet(store_dir)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_CPUS", "32")
+    )
+    ckpt = _tracked_tmp_dir("sgs_kanon")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(fold_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        _cleanup_tmp_dirs([ckpt])
+    cells = (
+        spark.read.parquet(store_dir)
+        .groupBy("event_type", "day", "user_bucket")
+        .agg(F.sum("n").alias("n"), F.sum("sum_cents").alias("sum_cents"))
+    )
+    supp = cells.groupBy("event_type", "day").agg(
+        F.sum(F.when(F.col("n") < KANON_K, 1).otherwise(0))
+        .alias("n_suppressed_cells"),
+        F.sum(F.when(F.col("n") < KANON_K, F.col("n")).otherwise(0))
+        .alias("n_suppressed_rows"),
+    )
+    return (
+        cells.filter(F.col("n") >= KANON_K)
+        .join(F.broadcast(supp), ["event_type", "day"])
+        .select(
+            "event_type", "day", "user_bucket", "n", "sum_cents",
+            "n_suppressed_cells", "n_suppressed_rows",
+        )
+    )
+
+
+def _stream_kanon_sql() -> str:
+    from ..operators.auditing import PRIVACY_KANON_SQL
+
+    return PRIVACY_KANON_SQL
+
+
+STREAM_KANON_SQL = _stream_kanon_sql()

@@ -925,3 +925,42 @@ def test_stream_user360_boundary_carries(spark, tmp_path):
     assert final["n_purchases"] == 2
     assert final["ltv_cents"] == 2500 + 1050
     assert final["n_active_days"] == 2   # day carry counted once each
+
+
+def test_stream_kanon_fold_then_floor(spark, tmp_path):
+    """A cell below k within each batch but above k cumulatively MUST
+    be released (fold-then-floor), never suppressed per-batch."""
+    import pandas as pd
+    from unittest import mock
+
+    import spark_streaming_stream_analyzer_spark.streaming.pipelines as sp
+    from spark_streaming_stream_analyzer_spark.operators.auditing import (
+        KANON_K,
+    )
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    # 3 rows per batch for user-bucket 0 on day 0: below k=5 per batch,
+    # 6 total -> must be released
+    b1 = pd.DataFrame(
+        [(i, i * NS, 1, "a", 1.0, "{}") for i in range(3)], columns=cols
+    )
+    b2 = pd.DataFrame(
+        [(i, i * NS, 2, "a", 1.0, "{}") for i in range(3, 6)], columns=cols
+    )
+    src = os.path.join(str(tmp_path), "ev_stream")
+    os.makedirs(src)
+    b1.to_parquet(os.path.join(src, "0000.parquet"), index=False)
+    b2.to_parquet(os.path.join(src, "0001.parquet"), index=False)
+
+    real = sp.events_file_stream
+
+    def fake_stream(s, path, copies=1):
+        return real(s, src)
+
+    with mock.patch.object(sp, "events_file_stream", fake_stream):
+        rows = sp.stream_kanon_cells(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["event_type"], r["day"], r["user_bucket"]) == ("a", 0, 0)
+    assert r["n"] == 6 >= KANON_K
+    assert r["n_suppressed_cells"] == 0
