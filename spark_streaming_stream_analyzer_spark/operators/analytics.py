@@ -3805,3 +3805,96 @@ SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
          AS BIGINT) AS cum_revenue_cents
 FROM cells
 """
+
+
+def ts_changepoint_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detection → quantification: for each event_type whose CUSUM
+    fires, the before/after split at the FIRST alarm — event counts
+    and exact integer-micro mean values on each side and the signed
+    delta — turning "drift detected" into "drift of how much", in
+    the same DAG that detected it (composition over
+    ``ts_cusum_alarm``).
+
+    The |types|-row alarm table broadcasts back onto one event scan;
+    means are integer DIV (sign-split), so the impact row is as
+    bit-decidable as the detector.
+    """
+    alarms = ts_cusum_alarm(spark, sf_dir).filter(
+        F.col("first_alarm_us").isNotNull()
+    ).select("event_type", "first_alarm_us")
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        ts_micros(ev).alias("us"),
+        F.round(F.col("value") * 1_000_000).cast("long").alias("m"),
+    )
+    tagged = base.join(F.broadcast(alarms), "event_type").select(
+        "event_type",
+        "first_alarm_us",
+        (F.col("us") >= F.col("first_alarm_us")).cast("long").alias("post"),
+        "m",
+    )
+    agg = tagged.groupBy("event_type", "first_alarm_us").agg(
+        F.sum(1 - F.col("post")).alias("n_pre"),
+        F.sum("post").alias("n_post"),
+        F.sum(F.when(F.col("post") == 0, F.col("m")).otherwise(0))
+        .alias("s_pre"),
+        F.sum(F.when(F.col("post") == 1, F.col("m")).otherwise(0))
+        .alias("s_post"),
+    )
+    sdiv = (
+        "CASE WHEN {s} >= 0 THEN {s} DIV {n}"
+        " ELSE -((-{s}) DIV {n}) END"
+    )
+    return agg.filter(
+        (F.col("n_pre") > 0) & (F.col("n_post") > 0)
+    ).select(
+        "event_type",
+        "first_alarm_us",
+        "n_pre",
+        "n_post",
+        F.expr(sdiv.format(s="s_pre", n="n_pre")).alias("pre_mean_micro"),
+        F.expr(sdiv.format(s="s_post", n="n_post")).alias("post_mean_micro"),
+        (
+            F.expr(sdiv.format(s="s_post", n="n_post"))
+            - F.expr(sdiv.format(s="s_pre", n="n_pre"))
+        ).alias("delta_micro"),
+    )
+
+
+def _chgpt_sql() -> str:
+    sdiv = (
+        "CASE WHEN {s} >= 0 THEN CAST({s} AS BIGINT) // CAST({n} AS BIGINT)"
+        " ELSE -((-CAST({s} AS BIGINT)) // CAST({n} AS BIGINT)) END"
+    )
+    pre = sdiv.format(s="SUM(CASE WHEN post = 0 THEN m ELSE 0 END)",
+                      n="SUM(1 - post)")
+    post = sdiv.format(s="SUM(CASE WHEN post = 1 THEN m ELSE 0 END)",
+                       n="SUM(post)")
+    return f"""
+WITH alarms AS (
+  SELECT event_type, first_alarm_us FROM ({TS_CUSUM_SQL.strip()})
+  WHERE first_alarm_us IS NOT NULL
+),
+base AS (
+  SELECT event_type, epoch_us(ts) AS us,
+         CAST(round(value * 1000000) AS BIGINT) AS m
+  FROM events
+),
+tagged AS (
+  SELECT b.event_type, a.first_alarm_us,
+         CASE WHEN b.us >= a.first_alarm_us THEN 1 ELSE 0 END AS post, b.m
+  FROM base b JOIN alarms a ON a.event_type = b.event_type
+)
+SELECT event_type, first_alarm_us,
+       CAST(SUM(1 - post) AS BIGINT) AS n_pre,
+       CAST(SUM(post) AS BIGINT) AS n_post,
+       CAST({pre} AS BIGINT) AS pre_mean_micro,
+       CAST({post} AS BIGINT) AS post_mean_micro,
+       CAST(({post}) - ({pre}) AS BIGINT) AS delta_micro
+FROM tagged GROUP BY 1, 2
+HAVING SUM(1 - post) > 0 AND SUM(post) > 0
+"""
+
+
+TS_CHGPT_SQL = _chgpt_sql()

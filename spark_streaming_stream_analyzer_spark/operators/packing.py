@@ -711,3 +711,97 @@ SELECT doc_id, source, CAST(rn AS BIGINT) AS rn,
          AS position
 FROM ranked
 """
+
+
+# ------------------------------------------------ epoch shuffles --
+
+EPOCHS_N = 3
+EPOCH_HEAD = 5
+
+
+def pack_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training shuffles: epoch e orders the
+    corpus by md5(e, doc_id) — a different but perfectly reproducible
+    permutation per epoch, derivable by any worker with no shuffle
+    state (the no-RNG property of ``src_synthetic_gen`` applied to
+    data ordering). Each epoch's ENTIRE permutation is committed to
+    one XOR-fold checksum of (position, doc) pairs, plus the first
+    five doc_ids for spot inspection — so the full ordering is
+    value-oracled without emitting |docs|·|epochs| rows.
+
+    Per epoch: one hash sort (the unavoidable cost of a global
+    order), then a single-row fold.
+    """
+    docs = load_table_cpu(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(EPOCHS_N).select(F.col("id").alias("epoch"))
+    keyed = docs.crossJoin(F.broadcast(epochs)).select(
+        "epoch",
+        "doc_id",
+        hash64(
+            F.concat(
+                F.lit("ep#"),
+                F.col("epoch").cast("string"),
+                F.lit("#"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("h"),
+    )
+    w = Window.partitionBy("epoch").orderBy("h", "doc_id")
+    pos = keyed.withColumn("position", F.row_number().over(w))
+    sig = pos.withColumn(
+        "hash_sig",
+        hash64(
+            F.concat(
+                F.col("position").cast("string"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            )
+        ),
+    )
+    return sig.groupBy("epoch").agg(
+        F.count("*").alias("n_docs"),
+        F.expr("bit_xor(hash_sig)").alias("perm_checksum"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(
+                    F.array_sort(
+                        F.collect_list(F.struct("position", "doc_id"))
+                    ),
+                    1,
+                    EPOCH_HEAD,
+                ),
+                lambda s: s["doc_id"].cast("string"),
+            ),
+        ).alias("head_docs"),
+    )
+
+
+def _epoch_shuffle_sql() -> str:
+    h = hash64_sql(
+        "'ep#' || CAST(epoch AS VARCHAR) || '#' || CAST(doc_id AS VARCHAR)"
+    )
+    hs = hash64_sql(
+        "CAST(position AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)"
+    )
+    return f"""
+WITH keyed AS (
+  SELECT e.epoch, d.doc_id, {h} AS h
+  FROM documents d CROSS JOIN (SELECT unnest(range(0, {EPOCHS_N})) AS epoch) e
+),
+pos AS (
+  SELECT epoch, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY h, doc_id)
+           AS position
+  FROM keyed
+)
+SELECT CAST(epoch AS BIGINT) AS epoch, COUNT(*) AS n_docs,
+       bit_xor({hs}) AS perm_checksum,
+       array_to_string(list(CAST(doc_id AS VARCHAR)
+                            ORDER BY position) [1:{EPOCH_HEAD}], ',')
+         AS head_docs
+FROM pos GROUP BY 1
+"""
+
+
+PACK_EPOCH_SQL = _epoch_shuffle_sql()

@@ -573,6 +573,7 @@ query("ts_rolling_anomaly", _an.TS_ROLL_ANOM_SQL)(_an.ts_rolling_anomaly)
 query("mart_user_360", _an.MART_USER_360_SQL)(_an.mart_user_360)
 query("ts_weekend_lift", _an.TS_WEEKEND_SQL)(_an.ts_weekend_lift)
 query("cohort_ltv_matrix", _an.COHORT_LTV_SQL)(_an.cohort_ltv_matrix)
+query("ts_changepoint_impact", _an.TS_CHGPT_SQL)(_an.ts_changepoint_impact)
 query("text_tfidf_topk", _an.TEXT_TFIDF_SQL)(_an.text_tfidf_topk)
 query("join_salted_skew", _an.JOIN_SALTED_SQL)(_an.join_salted_skew)
 query("agg_sliding_window", _an.AGG_SLIDING_SQL)(_an.agg_sliding_window)
@@ -742,6 +743,7 @@ query("sample_reservoir_group", _pk.RESERVOIR_SQL)(_pk.sample_reservoir_group)
 query("sample_bootstrap_stats", _pk.SAMPLE_BOOTSTRAP_SQL)(_pk.sample_bootstrap_stats)
 query("agg_pareto_8020", _pk.AGG_PARETO_SQL)(_pk.agg_pareto_8020)
 query("pack_interleave_order", _pk.PACK_INTERLEAVE_SQL)(_pk.pack_interleave_order)
+query("pack_epoch_shuffle", _pk.PACK_EPOCH_SQL)(_pk.pack_epoch_shuffle)
 query("corpus_contrib_gini", _pk.CORPUS_GINI_SQL)(_pk.corpus_contrib_gini)
 query("pack_length_buckets", _pk.PACK_LENGTH_SQL)(_pk.pack_length_buckets)
 query("corpus_mixture_stats", _pk.MIXTURE_SQL)(_pk.corpus_mixture_stats)

@@ -1336,3 +1336,43 @@ def test_cohort_ltv_vs_brute(spark, sf_dir):
         for r in an.cohort_ltv_matrix(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_changepoint_impact_vs_brute(spark, sf_dir):
+    from spark_streaming_stream_analyzer_spark.operators import analytics as an
+    from spark_streaming_stream_analyzer_spark.sources.tables import (
+        load_table,
+        ts_micros,
+    )
+
+    alarms = {
+        r["event_type"]: r["first_alarm_us"]
+        for r in an.ts_cusum_alarm(spark, sf_dir).collect()
+        if r["first_alarm_us"] is not None
+    }
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select(
+        "event_type", ts_micros(ev).alias("us"), "value"
+    ).collect()
+    expect = {}
+    for t, cut in alarms.items():
+        pre = [round(r["value"] * 1_000_000) for r in rows
+               if r["event_type"] == t and r["us"] < cut]
+        post = [round(r["value"] * 1_000_000) for r in rows
+                if r["event_type"] == t and r["us"] >= cut]
+        if not pre or not post:
+            continue
+
+        def sdiv(s, n):
+            return s // n if s >= 0 else -((-s) // n)
+
+        pm, qm = sdiv(sum(pre), len(pre)), sdiv(sum(post), len(post))
+        expect[t] = (cut, len(pre), len(post), pm, qm, qm - pm)
+    got = {
+        r["event_type"]: (
+            r["first_alarm_us"], r["n_pre"], r["n_post"],
+            r["pre_mean_micro"], r["post_mean_micro"], r["delta_micro"],
+        )
+        for r in an.ts_changepoint_impact(spark, sf_dir).collect()
+    }
+    assert got == expect

@@ -216,3 +216,17 @@ def test_pareto_8020_vs_brute(spark, sf_dir):
         for r in pk.agg_pareto_8020(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_epoch_shuffle_permutations_differ_and_reproduce(spark, sf_dir):
+    from spark_streaming_stream_analyzer_spark.operators import packing as pk
+
+    rows1 = {r["epoch"]: (r["n_docs"], r["perm_checksum"], r["head_docs"])
+             for r in pk.pack_epoch_shuffle(spark, sf_dir).collect()}
+    rows2 = {r["epoch"]: (r["n_docs"], r["perm_checksum"], r["head_docs"])
+             for r in pk.pack_epoch_shuffle(spark, sf_dir).collect()}
+    assert rows1 == rows2 and len(rows1) == pk.EPOCHS_N
+    # all epochs cover the same corpus but in different orders
+    assert len({v[0] for v in rows1.values()}) == 1
+    assert len({v[1] for v in rows1.values()}) == pk.EPOCHS_N
+    assert len({v[2] for v in rows1.values()}) == pk.EPOCHS_N
