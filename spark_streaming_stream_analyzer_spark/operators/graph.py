@@ -565,6 +565,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node")
         .localCheckpoint(eager=False)
     )
+    prev_n = nodes.count()
     for _ in range(KCORE_ROUNDS - 1):
         sub = edges.join(
             nodes.select(F.col("node").alias("src")), "src"
@@ -576,6 +577,14 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node")
             .localCheckpoint(eager=False)
         )
+        # early exit at the fixpoint: further peels remove nothing, so
+        # the result is IDENTICAL to the full 10-round unroll the
+        # oracle runs (extra rounds are no-ops) — this only skips the
+        # no-op rounds. One tiny count per round, same as CC's loop.
+        cur_n = nodes.count()
+        if cur_n == prev_n:
+            break
+        prev_n = cur_n
     final = edges.join(
         nodes.select(F.col("node").alias("src")), "src"
     ).join(nodes.select(F.col("node").alias("dst")), "dst")
