@@ -852,3 +852,60 @@ ranked AS (
 SELECT source, token, a, b, c, d, chi2_e3, CAST(rn AS BIGINT) AS rn
 FROM ranked WHERE rn <= {CHI2_TOPK}
 """
+
+
+CV_FOLDS = 5
+
+
+def sample_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic K-fold cross-validation assignment with a
+    balance audit: docs land in fold = hash(doc_id) mod 5 (the
+    ``target_encode_oof`` assignment, surfaced as its own artifact so
+    every trainer uses the SAME folds), reported per (fold, lang)
+    with each fold's share of the class in ppm and its deviation
+    from the uniform 200k — the skew check that catches a bad hash
+    or a sorted-id pathology before any model trains on the split.
+
+    One scan, |folds|·|langs| output rows.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    fold = F.pmod(
+        hash64(F.concat(F.lit("cv#"), F.col("doc_id").cast("string"))),
+        F.lit(CV_FOLDS),
+    )
+    cells = docs.withColumn("fold", fold).groupBy("fold", "lang").agg(
+        F.count("*").alias("n_docs")
+    )
+    class_tot = F.sum("n_docs").over(Window.partitionBy("lang"))
+    return cells.withColumn("lang_total", class_tot).select(
+        "fold",
+        "lang",
+        "n_docs",
+        "lang_total",
+        F.expr("(n_docs * 1000000) DIV lang_total").alias("share_ppm"),
+        F.expr(
+            f"(n_docs * 1000000) DIV lang_total - 1000000 DIV {CV_FOLDS}"
+        ).alias("skew_ppm"),
+    )
+
+
+def _cv_folds_sql() -> str:
+    h = hash64_sql("'cv#' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH cells AS (
+  SELECT (({h}) % {CV_FOLDS} + {CV_FOLDS}) % {CV_FOLDS} AS fold, lang,
+         COUNT(*) AS n_docs
+  FROM documents GROUP BY 1, 2
+)
+SELECT CAST(fold AS BIGINT) AS fold, lang,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(SUM(n_docs) OVER (PARTITION BY lang) AS BIGINT) AS lang_total,
+       CAST((n_docs * 1000000) // SUM(n_docs) OVER (PARTITION BY lang)
+            AS BIGINT) AS share_ppm,
+       CAST((n_docs * 1000000) // SUM(n_docs) OVER (PARTITION BY lang)
+            - 1000000 // {CV_FOLDS} AS BIGINT) AS skew_ppm
+FROM cells
+"""
+
+
+SAMPLE_CV_SQL = _cv_folds_sql()

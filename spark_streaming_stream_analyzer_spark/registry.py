@@ -804,6 +804,7 @@ from .operators import featurize as _ft  # noqa: E402
 query("feature_quantile_bins", _ft.FEATURE_BINS_SQL)(_ft.feature_quantile_bins)
 query("feature_hash_vectorize", _ft.FEATURE_HASH_SQL)(_ft.feature_hash_vectorize)
 query("feature_chi2_select", _ft.FEATURE_CHI2_SQL)(_ft.feature_chi2_select)
+query("sample_cv_folds", _ft.SAMPLE_CV_SQL)(_ft.sample_cv_folds)
 query("target_encode_oof", _ft.TARGET_ENCODE_SQL)(_ft.target_encode_oof)
 query("approx_kmv_jaccard", _ft.KMV_JACCARD_SQL)(_ft.approx_kmv_jaccard)
 query("approx_distinct_intersect", _ft.HLL_INTERSECT_SQL)(

@@ -356,3 +356,43 @@ def test_chi2_select_vs_brute(spark, sf_dir):
         for r in ft.feature_chi2_select(spark, sf_dir).collect()
     ]
     assert sorted(got) == sorted(expect)
+
+
+def test_cv_folds_partition_and_match_oof_assignment(spark, sf_dir):
+    """Folds partition every class; shares sum to 1e6 per class within
+    floor rounding; assignment is the deterministic hash."""
+    from collections import Counter
+
+    from spark_streaming_stream_analyzer_spark.operators import featurize as ft
+    from spark_streaming_stream_analyzer_spark.functions.hashing import hash64
+    from spark_streaming_stream_analyzer_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    assign = {
+        r["doc_id"]: r["f"]
+        for r in docs.select(
+            "doc_id",
+            F.pmod(
+                hash64(F.concat(F.lit("cv#"), F.col("doc_id").cast("string"))),
+                F.lit(ft.CV_FOLDS),
+            ).alias("f"),
+        ).collect()
+    }
+    langs = {r["doc_id"]: r["lang"]
+             for r in docs.select("doc_id", "lang").collect()}
+    cells = Counter((assign[d], langs[d]) for d in assign)
+    totals = Counter()
+    for (f, l), n in cells.items():
+        totals[l] += n
+    got = {
+        (r["fold"], r["lang"]): (r["n_docs"], r["lang_total"], r["share_ppm"])
+        for r in ft.sample_cv_folds(spark, sf_dir).collect()
+    }
+    assert got == {
+        (f, l): (n, totals[l], (n * 1_000_000) // totals[l])
+        for (f, l), n in cells.items()
+    }
+    for l in totals:
+        s = sum(v[2] for (f, ll), v in got.items() if ll == l)
+        assert 1_000_000 - 5 * ft.CV_FOLDS <= s <= 1_000_000
