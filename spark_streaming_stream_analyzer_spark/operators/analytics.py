@@ -3898,3 +3898,131 @@ HAVING SUM(1 - post) > 0 AND SUM(post) > 0
 
 
 TS_CHGPT_SQL = _chgpt_sql()
+
+
+def agg_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session bounce rate by day: sessions (30-min idle gap, the
+    ``mart_user_360`` rule) that contain exactly ONE event, as a ppm
+    share of the day's sessions — the engagement-quality headline
+    stat, attributed to the day the session STARTED.
+
+    One user-keyed window builds session ids (running sum of
+    new-session flags); a session-grain aggregate sizes each; the
+    day rollup is tiny. Integer ppm.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", ts_micros(ev).alias("us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    flagged = base.withColumn(
+        "new_session",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | (F.col("us") - F.lag("us").over(w) > SESSION_GAP_US_360),
+            1,
+        ).otherwise(0),
+    )
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = flagged.withColumn("sid", F.sum("new_session").over(wc))
+    per_sess = sess.groupBy("user_id", "sid").agg(
+        F.count("*").alias("n_events"),
+        F.min("us").alias("start_us"),
+    )
+    days = per_sess.select(
+        F.expr("start_us DIV 86400000000").alias("day"),
+        (F.col("n_events") == 1).cast("long").alias("bounce"),
+    )
+    return (
+        days.groupBy("day")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("bounce").alias("n_bounces"),
+        )
+        .select(
+            "day", "n_sessions", "n_bounces",
+            F.expr("(n_bounces * 1000000) DIV n_sessions")
+            .alias("bounce_ppm"),
+        )
+    )
+
+
+AGG_BOUNCE_SQL = f"""
+WITH base AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+),
+flagged AS (
+  SELECT *,
+         CASE WHEN LAG(us) OVER w IS NULL
+                   OR us - LAG(us) OVER w > {SESSION_GAP_US_360}
+              THEN 1 ELSE 0 END AS new_session
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+sess AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+),
+per_sess AS (
+  SELECT user_id, sid, COUNT(*) AS n_events, MIN(us) AS start_us
+  FROM sess GROUP BY 1, 2
+),
+days AS (
+  SELECT start_us // 86400000000 AS day,
+         CASE WHEN n_events = 1 THEN 1 ELSE 0 END AS bounce
+  FROM per_sess
+)
+SELECT CAST(day AS BIGINT) AS day, COUNT(*) AS n_sessions,
+       CAST(SUM(bounce) AS BIGINT) AS n_bounces,
+       CAST((SUM(bounce) * 1000000) // COUNT(*) AS BIGINT) AS bounce_ppm
+FROM days GROUP BY 1
+"""
+
+
+def ts_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness (Fano factor) of the daily count series per
+    event_type: variance-to-mean ratio ×1000 — 1000 ≈ Poisson
+    arrivals, greater ⇒ bursty/clumped, smaller ⇒ regular. The
+    one-number prior for anomaly-threshold tuning (a bursty stream
+    needs wider bands).
+
+    EXACT: F·1e3 = ((nQ − S²)·1000) DIV (n·S) over integer daily
+    counts (population variance convention, consistent with
+    ``ts_rolling_anomaly``'s nQ−S² form).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", ts_micros(ev).alias("us"))
+        .select("event_type", F.expr(f"us DIV {SEQ_DAY_US}").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("x"))
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum("x").alias("s"),
+            F.sum(F.col("x") * F.col("x")).alias("q"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            "s",
+            F.expr(
+                "((n_days * q - s * s) * 1000) DIV (n_days * s)"
+            ).alias("fano_e3"),
+        )
+    )
+
+
+TS_FANO_SQL = f"""
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // {SEQ_DAY_US} AS day, COUNT(*) AS x
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, COUNT(*) AS n_days, CAST(SUM(x) AS BIGINT) AS s,
+       CAST(((COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)) * 1000)
+            // (COUNT(*) * SUM(x)) AS BIGINT) AS fano_e3
+FROM daily GROUP BY 1
+"""

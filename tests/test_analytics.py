@@ -1376,3 +1376,70 @@ def test_changepoint_impact_vs_brute(spark, sf_dir):
         for r in an.ts_changepoint_impact(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_bounce_rate_vs_brute(spark, sf_dir):
+    from spark_streaming_stream_analyzer_spark.operators import analytics as an
+    from spark_streaming_stream_analyzer_spark.sources.tables import (
+        load_table,
+        ts_micros,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select(
+        "user_id", ts_micros(ev).alias("us"), "event_id"
+    ).collect()
+    by_u = {}
+    for r in rows:
+        by_u.setdefault(r["user_id"], []).append((r["us"], r["event_id"]))
+    days = {}
+    for u, seq in by_u.items():
+        seq.sort()
+        start = seq[0][0]
+        size = 1
+        for (a, _), (b, _) in zip(seq, seq[1:]):
+            if b - a > an.SESSION_GAP_US_360:
+                d = start // 86_400_000_000
+                e = days.setdefault(d, [0, 0])
+                e[0] += 1
+                e[1] += int(size == 1)
+                start, size = b, 1
+            else:
+                size += 1
+        d = start // 86_400_000_000
+        e = days.setdefault(d, [0, 0])
+        e[0] += 1
+        e[1] += int(size == 1)
+    expect = {
+        d: (n, b, (b * 1_000_000) // n) for d, (n, b) in days.items()
+    }
+    got = {
+        r["day"]: (r["n_sessions"], r["n_bounces"], r["bounce_ppm"])
+        for r in an.agg_bounce_rate(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_fano_factor_vs_brute(spark, sf_dir):
+    from spark_streaming_stream_analyzer_spark.operators import analytics as an
+    from spark_streaming_stream_analyzer_spark.sources.tables import (
+        load_table,
+        ts_micros,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select("event_type", ts_micros(ev).alias("us")).collect()
+    daily = {}
+    for r in rows:
+        k = (r["event_type"], r["us"] // an.SEQ_DAY_US)
+        daily[k] = daily.get(k, 0) + 1
+    expect = {}
+    for t in sorted({t for t, _ in daily}):
+        xs = [x for (tt, _), x in daily.items() if tt == t]
+        n, s, q = len(xs), sum(xs), sum(x * x for x in xs)
+        expect[t] = (n, s, ((n * q - s * s) * 1000) // (n * s))
+    got = {
+        r["event_type"]: (r["n_days"], r["s"], r["fano_e3"])
+        for r in an.ts_fano_factor(spark, sf_dir).collect()
+    }
+    assert got == expect
