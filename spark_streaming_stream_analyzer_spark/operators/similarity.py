@@ -2006,3 +2006,90 @@ SELECT CAST(dim AS INTEGER) AS dim, CAST(n AS BIGINT) AS n,
             AS BIGINT) AS var_rank
 FROM m
 """
+
+
+DIST_SAMPLE_MOD = 16   # keep ~1/16 of ordered pairs, hash-selected
+DIST_BUCKETS = 20      # cosine buckets of width 0.1 over [-1, 1]
+
+
+def emb_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-concentration diagnostic: the histogram of pairwise
+    cosine similarities over a DETERMINISTIC 1/16 hash-sample of
+    vector pairs, bucketed 0.1-wide over [−1, 1] — the curse-of-
+    dimensionality check (a histogram collapsing onto one bucket
+    means neighbors are indistinguishable and ANN recall targets are
+    fiction). Hash-sampling keeps the census reproducible: the same
+    pairs are scored on every run and engine.
+
+    Cosines use the order-exact fold (bit-identical across engines),
+    so bucket floors agree exactly. Pair selection is md5 on the
+    ordered id pair — sampling happens BEFORE scoring, so cost is
+    |pairs|/16 dot products, and the modulus is the knob that keeps
+    the probe linear-ish at corpus scale.
+    """
+    em = _with_norm(
+        load_table_cpu(spark, sf_dir, "embeddings"), "embedding", "nrm"
+    ).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb_d"),
+        "nrm",
+    )
+    other = em.select(
+        F.col("vec_id").alias("o_id"),
+        F.col("emb_d").alias("o_emb_d"),
+        F.col("nrm").alias("o_nrm"),
+    )
+    pair_key = F.concat(
+        F.lit("dh#"), F.col("vec_id").cast("string"),
+        F.lit("#"), F.col("o_id").cast("string"),
+    )
+    from ..functions.hashing import hash64
+
+    pairs = em.join(
+        F.broadcast(other), F.col("vec_id") < F.col("o_id")
+    ).filter(F.pmod(hash64(pair_key), F.lit(DIST_SAMPLE_MOD)) == 0)
+    dot = _fold_sum(F.zip_with("emb_d", "o_emb_d", lambda x, y: x * y))
+    cos = dot / (F.col("nrm") * F.col("o_nrm"))
+    bucketed = pairs.select(
+        F.least(
+            F.greatest(
+                F.floor((cos + 1.0) * (DIST_BUCKETS / 2)).cast("long"),
+                F.lit(0),
+            ),
+            F.lit(DIST_BUCKETS - 1),
+        ).alias("bucket")
+    )
+    counts = bucketed.groupBy("bucket").agg(F.count("*").alias("n_pairs"))
+    tot = counts.agg(F.sum("n_pairs").alias("total"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "bucket", "n_pairs",
+        F.expr("(n_pairs * 1000000) DIV total").alias("share_ppm"),
+    )
+
+
+def _dist_hist_sql() -> str:
+    from ..functions.hashing import hash64_sql
+
+    h = hash64_sql(
+        "'dh#' || CAST(q.vec_id AS VARCHAR) || '#' || CAST(e.vec_id AS VARCHAR)"
+    )
+    return f"""
+WITH pairs AS (
+  SELECT q.vec_id AS a, e.vec_id AS b, {_COS_SQL} AS cos
+  FROM embeddings q JOIN embeddings e ON q.vec_id < e.vec_id
+  WHERE (({h}) % {DIST_SAMPLE_MOD} + {DIST_SAMPLE_MOD}) % {DIST_SAMPLE_MOD} = 0
+),
+bucketed AS (
+  SELECT LEAST(GREATEST(CAST(floor((cos + 1.0) * {DIST_BUCKETS // 2})
+                             AS BIGINT), 0), {DIST_BUCKETS - 1}) AS bucket
+  FROM pairs
+),
+counts AS (SELECT bucket, COUNT(*) AS n_pairs FROM bucketed GROUP BY 1),
+tot AS (SELECT SUM(n_pairs) AS total FROM counts)
+SELECT CAST(bucket AS BIGINT) AS bucket, CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST((n_pairs * 1000000) // total AS BIGINT) AS share_ppm
+FROM counts CROSS JOIN tot
+"""
+
+
+EMB_DIST_HIST_SQL = _dist_hist_sql()

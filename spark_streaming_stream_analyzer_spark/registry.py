@@ -681,6 +681,9 @@ query("emb_class_separation", _sim.EMB_SEPARATION_SQL)(
     _sim.emb_class_separation
 )
 query("emb_dim_variance", _sim.EMB_DIM_VAR_SQL)(_sim.emb_dim_variance)
+query("emb_distance_histogram", _sim.EMB_DIST_HIST_SQL)(
+    _sim.emb_distance_histogram
+)
 query("sim_pq_adc_topk", _sim.SIM_PQ_ADC_SQL)(_sim.sim_pq_adc_topk)
 query("sim_range_search", _sim.SIM_RANGE_SQL)(_sim.sim_range_search)
 query("sim_srp_topk", _sim.SIM_SRP_SQL)(_sim.sim_srp_topk)

@@ -496,3 +496,46 @@ def test_dim_variance_vs_numpy(spark, sf_dir):
         for r in sim.emb_dim_variance(spark, sf_dir).collect()
     }
     assert got == {d: (n, expect[d], ranks[d]) for d in expect}
+
+
+def test_distance_histogram_vs_numpy(spark, sf_dir):
+    import hashlib
+
+    import numpy as np
+
+    from spark_streaming_stream_analyzer_spark.operators import similarity as sim
+    from spark_streaming_stream_analyzer_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).collect()
+    ids = [r["vec_id"] for r in rows]
+    M = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    nrm = np.linalg.norm(M, axis=1)
+
+    def h64(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    from collections import Counter
+
+    counts = Counter()
+    for i, a in enumerate(ids):
+        for j, b in enumerate(ids):
+            if a >= b or nrm[i] == 0 or nrm[j] == 0:
+                continue
+            if h64(f"dh#{a}#{b}") % sim.DIST_SAMPLE_MOD != 0:
+                continue
+            cos = float(M[i] @ M[j] / (nrm[i] * nrm[j]))
+            bucket = min(
+                max(int(np.floor((cos + 1.0) * sim.DIST_BUCKETS / 2)), 0),
+                sim.DIST_BUCKETS - 1,
+            )
+            counts[bucket] += 1
+    total = sum(counts.values())
+    got = {
+        r["bucket"]: (r["n_pairs"], r["share_ppm"])
+        for r in sim.emb_distance_histogram(spark, sf_dir).collect()
+    }
+    assert got == {
+        b: (n, (n * 1_000_000) // total) for b, n in counts.items()
+    }
