@@ -17,7 +17,7 @@ graphs add nothing structurally new, only more partitions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
@@ -734,4 +734,117 @@ SELECT CAST(n_edges AS BIGINT) AS n_edges,
               // (CAST(denx AS HUGEINT) * CAST(deny AS HUGEINT)) AS BIGINT)
        END AS r2_ppm
 FROM stats
+"""
+
+
+# ------------------------------------------------ recommendations --
+
+REC_MIN_CO = 2
+REC_TOPK = 3
+
+
+def rec_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering, the co-purchase form: score
+    every (customer, candidate part) by the summed co-purchase counts
+    between the candidate and the parts the customer already bought,
+    drop owned items, keep each customer's top-3 — the classic
+    "customers who bought X also bought" recommender as one
+    DataFrame DAG.
+
+    Shape: the (part, part, co-count ≥ 2) affinity table is the
+    model; scoring is history ⋈ affinity grouped per (customer,
+    candidate); the owned-item removal is a left-anti join; top-k
+    is a per-customer window. At 100 TB the affinity table is the
+    thing you bound (min-co-count + per-item top-M neighbors — the
+    standard item-item truncation); scoring stays a hash join keyed
+    on part.
+
+    EXACT: integer co-counts; ties break on the part key.
+    """
+    # per-order DISTINCT parts first: a part split over two lineitems
+    # of one order is one purchase, not two co-purchase events
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    hist = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .select("o_custkey", "l_partkey")
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    und = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("co"))
+        .filter(F.col("co") >= REC_MIN_CO)
+    )
+    aff = und.unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"), "co")
+    )
+    scores = (
+        hist.join(aff, hist.l_partkey == aff.u)
+        .groupBy("o_custkey", "v")
+        .agg(F.sum("co").alias("score"))
+    )
+    unowned = scores.join(
+        hist.select(
+            F.col("o_custkey").alias("o_custkey"),
+            F.col("l_partkey").alias("v"),
+        ),
+        ["o_custkey", "v"],
+        "left_anti",
+    )
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("score"), F.asc("v"))
+    return (
+        unowned.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= REC_TOPK)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("v").alias("rec_partkey"),
+            "score",
+            "rk",
+        )
+    )
+
+
+REC_COPURCHASE_SQL = f"""
+WITH hist AS (
+  SELECT DISTINCT o.o_custkey, l.l_partkey
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+und AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS co
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {REC_MIN_CO}
+),
+aff AS (SELECT u, v, co FROM und UNION ALL SELECT v, u, co FROM und),
+scores AS (
+  SELECT h.o_custkey, a.v, SUM(a.co) AS score
+  FROM hist h JOIN aff a ON a.u = h.l_partkey
+  GROUP BY 1, 2
+),
+unowned AS (
+  SELECT s.* FROM scores s
+  WHERE NOT EXISTS (
+    SELECT 1 FROM hist h WHERE h.o_custkey = s.o_custkey
+      AND h.l_partkey = s.v
+  )
+)
+SELECT o_custkey AS custkey, v AS rec_partkey,
+       CAST(score AS BIGINT) AS score, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                               ORDER BY score DESC, v) AS rk
+  FROM unowned
+) t WHERE rk <= {REC_TOPK}
 """

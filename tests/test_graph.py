@@ -293,3 +293,49 @@ def test_assortativity_vs_brute(spark, sf_dir):
     sign = 0 if num == 0 else (1 if num > 0 else -1)
     row = gr.graph_degree_assortativity(spark, sf_dir).collect()[0]
     assert (row["n_edges"], row["r_sign"], row["r2_ppm"]) == (n, sign, r2)
+
+
+def test_rec_copurchase_vs_brute(spark, sf_dir):
+    from collections import Counter
+
+    from spark_streaming_stream_analyzer_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    od = {r["o_orderkey"]: r["o_custkey"]
+          for r in load_table(spark, sf_dir, "orders")
+          .select("o_orderkey", "o_custkey").collect()}
+    hist = {}
+    by_o = {}
+    for r in li:
+        by_o.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+        if r["l_orderkey"] in od:
+            hist.setdefault(od[r["l_orderkey"]], set()).add(r["l_partkey"])
+    co = Counter()
+    for parts in by_o.values():
+        ps = sorted(parts)
+        for i, u in enumerate(ps):
+            for v in ps[i + 1:]:
+                co[(u, v)] += 1
+    aff = {}
+    for (u, v), n in co.items():
+        if n >= gr.REC_MIN_CO:
+            aff.setdefault(u, {})[v] = n
+            aff.setdefault(v, {})[u] = n
+    expect = set()
+    for cust, owned in hist.items():
+        scores = Counter()
+        for p in owned:
+            for v, n in aff.get(p, {}).items():
+                scores[v] += n
+        for p in owned:
+            scores.pop(p, None)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        for rk, (v, sc) in enumerate(ranked[: gr.REC_TOPK], 1):
+            expect.add((cust, v, sc, rk))
+    got = {
+        (r["custkey"], r["rec_partkey"], r["score"], r["rk"])
+        for r in gr.rec_copurchase_topk(spark, sf_dir).collect()
+    }
+    assert got == expect
