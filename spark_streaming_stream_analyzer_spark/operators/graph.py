@@ -848,3 +848,80 @@ FROM (
   FROM unowned
 ) t WHERE rk <= {REC_TOPK}
 """
+
+
+def rec_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recommender evaluation panel over ``rec_copurchase_topk``'s
+    output: catalog coverage (share of the part catalog that appears
+    in ANY top-3 list, in ppm), aggregate diversity (distinct
+    recommended parts), and personalization — the expected number of
+    SHARED items between two random users' lists, computed exactly
+    via the inverted index identity Σ_p C(u_p, 2) / C(U, 2) in
+    micro-units (never enumerating user pairs). The
+    everyone-gets-the-same-bestsellers failure mode shows up here as
+    coverage ↓ and overlap ↑ long before any A/B test.
+
+    One pass over the rec table + a part-count broadcast; the pair
+    identity turns a U²-pair statistic into a |parts|-row aggregate.
+    """
+    recs = rec_copurchase_topk(spark, sf_dir).localCheckpoint(eager=False)
+    n_parts = load_table(spark, sf_dir, "part").select(
+        F.count_distinct("p_partkey").alias("catalog")
+    )
+    users = recs.agg(F.count_distinct("custkey").alias("n_users"))
+    per_part = recs.groupBy("rec_partkey").agg(
+        F.count("*").alias("u_p")
+    )
+    agg = per_part.agg(
+        F.count("*").alias("n_rec_parts"),
+        F.sum(
+            F.expr("(u_p * (u_p - 1)) DIV 2")
+        ).alias("shared_pairs"),
+    )
+    # one declarative DAG: the three single-row aggregates broadcast-
+    # cross; no driver-side action bakes a literal into the plan
+    return (
+        agg.crossJoin(F.broadcast(n_parts))
+        .crossJoin(F.broadcast(users))
+        .select(
+            "n_users",
+            "n_rec_parts",
+            "catalog",
+            F.expr("(n_rec_parts * 1000000) DIV catalog")
+            .alias("coverage_ppm"),
+            "shared_pairs",
+            F.expr(
+                "(shared_pairs * 1000000)"
+                " DIV (n_users * (n_users - 1) DIV 2)"
+            ).alias("mean_overlap_micro"),
+        )
+    )
+
+
+def _rec_eval_sql() -> str:
+    return f"""
+WITH recs AS ({REC_COPURCHASE_SQL.strip()}),
+users AS (SELECT COUNT(DISTINCT custkey) AS n_users FROM recs),
+per_part AS (
+  SELECT rec_partkey, COUNT(*) AS u_p FROM recs GROUP BY 1
+),
+agg AS (
+  SELECT COUNT(*) AS n_rec_parts,
+         SUM((u_p * (u_p - 1)) // 2) AS shared_pairs
+  FROM per_part
+),
+catalog AS (SELECT COUNT(DISTINCT p_partkey) AS catalog FROM part)
+SELECT CAST(u.n_users AS BIGINT) AS n_users,
+       CAST(a.n_rec_parts AS BIGINT) AS n_rec_parts,
+       CAST(c.catalog AS BIGINT) AS catalog,
+       CAST((a.n_rec_parts * 1000000) // c.catalog AS BIGINT)
+         AS coverage_ppm,
+       CAST(a.shared_pairs AS BIGINT) AS shared_pairs,
+       CAST((a.shared_pairs * 1000000)
+            // (CAST(u.n_users AS BIGINT) * (u.n_users - 1) // 2)
+            AS BIGINT) AS mean_overlap_micro
+FROM agg a CROSS JOIN users u CROSS JOIN catalog c
+"""
+
+
+REC_EVAL_SQL = _rec_eval_sql()

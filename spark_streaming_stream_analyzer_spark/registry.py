@@ -804,6 +804,7 @@ query("graph_jaccard_neighbors", _gr.GRAPH_JACCARD_SQL)(_gr.graph_jaccard_neighb
 query("graph_kcore", _gr.GRAPH_KCORE_SQL)(_gr.graph_kcore)
 query("graph_degree_assortativity", _gr.GRAPH_ASSORT_SQL)(_gr.graph_degree_assortativity)
 query("rec_copurchase_topk", _gr.REC_COPURCHASE_SQL)(_gr.rec_copurchase_topk)
+query("rec_eval_metrics", _gr.REC_EVAL_SQL)(_gr.rec_eval_metrics)
 
 from .operators import featurize as _ft  # noqa: E402
 

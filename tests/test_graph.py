@@ -339,3 +339,19 @@ def test_rec_copurchase_vs_brute(spark, sf_dir):
         for r in gr.rec_copurchase_topk(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_rec_eval_consistent_with_recs(spark, sf_dir):
+    from collections import Counter
+
+    recs = gr.rec_copurchase_topk(spark, sf_dir).collect()
+    users = {r["custkey"] for r in recs}
+    per_part = Counter(r["rec_partkey"] for r in recs)
+    shared = sum(n * (n - 1) // 2 for n in per_part.values())
+    row = gr.rec_eval_metrics(spark, sf_dir).collect()[0]
+    assert row["n_users"] == len(users)
+    assert row["n_rec_parts"] == len(per_part)
+    assert row["shared_pairs"] == shared
+    assert row["coverage_ppm"] == (len(per_part) * 1_000_000) // row["catalog"]
+    denom = len(users) * (len(users) - 1) // 2
+    assert row["mean_overlap_micro"] == (shared * 1_000_000) // denom
