@@ -1105,3 +1105,68 @@ SELECT event_type, COUNT(*) AS n_rows,
        CAST(SUM(hu) - SUM(be) AS BIGINT) AS drift_cents
 FROM per GROUP BY 1
 """
+
+
+# ------------------------------------------- dataset manifest --
+
+_MANIFEST_TABLES = [
+    # (table, pk expr, value expr rendered to string — both engines)
+    ("region", "r_regionkey", "r_name"),
+    ("nation", "n_nationkey", "n_name"),
+    ("customer", "c_custkey", "CAST(c_nationkey AS STRING)"),
+    ("supplier", "s_suppkey", "CAST(s_nationkey AS STRING)"),
+    ("part", "p_partkey", "p_type"),
+    ("orders", "o_orderkey",
+     "CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING)"),
+    ("lineitem", "l_orderkey",
+     "CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS STRING)"),
+    ("events", "event_id",
+     "CAST(CAST(round(value * 100) AS BIGINT) AS STRING)"),
+    ("documents", "doc_id", "CAST(n_chars AS STRING)"),
+    ("embeddings", "vec_id", "CAST(label AS STRING)"),
+]
+
+
+def dq_pipeline_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-version manifest: ONE row per fixture table with its
+    row count and an order-free XOR-fold digest over (pk, canonical
+    value) — the thing two environments diff to prove they trained on
+    the same data (``dq_checksum_buckets`` localizes WITHIN a table;
+    this pins the whole dataset in ten rows). XOR of per-row hashes
+    is commutative and width-preserving, so the digest is identical
+    under any partitioning or row order.
+
+    One aggregate per table, unioned; every scan prunes to two
+    columns.
+    """
+    out = None
+    for name, pk, val in _MANIFEST_TABLES:
+        t = load_table(spark, sf_dir, name)
+        row_h = hash64(
+            F.concat(
+                F.expr(f"CAST({pk} AS STRING)"), F.lit("|"), F.expr(val)
+            )
+        )
+        agg = t.select(row_h.alias("h")).agg(
+            F.lit(name).alias("table_name"),
+            F.count("*").alias("n_rows"),
+            F.expr("bit_xor(h)").alias("digest"),
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out
+
+
+def _manifest_sql() -> str:
+    branches = []
+    for name, pk, val in _MANIFEST_TABLES:
+        v = val.replace("AS STRING", "AS VARCHAR")
+        h = hash64_sql(f"CAST({pk} AS VARCHAR) || '|' || {v}")
+        branches.append(
+            f"  SELECT '{name}' AS table_name, COUNT(*) AS n_rows,\n"
+            f"         bit_xor({h}) AS digest\n"
+            f"  FROM {name}"
+        )
+    return "\nUNION ALL\n".join(branches)
+
+
+DQ_MANIFEST_SQL = _manifest_sql()

@@ -773,6 +773,9 @@ query("dq_relationship_profile", _au.DQ_REL_PROFILE_SQL)(
 )
 query("privacy_kanon_cells", _au.PRIVACY_KANON_SQL)(_au.privacy_kanon_cells)
 query("fn_rounding_audit", _au.FN_ROUNDING_SQL)(_au.fn_rounding_audit)
+query("dq_pipeline_fingerprint", _au.DQ_MANIFEST_SQL)(
+    _au.dq_pipeline_fingerprint
+)
 query("skew_key_profile", _au.SKEW_PROFILE_SQL)(_au.skew_key_profile)
 query("json_key_inventory", _jsonf.JSON_KEY_INVENTORY_SQL)(_jsonf.json_key_inventory)
 query("join_interval_overlap", _an.JOIN_INTERVAL_SQL)(_an.join_interval_overlap)

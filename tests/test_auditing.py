@@ -377,3 +377,32 @@ def test_rounding_audit_policies_differ_only_at_halves(spark, sf_dir):
     assert got == {
         t: (n, d, shu, sbe, shu - sbe) for t, (n, d, shu, sbe) in exp.items()
     }
+
+
+def test_pipeline_fingerprint_detects_any_row_change(spark, sf_dir):
+    """The digest must be row-order-free AND flip when one value
+    changes — the two properties a version manifest exists for."""
+    import hashlib
+
+    from spark_streaming_stream_analyzer_spark.operators import auditing as au
+    from spark_streaming_stream_analyzer_spark.sources.tables import load_table
+
+    rows = {r["table_name"]: (r["n_rows"], r["digest"])
+            for r in au.dq_pipeline_fingerprint(spark, sf_dir).collect()}
+    assert set(rows) == {t for t, _, _ in au._MANIFEST_TABLES}
+    # python recomputation of one small table proves the digest scheme
+    reg = load_table(spark, sf_dir, "region").collect()
+
+    def h64(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    digest = 0
+    for r in reg:
+        digest ^= h64(f"{r['r_regionkey']}|{r['r_name']}")
+    assert rows["region"] == (len(reg), digest)
+    # a one-value perturbation flips the digest
+    d2 = 0
+    for i, r in enumerate(reg):
+        name = r["r_name"] + ("x" if i == 0 else "")
+        d2 ^= h64(f"{r['r_regionkey']}|{name}")
+    assert d2 != digest
