@@ -925,3 +925,83 @@ FROM agg a CROSS JOIN users u CROSS JOIN catalog c
 
 
 REC_EVAL_SQL = _rec_eval_sql()
+
+
+def rec_popularity_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The baseline every recommender must beat: each customer gets
+    the globally best-selling parts (by distinct buyers) they don't
+    already own, top-3 — zero personalization by construction, so
+    ``rec_eval_metrics``'s overlap statistic reads near its maximum
+    here and the gap to ``rec_copurchase_topk`` is the measured value
+    of personalization.
+
+    The bestseller table is |parts| rows (broadcast); the per-user
+    pass is one anti-join against history and a rank filter — no
+    pairwise anything.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    hist = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .select("o_custkey", "l_partkey")
+        .distinct()
+    )
+    pop = hist.groupBy("l_partkey").agg(
+        F.count("*").alias("n_buyers")
+    )
+    pop_rank = pop.withColumn(
+        "prank",
+        F.row_number().over(
+            Window.orderBy(F.desc("n_buyers"), F.asc("l_partkey"))
+        ),
+    ).filter(F.col("prank") <= 50)  # a 50-deep bestseller shelf suffices
+    cand = hist.select("o_custkey").distinct().crossJoin(
+        F.broadcast(pop_rank)
+    )
+    unowned = cand.join(hist, ["o_custkey", "l_partkey"], "left_anti")
+    w = Window.partitionBy("o_custkey").orderBy("prank")
+    return (
+        unowned.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= REC_TOPK)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("l_partkey").alias("rec_partkey"),
+            "n_buyers",
+            "rk",
+        )
+    )
+
+
+REC_POPULARITY_SQL = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+hist AS (
+  SELECT DISTINCT o.o_custkey, l.l_partkey
+  FROM li l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+pop AS (SELECT l_partkey, COUNT(*) AS n_buyers FROM hist GROUP BY 1),
+pop_rank AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY n_buyers DESC, l_partkey) AS prank
+  FROM pop QUALIFY prank <= 50
+),
+cand AS (
+  SELECT u.o_custkey, p.l_partkey, p.n_buyers, p.prank
+  FROM (SELECT DISTINCT o_custkey FROM hist) u CROSS JOIN pop_rank p
+),
+unowned AS (
+  SELECT c.* FROM cand c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM hist h
+    WHERE h.o_custkey = c.o_custkey AND h.l_partkey = c.l_partkey
+  )
+)
+SELECT o_custkey AS custkey, l_partkey AS rec_partkey,
+       CAST(n_buyers AS BIGINT) AS n_buyers, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY prank) AS rk
+  FROM unowned
+) t WHERE rk <= {REC_TOPK}
+"""

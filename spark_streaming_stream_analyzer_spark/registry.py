@@ -808,6 +808,9 @@ query("graph_kcore", _gr.GRAPH_KCORE_SQL)(_gr.graph_kcore)
 query("graph_degree_assortativity", _gr.GRAPH_ASSORT_SQL)(_gr.graph_degree_assortativity)
 query("rec_copurchase_topk", _gr.REC_COPURCHASE_SQL)(_gr.rec_copurchase_topk)
 query("rec_eval_metrics", _gr.REC_EVAL_SQL)(_gr.rec_eval_metrics)
+query("rec_popularity_baseline", _gr.REC_POPULARITY_SQL)(
+    _gr.rec_popularity_baseline
+)
 
 from .operators import featurize as _ft  # noqa: E402
 

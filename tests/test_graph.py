@@ -355,3 +355,46 @@ def test_rec_eval_consistent_with_recs(spark, sf_dir):
     assert row["coverage_ppm"] == (len(per_part) * 1_000_000) // row["catalog"]
     denom = len(users) * (len(users) - 1) // 2
     assert row["mean_overlap_micro"] == (shared * 1_000_000) // denom
+
+
+def test_popularity_baseline_vs_brute(spark, sf_dir):
+    from collections import Counter
+
+    from spark_streaming_stream_analyzer_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    od = {r["o_orderkey"]: r["o_custkey"]
+          for r in load_table(spark, sf_dir, "orders")
+          .select("o_orderkey", "o_custkey").collect()}
+    hist = {}
+    for r in li:
+        if r["l_orderkey"] in od:
+            hist.setdefault(od[r["l_orderkey"]], set()).add(r["l_partkey"])
+    buyers = Counter()
+    for owned in hist.values():
+        for p in owned:
+            buyers[p] += 1
+    shelf = sorted(buyers.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    expect = set()
+    for cust, owned in hist.items():
+        rk = 0
+        for p, n in shelf:
+            if p in owned:
+                continue
+            rk += 1
+            expect.add((cust, p, n, rk))
+            if rk == gr.REC_TOPK:
+                break
+    got = {
+        (r["custkey"], r["rec_partkey"], r["n_buyers"], r["rk"])
+        for r in gr.rec_popularity_baseline(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # baseline is near-identical across users: tiny distinct-list count
+    lists = {}
+    for c, p, _, rk in got:
+        lists.setdefault(c, []).append((rk, p))
+    distinct_lists = {tuple(sorted(v)) for v in lists.values()}
+    assert len(distinct_lists) < len(lists) // 4
