@@ -38,7 +38,7 @@ Scale notes (1000-executor / 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash64, hash64_sql
@@ -1210,4 +1210,135 @@ SELECT source_a, source_b, CAST(n_shared AS BIGINT) AS n_shared,
 FROM inter
 JOIN sizes sa ON sa.source = source_a
 JOIN sizes sb ON sb.source = source_b
+"""
+
+
+# ------------------------------------- prefix-filtered τ-join --
+
+PFX_TAU_PCT = 90  # Jaccard threshold τ = 0.90 (the synthetic corpus
+#  shares a tiny vocabulary, so token-SET Jaccard runs high: τ=0.6
+#  would pass 57% of ALL pairs — measured — and prune nothing)
+
+
+def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join at τ = 0.9 via prefix filtering
+    (AllPairs/PPJoin): each doc's DISTINCT-token set is ordered
+    rarest-token-first (global df asc), and only the first
+    n − ⌈τ·n⌉ + 1 tokens are indexed — two sets with Jaccard ≥ τ
+    MUST share an indexed token (pigeonhole), so the candidate join
+    is provably lossless while skipping the frequent-token buckets
+    that drive Σdf² blow-up. Candidates are then verified with exact
+    intersection counts. The guaranteed-exact complement to the
+    minhash/simhash tier (no probability of a missed pair).
+
+    Integer end-to-end: the τ test is 100·|A∩B| ≥ τ%·(|A|+|B|−|A∩B|)
+    and the prefix length ⌈τn⌉ uses DIV ceiling. Shapes: wordcount →
+    df ranks (broadcast) → per-doc ordered prefix (window) →
+    prefix-token equi-join → verification join on the (doc, token)
+    table — inverted-index discipline throughout.
+    """
+    docs = load_table_cpu(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .select("doc_id", "w")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    df_rank = toks.groupBy("w").agg(F.count("*").alias("df"))
+    ordered = toks.join(F.broadcast(df_rank), "w").withColumn(
+        "pos",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("df", "w")
+        ),
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # prefix length = n - ceil(tau*n) + 1; ceil(a/b) = (a + b - 1) DIV b
+    with_n = ordered.join(F.broadcast(sizes), "doc_id").withColumn(
+        "pfx_len",
+        F.expr(
+            f"n - ((n * {PFX_TAU_PCT} + 99) DIV 100) + 1"
+        ),
+    )
+    prefix = with_n.filter(F.col("pos") <= F.col("pfx_len")).select(
+        "doc_id", "w"
+    )
+    pa = prefix.select(F.col("doc_id").alias("a"), "w")
+    pb = prefix.select(F.col("doc_id").alias("b"), "w")
+    cands = (
+        pa.join(pb, "w")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    ta = toks.select(F.col("doc_id").alias("a"), "w")
+    tb = toks.select(F.col("doc_id").alias("b"), "w")
+    inter = (
+        cands.join(ta, "a")
+        .join(tb, ["b", "w"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "a")
+        .join(F.broadcast(sb), "b")
+        .filter(
+            F.expr(
+                f"inter * 100 >= {PFX_TAU_PCT} * (na + nb - inter)"
+            )
+        )
+        .select(
+            F.col("a").alias("doc_a"),
+            F.col("b").alias("doc_b"),
+            "inter",
+            "na",
+            "nb",
+            F.expr("(inter * 1000000) DIV (na + nb - inter)")
+            .alias("jaccard_ppm"),
+        )
+    )
+
+
+DEDUP_PFX_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE w <> ''
+),
+df_rank AS (SELECT w, COUNT(*) AS df FROM toks GROUP BY 1),
+ordered AS (
+  SELECT t.doc_id, t.w,
+         ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.w)
+           AS pos
+  FROM toks t JOIN df_rank d ON d.w = t.w
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1),
+prefix AS (
+  SELECT o.doc_id, o.w
+  FROM ordered o JOIN sizes s ON s.doc_id = o.doc_id
+  WHERE o.pos <= s.n - ((s.n * {PFX_TAU_PCT} + 99) // 100) + 1
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM prefix a JOIN prefix b ON a.w = b.w AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.a, c.b, COUNT(*) AS inter
+  FROM cands c
+  JOIN toks ta ON ta.doc_id = c.a
+  JOIN toks tb ON tb.doc_id = c.b AND tb.w = ta.w
+  GROUP BY 1, 2
+)
+SELECT i.a AS doc_a, i.b AS doc_b, CAST(i.inter AS BIGINT) AS inter,
+       CAST(sa.n AS BIGINT) AS na, CAST(sb.n AS BIGINT) AS nb,
+       CAST((i.inter * 1000000) // (sa.n + sb.n - i.inter) AS BIGINT)
+         AS jaccard_ppm
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.a
+JOIN sizes sb ON sb.doc_id = i.b
+WHERE i.inter * 100 >= {PFX_TAU_PCT} * (sa.n + sb.n - i.inter)
 """

@@ -657,6 +657,9 @@ query("dedup_index_tuning_report", _dd.DEDUP_TUNING_SQL)(
 query("dedup_source_overlap_matrix", _dd.DEDUP_SRC_OVERLAP_SQL)(
     _dd.dedup_source_overlap_matrix
 )
+query("dedup_prefix_filter_join", _dd.DEDUP_PFX_SQL)(
+    _dd.dedup_prefix_filter_join
+)
 query("text_dup_ngram_fraction", _dd.TEXT_DUP_NGRAM_SQL)(
     _dd.text_dup_ngram_fraction
 )

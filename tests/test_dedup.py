@@ -305,3 +305,36 @@ def test_source_overlap_vs_brute(spark, sf_dir):
         for r in dd.dedup_source_overlap_matrix(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_prefix_filter_join_is_lossless(spark, sf_dir):
+    """The prefix-filtered join must return EXACTLY the pairs a brute
+    all-pairs tau-scan finds — the pigeonhole guarantee, verified."""
+    from spark_streaming_stream_analyzer_spark.operators import dedup as dd
+    from spark_streaming_stream_analyzer_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    sets = {
+        r["doc_id"]: {t for t in r["text"].split(" ") if t} for r in rows
+    }
+    sets = {d: s for d, s in sets.items() if s}
+    ids = sorted(sets)
+    expect = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a]) + len(sets[b]) - inter
+            if inter * 100 >= dd.PFX_TAU_PCT * union:
+                expect.add(
+                    (a, b, inter, len(sets[a]), len(sets[b]),
+                     (inter * 1_000_000) // union)
+                )
+    got = {
+        (r["doc_a"], r["doc_b"], r["inter"], r["na"], r["nb"],
+         r["jaccard_ppm"])
+        for r in dd.dedup_prefix_filter_join(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert got  # threshold pairs exist on the fixture
