@@ -4026,3 +4026,66 @@ SELECT event_type, COUNT(*) AS n_days, CAST(SUM(x) AS BIGINT) AS s,
             // (COUNT(*) * SUM(x)) AS BIGINT) AS fano_e3
 FROM daily GROUP BY 1
 """
+
+
+def ts_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant seasonality per event_type: the lag (1–7 days) with
+    the strongest POSITIVE autocorrelation, picked from
+    ``ts_autocorr_lag``'s exact integer ACF — the one-number "does
+    this series have a weekly/daily cycle, and which?" answer that
+    ``ts_backtest_snaive`` assumes and this op verifies (a dominant
+    lag of 7 ⇒ the seasonal-naive predictor is the right baseline).
+
+    Ties break on the smaller lag; types with NO positive-correlation
+    lag report lag NULL — decidable either way.
+    """
+    acf = ts_autocorr_lag(spark, sf_dir)
+    pos = acf.filter(
+        (F.col("r_sign") > 0) & F.col("r2_ppm").isNotNull()
+    )
+    best = pos.groupBy("event_type").agg(
+        F.max(
+            F.struct(
+                F.col("r2_ppm").alias("r2"), (-F.col("lag")).alias("neg_lag")
+            )
+        ).alias("b"),
+        F.count("*").alias("n_pos_lags"),
+    )
+    all_types = acf.select("event_type").distinct()
+    return (
+        all_types.join(best, "event_type", "left")
+        .select(
+            "event_type",
+            (-F.col("b.neg_lag")).alias("dominant_lag"),
+            F.col("b.r2").alias("r2_ppm"),
+            F.coalesce("n_pos_lags", F.lit(0)).alias("n_pos_lags"),
+        )
+    )
+
+
+def _dominant_period_sql() -> str:
+    return f"""
+WITH acf AS ({TS_AUTOCORR_SQL.strip()}),
+pos AS (
+  SELECT * FROM acf WHERE r_sign > 0 AND r2_ppm IS NOT NULL
+),
+best AS (
+  SELECT event_type, lag AS dominant_lag, r2_ppm
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                 ORDER BY r2_ppm DESC, lag ASC) AS rk
+    FROM pos
+  ) t WHERE rk = 1
+),
+npos AS (
+  SELECT event_type, COUNT(*) AS n_pos_lags FROM pos GROUP BY 1
+)
+SELECT a.event_type, b.dominant_lag, b.r2_ppm,
+       CAST(COALESCE(n.n_pos_lags, 0) AS BIGINT) AS n_pos_lags
+FROM (SELECT DISTINCT event_type FROM acf) a
+LEFT JOIN best b ON b.event_type = a.event_type
+LEFT JOIN npos n ON n.event_type = a.event_type
+"""
+
+
+TS_DOMINANT_SQL = _dominant_period_sql()

@@ -576,6 +576,7 @@ query("cohort_ltv_matrix", _an.COHORT_LTV_SQL)(_an.cohort_ltv_matrix)
 query("ts_changepoint_impact", _an.TS_CHGPT_SQL)(_an.ts_changepoint_impact)
 query("agg_bounce_rate", _an.AGG_BOUNCE_SQL)(_an.agg_bounce_rate)
 query("ts_fano_factor", _an.TS_FANO_SQL)(_an.ts_fano_factor)
+query("ts_dominant_period", _an.TS_DOMINANT_SQL)(_an.ts_dominant_period)
 query("text_tfidf_topk", _an.TEXT_TFIDF_SQL)(_an.text_tfidf_topk)
 query("join_salted_skew", _an.JOIN_SALTED_SQL)(_an.join_salted_skew)
 query("agg_sliding_window", _an.AGG_SLIDING_SQL)(_an.agg_sliding_window)

@@ -1443,3 +1443,27 @@ def test_fano_factor_vs_brute(spark, sf_dir):
         for r in an.ts_fano_factor(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_dominant_period_matches_acf(spark, sf_dir):
+    from spark_streaming_stream_analyzer_spark.operators import analytics as an
+
+    acf = an.ts_autocorr_lag(spark, sf_dir).collect()
+    pos = {}
+    for r in acf:
+        if r["r_sign"] is not None and r["r_sign"] > 0 \
+                and r["r2_ppm"] is not None:
+            pos.setdefault(r["event_type"], []).append(
+                (r["r2_ppm"], -r["lag"])
+            )
+    got = {
+        r["event_type"]: (r["dominant_lag"], r["r2_ppm"], r["n_pos_lags"])
+        for r in an.ts_dominant_period(spark, sf_dir).collect()
+    }
+    assert set(got) == {r["event_type"] for r in acf}
+    for t, cands in pos.items():
+        r2, neg = max(cands)
+        assert got[t] == (-neg, r2, len(cands))
+    for t in got:
+        if t not in pos:
+            assert got[t][0] is None
