@@ -688,3 +688,72 @@ SELECT origin, CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_blobs,
        MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
 FROM binned GROUP BY 1, 2
 """
+
+
+# ------------------------------------------------ byte histogram --
+
+
+def mm_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level blob profile per payload: total bytes, distinct
+    byte values, and the most-common byte's share in ppm — the
+    codec-free corruption/encryption screen (an encrypted or random
+    blob runs near 256 distinct values with a flat top share; a
+    text or bitmap payload is heavily skewed). Pure JVM: the blob is
+    hexed and cut into byte tokens with array ops — no UDF, and the
+    identical ``hex()`` rendering on DuckDB makes byte identity
+    engine-portable.
+
+    Wordcount shape over bytes: explode ×|bytes| with map-side
+    combine into ≤256 rows per doc.
+    """
+    p = payloads(spark, sf_dir)
+    hexed = p.select(
+        "doc_id", F.hex(F.col("payload")).alias("hx")
+    )
+    bytes_ = hexed.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), (F.length("hx") / F.lit(2)).cast("int")
+                ),
+                lambda i: F.col("hx").substr(i * 2 - 1, F.lit(2)),
+            )
+        ).alias("b"),
+    )
+    per_byte = bytes_.groupBy("doc_id", "b").agg(F.count("*").alias("n"))
+    return (
+        per_byte.groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_bytes"),
+            F.count("*").alias("distinct_bytes"),
+            F.max("n").alias("top_byte_n"),
+        )
+        .select(
+            "doc_id",
+            "n_bytes",
+            "distinct_bytes",
+            F.expr("(top_byte_n * 1000000) DIV n_bytes")
+            .alias("top_byte_ppm"),
+        )
+    )
+
+
+MM_BYTE_HIST_SQL = """
+WITH hexed AS (
+  SELECT doc_id, hex(CAST(text AS BLOB)) AS hx FROM documents
+),
+bytes_ AS (
+  SELECT doc_id, substr(hx, i * 2 - 1, 2) AS b
+  FROM hexed, LATERAL (
+    SELECT unnest(range(1, CAST(length(hx) / 2 AS BIGINT) + 1)) AS i
+  )
+),
+per_byte AS (
+  SELECT doc_id, b, COUNT(*) AS n FROM bytes_ GROUP BY 1, 2
+)
+SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bytes,
+       COUNT(*) AS distinct_bytes,
+       CAST((MAX(n) * 1000000) // SUM(n) AS BIGINT) AS top_byte_ppm
+FROM per_byte GROUP BY 1
+"""

@@ -725,6 +725,7 @@ query("mm_resize", _mm.MM_RESIZE_SQL)(_mm.mm_resize)
 query("mm_audio_chunk", _mm.MM_AUDIO_CHUNK_SQL)(_mm.mm_audio_chunk)
 query("mm_phash_dedup", _mm.MM_PHASH_SQL)(_mm.mm_phash_dedup)
 query("mm_shard_manifest", _mm.MM_SHARD_SQL)(_mm.mm_shard_manifest)
+query("mm_byte_histogram", _mm.MM_BYTE_HIST_SQL)(_mm.mm_byte_histogram)
 
 from .operators import curation as _cur  # noqa: E402
 

@@ -222,3 +222,30 @@ def test_shard_manifest_packs_contiguously(spark, sf_dir):
         nxt = got.get((src, sh + 1))
         if nxt:
             assert nxt[2] > ld or nxt[2] == ld  # boundary doc may straddle
+
+
+def test_byte_histogram_vs_brute(spark, sf_dir):
+    from collections import Counter
+
+    from spark_streaming_stream_analyzer_spark.operators import multimodal as mm
+    from spark_streaming_stream_analyzer_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    expect = {}
+    for r in rows:
+        bs = Counter(r["text"].encode("utf-8"))
+        n = sum(bs.values())
+        if n == 0:
+            continue
+        expect[r["doc_id"]] = (
+            n, len(bs), (max(bs.values()) * 1_000_000) // n
+        )
+    got = {
+        r["doc_id"]: (r["n_bytes"], r["distinct_bytes"], r["top_byte_ppm"])
+        for r in mm.mm_byte_histogram(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # text payloads are heavily skewed: the top byte (space) dominates
+    assert all(v[2] > 100_000 for v in got.values())
