@@ -1351,3 +1351,105 @@ JOIN sizes sa ON sa.doc_id = i.a
 JOIN sizes sb ON sb.doc_id = i.b
 WHERE i.inter * 100 >= {PFX_TAU_PCT} * (sa.n + sb.n - i.inter)
 """
+
+
+# -------------------------------------- method agreement matrix --
+
+_AGREE_METHODS = ("minhash", "simhash", "fingerprint", "prefix")
+
+
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta-audit of the near-dup tier: the four document-pair
+    methods — minhash-LSH, simhash, winnowing fingerprints, and the
+    exact prefix-filtered τ-join — compared pairwise on the pair sets
+    they flag: both / only-left / only-right counts and the pair-set
+    Jaccard in ppm. The report a dedup owner reads before trusting
+    one method's output as THE duplicate list (high agreement between
+    an approximate method and the exact τ-join is its working recall
+    certificate; low agreement maps where thresholds diverge).
+
+    Each method runs once (its own documented cost); the agreement
+    math is set algebra on tagged (a, b) pair tables.
+    """
+    pair_sets = {
+        "minhash": dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b"),
+        "simhash": dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b"),
+        "fingerprint": dedup_fingerprint_overlap(spark, sf_dir).select(
+            "doc_a", "doc_b"
+        ),
+        "prefix": dedup_prefix_filter_join(spark, sf_dir).select(
+            F.col("doc_a"), F.col("doc_b")
+        ),
+    }
+    tagged = None
+    for bit, name in enumerate(_AGREE_METHODS):
+        t = pair_sets[name].select(
+            "doc_a", "doc_b", F.lit(1 << bit).alias("mbit")
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    # ONE pass: per pair the method bitmask, then the <=16-row mask
+    # census carries every set statistic (the k-means-style tiny
+    # collect; no per-method-pair rescan of the tagged table)
+    masks = (
+        tagged.distinct()  # a method re-emitting a pair must not double its bit
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("mbit")).alias("mask"))
+        .groupBy("mask")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    rows = []
+    for i, ma in enumerate(_AGREE_METHODS):
+        for j in range(i + 1, len(_AGREE_METHODS)):
+            mb = _AGREE_METHODS[j]
+            na = sum(r["n"] for r in masks if r["mask"] & (1 << i))
+            nb = sum(r["n"] for r in masks if r["mask"] & (1 << j))
+            both = sum(
+                r["n"] for r in masks
+                if (r["mask"] & (1 << i)) and (r["mask"] & (1 << j))
+            )
+            union = na + nb - both
+            rows.append(
+                (ma, mb, na, nb, both,
+                 (both * 1_000_000) // union if union else 0)
+            )
+    return spark.createDataFrame(
+        rows,
+        "method_a string, method_b string, n_a long, n_b long,"
+        " n_both long, pair_jaccard_ppm long",
+    )
+
+
+def _agreement_sql() -> str:
+    pairs_cte = f"""
+mh AS (SELECT doc_a, doc_b FROM ({DEDUP_MINHASH_SQL.strip()})),
+sh AS (SELECT doc_a, doc_b FROM ({DEDUP_SIMHASH_PAIRS_SQL.strip()})),
+fp AS (SELECT doc_a, doc_b FROM ({FP_OVERLAP_SQL.strip()})),
+px AS (SELECT doc_a, doc_b FROM ({DEDUP_PFX_SQL.strip()}))"""
+    names = {"minhash": "mh", "simhash": "sh",
+             "fingerprint": "fp", "prefix": "px"}
+    rows = []
+    order = list(names)
+    for i, ma in enumerate(order):
+        for mb in order[i + 1:]:
+            ta, tb = names[ma], names[mb]
+            rows.append(f"""
+  SELECT '{ma}' AS method_a, '{mb}' AS method_b,
+         (SELECT COUNT(*) FROM {ta}) AS n_a,
+         (SELECT COUNT(*) FROM {tb}) AS n_b,
+         (SELECT COUNT(*) FROM {ta} JOIN {tb} USING (doc_a, doc_b))
+           AS n_both,
+         CASE WHEN (SELECT COUNT(*) FROM {ta}) + (SELECT COUNT(*) FROM {tb})
+                   - (SELECT COUNT(*) FROM {ta} JOIN {tb}
+                      USING (doc_a, doc_b)) > 0
+              THEN ((SELECT COUNT(*) FROM {ta} JOIN {tb}
+                     USING (doc_a, doc_b)) * 1000000)
+                   // ((SELECT COUNT(*) FROM {ta})
+                       + (SELECT COUNT(*) FROM {tb})
+                       - (SELECT COUNT(*) FROM {ta} JOIN {tb}
+                          USING (doc_a, doc_b)))
+              ELSE 0 END AS pair_jaccard_ppm""")
+    return f"WITH {pairs_cte}\n" + "\nUNION ALL\n".join(rows)
+
+
+DEDUP_AGREEMENT_SQL = _agreement_sql()

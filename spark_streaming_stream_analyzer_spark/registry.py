@@ -661,6 +661,9 @@ query("dedup_source_overlap_matrix", _dd.DEDUP_SRC_OVERLAP_SQL)(
 query("dedup_prefix_filter_join", _dd.DEDUP_PFX_SQL)(
     _dd.dedup_prefix_filter_join
 )
+query("dedup_method_agreement", _dd.DEDUP_AGREEMENT_SQL)(
+    _dd.dedup_method_agreement
+)
 query("text_dup_ngram_fraction", _dd.TEXT_DUP_NGRAM_SQL)(
     _dd.text_dup_ngram_fraction
 )

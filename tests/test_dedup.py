@@ -338,3 +338,37 @@ def test_prefix_filter_join_is_lossless(spark, sf_dir):
     }
     assert got == expect
     assert got  # threshold pairs exist on the fixture
+
+
+def test_method_agreement_vs_components(spark, sf_dir):
+    from spark_streaming_stream_analyzer_spark.operators import dedup as dd
+
+    sets = {
+        "minhash": {(r["doc_a"], r["doc_b"])
+                    for r in dd.dedup_minhash_lsh(spark, sf_dir).collect()},
+        "simhash": {(r["doc_a"], r["doc_b"])
+                    for r in dd.dedup_simhash_pairs(spark, sf_dir).collect()},
+        "fingerprint": {
+            (r["doc_a"], r["doc_b"])
+            for r in dd.dedup_fingerprint_overlap(spark, sf_dir).collect()
+        },
+        "prefix": {
+            (r["doc_a"], r["doc_b"])
+            for r in dd.dedup_prefix_filter_join(spark, sf_dir).collect()
+        },
+    }
+    got = {
+        (r["method_a"], r["method_b"]): (
+            r["n_a"], r["n_b"], r["n_both"], r["pair_jaccard_ppm"]
+        )
+        for r in dd.dedup_method_agreement(spark, sf_dir).collect()
+    }
+    order = list(dd._AGREE_METHODS)
+    for i, ma in enumerate(order):
+        for mb in order[i + 1:]:
+            both = len(sets[ma] & sets[mb])
+            union = len(sets[ma] | sets[mb])
+            assert got[(ma, mb)] == (
+                len(sets[ma]), len(sets[mb]), both,
+                (both * 1_000_000) // union if union else 0,
+            )
