@@ -1297,3 +1297,100 @@ LIMIT {SKIPGRAM_TOPK}
 
 
 TEXT_SKIPGRAM_SQL = _skipgram_sql()
+
+
+VOCAB_CHECKPOINTS = 10
+
+
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law probe: cumulative vocabulary size vs cumulative
+    token count at ten corpus checkpoints (docs in doc_id order) —
+    the curve that says whether more crawl keeps buying new
+    vocabulary or the corpus has saturated (the macro twin of
+    ``text_ngram_novelty``'s per-doc credit).
+
+    EXACT: each word's first-occurrence doc is min(doc_id); the
+    checkpoint census counts words whose first doc falls inside each
+    decile boundary (doc-count deciles via positional rank). One
+    tokenize pass + two tiny aggregates; no per-checkpoint rescan.
+    """
+    docs = load_table_cpu(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    per_doc = toks.groupBy("doc_id").agg(F.count("*").alias("n_toks"))
+    rnk = F.row_number().over(Window.orderBy("doc_id"))
+    ranked = per_doc.withColumn("rnk", rnk)
+    n_docs = ranked.agg(F.max("rnk").alias("nd"))
+    bounded = ranked.crossJoin(F.broadcast(n_docs)).withColumn(
+        "cp",
+        F.expr(f"((rnk * {VOCAB_CHECKPOINTS} + nd - 1) DIV nd)"),
+    )
+    tok_cum = (
+        bounded.groupBy("cp")
+        .agg(F.sum("n_toks").alias("toks_in_cp"),
+             F.max("doc_id").alias("boundary_doc"))
+    )
+    firsts = toks.groupBy("w").agg(F.min("doc_id").alias("fdoc"))
+    # vocabulary new within each checkpoint = words first seen at a doc
+    # whose checkpoint is cp (join on per-doc cp)
+    doc_cp = bounded.select("doc_id", "cp")
+    vocab_new = (
+        firsts.join(doc_cp, firsts.fdoc == doc_cp.doc_id)
+        .groupBy("cp")
+        .agg(F.count("*").alias("new_vocab"))
+    )
+    w_cum = Window.orderBy("cp").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    joined = tok_cum.join(vocab_new, "cp", "left").select(
+        "cp",
+        "boundary_doc",
+        F.col("toks_in_cp"),
+        F.coalesce("new_vocab", F.lit(0)).alias("new_vocab"),
+    )
+    return joined.select(
+        "cp",
+        "boundary_doc",
+        F.sum("toks_in_cp").over(w_cum).alias("cum_tokens"),
+        F.sum("new_vocab").over(w_cum).alias("cum_vocab"),
+        "new_vocab",
+    )
+
+
+TEXT_VOCAB_GROWTH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE w <> ''
+),
+per_doc AS (SELECT doc_id, COUNT(*) AS n_toks FROM toks GROUP BY 1),
+ranked AS (
+  SELECT doc_id, n_toks,
+         ROW_NUMBER() OVER (ORDER BY doc_id) AS rnk,
+         COUNT(*) OVER () AS nd
+  FROM per_doc
+),
+bounded AS (
+  SELECT *, (rnk * {VOCAB_CHECKPOINTS} + nd - 1) // nd AS cp FROM ranked
+),
+tok_cum AS (
+  SELECT cp, SUM(n_toks) AS toks_in_cp, MAX(doc_id) AS boundary_doc
+  FROM bounded GROUP BY 1
+),
+firsts AS (SELECT w, MIN(doc_id) AS fdoc FROM toks GROUP BY 1),
+vocab_new AS (
+  SELECT b.cp, COUNT(*) AS new_vocab
+  FROM firsts f JOIN bounded b ON b.doc_id = f.fdoc
+  GROUP BY 1
+)
+SELECT t.cp AS cp, CAST(t.boundary_doc AS BIGINT) AS boundary_doc,
+       CAST(SUM(t.toks_in_cp) OVER (ORDER BY t.cp
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_tokens,
+       CAST(SUM(COALESCE(v.new_vocab, 0)) OVER (ORDER BY t.cp
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_vocab,
+       CAST(COALESCE(v.new_vocab, 0) AS BIGINT) AS new_vocab
+FROM tok_cum t LEFT JOIN vocab_new v ON v.cp = t.cp
+"""

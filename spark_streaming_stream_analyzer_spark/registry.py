@@ -718,6 +718,7 @@ query("pipeline_text_features_fused", _ts.PIPELINE_FUSED_SQL)(
 query("text_prefix_templates", _ts.TEXT_TEMPLATES_SQL)(_ts.text_prefix_templates)
 query("sample_word_subsample", _ts.SAMPLE_SUBSAMPLE_SQL)(_ts.sample_word_subsample)
 query("text_skipgram_pairs", _ts.TEXT_SKIPGRAM_SQL)(_ts.text_skipgram_pairs)
+query("text_vocab_growth", _ts.TEXT_VOCAB_GROWTH_SQL)(_ts.text_vocab_growth)
 query("udtf_chunk_docs", _ts.UDTF_CHUNK_SQL)(_ts.udtf_chunk_docs)
 query("text_normalize", _ts.TEXT_NORMALIZE_SQL)(_ts.text_normalize)
 query("mm_binary_meta", _mm.MM_BINARY_META_SQL)(_mm.mm_binary_meta)

@@ -687,3 +687,45 @@ def test_skipgram_pairs_vs_brute(spark, sf_dir):
         for r in ts.text_skipgram_pairs(spark, sf_dir).collect()
     ]
     assert got == expect
+
+
+def test_vocab_growth_vs_brute(spark, sf_dir):
+    from spark_streaming_stream_analyzer_spark.operators import textstats as ts
+    from spark_streaming_stream_analyzer_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    docs = sorted(
+        (r["doc_id"], [t for t in r["text"].split(" ") if t]) for r in rows
+    )
+    docs = [(d, ws) for d, ws in docs if ws]
+    nd = len(docs)
+    seen = set()
+    cum_toks = 0
+    expect = {}
+    per_cp = {}
+    for i, (d, ws) in enumerate(docs, 1):
+        cp = (i * ts.VOCAB_CHECKPOINTS + nd - 1) // nd
+        new = sum(1 for w in set(ws) if w not in seen)
+        seen.update(ws)
+        cum_toks += len(ws)
+        e = per_cp.setdefault(cp, [0, 0, 0])
+        e[0] += len(ws)
+        e[1] += new
+        e[2] = d
+    ct = cv = 0
+    for cp in sorted(per_cp):
+        t, v, boundary = per_cp[cp]
+        ct += t
+        cv += v
+        expect[cp] = (boundary, ct, cv, v)
+    got = {
+        r["cp"]: (r["boundary_doc"], r["cum_tokens"], r["cum_vocab"],
+                  r["new_vocab"])
+        for r in ts.text_vocab_growth(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # growth curve is concave-ish: later checkpoints add less vocab
+    news = [got[cp][3] for cp in sorted(got)]
+    assert news[0] == max(news)
