@@ -4089,3 +4089,69 @@ LEFT JOIN npos n ON n.event_type = a.event_type
 
 
 TS_DOMINANT_SQL = _dominant_period_sql()
+
+
+RETENTION_DAYS = (1, 3, 7)
+
+
+def ts_dayn_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The D1/D3/D7 retention headline: of all users, how many were
+    active again exactly N days after their FIRST day (N = 1, 3, 7),
+    as counts and ppm — the day-grain bounded-lookup complement to
+    the week-grain ``cohort_retention`` matrix.
+
+    Shape: the (user, day) distinct grain and per-user first day are
+    two hash aggregates; each N is one semi-join of (first+N) against
+    the activity set — three broadcast probes, no window.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ud = (
+        ev.select("user_id", ts_micros(ev).alias("us"))
+        .select("user_id", F.expr(f"us DIV {SEQ_DAY_US}").alias("day"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    first = ud.groupBy("user_id").agg(F.min("day").alias("fday"))
+    out = None
+    for n in RETENTION_DAYS:
+        probe = first.select(
+            "user_id", (F.col("fday") + n).alias("day")
+        )
+        ret = probe.join(ud, ["user_id", "day"], "left_semi").agg(
+            F.lit(n).alias("day_n"),
+            F.count("*").alias("n_retained"),
+        )
+        out = ret if out is None else out.unionByName(ret)
+    tot = first.agg(F.count("*").alias("n_users"))
+    return out.crossJoin(F.broadcast(tot)).select(
+        "day_n",
+        "n_users",
+        "n_retained",
+        F.expr("(n_retained * 1000000) DIV n_users").alias("retained_ppm"),
+    )
+
+
+def _dayn_sql() -> str:
+    branches = []
+    for n in RETENTION_DAYS:
+        branches.append(f"""
+  SELECT {n} AS day_n, COUNT(*) AS n_retained
+  FROM first f
+  WHERE EXISTS (SELECT 1 FROM ud u
+                WHERE u.user_id = f.user_id AND u.day = f.fday + {n})""")
+    union = "\nUNION ALL\n".join(branches)
+    return f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {SEQ_DAY_US} AS day FROM events
+),
+first AS (SELECT user_id, MIN(day) AS fday FROM ud GROUP BY 1),
+ret AS ({union}),
+tot AS (SELECT COUNT(*) AS n_users FROM first)
+SELECT CAST(day_n AS INTEGER) AS day_n, CAST(n_users AS BIGINT) AS n_users,
+       CAST(n_retained AS BIGINT) AS n_retained,
+       CAST((n_retained * 1000000) // n_users AS BIGINT) AS retained_ppm
+FROM ret CROSS JOIN tot
+"""
+
+
+TS_DAYN_SQL = _dayn_sql()

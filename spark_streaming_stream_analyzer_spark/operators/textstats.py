@@ -1394,3 +1394,65 @@ SELECT t.cp AS cp, CAST(t.boundary_doc AS BIGINT) AS boundary_doc,
        CAST(COALESCE(v.new_vocab, 0) AS BIGINT) AS new_vocab
 FROM tok_cum t LEFT JOIN vocab_new v ON v.cp = t.cp
 """
+
+
+def text_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency profile: vocabulary grouped into exact
+    log₂ rank buckets (the ``text_lexical_rarity`` len(bin(rank))
+    trick), each bucket reporting word count, total frequency, and
+    token-mass share in ppm — the straight-line-on-log-log law that
+    natural corpora follow and synthetic/templated corpora visibly
+    break (a flat profile here IS the tell that text was generated
+    from a uniform vocabulary).
+
+    Wordcount → global rank window over the |vocab| table → ≤
+    log₂|vocab| output rows. One corpus pass.
+    """
+    docs = load_table_cpu(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    vocab = words.groupBy("w").agg(F.count("*").alias("cnt"))
+    rank = F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("w")))
+    bucketed = vocab.withColumn("rank", rank).select(
+        F.length(F.bin("rank")).cast("long").alias("rank_bucket"),
+        "cnt",
+    )
+    agg = bucketed.groupBy("rank_bucket").agg(
+        F.count("*").alias("n_words"),
+        F.sum("cnt").alias("sum_freq"),
+    )
+    tot = agg.agg(F.sum("sum_freq").alias("total"))
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "rank_bucket",
+        "n_words",
+        "sum_freq",
+        F.expr("(sum_freq * 1000000) DIV total").alias("mass_ppm"),
+    )
+
+
+TEXT_ZIPF_SQL = """
+WITH words AS (
+  SELECT w FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE w <> ''
+),
+vocab AS (SELECT w, COUNT(*) AS cnt FROM words GROUP BY 1),
+bucketed AS (
+  SELECT CAST(length(bin(
+           ROW_NUMBER() OVER (ORDER BY cnt DESC, w ASC))) AS BIGINT)
+           AS rank_bucket,
+         cnt
+  FROM vocab
+),
+agg AS (
+  SELECT rank_bucket, COUNT(*) AS n_words, SUM(cnt) AS sum_freq
+  FROM bucketed GROUP BY 1
+),
+tot AS (SELECT SUM(sum_freq) AS total FROM agg)
+SELECT CAST(rank_bucket AS BIGINT) AS rank_bucket,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(sum_freq AS BIGINT) AS sum_freq,
+       CAST((sum_freq * 1000000) // total AS BIGINT) AS mass_ppm
+FROM agg CROSS JOIN tot
+"""

@@ -577,6 +577,7 @@ query("ts_changepoint_impact", _an.TS_CHGPT_SQL)(_an.ts_changepoint_impact)
 query("agg_bounce_rate", _an.AGG_BOUNCE_SQL)(_an.agg_bounce_rate)
 query("ts_fano_factor", _an.TS_FANO_SQL)(_an.ts_fano_factor)
 query("ts_dominant_period", _an.TS_DOMINANT_SQL)(_an.ts_dominant_period)
+query("ts_dayn_retention", _an.TS_DAYN_SQL)(_an.ts_dayn_retention)
 query("text_tfidf_topk", _an.TEXT_TFIDF_SQL)(_an.text_tfidf_topk)
 query("join_salted_skew", _an.JOIN_SALTED_SQL)(_an.join_salted_skew)
 query("agg_sliding_window", _an.AGG_SLIDING_SQL)(_an.agg_sliding_window)
@@ -719,6 +720,7 @@ query("text_prefix_templates", _ts.TEXT_TEMPLATES_SQL)(_ts.text_prefix_templates
 query("sample_word_subsample", _ts.SAMPLE_SUBSAMPLE_SQL)(_ts.sample_word_subsample)
 query("text_skipgram_pairs", _ts.TEXT_SKIPGRAM_SQL)(_ts.text_skipgram_pairs)
 query("text_vocab_growth", _ts.TEXT_VOCAB_GROWTH_SQL)(_ts.text_vocab_growth)
+query("text_zipf_profile", _ts.TEXT_ZIPF_SQL)(_ts.text_zipf_profile)
 query("udtf_chunk_docs", _ts.UDTF_CHUNK_SQL)(_ts.udtf_chunk_docs)
 query("text_normalize", _ts.TEXT_NORMALIZE_SQL)(_ts.text_normalize)
 query("mm_binary_meta", _mm.MM_BINARY_META_SQL)(_mm.mm_binary_meta)

@@ -1467,3 +1467,27 @@ def test_dominant_period_matches_acf(spark, sf_dir):
     for t in got:
         if t not in pos:
             assert got[t][0] is None
+
+
+def test_dayn_retention_vs_brute(spark, sf_dir):
+    from spark_streaming_stream_analyzer_spark.operators import analytics as an
+    from spark_streaming_stream_analyzer_spark.sources.tables import (
+        load_table,
+        ts_micros,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select("user_id", ts_micros(ev).alias("us")).collect()
+    ud = {}
+    for r in rows:
+        ud.setdefault(r["user_id"], set()).add(r["us"] // an.SEQ_DAY_US)
+    n_users = len(ud)
+    expect = {}
+    for n in an.RETENTION_DAYS:
+        ret = sum(1 for days in ud.values() if min(days) + n in days)
+        expect[n] = (n_users, ret, (ret * 1_000_000) // n_users)
+    got = {
+        r["day_n"]: (r["n_users"], r["n_retained"], r["retained_ppm"])
+        for r in an.ts_dayn_retention(spark, sf_dir).collect()
+    }
+    assert got == expect

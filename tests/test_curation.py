@@ -729,3 +729,30 @@ def test_vocab_growth_vs_brute(spark, sf_dir):
     # growth curve is concave-ish: later checkpoints add less vocab
     news = [got[cp][3] for cp in sorted(got)]
     assert news[0] == max(news)
+
+
+def test_zipf_profile_vs_brute(spark, sf_dir):
+    from collections import Counter
+
+    from spark_streaming_stream_analyzer_spark.operators import textstats as ts
+    from spark_streaming_stream_analyzer_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_dir, "documents").select("text").collect()
+    vocab = Counter()
+    for r in rows:
+        vocab.update(t for t in r["text"].split(" ") if t)
+    ranked = sorted(vocab.items(), key=lambda kv: (-kv[1], kv[0]))
+    buckets = {}
+    for i, (w, c) in enumerate(ranked, 1):
+        b = i.bit_length()
+        e = buckets.setdefault(b, [0, 0])
+        e[0] += 1
+        e[1] += c
+    total = sum(v[1] for v in buckets.values())
+    got = {
+        r["rank_bucket"]: (r["n_words"], r["sum_freq"], r["mass_ppm"])
+        for r in ts.text_zipf_profile(spark, sf_dir).collect()
+    }
+    assert got == {
+        b: (n, f, (f * 1_000_000) // total) for b, (n, f) in buckets.items()
+    }
