@@ -152,6 +152,7 @@ def _run_to_memory(
     with_checkpoint: bool = True,
     checkpoint_dir: str | None = None,
     trigger: dict | None = None,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion into a memory sink;
     return the sink table as a batch DataFrame.
@@ -161,13 +162,22 @@ def _run_to_memory(
     200 state-store instances and Python workers per micro-batch for a
     handful of keys; the state-store count is fixed at the FIRST run of
     a checkpoint, which is also why it must be set before start).
+    ``state_partitions`` overrides that pin for callers whose state
+    keyspace is tiny and whose provider pays a per-instance open/commit
+    cost (RocksDB: ~0.3 s per store instance per micro-batch — sizing
+    state partitions to the keyspace is the same call an operator makes
+    on a real cluster, where `shuffle.partitions` for a 6-key stateful
+    agg is set to O(keys), not O(cores)).
     ``trigger`` defaults to availableNow; a processingTime trigger is
     stopped after the source is drained (``processAllAvailable``).
     """
     spark = df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark.conf.set("spark.sql.shuffle.partitions", cpus)
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(state_partitions) if state_partitions else cpus,
+    )
     own_ckpt: list[str] = []
     try:
         name = f"mem_{uuid.uuid4().hex[:12]}"

@@ -151,7 +151,9 @@ def exact_state_stats(events: DataFrame, key: str = "event_type") -> DataFrame:
     )
 
 
-def stream_stats_exact_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_stats_exact_state(
+    spark: SparkSession, sf_dir: str, *, state_partitions: int | None = None
+) -> DataFrame:
     """Driver-facing query: run the exact-parity stateful op over the
     fixture stream to completion; keep each key's final emission
     (highest counter). Oracle-checked fields are the deterministic
@@ -161,7 +163,9 @@ def stream_stats_exact_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = events_file_stream(spark, os.path.join(sf_dir, "events.parquet"))
     out = exact_state_stats(events, "event_type")
-    mem = _run_to_memory(out, output_mode="update")
+    mem = _run_to_memory(
+        out, output_mode="update", state_partitions=state_partitions
+    )
     from pyspark.sql import Window
 
     w = Window.partitionBy("readTag_id").orderBy(F.col("counter").desc())
@@ -667,6 +671,14 @@ def stream_stats_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoped to this query (saved/restored), and the emitted rows are
     identical to the default-provider run.
 
+    State partitions are sized to the keyspace (4 partitions for a
+    handful of event_type keys) rather than the core count: RocksDB
+    pays a per-store-instance open/snapshot/commit cost (~0.3 s each),
+    so 32 instances for 6 keys was pure provider-init overhead — 9.3 s
+    at sf0.01 vs ~3 s with right-sized state partitions, identical
+    rows. On a real cluster the same rule applies: stateful-agg shuffle
+    partitions scale with key cardinality and state size, not cores.
+
     The memory sink is fully materialized before the conf restore, so
     the returned frame is provider-independent by the time the driver
     collects it."""
@@ -674,7 +686,7 @@ def stream_stats_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = spark.conf.get(key, None)
     spark.conf.set(key, _ROCKSDB_PROVIDER)
     try:
-        out = stream_stats_exact_state(spark, sf_dir)
+        out = stream_stats_exact_state(spark, sf_dir, state_partitions=4)
         # force the streaming query (and its RocksDB state) to finish
         # while the provider conf is still in effect
         pdf = out.toPandas()
