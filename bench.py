@@ -124,8 +124,10 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _historical_best() -> dict[str, float]:
-    """Per-query minimum recorded wall across prior BENCH_r*.json files.
+def _historical_best(sf: float) -> dict[str, float]:
+    """Per-query minimum recorded wall across prior bench records AT
+    THE SAME SCALE FACTOR (mixing sfs would poison the reference:
+    sf0.001 walls would mark every sf0.1 reading an "outlier").
 
     Used only as the outlier-detection reference: the bench host is a
     shared tenant and a single co-tenant CPU spike can inflate one
@@ -137,16 +139,24 @@ def _historical_best() -> dict[str, float]:
     best: dict[str, float] = {}
     here = os.path.dirname(os.path.abspath(__file__))
     for fname in sorted(os.listdir(here)):
-        if not (fname.startswith("BENCH_r") and fname.endswith(".json")):
+        # BENCH_r*.json: driver round records (per-query dicts nest
+        # under "parsed" through r05; from r06 the driver parses the
+        # compact headline, which has no per-query dict).
+        # BENCH_LOCAL_r*.json / BENCH_FULL_LATEST.json: this repo's
+        # clean full records — the per-query history source.
+        if not (fname.startswith("BENCH") and fname.endswith(".json")):
             continue
         try:
             with open(os.path.join(here, fname)) as f:
                 rec = json.load(f)
-            for q, t in (rec.get("queries") or {}).items():
+            inner = rec if "queries" in rec else (rec.get("parsed") or {})
+            if float(inner.get("sf", rec.get("sf", -1.0))) != sf:
+                continue
+            for q, t in (inner.get("queries") or {}).items():
                 t = float(t)
                 if t > 0 and (q not in best or t < best[q]):
                     best[q] = t
-        except (ValueError, OSError):
+        except (ValueError, OSError, TypeError, AttributeError):
             continue
     return best
 
@@ -197,7 +207,7 @@ def main() -> None:
     # 1-minute load average is emitted as the external-load witness.
     OUTLIER_X = 3.0
     ABS_FLOOR = 6.0  # s — no registered query legitimately takes this at sf<=0.1
-    best = _historical_best()
+    best = _historical_best(sf)
     reruns: dict[str, list[float]] = {}
     for name, fn in queries.items():
         ref = best.get(name)
