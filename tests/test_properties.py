@@ -307,3 +307,69 @@ def test_ks_grid_max_is_sufficient(xs, ys):
         for t in probes
     )
     assert d_grid >= d_probe
+
+
+# ---------------------------------------------------- PNG decode --
+
+
+@given(
+    st.integers(min_value=1, max_value=23),  # width
+    st.integers(min_value=1, max_value=17),  # height
+    st.sampled_from([1, 2, 3, 4]),           # channels (gray/GA/RGB/RGBA)
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_decode_roundtrips_random_images(w, h, nch, rng):
+    """The stdlib PNG decoder is exact on arbitrary 8-bit images: for
+    every size/channel combination and every scanline filter type the
+    encoder emits (cycled 0-4), decode(encode(px)) equals the luma of
+    px. Complements the fixed-seed test in test_multimodal.py with
+    generative coverage (1-px-wide images, single rows, GA/RGBA)."""
+    import numpy as np
+
+    from spark_streaming_stream_analyzer_spark.operators.multimodal import (
+        png_decode_gray,
+    )
+    from tests.test_multimodal import _png_encode
+
+    px = [[rng.randrange(256) for _ in range(w * nch)] for _ in range(h)]
+    got = png_decode_gray(_png_encode(px, nch))
+    arr = np.array(px, dtype=np.uint8).reshape(h, w, nch)
+    if nch >= 3:
+        exp = (
+            arr[:, :, 0].astype("uint32") * 299
+            + arr[:, :, 1].astype("uint32") * 587
+            + arr[:, :, 2].astype("uint32") * 114
+        ) // 1000
+    else:
+        exp = arr[:, :, 0].astype("uint32")
+    assert got.shape == (h, w)
+    assert np.array_equal(got.astype("uint32"), exp)
+
+
+@given(
+    st.integers(min_value=4, max_value=40),
+    st.integers(min_value=4, max_value=40),
+    st.integers(min_value=0, max_value=255),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=25, deadline=None)
+def test_avg_pool_bounds_and_constant_identity(w, h, c, rng):
+    """Box pooling stays inside the image's value range, and a
+    constant image pools to exactly its value."""
+    import numpy as np
+
+    from spark_streaming_stream_analyzer_spark.operators.multimodal import (
+        _avg_pool,
+    )
+
+    g = np.array(
+        [[rng.randrange(256) for _ in range(w)] for _ in range(h)],
+        dtype=np.uint8,
+    )
+    pooled = _avg_pool(g)
+    assert pooled.shape == (4, 4)
+    assert pooled.min() >= g.min() / 255.0 - 1e-6
+    assert pooled.max() <= g.max() / 255.0 + 1e-6
+    const = _avg_pool(np.full((h, w), c, dtype=np.uint8))
+    assert np.allclose(const, c / 255.0)
