@@ -44,6 +44,10 @@ def get_spark(
         # local mode: single JVM — driver memory is the only knob
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # the \r-rewriting console progress bar interleaves with (and
+        # silently overwrites) selfcheck/bench per-query lines when
+        # stdout is a captured pipe — logs must stay line-oriented
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.shuffle.spill.compress", "true")
     )
     for k, v in (extra_conf or {}).items():
