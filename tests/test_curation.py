@@ -501,20 +501,32 @@ def test_lexical_rarity_vs_brute(spark, sf_dir):
 
 
 def test_doc_scorecard_matches_components(spark, sf_dir):
+    """The hoisted (3-scan) scorecard equals the five standalone
+    operators column-for-column — the identity that lets the shipped
+    form share explodes while the oracle stays the 5-CTE join."""
     from spark_streaming_stream_analyzer_spark.operators import textstats as ts
+    from spark_streaming_stream_analyzer_spark.operators.dedup import (
+        text_dup_ngram_fraction,
+    )
 
     card = {r["doc_id"]: r for r in
             ts.pipeline_doc_scorecard(spark, sf_dir).collect()}
     q = {r["doc_id"]: r["quality_score"]
          for r in ts.text_quality_score(spark, sf_dir).collect()}
+    ld = {r["doc_id"]: (r["ttr_ppm"], r["yule_k_e4"])
+          for r in ts.text_lexical_diversity(spark, sf_dir).collect()}
     ra = {r["doc_id"]: r["rarity_e3"]
           for r in ts.text_lexical_rarity(spark, sf_dir).collect()}
+    du = {r["doc_id"]: r["dup_ppm"]
+          for r in text_dup_ngram_fraction(spark, sf_dir).collect()}
     nv = {r["doc_id"]: r["novelty_ppm"]
           for r in ts.text_ngram_novelty(spark, sf_dir).collect()}
     assert set(card) == set(q)  # every scored doc has a card
     for d, r in card.items():
         assert r["quality_score"] == q[d]
+        assert (r["ttr_ppm"], r["yule_k_e4"]) == ld.get(d, (None, None))
         assert r["rarity_e3"] == ra.get(d)
+        assert r["dup_ppm"] == du.get(d)
         assert r["novelty_ppm"] == nv.get(d)
 
 
