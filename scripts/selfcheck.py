@@ -59,7 +59,22 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = get_spark("selfcheck")
+    if os.environ.get("SPARK_GRAFT_VANILLA"):
+        # Mirror the external driver's session: a bare builder with NO
+        # repo conf (no AQE/Arrow/nanosAsLong/timezone assumptions may
+        # leak into queries(); sources/tables.py must self-provision).
+        from pyspark.sql import SparkSession
+
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        spark = (
+            SparkSession.builder.master(f"local[{cpus}]")
+            .appName("vanilla-selfcheck")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("WARN")
+    else:
+        spark = get_spark("selfcheck")
     con = duckdb.connect()
     for t in TABLE_NAMES:
         p = os.path.join(sf_dir, f"{t}.parquet")

@@ -254,6 +254,17 @@ def png_decode_gray(payload: bytes):
             pos + 4 : pos + 8
         ]
         data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            # A truncated payload would otherwise surface as a
+            # struct.error (short IHDR) or an opaque zlib error far
+            # from the cause (ADVICE r6).
+            raise ValueError("truncated PNG chunk")
+        if ctype in (b"IHDR", b"IDAT"):
+            crc = payload[pos + 8 + length : pos + 12 + length]
+            if len(crc) != 4 or struct.unpack(">I", crc)[0] != (
+                zlib.crc32(ctype + data) & 0xFFFFFFFF
+            ):
+                raise ValueError(f"PNG chunk CRC mismatch ({ctype.decode()})")
         pos += 12 + length  # len + type + data + crc
         if ctype == b"IHDR":
             w, h, depth, color, _comp, _filt, interlace = struct.unpack(
@@ -328,8 +339,15 @@ def _avg_pool(gray, k: int = 4):
     g = gray.astype("float64")
     for i in range(k):
         for j in range(k):
-            y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
-            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
+            # Clamp block bounds into range so images smaller than k in
+            # either dimension replicate edge rows/cols instead of
+            # slicing an empty block (whose .mean() is NaN): with h=1
+            # the naive ys=[0,0,0,1,1] makes block i=3 slice g[1:2] of
+            # a 1-row array (ADVICE r6).
+            y0 = min(ys[i], h - 1)
+            y1 = min(max(ys[i + 1], y0 + 1), h)
+            x0 = min(xs[j], w - 1)
+            x1 = min(max(xs[j + 1], x0 + 1), w)
             out[i, j] = g[y0:y1, x0:x1].mean()
     return out / 255.0
 

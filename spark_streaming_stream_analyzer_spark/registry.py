@@ -940,66 +940,62 @@ query("stream_ohlc_bars", _an.TS_OHLC_SQL)(_sp.stream_ohlc_bars)
 # (which always runs all of them).
 
 _VERIFY_FIRST: list[str] = [
-    # Round-6 rotation: first 50 of the 134-query never-driver-verified
-    # backlog (all round-5 additions; the definitive ordered list is
-    # NOTES_r5.md section 8, computed from CORRECTNESS_r01-r05).
-    # Tier 1 first — streaming twins, pipeline compositions, recommender
-    # and mart ops (the hardest-to-self-attest surface, incl. the SURVEY
-    # M3 op stream_stats_tws per VERDICT r5 item 3) — then the front of
-    # tier 2 (connectors, the reworked hash-checkable approx_aggs, and
-    # the analytics/sequence tier). Rounds 7-8 take the remaining ~84.
-    # Tier 1 (29)
-    "pipeline_anomaly_panel",
-    "mart_user_360",
-    "dedup_prefix_filter_join",
-    "dedup_method_agreement",
-    "emb_nearest_centroid_confusion",
-    "pipeline_doc_scorecard",
-    "text_langid_confusion",
-    "pipeline_text_features_fused",
-    "pipeline_pretrain_corpus",
-    "rec_copurchase_topk",
-    "rec_eval_metrics",
-    "rec_popularity_baseline",
-    "stream_cdc_apply",
-    "stream_freshness_watermark",
-    "stream_hll_distinct",
-    "stream_column_profile",
-    "stream_pareto_front",
-    "stream_cms_topk",
-    "stream_kanon_cells",
-    "stream_stats_tws",
-    "stream_sessionize_custom",
-    "stream_stats_rocksdb",
-    "stream_attribution_last_touch",
-    "stream_seq_pattern",
-    "stream_cusum_alarm",
-    "stream_transition_matrix",
-    "stream_new_user_monitor",
-    "stream_user_360",
-    "stream_ohlc_bars",
-    # Tier 2 front (21)
-    "sink_python_datasource",
-    "src_binary_files",
-    "approx_aggs",
-    "src_synthetic_gen",
-    "sort_pareto_front",
-    "set_ops_all",
-    "agg_value_deciles",
-    "ts_anomaly_mad",
-    "ts_resample_interp",
-    "seq_pattern_triples",
-    "assoc_rules_pairs",
-    "ts_seasonal_profile",
-    "agg_weighted_median",
-    "ts_cusum_alarm",
-    "seq_transition_matrix",
-    "ts_autocorr_lag",
-    "agg_theil_sen",
-    "ts_peak_prominence",
-    "agg_gini_impurity",
-    "seq_training_windows",
-    "ab_test_report",
+    # Round-7 rotation: the next 50 of the never-driver-verified backlog
+    # (NOTES_r5.md section 8 tier 2, entries 22-71 in list order — the
+    # round-6 front took tier 1 + tier-2 entries 1-21 and all 50 came
+    # back green in CORRECTNESS_r06). Round 8 takes the remaining 35
+    # (tier-2 entries 72-106), after which the freeze lifts
+    # (tests/test_verification_debt.py).
+    "ts_activity_streaks",
+    "seq_top_paths",
+    "ts_backtest_snaive",
+    "ts_cumulative_users",
+    "agg_winsorized_mean",
+    "ts_atr_volatility",
+    "funnel_latency_quantiles",
+    "ts_peak_attribution",
+    "ts_rolling_anomaly",
+    "ts_weekend_lift",
+    "cohort_ltv_matrix",
+    "ts_changepoint_impact",
+    "agg_bounce_rate",
+    "ts_fano_factor",
+    "ts_dominant_period",
+    "ts_dayn_retention",
+    "dedup_fingerprint_overlap",
+    "dedup_index_tuning_report",
+    "dedup_source_overlap_matrix",
+    "text_dup_ngram_fraction",
+    "emb_matryoshka_recall",
+    "emb_pq_codebook",
+    "emb_pca_power",
+    "emb_knn_graph",
+    "emb_class_centroids",
+    "emb_class_outliers",
+    "emb_class_separation",
+    "emb_dim_variance",
+    "emb_distance_histogram",
+    "sim_pq_adc_topk",
+    "text_oov_rate",
+    "text_lexical_diversity",
+    "text_ngram_novelty",
+    "text_source_similarity",
+    "text_lexical_rarity",
+    "text_prefix_templates",
+    "sample_word_subsample",
+    "text_skipgram_pairs",
+    "text_vocab_growth",
+    "text_zipf_profile",
+    "mm_shard_manifest",
+    "mm_byte_histogram",
+    "text_gopher_gates",
+    "sample_temperature_mixture",
+    "sample_reservoir_group",
+    "sample_bootstrap_stats",
+    "agg_pareto_8020",
+    "pack_interleave_order",
+    "pack_epoch_shuffle",
+    "corpus_contrib_gini",
 ]
 
 

@@ -142,6 +142,54 @@ def test_png_decode_gray_roundtrips_all_filters():
     assert np.array_equal(got, exp)
 
 
+def test_png_decode_gray_rejects_truncated_and_corrupt():
+    """Truncated payloads raise the documented ValueError (not a
+    struct/zlib error far from the cause), and a flipped IDAT byte is
+    caught by CRC validation instead of passing through silently
+    (ADVICE r6)."""
+    import numpy as np
+    import pytest
+
+    from spark_streaming_stream_analyzer_spark.operators.multimodal import (
+        png_decode_gray,
+    )
+
+    px = [[(x * 7 + y * 13) % 256 for x in range(6)] for y in range(5)]
+    good = _png_encode(px, 1)
+    assert np.array_equal(png_decode_gray(good), np.array(px, dtype=np.uint8))
+    # cut mid-IDAT: the chunk header promises more data than remains
+    with pytest.raises(ValueError, match="truncated PNG chunk"):
+        png_decode_gray(good[: len(good) - 20])
+    # flip one IDAT payload byte: CRC no longer matches
+    idat_at = good.index(b"IDAT")
+    corrupt = bytearray(good)
+    corrupt[idat_at + 6] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        png_decode_gray(bytes(corrupt))
+
+
+def test_avg_pool_tiny_images_have_no_nan():
+    """Images narrower/shorter than the 4x4 pool grid replicate edge
+    pixels instead of averaging empty slices (ADVICE r6: h=1 used to
+    produce NaN cells on the stdlib path only)."""
+    import numpy as np
+
+    from spark_streaming_stream_analyzer_spark.operators.multimodal import (
+        _avg_pool,
+    )
+
+    for h, w in [(1, 1), (1, 9), (9, 1), (2, 3), (3, 2), (1, 4), (4, 1)]:
+        g = np.arange(h * w, dtype=np.uint8).reshape(h, w)
+        pooled = _avg_pool(g)
+        assert pooled.shape == (4, 4)
+        assert np.isfinite(pooled).all()
+        assert pooled.min() >= g.min() / 255.0 - 1e-9
+        assert pooled.max() <= g.max() / 255.0 + 1e-9
+    # 1x1 pools to exactly its value in every cell
+    one = _avg_pool(np.full((1, 1), 200, dtype=np.uint8))
+    assert np.allclose(one, 200 / 255.0)
+
+
 def test_decode_image_png_runs_without_pil(spark):
     """End-to-end Spark decode of PNG payloads with no codec libs: the
     kernel is REAL in this container, not a stub (VERDICT r5 item 7)."""

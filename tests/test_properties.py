@@ -348,14 +348,16 @@ def test_png_decode_roundtrips_random_images(w, h, nch, rng):
 
 
 @given(
-    st.integers(min_value=4, max_value=40),
-    st.integers(min_value=4, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
     st.integers(min_value=0, max_value=255),
     st.randoms(use_true_random=False),
 )
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=40, deadline=None)
 def test_avg_pool_bounds_and_constant_identity(w, h, c, rng):
-    """Box pooling stays inside the image's value range, and a
+    """Box pooling stays inside the image's value range (so in
+    particular never NaN, even for images smaller than the 4x4 pool
+    grid — ADVICE r6: h or w < 4 used to slice empty blocks), and a
     constant image pools to exactly its value."""
     import numpy as np
 
@@ -369,6 +371,7 @@ def test_avg_pool_bounds_and_constant_identity(w, h, c, rng):
     )
     pooled = _avg_pool(g)
     assert pooled.shape == (4, 4)
+    assert np.isfinite(pooled).all()
     assert pooled.min() >= g.min() / 255.0 - 1e-6
     assert pooled.max() <= g.max() / 255.0 + 1e-6
     const = _avg_pool(np.full((h, w), c, dtype=np.uint8))
