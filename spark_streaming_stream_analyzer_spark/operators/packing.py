@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..functions.exact import cents
 from ..functions.hashing import hash64, hash64_sql
+from ..functions.ranking import global_rank
 from ..sources.tables import load_table, load_table_cpu
 
 # --------------------------------------------------- token-budget packing --
@@ -680,24 +681,38 @@ def pack_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     training (the streaming-mixture twin of ``sample_rebalance``'s
     counts-only view).
 
-    The global position is a row_number over (rank, source) — a
-    single-partition window, acceptable because its input is already
-    the final manifest (one row per doc). The 100 TB form replaces it
-    with rank·|sources| + source-index arithmetic after padding, or a
-    prefix-sum of per-(rank) counts — noted; at manifest scale the
-    window is simpler and exact.
+    Both ranks are DISTRIBUTED (VERDICT r6 item 5 applied to the
+    manifest grain — one row per doc is still fact-sized):
+
+    - the within-source rank is a ``global_rank`` over (source,
+      doc_id) minus a broadcast per-source offset (|sources| rows) —
+      equivalent to ``row_number PARTITION BY source`` but without
+      pushing |docs|/|sources| rows through one task per source;
+    - the global position is a second ``global_rank`` over
+      (rn, source, doc_id) — range-partitioned, no single-partition
+      window anywhere in the plan.
     """
-    docs = load_table_cpu(spark, sf_dir, "documents")
-    rn = F.row_number().over(
-        Window.partitionBy("source").orderBy("doc_id")
+    docs = load_table_cpu(spark, sf_dir, "documents").select("doc_id", "source")
+    g = global_rank(docs, [F.asc("source"), F.asc("doc_id")], out="gpos")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n"))
+    lower = counts.select(
+        F.col("source").alias("source_b"), F.col("n").alias("n_b")
     )
-    ranked = docs.select("doc_id", "source").withColumn("rn", rn)
-    pos = F.row_number().over(
-        Window.orderBy("rn", "source", "doc_id")
+    src_off = (
+        counts.join(
+            F.broadcast(lower), F.col("source_b") < F.col("source"), "left"
+        )
+        .groupBy("source")
+        .agg(F.coalesce(F.sum("n_b"), F.lit(0)).alias("src_off"))
     )
-    return ranked.withColumn("position", pos).select(
-        "doc_id", "source", "rn", "position"
+    ranked = (
+        g.join(F.broadcast(src_off), "source")
+        .withColumn("rn", (F.col("gpos") - F.col("src_off")).cast("int"))
+        .select("doc_id", "source", "rn")
     )
+    return global_rank(
+        ranked, [F.asc("rn"), F.asc("source"), F.asc("doc_id")], out="position"
+    ).select("doc_id", "source", "rn", "position")
 
 
 PACK_INTERLEAVE_SQL = """

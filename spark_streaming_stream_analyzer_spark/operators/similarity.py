@@ -678,12 +678,13 @@ SRP_BAND_BITS = SRP_PLANES // SRP_BANDS      # 4 bits → 16 buckets/band
 _SRP_MASK = (1 << SRP_BAND_BITS) - 1
 
 
-def _srp_signs() -> list[list[float]]:
-    """Deterministic ±1 hyperplane matrix (SRP_PLANES × DIM), derived
+def _srp_signs(n_planes: int = SRP_PLANES) -> list[list[float]]:
+    """Deterministic ±1 hyperplane matrix (n_planes × DIM), derived
     once from md5 digests of fixed labels. It is a *public constant* —
     embedded as literals in BOTH engines' queries, so signatures (and
     therefore buckets and candidates) match bit-for-bit with no
-    cross-engine hashing at query time."""
+    cross-engine hashing at query time. The first 16 rows are shared
+    by every SRP tier (the label scheme is positional)."""
     import hashlib
 
     return [
@@ -691,19 +692,21 @@ def _srp_signs() -> list[list[float]]:
             1.0 if hashlib.md5(f"srp:{p}:{d}".encode()).digest()[0] % 2 == 0 else -1.0
             for d in range(DIM)
         ]
-        for p in range(SRP_PLANES)
+        for p in range(n_planes)
     ]
 
 
 _SRP = _srp_signs()
 
 
-def _srp_sig(emb_d: Column) -> Column:
-    """16-bit signed-random-projection signature: bit p = sign of the
-    dot product against hyperplane p. Pure JVM array expressions."""
+def _srp_sig(emb_d: Column, planes: list[list[float]] | None = None) -> Column:
+    """Signed-random-projection signature (one bit per hyperplane:
+    bit p = sign of the dot product against plane p). Pure JVM array
+    expressions. Defaults to the 16-plane matrix ``_SRP``."""
+    mat = _SRP if planes is None else planes
     sig = F.lit(0).cast("long")
-    for p in range(SRP_PLANES):
-        plane = F.array(*[F.lit(v) for v in _SRP[p]])
+    for p in range(len(mat)):
+        plane = F.array(*[F.lit(v) for v in mat[p]])
         dot = _fold_sum(F.zip_with(emb_d, plane, lambda x, y: x * y))
         sig = sig + F.when(dot >= 0, F.lit(1 << p).cast("long")).otherwise(
             F.lit(0).cast("long")
@@ -1590,6 +1593,207 @@ topk AS (
          row_number() OVER (PARTITION BY vec_id
                             ORDER BY cos_sim DESC, o_id) AS rank
   FROM scored
+  QUALIFY rank <= {KNN_K}
+),
+fwd AS (
+  SELECT vec_id AS u, o_id AS v, cos_sim, rank AS rank_uv
+  FROM topk WHERE vec_id < o_id
+),
+bwd AS (
+  SELECT o_id AS u, vec_id AS v, rank AS rank_vu
+  FROM topk WHERE vec_id > o_id
+)
+SELECT u, v, cos_sim, CAST(rank_uv AS BIGINT) AS rank_uv,
+       CAST(rank_vu AS BIGINT) AS rank_vu
+FROM fwd JOIN bwd USING (u, v)
+"""
+
+
+# ------------------------------------- SRP-banded mutual kNN graph --
+
+#: The kNN graph needs higher recall than the 8-query ANN op: every
+#: vector is a query. 32 planes in 8 bands of 4 bits OR-amplify to
+#: ~2x the candidate coverage of the 4-band tier at the same bucket
+#: granularity; signatures stay one map-only scan (32 fold-dots).
+KNNG_PLANES = 32
+KNNG_BANDS = 8
+_KNNG_SRP = _srp_signs(KNNG_PLANES)
+
+#: Band-buckets holding more than this many vectors are quarantined
+#: from pair generation (the ``dedup_minhash_lsh`` LSH_BUCKET_CAP
+#: move): a degenerate bucket of B vectors would emit B^2/2 candidate
+#: pairs, and at 100 TB one hot bucket is the whole job. Never trips
+#: at fixture scale (buckets average ~|N|/16 per band).
+KNNG_BUCKET_CAP = 256
+
+
+def emb_knn_srp_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual kNN graph via SRP-LSH candidate generation — the
+    scale-safe registered form of :func:`emb_knn_graph` (VERDICT r6
+    item 4): identical mutual-top-5 semantics, but the pair universe
+    is band-bucket cohabitants instead of the exact N² census.
+
+    Plan shape (the 100 TB story): one map-only signature scan, a
+    banded SELF-join on (band, bucket) with hot buckets above
+    ``KNNG_BUCKET_CAP`` quarantined, exact fold-cosine re-rank on the
+    surviving pairs, then the same mutual-rank filter as the exact
+    twin. Nothing is ever all-pairs; every stage is bounded by
+    bucket-cohabitation counts. The exact twin stays as the recall
+    oracle (``tests/test_similarity.py`` asserts edge recall vs it).
+
+    Ranks are positions within the CANDIDATE neighborhood, so an edge
+    (u, v) here means "mutually top-5 among LSH candidates" — the
+    graph a production pipeline would actually build at scale.
+    """
+    em = _with_norm(
+        load_table_cpu(spark, sf_dir, "embeddings"), "embedding", "nrm"
+    ).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb_d"),
+        "nrm",
+    )
+    sigs = em.select(
+        "vec_id", _srp_sig(F.col("emb_d"), planes=_KNNG_SRP).alias("sig")
+    )
+    bands = (
+        sigs.select(
+            "vec_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftright("sig", b * SRP_BAND_BITS)
+                            .bitwiseAND(F.lit(_SRP_MASK))
+                            .alias("bv"),
+                        )
+                        for b in range(KNNG_BANDS)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select("vec_id", "bb.band", "bb.bv")
+        .localCheckpoint(eager=False)
+    )
+    ok = (
+        bands.groupBy("band", "bv")
+        .agg(F.count("*").alias("bsz"))
+        .filter(F.col("bsz") <= KNNG_BUCKET_CAP)
+        .select("band", "bv")
+    )
+    kept = bands.join(F.broadcast(ok), ["band", "bv"])
+    left = kept.select(F.col("vec_id").alias("a_id"), "band", "bv")
+    right = kept.select(F.col("vec_id").alias("b_id"), "band", "bv")
+    cpairs = (
+        left.join(right, ["band", "bv"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    ea = em.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("emb_d").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    eb = em.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("emb_d").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    dot = _fold_sum(F.zip_with("a_emb", "b_emb", lambda x, y: x * y))
+    scored = (
+        cpairs.join(ea, "a_id")
+        .join(eb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            (dot / (F.col("a_nrm") * F.col("b_nrm"))).alias("cos_sim"),
+        )
+    )
+    both = scored.select(
+        F.col("a_id").alias("vec_id"), F.col("b_id").alias("o_id"), "cos_sim"
+    ).unionByName(
+        scored.select(
+            F.col("b_id").alias("vec_id"), F.col("a_id").alias("o_id"), "cos_sim"
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("o_id")
+    )
+    topk = both.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= KNN_K
+    )
+    fwd = topk.filter(F.col("vec_id") < F.col("o_id")).select(
+        F.col("vec_id").alias("u"),
+        F.col("o_id").alias("v"),
+        "cos_sim",
+        F.col("rank").alias("rank_uv"),
+    )
+    bwd = topk.filter(F.col("vec_id") > F.col("o_id")).select(
+        F.col("o_id").alias("u"),
+        F.col("vec_id").alias("v"),
+        F.col("rank").alias("rank_vu"),
+    )
+    return fwd.join(bwd, ["u", "v"]).select(
+        "u", "v", "cos_sim", "rank_uv", "rank_vu"
+    )
+
+
+_COS_AB_SQL = _COS_SQL  # aliases q (a-side) and e (b-side)
+
+_KNNG_SQL_PLANES = ", ".join(
+    f"({p}, [{', '.join(repr(v) for v in _KNNG_SRP[p])}])"
+    for p in range(KNNG_PLANES)
+)
+_KNNG_SQL_BANDS = ", ".join(f"({b})" for b in range(KNNG_BANDS))
+
+EMB_KNN_SRP_SQL = f"""
+WITH planes(p, sgn) AS (VALUES {_KNNG_SQL_PLANES}),
+emb AS (SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb_d
+        FROM embeddings),
+dots AS (
+  SELECT e.vec_id, pl.p,
+         list_reduce(list_prepend(0.0, list_transform(generate_series(1, {DIM}),
+             i -> e.emb_d[i] * pl.sgn[i])), (a, x) -> a + x) AS dot
+  FROM emb e CROSS JOIN planes pl
+),
+sigs AS (
+  SELECT vec_id,
+         SUM(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS sig
+  FROM dots GROUP BY 1
+),
+bands AS (
+  SELECT vec_id, b.b,
+         (sig >> (b.b * {SRP_BAND_BITS})) & {_SRP_MASK} AS bv
+  FROM sigs CROSS JOIN (VALUES {_KNNG_SQL_BANDS}) b(b)
+),
+ok AS (
+  SELECT b, bv FROM bands GROUP BY 1, 2
+  HAVING COUNT(*) <= {KNNG_BUCKET_CAP}
+),
+kept AS (SELECT vec_id, b, bv FROM bands JOIN ok USING (b, bv)),
+cpairs AS (
+  SELECT DISTINCT l.vec_id AS a_id, r.vec_id AS b_id
+  FROM kept l JOIN kept r ON l.b = r.b AND l.bv = r.bv
+                          AND l.vec_id < r.vec_id
+),
+scored AS (
+  SELECT cp.a_id, cp.b_id, {_COS_AB_SQL} AS cos_sim
+  FROM cpairs cp
+  JOIN embeddings q ON q.vec_id = cp.a_id
+  JOIN embeddings e ON e.vec_id = cp.b_id
+),
+dirs AS (
+  SELECT a_id AS vec_id, b_id AS o_id, cos_sim FROM scored
+  UNION ALL
+  SELECT b_id, a_id, cos_sim FROM scored
+),
+topk AS (
+  SELECT vec_id, o_id, cos_sim,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos_sim DESC, o_id) AS rank
+  FROM dirs
   QUALIFY rank <= {KNN_K}
 ),
 fwd AS (

