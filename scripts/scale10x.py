@@ -88,6 +88,18 @@ def _other_cols(con, t: str, shifted: list[str]) -> list[str]:
     return [r[0] for r in rows if r[0] not in shifted]
 
 
+def _library_op(name: str):
+    """Resolve library-only operators (tested but not registered as
+    queries — e.g. scale-safe variants awaiting a rotation slot) so
+    they can be probed before registration."""
+    from spark_streaming_stream_analyzer_spark.operators import graph, similarity
+
+    return {
+        "graph_jaccard_capped": graph.graph_jaccard_capped,
+        "emb_knn_srp_graph": similarity.emb_knn_srp_graph,
+    }[name]
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     only = sys.argv[2:]
@@ -105,7 +117,7 @@ def main() -> None:
     print(f"| query | sf0.1 s | {n}x s | ratio |")
     print("|---|---|---|---|")
     for name in names:
-        fn = registry.QUERIES[name]
+        fn = registry.QUERIES.get(name) or _library_op(name)
         force(fn(spark, SRC))  # warm (codegen, page cache)
         t0 = time.time()
         force(fn(spark, SRC))

@@ -2215,22 +2215,38 @@ FROM m
 DIST_SAMPLE_MOD = 16   # keep ~1/16 of ordered pairs, hash-selected
 DIST_BUCKETS = 20      # cosine buckets of width 0.1 over [-1, 1]
 
+#: Per-side vector budget for the pair census. The pair-hash filter
+#: alone does NOT bound the work — the join still ENUMERATES all
+#: N^2/2 ordered pairs before filtering, which the 10x probe read as
+#: 28x wall (quadratic). Capping each join side at a deterministic
+#: hash-ordered top-K bounds enumeration at K^2/2 REGARDLESS of
+#: corpus size — the histogram becomes an estimate over a fixed pair
+#: budget, which is what a 100 TB diagnostic wants anyway. 1024 sits
+#: above every driver fixture (|embeddings| = 500 at sf0.001/0.01),
+#: so at oracle scale the cap never binds and the output is the
+#: uncapped census unchanged.
+DIST_VEC_CAP = 1024
+
 
 def emb_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distance-concentration diagnostic: the histogram of pairwise
     cosine similarities over a DETERMINISTIC 1/16 hash-sample of
-    vector pairs, bucketed 0.1-wide over [−1, 1] — the curse-of-
+    vector pairs drawn from two hash-ordered top-``DIST_VEC_CAP``
+    vector samples, bucketed 0.1-wide over [−1, 1] — the curse-of-
     dimensionality check (a histogram collapsing onto one bucket
     means neighbors are indistinguishable and ANN recall targets are
-    fiction). Hash-sampling keeps the census reproducible: the same
-    pairs are scored on every run and engine.
+    fiction). Hash-selection keeps the census reproducible: the same
+    vectors and pairs are scored on every run and engine.
 
     Cosines use the order-exact fold (bit-identical across engines),
-    so bucket floors agree exactly. Pair selection is md5 on the
-    ordered id pair — sampling happens BEFORE scoring, so cost is
-    |pairs|/16 dot products, and the modulus is the knob that keeps
-    the probe linear-ish at corpus scale.
+    so bucket floors agree exactly. Scale shape: two top-K selections
+    (per-partition top-K + single merge of K·P candidates — never a
+    full sort) bound the pair join at K²/2 enumerations no matter how
+    large the corpus grows; the 1/16 pair-hash filter then thins the
+    scored set. Cost is CONSTANT in corpus size once the cap binds.
     """
+    from ..functions.hashing import hash64
+
     em = _with_norm(
         load_table_cpu(spark, sf_dir, "embeddings"), "embedding", "nrm"
     ).select(
@@ -2238,7 +2254,20 @@ def emb_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x.cast("double")).alias("emb_d"),
         "nrm",
     )
-    other = em.select(
+
+    def side_cap(df: DataFrame, tag: str) -> DataFrame:
+        key = hash64(
+            F.concat(F.lit(tag), F.col("vec_id").cast("string"))
+        )
+        return (
+            df.withColumn("_h", key)
+            .orderBy(F.asc("_h"), F.asc("vec_id"))
+            .limit(DIST_VEC_CAP)
+            .drop("_h")
+        )
+
+    sa = side_cap(em, "dhA#")
+    sb = side_cap(em, "dhB#").select(
         F.col("vec_id").alias("o_id"),
         F.col("emb_d").alias("o_emb_d"),
         F.col("nrm").alias("o_nrm"),
@@ -2247,10 +2276,8 @@ def emb_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("dh#"), F.col("vec_id").cast("string"),
         F.lit("#"), F.col("o_id").cast("string"),
     )
-    from ..functions.hashing import hash64
-
-    pairs = em.join(
-        F.broadcast(other), F.col("vec_id") < F.col("o_id")
+    pairs = sa.join(
+        F.broadcast(sb), F.col("vec_id") < F.col("o_id")
     ).filter(F.pmod(hash64(pair_key), F.lit(DIST_SAMPLE_MOD)) == 0)
     dot = _fold_sum(F.zip_with("emb_d", "o_emb_d", lambda x, y: x * y))
     cos = dot / (F.col("nrm") * F.col("o_nrm"))
@@ -2277,10 +2304,18 @@ def _dist_hist_sql() -> str:
     h = hash64_sql(
         "'dh#' || CAST(q.vec_id AS VARCHAR) || '#' || CAST(e.vec_id AS VARCHAR)"
     )
+    ha = hash64_sql("'dhA#' || CAST(vec_id AS VARCHAR)")
+    hb = hash64_sql("'dhB#' || CAST(vec_id AS VARCHAR)")
     return f"""
-WITH pairs AS (
+WITH sa AS (
+  SELECT * FROM embeddings ORDER BY {ha}, vec_id LIMIT {DIST_VEC_CAP}
+),
+sb AS (
+  SELECT * FROM embeddings ORDER BY {hb}, vec_id LIMIT {DIST_VEC_CAP}
+),
+pairs AS (
   SELECT q.vec_id AS a, e.vec_id AS b, {_COS_SQL} AS cos
-  FROM embeddings q JOIN embeddings e ON q.vec_id < e.vec_id
+  FROM sa q JOIN sb e ON q.vec_id < e.vec_id
   WHERE (({h}) % {DIST_SAMPLE_MOD} + {DIST_SAMPLE_MOD}) % {DIST_SAMPLE_MOD} = 0
 ),
 bucketed AS (
