@@ -526,6 +526,24 @@ LIMIT {JACCARD_TOPK}
 JACCARD_DEG_CAP = 256
 
 
+def cap_neighbors(edges: DataFrame, cap: int = JACCARD_DEG_CAP) -> DataFrame:
+    """Keep at most ``cap`` neighbors per source node ``u`` of a
+    DIRECTED edge table (columns ``u``, ``v``), selected by the
+    portable 64-bit hash of the edge then ``v`` — a deterministic
+    fixed-size neighbor sample both engines reproduce bit-for-bit.
+    Factored out of :func:`graph_jaccard_capped` so the cap-binding
+    path is unit-testable on a synthetic hub (fixture degrees all sit
+    under the default cap, so the census itself never exercises it)."""
+    sel = Window.partitionBy("u").orderBy(
+        hash64(F.concat_ws(":", F.col("u"), F.col("v"))), F.col("v")
+    )
+    return (
+        edges.withColumn("r", F.row_number().over(sel))
+        .filter(F.col("r") <= cap)
+        .drop("r")
+    )
+
+
 def graph_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link prediction by neighborhood overlap on the DEGREE-CAPPED
     co-purchase graph — the scale-safe registered form of
@@ -548,15 +566,7 @@ def graph_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = und.unionByName(
         und.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    sel = Window.partitionBy("u").orderBy(
-        hash64(F.concat_ws(":", F.col("u"), F.col("v"))), F.col("v")
-    )
-    capped = (
-        edges.withColumn("r", F.row_number().over(sel))
-        .filter(F.col("r") <= JACCARD_DEG_CAP)
-        .drop("r")
-        .localCheckpoint(eager=False)
-    )
+    capped = cap_neighbors(edges).localCheckpoint(eager=False)
     deg = capped.groupBy(F.col("u").alias("node")).agg(
         F.count("*").alias("deg")
     )

@@ -428,6 +428,24 @@ def test_jaccard_capped_oracle_and_exactness(spark, sf_dir):
     assert canon(sdf).equals(canon(odf))
     exact = gr.graph_jaccard_neighbors(spark, sf_dir).toPandas()
     assert canon(sdf).equals(canon(exact))
-    # the cap genuinely binds on a hub: a star graph with a center of
-    # degree > CAP keeps exactly CAP neighbors
     assert gr.JACCARD_DEG_CAP == 256  # doc constant the SQL embeds
+
+
+def test_cap_neighbors_binds_on_hub(spark):
+    """The capping stage itself (never exercised by fixture degrees,
+    which all sit under the cap): a star with a center of degree
+    3*CAP keeps exactly CAP deterministic neighbors, leaves keep
+    their single edge, and the selection is stable across runs."""
+    cap = 8
+    hub = [(0, v) for v in range(1, 3 * cap + 1)]
+    leaves = [(v, 0) for v in range(1, 3 * cap + 1)]
+    edges = spark.createDataFrame(hub + leaves, "u long, v long")
+    kept = gr.cap_neighbors(edges, cap=cap).toPandas()
+    by_u = kept.groupby("u").size()
+    assert by_u[0] == cap  # hub truncated to exactly CAP
+    assert (by_u.drop(0) == 1).all()  # every leaf keeps its one edge
+    # deterministic: same sample on a second evaluation
+    again = gr.cap_neighbors(edges, cap=cap).toPandas()
+    k1 = sorted(map(tuple, kept.to_numpy().tolist()))
+    k2 = sorted(map(tuple, again.to_numpy().tolist()))
+    assert k1 == k2
