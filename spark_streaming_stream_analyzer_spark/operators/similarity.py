@@ -1064,21 +1064,46 @@ PQ_K = 8                    # codebook entries per subspace
 PQ_ITERS = 2
 
 
-def _pq_assign(spark: SparkSession, em: DataFrame, m: int) -> DataFrame:
+def _pq_assign_all(
+    spark: SparkSession, em: DataFrame
+) -> tuple[DataFrame, DataFrame]:
     """Exact-integer k-means (the ``sim_kmeans_exact_cells`` algebra:
     quantized int64 coordinates, int64 distances, floor(sum/count)
-    centroid updates, ties to the lowest cell) over subspace ``m``'s
-    PQ_SUBDIM-dim slice. Returns (vec_id, code_m, d2_m)."""
-    sub = em.select(
-        "vec_id", F.slice("v", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("v")
-    )
+    centroid updates, ties to the lowest cell) over ALL PQ_M subspace
+    slices in lockstep: one (m, vec_id, v) table replaces PQ_M
+    sequential training chains, so each k-means round is ONE Spark
+    job and each centroid refresh ONE bounded collect of PQ_M×PQ_K
+    rows (was PQ_M separate collects — at driver-fixture scale the
+    job-scheduling overhead, not the math, dominated the old form).
+    Per-subspace arithmetic is unchanged, so results are identical.
+
+    Returns (assigned, cent): assigned = (m, vec_id, cell, d2) under
+    the FINAL assignment; cent = the final literal codebook
+    (m, cell, c) that assignment used.
+    """
+    subs = em.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice(
+                            "v", m * PQ_SUBDIM + 1, PQ_SUBDIM
+                        ).alias("v"),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.v").alias("v"))
+    # seed: the first PQ_K vec_ids' slices, cell numbered in vec_id
+    # order within each subspace (identical to the per-subspace form)
+    seed_sel = Window.partitionBy("m").orderBy("vec_id")
     cent = (
-        sub.orderBy("vec_id")
-        .limit(PQ_K)
-        .select(
-            F.row_number().over(Window.orderBy("vec_id")).alias("cell"),
-            F.col("v").alias("c"),
-        )
+        subs.withColumn("cell", F.row_number().over(seed_sel))
+        .filter(F.col("cell") <= PQ_K)
+        .select("m", "cell", F.col("v").alias("c"))
     )
     dist = F.aggregate(
         F.zip_with("v", "c", lambda x, y: (x - y) * (x - y)),
@@ -1088,11 +1113,12 @@ def _pq_assign(spark: SparkSession, em: DataFrame, m: int) -> DataFrame:
     assigned = None
     for it in range(PQ_ITERS):
         assigned = (
-            sub.crossJoin(F.broadcast(cent))
-            .select("vec_id", "v", "cell", dist.alias("d2"))
-            .groupBy("vec_id")
+            subs.join(F.broadcast(cent), "m")
+            .select("m", "vec_id", "v", "cell", dist.alias("d2"))
+            .groupBy("m", "vec_id")
             .agg(F.min(F.struct("d2", "cell", "v")).alias("mn"))
             .select(
+                "m",
                 "vec_id",
                 F.col("mn.cell").alias("cell"),
                 F.col("mn.d2").alias("d2"),
@@ -1101,9 +1127,11 @@ def _pq_assign(spark: SparkSession, em: DataFrame, m: int) -> DataFrame:
         )
         if it == PQ_ITERS - 1:
             break
-        dims = assigned.select("cell", F.posexplode("v").alias("dim", "x"))
+        dims = assigned.select(
+            "m", "cell", F.posexplode("v").alias("dim", "x")
+        )
         cur = (
-            dims.groupBy("cell", "dim")
+            dims.groupBy("m", "cell", "dim")
             .agg(
                 F.floor(
                     F.sum("x").cast("double") / F.count("*").cast("double")
@@ -1111,7 +1139,7 @@ def _pq_assign(spark: SparkSession, em: DataFrame, m: int) -> DataFrame:
                 .cast("long")
                 .alias("cx")
             )
-            .groupBy("cell")
+            .groupBy("m", "cell")
             .agg(
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("dim", "cx"))),
@@ -1119,15 +1147,10 @@ def _pq_assign(spark: SparkSession, em: DataFrame, m: int) -> DataFrame:
                 ).alias("c")
             )
         )
-        cent = spark.createDataFrame(cur.collect(), schema="cell int, c array<long>")
-    return (
-        assigned.select(
-            "vec_id",
-            F.col("cell").alias(f"code{m}"),
-            F.col("d2").alias(f"d2_{m}"),
-        ),
-        cent,  # the final codebook the last assignment used
-    )
+        cent = spark.createDataFrame(
+            cur.collect(), schema="m int, cell int, c array<long>"
+        )
+    return assigned.select("m", "vec_id", "cell", "d2"), cent
 
 
 def emb_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1161,17 +1184,34 @@ def emb_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     em = em.cache()
     try:
-        parts = [_pq_assign(spark, em, m)[0] for m in range(PQ_M)]
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.join(p, "vec_id")
-        total = sum(F.col(f"d2_{m}") for m in range(PQ_M))
-        out = out.select(
-            "vec_id",
-            *[F.col(f"code{m}") for m in range(PQ_M)],
-            *[F.col(f"d2_{m}") for m in range(PQ_M)],
-            total.alias("total_d2"),
-        ).localCheckpoint()
+        assigned, _ = _pq_assign_all(spark, em)
+        # one pivot aggregate replaces the old PQ_M-way self-join
+        out = (
+            assigned.groupBy("vec_id")
+            .agg(
+                *[
+                    F.max(
+                        F.when(F.col("m") == m, F.col("cell"))
+                    ).alias(f"code{m}")
+                    for m in range(PQ_M)
+                ],
+                *[
+                    F.max(
+                        F.when(F.col("m") == m, F.col("d2"))
+                    ).alias(f"d2_{m}")
+                    for m in range(PQ_M)
+                ],
+            )
+            .select(
+                "vec_id",
+                *[F.col(f"code{m}") for m in range(PQ_M)],
+                *[F.col(f"d2_{m}") for m in range(PQ_M)],
+                sum(F.col(f"d2_{m}") for m in range(PQ_M)).alias(
+                    "total_d2"
+                ),
+            )
+            .localCheckpoint()
+        )
     finally:
         em.unpersist()
     return out
@@ -1282,32 +1322,40 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
-        per_sub = []
-        for m in range(PQ_M):
-            codes, cent = _pq_assign(spark, em, m)
-            q_sub = (
-                em.filter(F.col("vec_id") < N_QUERIES)
-                .select(
-                    F.col("vec_id").alias("q_id"),
-                    F.slice("v", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("v"),
-                )
+        codes, cent = _pq_assign_all(spark, em)
+        # per-(m, query) LUT rows against the literal codebook —
+        # |Q|·PQ_M·PQ_K rows, broadcastable by construction
+        q_subs = (
+            em.filter(F.col("vec_id") < N_QUERIES)
+            .select(
+                F.col("vec_id").alias("q_id"),
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(m).alias("m"),
+                                F.slice(
+                                    "v", m * PQ_SUBDIM + 1, PQ_SUBDIM
+                                ).alias("v"),
+                            )
+                            for m in range(PQ_M)
+                        ]
+                    )
+                ).alias("s"),
             )
-            lut = q_sub.crossJoin(F.broadcast(cent)).select(
-                "q_id", "cell", dist.alias("d2q")
-            )
-            per_sub.append(
-                codes.select("vec_id", F.col(f"code{m}").alias("cell"))
-                .join(F.broadcast(lut), "cell")
-                .select("q_id", "vec_id", F.col("d2q").alias(f"t{m}"))
-            )
-        joined = per_sub[0]
-        for m in range(1, PQ_M):
-            joined = joined.join(per_sub[m], ["q_id", "vec_id"])
-        adc = joined.select(
-            "q_id",
-            "vec_id",
-            sum(F.col(f"t{m}") for m in range(PQ_M)).alias("adc_d2"),
-        ).filter(F.col("q_id") != F.col("vec_id"))
+            .select("q_id", F.col("s.m").alias("m"), F.col("s.v").alias("v"))
+        )
+        lut = q_subs.join(F.broadcast(cent), "m").select(
+            "m", "q_id", "cell", dist.alias("d2q")
+        )
+        # codes join the LUT map-side; ONE partial/final aggregate
+        # sums the PQ_M terms (was a PQ_M-way shuffle self-join)
+        adc = (
+            codes.join(F.broadcast(lut), ["m", "cell"])
+            .groupBy("q_id", "vec_id")
+            .agg(F.sum("d2q").alias("adc_d2"))
+            .filter(F.col("q_id") != F.col("vec_id"))
+        )
         w = Window.partitionBy("q_id").orderBy("adc_d2", "vec_id")
         out = (
             adc.withColumn("rank", F.row_number().over(w))
