@@ -240,16 +240,35 @@ FROM comp GROUP BY 1
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct undirected co-purchase edges: parts appearing in the
-    same order, stored once as (a < b)."""
+    same order, stored once as (a < b).
+
+    One lineitem scan + one groupBy-on-orderkey, then the per-order
+    pair combinations are generated map-side from the sorted distinct
+    part list (JVM codegen — no self-join, no second scan). Safe to
+    buffer: the collected list is one ORDER's parts (single-digit
+    rows in TPC-H at any sf), not a graph neighborhood — bounded by
+    order semantics, so this never hits the collect_list-hub OOM the
+    census shapes must avoid (NOTES_r7 §3). Cross-order duplicate
+    edges fall to the same ``distinct`` the self-join form used."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
     return (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        per_order.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ps",
+                        lambda x, i: F.transform(
+                            F.slice("ps", i + F.lit(2), F.size("ps")),
+                            lambda y: F.struct(x.alias("u"), y.alias("v")),
+                        ),
+                    )
+                )
+            ).alias("p")
         )
+        .select("p.u", "p.v")
         .distinct()
     )
 
@@ -1093,12 +1112,19 @@ def rec_popularity_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     pop = hist.groupBy("l_partkey").agg(
         F.count("*").alias("n_buyers")
     )
-    pop_rank = pop.withColumn(
-        "prank",
-        F.row_number().over(
-            Window.orderBy(F.desc("n_buyers"), F.asc("l_partkey"))
-        ),
-    ).filter(F.col("prank") <= 50)  # a 50-deep bestseller shelf suffices
+    # a 50-deep bestseller shelf suffices; the global top-50 comes
+    # from a distributed TakeOrdered (orderBy+limit), and only the 50
+    # survivors flow through the rank window — never |parts| rows
+    # through one partition (the ordering is total, so prank is
+    # identical to ranking the full table)
+    shelf_order = [F.desc("n_buyers"), F.asc("l_partkey")]
+    pop_rank = (
+        pop.orderBy(*shelf_order)
+        .limit(50)
+        .withColumn(
+            "prank", F.row_number().over(Window.orderBy(*shelf_order))
+        )
+    )
     cand = hist.select("o_custkey").distinct().crossJoin(
         F.broadcast(pop_rank)
     )
