@@ -190,12 +190,18 @@ def test_assoc_rules_broadcast_and_topk(spark, sf_dir):
 
 
 def test_triangle_count_pair_joins_are_hash_or_merge(spark, sf_dir):
-    """The path/closing joins must be keyed (sort-merge/hash) — the
-    only nested-loop allowed is the final 1-row x 1-row scalar
-    crossJoin of the two aggregates."""
+    """The path/closing joins must be KEYED — broadcast-hash at
+    fixture scale (the checkpointed edge list is small and Catalyst
+    knows it), sort-merge/shuffled-hash once stats outgrow the
+    broadcast threshold. The only nested-loop allowed is the final
+    1-row x 1-row scalar crossJoin of the two aggregates."""
     plan = plan_of(spark, sf_dir, "graph_triangle_count")
     assert "CartesianProduct" not in plan
-    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+    keyed = sum(
+        plan.count(n)
+        for n in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+    assert keyed >= 2, f"expected keyed path+closing joins, got:\n{plan}"
     # scalar-combine BNLJ appears at most once (stats x tri)
     assert plan.count("BroadcastNestedLoopJoin") <= 1
 
