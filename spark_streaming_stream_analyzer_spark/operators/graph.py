@@ -452,27 +452,15 @@ FROM best GROUP BY 1
 JACCARD_TOPK = 100
 
 
-def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Link prediction by neighborhood overlap: for every part pair
-    sharing at least one co-purchase neighbor, the Jaccard similarity
-    of their neighbor sets in exact ppm — |N(u)∩N(v)|·1e6 DIV
-    |N(u)∪N(v)| — keeping the top-100 most-similar pairs.
-
-    Wedge-join shape: common-neighbor counts come from joining the
-    (both-directions) edge list with itself on the shared endpoint —
-    one shuffle on the wedge center — then per-node degrees broadcast
-    onto the pair table (|pairs| ≪ wedges after the groupBy). Integer
-    DIV end-to-end; ties break on (u, v), so top-k is deterministic.
-
-    Scale: wedge count is Σ deg(w)², the known hot spot — the 100 TB
-    run caps contributions per center (same quarantine idea as
-    ``dedup_minhash_lsh``'s LSH_BUCKET_CAP) or minhashes the neighbor
-    sets; at fixture scale the exact census is the point.
-    """
-    und = _copurchase_edges(spark, sf_dir)
-    edges = und.unionByName(
-        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
+def _jaccard_census(edges: DataFrame) -> DataFrame:
+    """Top-``JACCARD_TOPK`` Jaccard census of an UNDIRECTED edge
+    table (both directions present, no duplicates): wedge-join on the
+    shared endpoint for common-neighbor counts, per-node degrees
+    broadcast onto the pair table, exact integer-ppm scores, ties on
+    (u, v). Requires a SYMMETRIC input — (u,v) present iff (v,u) is —
+    so that every common neighbor of a pair is also counted in both
+    endpoint degrees, which bounds n_common ≤ min(deg_a, deg_b) and
+    keeps the union divisor strictly positive."""
     deg = edges.groupBy(F.col("u").alias("node")).agg(
         F.count("*").alias("deg")
     )
@@ -506,6 +494,31 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.desc("jaccard_ppm"), F.asc("u"), F.asc("v")
     ).limit(JACCARD_TOPK)
+
+
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by neighborhood overlap: for every part pair
+    sharing at least one co-purchase neighbor, the Jaccard similarity
+    of their neighbor sets in exact ppm — |N(u)∩N(v)|·1e6 DIV
+    |N(u)∪N(v)| — keeping the top-100 most-similar pairs.
+
+    Wedge-join shape: common-neighbor counts come from joining the
+    (both-directions) edge list with itself on the shared endpoint —
+    one shuffle on the wedge center — then per-node degrees broadcast
+    onto the pair table (|pairs| ≪ wedges after the groupBy). Integer
+    DIV end-to-end; ties break on (u, v), so top-k is deterministic.
+
+    Scale: wedge count is Σ deg(w)², the known hot spot — the 100 TB
+    run caps contributions per center (same quarantine idea as
+    ``dedup_minhash_lsh``'s LSH_BUCKET_CAP) or minhashes the neighbor
+    sets; at fixture scale the exact census is the point.
+    """
+    und = _copurchase_edges(spark, sf_dir)
+    # census reads its input three times (degrees + both wedge sides)
+    edges = und.unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
+    return _jaccard_census(edges)
 
 
 GRAPH_JACCARD_SQL = f"""
@@ -569,56 +582,44 @@ def graph_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`graph_jaccard_neighbors` (VERDICT r6 item 4): every node
     keeps at most ``JACCARD_DEG_CAP`` neighbors, chosen by a
     deterministic portable hash of the edge (an unbiased fixed-size
-    neighbor sample both engines reproduce bit-for-bit), and the
-    Jaccard census runs EXACTLY on that capped graph.
+    neighbor sample both engines reproduce bit-for-bit), the sampled
+    graph is re-SYMMETRIZED (an edge survives only if BOTH endpoints
+    kept it), and the Jaccard census runs EXACTLY on that graph.
+
+    The symmetrize step is what keeps the score well-defined once the
+    cap binds: ``cap_neighbors`` samples each direction independently
+    (hash64("u:v") ≠ hash64("v:u")), so without it a low-degree
+    common neighbor w could keep both a and b while neither a nor b
+    kept w — wedge counts through such w's would not be bounded by
+    the endpoint degrees, letting n_common exceed deg_a + deg_b and
+    the union divisor reach zero or go negative. On the
+    both-directions intersection the census input is a proper
+    undirected graph again, so n_common ≤ min(deg_a, deg_b) and
+    n_union ≥ max(deg_a, deg_b) ≥ 1 hold by construction
+    (``tests/test_graph.py`` asserts them in the binding regime).
 
     Wedge work is bounded by |centers|·CAP² by construction — the
     quarantine idea of ``dedup_minhash_lsh`` applied as a uniform
-    per-node sample instead of a bucket drop. Degrees in the union
-    term are capped degrees, so the score is the exact Jaccard of the
-    sampled neighborhoods (a consistent estimator of the true Jaccard
-    for hub nodes, exact for nodes under the cap — at fixture scale
-    most degrees sit under 64, so the top-k largely agrees with the
-    exact census; ``tests/test_graph.py`` asserts the overlap).
+    per-node sample instead of a bucket drop. Degrees are capped-graph
+    degrees, so the score is the exact Jaccard of the sampled
+    neighborhoods (a consistent estimator of the true Jaccard for hub
+    nodes, exact for nodes under the cap — at fixture scale every
+    degree sits under the cap, the symmetrize keeps everything, and
+    the output equals the exact census row-for-row).
     """
     und = _copurchase_edges(spark, sf_dir)
     edges = und.unionByName(
         und.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     capped = cap_neighbors(edges).localCheckpoint(eager=False)
-    deg = capped.groupBy(F.col("u").alias("node")).agg(
-        F.count("*").alias("deg")
-    )
-    e1 = capped.select(F.col("u").alias("w"), F.col("v").alias("a"))
-    e2 = capped.select(F.col("u").alias("w"), F.col("v").alias("b"))
-    inter = (
-        e1.join(e2, "w")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("n_common"))
-    )
-    scored = (
-        inter.join(
-            F.broadcast(deg.select(F.col("node").alias("a"),
-                                   F.col("deg").alias("deg_a"))), "a")
-        .join(
-            F.broadcast(deg.select(F.col("node").alias("b"),
-                                   F.col("deg").alias("deg_b"))), "b")
-        .select(
-            F.col("a").alias("u"),
-            F.col("b").alias("v"),
-            "n_common",
-            (F.col("deg_a") + F.col("deg_b") - F.col("n_common"))
-            .alias("n_union"),
-            F.expr(
-                "(n_common * 1000000)"
-                " DIV (deg_a + deg_b - n_common)"
-            ).alias("jaccard_ppm"),
-        )
-    )
-    return scored.orderBy(
-        F.desc("jaccard_ppm"), F.asc("u"), F.asc("v")
-    ).limit(JACCARD_TOPK)
+    # the census reads its input three times (degrees + both wedge
+    # sides) — checkpoint the symmetrized table too, or the
+    # capped⋈reversed join re-executes per consumer
+    sym = capped.join(
+        capped.select(F.col("v").alias("u"), F.col("u").alias("v")),
+        ["u", "v"],
+    ).localCheckpoint(eager=False)
+    return _jaccard_census(sym)
 
 
 _EDGE_HASH_SQL = hash64_sql(
@@ -640,10 +641,14 @@ capped AS (
     FROM edges
   ) WHERE r <= {JACCARD_DEG_CAP}
 ),
-deg AS (SELECT u AS node, COUNT(*) AS deg FROM capped GROUP BY 1),
+sym AS (
+  SELECT c1.u, c1.v FROM capped c1
+  JOIN capped c2 ON c1.u = c2.v AND c1.v = c2.u
+),
+deg AS (SELECT u AS node, COUNT(*) AS deg FROM sym GROUP BY 1),
 inter AS (
   SELECT e1.v AS a, e2.v AS b, COUNT(*) AS n_common
-  FROM capped e1 JOIN capped e2 ON e1.u = e2.u
+  FROM sym e1 JOIN sym e2 ON e1.u = e2.u
   WHERE e1.v < e2.v GROUP BY 1, 2
 )
 SELECT i.a AS u, i.b AS v, CAST(i.n_common AS BIGINT) AS n_common,

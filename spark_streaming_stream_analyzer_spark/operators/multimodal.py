@@ -249,6 +249,7 @@ def png_decode_gray(payload: bytes):
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     pos, idat, meta = 8, [], None
+    saw_iend = False
     while pos + 8 <= len(payload):
         (length,), ctype = struct.unpack(">I", payload[pos : pos + 4]), payload[
             pos + 4 : pos + 8
@@ -279,7 +280,14 @@ def png_decode_gray(payload: bytes):
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":
+            saw_iend = True
             break
+    if not saw_iend:
+        # a payload cut mid-chunk-header (< 8 bytes left) exits the
+        # loop without tripping the in-chunk length guard; without
+        # this check it would surface as the same opaque zlib error
+        # the guard exists to eliminate
+        raise ValueError("truncated PNG stream (no IEND)")
     if meta is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, nch = meta
@@ -863,6 +871,8 @@ def mm_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ids, nb, db, tp = [], [], [], []
             for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                if buf is None:
+                    continue  # mirror the oracle: hex(NULL) drops the row
                 arr = np.frombuffer(buf, dtype=np.uint8)
                 if arr.size == 0:
                     continue  # mirror the oracle: zero-byte blobs drop

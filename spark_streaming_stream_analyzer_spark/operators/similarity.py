@@ -1665,13 +1665,32 @@ FROM fwd JOIN bwd USING (u, v)
 #: granularity; signatures stay one map-only scan (32 fold-dots).
 KNNG_PLANES = 32
 KNNG_BANDS = 8
+#: Band width derived from THIS tier's plane count — never reuse the
+#: ANN tier's SRP_BAND_BITS/_SRP_MASK, which only coincidentally
+#: match today and would silently corrupt the band extraction if the
+#: ANN tier were retuned.
+KNNG_BAND_BITS = KNNG_PLANES // KNNG_BANDS
+_KNNG_MASK = (1 << KNNG_BAND_BITS) - 1
+assert KNNG_BANDS * KNNG_BAND_BITS == KNNG_PLANES
 _KNNG_SRP = _srp_signs(KNNG_PLANES)
 
-#: Band-buckets holding more than this many vectors are quarantined
-#: from pair generation (the ``dedup_minhash_lsh`` LSH_BUCKET_CAP
-#: move): a degenerate bucket of B vectors would emit B^2/2 candidate
-#: pairs, and at 100 TB one hot bucket is the whole job. Never trips
-#: at fixture scale (buckets average ~|N|/16 per band).
+#: Per-bucket candidate budget. Each (band, bucket) contributes pair
+#: work from at most this many members — the members kept are a
+#: deterministic portable-hash-ordered sample, so a hot bucket
+#: DEGRADES (recall from that band decays toward a uniform sample)
+#: instead of being dropped outright. Whole-bucket quarantine (the
+#: ``dedup_minhash_lsh`` move) is wrong here: with only
+#: 2^KNNG_BAND_BITS = 16 bucket values per band, average bucket size
+#: grows as |N|/16, so beyond ~4k vectors EVERY bucket would trip the
+#: cap and the graph would silently collapse to empty — at exactly
+#: the scale a "scale-safe" op exists for. Minhash buckets live in a
+#: ~2^64 key space where a hot bucket is an anomaly to drop; 4-bit
+#: SRP buckets are a partition of the corpus where hot is normal.
+#: (Measured: at the 10x replica, 20k vectors, the old quarantine
+#: kept 0 of 128 buckets — an empty graph; the sample keeps 28k
+#: edges.) Never binds at driver fixture scale: max bucket 56 of 500
+#: vecs at sf0.01, 196 of 2000 at sf0.1 — outputs there are
+#: bit-identical to the uncapped census.
 KNNG_BUCKET_CAP = 256
 
 
@@ -1682,12 +1701,15 @@ def emb_knn_srp_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     is band-bucket cohabitants instead of the exact N² census.
 
     Plan shape (the 100 TB story): one map-only signature scan, a
-    banded SELF-join on (band, bucket) with hot buckets above
-    ``KNNG_BUCKET_CAP`` quarantined, exact fold-cosine re-rank on the
-    surviving pairs, then the same mutual-rank filter as the exact
-    twin. Nothing is ever all-pairs; every stage is bounded by
-    bucket-cohabitation counts. The exact twin stays as the recall
-    oracle (``tests/test_similarity.py`` asserts edge recall vs it).
+    banded SELF-join on (band, bucket) where each bucket contributes
+    at most ``KNNG_BUCKET_CAP`` hash-sampled members (bounded pair
+    work per bucket, graceful recall decay — NOT whole-bucket
+    quarantine, which would empty the graph once buckets outgrow the
+    cap; see the constant's comment), exact fold-cosine re-rank on
+    the surviving pairs, then the same mutual-rank filter as the
+    exact twin. Nothing is ever all-pairs; every stage is bounded by
+    |buckets|·CAP². The exact twin stays as the recall oracle
+    (``tests/test_similarity.py`` asserts edge recall vs it).
 
     Ranks are positions within the CANDIDATE neighborhood, so an edge
     (u, v) here means "mutually top-5 among LSH candidates" — the
@@ -1711,8 +1733,8 @@ def emb_knn_srp_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                     *[
                         F.struct(
                             F.lit(b).alias("band"),
-                            F.shiftright("sig", b * SRP_BAND_BITS)
-                            .bitwiseAND(F.lit(_SRP_MASK))
+                            F.shiftright("sig", b * KNNG_BAND_BITS)
+                            .bitwiseAND(F.lit(_KNNG_MASK))
                             .alias("bv"),
                         )
                         for b in range(KNNG_BANDS)
@@ -1723,13 +1745,17 @@ def emb_knn_srp_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "bb.band", "bb.bv")
         .localCheckpoint(eager=False)
     )
-    ok = (
-        bands.groupBy("band", "bv")
-        .agg(F.count("*").alias("bsz"))
-        .filter(F.col("bsz") <= KNNG_BUCKET_CAP)
-        .select("band", "bv")
+    from ..functions.hashing import hash64
+
+    sel = Window.partitionBy("band", "bv").orderBy(
+        hash64(F.concat_ws(":", F.col("band"), F.col("bv"), F.col("vec_id"))),
+        F.col("vec_id"),
     )
-    kept = bands.join(F.broadcast(ok), ["band", "bv"])
+    kept = (
+        bands.withColumn("r", F.row_number().over(sel))
+        .filter(F.col("r") <= KNNG_BUCKET_CAP)
+        .drop("r")
+    )
     left = kept.select(F.col("vec_id").alias("a_id"), "band", "bv")
     right = kept.select(F.col("vec_id").alias("b_id"), "band", "bv")
     cpairs = (
@@ -1795,6 +1821,14 @@ _KNNG_SQL_PLANES = ", ".join(
 )
 _KNNG_SQL_BANDS = ", ".join(f"({b})" for b in range(KNNG_BANDS))
 
+from ..functions.hashing import hash64_sql as _h64sql  # noqa: E402
+
+#: same keep-sample key both engines order by: hash64("band:bv:vec")
+_KNNG_KEEP_HASH_SQL = _h64sql(
+    "CAST(b AS VARCHAR) || ':' || CAST(bv AS VARCHAR)"
+    " || ':' || CAST(vec_id AS VARCHAR)"
+)
+
 EMB_KNN_SRP_SQL = f"""
 WITH planes(p, sgn) AS (VALUES {_KNNG_SQL_PLANES}),
 emb AS (SELECT vec_id,
@@ -1813,14 +1847,18 @@ sigs AS (
 ),
 bands AS (
   SELECT vec_id, b.b,
-         (sig >> (b.b * {SRP_BAND_BITS})) & {_SRP_MASK} AS bv
+         (sig >> (b.b * {KNNG_BAND_BITS})) & {_KNNG_MASK} AS bv
   FROM sigs CROSS JOIN (VALUES {_KNNG_SQL_BANDS}) b(b)
 ),
-ok AS (
-  SELECT b, bv FROM bands GROUP BY 1, 2
-  HAVING COUNT(*) <= {KNNG_BUCKET_CAP}
+kept AS (
+  SELECT vec_id, b, bv FROM (
+    SELECT vec_id, b, bv,
+           row_number() OVER (
+             PARTITION BY b, bv
+             ORDER BY {_KNNG_KEEP_HASH_SQL}, vec_id) AS r
+    FROM bands
+  ) WHERE r <= {KNNG_BUCKET_CAP}
 ),
-kept AS (SELECT vec_id, b, bv FROM bands JOIN ok USING (b, bv)),
 cpairs AS (
   SELECT DISTINCT l.vec_id AS a_id, r.vec_id AS b_id
   FROM kept l JOIN kept r ON l.b = r.b AND l.bv = r.bv

@@ -1412,11 +1412,18 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cp")
         .agg(F.count("*").alias("new_vocab"))
     )
-    joined = tok_cum.join(vocab_new, "cp", "left").select(
-        "cp",
-        "boundary_doc",
-        F.col("toks_in_cp"),
-        F.coalesce("new_vocab", F.lit(0)).alias("new_vocab"),
+    joined = (
+        tok_cum.join(vocab_new, "cp", "left")
+        .select(
+            "cp",
+            "boundary_doc",
+            F.col("toks_in_cp"),
+            F.coalesce("new_vocab", F.lit(0)).alias("new_vocab"),
+        )
+        # both sides of the triangular self-join below read this
+        # 10-row table; without the checkpoint the full tokenize +
+        # rank + first-seen lineage would execute twice per run
+        .localCheckpoint(eager=False)
     )
     # running totals over the |checkpoints| rows (10) via a broadcast
     # triangular self-join — keeps the whole plan free of

@@ -449,3 +449,46 @@ def test_cap_neighbors_binds_on_hub(spark):
     k1 = sorted(map(tuple, kept.to_numpy().tolist()))
     k2 = sorted(map(tuple, again.to_numpy().tolist()))
     assert k1 == k2
+
+
+def test_jaccard_census_sound_when_cap_binds(spark):
+    """The regime the capped op exists for: two hubs a=1, b=2 share
+    hundreds of degree-2 common neighbors, all above the cap. Without
+    the re-symmetrize step, every common neighbor w KEEPS both hubs
+    (deg 2 <= cap) while the hubs keep only `cap` neighbors each, so
+    n_common (wedges through w) would dwarf the capped endpoint
+    degrees and drive n_union = deg_a + deg_b - n_common to zero or
+    negative (NULL/negative jaccard_ppm in Spark, division-by-zero in
+    the DuckDB oracle). On the symmetrized capped graph the Jaccard
+    identities must hold by construction."""
+    from pyspark.sql import functions as F
+
+    cap = 8
+    n_common_raw = 600  # 600 shared degree-2 neighbors: w = 10..609
+    und = [(1, w) for w in range(10, 10 + n_common_raw)] + [
+        (2, w) for w in range(10, 10 + n_common_raw)
+    ]
+    edges_one_dir = spark.createDataFrame(und, "u long, v long")
+    edges = edges_one_dir.unionByName(
+        edges_one_dir.select(
+            F.col("v").alias("u"), F.col("u").alias("v")
+        )
+    )
+    capped = gr.cap_neighbors(edges, cap=cap)
+    sym = capped.join(
+        capped.select(F.col("v").alias("u"), F.col("u").alias("v")),
+        ["u", "v"],
+    )
+    rows = gr._jaccard_census(sym).collect()
+    assert rows  # the census still produces pairs
+    degs = {
+        r["u"]: r["deg"]
+        for r in sym.groupBy(F.col("u")).agg(
+            F.count("*").alias("deg")
+        ).collect()
+    }
+    for r in rows:
+        assert r["n_union"] >= 1
+        assert 0 <= r["jaccard_ppm"] <= 1_000_000
+        assert r["n_common"] <= min(degs[r["u"]], degs[r["v"]])
+        assert r["n_union"] == degs[r["u"]] + degs[r["v"]] - r["n_common"]

@@ -166,6 +166,12 @@ def test_png_decode_gray_rejects_truncated_and_corrupt():
     corrupt[idat_at + 6] ^= 0xFF
     with pytest.raises(ValueError, match="CRC mismatch"):
         png_decode_gray(bytes(corrupt))
+    # cut mid-chunk-HEADER (3 bytes into the IEND length/type): the
+    # loop exits without IEND and must say so, not fall through to an
+    # opaque zlib error on the incomplete stream
+    iend_at = good.index(b"IEND")
+    with pytest.raises(ValueError, match="no IEND"):
+        png_decode_gray(good[: iend_at - 1])
 
 
 def test_avg_pool_tiny_images_have_no_nan():
@@ -402,3 +408,25 @@ def test_byte_histogram_vs_brute(spark, sf_dir):
     assert got == expect
     # text payloads are heavily skewed: the top byte (space) dominates
     assert all(v[2] > 100_000 for v in got.values())
+
+
+def test_byte_histogram_drops_null_payloads(spark, monkeypatch):
+    """A NULL payload (NULL documents.text casts to NULL binary) must
+    be dropped like the DuckDB oracle's hex(NULL) path drops it — not
+    crash the Arrow worker (np.frombuffer(None) raises TypeError)."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_stream_analyzer_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(1, b"abcabc"), (2, None), (3, b"")],
+        "doc_id long, payload binary",
+    )
+    monkeypatch.setattr(
+        mm, "payloads", lambda spark, sf_dir: df.withColumn("meta", F.lit(None))
+    )
+    rows = {r["doc_id"]: r for r in mm.mm_byte_histogram(spark, "unused").collect()}
+    assert set(rows) == {1}  # NULL and empty payloads both drop
+    assert rows[1]["n_bytes"] == 6
+    assert rows[1]["distinct_bytes"] == 3
+    assert rows[1]["top_byte_ppm"] == 2 * 1_000_000 // 6

@@ -582,3 +582,44 @@ def test_distance_histogram_vs_numpy(spark, sf_dir):
     assert got == {
         b: (n, (n * 1_000_000) // total) for b, n in counts.items()
     }
+
+
+def test_knn_srp_bucket_cap_samples_not_drops(spark, sf_dir, monkeypatch):
+    """The binding regime the whole-bucket quarantine got wrong: with
+    only 2^KNNG_BAND_BITS = 16 bucket values per band, every bucket
+    outgrows any fixed cap as the corpus grows, so dropping hot
+    buckets silently EMPTIED the graph beyond ~4k vectors (measured:
+    0 of 128 buckets survived at the 10x replica). The fix samples a
+    deterministic hash-ordered top-CAP within each bucket. Forcing
+    the cap down to 16 at fixture scale (max bucket 56) exercises the
+    sampling path: the graph must stay non-empty and the DuckDB
+    oracle (re-capped the same way) must still match bit-for-bit."""
+    import re
+
+    import duckdb
+
+    from spark_streaming_stream_analyzer_spark.operators import similarity as sim
+
+    orig_cap = sim.KNNG_BUCKET_CAP  # the value the SQL text embeds
+    monkeypatch.setattr(sim, "KNNG_BUCKET_CAP", 16)
+    sdf = sim.emb_knn_srp_graph(spark, sf_dir).toPandas()
+    assert len(sdf) > 0  # sampled buckets still produce a graph
+
+    sql = re.sub(
+        rf"WHERE r <= {orig_cap}\b", "WHERE r <= 16", sim.EMB_KNN_SRP_SQL
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    odf = con.execute(sql).df()
+
+    def canon(df):
+        df = df.reindex(sorted(df.columns), axis=1)
+        out = df.copy()
+        for c in out.columns:
+            out[c] = out[c].map(repr)
+        return out.sort_values(by=list(out.columns)).reset_index(drop=True)
+
+    assert canon(sdf).equals(canon(odf))
