@@ -561,7 +561,11 @@ FROM ranked WHERE rn = 1
 # ------------------------------------------------ fuzzy word pairs --
 
 #: deletion-key blocks larger than this are dropped (same skew
-#: discipline as dedup.SHINGLE_DF_CAP / LSH_BUCKET_CAP)
+#: discipline as dedup.SHINGLE_DF_CAP / LSH_BUCKET_CAP; the same
+#: degenerate-regime boundary stated at those constants applies —
+#: deletion keys live in an unbounded string space, so an over-cap
+#: block is a real pile-up on one short key, not hash-space
+#: saturation, and dropping it loses only that key's pairs)
 FUZZY_BLOCK_CAP = 256
 
 

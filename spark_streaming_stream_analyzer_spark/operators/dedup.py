@@ -56,6 +56,23 @@ SHINGLE_K = 3       # words per shingle
 #: square into a mega-join at 100 TB. Fixtures sit far below both caps
 #: (asserted in tests/test_dedup.py), so small-scale results are
 #: identical with or without the guard.
+#:
+#: Degenerate-regime boundary (stated precisely after the round-7
+#: emb_knn_srp_graph lesson, where whole-bucket quarantine over a
+#: 16-value band space silently emptied the result): minhash buckets
+#: live in a ~2^64 key space and membership requires BAND_ROWS
+#: matching minhash values, so a bucket over the cap is a REAL
+#: near-dup cluster of >LSH_BUCKET_CAP members, not an artifact of a
+#: saturated hash space — quarantine loses only those clusters'
+#: pairs, never the corpus-wide result. Exact-copy mega-clusters
+#: (the common case: boilerplate replicated verbatim) are still
+#: caught by the exact content-hash tier; what quarantine forfeits
+#: is pair enumeration inside near-dup-but-not-identical clusters
+#: larger than the cap. If full mega-cluster recall ever matters
+#: more than the skew bound, the post-freeze swap is keep-a-
+#: deterministic-top-CAP-sample-per-bucket (the
+#: ``emb_knn_srp_graph``/``cap_neighbors`` pattern) rather than
+#: drop-the-bucket — same worst-case cost, graceful degradation.
 SHINGLE_DF_CAP = 256
 LSH_BUCKET_CAP = 64
 
