@@ -131,8 +131,9 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One window shuffle on user_id with (ts, event_id) in-partition
     sort — ties broken by event_id so the intervals are deterministic.
-    The registered query keeps a 1-in-{SCD2_USER_MOD} user sample so
-    the driver compare stays small; the operator itself is unfiltered."""
+    Keeps a 1-in-{SCD2_USER_MOD} user sample (applied here, and
+    identically in the oracle) so the driver compare stays small; drop
+    the filter for the full SCD2 materialization."""
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("user_id") % SCD2_USER_MOD == 0
     )
@@ -381,7 +382,7 @@ _Z_DUCK = _z_expr(
 def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton-curve) layout audit: interleave the bits of
     (o_custkey, order-day) into a 32-bit z-value, bucket rows at file
-    granularity (z >> 20), and report each bucket's row count and
+    granularity (z >> ZBUCKET_SHIFT), and report each bucket's row count and
     per-dimension min/max envelope — the statistics a lakehouse
     data-skipping layer keeps per file. Z-ordered buckets have TIGHT
     envelopes on BOTH dimensions simultaneously, which is the whole
@@ -456,12 +457,18 @@ def dq_checksum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical digests.
     """
     od = load_table(spark, sf_dir, "orders")
-    row_str = F.concat_ws(
-        "|",
-        F.col("o_orderkey").cast("string"),
-        F.col("o_custkey").cast("string"),
-        F.col("o_orderstatus"),
-        cents("o_totalprice").cast("string"),
+    # F.concat, NOT concat_ws: the oracle serializes with `||`, which
+    # propagates NULL for the whole row (bit_xor then skips it), while
+    # concat_ws silently DROPS null fields — a row with a NULL field
+    # would hash to a valid digest here but vanish from the oracle's,
+    # and '(a,NULL,b)' would collide with '(a,b,NULL)'. TPC-H orders
+    # happens to be non-null everywhere, but the checksum must not
+    # depend on that.
+    row_str = F.concat(
+        F.col("o_orderkey").cast("string"), F.lit("|"),
+        F.col("o_custkey").cast("string"), F.lit("|"),
+        F.col("o_orderstatus"), F.lit("|"),
+        cents("o_totalprice").cast("string"), F.lit("|"),
         F.col("o_orderdate").cast("date").cast("string"),
     )
     return (
@@ -993,7 +1000,7 @@ def privacy_kanon_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             ts_micros(ev).alias("us"),
             F.expr(f"user_id DIV {KANON_BUCKET}").alias("user_bucket"),
-            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            cents("value").alias("cents"),
         )
         .select(
             "event_type",
@@ -1090,7 +1097,10 @@ WITH per AS (
   SELECT event_type,
          CAST(round(value * 100) AS BIGINT) AS hu,
          CASE WHEN value * 200 = floor(value * 200)
-                   AND CAST(floor(value * 200) AS BIGINT) % 2 = 1
+                   -- sign-safe odd test: DuckDB % keeps the dividend's
+                   -- sign (-25 % 2 = -1), so `= 1` misses negative
+                   -- exact halves while Spark's pmod hits them
+                   AND CAST(floor(value * 200) AS BIGINT) % 2 <> 0
                    AND CAST(round(value * 100) AS BIGINT) % 2 <> 0
               THEN CAST(round(value * 100) AS BIGINT)
                    - CAST(CASE WHEN value > 0 THEN 1

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from ..functions.exact import cents
 from ..functions.hashing import hash64, hash64_sql
-from ..sources.tables import load_table
+from ..sources.tables import load_table, load_table_cpu, ts_micros
 
 # ----------------------------------------------- equi-depth binning --
 
@@ -131,7 +131,7 @@ def feature_hash_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the same holds harder (the corpus read is the expensive
     part), so the single-scan Expand form is the keeper.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_cpu(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     ).filter(F.col("word") != "")
@@ -373,15 +373,13 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps never-returning orders visible (an inner join would silently
     drop them — the difference IS the metric).
     """
-    from ..sources.tables import ts_micros as _tsm
-
     od = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", F.col("o_orderdate").cast("timestamp").alias("od_ts")
     )
     ev_raw = load_table(spark, sf_dir, "events")
     ev = ev_raw.select(
         "user_id",
-        _tsm(ev_raw).alias("ev_us"),
+        ts_micros(ev_raw).alias("ev_us"),
         "event_id",
         "event_type",
     )
@@ -434,10 +432,8 @@ def dq_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
     once; everything the verdict needs is integer microseconds.
     """
     ev = load_table(spark, sf_dir, "events")
-    from ..sources.tables import ts_micros as _tsm
-
     per_type = (
-        ev.select("event_type", _tsm(ev).alias("us"))
+        ev.select("event_type", ts_micros(ev).alias("us"))
         .groupBy("event_type")
         .agg(F.max("us").alias("latest_us"), F.count("*").alias("n_events"))
     )
@@ -492,10 +488,12 @@ def approx_distinct_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     *approximate* overlap hash-matches the oracle exactly.
     """
     from ..functions.hashing import HLL_ALPHA, HLL_M, HLL_REST_BITS
-    from ..sources.tables import ts_micros
-
     ev = load_table(spark, sf_dir, "events")
-    day = (ts_micros(ev) / F.lit(86_400_000_000)).cast("long")
+    ev = ev.select("event_type", "user_id", ts_micros(ev).alias("us"))
+    # integer DIV, not double-divide-then-cast (truncates in Spark but
+    # rounds in DuckDB — the feature_quantile_bins lesson); matches the
+    # sibling day-bucket ops (dq_distribution_drift, privacy_kanon_cells)
+    day = F.expr("us DIV 86400000000")
     elem = F.concat(
         F.col("user_id").cast("string"), F.lit(":"), day.cast("string")
     )
@@ -662,8 +660,6 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     activity inside the window — then one min-by-struct aggregate with
     map-side combine. No window function, no per-order sort.
     """
-    from ..sources.tables import ts_micros as _tsm
-
     od = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_custkey",
@@ -672,7 +668,7 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev_raw = load_table(spark, sf_dir, "events")
     ev = ev_raw.select(
-        "user_id", _tsm(ev_raw).alias("ev_us"), "event_id", "event_type"
+        "user_id", ts_micros(ev_raw).alias("ev_us"), "event_id", "event_type"
     )
     joined = od.join(
         ev,
@@ -747,7 +743,7 @@ def feature_chi2_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     Tokens under CHI2_MIN_DF docs are dropped first — the classic
     low-df guard that also caps the pair table.
     """
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = load_table_cpu(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
     n_docs = docs.select(F.count("*").alias("n_total"))

@@ -406,3 +406,42 @@ def test_pipeline_fingerprint_detects_any_row_change(spark, sf_dir):
         name = r["r_name"] + ("x" if i == 0 else "")
         d2 ^= h64(f"{r['r_regionkey']}|{name}")
     assert d2 != digest
+
+
+def test_rounding_oracle_handles_negative_exact_halves():
+    """The SQL's odd test must be sign-safe: DuckDB's % keeps the
+    dividend's sign (-25 % 2 = -1), so `% 2 = 1` silently skipped the
+    half-even branch for every NEGATIVE exact half (value = -0.125
+    kept half-up -13 instead of banker's -12) while Spark's pmod and
+    the Python floor-mod reference both fired it. The fixture has no
+    negative halves, so only a synthetic frame exercises this."""
+    import math
+
+    import duckdb
+    import pandas as pd
+
+    from spark_streaming_stream_analyzer_spark.operators import auditing as au
+
+    # eighths are exactly representable, so value*200 is an exact int
+    vals = [-0.125, 0.125, -0.375, 0.375, -0.625, -0.25, 0.25, 0.1]
+    df = pd.DataFrame({"event_type": ["t"] * len(vals), "value": vals})
+    con = duckdb.connect()
+    con.register("events", df)
+    row = con.execute(au.FN_ROUNDING_SQL).df().iloc[0]
+
+    n_diff, s_hu, s_be = 0, 0, 0
+    for v in vals:
+        x = v * 100
+        hu = int(math.copysign(math.floor(abs(x) + 0.5), x))
+        if v * 200 == math.floor(v * 200) \
+                and int(math.floor(v * 200)) % 2 == 1 and hu % 2 != 0:
+            be = hu - (1 if v > 0 else -1 if v < 0 else 0)
+        else:
+            be = hu
+        n_diff += int(hu != be)
+        s_hu += hu
+        s_be += be
+    assert n_diff > 0  # the negative halves actually hit the branch
+    assert (row["n_rows"], row["n_diff"]) == (len(vals), n_diff)
+    assert (row["sum_half_up"], row["sum_bankers"]) == (s_hu, s_be)
+    assert row["drift_cents"] == s_hu - s_be
