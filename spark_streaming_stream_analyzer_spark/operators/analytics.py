@@ -781,48 +781,40 @@ def approx_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("exact_n"))
         .localCheckpoint(eager=False)
     )
-    coords = wc.select(
-        "word",
-        "exact_n",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(d).alias("d"),
-                        F.pmod(
-                            hash64(F.concat(F.lit(f"cms{d}:"), F.col("word"))),
-                            F.lit(CMS_W),
-                        ).alias("bucket"),
-                    )
-                    for d in range(CMS_D)
-                ]
-            )
-        ).alias("c"),
-    ).select("word", "exact_n", "c.d", "c.bucket")
-    counters = coords.groupBy("d", "bucket").agg(F.sum("exact_n").alias("cnt"))
+    def cms_coords(df):
+        """(word, exact_n) -> one (word, exact_n, d, bucket) row per CMS
+        row d — the ONE definition of the sketch's coordinate hash, so
+        the counter build and the top-k probe can never drift apart."""
+        return df.select(
+            "word",
+            "exact_n",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("d"),
+                            F.pmod(
+                                hash64(
+                                    F.concat(F.lit(f"cms{d}:"), F.col("word"))
+                                ),
+                                F.lit(CMS_W),
+                            ).alias("bucket"),
+                        )
+                        for d in range(CMS_D)
+                    ]
+                )
+            ).alias("c"),
+        ).select("word", "exact_n", "c.d", "c.bucket")
+
+    counters = cms_coords(wc).groupBy("d", "bucket").agg(
+        F.sum("exact_n").alias("cnt")
+    )
     # global top-k via sort+limit, NOT a row_number window: Catalyst
     # plans this as TakeOrderedAndProject (per-partition heaps merged
     # on the driver) — a global window would funnel the whole
     # vocabulary through one partition
     top = wc.orderBy(F.col("exact_n").desc(), F.col("word")).limit(CMS_TOPK)
-    top_coords = top.select(
-        "word",
-        "exact_n",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(d).alias("d"),
-                        F.pmod(
-                            hash64(F.concat(F.lit(f"cms{d}:"), F.col("word"))),
-                            F.lit(CMS_W),
-                        ).alias("bucket"),
-                    )
-                    for d in range(CMS_D)
-                ]
-            )
-        ).alias("c"),
-    ).select("word", "exact_n", "c.d", "c.bucket")
+    top_coords = cms_coords(top)
     return (
         top_coords.join(F.broadcast(counters), ["d", "bucket"])
         .groupBy("word", "exact_n")
@@ -1562,13 +1554,17 @@ def agg_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov_n = sxy - sx * sy / n          # n·cov
     var_x_n = sxx - sx * sx / n        # n·var(x)
     var_y_n = syy - sy * sy / n
-    slope = cov_n / var_x_n            # cents per hour
+    # try_divide: a type whose events all fall in one epoch-hour has
+    # var_x_n = 0 (constant values zero var_y_n for r2) — ANSI `/`
+    # would throw DIVIDE_BY_ZERO where the oracle's double divide
+    # yields NULL
+    slope = F.try_divide(cov_n, var_x_n)   # cents per hour
     return g.select(
         "event_type",
         "n",
         (slope / F.lit(100.0)).alias("slope_per_hour"),
         ((sy / n - slope * sx / n) / F.lit(100.0)).alias("intercept"),
-        ((cov_n * cov_n) / (var_x_n * var_y_n)).alias("r2"),
+        F.try_divide(cov_n * cov_n, var_x_n * var_y_n).alias("r2"),
     )
 
 
@@ -1762,10 +1758,11 @@ def ts_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``prev + (next − prev)·(h − h_prev) DIV (h_next − h_prev)``,
     hours outside the observed span stay NULL (kind = 'edge' — no
     extrapolation). All arithmetic is integer with non-negative DIV
-    numerators via a sign split, because Spark's DIV truncates toward
-    zero while DuckDB's ``//`` floors — they only agree on
-    non-negatives (the feature_quantile_bins lesson, applied to
-    interpolation).
+    numerators via a sign split. (Defensive convention: DuckDB 1.0's
+    ``//`` was measured to TRUNCATE like Spark's DIV — ``-7 // 2 =
+    -3`` — so the engines agree on negatives too; the split keeps the
+    expressions correct even against engines/versions where ``//``
+    floors, at zero cost on non-negative data.)
 
     Scale: one aggregate to (type, hour) cells, a broadcast-scaffold
     explode over the span, and two window passes per type (running
@@ -1918,7 +1915,13 @@ def seq_pattern_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         (lead2u - F.col("us")).alias("span_us"),
     )
     return hits.groupBy("user_id").agg(
-        F.sum(F.col("hit").cast("long")).alias("n_matches"),
+        # coalesce per row: `hit` is NULL (not false) on a user's
+        # trailing rows (lead() runs off the partition), and a user
+        # whose EVERY row is NULL-hit must aggregate to 0, not NULL —
+        # the oracle's SUM(CASE WHEN hit THEN 1 ELSE 0 END) semantics
+        F.sum(F.coalesce(F.col("hit").cast("long"), F.lit(0))).alias(
+            "n_matches"
+        ),
         F.min(F.when(F.col("hit"), F.col("span_us"))).alias("min_span_us"),
     )
 
@@ -2058,9 +2061,12 @@ def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hod",
         "n",
         F.expr("s * 1000 DIV n").alias("mean_milli"),
-        F.expr("(s * 1000 DIV n) * 1000000 DIV (ts_ * 1000 DIV tn)").alias(
-            "lift_ppm"
-        ),
+        # an all-zero-valued type has type mean 0 — ANSI DIV 0 throws
+        # in Spark while the oracle's // yields NULL
+        F.expr(
+            "CASE WHEN (ts_ * 1000 DIV tn) <> 0 THEN"
+            " (s * 1000 DIV n) * 1000000 DIV (ts_ * 1000 DIV tn) END"
+        ).alias("lift_ppm"),
     )
     w = Window.partitionBy("event_type")
     return j.select(
@@ -2485,11 +2491,7 @@ def agg_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").over(wc).alias("cum"),
         F.sum("n").over(wt).alias("tot"),
     )
-    picks = cum.select(
-        "event_type", "tot",
-        F.when(F.col("cum") >= F.expr("(tot + 1) DIV 2"), F.col("s")).alias("pk_lo"),
-        F.when(F.col("cum") >= F.expr("(tot + 2) DIV 2"), F.col("s")).alias("pk_hi"),
-    )
+    picks = _with_median_picks(cum, "s")
     return picks.groupBy("event_type").agg(
         F.min("tot").alias("n_pairs"),
         (F.min("pk_lo") + F.min("pk_hi")).alias("slope_ppm_2x"),
@@ -2853,7 +2855,12 @@ def ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
             "n_exposed",
             "n_converted",
-            F.expr("(n_converted * 1000000) DIV n_exposed").alias("cvr_ppm"),
+            # zero-exposed guard: ANSI DIV 0 throws in Spark while the
+            # oracle's // yields NULL — same contract as mean_buy_cents
+            F.expr(
+                "CASE WHEN n_exposed > 0"
+                " THEN (n_converted * 1000000) DIV n_exposed END"
+            ).alias("cvr_ppm"),
             F.expr(
                 "CASE WHEN n_buys > 0 THEN buy_cents DIV n_buys END"
             ).alias("mean_buy_cents"),
@@ -3384,7 +3391,14 @@ def funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg((F.min("pus") - F.min("v0")).alias("gap_us"))
     )
-    gc = gaps.groupBy("gap_us").agg(F.count("*").alias("n"))
+    # checkpoint: both the tot aggregate and global_cumsum consume
+    # this table — without it the whole events scan + per-user gap
+    # chain executes twice per run
+    gc = (
+        gaps.groupBy("gap_us")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
+    )
     tot = gc.agg(F.sum("n").alias("tot"))
     cum = global_cumsum(gc, [F.asc("gap_us")], "n", out="cum").crossJoin(
         F.broadcast(tot)
@@ -3689,10 +3703,18 @@ def ts_weekend_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "we_days",
         "wd_events",
         "wd_days",
-        F.expr("(we_events * 1000) DIV we_days").alias("we_mean_e3"),
-        F.expr("(wd_events * 1000) DIV wd_days").alias("wd_mean_e3"),
+        # zero-day guards: a span with no weekend (or no weekday) days
+        # zeroes these denominators — ANSI DIV 0 throws in Spark while
+        # the oracle's // yields NULL; the lift guard must test BOTH
+        # factors of its denominator
         F.expr(
-            "CASE WHEN wd_events > 0 THEN"
+            "CASE WHEN we_days > 0 THEN (we_events * 1000) DIV we_days END"
+        ).alias("we_mean_e3"),
+        F.expr(
+            "CASE WHEN wd_days > 0 THEN (wd_events * 1000) DIV wd_days END"
+        ).alias("wd_mean_e3"),
+        F.expr(
+            "CASE WHEN wd_events > 0 AND we_days > 0 THEN"
             " (we_events * wd_days * 1000000) DIV (wd_events * we_days)"
             " END"
         ).alias("weekend_lift_ppm"),

@@ -261,9 +261,10 @@ def join_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     range join + max-by-struct reduction; DuckDB oracle uses a
     correlated window form).
 
-    Scale path: orders per user are bounded, so the range join fans out
-    modestly; the max(struct) aggregation collapses it back with
-    map-side combine. Tiebreak on o_orderkey makes ties deterministic.
+    Scale path: the join keys on user_id (the range bound is a join-side
+    predicate), orders per user are bounded, so the fan-out is modest and
+    the max(struct) aggregation collapses it back with map-side combine.
+    Tiebreak on o_orderkey makes ties deterministic.
     `ts` arrives as bigint nanos (parquet NANOS) → convert to seconds.
     """
     ev_raw = load_table(spark, sf_dir, "events")
@@ -275,8 +276,12 @@ def join_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
     )
+    # equi-key + range predicate: no broadcast hint — the join keys on
+    # user_id/o_custkey, so Catalyst shuffles both sides on the key (or
+    # broadcasts orders when its size stats allow, as at fixture scale);
+    # force-broadcasting a fact-sized orders table would be a scale cliff
     joined = ev.join(
-        F.broadcast(od),
+        od,
         (ev.user_id == od.o_custkey) & (od.o_orderdate <= ev.ev_ts),
         "inner",
     )
@@ -317,10 +322,9 @@ def join_pit_training_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     Events with no prior order keep the row with null order features
     (left join): a training pipeline imputes, it does not drop.
 
-    Scale: the as-of reduction is the broadcast range join +
+    Scale: the as-of reduction is the keyed range join +
     max-by-struct collapse of ``join_asof_latest_order``; the static
-    enrich is a broadcast hash join; one shuffle on the fact side
-    total.
+    enrich is a broadcast hash join.
     """
     ev_raw = load_table(spark, sf_dir, "events")
     labels = ev_raw.filter(F.col("event_type") == "purchase").select(
@@ -332,8 +336,11 @@ def join_pit_training_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
     )
+    # same no-hint discipline as join_asof_latest_order: orders grows
+    # with the fact data, so the planner (not a hard-coded hint) decides
+    # broadcast vs shuffle from its size stats
     joined = labels.join(
-        F.broadcast(od),
+        od,
         (labels.user_id == od.o_custkey) & (od.o_orderdate <= labels.ev_ts),
         "left",
     )
@@ -1291,9 +1298,10 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxy = F.col("sxy").cast("double") / F.lit(10000.0)
     sxx = F.col("sxx").cast("double") / F.lit(10000.0)
     syy = F.col("syy").cast("double") / F.lit(10000.0)
-    covar = (sxy - sx * sy / n) / (n - F.lit(1.0))
-    # try_divide: a zero-variance group (all-identical values) makes the
-    # denominator 0 -> NULL correlation, not an ANSI divide error
+    # try_divide on BOTH: a single-row group zeroes covar's n-1
+    # denominator just like a zero-variance group zeroes corr's —
+    # NULL (the oracle's double-divide result), not an ANSI error
+    covar = F.try_divide(sxy - sx * sy / n, n - F.lit(1.0))
     corr = F.try_divide(
         n * sxy - sx * sy,
         F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),

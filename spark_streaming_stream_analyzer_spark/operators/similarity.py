@@ -1426,8 +1426,11 @@ PCA_V = 1_000_000      # eigenvector scale between iterations
 
 def _sgn_div(num: str, den: str) -> str:
     """Sign-split integer division that both engines evaluate
-    identically (Spark DIV truncates toward zero, DuckDB // floors;
-    they agree only on non-negative numerators)."""
+    identically. Defensive convention: DuckDB 1.0's ``//`` was
+    measured to TRUNCATE like Spark's DIV (``-7 // 2 = -3``), so the
+    engines already agree on negatives — the split keeps the
+    expression portable to engines/versions where ``//`` floors, at
+    zero cost on non-negative numerators."""
     return (
         f"CASE WHEN {num} >= 0 THEN ({num}) DIV ({den})"
         f" ELSE -((-({num})) DIV ({den})) END"

@@ -1,0 +1,183 @@
+"""Engine-parity regression tests on crafted edge-case fixtures.
+
+Round-7 review found six Spark-vs-DuckDB divergences that the driver
+fixtures can never exercise (all-NULL window tails, zero-group
+denominators under Spark 4's default ANSI mode — where integer DIV 0
+and double /0.0 THROW while DuckDB's // and / yield NULL). Each test
+here writes a tiny synthetic parquet shaped to hit one edge, runs the
+operator AND its DuckDB oracle on the same file, and asserts exact
+agreement — the selfcheck compare, on data the fixtures don't have.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+
+def _write_events(tmp_path, rows):
+    """rows: list of (event_id, ts_iso, user_id, event_type, value)."""
+    df = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    df["ts"] = pd.to_datetime(df["ts"]).astype("datetime64[us]")
+    df["props"] = "{}"
+    df = df[["event_id", "ts", "user_id", "event_type", "value", "props"]]
+    p = tmp_path / "events.parquet"
+    df.to_parquet(p, index=False)
+    return str(tmp_path)
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    out = df.copy()
+    for c in out.columns:
+        out[c] = out[c].map(repr)
+    return out.sort_values(by=list(out.columns)).reset_index(drop=True)
+
+
+def _compare(spark_df, sql: str, sf_dir: str, table: str = "events"):
+    sdf = spark_df.toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW {table} AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/{table}.parquet')"
+    )
+    odf = con.execute(sql).df()
+    assert _canon(sdf).equals(_canon(odf)), (
+        f"engine divergence:\nspark=\n{sdf}\noracle=\n{odf}"
+    )
+    return sdf
+
+
+def test_seq_pattern_zero_row_for_all_null_hit_user(spark, tmp_path):
+    """A user whose every row has NULL hit (trailing lead() rows) must
+    aggregate to n_matches = 0, matching the oracle's SUM(CASE...)."""
+    from spark_streaming_stream_analyzer_spark.operators import analytics as an
+
+    sf = _write_events(
+        tmp_path,
+        [
+            (1, "2024-01-01 10:00:00", 1, "view", 1.0),  # lone view: NULL hit
+            (2, "2024-01-01 10:00:00", 2, "view", 1.0),  # full triple
+            (3, "2024-01-01 10:00:10", 2, "click", 1.0),
+            (4, "2024-01-01 10:00:20", 2, "purchase", 1.0),
+        ],
+    )
+    got = _compare(an.seq_pattern_triples(spark, sf), an.SEQ_PATTERN_SQL, sf)
+    by_user = {r.user_id: r.n_matches for r in got.itertuples()}
+    assert by_user[1] == 0  # a zero, not NULL/None
+    assert by_user[2] == 1
+
+
+def test_ab_test_report_survives_zero_exposed_variant(spark, tmp_path):
+    """Variants with no exposed (viewing) users must yield NULL
+    cvr_ppm, not an ANSI DIVIDE_BY_ZERO crash."""
+    from spark_streaming_stream_analyzer_spark.operators import analytics as an
+
+    # purchase-only users: whichever variants they hash into have
+    # n_exposed = 0, so every cvr_ppm row exercises the guard
+    sf = _write_events(
+        tmp_path,
+        [
+            (i, "2024-01-01 10:00:00", 100 + i, "purchase", 5.0)
+            for i in range(8)
+        ],
+    )
+    got = _compare(an.ab_test_report(spark, sf), an.AB_TEST_SQL, sf)
+    assert (got["n_exposed"] == 0).all()
+    assert got["cvr_ppm"].isna().all()
+
+
+def test_regression_trend_single_hour_type_yields_null_slope(spark, tmp_path):
+    """An event_type whose rows share one epoch-hour has var(x) = 0:
+    slope/intercept/r2 must be NULL in both engines, not a crash."""
+    from spark_streaming_stream_analyzer_spark.operators import analytics as an
+
+    sf = _write_events(
+        tmp_path,
+        [
+            (1, "2024-01-01 10:05:00", 1, "burst", 1.00),
+            (2, "2024-01-01 10:25:00", 2, "burst", 2.00),
+            (3, "2024-01-01 10:45:00", 3, "burst", 3.00),
+            (4, "2024-01-01 09:00:00", 1, "trend", 1.00),
+            (5, "2024-01-01 11:00:00", 2, "trend", 3.00),
+        ],
+    )
+    got = _compare(
+        an.agg_regression_trend(spark, sf), an.AGG_REGRESSION_SQL, sf
+    )
+    rows = {r.event_type: r for r in got.itertuples()}
+    assert pd.isna(rows["burst"].slope_per_hour)
+    assert pd.isna(rows["burst"].r2)
+    assert rows["trend"].slope_per_hour == pytest.approx(1.0)
+
+
+def test_weekend_lift_weekday_only_span_yields_nulls(spark, tmp_path):
+    """A span with no weekend days zeroes we_days: the weekend mean and
+    lift must be NULL in both engines, not an ANSI crash."""
+    from spark_streaming_stream_analyzer_spark.operators import analytics as an
+
+    # 2024-01-01 is a Monday; Mon-Wed only
+    sf = _write_events(
+        tmp_path,
+        [
+            (1, "2024-01-01 10:00:00", 1, "click", 1.0),
+            (2, "2024-01-02 10:00:00", 1, "click", 1.0),
+            (3, "2024-01-03 10:00:00", 2, "click", 1.0),
+        ],
+    )
+    got = _compare(an.ts_weekend_lift(spark, sf), an.TS_WEEKEND_SQL, sf)
+    row = got.iloc[0]
+    assert row["we_days"] == 0
+    assert pd.isna(row["we_mean_e3"])
+    assert pd.isna(row["weekend_lift_ppm"])
+    assert row["wd_mean_e3"] == 1000
+
+
+def test_seasonal_profile_zero_mean_type_yields_null_lift(spark, tmp_path):
+    """An all-zero-valued event_type has type mean 0: every cell's
+    lift_ppm must be NULL in both engines, not a crash."""
+    from spark_streaming_stream_analyzer_spark.operators import analytics as an
+
+    sf = _write_events(
+        tmp_path,
+        [
+            (1, "2024-01-01 10:00:00", 1, "zero", 0.0),
+            (2, "2024-01-01 11:00:00", 2, "zero", 0.0),
+            (3, "2024-01-01 10:00:00", 1, "paid", 2.0),
+        ],
+    )
+    got = _compare(
+        an.ts_seasonal_profile(spark, sf), an.TS_SEASONAL_SQL, sf
+    )
+    zero = got[got.event_type == "zero"]
+    assert len(zero) == 2 and zero["lift_ppm"].isna().all()
+    paid = got[got.event_type == "paid"]
+    assert (paid["lift_ppm"] == 1_000_000).all()
+
+
+def test_corr_covar_single_row_group_yields_null(spark, tmp_path):
+    """A single-row l_returnflag group zeroes covar's n-1 denominator:
+    NULL in both engines, not an ANSI crash."""
+    from spark_streaming_stream_analyzer_spark.operators import relational as rl
+
+    li = pd.DataFrame(
+        {
+            "l_returnflag": ["A", "A", "B"],
+            "l_quantity": [1.0, 2.0, 5.0],
+            "l_extendedprice": [10.0, 20.0, 50.0],
+        }
+    )
+    li.to_parquet(tmp_path / "lineitem.parquet", index=False)
+    got = _compare(
+        rl.agg_corr_covar(spark, str(tmp_path)),
+        rl.AGG_CORR_SQL,
+        str(tmp_path),
+        table="lineitem",
+    )
+    rows = {r.l_returnflag: r for r in got.itertuples()}
+    assert pd.isna(rows["B"].covar_qty_price)
+    assert pd.isna(rows["B"].corr_qty_price)
+    assert rows["A"].covar_qty_price == pytest.approx(5.0)
