@@ -654,9 +654,13 @@ vocab AS (
   ) u GROUP BY 1
 ),
 keyed AS (
-  SELECT w, freq, unnest(list_prepend(w,
+  -- list_distinct mirrors Spark's array_union dedup: a word with
+  -- repeated adjacent characters ('good' -> 'god' twice) must emit
+  -- each deletion key ONCE, or the per-block member counts diverge
+  -- between engines exactly at the FUZZY_BLOCK_CAP boundary
+  SELECT w, freq, unnest(list_distinct(list_prepend(w,
            list_transform(range(1, length(w) + 1),
-             i -> substr(w, 1, i - 1) || substr(w, i + 1)))) AS k
+             i -> substr(w, 1, i - 1) || substr(w, i + 1))))) AS k
   FROM vocab
 ),
 blocks AS (
@@ -716,7 +720,15 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("h"),
         "doc_id",
     )
-    w = Window.partitionBy("h").orderBy("doc_id")
+    # the dedup rank runs among GATE-2 SURVIVORS of each text (the
+    # extra partition key (g1 AND g2) splits each hash group into
+    # survivors and non-survivors, so a failed copy never shadows the
+    # first surviving copy) — "each gate's input is the previous
+    # gate's survivors" taken literally, same as
+    # pipeline_pretrain_corpus's dedup-over-`gated` window
+    w = Window.partitionBy("h", F.col("g1") & F.col("g2")).orderBy(
+        "doc_id"
+    )
     flags = pre.select(
         "g1",
         "g2",
@@ -751,7 +763,11 @@ WITH flags AS (
     len(list_filter(string_split(text, ' '), w -> w <> ''))
       >= {FUNNEL_MIN_WORDS} AS g1,
     lang IN ({_FUNNEL_LANGS_SQL}) AS g2,
-    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1 AS g3,
+    row_number() OVER (
+      PARTITION BY md5(text),
+        (len(list_filter(string_split(text, ' '), w -> w <> ''))
+           >= {FUNNEL_MIN_WORDS} AND lang IN ({_FUNNEL_LANGS_SQL}))
+      ORDER BY doc_id) = 1 AS g3,
     len(list_filter(string_split(text, ' '),
         w -> w IN ({{STOPS}}))) >= 1 AS g4
   FROM documents
@@ -855,7 +871,9 @@ def text_gopher_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_GOPHER_STOP_LIST = "'the','a','of','and','to','in','is','it','for','on'"
+# derived from the ONE stopword tuple, so the Spark side (which
+# evaluates textstats.STOPWORDS) and these oracles can never drift
+from .textstats import _STOP_LIST_SQL as _GOPHER_STOP_LIST  # noqa: E402
 
 TEXT_GOPHER_SQL = f"""
 WITH w AS (

@@ -136,29 +136,17 @@ SELECT DISTINCT doc_id, shingle FROM (
 """
 
 
-# ------------------------------------------------------- exact jaccard --
-
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs (J >= 0.4), doc_a < doc_b.
-
-    Candidate generation is a self-join on shingle equality; J is
-    computed from exact integer set sizes. This is the ground-truth
-    tier the probabilistic tiers are validated against.
-    """
-    # The shingle set feeds three consumers (both self-join sides and
-    # the per-doc size agg): cache it once instead of re-running the
-    # split/shingle/md5 scan three times. At cluster scale this is a
-    # deliberate materialization of the token stream — the standard
-    # trade for any multi-consumer fan-out.
-    #
-    # Skew guard: the self-join below produces ~df² pairs per shingle,
-    # so a boilerplate shingle shared by millions of docs is quadratic
-    # blowup. Drop shingles with document frequency > SHINGLE_DF_CAP
-    # (stopword-style removal) BEFORE sizes/common, so Jaccard is
-    # consistently computed on the capped sets. The hot list comes from
-    # a map-side-combined count and is tiny by construction (only
-    # shingles in >CAP docs), so the removal is a broadcast anti-join —
-    # no sort, no second wide shuffle.
+def _capped_shingle_pairs(spark: SparkSession, sf_dir: str):
+    """Shared candidate machinery for the exact set-overlap tiers
+    (``dedup_ngram_jaccard`` / ``dedup_containment``): drop shingles
+    with document frequency > SHINGLE_DF_CAP via a broadcast anti-join
+    (the quadratic-blowup guard — the self-join emits ~df² pairs per
+    shingle), cache the capped shingle table once (it feeds the
+    per-doc size agg and BOTH self-join sides), and count common
+    shingles per (doc_a < doc_b) pair. Returns ``(common, sa, sb)``:
+    the pair counts plus the a/b-keyed per-doc set sizes — the one
+    definition of the SHINGLE_DF_CAP semantics both operators (and
+    both oracles) must agree on."""
     raw = _shingles(spark, sf_dir)
     hot = (
         raw.groupBy("shingle")
@@ -171,7 +159,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
@@ -179,6 +171,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return common, sa, sb
+
+
+# ------------------------------------------------------- exact jaccard --
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (J >= 0.4), doc_a < doc_b.
+
+    Candidate generation is a self-join on shingle equality; J is
+    computed from exact integer set sizes. This is the ground-truth
+    tier the probabilistic tiers are validated against.
+    """
+    common, sa, sb = _capped_shingle_pairs(spark, sf_dir)
     return (
         common.join(F.broadcast(sa), "doc_a")
         .join(F.broadcast(sb), "doc_b")
@@ -842,30 +847,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same candidate machinery (and the same SHINGLE_DF_CAP skew guard)
     as ``dedup_ngram_jaccard`` — one extra broadcast-sized projection,
     no new shuffle."""
-    raw = _shingles(spark, sf_dir)
-    hot = (
-        raw.groupBy("shingle")
-        .count()
-        .filter(F.col("count") > SHINGLE_DF_CAP)
-        .select("shingle")
-    )
-    sh = raw.join(F.broadcast(hot), "shingle", "left_anti").cache()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    common, sa, sb = _capped_shingle_pairs(spark, sf_dir)
     cont_a = F.col("n_common").cast("double") / F.col("n_a").cast("double")
     cont_b = F.col("n_common").cast("double") / F.col("n_b").cast("double")
     return (
@@ -936,10 +918,12 @@ def dedup_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fp = doc_winnowing(spark, sf_dir).localCheckpoint(eager=False)
     df = fp.groupBy("fingerprint").agg(F.count("*").alias("nd"))
-    keep = fp.join(
-        F.broadcast(df.filter(F.col("nd") <= FP_DOCFREQ_CAP).select("fingerprint")),
-        "fingerprint",
-    )
+    # broadcast the OVER-cap hot list and anti-join, never the keep
+    # list: the keep side is the near-complete inverted index (corpus-
+    # sized at scale), while the hot side is tiny by construction —
+    # the dedup_minhash_lsh / dedup_ngram_jaccard quarantine shape
+    hot = df.filter(F.col("nd") > FP_DOCFREQ_CAP).select("fingerprint")
+    keep = fp.join(F.broadcast(hot), "fingerprint", "left_anti")
     sizes = keep.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
     a = keep.select(F.col("doc_id").alias("doc_a"), "fingerprint")
     b = keep.select(F.col("doc_id").alias("doc_b"), "fingerprint")

@@ -45,9 +45,13 @@ def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     toks = docs.select("source", "doc_id", n_tok.alias("tok"))
     start_off = F.sum("tok").over(w) - F.col("tok")  # doc's first-token offset
-    binned = toks.withColumn(
-        "bin", F.floor(start_off / F.lit(PACK_BUDGET)).cast("long")
-    )
+    # integer DIV, not floor(double /): a per-source cumulative token
+    # sum past 2^53 would lose low bits in the double quotient while
+    # the oracle's // stays exact (the dedup_index_tuning_report /
+    # feature_quantile_bins precision discipline)
+    binned = toks.withColumn("start_off", start_off).withColumn(
+        "bin", F.expr(f"start_off DIV {PACK_BUDGET}")
+    ).drop("start_off")
     return binned.groupBy("source", "bin").agg(
         F.count("*").alias("n_docs"),
         F.sum("tok").alias("sum_tokens"),
@@ -148,12 +152,22 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = docs.agg(F.sum("n_chars").alias("w_total"))
     u = F.pmod(hash64(F.concat(F.lit("ws#"), F.col("doc_id").cast("string"))),
                F.lit(_SAMPLE_M))
-    keep = u * F.col("w_total") < (
-        F.lit(WEIGHTED_K * _SAMPLE_M) * F.col("n_chars")
+    # keep iff u·W < K·M·w, but NEVER as that product: u < 2^20 and W
+    # is the corpus-total char count, so u·W overflows int64 once the
+    # corpus passes ~2^43 chars (~9 TB of text — inside the target
+    # regime, and ANSI overflow kills the job). The algebraically
+    # identical division form u ≤ (K·M·w − 1) DIV W keeps every
+    # operand ≤ K·M·max(w) (~2^53 for million-char docs); the CASE
+    # guards make w = 0 an explicit drop and W = 0 impossible to hit.
+    keep = F.expr(
+        f"CASE WHEN n_chars > 0 AND w_total > 0 THEN"
+        f" (CASE WHEN u <= ({WEIGHTED_K * _SAMPLE_M} * n_chars - 1)"
+        f" DIV w_total THEN 1 ELSE 0 END) ELSE 0 END"
     )
     return (
         docs.crossJoin(F.broadcast(tot))
-        .select("source", keep.cast("int").alias("kept"), "n_chars")
+        .select("source", "n_chars", "w_total", u.alias("u"))
+        .select("source", keep.alias("kept"), "n_chars")
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
@@ -166,10 +180,13 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 WEIGHTED_SQL = f"""
 WITH tot AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS w_total FROM documents),
 flagged AS (
+  -- division form, not u * w_total: the product overflows int64 on
+  -- ~9 TB corpora (see the Spark twin's comment)
   SELECT d.source,
-         CASE WHEN ({hash64_sql("'ws#' || CAST(doc_id AS VARCHAR)")} % {_SAMPLE_M})
-                   * t.w_total < {WEIGHTED_K * _SAMPLE_M} * d.n_chars
-              THEN 1 ELSE 0 END AS kept,
+         CASE WHEN d.n_chars > 0 AND t.w_total > 0 THEN
+           (CASE WHEN ({hash64_sql("'ws#' || CAST(doc_id AS VARCHAR)")} % {_SAMPLE_M})
+                   <= ({WEIGHTED_K * _SAMPLE_M} * d.n_chars - 1) // t.w_total
+                 THEN 1 ELSE 0 END) ELSE 0 END AS kept,
          d.n_chars
   FROM documents d CROSS JOIN tot t
 )

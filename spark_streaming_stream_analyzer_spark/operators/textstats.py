@@ -560,8 +560,16 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         n_tok.alias("n_tokens"),
         n_oov.alias("n_oov"),
-        F.expr("size(filter(ws, w -> NOT array_contains(vs, w))) * 1000000"
-               " DIV size(ws)").alias("oov_ppm"),
+        # zero-token guard: ANSI DIV 0 throws in Spark while the
+        # oracle's `// len(ws)` yields NULL — an empty document must
+        # produce a NULL-rate row, never kill a 100 TB job (the
+        # module invariant; text_quality_score uses try_divide for
+        # the same reason)
+        F.expr(
+            "CASE WHEN size(ws) > 0 THEN"
+            " size(filter(ws, w -> NOT array_contains(vs, w))) * 1000000"
+            " DIV size(ws) END"
+        ).alias("oov_ppm"),
     )
 
 

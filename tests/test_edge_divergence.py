@@ -181,3 +181,64 @@ def test_corr_covar_single_row_group_yields_null(spark, tmp_path):
     assert pd.isna(rows["B"].covar_qty_price)
     assert pd.isna(rows["B"].corr_qty_price)
     assert rows["A"].covar_qty_price == pytest.approx(5.0)
+
+
+def _write_docs(tmp_path, rows):
+    """rows: list of (doc_id, text, lang, source)."""
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    df["n_chars"] = df["text"].str.len().astype("int64")
+    df.to_parquet(tmp_path / "documents.parquet", index=False)
+    return str(tmp_path)
+
+
+def test_oov_rate_empty_doc_yields_null_not_crash(spark, tmp_path):
+    """A zero-token document must produce a NULL oov_ppm row in both
+    engines — never an ANSI DIVIDE_BY_ZERO that kills the corpus job
+    (the textstats module invariant)."""
+    from spark_streaming_stream_analyzer_spark.operators import textstats as tx
+
+    sf = _write_docs(
+        tmp_path,
+        [
+            (1, "the cat sat on the mat", "en", "web"),
+            (2, "", "en", "web"),
+            (3, "   ", "en", "web"),
+        ],
+    )
+    got = _compare(
+        tx.text_oov_rate(spark, sf), tx.TEXT_OOV_SQL, sf, table="documents"
+    )
+    rows = {r.doc_id: r for r in got.itertuples()}
+    assert rows[1].n_tokens == 6 and rows[1].oov_ppm == 0
+    for d in (2, 3):
+        assert rows[d].n_tokens == 0
+        assert pd.isna(rows[d].oov_ppm)
+
+
+def test_funnel_dedup_gate_ranks_among_survivors(spark, tmp_path):
+    """The dedup gate must rank among gate-2 SURVIVORS: a copy that
+    already failed the language gate must not shadow the first
+    surviving copy of the same text."""
+    from spark_streaming_stream_analyzer_spark.operators import curation as cu
+
+    text = "the quick brown fox jumps over the lazy dog"
+    sf = _write_docs(
+        tmp_path,
+        [
+            (1, text, "zh", "web"),   # fails lang gate, lowest doc_id
+            (2, text, "en", "web"),   # first SURVIVING copy: must pass
+            (3, text, "en", "web"),   # true duplicate of a survivor
+        ],
+    )
+    got = _compare(
+        cu.curation_funnel_report(spark, sf),
+        cu.CURATION_FUNNEL_SQL,
+        sf,
+        table="documents",
+    )
+    by_gate = {r.gate: r for r in got.itertuples()}
+    # doc 2 survives the dedup gate (doc 1 failed earlier, cannot
+    # shadow it); doc 3 is the one true dup dropped
+    assert by_gate["dedup_exact"].n_in == 2
+    assert by_gate["dedup_exact"].n_pass == 1
+    assert by_gate["has_stopword"].n_pass == 1
