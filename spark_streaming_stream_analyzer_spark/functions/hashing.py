@@ -73,13 +73,34 @@ def hll_estimate(df, group_cols: list[str], value_col: str):
     """
     from pyspark.sql import functions as F
 
-    h = hash64(F.col(value_col))
-    bucket = F.pmod(h, F.lit(HLL_M))
-    rest = (h - bucket) / F.lit(HLL_M)  # exact: h < 2^60 → /256 integral
-    rho = F.lit(HLL_REST_BITS + 1) - F.length(F.bin(rest.cast("long")))
+    bucket, rho = hll_bucket_rho(F.col(value_col))
     per_bucket = df.select(
         *group_cols, bucket.alias("bkt"), rho.alias("rho")
     ).groupBy(*group_cols, "bkt").agg(F.max("rho").alias("max_rho"))
+    return hll_estimate_from_sketch(per_bucket, group_cols)
+
+
+def hll_bucket_rho(value_col):
+    """The ONE definition of the sketch's per-row coordinates —
+    (bucket, rho) columns from a value column. Shared by the batch
+    estimator above and the streaming sketch builder
+    (``streaming/pipelines.stream_hll_distinct``), whose merged sketch
+    must stay bit-identical to the batch sketch."""
+    from pyspark.sql import functions as F
+
+    h = hash64(value_col)
+    bucket = F.pmod(h, F.lit(HLL_M))
+    rest = (h - bucket) / F.lit(HLL_M)  # exact: h < 2^60 → /256 integral
+    rho = F.lit(HLL_REST_BITS + 1) - F.length(F.bin(rest.cast("long")))
+    return bucket, rho
+
+
+def hll_estimate_from_sketch(per_bucket, group_cols: list[str]):
+    """Fold a (group, bkt, max_rho) sketch frame into the estimate —
+    the ONE definition of the weight/scale arithmetic (same sharing
+    contract as :func:`hll_bucket_rho`)."""
+    from pyspark.sql import functions as F
+
     weight = F.pow(F.lit(2.0), F.lit(HLL_REST_BITS + 1) - F.col("max_rho")).cast(
         "long"
     )

@@ -43,8 +43,11 @@ def _make_udfs():
         # Scalar vectorized UDF: 2-decimal double → exact integer
         # cents. numpy round is banker's at .5; the fixture grid has no
         # exact .005 remainders after *100 (verified by the oracle
-        # equality), so round matches SQL round here.
-        return (v * 100.0).round().astype("int64")
+        # equality), so round matches SQL round here. Nullable-Int64,
+        # not int64: a NULL value must pass through as null (for the
+        # downstream isNotNull filter) — .astype("int64") on a NaN
+        # raises IntCastingNaNError and kills the Python worker.
+        return (v * 100.0).round().astype("Int64")
 
     @pandas_udf("double")
     def median_cents_udaf(v: pd.Series) -> float:
@@ -53,7 +56,10 @@ def _make_udfs():
         # the UDAF shape Spark offers Python (no partial aggregation;
         # for an associative Python aggregate at 100 TB prefer a
         # two-stage groupBy with mapInPandas partials).
-        cents = (v * 100.0).round().astype("int64").to_numpy()
+        # dropna first: the grouped series can carry NULLs, and the
+        # int64 cast raises on NaN (the streaming _update twin dropna()s
+        # before the identical cast)
+        cents = (v.dropna() * 100.0).round().astype("int64").to_numpy()
         cents.sort()
         n = len(cents)
         if n == 0:
@@ -68,7 +74,9 @@ def _make_udfs():
         # exact integer-cents sum (a grouped-agg pandas UDF cannot be
         # mixed with JVM aggregates in one agg() — so the sum is a UDAF
         # here too; associative integers keep it order-free)
-        return float((v * 100.0).round().astype("int64").sum()) / 100.0
+        return float(
+            (v.dropna() * 100.0).round().astype("int64").sum()
+        ) / 100.0
 
     return cents_udf, sum_cents_udaf, median_cents_udaf
 

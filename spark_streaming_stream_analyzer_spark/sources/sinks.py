@@ -112,6 +112,16 @@ PYSRC_ROWS_PER_PART = 1000
 PYSRC_TAGS = 5
 
 
+def synth_reading(gid: int) -> tuple[str, float]:
+    """The ONE synthetic (tag, reading) row formula — shared by this
+    batch Python DataSource and the streaming
+    ``SimpleDataSourceStreamReader`` twin
+    (``streaming/pipelines._pystream_source``); both oracles assume
+    the same function of the global row id, so a tweak to either copy
+    would silently desynchronize the other pair."""
+    return (f"tag{gid % PYSRC_TAGS}", float((gid * 37) % 1000) / 10.0)
+
+
 def _synthetic_readings_source():
     """Build the custom DataSource class lazily (the datasource module
     import must not be a hard dependency of package import)."""
@@ -133,10 +143,7 @@ def _synthetic_readings_source():
             base = partition.value * self.rows_per_part
             for j in range(self.rows_per_part):
                 gid = base + j
-                yield (
-                    f"tag{gid % PYSRC_TAGS}",
-                    float((gid * 37) % 1000) / 10.0,
-                )
+                yield synth_reading(gid)
 
     class SyntheticReadings(DataSource):
         @classmethod

@@ -114,6 +114,13 @@ def events_file_stream(
     schema = spark.read.parquet(path).schema
     if os.path.isfile(path):
         path = _stage_stream_dir(*([path] * copies))
+    elif copies > 1:
+        # a directory input cannot be replicated by staging — failing
+        # loudly beats a replay-shaped test silently running 1 copy
+        raise ValueError(
+            "events_file_stream: copies > 1 requires a single-file "
+            f"path, got directory {path!r}"
+        )
     return (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -334,7 +341,11 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(sessions, output_mode="append")
 
 
-_GAP_US = 240 * 60 * 1_000_000
+# derived from the ONE session-gap constant the Spark side uses —
+# a hand-copied literal here would let query and oracle drift
+from ..operators.relational import SESSION_GAP_MIN as _SESSION_GAP_MIN  # noqa: E402
+
+_GAP_US = _SESSION_GAP_MIN * 60 * 1_000_000
 _WM_US = SESSION_WM_HOURS * 3600 * 1_000_000
 
 STREAM_SESSION_SQL = f"""
@@ -529,22 +540,7 @@ def stream_batch_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf["batch_id"] = batch_id
         results.append(pdf)
 
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_CPUS", "32")
-    )
-    fb_ckpt = _tracked_tmp_dir("sgs_fb")
-    try:
-        q = (
-            stream.writeStream.foreachBatch(per_batch)
-            .option("checkpointLocation", fb_ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-        _cleanup_tmp_dirs([fb_ckpt])
+    _run_foreachbatch(stream, per_batch, "sgs_fb")
     import pandas as pd
 
     all_pdf = pd.concat(results, ignore_index=True)
@@ -717,7 +713,10 @@ STREAM_DEDUP_WM_SQL = STREAM_DEDUP_SQL
 
 PYSTREAM_BATCHES = 3
 PYSTREAM_ROWS = 100
-PYSTREAM_TAGS = 5
+# one tag-space and one row formula with the batch Python DataSource
+# (sources/sinks.py) — see synth_reading's docstring
+from ..sources.sinks import PYSRC_TAGS as PYSTREAM_TAGS  # noqa: E402
+from ..sources.sinks import synth_reading as _synth_reading  # noqa: E402
 
 
 def _pystream_source():
@@ -732,7 +731,7 @@ def _pystream_source():
 
     def _rows(b: int) -> list:
         return [
-            (f"tag{g % PYSTREAM_TAGS}", float((g * 37) % 1000) / 10.0)
+            _synth_reading(g)
             for g in range(b * PYSTREAM_ROWS, (b + 1) * PYSTREAM_ROWS)
         ]
 
@@ -1016,6 +1015,32 @@ def stream_kafka_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(record, output_mode="complete")
 
 
+def _run_foreachbatch(stream: DataFrame, fn, tag: str) -> None:
+    """Drain a file-backed stream through ``foreachBatch(fn)`` with the
+    shared runner discipline: shuffle partitions pinned to the harness
+    core count (and restored after), a tracked checkpoint dir,
+    availableNow trigger, blocking awaitTermination, checkpoint
+    cleanup. Factored from eight identical inline copies — one edit
+    point for the runner semantics."""
+    spark = stream.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_CPUS", "32")
+    )
+    ckpt = _tracked_tmp_dir(tag)
+    try:
+        q = (
+            stream.writeStream.foreachBatch(fn)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        _cleanup_tmp_dirs([ckpt])
+
+
 def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC-style upsert sink via ``foreachBatch``: each micro-batch's
     per-key latest row (greatest (event time, event_id) tuple) is
@@ -1049,22 +1074,7 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         latest.write.mode("append").parquet(store_dir)
 
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_CPUS", "32")
-    )
-    ckpt = _tracked_tmp_dir("sgs_ups")
-    try:
-        q = (
-            stream.writeStream.foreachBatch(upsert)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-        _cleanup_tmp_dirs([ckpt])
+    _run_foreachbatch(stream, upsert, "sgs_ups")
     # merge-on-read: per-key argmax over the union of batch deltas.
     # One shuffle on user_id; struct-max keeps it a single aggregate.
     return (
@@ -1186,22 +1196,7 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         latest.write.mode("append").parquet(store_dir)
 
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_CPUS", "32")
-    )
-    ckpt = _tracked_tmp_dir("sgs_cdc")
-    try:
-        q = (
-            stream.writeStream.foreachBatch(apply_batch)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-        _cleanup_tmp_dirs([ckpt])
+    _run_foreachbatch(stream, apply_batch, "sgs_cdc")
     return (
         spark.read.parquet(store_dir)
         .groupBy("user_id")
@@ -1257,22 +1252,7 @@ def stream_freshness_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         part.write.mode("append").parquet(store_dir)
 
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_CPUS", "32")
-    )
-    ckpt = _tracked_tmp_dir("sgs_fresh")
-    try:
-        q = (
-            stream.writeStream.foreachBatch(fold_batch)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-        _cleanup_tmp_dirs([ckpt])
+    _run_foreachbatch(stream, fold_batch, "sgs_fresh")
     # counts fold additively, so the 2x fixture replay doubles them —
     # normalize by the known replay factor; max() is replay-idempotent
     # and needs nothing. The deltas stay pure partial aggregates.
@@ -1312,12 +1292,7 @@ def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     256 small integers regardless of stream length, deltas are a few
     KB per batch, and the merge reads sketches, never events.
     """
-    from ..functions.hashing import (
-        HLL_ALPHA,
-        HLL_M,
-        HLL_REST_BITS,
-        hash64,
-    )
+    from ..functions.hashing import hll_bucket_rho, hll_estimate_from_sketch
 
     stream = events_file_stream(
         spark, os.path.join(sf_dir, "events.parquet"), copies=2
@@ -1325,10 +1300,10 @@ def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     store_dir = _tracked_tmp_dir("sgs_hll_store")
 
     def sketch_batch(batch_df: DataFrame, batch_id: int) -> None:
-        h = hash64(F.col("user_id").cast("string"))
-        bucket = F.pmod(h, F.lit(HLL_M))
-        rest = (h - bucket) / F.lit(HLL_M)
-        rho = F.lit(HLL_REST_BITS + 1) - F.length(F.bin(rest.cast("long")))
+        # per-row coordinates come from the ONE shared definition in
+        # functions/hashing.py — bit-parity with the batch sketch is
+        # the module's guarantee, not a coincidence of two copies
+        bucket, rho = hll_bucket_rho(F.col("user_id").cast("string"))
         part = (
             batch_df.select(
                 "event_type", bucket.alias("bkt"), rho.alias("rho")
@@ -1338,39 +1313,13 @@ def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         part.write.mode("append").parquet(store_dir)
 
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_CPUS", "32")
-    )
-    ckpt = _tracked_tmp_dir("sgs_hll")
-    try:
-        q = (
-            stream.writeStream.foreachBatch(sketch_batch)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-        _cleanup_tmp_dirs([ckpt])
+    _run_foreachbatch(stream, sketch_batch, "sgs_hll")
     merged = (
         spark.read.parquet(store_dir)
         .groupBy("event_type", "bkt")
         .agg(F.max("max_rho").alias("max_rho"))
     )
-    weight = F.pow(
-        F.lit(2.0), F.lit(HLL_REST_BITS + 1) - F.col("max_rho")
-    ).cast("long")
-    agg = merged.groupBy("event_type").agg(
-        F.sum(weight).alias("wsum"), F.count("*").alias("n_buckets")
-    )
-    scale = HLL_ALPHA * HLL_M * HLL_M * float(1 << (HLL_REST_BITS + 1))
-    return agg.select(
-        "event_type",
-        (F.lit(scale) / F.col("wsum").cast("double")).alias("approx_distinct"),
-        "n_buckets",
-    )
+    return hll_estimate_from_sketch(merged, ["event_type"])
 
 
 def _stream_hll_sql() -> str:
@@ -1417,22 +1366,7 @@ def stream_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         batch_df.agg(*aggs).write.mode("append").parquet(store_dir)
 
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_CPUS", "32")
-    )
-    ckpt = _tracked_tmp_dir("sgs_prof")
-    try:
-        q = (
-            stream.writeStream.foreachBatch(fold_batch)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-        _cleanup_tmp_dirs([ckpt])
+    _run_foreachbatch(stream, fold_batch, "sgs_prof")
     store = spark.read.parquet(store_dir)
     fold_aggs = [F.sum("n_rows").alias("n_rows")]
     for name, _render in _PROFILE_COLS:
@@ -1536,22 +1470,7 @@ def stream_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
     def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
         local_frontier(batch_df).write.mode("append").parquet(store_dir)
 
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_CPUS", "32")
-    )
-    ckpt = _tracked_tmp_dir("sgs_sky")
-    try:
-        q = (
-            stream.writeStream.foreachBatch(fold_batch)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-        _cleanup_tmp_dirs([ckpt])
+    _run_foreachbatch(stream, fold_batch, "sgs_sky")
     cands = spark.read.parquet(store_dir)
     from pyspark.sql import Window as W2
 
@@ -1631,22 +1550,7 @@ def stream_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").alias("cnt")
         ).write.mode("append").parquet(cnt_store)
 
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_CPUS", "32")
-    )
-    ckpt = _tracked_tmp_dir("sgs_cms")
-    try:
-        q = (
-            stream.writeStream.foreachBatch(fold_batch)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-        _cleanup_tmp_dirs([ckpt])
+    _run_foreachbatch(stream, fold_batch, "sgs_cms")
     counters = (
         spark.read.parquet(cnt_store)
         .groupBy("d", "bucket")
@@ -1720,22 +1624,7 @@ def stream_kanon_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cells.write.mode("append").parquet(store_dir)
 
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_CPUS", "32")
-    )
-    ckpt = _tracked_tmp_dir("sgs_kanon")
-    try:
-        q = (
-            stream.writeStream.foreachBatch(fold_batch)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-        _cleanup_tmp_dirs([ckpt])
+    _run_foreachbatch(stream, fold_batch, "sgs_kanon")
     cells = (
         spark.read.parquet(store_dir)
         .groupBy("event_type", "day", "user_bucket")

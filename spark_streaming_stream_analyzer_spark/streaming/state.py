@@ -425,6 +425,11 @@ def stream_stats_heartbeat(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .pipelines import _cleanup_tmp_dirs, _tracked_tmp_dir, events_file_stream
 
+    # conf BEFORE the first batch read: an events fixture of the
+    # TIMESTAMP(NANOS) vintage would otherwise fail schema inference
+    # here in a vanilla session (every sibling entry sets it first;
+    # events_file_stream would set it one line too late)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     n_keys = (
         spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         .select("event_type")
@@ -453,6 +458,7 @@ def stream_stats_heartbeat(spark: SparkSession, sf_dir: str) -> DataFrame:
         # poll the sink until every key has its data row plus at
         # least one heartbeat re-emission, then stop.
         deadline = _time.time() + 120
+        drained = False
         while _time.time() < deadline:
             try:
                 per_key = (
@@ -461,10 +467,18 @@ def stream_stats_heartbeat(spark: SparkSession, sf_dir: str) -> DataFrame:
             except Exception:
                 per_key = []
             if len(per_key) == n_keys and all(r["count"] >= 2 for r in per_key):
+                drained = True
                 break
             _time.sleep(0.5)
         q.stop()
         q.awaitTermination()
+        if not drained:
+            # partial stats are a WRONG answer, not a slow one — fail
+            # loudly like stream_python_datasource's poll loop does
+            raise TimeoutError(
+                "stream_stats_heartbeat: sink incomplete after 120s "
+                f"({len(per_key)}/{n_keys} keys with >= 2 emissions)"
+            )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         _cleanup_tmp_dirs([ckpt])
@@ -715,7 +729,8 @@ ATTR_OUTPUT_SCHEMA = T.StructType(
     ]
 )
 
-_ATTR_WINDOW_US = 7 * 86_400 * 1_000_000
+# the ONE lookback constant, shared with the batch operator's oracle
+from ..operators.analytics import ATTR_WINDOW_US as _ATTR_WINDOW_US  # noqa: E402
 
 
 def _attr_update(
