@@ -133,6 +133,10 @@ FROM deg GROUP BY 1, 2
 # part<->supplier graph, whose hub suppliers keep it one component at
 # every threshold (measured).
 CC_MIN_QTY = 49
+#: BFS hop horizon, shared by the Spark frontier loop and the oracle's
+#: recursive walk (both emit dist <= BFS_MAX_HOPS - 1) — one constant
+#: so the truncation boundary can never diverge between engines.
+BFS_MAX_HOPS = 64
 
 
 def _cc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -183,14 +187,26 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", F.col("node").alias("lbl"))
         .localCheckpoint(eager=False)
     )
+    # size-gate the per-round label joins exactly like graph_kcore's
+    # peel joins: while the node set fits the broadcast cap the
+    # propagation join and the left-join merge go map-side (edges
+    # stream from the checkpoint, no shuffle for the joins — this is
+    # what keeps ~diameter sequential rounds cheap under the driver's
+    # vanilla 200-partition session); past the cap they fall back to
+    # shuffle joins, the 100 TB-safe default. Node count is constant
+    # across rounds, so one count decides the whole loop.
+    bcast = labels.count() <= KCORE_BCAST_CAP
     while True:
+        lab_b = F.broadcast(labels) if bcast else labels
         nbr_min = (
-            edges.join(labels, edges.dst == labels.node)
+            edges.join(lab_b, edges.dst == lab_b.node)
             .groupBy(F.col("src").alias("node"))
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
         new = (
-            labels.join(nbr_min, "node", "left")
+            labels.join(
+                F.broadcast(nbr_min) if bcast else nbr_min, "node", "left"
+            )
             .select(
                 "node",
                 F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
@@ -292,13 +308,20 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
     und = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = und.groupBy("u").agg(F.count("*").alias("d"))
-    # orientation key: degree-major, id-minor (a single sortable int)
-    ok = deg.select("u", (F.col("d") * F.lit(1 << 32) + F.col("u")).alias("ok"))
-    du = ok.withColumnRenamed("u", "n").withColumnRenamed("ok", "ok_n")
+    # orientation: degree-major, id-minor — compared LEXICOGRAPHICALLY,
+    # never as a packed d·2^32 + u int: node ids are not bounded by
+    # 2^32 at scale, and a packed-key collision between two distinct
+    # nodes would silently drop their edge from BOTH orientations
+    # (undercounting every triangle through it)
     ori = (
-        und.join(du.withColumnRenamed("n", "u").withColumnRenamed("ok_n", "ok_u"), "u")
-        .join(du.withColumnRenamed("n", "v").withColumnRenamed("ok_n", "ok_v"), "v")
-        .filter(F.col("ok_u") < F.col("ok_v"))
+        und.join(
+            deg.select(F.col("u").alias("u"), F.col("d").alias("d_u")), "u"
+        )
+        .join(deg.select(F.col("u").alias("v"), F.col("d").alias("d_v")), "v")
+        .filter(
+            (F.col("d_u") < F.col("d_v"))
+            | ((F.col("d_u") == F.col("d_v")) & (F.col("u") < F.col("v")))
+        )
         .select("u", "v")
         .localCheckpoint(eager=False)
     )
@@ -341,11 +364,12 @@ WITH ce AS (
 ),
 und AS (SELECT u, v FROM ce UNION ALL SELECT v AS u, u AS v FROM ce),
 deg AS (SELECT u, COUNT(*) AS d FROM und GROUP BY 1),
-ok AS (SELECT u, d * 4294967296 + u AS ok FROM deg),
 ori AS (
+  -- lexicographic (degree, id) orientation: same collision-free
+  -- comparison as the Spark side (no packed d*2^32 + u key)
   SELECT e.u, e.v FROM und e
-  JOIN ok a ON a.u = e.u JOIN ok b ON b.u = e.v
-  WHERE a.ok < b.ok
+  JOIN deg a ON a.u = e.u JOIN deg b ON b.u = e.v
+  WHERE a.d < b.d OR (a.d = b.d AND e.u < e.v)
 ),
 tri AS (
   SELECT COUNT(*) AS t FROM (
@@ -396,16 +420,30 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", F.lit(0).cast("long").alias("dist")
     ).localCheckpoint(eager=False)
     frontier = visited
+    # same size gating as graph_kcore / graph_connected_components:
+    # frontier and visited are bounded by the node count, so while
+    # that fits the broadcast cap every round's expand join and
+    # visited anti-join go map-side — the per-round job latency is
+    # what a ~diameter-round loop pays ~diameter times
+    bcast = (
+        edges.select("src").distinct().count() <= KCORE_BCAST_CAP
+    )
     d = 0
     while True:
         d += 1
+        if d >= BFS_MAX_HOPS:
+            # the oracle's recursive walk stops at dist BFS_MAX_HOPS-1
+            # (WHERE dist + 1 < cap) — the Spark loop must truncate at
+            # the SAME horizon, or a component with diameter >= cap
+            # makes the engines disagree with no truncation marker
+            break
+        fr = frontier.select(F.col("node").alias("src"))
+        vis = visited.select("node")
         nxt = (
-            edges.join(
-                frontier.select(F.col("node").alias("src")), "src"
-            )
+            edges.join(F.broadcast(fr) if bcast else fr, "src")
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(visited.select("node"), "node", "left_anti")
+            .join(F.broadcast(vis) if bcast else vis, "node", "left_anti")
             .select("node", F.lit(d).cast("long").alias("dist"))
             .localCheckpoint(eager=False)
         )
@@ -438,7 +476,7 @@ walk(node, dist) AS (
   SELECT DISTINCT node, CAST(0 AS BIGINT) FROM seeds
   UNION
   SELECT e.dst, w.dist + 1 FROM walk w JOIN cedges e ON e.src = w.node
-  WHERE w.dist + 1 < 64
+  WHERE w.dist + 1 < {BFS_MAX_HOPS}
 ),
 best AS (SELECT node, MIN(dist) AS dist FROM walk GROUP BY 1)
 SELECT dist, COUNT(*) AS n_nodes, MIN(node) AS min_node,
@@ -578,8 +616,9 @@ def cap_neighbors(edges: DataFrame, cap: int = JACCARD_DEG_CAP) -> DataFrame:
 
 def graph_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link prediction by neighborhood overlap on the DEGREE-CAPPED
-    co-purchase graph — the scale-safe registered form of
-    :func:`graph_jaccard_neighbors` (VERDICT r6 item 4): every node
+    co-purchase graph — the scale-safe form of
+    :func:`graph_jaccard_neighbors` (VERDICT r6 item 4; oracle-ready
+    in the library, registered in the round-8 front per NOTES_r7 §1): every node
     keeps at most ``JACCARD_DEG_CAP`` neighbors, chosen by a
     deterministic portable hash of the edge (an unbiased fixed-size
     neighbor sample both engines reproduce bit-for-bit), the sampled
@@ -812,7 +851,13 @@ FROM final GROUP BY 1
 
 # ----------------------------------------- degree assortativity --
 
-_AD18 = "decimal(18,0)"
+#: moment arithmetic width. DECIMAL(38,0), not 18: the raw int64
+#: moments silently wrap around ~1e7 heavy-degree edges (DuckDB's SUM
+#: widens to HUGEINT automatically, so the engines would diverge), and
+#: decimal(18) cannot even hold the int64 range it was casting from.
+#: 38 digits ≈ int128 — the same loud-failure boundary as the oracle's
+#: HUGEINT (num²·1e6 overflows both at |num| ≈ 1.2e16).
+_AD38 = "decimal(38,0)"
 
 
 def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -842,18 +887,19 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(dv), "v")
         .agg(
             F.count("*").alias("n_edges"),
-            F.sum("dx").alias("sx"),
-            F.sum("dy").alias("sy"),
-            F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
-            F.sum(F.col("dy") * F.col("dy")).alias("syy"),
-            F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+            F.sum(F.col("dx").cast(_AD38)).alias("sx"),
+            F.sum(F.col("dy").cast(_AD38)).alias("sy"),
+            F.sum((F.col("dx") * F.col("dx")).cast(_AD38)).alias("sxx"),
+            F.sum((F.col("dy") * F.col("dy")).cast(_AD38)).alias("syy"),
+            F.sum((F.col("dx") * F.col("dy")).cast(_AD38)).alias("sxy"),
         )
     )
+    ne = F.col("n_edges").cast(_AD38)
     stats = m.select(
         "n_edges",
-        (F.col("n_edges") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
-        (F.col("n_edges") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("denx"),
-        (F.col("n_edges") * F.col("syy") - F.col("sy") * F.col("sy")).alias("deny"),
+        (ne * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
+        (ne * F.col("sxx") - F.col("sx") * F.col("sx")).alias("denx"),
+        (ne * F.col("syy") - F.col("sy") * F.col("sy")).alias("deny"),
     )
     return stats.select(
         "n_edges",
@@ -861,8 +907,7 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             (F.col("denx") > 0) & (F.col("deny") > 0),
             F.expr(
-                f"(CAST(num AS {_AD18}) * CAST(num AS {_AD18}) * 1000000)"
-                f" div (CAST(denx AS {_AD18}) * CAST(deny AS {_AD18}))"
+                "CAST((num * num * 1000000) div (denx * deny) AS BIGINT)"
             ),
         ).alias("r2_ppm"),
     )

@@ -297,27 +297,43 @@ def sim_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cur = centroids
     assigned = None
-    for _ in range(KMEANS_ITERS):
-        assigned = assign(cur)
-        dims = assigned.select(
-            "cell", F.posexplode("v").alias("dim", "x")
-        )
-        cur = (
-            dims.groupBy("cell", "dim")
-            .agg(F.avg("x").alias("cx"))
-            .groupBy("cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "cx"))),
-                    lambda s: s.cx,
-                ).alias("c")
+    try:
+        for it in range(KMEANS_ITERS):
+            assigned = assign(cur)
+            if it == KMEANS_ITERS - 1:
+                # the final assignment is the answer — recomputing
+                # (and collecting) a centroid table nobody reads would
+                # be one wasted job per call (the exact twin documents
+                # the same break)
+                break
+            dims = assigned.select(
+                "cell", F.posexplode("v").alias("dim", "x")
             )
-        )
-        # materialize the model (K rows) so the next round's plan
-        # doesn't re-derive all previous rounds lazily
-        cur = spark.createDataFrame(cur.collect(), schema="cell int, c array<double>")
+            cur = (
+                dims.groupBy("cell", "dim")
+                .agg(F.avg("x").alias("cx"))
+                .groupBy("cell")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("dim", "cx"))),
+                        lambda s: s.cx,
+                    ).alias("c")
+                )
+            )
+            # materialize the model (K rows) so the next round's plan
+            # doesn't re-derive all previous rounds lazily
+            cur = spark.createDataFrame(
+                cur.collect(), schema="cell int, c array<double>"
+            )
 
-    return assigned.select("vec_id", "cell", F.round("d2", 6).alias("d2"))
+        out = assigned.select(
+            "vec_id", "cell", F.round("d2", 6).alias("d2")
+        ).localCheckpoint()
+    finally:
+        # same try/finally discipline as the exact twin: cached em
+        # blocks must not accumulate across invocations in a session
+        em.unpersist()
+    return out
 
 
 KMEANS_QSCALE = 1000  #: quantization units per 1.0 of embedding value
@@ -793,6 +809,10 @@ def sim_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SRP_SQL_PLANES = ", ".join(
     f"({p}, [{', '.join(repr(v) for v in _SRP[p])}])" for p in range(SRP_PLANES)
 )
+#: derived from SRP_BANDS like the KNNG tier's _KNNG_SQL_BANDS — a
+#: hardcoded (0),(1),(2),(3) would silently desynchronize the oracle
+#: from the Spark band explode on any retune
+_SRP_SQL_BANDS = ", ".join(f"({b})" for b in range(SRP_BANDS))
 
 SIM_SRP_SQL = f"""
 WITH planes(p, sgn) AS (VALUES {_SRP_SQL_PLANES}),
@@ -813,7 +833,7 @@ sigs AS (
 bands AS (
   SELECT vec_id, b.b,
          (sig >> (b.b * {SRP_BAND_BITS})) & {_SRP_MASK} AS bv
-  FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3)) b(b)
+  FROM sigs CROSS JOIN (VALUES {_SRP_SQL_BANDS}) b(b)
 ),
 cand AS (
   SELECT DISTINCT qb.vec_id AS q_id, c.vec_id
@@ -1006,9 +1026,24 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = em.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
     cos_full = _cosine(F.col("q_emb"), F.col("embedding"))
-    cos_trunc = _cosine(
-        F.slice(F.col("q_emb"), 1, MRL_DIM), F.slice(F.col("embedding"), 1, MRL_DIM)
+    # the corpus-level zero-vector exclusion (_with_norm) guards FULL
+    # norms only — a nonzero vector can still have an all-zero first
+    # MRL_DIM prefix, and an unguarded divide is an ANSI task kill in
+    # Spark vs NULL in DuckDB. Both engines define the zero-prefix
+    # cosine as 0.0 (no direction → no similarity) so the top-1 ranks
+    # stay comparable.
+    qa = F.transform(
+        F.slice(F.col("q_emb"), 1, MRL_DIM), lambda x: x.cast("double")
     )
+    ea = F.transform(
+        F.slice(F.col("embedding"), 1, MRL_DIM), lambda x: x.cast("double")
+    )
+    t_dot = _fold_sum(F.zip_with(qa, ea, lambda x, y: x * y))
+    t_nq = _fold_sum(F.transform(qa, lambda x: x * x))
+    t_ne = _fold_sum(F.transform(ea, lambda x: x * x))
+    cos_trunc = F.when(
+        (t_nq > 0) & (t_ne > 0), t_dot / (F.sqrt(t_nq) * F.sqrt(t_ne))
+    ).otherwise(F.lit(0.0))
     scored = pairs.select(
         "q_id",
         "vec_id",
@@ -1029,7 +1064,19 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_COS_TRUNC_SQL = _COS_SQL.replace(f"generate_series(1, {DIM})", f"generate_series(1, {MRL_DIM})")
+_TRUNC_NQ_SQL = f"""list_reduce(list_prepend(0.0, list_transform(generate_series(1, {MRL_DIM}),
+       i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))),
+       (a, x) -> a + x)"""
+_TRUNC_NE_SQL = _TRUNC_NQ_SQL.replace("q.embedding", "e.embedding")
+# zero-prefix guard mirrors the Spark side: cosine of an all-zero
+# MRL_DIM prefix is DEFINED as 0.0 in both engines
+_COS_TRUNC_SQL = (
+    f"CASE WHEN {_TRUNC_NQ_SQL} > 0 AND {_TRUNC_NE_SQL} > 0 THEN "
+    + _COS_SQL.replace(
+        f"generate_series(1, {DIM})", f"generate_series(1, {MRL_DIM})"
+    )
+    + " ELSE 0.0 END"
+)
 
 MATRYOSHKA_SQL = f"""
 WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
@@ -1699,8 +1746,9 @@ KNNG_BUCKET_CAP = 256
 
 def emb_knn_srp_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual kNN graph via SRP-LSH candidate generation — the
-    scale-safe registered form of :func:`emb_knn_graph` (VERDICT r6
-    item 4): identical mutual-top-5 semantics, but the pair universe
+    scale-safe form of :func:`emb_knn_graph` (VERDICT r6 item 4;
+    oracle-ready in the library, registered in the round-8 front per
+    NOTES_r7 §1): identical mutual-top-5 semantics, but the pair universe
     is band-bucket cohabitants instead of the exact N² census.
 
     Plan shape (the 100 TB story): one map-only signature scan, a
@@ -2266,12 +2314,24 @@ def emb_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dim",
         F.round(F.col("x").cast("double") * CENTROID_Q).cast("long").alias("q"),
     )
+    # moments in DECIMAL(38,0): q² ≤ 1e12, so SUM(q²) and the n·qq −
+    # s² fold overflow int64 around ~24k unit-norm vectors if computed
+    # in LongType (DuckDB widens SUM to HUGEINT automatically — the
+    # engines would silently diverge right above the 10x-probe scale).
+    # The OUTPUT stays BIGINT: past the int64 output domain both
+    # engines now fail loudly (ANSI cast / DuckDB CAST error) instead
+    # of one wrapping silently.
+    d38 = "decimal(38,0)"
     m = q.groupBy("dim").agg(
         F.count("*").alias("n"),
-        F.sum("q").alias("s"),
-        F.sum(F.col("q") * F.col("q")).alias("qq"),
+        F.sum(F.col("q").cast(d38)).alias("s"),
+        F.sum((F.col("q") * F.col("q")).cast(d38)).alias("qq"),
     )
-    varn2 = (F.col("n") * F.col("qq") - F.col("s") * F.col("s")).alias("var_n2")
+    varn2 = (
+        (F.col("n").cast(d38) * F.col("qq") - F.col("s") * F.col("s"))
+        .cast("long")
+        .alias("var_n2")
+    )
     ranked = m.select("dim", "n", varn2)
     w = Window.orderBy(F.desc("var_n2"), F.asc("dim"))
     return ranked.withColumn(

@@ -1000,7 +1000,17 @@ _VERIFY_FIRST: list[str] = [
 
 
 def _reorder() -> None:
-    front = [n for n in _VERIFY_FIRST if n in QUERIES]
+    # a misspelled or renamed _VERIFY_FIRST entry must fail at import,
+    # not silently shrink the round's verification front (the driver
+    # takes the first 50 dict entries; a dropped name promotes an
+    # already-green query into the slot and the backlog entry stays
+    # unverified, corrupting the round-cadence accounting)
+    missing = [n for n in _VERIFY_FIRST if n not in QUERIES]
+    if missing:
+        raise ValueError(
+            f"_VERIFY_FIRST names not in QUERIES: {missing}"
+        )
+    front = list(_VERIFY_FIRST)
     rest = [n for n in QUERIES if n not in set(front)]
     order = front + rest
     for d in (QUERIES, ORACLES):
