@@ -4145,11 +4145,17 @@ def ts_dayn_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = ret if out is None else out.unionByName(ret)
     tot = first.agg(F.count("*").alias("n_users"))
+    # n_users = 0 (empty/filtered-out corpus): DuckDB's // yields NULL
+    # while Spark's ANSI DIV throws — guard to the oracle's NULL
+    # (empty-corpus sweep, round 7)
     return out.crossJoin(F.broadcast(tot)).select(
         "day_n",
         "n_users",
         "n_retained",
-        F.expr("(n_retained * 1000000) DIV n_users").alias("retained_ppm"),
+        F.expr(
+            "CASE WHEN n_users > 0"
+            " THEN (n_retained * 1000000) DIV n_users END"
+        ).alias("retained_ppm"),
     )
 
 

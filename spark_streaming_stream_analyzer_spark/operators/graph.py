@@ -901,9 +901,16 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (ne * F.col("sxx") - F.col("sx") * F.col("sx")).alias("denx"),
         (ne * F.col("syy") - F.col("sy") * F.col("sy")).alias("deny"),
     )
+    # explicit CASE rather than signum: on an empty graph num is NULL
+    # and the oracle's CASE lands in ELSE 0, while signum(NULL) is
+    # NULL — same integers everywhere else (empty-corpus sweep, r7)
     return stats.select(
         "n_edges",
-        F.signum("num").cast("long").alias("r_sign"),
+        F.when(F.col("num") > 0, 1)
+        .when(F.col("num") < 0, -1)
+        .otherwise(0)
+        .cast("long")
+        .alias("r_sign"),
         F.when(
             (F.col("denx") > 0) & (F.col("deny") > 0),
             F.expr(
@@ -1096,12 +1103,17 @@ def rec_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
             "n_rec_parts",
             "catalog",
-            F.expr("(n_rec_parts * 1000000) DIV catalog")
-            .alias("coverage_ppm"),
+            # empty part table / < 2 users: DuckDB // yields NULL on a
+            # zero divisor, Spark ANSI DIV throws — guard to the
+            # oracle's NULL (empty-corpus sweep, round 7)
+            F.expr(
+                "CASE WHEN catalog > 0"
+                " THEN (n_rec_parts * 1000000) DIV catalog END"
+            ).alias("coverage_ppm"),
             "shared_pairs",
             F.expr(
-                "(shared_pairs * 1000000)"
-                " DIV (n_users * (n_users - 1) DIV 2)"
+                "CASE WHEN n_users >= 2 THEN (shared_pairs * 1000000)"
+                " DIV (n_users * (n_users - 1) DIV 2) END"
             ).alias("mean_overlap_micro"),
         )
     )

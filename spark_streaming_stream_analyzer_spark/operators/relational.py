@@ -390,7 +390,10 @@ WHERE r.rn = 1
 
 
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP(returnflag, linestatus) with grouping_id."""
+    """ROLLUP(returnflag, linestatus) with grouping_id.
+
+    Empty-input divergence vs ANSI (no global row from Spark) — see
+    ``agg_grouping_sets``."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         sum_money("l_quantity").alias("sum_qty"),
@@ -407,7 +410,10 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 
 
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE(orderstatus, orderpriority) over order totals."""
+    """CUBE(orderstatus, orderpriority) over order totals.
+
+    Empty-input divergence vs ANSI (no global row from Spark) — see
+    ``agg_grouping_sets``."""
     od = load_table(spark, sf_dir, "orders")
     return od.cube("o_orderstatus", "o_orderpriority").agg(
         sum_money("o_totalprice").alias("sum_total"),
@@ -1096,6 +1102,12 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     disambiguator — the general form behind rollup/cube. One pass:
     Spark expands the sets into a single Expand+HashAggregate, so the
     input is scanned once regardless of set count.
+
+    Known empty-input engine divergence (measured, Spark 4.1 DataFrame
+    AND SQL forms): ANSI/DuckDB emit the () grouping set's global row
+    over an empty relation; Spark emits nothing. Applies equally to
+    ``agg_rollup`` / ``agg_cube``. Pinned by
+    ``tests/test_empty_corpus.py``; unreachable at the driver's sf>0.
     """
     li = load_table(spark, sf_dir, "lineitem")
     li.createOrReplaceTempView("_gs_lineitem")

@@ -1543,6 +1543,13 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["i"], r["j"]): r["a_ij"] for r in A.collect()
     }
     dims = sorted({i for i, _ in amat})
+    if not dims:
+        # empty embedding table: no Gram matrix, no direction — mirror
+        # the oracle's empty result instead of max() over nothing
+        # (empty-corpus sweep, round 7)
+        return spark.createDataFrame(
+            [], "dim int, v_scaled long, loading double"
+        )
     v = {d: PCA_V for d in dims}
     for _ in range(PCA_ITERS):
         u = {

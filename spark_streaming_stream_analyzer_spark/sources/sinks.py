@@ -40,7 +40,12 @@ def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = os.path.join(tempfile.gettempdir(), f"sgs_sink_{uuid.uuid4().hex[:12]}")
     try:
         stats.write.partitionBy("readTag_id").parquet(out_dir)
-        back = spark.read.parquet(out_dir)
+        # explicit schema on read-back: an empty write leaves only
+        # _SUCCESS, which schema inference cannot read (and at 100 TB
+        # a lake reader should never infer anyway). Partition values
+        # are parsed per the declared string type — identical to the
+        # inferred read on non-empty data.
+        back = spark.read.schema(stats.schema).parquet(out_dir)
         cols = ["readTag_id"] + [c for c in back.columns if c != "readTag_id"]
         pdf = back.select(*cols).toPandas()
     finally:
@@ -78,10 +83,17 @@ def src_file_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
         json_df = spark.read.schema(schema).json(os.path.join(base, "json"))
 
         def agg(df: DataFrame, fmt: str) -> DataFrame:
-            return df.groupBy(F.lit(fmt).alias("fmt")).agg(
+            # GLOBAL aggregate + literal tag, not groupBy(lit): a
+            # grouped aggregate over an empty scan emits no groups at
+            # all, while the oracle's global-agg-cross-formats shape
+            # always emits one row per format (n=0, NULL sum on an
+            # empty corpus). Identical output on non-empty input.
+            return df.agg(
                 F.count("*").alias("n_rows"),
                 F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
                 F.countDistinct("event_type").alias("n_types"),
+            ).select(
+                F.lit(fmt).alias("fmt"), "n_rows", "sum_cents", "n_types"
             )
 
         out = (
@@ -286,10 +298,34 @@ def obs_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the action that flows the data (and fills the observations) is
     # the pipeline's real aggregate, not an extra count
     kept.groupBy("event_type").agg(F.count("*")).collect()
-    rows = [
-        ("ingest", obs_in.get["n"], obs_in.get["sum_cents"] / 100.0),
-        ("kept", obs_kept.get["n"], obs_kept.get["sum_cents"] / 100.0),
-    ]
+
+    def _cents_or_none(v):
+        # SUM over zero observed rows is NULL — keep it NULL (the
+        # oracle's semantics), don't coerce to 0.0
+        return v / 100.0 if v is not None else None
+
+    try:
+        rows = [
+            ("ingest", obs_in.get["n"], _cents_or_none(obs_in.get["sum_cents"])),
+            ("kept", obs_kept.get["n"], _cents_or_none(obs_kept.get["sum_cents"])),
+        ]
+    except Exception:
+        # PySpark's Observation.get trips an internal toPyRow assertion
+        # when the observed plan scanned ZERO rows (hit by the
+        # empty-corpus sweep, round 7). The metrics are well-defined —
+        # n=0, NULL sum — so fall back to computing the same two
+        # aggregates directly; on any non-empty input .get succeeds and
+        # this branch never runs.
+        def _direct(df):
+            r = df.agg(
+                F.count(F.lit(1)).alias("n"), F.sum(cents).alias("s")
+            ).collect()[0]
+            return r["n"], _cents_or_none(r["s"])
+
+        rows = [
+            ("ingest", *_direct(ev)),
+            ("kept", *_direct(ev.filter(F.col("value") > 0))),
+        ]
     return spark.createDataFrame(
         rows, schema="stage string, n_rows long, sum_value double"
     )
@@ -370,7 +406,10 @@ def src_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(tempfile.gettempdir(), f"sgs_prune_{uuid.uuid4().hex[:12]}")
     try:
         ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
-        back = spark.read.parquet(out).filter(
+        # explicit schema: an empty write has no footer to infer from
+        # (and declared schemas are the 100 TB norm); pruning behavior
+        # and values are unchanged on non-empty data
+        back = spark.read.schema(ev.schema).parquet(out).filter(
             F.col("event_type").isin("click", "error")
         )
         agg = back.groupBy("event_type").agg(

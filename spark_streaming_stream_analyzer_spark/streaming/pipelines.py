@@ -920,7 +920,12 @@ STREAM_PROGRESS_SQL = """
 SELECT CAST(b.batch_id AS BIGINT) AS batch_id,
        (SELECT COUNT(*) FROM events) AS num_input_rows
 FROM (VALUES (0), (1)) b(batch_id)
+WHERE (SELECT COUNT(*) FROM events) > 0
 """
+# the WHERE mirrors the operator's only-batches-that-moved-data
+# contract on an EMPTY corpus: zero staged rows -> zero data-moving
+# batches -> zero rows (empty-corpus sweep, round 7); on any non-empty
+# corpus the predicate is constant-true and the two rows are unchanged
 
 
 def stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -948,7 +953,10 @@ def stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-        back = spark.read.parquet(out_dir)
+        # explicit schema: a zero-row stream commits only the
+        # _spark_metadata log — nothing to infer from (and a lake
+        # reader should declare its schema anyway)
+        back = spark.read.schema(shaped.schema).parquet(out_dir)
         agg = back.groupBy("event_type").agg(
             F.count("*").alias("n_events"),
             F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
