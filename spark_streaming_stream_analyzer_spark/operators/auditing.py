@@ -853,7 +853,14 @@ def dq_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "event_type", "n_ref", "n_cur", "d_num",
-            F.expr("(d_num * 1000000) DIV (n_ref * n_cur)").alias("ks_ppm"),
+            # an event_type living entirely in one half (e.g. a type
+            # INTRODUCED mid-window — routine in production) has an
+            # empty other sample and no defined KS distance: DuckDB //
+            # NULLs, ANSI DIV throws (1-row-corpus sweep, round 7)
+            F.expr(
+                "CASE WHEN n_ref * n_cur > 0"
+                " THEN (d_num * 1000000) DIV (n_ref * n_cur) END"
+            ).alias("ks_ppm"),
         )
     )
 

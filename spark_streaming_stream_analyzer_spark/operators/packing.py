@@ -576,7 +576,13 @@ def sample_bootstrap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rep",
             "n_draws",
             "sum_cents",
-            F.expr("sum_cents DIV n_draws").alias("mean_cents"),
+            # a replica where every row drew k=0 (P≈e^-n, certain on a
+            # 1-row corpus) has no mean: DuckDB // NULLs the zero
+            # divisor, ANSI DIV throws — guard to the oracle's NULL
+            # (1-row-corpus sweep, round 7)
+            F.expr(
+                "CASE WHEN n_draws > 0 THEN sum_cents DIV n_draws END"
+            ).alias("mean_cents"),
         )
     )
 

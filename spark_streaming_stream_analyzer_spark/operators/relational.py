@@ -979,9 +979,12 @@ def approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
       5% relative error of the exact distinct count (the estimator is
       deterministic for fixed input, so this is a stable fact of the
       data, not a coin flip);
-    - ``median_rank_ok``: the fraction of rows ≤ the approx median
-      lies in [45%, 55%] — compared with pure integer arithmetic
-      (100·n_le vs 45·n / 55·n), no FP in the verdict.
+    - ``median_rank_ok``: the approx median's rank is within 5% of the
+      true middle, with a +2-rank slack that keeps the contract
+      ATTAINABLE at tiny n (a 1-row group can only realize rank
+      fractions 0% or 100%; the old hard [45%,55%] band was
+      unsatisfiable there — 1-row-corpus sweep, round 7). Pure integer
+      verdict: 10·|2·n_le − n| ≤ n + 20.
 
     The DuckDB oracle computes the exact columns and asserts the flags
     TRUE — so the sketches stay engine-private while the query is
@@ -1015,8 +1018,8 @@ def approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 <= F.col("exact_parts") * 5
             ).alias("parts_within_5pct"),
             (
-                (F.col("n_le") * 100 >= F.col("n") * 45)
-                & (F.col("n_le") * 100 <= F.col("n") * 55)
+                F.abs(F.col("n_le") * 2 - F.col("n")) * 10
+                <= F.col("n") + 20
             ).alias("median_rank_ok"),
         )
     )

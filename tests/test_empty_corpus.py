@@ -42,12 +42,35 @@ EMPTY_PARITY = [
 ]
 
 
+#: fixed queries that must agree with their oracle on a ONE-row corpus
+#: (singleton groups, one-sided sample splits, zero-draw replicas —
+#: a regime the empty corpus cannot reach because scans stay non-empty
+#: while joins/filters empty out downstream)
+ONE_ROW_PARITY = [
+    "sample_bootstrap_stats",
+    "dq_ks_two_sample",
+    "approx_aggs",
+    "ts_dayn_retention",
+    "rec_eval_metrics",
+    "graph_degree_assortativity",
+]
+
+
 @pytest.fixture(scope="module")
 def empty_dir(tmp_path_factory) -> str:
     d = tmp_path_factory.mktemp("sf_empty")
     for t in TABLE_NAMES:
         sch = pq.read_schema(os.path.join(SRC, f"{t}.parquet"))
         pq.write_table(sch.empty_table(), str(d / f"{t}.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def one_row_dir(tmp_path_factory) -> str:
+    d = tmp_path_factory.mktemp("sf_one")
+    for t in TABLE_NAMES:
+        tb = pq.read_table(os.path.join(SRC, f"{t}.parquet")).slice(0, 1)
+        pq.write_table(tb, str(d / f"{t}.parquet"))
     return str(d)
 
 
@@ -84,6 +107,15 @@ def test_empty_corpus_parity(spark, empty_dir, name):
     assert sorted(sdf.columns) == sorted(odf.columns)
     assert len(sdf) == len(odf), f"{name}: spark {len(sdf)} vs oracle {len(odf)}"
     assert _norm(sdf) == _norm(odf), f"{name}: value divergence on empty corpus"
+
+
+@pytest.mark.parametrize("name", ONE_ROW_PARITY)
+def test_one_row_corpus_parity(spark, one_row_dir, name):
+    sdf = registry.QUERIES[name](spark, one_row_dir).toPandas()
+    odf = _oracle(one_row_dir, registry.ORACLES[name])
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert len(sdf) == len(odf), f"{name}: spark {len(sdf)} vs oracle {len(odf)}"
+    assert _norm(sdf) == _norm(odf), f"{name}: value divergence on 1-row corpus"
 
 
 def test_grouping_sets_empty_divergence_is_pinned(spark, empty_dir):
