@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import hash64, hash64_sql
 from ..sources.tables import load_table, load_table_cpu
+from .similarity import _shadow_nonnull_embeddings, load_embeddings
 
 SIG_N = 32          # minhash permutations
 BAND_ROWS = 4       # rows per LSH band → 8 bands
@@ -534,7 +535,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scoring lambda below runs per PAIR (quadratic in cell size), so
     # anything liftable to the linear per-row stage must move there
     em = (
-        _with_norm(load_table_cpu(spark, sf_dir, "embeddings"), "embedding", "nrm")
+        _with_norm(load_embeddings(spark, sf_dir), "embedding", "nrm")
         .select(
             "vec_id",
             "label",
@@ -577,7 +578,7 @@ _EMB_COS_SQL = """
        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, x) -> acc + x)))
 """
 
-DEDUP_EMB_COSINE_SQL = f"""
+DEDUP_EMB_COSINE_SQL = _shadow_nonnull_embeddings(f"""
 WITH scored AS (
   SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
          {_EMB_COS_SQL} AS cos_sim
@@ -590,7 +591,7 @@ SELECT label, vec_a, vec_b, rnk, cos_sim FROM (
                             ORDER BY cos_sim DESC, vec_a, vec_b) AS rnk
   FROM scored
 ) t WHERE rnk <= {EMB_DEDUP_TOPN}
-"""
+""")
 
 
 # ------------------------------------------------ simhash pair search --

@@ -98,6 +98,8 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows: list[tuple[int, int, str]] = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue  # oracle: substr(NULL) drops the row
                 data = bytes(payload)
                 for i in range(N_FRAMES):
                     start = i * FRAME_STRIDE
@@ -393,6 +395,8 @@ def decode_image(df: DataFrame) -> DataFrame:
         for pdf in batches:
             out = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue  # missing blob: nothing to decode
                 payload = bytes(payload)
                 if pil:
                     img = Image.open(io.BytesIO(payload)).convert("L")
@@ -491,6 +495,8 @@ def decode_audio(df: DataFrame) -> DataFrame:
         for pdf in batches:
             out = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue  # missing blob: nothing to decode
                 with wave.open(io.BytesIO(payload)) as w:
                     sr = w.getframerate()
                     nch = w.getnchannels()
@@ -525,6 +531,8 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows: list[tuple[int, int, str]] = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue  # oracle: length(NULL) > 0 is NULL -> drop
                 data = bytes(payload)
                 n = len(data)
                 if n == 0:
@@ -582,6 +590,8 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows: list[tuple[int, int, float]] = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue  # oracle drops NULL-text docs (WHERE)
                 data = bytes(payload)
                 for d in range(_FEAT_DIM):
                     h = hashlib.md5(data + str(d).encode()).hexdigest()
@@ -598,6 +608,7 @@ SELECT doc_id, CAST(d AS INT) AS dim,
        CAST(CAST('0x' || substr(md5(text || CAST(d AS VARCHAR)), 1, 8)
                  AS BIGINT) % 1000 AS DOUBLE) / 1000.0 AS feat
 FROM documents, range({_FEAT_DIM}) t(d)
+WHERE text IS NOT NULL
 """
 
 
@@ -617,6 +628,8 @@ def mm_audio_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows: list[tuple[int, int, int, str]] = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue  # oracle: range(NULL nch) unnests nothing
                 data = bytes(payload)
                 for i in range((len(data) + CHUNK_LEN - 1) // CHUNK_LEN):
                     w = data[i * CHUNK_LEN : (i + 1) * CHUNK_LEN]
@@ -674,6 +687,8 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows: list[tuple[int, int, int, int, int]] = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue  # oracle: length(NULL) > 0 is NULL -> drop
                 data = bytes(payload)
                 n = len(data)
                 if n == 0:

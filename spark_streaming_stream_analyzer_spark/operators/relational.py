@@ -741,8 +741,12 @@ def fn_crypto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 FN_CRYPTO_SQL = """
-SELECT lang, COUNT(*) AS n_docs, COUNT(*) AS n_roundtrip_ok,
-       CAST(0 AS BIGINT) AS n_null_roundtrip,
+-- COUNT(text) counts non-NULL plaintexts: every one roundtrips (the
+-- identity the op asserts); NULL texts are exactly the NULL-verdict
+-- rows the op surfaces in n_null_roundtrip (was hardcoded COUNT(*)/0,
+-- which only held on fully-populated corpora — NULL-payload sweep r7)
+SELECT lang, COUNT(*) AS n_docs, COUNT(text) AS n_roundtrip_ok,
+       COUNT(*) - COUNT(text) AS n_null_roundtrip,
        MIN(sha256(text)) AS min_sha256
 FROM documents GROUP BY lang
 """
@@ -942,10 +946,16 @@ ARRAY_FUNCS_SQL = """
 SELECT vec_id,
   CAST(len(embedding) AS INT) AS dim,
   CAST(embedding[1] AS DOUBLE) AS first_val,
-  list_reduce(list_prepend(0.0, list_transform(embedding, x -> CAST(x AS DOUBLE))),
-              (a, x) -> a + x) AS vec_sum,
-  list_reduce(list_prepend(0.0, list_transform(embedding,
-              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, x) -> a + x) AS vec_sumsq,
+  -- CASE guards: DuckDB's list_prepend(0.0, NULL) is [0.0] (fold = 0.0
+  -- on a NULL array) where Spark's aggregate propagates NULL — a NULL
+  -- array has no sum (NULL-payload corpus sweep, round 7)
+  CASE WHEN embedding IS NOT NULL THEN
+    list_reduce(list_prepend(0.0, list_transform(embedding, x -> CAST(x AS DOUBLE))),
+                (a, x) -> a + x) END AS vec_sum,
+  CASE WHEN embedding IS NOT NULL THEN
+    list_reduce(list_prepend(0.0, list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, x) -> a + x) END
+    AS vec_sumsq,
   CAST(len(list_filter(list_transform(embedding, x -> CAST(x AS DOUBLE)),
                        x -> x > 0)) AS INT) AS n_positive
 FROM embeddings

@@ -62,6 +62,45 @@ _COS_SQL = f"""
 """
 
 
+def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-tier source: the vectors table minus NULL embeddings.
+
+    A NULL embedding is not a vector — a production corpus carries
+    rows whose embedding job failed or has not run, and every consumer
+    in this tier (norms, ANN candidates, PQ/IVF training, kNN graphs,
+    centroid stats) must ignore them rather than propagate NULL
+    through array arithmetic (Spark) or silently drop them in some
+    engines and not others. Every oracle in the tier carries the SAME
+    filter via the shadow-CTE rewrite in
+    :func:`_shadow_nonnull_embeddings`, so both engines see one vector
+    set by construction. No-op on fixtures with fully-populated
+    embeddings (all sf dirs — verified by selfcheck before/after).
+    (NULL-payload corpus sweep, round 7.)
+    """
+    return load_table_cpu(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+
+
+def _shadow_nonnull_embeddings(sql: str) -> str:
+    """Prepend a CTE that SHADOWS the ``embeddings`` view with its
+    NULL-embedding-free projection (``main.embeddings`` names the base
+    view unambiguously — DuckDB resolves registered tables and views
+    through the main schema). Applied to every oracle constant in this
+    tier at module bottom; keeps the 30+ oracle bodies untouched and
+    alias-safe."""
+    cte = (
+        "embeddings AS (SELECT * FROM main.embeddings"
+        " WHERE embedding IS NOT NULL)"
+    )
+    s = sql.lstrip()
+    if s.upper().startswith("WITH RECURSIVE"):
+        return "WITH RECURSIVE " + cte + ", " + s[len("WITH RECURSIVE"):].lstrip()
+    if s.upper().startswith("WITH"):
+        return "WITH " + cte + ", " + s[len("WITH"):].lstrip()
+    return "WITH " + cte + " " + s
+
+
 def _with_norm(df: DataFrame, emb: str, out: str) -> DataFrame:
     """L2 norm column; rows with zero norm are DROPPED — a zero vector
     has no direction, cosine against it is 0/0, and under ANSI mode
@@ -87,7 +126,7 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # double-cast once per row (linear), not per scored pair
     em = _with_norm(
-        load_table_cpu(spark, sf_dir, "embeddings"), "embedding", "nrm"
+        load_embeddings(spark, sf_dir), "embedding", "nrm"
     ).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("emb_d"),
@@ -131,7 +170,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-pruned cosine top-3: candidates restricted to the query's
     coarse cell (``label``). Scoring identical to the brute tier."""
     em = _with_norm(
-        load_table_cpu(spark, sf_dir, "embeddings"), "embedding", "nrm"
+        load_embeddings(spark, sf_dir), "embedding", "nrm"
     ).select(
         "vec_id",
         "label",
@@ -180,7 +219,7 @@ SELECT q_id, vec_id, rank, cos_sim FROM (
 def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector L2 norm + mean component (array-expression pack used
     by normalization pipelines before indexing)."""
-    em = load_table_cpu(spark, sf_dir, "embeddings")
+    em = load_embeddings(spark, sf_dir)
     ad = F.transform("embedding", lambda x: x.cast("double"))
     norm = F.sqrt(_fold_sum(F.transform(ad, lambda x: x * x)))
     return em.select(
@@ -211,7 +250,7 @@ def emb_dim_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     portable over floats with no summation-order hazard. One
     posexplode + one hash-agg on DIM keys — the shuffle carries DIM
     partial rows per task, nothing else."""
-    em = load_table_cpu(spark, sf_dir, "embeddings")
+    em = load_embeddings(spark, sf_dir)
     comp = em.select(F.posexplode("embedding").alias("dim", "v"))
     return comp.groupBy("dim").agg(
         F.count("*").alias("n"),
@@ -265,7 +304,7 @@ def sim_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     round. This is exactly MLlib's dataflow; owning it keeps the
     engine self-contained and the quantizer pluggable.
     """
-    em = load_table_cpu(spark, sf_dir, "embeddings").select(
+    em = load_embeddings(spark, sf_dir).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
     em = em.cache()
@@ -362,7 +401,7 @@ def sim_kmeans_exact_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast K×DIM model; update = one partial/final aggregate per
     round; only the model crosses rounds.
     """
-    em = load_table_cpu(spark, sf_dir, "embeddings").select(
+    em = load_embeddings(spark, sf_dir).select(
         "vec_id",
         F.transform(
             "embedding",
@@ -493,7 +532,7 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic scoring tiebreaks."""
     cells = sim_kmeans_cells(spark, sf_dir).select("vec_id", "cell")
     em = _with_norm(
-        load_table_cpu(spark, sf_dir, "embeddings"), "embedding", "nrm"
+        load_embeddings(spark, sf_dir), "embedding", "nrm"
     ).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("emb_d"),
@@ -532,7 +571,7 @@ def sim_ivf_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan of the indexed side, window top-k."""
     cells = sim_kmeans_exact_cells(spark, sf_dir).select("vec_id", "cell")
     em = _with_norm(
-        load_table_cpu(spark, sf_dir, "embeddings"), "embedding", "nrm"
+        load_embeddings(spark, sf_dir), "embedding", "nrm"
     ).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("emb_d"),
@@ -657,7 +696,7 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     streams straight to the sink. The deterministic left-fold scoring
     makes the τ cutoff bit-identical across engines."""
     em = _with_norm(
-        load_table_cpu(spark, sf_dir, "embeddings"), "embedding", "nrm"
+        load_embeddings(spark, sf_dir), "embedding", "nrm"
     ).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("emb_d"),
@@ -745,7 +784,7 @@ def sim_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature scan is broadcast-sized (query bands, candidate list).
     """
     em = _with_norm(
-        load_table_cpu(spark, sf_dir, "embeddings"), "embedding", "nrm"
+        load_embeddings(spark, sf_dir), "embedding", "nrm"
     ).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("emb_d"),
@@ -879,7 +918,7 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     is usually the difference between an in-memory ANN index and one
     that spills; the audit columns are what a pipeline owner monitors
     to decide the quantizer is safe (mse bounded by s²/4, tested)."""
-    em = load_table_cpu(spark, sf_dir, "embeddings").select(
+    em = load_embeddings(spark, sf_dir).select(
         "vec_id",
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("emb_d"),
@@ -936,7 +975,7 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays as the exactness baseline the quantized ranks are audited
     against (tests bound the qcos error)."""
     em = _with_norm(
-        load_table_cpu(spark, sf_dir, "embeddings"), "embedding", "nrm"
+        load_embeddings(spark, sf_dir), "embedding", "nrm"
     ).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("emb_d"),
@@ -1020,7 +1059,7 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     a max-by-struct aggregate — no per-query window, ties broken to
     the smaller vec_id exactly like the rank-based oracles.
     """
-    em = load_table_cpu(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    em = load_embeddings(spark, sf_dir).select("vec_id", "embedding")
     q = em.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
@@ -1220,7 +1259,7 @@ def emb_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes is a PQ_M-term lookup-table sum — never a float dot product
     against raw vectors.
     """
-    em = load_table_cpu(spark, sf_dir, "embeddings").select(
+    em = load_embeddings(spark, sf_dir).select(
         "vec_id",
         F.transform(
             "embedding",
@@ -1353,7 +1392,7 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums the PQ_M terms; TakeOrderedAndProject-style ranking per
     query. No full-vector math anywhere after index build.
     """
-    em = load_table_cpu(spark, sf_dir, "embeddings").select(
+    em = load_embeddings(spark, sf_dir).select(
         "vec_id",
         F.transform(
             "embedding",
@@ -1513,7 +1552,7 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver cost microseconds where 60 chained dataframe joins would
     cost 60 plan analyses.
     """
-    em = load_table_cpu(spark, sf_dir, "embeddings")
+    em = load_embeddings(spark, sf_dir)
     qv = em.select(
         "vec_id", F.posexplode("embedding").alias("pos", "x")
     ).select(
@@ -1648,7 +1687,7 @@ def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     smaller side, top-k via per-src window on |N|·k survivors.
     """
     em = _with_norm(
-        load_table_cpu(spark, sf_dir, "embeddings"), "embedding", "nrm"
+        load_embeddings(spark, sf_dir), "embedding", "nrm"
     ).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("emb_d"),
@@ -1774,7 +1813,7 @@ def emb_knn_srp_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph a production pipeline would actually build at scale.
     """
     em = _with_norm(
-        load_table_cpu(spark, sf_dir, "embeddings"), "embedding", "nrm"
+        load_embeddings(spark, sf_dir), "embedding", "nrm"
     ).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("emb_d"),
@@ -1974,7 +2013,7 @@ def emb_class_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~9e12 rows/label·1e6-magnitude — the DECIMAL(38) widening of
     ``streaming/state.py`` applies beyond that.
     """
-    em = load_table_cpu(spark, sf_dir, "embeddings").select(
+    em = load_embeddings(spark, sf_dir).select(
         "label", F.posexplode("embedding").alias("dim", "x")
     )
     q = em.select(
@@ -2039,7 +2078,7 @@ def emb_class_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cen = emb_class_centroids(spark, sf_dir).select(
         "label", "dim", "centroid_q"
     )
-    q = load_table_cpu(spark, sf_dir, "embeddings").select(
+    q = load_embeddings(spark, sf_dir).select(
         "vec_id", "label", F.posexplode("embedding").alias("dim", "x")
     ).select(
         "vec_id",
@@ -2119,7 +2158,7 @@ def emb_nearest_centroid_confusion(
     cen = emb_class_centroids(spark, sf_dir).select(
         F.col("label").alias("cand"), "dim", "centroid_q"
     )
-    q = load_table_cpu(spark, sf_dir, "embeddings").select(
+    q = load_embeddings(spark, sf_dir).select(
         "vec_id", "label", F.posexplode("embedding").alias("dim", "x")
     ).select(
         "vec_id",
@@ -2220,7 +2259,7 @@ def emb_class_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gcent_q"),
         )
     )
-    q = load_table_cpu(spark, sf_dir, "embeddings").select(
+    q = load_embeddings(spark, sf_dir).select(
         "vec_id", "label", F.posexplode("embedding").alias("dim", "x")
     ).select(
         "vec_id", "label", "dim",
@@ -2315,7 +2354,7 @@ def emb_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One exploded pass, one (dim)-keyed aggregate, 64-row output.
     """
-    q = load_table_cpu(spark, sf_dir, "embeddings").select(
+    q = load_embeddings(spark, sf_dir).select(
         F.posexplode("embedding").alias("dim", "x")
     ).select(
         "dim",
@@ -2404,7 +2443,7 @@ def emb_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.hashing import hash64
 
     em = _with_norm(
-        load_table_cpu(spark, sf_dir, "embeddings"), "embedding", "nrm"
+        load_embeddings(spark, sf_dir), "embedding", "nrm"
     ).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("emb_d"),
@@ -2488,3 +2527,36 @@ FROM counts CROSS JOIN tot
 
 
 EMB_DIST_HIST_SQL = _dist_hist_sql()
+
+
+# Shadow every oracle's `embeddings` with its NULL-free projection —
+# the DuckDB mirror of load_embeddings (see _shadow_nonnull_embeddings;
+# NULL-payload corpus sweep, round 7). Applied to the WHOLE tier, not
+# just the sites the sweep tripped, so Spark and oracle read one
+# vector set by construction everywhere.
+for _name in (
+    "SIM_TOPK_SQL",
+    "SIM_IVF_SQL",
+    "EMB_NORMS_SQL",
+    "EMB_DIM_MINMAX_SQL",
+    "SIM_KMEANS_EXACT_SQL",
+    "SIM_IVF_EXACT_SQL",
+    "SIM_RECALL_SQL",
+    "SIM_RANGE_SQL",
+    "SIM_SRP_SQL",
+    "EMB_QUANT_SQL",
+    "SIM_QUANT_SQL",
+    "MATRYOSHKA_SQL",
+    "EMB_PQ_SQL",
+    "SIM_PQ_ADC_SQL",
+    "EMB_PCA_SQL",
+    "EMB_KNN_SQL",
+    "EMB_KNN_SRP_SQL",
+    "EMB_CENTROID_SQL",
+    "EMB_OUTLIER_SQL",
+    "EMB_CONFUSION_SQL",
+    "EMB_SEPARATION_SQL",
+    "EMB_DIM_VAR_SQL",
+    "EMB_DIST_HIST_SQL",
+):
+    globals()[_name] = _shadow_nonnull_embeddings(globals()[_name])

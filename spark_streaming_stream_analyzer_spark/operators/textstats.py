@@ -192,7 +192,14 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-value MinHash — cheap near-dup prefilter)."""
     docs = load_table_cpu(spark, sf_dir, "documents")
     words = F.filter(F.split("text", " "), lambda w: w != "")
-    vocab = F.concat_ws(" ", F.array_sort(F.array_distinct(words)))
+    # concat_ws SKIPS null inputs (yielding md5('') on a NULL text)
+    # while the oracle's array_to_string propagates NULL — guard so a
+    # missing document fingerprints as NULL in both engines
+    # (NULL-payload corpus sweep, round 7)
+    vocab = F.when(
+        F.col("text").isNotNull(),
+        F.concat_ws(" ", F.array_sort(F.array_distinct(words))),
+    )
     # short docs have no 3-grams: sequence(0, size-3) would DESCEND and
     # hand element_at invalid indices (ANSI error) -> empty array
     grams = F.when(

@@ -592,6 +592,8 @@ def src_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(d)
     try:
         for r in docs:
+            if r["text"] is None:
+                continue  # a missing blob stages no file (oracle WHERE)
             with open(os.path.join(d, f"doc_{r['doc_id']}.bin"), "wb") as f:
                 f.write(r["text"].encode("utf-8"))
         df = (
@@ -618,5 +620,5 @@ SRC_BINFILE_SQL = f"""
 SELECT doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        sha256(text) AS sha256
-FROM documents WHERE doc_id < {BINFILE_DOCS}
+FROM documents WHERE doc_id < {BINFILE_DOCS} AND text IS NOT NULL
 """

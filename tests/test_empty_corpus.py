@@ -74,6 +74,51 @@ def one_row_dir(tmp_path_factory) -> str:
     return str(d)
 
 
+#: fixed queries that must agree with their oracle when a third of the
+#: payload columns (props / text / embedding) are NULL — the
+#: missing-payload reality of a production corpus. One representative
+#: per fixed mechanism: the NULL-free embedding view (load_embeddings +
+#: the oracle shadow CTE), kernel None-skips, staging skips, and the
+#: NULL-propagation expression alignments.
+NULL_PAYLOAD_PARITY = [
+    "embedding_norms",       # shadow CTE + load_embeddings
+    "sim_topk_cosine",       # candidate tier over the NULL-free view
+    "dedup_embedding_cosine",  # dedup.py twin of the shadow
+    "mm_frame_sample",       # mapInPandas kernel None-skip
+    "mm_phash_dedup",        # kernel skip + JVM band join downstream
+    "src_binary_files",      # staging skip + oracle WHERE
+    "doc_fingerprint",       # concat_ws NULL-skip guard
+    "fn_crypto_roundtrip",   # COUNT(text) oracle alignment
+    "array_funcs",           # oracle CASE for list_prepend(0.0, NULL)
+]
+
+
+@pytest.fixture(scope="module")
+def null_payload_dir(tmp_path_factory) -> str:
+    """sf0.001 with every third props/text/embedding NULLed (keys and
+    measures intact) — the fixture the round-7 NULL-payload sweep ran;
+    full-registry result recorded in NOTES_r7 §6."""
+    import duckdb
+
+    d = tmp_path_factory.mktemp("sf_nulls")
+    spec = {
+        "events": "event_id, ts, user_id, event_type, value, "
+        "CASE WHEN event_id % 3 = 0 THEN NULL ELSE props END AS props",
+        "documents": "doc_id, CASE WHEN doc_id % 3 = 0 THEN NULL ELSE text END"
+        " AS text, lang, source, n_chars",
+        "embeddings": "vec_id, CASE WHEN vec_id % 3 = 0 THEN NULL ELSE"
+        " embedding END AS embedding, label",
+    }
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        sel = spec.get(t, "*")
+        con.execute(
+            f"COPY (SELECT {sel} FROM read_parquet('{SRC}/{t}.parquet'))"
+            f" TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    return str(d)
+
+
 def _oracle(sf_dir: str, sql: str):
     con = duckdb.connect()
     for t in TABLE_NAMES:
@@ -116,6 +161,19 @@ def test_one_row_corpus_parity(spark, one_row_dir, name):
     assert sorted(sdf.columns) == sorted(odf.columns)
     assert len(sdf) == len(odf), f"{name}: spark {len(sdf)} vs oracle {len(odf)}"
     assert _norm(sdf) == _norm(odf), f"{name}: value divergence on 1-row corpus"
+
+
+@pytest.mark.parametrize("name", NULL_PAYLOAD_PARITY)
+def test_null_payload_corpus_parity(spark, null_payload_dir, name):
+    sdf = registry.QUERIES[name](spark, null_payload_dir).toPandas()
+    odf = _oracle(null_payload_dir, registry.ORACLES[name])
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert len(sdf) == len(odf), f"{name}: spark {len(sdf)} vs oracle {len(odf)}"
+    assert _norm(sdf) == _norm(odf), f"{name}: value divergence on NULL payloads"
+    # the NULL third must actually be exercised: the result should not
+    # simply equal the fully-populated run for ops that drop rows
+    if name == "embedding_norms":
+        assert len(sdf) > 0 and len(sdf) < 500
 
 
 def test_grouping_sets_empty_divergence_is_pinned(spark, empty_dir):

@@ -114,12 +114,14 @@ def test_embedding_dedup_finds_planted_duplicates(spark):
         ],
         schema="vec_id long, label int, embedding array<float>",
     )
-    orig = dd.load_table_cpu
+    orig = dd.load_embeddings
     try:
-        dd.load_table_cpu = lambda s, d, n: df  # noqa: ARG005
+        # the tier loader (similarity.load_embeddings) is the swap
+        # point since the NULL-payload contract landed in round 7
+        dd.load_embeddings = lambda s, d: df  # noqa: ARG005
         out = dd.dedup_embedding_cosine(spark, "x").collect()
     finally:
-        dd.load_table_cpu = orig
+        dd.load_embeddings = orig
     top = {(r["label"], r["rnk"]): (r["vec_a"], r["vec_b"], r["cos_sim"]) for r in out}
     # the planted near-identical pair ranks first in its cell with cos ~ 1
     va, vb, cos = top[(0, 1)]
