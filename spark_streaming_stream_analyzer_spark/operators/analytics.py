@@ -2994,11 +2994,19 @@ def seq_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = ev.select(
         "user_id", ts_micros(ev).alias("us"), "event_id", "event_type"
     )
+    # a triple containing a NULL step is not a path: an untyped event
+    # is indistinguishable from a missing one under lead(), and the
+    # engines disagree on NULL concat (concat_ws skips, || propagates)
+    # — both sides drop any-NULL triples (NULL-keys sweep, round 7)
     triples = base.select(
         F.col("event_type").alias("t1"),
         F.lead("event_type", 1).over(w).alias("t2"),
         F.lead("event_type", 2).over(w).alias("t3"),
-    ).filter(F.col("t3").isNotNull())
+    ).filter(
+        F.col("t1").isNotNull()
+        & F.col("t2").isNotNull()
+        & F.col("t3").isNotNull()
+    )
     counts = triples.select(
         F.concat_ws(">", "t1", "t2", "t3").alias("path")
     ).groupBy("path").agg(F.count("*").alias("n"))
@@ -3027,7 +3035,9 @@ triples AS (
 ),
 counts AS (
   SELECT t1 || '>' || t2 || '>' || t3 AS path, COUNT(*) AS n
-  FROM triples WHERE t3 IS NOT NULL GROUP BY 1
+  FROM triples
+  WHERE t1 IS NOT NULL AND t2 IS NOT NULL AND t3 IS NOT NULL
+  GROUP BY 1
 ),
 tot AS (SELECT SUM(n) AS total FROM counts)
 SELECT path, CAST(n AS BIGINT) AS n, CAST(total AS BIGINT) AS total,
@@ -3473,8 +3483,19 @@ def ts_peak_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
     )
     contrib = udc.join(F.broadcast(peaks), ["event_type", "day"])
+    # tie-break key: the anonymous (NULL user_id) bucket must rank
+    # LAST on ties, matching the oracle's ASC NULLS LAST — a bare NULL
+    # inside a min-struct ranks FIRST in Spark (NULL-keys sweep, r7).
+    # The sentinel only orders; the emitted top_user stays the real id.
+    ord_uid = F.coalesce(F.col("user_id"), F.lit(1 << 62))
     top = contrib.groupBy("event_type", "day", "day_total").agg(
-        F.min(F.struct((-F.col("n")).alias("neg_n"), "user_id")).alias("t")
+        F.min(
+            F.struct(
+                (-F.col("n")).alias("neg_n"),
+                ord_uid.alias("ord_uid"),
+                "user_id",
+            )
+        ).alias("t")
     )
     return top.select(
         "event_type",

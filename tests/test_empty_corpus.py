@@ -93,6 +93,45 @@ NULL_PAYLOAD_PARITY = [
 ]
 
 
+#: fixed queries that must agree with their oracle when GROUPING/JOIN
+#: keys are NULL (every 7th user_id / 11th event_type etc.) — the
+#: anonymous-traffic regime. Only the two round-7 fixes are pinned;
+#: the remaining recon findings are the round-8 backlog (NOTES_r7).
+NULL_KEYS_PARITY = [
+    "seq_top_paths",        # any-NULL-step triples dropped in both
+    "ts_peak_attribution",  # NULL-user bucket ranks last on ties
+]
+
+
+@pytest.fixture(scope="module")
+def null_keys_dir(tmp_path_factory) -> str:
+    import duckdb
+
+    d = tmp_path_factory.mktemp("sf_nullkeys")
+    spec = {
+        "events": "event_id, ts, CASE WHEN event_id % 7 = 0 THEN NULL ELSE"
+        " user_id END AS user_id, CASE WHEN event_id % 11 = 0 THEN NULL"
+        " ELSE event_type END AS event_type, value, props",
+    }
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        sel = spec.get(t, "*")
+        con.execute(
+            f"COPY (SELECT {sel} FROM read_parquet('{SRC}/{t}.parquet'))"
+            f" TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", NULL_KEYS_PARITY)
+def test_null_keys_corpus_parity(spark, null_keys_dir, name):
+    sdf = registry.QUERIES[name](spark, null_keys_dir).toPandas()
+    odf = _oracle(null_keys_dir, registry.ORACLES[name])
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert len(sdf) == len(odf), f"{name}: spark {len(sdf)} vs oracle {len(odf)}"
+    assert _norm(sdf) == _norm(odf), f"{name}: value divergence on NULL keys"
+
+
 @pytest.fixture(scope="module")
 def null_payload_dir(tmp_path_factory) -> str:
     """sf0.001 with every third props/text/embedding NULLed (keys and
