@@ -1411,10 +1411,20 @@ def join_interval_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     offsets. Work is O(n log n) with no pair ever materialized —
     10× data now costs ~2× wall. The oracle states the quadratic
     definition directly (feasible for DuckDB at fixture scale).
+
+    NULL-user contract (round-8 NULL-keys sweep): anonymous sessions
+    are NOT concurrency participants — the oracle's ``a.user_id <>
+    b.user_id`` is NULL for them on either side, so they pair with
+    nobody and surface with ``n_concurrent = 0`` through the LEFT
+    JOIN. The sweep mirrors that: NULL-user sessions are excluded
+    from contributors and query points (they previously fell out of
+    the final equi-join entirely — 636 vs 727 rows) and re-enter the
+    output with a literal 0.
     """
     from .relational import agg_session_window
 
-    s = agg_session_window(spark, sf_dir).localCheckpoint(eager=False)
+    s_all = agg_session_window(spark, sf_dir).localCheckpoint(eager=False)
+    s = s_all.filter(F.col("user_id").isNotNull())
 
     def rank_frame(contrib_v, query_v, contrib_first_on_tie):
         """Running count of contributor values relative to each query
@@ -1476,7 +1486,7 @@ def join_interval_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("session_end_us"), F.col("session_start_us"), True
     ).withColumnRenamed("rank", "r2")
     keys = ["user_id", "session_start_us"]
-    return (
+    counted = (
         s.join(r1, keys)
         .join(r2, keys)
         .select(
@@ -1484,9 +1494,17 @@ def join_interval_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_start_us",
             "session_end_us",
             "n_events",
-            (F.col("r1") - F.col("r2") - F.lit(1)).alias("n_concurrent"),
+            (F.col("r1") - F.col("r2") - F.lit(1)).cast("long").alias("n_concurrent"),
         )
     )
+    anonymous = s_all.filter(F.col("user_id").isNull()).select(
+        "user_id",
+        "session_start_us",
+        "session_end_us",
+        "n_events",
+        F.lit(0).cast("long").alias("n_concurrent"),
+    )
+    return counted.unionByName(anonymous)
 
 
 JOIN_INTERVAL_GRID_SQL = f"""

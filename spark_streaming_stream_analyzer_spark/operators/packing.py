@@ -714,27 +714,43 @@ def pack_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     - the global position is a second ``global_rank`` over
       (rn, source, doc_id) — range-partitioned, no single-partition
       window anywhere in the plan.
+
+    NULL-source contract (round-8 NULL-keys sweep): anonymous docs are
+    ONE source bucket that sorts LAST — Spark orders with
+    ``asc_nulls_last`` and joins the per-source offset null-safely, so
+    the bucket neither vanishes through an equi-join (NULL != NULL)
+    nor jumps to the front (Spark ``asc()`` is NULLS FIRST where
+    DuckDB's default is NULLS LAST; the oracle pins LAST explicitly).
     """
     docs = load_table_cpu(spark, sf_dir, "documents").select("doc_id", "source")
-    g = global_rank(docs, [F.asc("source"), F.asc("doc_id")], out="gpos")
+    g = global_rank(docs, [F.asc_nulls_last("source"), F.asc("doc_id")], out="gpos")
     counts = docs.groupBy("source").agg(F.count("*").alias("n"))
     lower = counts.select(
         F.col("source").alias("source_b"), F.col("n").alias("n_b")
     )
+    # "source_b precedes source" under the NULL-last order: every
+    # non-null source precedes the NULL bucket; NULL precedes nothing.
+    precedes = (F.col("source_b") < F.col("source")) | (
+        F.col("source").isNull() & F.col("source_b").isNotNull()
+    )
     src_off = (
-        counts.join(
-            F.broadcast(lower), F.col("source_b") < F.col("source"), "left"
-        )
+        counts.join(F.broadcast(lower), precedes, "left")
         .groupBy("source")
         .agg(F.coalesce(F.sum("n_b"), F.lit(0)).alias("src_off"))
+        .withColumnRenamed("source", "source_o")
     )
     ranked = (
-        g.join(F.broadcast(src_off), "source")
+        g.join(
+            F.broadcast(src_off),
+            F.col("source").eqNullSafe(F.col("source_o")),
+        )
         .withColumn("rn", (F.col("gpos") - F.col("src_off")).cast("int"))
         .select("doc_id", "source", "rn")
     )
     return global_rank(
-        ranked, [F.asc("rn"), F.asc("source"), F.asc("doc_id")], out="position"
+        ranked,
+        [F.asc("rn"), F.asc_nulls_last("source"), F.asc("doc_id")],
+        out="position",
     ).select("doc_id", "source", "rn", "position")
 
 
@@ -745,8 +761,8 @@ WITH ranked AS (
   FROM documents
 )
 SELECT doc_id, source, CAST(rn AS BIGINT) AS rn,
-       CAST(ROW_NUMBER() OVER (ORDER BY rn, source, doc_id) AS BIGINT)
-         AS position
+       CAST(ROW_NUMBER() OVER (ORDER BY rn, source NULLS LAST, doc_id)
+            AS BIGINT) AS position
 FROM ranked
 """
 

@@ -1408,10 +1408,19 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     at scale an undeclared pivot forces an extra distinct-values job
     over the fact table; declaring it keeps the plan a single
     partial+final aggregate with N conditional counts.
+
+    Anonymous traffic (NULL user_id) folds into sentinel bucket -1 in
+    BOTH engines — without the sentinel a NULL bucket row makes
+    DuckDB's ``.df()`` render the whole int column float64 (7.0 vs
+    Spark's 7), a pandas dtype artifact, not a value divergence
+    (round-8 NULL-keys sweep). No real sf has NULL user_ids, so the
+    sentinel is inert there.
     """
     ev = load_table(spark, sf_dir, "events")
     return (
-        ev.withColumn("user_bucket", (F.col("user_id") % 10))
+        ev.withColumn(
+            "user_bucket", F.coalesce(F.col("user_id") % 10, F.lit(-1))
+        )
         .groupBy("user_bucket")
         .pivot("event_type", PIVOT_TYPES)
         .count()
@@ -1420,7 +1429,7 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 AGG_PIVOT_SQL = f"""
-SELECT user_id % 10 AS user_bucket,
+SELECT COALESCE(user_id % 10, -1) AS user_bucket,
        {", ".join(
            f"COUNT(*) FILTER (event_type = '{t}') AS {t}" for t in PIVOT_TYPES
        )}

@@ -680,6 +680,10 @@ query("emb_matryoshka_recall", _sim.MATRYOSHKA_SQL)(_sim.emb_matryoshka_recall)
 query("emb_pq_codebook", _sim.EMB_PQ_SQL)(_sim.emb_pq_codebook)
 query("emb_pca_power", _sim.EMB_PCA_SQL)(_sim.emb_pca_power)
 query("emb_knn_graph", _sim.EMB_KNN_SQL)(_sim.emb_knn_graph)
+# scale-safe twin: SRP-banded candidate join + exact re-rank; the exact
+# all-pairs census above stays registered as its fixture-scale recall
+# oracle (NOTES_r7 section 1, registered round 8)
+query("emb_knn_srp_graph", _sim.EMB_KNN_SRP_SQL)(_sim.emb_knn_srp_graph)
 query("emb_class_centroids", _sim.EMB_CENTROID_SQL)(_sim.emb_class_centroids)
 query("emb_class_outliers", _sim.EMB_OUTLIER_SQL)(_sim.emb_class_outliers)
 query("emb_nearest_centroid_confusion", _sim.EMB_CONFUSION_SQL)(
@@ -822,6 +826,10 @@ query("graph_connected_components", _gr.GRAPH_CC_SQL)(
 query("graph_triangle_count", _gr.GRAPH_TRIANGLE_SQL)(_gr.graph_triangle_count)
 query("graph_bfs_distances", _gr.GRAPH_BFS_SQL)(_gr.graph_bfs_distances)
 query("graph_jaccard_neighbors", _gr.GRAPH_JACCARD_SQL)(_gr.graph_jaccard_neighbors)
+# scale-safe twin: degree-capped re-symmetrized census; the exact wedge
+# census above stays registered as its fixture-scale recall oracle
+# (NOTES_r7 section 1, registered round 8)
+query("graph_jaccard_capped", _gr.GRAPH_JACCARD_CAPPED_SQL)(_gr.graph_jaccard_capped)
 query("graph_kcore", _gr.GRAPH_KCORE_SQL)(_gr.graph_kcore)
 query("graph_degree_assortativity", _gr.GRAPH_ASSORT_SQL)(_gr.graph_degree_assortativity)
 query("rec_copurchase_topk", _gr.REC_COPURCHASE_SQL)(_gr.rec_copurchase_topk)
@@ -940,62 +948,52 @@ query("stream_ohlc_bars", _an.TS_OHLC_SQL)(_sp.stream_ohlc_bars)
 # (which always runs all of them).
 
 _VERIFY_FIRST: list[str] = [
-    # Round-7 rotation: the next 50 of the never-driver-verified backlog
-    # (NOTES_r5.md section 8 tier 2, entries 22-71 in list order — the
-    # round-6 front took tier 1 + tier-2 entries 1-21 and all 50 came
-    # back green in CORRECTNESS_r06). Round 8 takes the remaining 35
-    # (tier-2 entries 72-106), after which the freeze lifts
-    # (tests/test_verification_debt.py).
-    "ts_activity_streaks",
-    "seq_top_paths",
-    "ts_backtest_snaive",
-    "ts_cumulative_users",
-    "agg_winsorized_mean",
-    "ts_atr_volatility",
-    "funnel_latency_quantiles",
-    "ts_peak_attribution",
-    "ts_rolling_anomaly",
-    "ts_weekend_lift",
-    "cohort_ltv_matrix",
-    "ts_changepoint_impact",
-    "agg_bounce_rate",
-    "ts_fano_factor",
-    "ts_dominant_period",
-    "ts_dayn_retention",
-    "dedup_fingerprint_overlap",
-    "dedup_index_tuning_report",
-    "dedup_source_overlap_matrix",
-    "text_dup_ngram_fraction",
-    "emb_matryoshka_recall",
-    "emb_pq_codebook",
-    "emb_pca_power",
-    "emb_knn_graph",
-    "emb_class_centroids",
-    "emb_class_outliers",
-    "emb_class_separation",
-    "emb_dim_variance",
-    "emb_distance_histogram",
-    "sim_pq_adc_topk",
-    "text_oov_rate",
-    "text_lexical_diversity",
-    "text_ngram_novelty",
-    "text_source_similarity",
-    "text_lexical_rarity",
-    "text_prefix_templates",
-    "sample_word_subsample",
-    "text_skipgram_pairs",
-    "text_vocab_growth",
-    "text_zipf_profile",
-    "mm_shard_manifest",
-    "mm_byte_histogram",
-    "text_gopher_gates",
-    "sample_temperature_mixture",
-    "sample_reservoir_group",
-    "sample_bootstrap_stats",
-    "agg_pareto_8020",
-    "pack_interleave_order",
-    "pack_epoch_shuffle",
-    "corpus_contrib_gini",
+    # Round-8 rotation (NOTES_r7.md section 1): the two newly-registered
+    # scale-safe twins go first (emb_knn_srp_graph absorbs the driver
+    # session's cold-start — it is the cheaper cold slot), then the
+    # final 35-query remainder of the frozen round-5 backlog in frozen
+    # list order. 37 slots of 50; after CORRECTNESS_r08 lands every
+    # registered query has a driver row (327/327) and the freeze lifts
+    # (tests/test_verification_debt.py). Post-freeze rule: new ops enter
+    # at the FRONT of this list in their registration round; the
+    # 50-entry unverified ceiling is permanent.
+    "emb_knn_srp_graph",
+    "graph_jaccard_capped",
+    "agg_regression_trend",
+    "approx_distinct_intersect",
+    "approx_kmv_jaccard",
+    "attribution_last_touch",
+    "curation_funnel_report",
+    "curation_threshold_sweep",
+    "dq_benford",
+    "dq_checksum_buckets",
+    "dq_column_profile",
+    "dq_distribution_drift",
+    "dq_freshness_sla",
+    "dq_ks_two_sample",
+    "dq_pipeline_fingerprint",
+    "dq_relationship_profile",
+    "feature_chi2_select",
+    "feature_hash_vectorize",
+    "feature_quantile_bins",
+    "fn_bloom_portable",
+    "fn_rounding_audit",
+    "graph_bfs_distances",
+    "graph_connected_components",
+    "graph_degree_assortativity",
+    "graph_jaccard_neighbors",
+    "graph_kcore",
+    "graph_triangle_count",
+    "join_asof_forward",
+    "join_asof_nearest",
+    "join_interval_grid",
+    "layout_zorder_stats",
+    "pack_length_buckets",
+    "privacy_kanon_cells",
+    "sample_cv_folds",
+    "target_encode_oof",
+    "ts_ohlc_bars",
+    "ts_sliding_dau",
 ]
 
 

@@ -1005,19 +1005,27 @@ def stream_kafka_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stats = parsed.groupBy("readTag_id").agg(*stat_aggs("v"))
     d4 = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    # An untaggable record (NULL readTag_id — the JSON synthesis
+    # propagates a NULL event_type through the whole doc) renders NO
+    # value: the oracle's `||` concatenation NULLs the record string,
+    # while to_json would silently DROP the null fields and emit a
+    # partial record (round-8 NULL-keys sweep) — gate it explicitly.
     record = stats.select(
         F.col("readTag_id").alias("key"),
-        F.to_json(
-            F.struct(
-                F.col("readTag_id"),
-                d4("summer").alias("summer"),
-                d4("counter").alias("counter"),
-                d4("sumsqr").alias("sumsqr"),
-                d4("bestmin").alias("bestmin"),
-                d4("bestmax").alias("bestmax"),
-                d4("mean").alias("mean"),
-                d4("var").alias("var"),
-            )
+        F.when(
+            F.col("readTag_id").isNotNull(),
+            F.to_json(
+                F.struct(
+                    F.col("readTag_id"),
+                    d4("summer").alias("summer"),
+                    d4("counter").alias("counter"),
+                    d4("sumsqr").alias("sumsqr"),
+                    d4("bestmin").alias("bestmin"),
+                    d4("bestmax").alias("bestmax"),
+                    d4("mean").alias("mean"),
+                    d4("var").alias("var"),
+                )
+            ),
         ).alias("value"),
     )
     return _run_to_memory(record, output_mode="complete")
@@ -1183,6 +1191,13 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     The fixture streams twice (every key crosses batches), and the
     oracle is the batch latest-per-key with final-op-wins delete
     filtering — last-writer-wins INCLUDING deletes.
+
+    NULL-keys contract (round-8 sweep): a NULL event_type is an
+    UPSERT, not a tombstone — only the explicit 'error' signal
+    deletes (the op column's ``otherwise('U')`` already said so; the
+    oracle's bare ``event_type <> 'error'`` silently dropped
+    NULL-typed finals). NULL user_id is one anonymous key in both
+    engines (groupBy and PARTITION BY both group NULLs).
     """
     stream = events_file_stream(
         spark, os.path.join(sf_dir, "events.parquet"), copies=2
@@ -1226,7 +1241,7 @@ FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
                                ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
   FROM events
-) t WHERE rn = 1 AND event_type <> 'error'
+) t WHERE rn = 1 AND (event_type IS NULL OR event_type <> 'error')
 """
 
 

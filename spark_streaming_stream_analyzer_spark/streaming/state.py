@@ -1079,12 +1079,25 @@ def _trans_update(
     if len(batch) == 0:
         return
     batch = batch.sort_values(["us", "event_id"]).reset_index(drop=True)
-    seq = list(batch["event_type"])
+    # NULL-typed events stay NULL (pandas may render them NaN): the
+    # shared LEAD oracle counts transitions OUT of a NULL type
+    # (from_type = NULL) but cannot count transitions INTO one —
+    # `WHERE to_type IS NOT NULL` both ends the sequence and drops
+    # NULL destinations — so the chain matcher mirrors exactly that:
+    # skip pairs whose destination is NULL, keep NULL origins, and
+    # carry a NULL tail type as NULL (str() on it minted the literal
+    # string 'None' before — round-8 NULL-keys sweep).
+    seq = [
+        None if t is None or (isinstance(t, float) and t != t) else t
+        for t in batch["event_type"]
+    ]
     if state.exists:
         _, _, last_t = state.get
         seq = [last_t] + seq
     counts: dict = {}
     for a, b in zip(seq, seq[1:]):
+        if b is None:
+            continue
         counts[(a, b)] = counts.get((a, b), 0) + 1
     if counts:
         yield pd.DataFrame(
@@ -1096,9 +1109,8 @@ def _trans_update(
             }
         )
     tail = batch.iloc[-1]
-    state.update(
-        (int(tail["us"]), int(tail["event_id"]), str(tail["event_type"]))
-    )
+    tail_t = seq[-1]
+    state.update((int(tail["us"]), int(tail["event_id"]), tail_t))
 
 
 def stream_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -94,12 +94,19 @@ NULL_PAYLOAD_PARITY = [
 
 
 #: fixed queries that must agree with their oracle when GROUPING/JOIN
-#: keys are NULL (every 7th user_id / 11th event_type etc.) — the
-#: anonymous-traffic regime. Only the two round-7 fixes are pinned;
-#: the remaining recon findings are the round-8 backlog (NOTES_r7).
+#: keys are NULL (every 7th user_id / 11th event_type / 11th source /
+#: 7th label) — the anonymous-traffic regime. Round-7 fixes plus the
+#: round-8 batch backlog (NOTES_r7 §6 findings 1-3).
 NULL_KEYS_PARITY = [
     "seq_top_paths",        # any-NULL-step triples dropped in both
     "ts_peak_attribution",  # NULL-user bucket ranks last on ties
+    "pack_interleave_order",  # NULL-source bucket: eqNullSafe + NULLS LAST
+    "join_interval_grid",   # anonymous sessions emit n_concurrent=0
+    "agg_pivot",            # sentinel bucket -1 kills the dtype artifact
+    "agg_unpivot",          # inherits the pivot sentinel
+    "stream_cdc_apply",     # NULL event_type is an upsert, not a tombstone
+    "stream_transition_matrix",  # NULL-dest pairs skipped; NULL state carried
+    "stream_kafka_pipeline",  # untaggable record renders NULL value
 ]
 
 
@@ -112,6 +119,10 @@ def null_keys_dir(tmp_path_factory) -> str:
         "events": "event_id, ts, CASE WHEN event_id % 7 = 0 THEN NULL ELSE"
         " user_id END AS user_id, CASE WHEN event_id % 11 = 0 THEN NULL"
         " ELSE event_type END AS event_type, value, props",
+        "documents": "doc_id, text, lang, CASE WHEN doc_id % 11 = 0 THEN"
+        " NULL ELSE source END AS source, n_chars",
+        "embeddings": "vec_id, embedding, CASE WHEN vec_id % 7 = 0 THEN"
+        " NULL ELSE label END AS label",
     }
     con = duckdb.connect()
     for t in TABLE_NAMES:

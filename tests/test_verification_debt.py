@@ -107,6 +107,28 @@ def test_verification_debt_within_budget():
     )
 
 
+def test_unverified_ops_sit_in_the_driver_window():
+    """Post-freeze placement rule (VERDICT r7 item 4), made mechanical.
+
+    The driver verifies the FIRST 50 dict entries of ``queries()`` each
+    round. An unverified op registered anywhere past position 50 would
+    accrue debt the ceiling test cannot see shrinking — so every
+    registered query without a driver CORRECTNESS row must sit inside
+    the first-50 window (i.e. new ops go to the FRONT of
+    ``_VERIFY_FIRST`` in the round they are registered).
+    """
+    from spark_streaming_stream_analyzer_spark import registry
+
+    window = set(list(registry.QUERIES)[:ONE_ROUND_BUDGET])
+    debt = set(registry.QUERIES) - _ever_driver_checked()
+    stranded = sorted(debt - window)
+    assert not stranded, (
+        f"unverified queries outside the driver's front-50 window: "
+        f"{stranded}. Move them to the FRONT of registry._VERIFY_FIRST "
+        f"— they cannot earn a CORRECTNESS row from where they sit."
+    )
+
+
 def test_frozen_backlog_names_are_registered():
     # Guards against silently dropping a backlog op instead of
     # verifying it (renames must update the frozen list consciously).
