@@ -128,15 +128,28 @@ def events_file_stream(
     )
 
 
+def kafka_source_options(bootstrap: str, topics: str) -> dict[str, str]:
+    """The exact option map :func:`kafka_source` hands the Kafka
+    connector — factored pure so tests can witness the wiring without
+    a broker (tests/test_kafka_wiring.py pins every key/value; a
+    drifted option name fails there instead of at first deploy).
+    Maps ``KafkaStreamAverageCalculator.java:66-67`` (bootstrap +
+    topic subscription)."""
+    return {
+        "kafka.bootstrap.servers": bootstrap,
+        "subscribe": topics,
+        "startingOffsets": "latest",
+    }
+
+
 def kafka_source(spark: SparkSession, bootstrap: str, topics: str) -> DataFrame:
     """Production source wiring (direct, receiver-less — removes the
-    reference's single-receiver ingest cap, SURVEY.md §4.2). Not
-    exercised in tests: no broker in the container."""
+    reference's single-receiver ingest cap, SURVEY.md §4.2). Option
+    map pinned by tests/test_kafka_wiring.py; the ``.load()`` itself
+    needs the kafka connector + a broker (absent in the container)."""
     return (
         spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap)
-        .option("subscribe", topics)
-        .option("startingOffsets", "latest")
+        .options(**kafka_source_options(bootstrap, topics))
         .load()
     )
 
@@ -557,6 +570,21 @@ WHERE word <> '' GROUP BY word, batch_id
 """
 
 
+def kafka_sink_options(
+    bootstrap: str, topic: str, checkpoint_dir: str
+) -> dict[str, str]:
+    """The exact option map :func:`kafka_sink` hands the Kafka sink —
+    factored pure for broker-less witnessing (tests/test_kafka_wiring.py).
+    Maps ``kafka/KafkaProducer.java:52-54`` (bootstrap + target topic),
+    plus the checkpoint dir the reference's fire-and-forget producer
+    never had."""
+    return {
+        "kafka.bootstrap.servers": bootstrap,
+        "topic": topic,
+        "checkpointLocation": checkpoint_dir,
+    }
+
+
 def kafka_sink(
     df: DataFrame, bootstrap: str, topic: str, checkpoint_dir: str
 ):
@@ -565,14 +593,11 @@ def kafka_sink(
     with checkpointed offsets — already stronger than the reference's
     fire-and-forget retries=0 producer (``kafka/KafkaProducer.java:35``,
     SURVEY.md B5); exactly-once downstream = idempotent consumer or a
-    transactional ``foreachBatch`` writer. Not exercised in tests (no
-    broker in the container); returns the unstarted writer's query on
-    ``start()`` by the caller."""
-    return (
-        df.writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap)
-        .option("topic", topic)
-        .option("checkpointLocation", checkpoint_dir)
+    transactional ``foreachBatch`` writer. Option map pinned by
+    tests/test_kafka_wiring.py (no broker in the container); returns
+    the unstarted writer's query on ``start()`` by the caller."""
+    return df.writeStream.format("kafka").options(
+        **kafka_sink_options(bootstrap, topic, checkpoint_dir)
     )
 
 
