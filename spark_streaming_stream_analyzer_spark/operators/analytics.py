@@ -227,13 +227,20 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     lhs = (dev * dev).cast(_D38) * (F.col("n") - F.lit(1).cast(_D18)).cast(_D38)
     spread = (F.col("n") * F.col("q") - F.col("s") * F.col("s")).cast(_D38)
     rhs = F.lit(4).cast(_D18) * F.col("n").cast(_D38) * spread
+    # a missing measurement is not an outlier: without the isNotNull
+    # conjunct the comparison is 3VL-NULL and the engines render the
+    # NULL boolean differently (round-8 NaN/Inf sweep)
     return (
         ev.join(F.broadcast(moments), "event_type")
         .select(
             "event_id",
             "event_type",
             "value",
-            ((F.col("n") > 1) & (lhs.cast(_D38) > rhs.cast(_D38))).alias("is_outlier"),
+            (
+                F.col("value").isNotNull()
+                & (F.col("n") > 1)
+                & (lhs.cast(_D38) > rhs.cast(_D38))
+            ).alias("is_outlier"),
         )
     )
 
@@ -248,7 +255,7 @@ WITH m AS (
   FROM events GROUP BY 1
 )
 SELECT event_id, e.event_type, value,
-       n > 1 AND
+       value IS NOT NULL AND n > 1 AND
        (CAST(round(value*100) AS HUGEINT) * n - s)
          * (CAST(round(value*100) AS HUGEINT) * n - s)
          * (n - 1)
@@ -1660,8 +1667,12 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream is scanned once.
     """
     ev = load_table(spark, sf_dir, "events")
+    # a NULL value is a missing measurement, not a census member: a
+    # NULL m bucket would corrupt the positional median (Spark windows
+    # order NULL first, DuckDB last — round-8 NaN/Inf sweep)
     vc = (
-        ev.select(
+        ev.filter(F.col("value").isNotNull())
+        .select(
             "event_type", F.round(F.col("value") * 1_000_000).cast("long").alias("m")
         )
         .groupBy("event_type", "m")
@@ -1719,7 +1730,7 @@ TS_ANOMALY_MAD_SQL = """
 WITH vc AS (
   SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS m,
          COUNT(*) AS n
-  FROM events GROUP BY 1, 2
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
 ),
 cumt AS (
   SELECT event_type, m, n,
@@ -3228,8 +3239,11 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     then clip+sum) — the raw stream is scanned once into that table.
     """
     ev = load_table(spark, sf_dir, "events")
+    # NULL measurements are not census members (positional picks would
+    # split on NULL ordering — round-8 NaN/Inf sweep, as ts_anomaly_mad)
     vc = (
-        ev.select(
+        ev.filter(F.col("value").isNotNull())
+        .select(
             "event_type",
             F.round(F.col("value") * 1_000_000).cast("long").alias("m"),
         )
@@ -3282,7 +3296,7 @@ AGG_WINSOR_SQL = f"""
 WITH vc AS (
   SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS m,
          COUNT(*) AS n
-  FROM events GROUP BY 1, 2
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
 ),
 cum AS (
   SELECT event_type, m, n,

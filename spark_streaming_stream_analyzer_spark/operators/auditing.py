@@ -39,8 +39,12 @@ def approx_median_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bin counts add), so at 100 TB each executor emits 256 partial
     counts per group and the merge is integer addition — same
     scale shape as the HLL/CMS tier. Error ≤ half a bin width."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type", cents("value").alias("c")
+    # NULL measurements are not histogram members (a NULL bin corrupts
+    # the running count — round-8 NaN/Inf sweep, as ts_anomaly_mad)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", cents("value").alias("c"))
     )
     rng = ev.groupBy("event_type").agg(
         F.min("c").alias("min_c"),
@@ -87,6 +91,7 @@ def approx_median_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 APPROX_MEDIAN_SQL = f"""
 WITH ev AS (
   SELECT event_type, CAST(round(value*100) AS BIGINT) AS c FROM events
+  WHERE value IS NOT NULL
 ),
 rng AS (
   SELECT event_type, MIN(c) AS min_c, MAX(c) AS max_c, COUNT(*) AS n,
@@ -810,12 +815,16 @@ def dq_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     never re-sorted, only its value histogram).
     """
     ev = load_table(spark, sf_dir, "events")
-    base = ev.select(
-        "event_type",
-        ts_micros(ev).alias("us"),
-        F.round(F.col("value") * 1_000_000).cast("long").alias("m"),
-    ).select(
-        "event_type", "m", F.expr("us DIV 86400000000").alias("day")
+    # NULL measurements are not sample members (the merged value grid
+    # would split on NULL ordering — round-8 NaN/Inf sweep)
+    base = (
+        ev.filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            ts_micros(ev).alias("us"),
+            F.round(F.col("value") * 1_000_000).cast("long").alias("m"),
+        )
+        .select("event_type", "m", F.expr("us DIV 86400000000").alias("day"))
     )
     rng = base.agg(
         F.min("day").alias("d0"), F.max("day").alias("d1")
@@ -869,7 +878,7 @@ DQ_KS_SQL = """
 WITH base AS (
   SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS m,
          epoch_us(ts) // 86400000000 AS day
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ),
 rng AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM base),
 halved AS (

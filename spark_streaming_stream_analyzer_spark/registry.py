@@ -1018,3 +1018,39 @@ def _reorder() -> None:
 
 
 _reorder()
+
+
+def _shadow_finite_events(sql: str) -> str:
+    """Prepend a CTE shadowing the ``events`` view with the
+    finite-measurement contract (``sources/tables.py
+    clean_measurements``): a NaN/Inf ``value`` is a missing reading,
+    NULL in both engines. Same mechanism as the embedding tier's
+    ``_shadow_nonnull_embeddings`` (``main.events`` resolves the base
+    view inside the shadowing CTE); applied mechanically to every
+    oracle that references the events table, so the 150+ oracle
+    bodies stay untouched. Identity at every real sf (all-finite
+    fixture values)."""
+    cte = (
+        "events AS (SELECT * REPLACE (CASE WHEN isfinite(value)"
+        " THEN value END AS value) FROM main.events)"
+    )
+    s = sql.lstrip()
+    if s.upper().startswith("WITH RECURSIVE"):
+        return "WITH RECURSIVE " + cte + ", " + s[len("WITH RECURSIVE"):].lstrip()
+    if s.upper().startswith("WITH"):
+        return "WITH " + cte + ", " + s[len("WITH"):].lstrip()
+    return "WITH " + cte + " " + s
+
+
+def _apply_finite_events_shadow() -> None:
+    import re
+
+    for name, sql in list(ORACLES.items()):
+        # \bevents\b: table references only (aliases like n_events have
+        # no word boundary before the 'e'); a false positive inside a
+        # string literal merely adds an unused CTE
+        if re.search(r"\bevents\b", sql):
+            ORACLES[name] = _shadow_finite_events(sql)
+
+
+_apply_finite_events_shadow()

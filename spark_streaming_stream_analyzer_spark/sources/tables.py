@@ -46,7 +46,37 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # non-UTC zone must not shift them.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        df = clean_measurements(df)
+    return df
+
+
+def clean_measurements(df: DataFrame) -> DataFrame:
+    """The finite-measurement contract (round-8 NaN/Inf sweep): a
+    non-finite ``value`` reading (NaN / ±Inf — a broken sensor, a
+    JSON-decoded "Infinity") is a MISSING reading, i.e. NULL.
+
+    Without this, one NaN in 100 TB kills every exact-cents job in
+    both engines (Spark ANSI CAST_OVERFLOW on round(NaN*100)::BIGINT;
+    DuckDB the same cast error) — 98 of 327 registered queries crashed
+    on a NaN/Inf fixture. NULLing at load converts the whole class to
+    the already-hardened NULL-value regime, keeps row counts and event
+    sequences intact, and is the one edit point every consumer (batch
+    ``load_table``, streaming ``events_file_stream``) shares. The
+    DuckDB oracles carry the identical contract via a mechanical
+    shadow CTE (``registry._shadow_finite_events``). At every real sf
+    the fixture is all-finite, so this is an identity projection.
+    """
+    if "value" not in df.columns:
+        return df
+    c = F.col("value")
+    finite = (
+        ~F.isnan(c)
+        & (c != F.lit(float("inf")))
+        & (c != F.lit(float("-inf")))
+    )
+    return df.withColumn("value", F.when(finite, c))
 
 
 def ts_timestamp(df: DataFrame, col: str = "ts") -> Column:

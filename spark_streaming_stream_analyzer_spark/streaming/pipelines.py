@@ -121,11 +121,17 @@ def events_file_stream(
             "events_file_stream: copies > 1 requires a single-file "
             f"path, got directory {path!r}"
         )
-    return (
+    stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(path)
     )
+    # streaming twin of load_table's finite-measurement contract: a
+    # NaN/Inf reading is a missing reading (sources/tables.py
+    # clean_measurements — identity when no value column / all finite)
+    from ..sources.tables import clean_measurements
+
+    return clean_measurements(stream)
 
 
 def kafka_source_options(bootstrap: str, topics: str) -> dict[str, str]:
@@ -1015,13 +1021,24 @@ def stream_kafka_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     events = events_file_stream(spark, os.path.join(sf_dir, "events.parquet"))
     # A1-shaped record synthesis in-stream (fixture stand-in for the
-    # Kafka value bytes; mirrors registry._a1_records)
+    # Kafka value bytes; mirrors registry._a1_records). A missing
+    # measurement renders `"readValue": null` — a bare NULL-propagating
+    # concat would NULL the whole doc and silently move the row into
+    # the anonymous-tag bucket (round-8 NaN/Inf sweep: 6 groups vs the
+    # oracle's 5); the tag must survive a missing value.
     doc = F.concat(
         F.lit('{"readTag_id": "'),
         F.col("event_type"),
-        F.lit('", "readValue": "'),
-        F.col("value").cast("decimal(14,2)").cast("string"),
-        F.lit('"}'),
+        F.lit('", "readValue": '),
+        F.coalesce(
+            F.concat(
+                F.lit('"'),
+                F.col("value").cast("decimal(14,2)").cast("string"),
+                F.lit('"'),
+            ),
+            F.lit("null"),
+        ),
+        F.lit("}"),
     )
     schema = "readTag_id string, readValue string"
     parsed = events.select(F.from_json(doc, schema).alias("j")).select(

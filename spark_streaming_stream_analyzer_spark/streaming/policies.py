@@ -58,7 +58,11 @@ def ckpt_state_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
     i.e. per-key state really was restored, not recomputed.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    from ..sources.tables import clean_measurements
+
+    events = clean_measurements(
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    )
 
     run_id = uuid.uuid4().hex[:12]
     src_dir = os.path.join(tempfile.gettempdir(), f"sgs_ckpt_src_{run_id}")

@@ -562,24 +562,32 @@ def _sessionize_update(
     sess_id = np.cumsum(brk)
 
     g = batch.assign(sess=sess_id).groupby("sess")
+    # sum_c pairs the NaN-skipping sum with a non-null count so an
+    # all-missing-value session emits a NULL sum_cents exactly like the
+    # oracle's SUM(c) (pandas' bare sum() renders it 0 — round-8
+    # NaN/Inf sweep)
     agg = g.agg(
         start=("us", "min"),
         end=("us", "max"),
         n=("us", "size"),
         sum_c=("c", "sum"),
+        n_c=("c", "count"),
     ).sort_index()
 
     out = []
     uid = key[0]
     carried_open = state.exists
     for sess, row in agg.iterrows():
+        bsc = int(row["sum_c"]) if int(row["n_c"]) > 0 else None
         if sess == 0 and carried_open:
             # continuation of the carried session
             s, e = int(start_us), int(row["end"])
-            n, sc = int(n0 + row["n"]), int(sum_c0 + row["sum_c"])
+            n = int(n0 + row["n"])
+            parts = [p for p in (sum_c0, bsc) if p is not None]
+            sc = sum(parts) if parts else None
         else:
             s, e = int(row["start"]), int(row["end"])
-            n, sc = int(row["n"]), int(row["sum_c"])
+            n, sc = int(row["n"]), bsc
         out.append((uid, s, e, n, sc))
 
     # persist the (possibly new) open session
@@ -985,12 +993,19 @@ def _cusum_update(
     prev_cum, prev_runmin = (0, 0)
     if state.exists:
         prev_cum, prev_runmin = state.get
-    v = batch["value"].to_numpy() * 1_000_000
-    # Spark/DuckDB round() is half-AWAY-from-zero; np.rint is half-even
-    d = (
-        (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
-        - CUSUM_K_MICRO
-    )
+    v = batch["value"].to_numpy(dtype=float) * 1_000_000
+    # Spark/DuckDB round() is half-AWAY-from-zero; np.rint is half-even.
+    # A missing measurement (NULL value -> NaN here) contributes d = 0:
+    # the batch identity's window SUM skips NULLs, so the NULL row
+    # carries the previous cum/runmin and still emits a path row —
+    # casting NaN to int64 instead produced platform garbage near
+    # INT64_MAX (round-8 NaN/Inf sweep).
+    nan_mask = np.isnan(v)
+    d = np.where(
+        nan_mask,
+        0.0,
+        np.sign(v) * np.floor(np.abs(v) + 0.5) - CUSUM_K_MICRO,
+    ).astype(np.int64)
     cums = prev_cum + np.cumsum(d)
     runmins = np.minimum(prev_runmin, np.minimum.accumulate(cums))
     s = cums - runmins
@@ -1291,9 +1306,13 @@ def _u360_update(
         return
     batch = batch.sort_values(["us", "event_id"]).reset_index(drop=True)
     us = batch["us"].to_numpy(dtype=np.int64)
-    cents = (
-        np.sign(batch["value"].to_numpy() * 100)
-        * np.floor(np.abs(batch["value"].to_numpy() * 100) + 0.5)
+    # a NULL-value purchase contributes 0 cents, matching the oracle's
+    # NULL-skipping SUM(CASE WHEN purchase THEN cents ELSE 0 END) —
+    # casting the NaN to int64 instead produced platform garbage near
+    # INT64_MIN (round-8 NaN/Inf sweep)
+    vraw = batch["value"].to_numpy(dtype=float) * 100
+    cents = np.where(
+        np.isnan(vraw), 0.0, np.sign(vraw) * np.floor(np.abs(vraw) + 0.5)
     ).astype(np.int64)
     is_buy = (batch["event_type"] == "purchase").to_numpy()
     days = us // _U360_DAY_US

@@ -110,6 +110,58 @@ NULL_KEYS_PARITY = [
 ]
 
 
+#: fixed queries that must agree with their oracle when events.value
+#: carries NaN / ±Inf doubles (a broken sensor, a JSON "Infinity") —
+#: the round-8 finite-measurement contract: non-finite value -> NULL at
+#: load (sources/tables.py clean_measurements + the registry's
+#: _shadow_finite_events oracle CTE). Representatives per mechanism:
+#: the load guard itself, the positional-median censuses, the 3VL
+#: outlier verdict, and the three stateful kernels that cast value.
+NAN_VALUE_PARITY = [
+    "agg_running_stats",     # exact-cents path through the load guard
+    "ts_anomaly_mad",        # census excludes NULL measurements
+    "agg_winsorized_mean",   # positional picks exclude NULLs
+    "approx_median_hist",    # histogram excludes NULLs
+    "dq_ks_two_sample",      # sample grids exclude NULLs
+    "anomaly_zscore",        # missing value is not an outlier (3VL)
+    "stream_cusum_alarm",    # kernel: NULL row carries cum (d=0)
+    "stream_sessionize_custom",  # kernel: all-NULL session sums NULL
+    "stream_user_360",       # kernel: NULL purchase contributes 0
+    "stream_kafka_pipeline",  # doc synthesis keeps tag, null readValue
+]
+
+
+@pytest.fixture(scope="module")
+def nan_value_dir(tmp_path_factory) -> str:
+    import duckdb
+
+    d = tmp_path_factory.mktemp("sf_nanval")
+    spec = {
+        "events": "event_id, ts, user_id, event_type, CASE"
+        " WHEN event_id % 13 = 0 THEN 'NaN'::DOUBLE"
+        " WHEN event_id % 17 = 0 THEN 'Infinity'::DOUBLE"
+        " WHEN event_id % 19 = 0 THEN '-Infinity'::DOUBLE"
+        " ELSE value END AS value, props",
+    }
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        sel = spec.get(t, "*")
+        con.execute(
+            f"COPY (SELECT {sel} FROM read_parquet('{SRC}/{t}.parquet'))"
+            f" TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", NAN_VALUE_PARITY)
+def test_nan_value_corpus_parity(spark, nan_value_dir, name):
+    sdf = registry.QUERIES[name](spark, nan_value_dir).toPandas()
+    odf = _oracle(nan_value_dir, registry.ORACLES[name])
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert len(sdf) == len(odf), f"{name}: spark {len(sdf)} vs oracle {len(odf)}"
+    assert _norm(sdf) == _norm(odf), f"{name}: value divergence on NaN/Inf values"
+
+
 @pytest.fixture(scope="module")
 def null_keys_dir(tmp_path_factory) -> str:
     import duckdb
