@@ -224,7 +224,35 @@ def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_checked"),
         ),
     )
-    return fk.unionByName(dup).unionByName(nn).unionByName(qty).unionByName(evv)
+    # identity-key uniqueness for the two corpus tables whose
+    # downstream tiers ASSUME it (the doc-keyed dedup/similarity pair
+    # machinery and event-keyed replay logic): an at-least-once ingest
+    # that lands duplicate doc_ids/event_ids is detected HERE, before
+    # the assumption silently degrades those reports (round-8 dup-rows
+    # sweep — the documented ingest contract, NOTES_r8)
+    docs = load_table(spark, sf_dir, "documents")
+    ddup = check(
+        "documents_pk_unique",
+        docs.agg(
+            (F.count("*") - F.countDistinct("doc_id")).alias("n_violations"),
+            F.count("*").alias("n_checked"),
+        ),
+    )
+    edup = check(
+        "events_pk_unique",
+        ev.agg(
+            (F.count("*") - F.countDistinct("event_id")).alias("n_violations"),
+            F.count("*").alias("n_checked"),
+        ),
+    )
+    return (
+        fk.unionByName(dup)
+        .unionByName(nn)
+        .unionByName(qty)
+        .unionByName(evv)
+        .unionByName(ddup)
+        .unionByName(edup)
+    )
 
 
 DQ_AUDIT_SQL = """
@@ -246,6 +274,12 @@ SELECT 'lineitem_quantity_range',
 UNION ALL
 SELECT 'events_value_nonnegative',
        COUNT(*) FILTER (WHERE value < 0), COUNT(*) FROM events
+UNION ALL
+SELECT 'documents_pk_unique',
+       COUNT(*) - COUNT(DISTINCT doc_id), COUNT(*) FROM documents
+UNION ALL
+SELECT 'events_pk_unique',
+       COUNT(*) - COUNT(DISTINCT event_id), COUNT(*) FROM events
 """
 
 

@@ -629,12 +629,43 @@ def fuzzy_pairs_symdelete(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = capped.select(
         F.col("w").alias("word_b"), F.col("freq").alias("freq_b"), "k"
     )
+    # Edit-distance-1 verify via the prefix-split identity instead of
+    # levenshtein: DuckDB v1.0's levenshtein counts BYTES (café→cafe
+    # = 2) where Spark counts codepoints (= 1), so the two engines
+    # disagree on any multibyte vocabulary (round-8 unicode sweep).
+    # substr/length are codepoint-faithful in BOTH engines, and for
+    # distinct words with common-prefix length p:
+    #   same length:   dist 1  ⟺  suffixes from p+2 agree
+    #   length diff 1: dist 1  ⟺  longer's suffix from p+2 equals
+    #                             shorter's suffix from p+1
+    # (prefix equality is monotone, so p = COUNT of agreeing prefix
+    # lengths — one tiny lambda per candidate pair).
     return (
         a.join(b, "k")
         .filter(F.col("word_a") < F.col("word_b"))
         .select("word_a", "word_b", "freq_a", "freq_b")
         .distinct()
-        .filter(F.levenshtein("word_a", "word_b") == 1)
+        .withColumn(
+            "p",
+            F.expr(
+                "size(filter(sequence(1, int(least(length(word_a),"
+                " length(word_b)))), i -> substr(word_a, 1, i) ="
+                " substr(word_b, 1, i)))"
+            ),
+        )
+        .filter(
+            F.expr(
+                "CASE WHEN length(word_a) = length(word_b)"
+                " THEN substring(word_a, p + 2) = substring(word_b, p + 2)"
+                "      AND p < length(word_a)"
+                " WHEN length(word_b) - length(word_a) = 1"
+                " THEN substring(word_b, p + 2) = substring(word_a, p + 1)"
+                " WHEN length(word_a) - length(word_b) = 1"
+                " THEN substring(word_a, p + 2) = substring(word_b, p + 1)"
+                " ELSE FALSE END"
+            )
+        )
+        .drop("p")
     )
 
 
@@ -671,9 +702,28 @@ cand AS (
   SELECT DISTINCT a.w AS word_a, b.w AS word_b,
          a.freq AS freq_a, b.freq AS freq_b
   FROM capped a JOIN capped b ON a.k = b.k AND a.w < b.w
+),
+-- prefix-split edit-distance-1 verify (codepoint-faithful in both
+-- engines; DuckDB's levenshtein counts bytes — see the Spark twin)
+pfx AS (
+  SELECT *, len(list_filter(range(1, least(length(word_a),
+                                           length(word_b)) + 1),
+             i -> substr(word_a, 1, CAST(i AS INT)) =
+                  substr(word_b, 1, CAST(i AS INT)))) AS p
+  FROM cand
 )
 SELECT word_a, word_b, freq_a, freq_b
-FROM cand WHERE levenshtein(word_a, word_b) = 1
+FROM pfx
+WHERE CASE WHEN length(word_a) = length(word_b)
+           THEN substr(word_a, CAST(p + 2 AS INT)) =
+                substr(word_b, CAST(p + 2 AS INT)) AND p < length(word_a)
+           WHEN length(word_b) - length(word_a) = 1
+           THEN substr(word_b, CAST(p + 2 AS INT)) =
+                substr(word_a, CAST(p + 1 AS INT))
+           WHEN length(word_a) - length(word_b) = 1
+           THEN substr(word_a, CAST(p + 2 AS INT)) =
+                substr(word_b, CAST(p + 1 AS INT))
+           ELSE FALSE END
 """
 
 

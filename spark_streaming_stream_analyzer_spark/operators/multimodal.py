@@ -68,7 +68,7 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MM_BINARY_META_SQL = """
 SELECT doc_id,
-       CAST(length(text) AS INT) AS n_bytes,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
        sha256(text) AS sha256_hex,
        'text/plain' AS mime,
        source AS origin
@@ -106,8 +106,19 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                     window = data[start : start + FRAME_LEN]
                     if not window:
                         break
+                    # engine-portable digest input: the UPPERCASE hex
+                    # spelling of the window bytes — DuckDB v1.0 cannot
+                    # hash BLOBs, and a byte window of a UTF-8 payload
+                    # may not BE a valid string (round-8 unicode sweep:
+                    # char-indexed substr diverged from byte windows on
+                    # multibyte text). Byte semantics stay exact; only
+                    # the digest's input encoding is hex.
                     rows.append(
-                        (int(doc_id), i, hashlib.md5(window).hexdigest())
+                        (
+                            int(doc_id),
+                            i,
+                            hashlib.md5(window.hex().upper().encode()).hexdigest(),
+                        )
                     )
             yield pd.DataFrame(rows, columns=["doc_id", "frame_no", "frame_md5"])
 
@@ -115,10 +126,11 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MM_FRAME_SAMPLE_SQL = f"""
+WITH hx AS (SELECT doc_id, hex(encode(text)) AS h FROM documents)
 SELECT doc_id, CAST(i AS INT) AS frame_no,
-       md5(substr(text, 1 + i * {FRAME_STRIDE}, {FRAME_LEN})) AS frame_md5
-FROM documents, range({N_FRAMES}) t(i)
-WHERE length(substr(text, 1 + i * {FRAME_STRIDE}, {FRAME_LEN})) > 0
+       md5(substr(h, 1 + i * {2 * FRAME_STRIDE}, {2 * FRAME_LEN})) AS frame_md5
+FROM hx, range({N_FRAMES}) t(i)
+WHERE length(substr(h, 1 + i * {2 * FRAME_STRIDE}, {2 * FRAME_LEN})) > 0
 """
 
 
@@ -540,8 +552,13 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 sampled = bytes(
                     data[(i * n) // RESIZE_TO] for i in range(RESIZE_TO)
                 )
+                # hex-spelling digest input (see mm_frame_sample)
                 rows.append(
-                    (int(doc_id), n, hashlib.md5(sampled).hexdigest())
+                    (
+                        int(doc_id),
+                        n,
+                        hashlib.md5(sampled.hex().upper().encode()).hexdigest(),
+                    )
                 )
             yield pd.DataFrame(
                 rows, columns=["doc_id", "orig_bytes", "resized_md5"]
@@ -554,13 +571,17 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MM_RESIZE_SQL = f"""
+WITH hx AS (
+  SELECT doc_id, hex(encode(text)) AS h,
+         octet_length(encode(text)) AS n
+  FROM documents WHERE octet_length(encode(text)) > 0
+)
 SELECT doc_id,
-       CAST(length(text) AS INT) AS orig_bytes,
+       CAST(n AS INT) AS orig_bytes,
        md5(list_aggregate(list_transform(range({RESIZE_TO}),
-             i -> substr(text, 1 + CAST(floor(i * length(text) / {RESIZE_TO}) AS INT), 1)),
+             i -> substr(h, 1 + 2 * CAST((i * n) // {RESIZE_TO} AS INT), 2)),
            'string_agg', '')) AS resized_md5
-FROM documents
-WHERE length(text) > 0
+FROM hx
 """
 
 
@@ -633,8 +654,14 @@ def mm_audio_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 data = bytes(payload)
                 for i in range((len(data) + CHUNK_LEN - 1) // CHUNK_LEN):
                     w = data[i * CHUNK_LEN : (i + 1) * CHUNK_LEN]
+                    # hex-spelling digest input (see mm_frame_sample)
                     rows.append(
-                        (int(doc_id), i, len(w), hashlib.md5(w).hexdigest())
+                        (
+                            int(doc_id),
+                            i,
+                            len(w),
+                            hashlib.md5(w.hex().upper().encode()).hexdigest(),
+                        )
                     )
             yield pd.DataFrame(
                 rows, columns=["doc_id", "chunk_no", "n_bytes", "chunk_md5"]
@@ -647,15 +674,16 @@ def mm_audio_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MM_AUDIO_CHUNK_SQL = f"""
 WITH c AS (
-  SELECT doc_id, text,
-         CAST((length(text) + {CHUNK_LEN - 1}) // {CHUNK_LEN} AS INT) AS nch
+  SELECT doc_id, hex(encode(text)) AS h,
+         CAST((octet_length(encode(text)) + {CHUNK_LEN - 1}) // {CHUNK_LEN}
+              AS INT) AS nch
   FROM documents
 ),
-e AS (SELECT doc_id, text, unnest(range(nch)) AS i FROM c)
+e AS (SELECT doc_id, h, unnest(range(nch)) AS i FROM c)
 SELECT doc_id, CAST(i AS INT) AS chunk_no,
-       CAST(length(substr(text, 1 + i * {CHUNK_LEN}, {CHUNK_LEN})) AS INT)
-         AS n_bytes,
-       md5(substr(text, 1 + i * {CHUNK_LEN}, {CHUNK_LEN})) AS chunk_md5
+       CAST(length(substr(h, 1 + i * {2 * CHUNK_LEN}, {2 * CHUNK_LEN})) // 2
+            AS INT) AS n_bytes,
+       md5(substr(h, 1 + i * {2 * CHUNK_LEN}, {2 * CHUNK_LEN})) AS chunk_md5
 FROM e
 """
 
@@ -750,12 +778,24 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MM_PHASH_SQL = f"""
-WITH px AS (
+WITH hx AS (
+  -- byte value at sampled position, decoded from the hex spelling:
+  -- DuckDB v1.0 has no BLOB indexing, and char-indexed ord(substr())
+  -- reads CODEPOINTS where the kernel samples BYTES (round-8 unicode
+  -- sweep: the pair set emptied on multibyte text)
+  SELECT doc_id, hex(encode(text)) AS h,
+         octet_length(encode(text)) AS n
+  FROM documents WHERE octet_length(encode(text)) > 0
+),
+px AS (
   SELECT doc_id, i,
-         ord(substr(text, 1 + CAST((i * length(text)) // {PHASH_PX} AS INT), 1))
+         (strpos('0123456789ABCDEF',
+                 substr(h, 1 + 2 * CAST((i * n) // {PHASH_PX} AS INT), 1)) - 1)
+           * 16
+         + strpos('0123456789ABCDEF',
+                  substr(h, 2 + 2 * CAST((i * n) // {PHASH_PX} AS INT), 1)) - 1
            AS v
-  FROM documents, range({PHASH_PX}) t(i)
-  WHERE length(text) > 0
+  FROM hx, range({PHASH_PX}) t(i)
 ),
 mean AS (
   SELECT doc_id, SUM(v) / {float(PHASH_PX)} AS mu FROM px GROUP BY 1
@@ -841,7 +881,7 @@ def mm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 MM_SHARD_SQL = f"""
 WITH sized AS (
   SELECT doc_id, source AS origin,
-         CAST(length(text) AS BIGINT) AS n_bytes
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
   FROM documents
 ),
 binned AS (
@@ -913,7 +953,7 @@ def mm_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MM_BYTE_HIST_SQL = """
 WITH hexed AS (
-  SELECT doc_id, hex(CAST(text AS BLOB)) AS hx FROM documents
+  SELECT doc_id, hex(encode(text)) AS hx FROM documents
 ),
 bytes_ AS (
   SELECT doc_id, substr(hx, i * 2 - 1, 2) AS b

@@ -634,9 +634,16 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STREAM_DEDUP_SQL = """
+WITH exactly_once AS (
+  -- the op's whole point: an at-least-once landing table (replayed
+  -- rows are full-row duplicates) served with exactly-once counts.
+  -- The previous bare GROUP BY assumed the fixture had unique
+  -- event_ids and double-counted replays (round-8 dup-rows sweep).
+  SELECT DISTINCT event_id, event_type, value FROM events
+)
 SELECT event_type, COUNT(*) AS n_events,
        CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
-FROM events GROUP BY event_type
+FROM exactly_once GROUP BY event_type
 """
 
 

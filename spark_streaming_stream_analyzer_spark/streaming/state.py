@@ -670,9 +670,20 @@ g AS (
                            ROWS UNBOUNDED PRECEDING) AS sess
   FROM s
 )
-SELECT user_id, MIN(us) AS session_start_us, MAX(us) AS session_end_us,
-       COUNT(*) AS n_events, CAST(SUM(c) AS BIGINT) AS sum_cents
-FROM g GROUP BY user_id, sess
+SELECT user_id, session_start_us, session_end_us, n_events, sum_cents
+FROM (
+  SELECT user_id, MIN(us) AS session_start_us, MAX(us) AS session_end_us,
+         COUNT(*) AS n_events, CAST(SUM(c) AS BIGINT) AS sum_cents
+  FROM g GROUP BY user_id, sess
+) sessions
+-- the serving table is keyed by (user, session_start): the streaming
+-- op's final-emission filter keeps one row per key (its row_number
+-- over n_events DESC), which matters when an at-least-once replay
+-- duplicates a purchase event and mints two indistinguishable
+-- single-purchase sessions at the same start (round-8 dup-rows
+-- sweep); identical rows make the tie deterministic
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, session_start_us
+                           ORDER BY n_events DESC) = 1
 """
 
 

@@ -52,7 +52,12 @@ def test_dq_audit_planted_orphan(spark):
             [(1, 5), (1, 5), (2, None)],
             "o_orderkey long, o_custkey int",
         ),
-        "events": spark.createDataFrame([(-1.0,), (2.0,)], "value double"),
+        "events": spark.createDataFrame(
+            [(7, -1.0), (7, 2.0), (8, 2.0)], "event_id long, value double"
+        ),
+        "documents": spark.createDataFrame(
+            [(1,), (1,), (2,)], "doc_id long"
+        ),
     }
     orig = au.load_table
     au.load_table = lambda _s, _d, name: tables[name]
@@ -65,6 +70,8 @@ def test_dq_audit_planted_orphan(spark):
     assert out["orders_custkey_not_null"]["n_violations"] == 1
     assert out["lineitem_quantity_range"]["n_violations"] == 0
     assert out["events_value_nonnegative"]["n_violations"] == 1
+    assert out["documents_pk_unique"]["n_violations"] == 1       # dup doc 1
+    assert out["events_pk_unique"]["n_violations"] == 1          # dup event 7
     assert out["lineitem_orphan_orderkey"]["n_checked"] == 3
 
 

@@ -162,6 +162,101 @@ def test_nan_value_corpus_parity(spark, nan_value_dir, name):
     assert _norm(sdf) == _norm(odf), f"{name}: value divergence on NaN/Inf values"
 
 
+#: fixed queries that must agree with their oracle when EVENTS rows are
+#: duplicated (at-least-once replay — full-row dups, so oracles stay
+#: deterministic). doc_id duplication is OUT of contract: doc_id is the
+#: corpus identity key, enforced by dq_constraint_audit's
+#: documents_pk_unique / events_pk_unique rows (round-8 dup-rows sweep).
+DUP_EVENTS_PARITY = [
+    "stream_dedup",              # exactly-once oracle (DISTINCT event_id)
+    "stream_dedup_watermark",    # shares the exactly-once oracle
+    "stream_sessionize_custom",  # (user, start)-keyed serving table
+    "dq_constraint_audit",       # detects the PK-violation regime itself
+]
+
+
+@pytest.fixture(scope="module")
+def dup_events_dir(tmp_path_factory) -> str:
+    import duckdb
+
+    d = tmp_path_factory.mktemp("sf_dupev")
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        src = f"read_parquet('{SRC}/{t}.parquet')"
+        q = (
+            f"SELECT * FROM {src} UNION ALL SELECT * FROM {src}"
+            " WHERE event_id % 5 = 0"
+            if t == "events"
+            else f"SELECT * FROM {src}"
+        )
+        con.execute(f"COPY ({q}) TO '{d}/{t}.parquet' (FORMAT PARQUET)")
+    return str(d)
+
+
+@pytest.mark.parametrize("name", DUP_EVENTS_PARITY)
+def test_dup_events_corpus_parity(spark, dup_events_dir, name):
+    sdf = registry.QUERIES[name](spark, dup_events_dir).toPandas()
+    odf = _oracle(dup_events_dir, registry.ORACLES[name])
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert len(sdf) == len(odf), f"{name}: spark {len(sdf)} vs oracle {len(odf)}"
+    assert _norm(sdf) == _norm(odf), f"{name}: value divergence on replay dups"
+
+
+#: fixed queries that must agree with their oracle on adversarial
+#: unicode text (multibyte, astral plane, RTL, combining chars) — the
+#: round-8 unicode sweep: byte-level ops must measure BYTES in both
+#: engines (octet_length(encode(..)) oracle-side), byte-window digests
+#: hash the uppercase-hex spelling (DuckDB v1.0 cannot hash BLOBs), and
+#: the fuzzy verify uses the codepoint-faithful prefix-split identity
+#: (DuckDB levenshtein counts bytes).
+UNICODE_PARITY = [
+    "mm_binary_meta",        # octet_length contract
+    "mm_frame_sample",       # hex-spelling digest windows
+    "mm_resize",             # hex-spelling digest of sampled bytes
+    "mm_audio_chunk",        # hex-window chunking
+    "mm_phash_dedup",        # byte values decoded from hex pairs
+    "mm_shard_manifest",     # byte-budget packing on octet_length
+    "mm_byte_histogram",     # hex(encode()) not CAST(text AS BLOB)
+    "fuzzy_pairs_symdelete",  # prefix-split edit-distance-1 verify
+]
+
+
+@pytest.fixture(scope="module")
+def unicode_dir(tmp_path_factory) -> str:
+    import duckdb
+
+    d = tmp_path_factory.mktemp("sf_unicode")
+    docs_sql = (
+        "SELECT doc_id, CASE doc_id % 9"
+        " WHEN 0 THEN 'café ' || text || ' naïve Über'"
+        " WHEN 1 THEN '日本語テスト ' || text"
+        " WHEN 2 THEN text || ' \U0001F600\U0001F680 astral'"
+        " WHEN 3 THEN 'العربية rtl ' || text"
+        " WHEN 4 THEN 'combining é à ' || text"
+        " WHEN 5 THEN replace(text, ' ', '  ')"
+        " WHEN 6 THEN ' ' || text || ' '"
+        " WHEN 7 THEN upper(text)"
+        " ELSE text END AS text, lang, source, n_chars"
+        f" FROM read_parquet('{SRC}/documents.parquet')"
+    )
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        q = docs_sql if t == "documents" else (
+            f"SELECT * FROM read_parquet('{SRC}/{t}.parquet')"
+        )
+        con.execute(f"COPY ({q}) TO '{d}/{t}.parquet' (FORMAT PARQUET)")
+    return str(d)
+
+
+@pytest.mark.parametrize("name", UNICODE_PARITY)
+def test_unicode_corpus_parity(spark, unicode_dir, name):
+    sdf = registry.QUERIES[name](spark, unicode_dir).toPandas()
+    odf = _oracle(unicode_dir, registry.ORACLES[name])
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert len(sdf) == len(odf), f"{name}: spark {len(sdf)} vs oracle {len(odf)}"
+    assert _norm(sdf) == _norm(odf), f"{name}: value divergence on unicode text"
+
+
 @pytest.fixture(scope="module")
 def null_keys_dir(tmp_path_factory) -> str:
     import duckdb

@@ -43,7 +43,11 @@ def test_frame_sample_matches_direct_computation(spark, sf_dir):
     data = text.encode("utf-8")
     for i, md5 in frames.items():
         window = data[i * FRAME_STRIDE : i * FRAME_STRIDE + FRAME_LEN]
-        assert hashlib.md5(window).hexdigest() == md5
+        # digest input is the UPPERCASE hex spelling of the window
+        # bytes (engine-portable: DuckDB v1.0 cannot hash BLOBs)
+        assert (
+            hashlib.md5(window.hex().upper().encode()).hexdigest() == md5
+        )
 
 
 def test_decode_image_gated_without_pil(spark, sf_dir):
