@@ -786,7 +786,10 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB). Extracted values are plain columns, so the DuckDB oracle
     is its ordinary JSON extraction."""
     ev = load_table(spark, sf_dir, "events")
-    v = F.parse_json(F.col("props"))
+    # try_parse_json: malformed props is a NULL variant (bare
+    # parse_json THROWS — one truncated record killed the whole job;
+    # round-8 JSON sweep), matching the oracle's json_valid guard
+    v = F.try_parse_json(F.col("props"))
     k = F.try_variant_get(v, "$.k", "int")
     return (
         ev.select("event_type", k.alias("k"))
@@ -801,13 +804,18 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 FN_VARIANT_SQL = """
+WITH j AS (
+  SELECT event_type,
+         CAST(CASE WHEN json_valid(props)
+                   THEN json_extract_string(props, '$.k') END AS INT) AS k
+  FROM events
+)
 SELECT event_type,
-       COUNT(CAST(json_extract_string(props, '$.k') AS INT)) AS n_with_k,
-       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
-         AS sum_k,
-       MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
-       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
-FROM events GROUP BY event_type
+       COUNT(k) AS n_with_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       MIN(k) AS min_k,
+       MAX(k) AS max_k
+FROM j GROUP BY event_type
 """
 
 
@@ -1494,8 +1502,12 @@ def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
 NULL_HANDLING_SQL = """
 WITH w AS (
   SELECT event_id, event_type,
-         CAST(json_extract_string(props, '$.zz') AS DOUBLE) AS k_zz,
-         CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_val
+         CAST(CASE WHEN json_valid(props)
+                   THEN json_extract_string(props, '$.zz') END
+              AS DOUBLE) AS k_zz,
+         CAST(CASE WHEN json_valid(props)
+                   THEN json_extract_string(props, '$.k') END
+              AS DOUBLE) AS k_val
   FROM events
 )
 SELECT event_type,

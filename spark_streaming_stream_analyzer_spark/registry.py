@@ -129,13 +129,21 @@ def q_proj_json_extract_single(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "fn_json_get_string",
+    # json_valid guard: Spark's get_json_object is PERMISSIVE (NULL on
+    # malformed input) while DuckDB's json_extract_string THROWS —
+    # truncated props must extract NULL in both (round-8 JSON sweep)
     """
-    SELECT event_id, json_extract_string(props, '$.k') AS k_str FROM events
+    SELECT event_id,
+           CASE WHEN json_valid(props)
+                THEN json_extract_string(props, '$.k') END AS k_str
+    FROM events
     """,
 )
 def q_fn_json_get_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     """op #3 — JSON string-field extraction over events.props
-    (``KafkaStreamAverageCalculator.java:202-203``)."""
+    (``KafkaStreamAverageCalculator.java:202-203``). Malformed props
+    extracts NULL (the reference catches the parse exception and
+    skips the record — same observable: no value)."""
     ev = load_table(spark, sf_dir, "events")
     return ev.select(
         "event_id", F.get_json_object("props", "$.k").alias("k_str")
@@ -146,7 +154,9 @@ def q_fn_json_get_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_cast_string_double",
     """
     SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_val
+           CAST(CASE WHEN json_valid(props)
+                     THEN json_extract_string(props, '$.k') END
+                AS DOUBLE) AS k_val
     FROM events
     """,
 )
@@ -1021,18 +1031,24 @@ _reorder()
 
 
 def _shadow_finite_events(sql: str) -> str:
-    """Prepend a CTE shadowing the ``events`` view with the
-    finite-measurement contract (``sources/tables.py
-    clean_measurements``): a NaN/Inf ``value`` is a missing reading,
-    NULL in both engines. Same mechanism as the embedding tier's
+    """Prepend a CTE shadowing the ``events`` view with the events
+    ingest contract (``sources/tables.py clean_measurements``): a
+    NaN/Inf ``value`` is a missing reading (NULL in both engines),
+    and a row stamped outside the clock-validity window — or with a
+    NULL ts — is not an analyzable event (dropped in both engines).
+    Same mechanism as the embedding tier's
     ``_shadow_nonnull_embeddings`` (``main.events`` resolves the base
     view inside the shadowing CTE); applied mechanically to every
     oracle that references the events table, so the 150+ oracle
-    bodies stay untouched. Identity at every real sf (all-finite
-    fixture values)."""
+    bodies stay untouched. Identity at every real sf (all-finite,
+    in-window fixture values)."""
+    from .sources.tables import EVENT_TS_VALID_MAX_US, EVENT_TS_VALID_MIN_US
+
     cte = (
         "events AS (SELECT * REPLACE (CASE WHEN isfinite(value)"
-        " THEN value END AS value) FROM main.events)"
+        " THEN value END AS value) FROM main.events"
+        f" WHERE epoch_us(ts) >= {EVENT_TS_VALID_MIN_US}"
+        f" AND epoch_us(ts) < {EVENT_TS_VALID_MAX_US})"
     )
     s = sql.lstrip()
     if s.upper().startswith("WITH RECURSIVE"):

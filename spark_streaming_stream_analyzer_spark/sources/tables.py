@@ -52,22 +52,56 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def clean_measurements(df: DataFrame) -> DataFrame:
-    """The finite-measurement contract (round-8 NaN/Inf sweep): a
-    non-finite ``value`` reading (NaN / ±Inf — a broken sensor, a
-    JSON-decoded "Infinity") is a MISSING reading, i.e. NULL.
+#: Ingest clock-validity window for events, epoch-microseconds UTC:
+#: [1990-01-01, 2100-01-01). A reading stamped outside it (a 1969
+#: zeroed clock, a year-2200 overflow) is an invalid RECORD, dropped
+#: at load in both engines. Beyond correctness, this bounds the grid
+#: ops: one corrupt far-future timestamp otherwise inflates an hourly
+#: resample/calendar grid by ~60,000x (measured: ts_resample_interp
+#: ground through a 2-million-hour grid minted by a single
+#: 2200-dated row — the round-8 TIME sweep's job-killer finding).
+EVENT_TS_VALID_MIN_US = 631_152_000_000_000
+EVENT_TS_VALID_MAX_US = 4_102_444_800_000_000
 
-    Without this, one NaN in 100 TB kills every exact-cents job in
-    both engines (Spark ANSI CAST_OVERFLOW on round(NaN*100)::BIGINT;
-    DuckDB the same cast error) — 98 of 327 registered queries crashed
-    on a NaN/Inf fixture. NULLing at load converts the whole class to
-    the already-hardened NULL-value regime, keeps row counts and event
-    sequences intact, and is the one edit point every consumer (batch
-    ``load_table``, streaming ``events_file_stream``) shares. The
-    DuckDB oracles carry the identical contract via a mechanical
+
+def clean_measurements(df: DataFrame) -> DataFrame:
+    """The events ingest contract, one edit point shared by every
+    consumer (batch ``load_table``, streaming ``events_file_stream``,
+    the checkpoint pipeline's direct read). Two clauses:
+
+    - **finite measurement** (round-8 NaN/Inf sweep): a non-finite
+      ``value`` (NaN / ±Inf — broken sensor, JSON "Infinity") is a
+      MISSING reading, i.e. NULL. Without this, one NaN in 100 TB
+      kills every exact-cents job in both engines (Spark ANSI
+      CAST_OVERFLOW on round(NaN*100)::BIGINT; DuckDB the same cast
+      error) — 64 of 327 registered queries crashed on a NaN/Inf
+      fixture. NULLing keeps row counts and event sequences intact
+      and converts the class to the already-hardened NULL-value
+      regime.
+    - **valid clock** (round-8 TIME sweep): a row stamped outside
+      [``EVENT_TS_VALID_MIN_US``, ``EVENT_TS_VALID_MAX_US``) — or
+      with no timestamp at all — is not an analyzable event and is
+      DROPPED. A time-series engine keys everything on ts; garbage
+      clocks both diverge the engines (giant hour indices push the
+      exact OLS into last-ulp float territory) and DoS the calendar
+      grids (see the constant's docstring).
+
+    The DuckDB oracles carry the identical contract via a mechanical
     shadow CTE (``registry._shadow_finite_events``). At every real sf
-    the fixture is all-finite, so this is an identity projection.
+    the fixture is all-finite and in-window, so this is an identity.
     """
+    if "ts" in df.columns:
+        dt = dict(df.dtypes).get("ts")
+        if dt == "bigint":  # TIMESTAMP(NANOS) vintage read as raw longs
+            valid = (F.col("ts") >= EVENT_TS_VALID_MIN_US * 1000) & (
+                F.col("ts") < EVENT_TS_VALID_MAX_US * 1000
+            )
+        else:
+            us = F.unix_micros(F.col("ts").cast("timestamp"))
+            valid = (us >= EVENT_TS_VALID_MIN_US) & (
+                us < EVENT_TS_VALID_MAX_US
+            )
+        df = df.filter(valid)
     if "value" not in df.columns:
         return df
     c = F.col("value")

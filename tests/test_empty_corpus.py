@@ -257,6 +257,97 @@ def test_unicode_corpus_parity(spark, unicode_dir, name):
     assert _norm(sdf) == _norm(odf), f"{name}: value divergence on unicode text"
 
 
+#: fixed queries that must agree with their oracle when events carry
+#: corrupt clocks (1969 negative epoch / epoch 0 / year 2200) — the
+#: round-8 clock-validity contract: rows outside
+#: [EVENT_TS_VALID_MIN_US, EVENT_TS_VALID_MAX_US) are dropped at load
+#: in both engines (clean_measurements + the oracle shadow WHERE).
+#: Beyond parity this bounds the calendar grids: one 2200-dated row
+#: otherwise mints a 2-million-hour resample grid.
+TIME_PARITY = [
+    "ts_resample_interp",     # the grid op the corrupt clock DoS'd
+    "agg_regression_trend",   # giant hour indices pushed OLS into ulps
+    "ts_sliding_dau",         # day bucketing over the valid window
+    "stream_progress_metrics",  # num_input_rows counts RAW source rows
+]
+
+
+@pytest.fixture(scope="module")
+def bad_clock_dir(tmp_path_factory) -> str:
+    import duckdb
+
+    d = tmp_path_factory.mktemp("sf_badclock")
+    spec = {
+        "events": "event_id, CASE"
+        " WHEN event_id % 13 = 0 THEN TIMESTAMP '1969-12-31 23:59:58.5'"
+        " WHEN event_id % 17 = 0 THEN TIMESTAMP '1970-01-01 00:00:00'"
+        " WHEN event_id % 19 = 0 THEN TIMESTAMP '2200-06-15 12:00:00'"
+        " ELSE ts END AS ts, user_id, event_type, value, props",
+    }
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        sel = spec.get(t, "*")
+        con.execute(
+            f"COPY (SELECT {sel} FROM read_parquet('{SRC}/{t}.parquet'))"
+            f" TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", TIME_PARITY)
+def test_bad_clock_corpus_parity(spark, bad_clock_dir, name):
+    sdf = registry.QUERIES[name](spark, bad_clock_dir).toPandas()
+    odf = _oracle(bad_clock_dir, registry.ORACLES[name])
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert len(sdf) == len(odf), f"{name}: spark {len(sdf)} vs oracle {len(odf)}"
+    assert _norm(sdf) == _norm(odf), f"{name}: value divergence on corrupt clocks"
+
+
+#: fixed queries that must agree with their oracle when events.props is
+#: malformed JSON (truncated object / wrong top-level type) — the
+#: round-8 JSON sweep: extraction is PERMISSIVE (NULL) in both engines
+#: (Spark get_json_object already is; oracles gained json_valid guards;
+#: the variant path uses try_parse_json instead of the throwing
+#: parse_json).
+JSON_BAD_PARITY = [
+    "fn_json_get_string",
+    "fn_cast_string_double",
+    "fn_variant_json",
+    "null_handling",
+]
+
+
+@pytest.fixture(scope="module")
+def bad_json_dir(tmp_path_factory) -> str:
+    import duckdb
+
+    d = tmp_path_factory.mktemp("sf_badjson")
+    spec = {
+        "events": "event_id, ts, user_id, event_type, value, CASE"
+        " WHEN event_id % 13 = 0 THEN '{\"truncated\": '"
+        " WHEN event_id % 17 = 0 THEN '[]'"
+        " WHEN event_id % 19 = 0 THEN '{}'"
+        " ELSE props END AS props",
+    }
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        sel = spec.get(t, "*")
+        con.execute(
+            f"COPY (SELECT {sel} FROM read_parquet('{SRC}/{t}.parquet'))"
+            f" TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", JSON_BAD_PARITY)
+def test_bad_json_corpus_parity(spark, bad_json_dir, name):
+    sdf = registry.QUERIES[name](spark, bad_json_dir).toPandas()
+    odf = _oracle(bad_json_dir, registry.ORACLES[name])
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert len(sdf) == len(odf), f"{name}: spark {len(sdf)} vs oracle {len(odf)}"
+    assert _norm(sdf) == _norm(odf), f"{name}: value divergence on malformed JSON"
+
+
 @pytest.fixture(scope="module")
 def null_keys_dir(tmp_path_factory) -> str:
     import duckdb

@@ -25,19 +25,31 @@ from spark_streaming_stream_analyzer_spark.streaming.pipelines import (
 from spark_streaming_stream_analyzer_spark.streaming.state import exact_state_stats
 
 
+NS = 1_000_000_000
+
+#: Crafted clocks are written relative to a valid 2024 base: the
+#: ingest clock-validity contract (round-8 TIME sweep,
+#: ``sources/tables.py clean_measurements``) drops epoch-near-zero
+#: rows at load, so the epoch-relative offsets these tests reason in
+#: are shifted wholesale. 2024-01-01T00:00:00Z is midnight-aligned
+#: (day boundaries and gaps are offset-invariant).
+BASE_NS = 1_704_067_200 * NS
+BASE_US = BASE_NS // 1000
+
+
 def _write_event_files(spark, tmpdir: str, batches: list[list[tuple]]) -> str:
-    """Write each batch as one parquet file (one micro-batch each)."""
+    """Write each batch as one parquet file (one micro-batch each).
+    ``ts`` values are offsets in nanos; the valid-clock base is added
+    here so every crafted row survives the ingest contract."""
     src = os.path.join(tmpdir, f"src_{uuid.uuid4().hex[:8]}")
     os.makedirs(src)
     for i, rows in enumerate(batches):
         pdf = pd.DataFrame(
             rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
         )
+        pdf["ts"] = pdf["ts"] + BASE_NS
         pdf.to_parquet(os.path.join(src, f"{i:04d}.parquet"), index=False)
     return src
-
-
-NS = 1_000_000_000
 
 
 def test_multibatch_stream_equals_batch(spark, tmp_path):
@@ -108,7 +120,7 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # the watermark advanced past it; with batch order 1→2 the row is
     # 3 days late and must be dropped, and day-3's window (not yet
     # closed by watermark) is withheld → late row contributed nothing.
-    assert all(r["cnt"] == 1 and r["w"].startswith("1970-01-01") for r in got) or got == []
+    assert all(r["cnt"] == 1 and r["w"].startswith("2024-01-01") for r in got) or got == []
 
 
 def test_exact_state_matches_manual_welford(spark, tmp_path):
@@ -370,10 +382,12 @@ def test_custom_sessionizer_multibatch_carry(spark, tmp_path):
         .drop("rn")
         .collect()
     )
-    sess = {(r["user_id"], r["session_start_us"]): r for r in rows}
+    sess = {
+        (r["user_id"], r["session_start_us"] - BASE_US): r for r in rows
+    }
     # user 1: ONE session over both batches (0,2,7 min), n=3
     assert sess[(1, 0)]["n_events"] == 3
-    assert sess[(1, 0)]["session_end_us"] == 7 * MIN
+    assert sess[(1, 0)]["session_end_us"] == BASE_US + 7 * MIN
     assert sess[(1, 0)]["sum_cents"] == 100 + 200 + 600
     # user 2: purchase closed session 1 (n=2); batch-2 row is a NEW
     # session despite the 1-minute gap
@@ -443,14 +457,14 @@ def test_cdc_apply_tombstone_semantics(spark, tmp_path):
     US = 1_000_000
     rows = [
         # user 10: upsert t=1, delete t=5  -> absent
-        (1, 1 * US * 1000, 10, "view", 1.0, "{}"),
-        (2, 5 * US * 1000, 10, "error", 2.0, "{}"),
+        (1, BASE_NS + 1 * US * 1000, 10, "view", 1.0, "{}"),
+        (2, BASE_NS + 5 * US * 1000, 10, "error", 2.0, "{}"),
         # user 20: delete t=1, upsert t=5  -> present (resurrected)
-        (3, 1 * US * 1000, 20, "error", 3.0, "{}"),
-        (4, 5 * US * 1000, 20, "click", 4.0, "{}"),
+        (3, BASE_NS + 1 * US * 1000, 20, "error", 3.0, "{}"),
+        (4, BASE_NS + 5 * US * 1000, 20, "click", 4.0, "{}"),
         # user 30: upserts only -> present with the latest value
-        (5, 1 * US * 1000, 30, "view", 5.0, "{}"),
-        (6, 9 * US * 1000, 30, "purchase", 6.0, "{}"),
+        (5, BASE_NS + 1 * US * 1000, 30, "view", 5.0, "{}"),
+        (6, BASE_NS + 9 * US * 1000, 30, "purchase", 6.0, "{}"),
     ]
     pdf = pd.DataFrame(
         rows,
@@ -462,8 +476,8 @@ def test_cdc_apply_tombstone_semantics(spark, tmp_path):
         for r in stream_cdc_apply(spark, str(tmp_path)).collect()
     }
     assert got == {
-        20: (5 * US, 4, 4.0),
-        30: (9 * US, 6, 6.0),
+        20: (BASE_US + 5 * US, 4, 4.0),
+        30: (BASE_US + 9 * US, 6, 6.0),
     }
 
 
@@ -642,7 +656,7 @@ def test_stream_cusum_cross_batch_carry(spark, tmp_path):
         if s > CUSUM_H_MICRO:
             alarms += 1
             if first is None:
-                first = i * NS // 1000
+                first = BASE_US + i * NS // 1000
     assert (got["n"], got["a"], got["mx"], got["fa"]) == (
         5, alarms, mx, first
     )
@@ -833,7 +847,8 @@ def test_stream_new_users_cross_batch(spark, tmp_path):
         .agg(F.max("is_new").alias("is_new"))
         .collect()
     }
-    assert got == {(1, 0): 1, (1, 1): 0, (2, 1): 1}
+    day0 = BASE_US // 86_400_000_000
+    assert got == {(1, day0): 1, (1, day0 + 1): 0, (2, day0 + 1): 1}
 
 
 def test_stream_cms_counters_bit_identical_to_batch(spark, tmp_path):
@@ -942,10 +957,12 @@ def test_stream_kanon_fold_then_floor(spark, tmp_path):
     # 3 rows per batch for user-bucket 0 on day 0: below k=5 per batch,
     # 6 total -> must be released
     b1 = pd.DataFrame(
-        [(i, i * NS, 1, "a", 1.0, "{}") for i in range(3)], columns=cols
+        [(i, BASE_NS + i * NS, 1, "a", 1.0, "{}") for i in range(3)],
+        columns=cols,
     )
     b2 = pd.DataFrame(
-        [(i, i * NS, 2, "a", 1.0, "{}") for i in range(3, 6)], columns=cols
+        [(i, BASE_NS + i * NS, 2, "a", 1.0, "{}") for i in range(3, 6)],
+        columns=cols,
     )
     src = os.path.join(str(tmp_path), "ev_stream")
     os.makedirs(src)
@@ -961,6 +978,8 @@ def test_stream_kanon_fold_then_floor(spark, tmp_path):
         rows = sp.stream_kanon_cells(spark, str(tmp_path)).collect()
     assert len(rows) == 1
     r = rows[0]
-    assert (r["event_type"], r["day"], r["user_bucket"]) == ("a", 0, 0)
+    assert (r["event_type"], r["day"], r["user_bucket"]) == (
+        "a", BASE_US // 86_400_000_000, 0,
+    )
     assert r["n"] == 6 >= KANON_K
     assert r["n_suppressed_cells"] == 0
