@@ -89,8 +89,10 @@ def main() -> int:
 
     build_skew_fixture(base, SKEW_DIR)
     spark = get_spark("skewprobe")
-    # warm the session off the probe clock
-    registry.QUERIES["dq_column_profile"](spark, base).collect()
+    # warm the session off the probe clock with a NON-probed query —
+    # warming with a probe member gave that probe a uniquely hot base
+    # timing and biased its skew/base ratio upward (round-8 review)
+    registry.QUERIES["agg_running_stats"](spark, base).collect()
 
     print(f"{'query':28s} {'base_s':>8s} {'skew_s':>8s} {'ratio':>6s}  rows(b/s)")
     worst = 0.0

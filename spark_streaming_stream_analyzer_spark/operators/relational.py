@@ -805,9 +805,12 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FN_VARIANT_SQL = """
 WITH j AS (
+  -- TRY_CAST: try_variant_get on the Spark side is permissive — a
+  -- valid-JSON non-numeric k must be NULL, not a conversion error
   SELECT event_type,
-         CAST(CASE WHEN json_valid(props)
-                   THEN json_extract_string(props, '$.k') END AS INT) AS k
+         TRY_CAST(CASE WHEN json_valid(props)
+                       THEN json_extract_string(props, '$.k') END
+                  AS INT) AS k
   FROM events
 )
 SELECT event_type,
@@ -1479,11 +1482,13 @@ def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     the aggregate proves count(col) vs count(*) and null-safe compare
     semantics match ANSI exactly."""
     ev = load_table(spark, sf_dir, "events")
+    # try_cast: NULL (not ANSI exception) on a valid-JSON non-numeric
+    # field — the permissive-extraction contract (round-8 JSON sweep)
     with_nulls = ev.select(
         "event_id",
         "event_type",
-        F.get_json_object("props", "$.zz").cast("double").alias("k_zz"),
-        F.get_json_object("props", "$.k").cast("double").alias("k_val"),
+        F.get_json_object("props", "$.zz").try_cast("double").alias("k_zz"),
+        F.get_json_object("props", "$.k").try_cast("double").alias("k_val"),
     )
     return (
         with_nulls.withColumn("k_filled", F.coalesce("k_zz", F.lit(-1.0)))
@@ -1502,12 +1507,12 @@ def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
 NULL_HANDLING_SQL = """
 WITH w AS (
   SELECT event_id, event_type,
-         CAST(CASE WHEN json_valid(props)
-                   THEN json_extract_string(props, '$.zz') END
-              AS DOUBLE) AS k_zz,
-         CAST(CASE WHEN json_valid(props)
-                   THEN json_extract_string(props, '$.k') END
-              AS DOUBLE) AS k_val
+         TRY_CAST(CASE WHEN json_valid(props)
+                       THEN json_extract_string(props, '$.zz') END
+                  AS DOUBLE) AS k_zz,
+         TRY_CAST(CASE WHEN json_valid(props)
+                       THEN json_extract_string(props, '$.k') END
+                  AS DOUBLE) AS k_val
   FROM events
 )
 SELECT event_type,

@@ -152,11 +152,15 @@ def q_fn_json_get_string(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "fn_cast_string_double",
+    # TRY_CAST: a VALID-JSON non-numeric k ('{"k": "abc"}') must yield
+    # NULL, not a conversion error — the docstring's whole contract
+    # (round-8 review: the bare CAST left the malformed-props class
+    # half closed, and Spark's ANSI .cast would have thrown too)
     """
     SELECT event_id,
-           CAST(CASE WHEN json_valid(props)
-                     THEN json_extract_string(props, '$.k') END
-                AS DOUBLE) AS k_val
+           TRY_CAST(CASE WHEN json_valid(props)
+                         THEN json_extract_string(props, '$.k') END
+                    AS DOUBLE) AS k_val
     FROM events
     """,
 )
@@ -167,7 +171,7 @@ def q_fn_cast_string_double(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.select(
         "event_id",
-        F.get_json_object("props", "$.k").cast("double").alias("k_val"),
+        F.get_json_object("props", "$.k").try_cast("double").alias("k_val"),
     )
 
 
@@ -1050,12 +1054,24 @@ def _shadow_finite_events(sql: str) -> str:
         f" WHERE epoch_us(ts) >= {EVENT_TS_VALID_MIN_US}"
         f" AND epoch_us(ts) < {EVENT_TS_VALID_MAX_US})"
     )
-    s = sql.lstrip()
+    # strip leading `-- ...` comment lines before the prefix checks: a
+    # comment-prefixed `WITH x AS ...` oracle would otherwise miss the
+    # startswith and get a second WITH injected ahead of it (hard
+    # binder error on the NEXT comment-styled oracle; round-8 review)
+    lines = sql.lstrip().splitlines()
+    head = []
+    while lines and lines[0].lstrip().startswith("--"):
+        head.append(lines.pop(0))
+    s = "\n".join(lines).lstrip()
+    prefix = ("\n".join(head) + "\n") if head else ""
     if s.upper().startswith("WITH RECURSIVE"):
-        return "WITH RECURSIVE " + cte + ", " + s[len("WITH RECURSIVE"):].lstrip()
+        return (
+            prefix + "WITH RECURSIVE " + cte + ", "
+            + s[len("WITH RECURSIVE"):].lstrip()
+        )
     if s.upper().startswith("WITH"):
-        return "WITH " + cte + ", " + s[len("WITH"):].lstrip()
-    return "WITH " + cte + " " + s
+        return prefix + "WITH " + cte + ", " + s[len("WITH"):].lstrip()
+    return prefix + "WITH " + cte + " " + s
 
 
 def _apply_finite_events_shadow() -> None:

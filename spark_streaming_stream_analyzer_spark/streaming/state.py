@@ -430,8 +430,16 @@ def stream_stats_heartbeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     # here in a vanilla session (every sibling entry sets it first;
     # events_file_stream would set it one line too late)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from ..sources.tables import clean_measurements
+
+    # key census through the SAME ingest contract as the stream it
+    # polls: a type living only on clock-invalid rows would otherwise
+    # inflate n_keys and spin the poll loop to its TimeoutError
+    # (round-8 code review of the TIME-contract change)
     n_keys = (
-        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        clean_measurements(
+            spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        )
         .select("event_type")
         .distinct()
         .count()

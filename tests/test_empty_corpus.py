@@ -27,6 +27,32 @@ from spark_streaming_stream_analyzer_spark.sources.tables import TABLE_NAMES
 
 SRC = "/root/testdata/sf0.001"
 
+
+def _build_fixture(tmp_path_factory, tag: str, spec: dict[str, str]) -> str:
+    """Copy each fixture table through an optional per-table projection
+    (the shared builder behind every degenerate-corpus variant —
+    one edit point for the COPY discipline)."""
+    d = tmp_path_factory.mktemp(tag)
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        sel = spec.get(t, "*")
+        con.execute(
+            f"COPY (SELECT {sel} FROM read_parquet('{SRC}/{t}.parquet'))"
+            f" TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    return str(d)
+
+
+def _assert_parity(spark, sf_dir: str, name: str, regime: str) -> None:
+    """The one comparison discipline every parity pin shares: columns,
+    rowcount, and MULTISET equality (a set compare would miss replay
+    double-counting — one side {A,A,B} vs {A,B,B}; round-8 review)."""
+    sdf = registry.QUERIES[name](spark, sf_dir).toPandas()
+    odf = _oracle(sf_dir, registry.ORACLES[name])
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert len(sdf) == len(odf), f"{name}: spark {len(sdf)} vs oracle {len(odf)}"
+    assert _norm(sdf) == _norm(odf), f"{name}: value divergence on {regime}"
+
 #: fixed queries that must agree with their oracle on an empty corpus
 EMPTY_PARITY = [
     "ts_dayn_retention",
@@ -133,33 +159,18 @@ NAN_VALUE_PARITY = [
 
 @pytest.fixture(scope="module")
 def nan_value_dir(tmp_path_factory) -> str:
-    import duckdb
-
-    d = tmp_path_factory.mktemp("sf_nanval")
-    spec = {
+    return _build_fixture(tmp_path_factory, "sf_nanval", {
         "events": "event_id, ts, user_id, event_type, CASE"
         " WHEN event_id % 13 = 0 THEN 'NaN'::DOUBLE"
         " WHEN event_id % 17 = 0 THEN 'Infinity'::DOUBLE"
         " WHEN event_id % 19 = 0 THEN '-Infinity'::DOUBLE"
         " ELSE value END AS value, props",
-    }
-    con = duckdb.connect()
-    for t in TABLE_NAMES:
-        sel = spec.get(t, "*")
-        con.execute(
-            f"COPY (SELECT {sel} FROM read_parquet('{SRC}/{t}.parquet'))"
-            f" TO '{d}/{t}.parquet' (FORMAT PARQUET)"
-        )
-    return str(d)
+    })
 
 
 @pytest.mark.parametrize("name", NAN_VALUE_PARITY)
 def test_nan_value_corpus_parity(spark, nan_value_dir, name):
-    sdf = registry.QUERIES[name](spark, nan_value_dir).toPandas()
-    odf = _oracle(nan_value_dir, registry.ORACLES[name])
-    assert sorted(sdf.columns) == sorted(odf.columns)
-    assert len(sdf) == len(odf), f"{name}: spark {len(sdf)} vs oracle {len(odf)}"
-    assert _norm(sdf) == _norm(odf), f"{name}: value divergence on NaN/Inf values"
+    _assert_parity(spark, nan_value_dir, name, "NaN/Inf values")
 
 
 #: fixed queries that must agree with their oracle when EVENTS rows are
@@ -195,11 +206,7 @@ def dup_events_dir(tmp_path_factory) -> str:
 
 @pytest.mark.parametrize("name", DUP_EVENTS_PARITY)
 def test_dup_events_corpus_parity(spark, dup_events_dir, name):
-    sdf = registry.QUERIES[name](spark, dup_events_dir).toPandas()
-    odf = _oracle(dup_events_dir, registry.ORACLES[name])
-    assert sorted(sdf.columns) == sorted(odf.columns)
-    assert len(sdf) == len(odf), f"{name}: spark {len(sdf)} vs oracle {len(odf)}"
-    assert _norm(sdf) == _norm(odf), f"{name}: value divergence on replay dups"
+    _assert_parity(spark, dup_events_dir, name, "replay dups")
 
 
 #: fixed queries that must agree with their oracle on adversarial
@@ -223,11 +230,8 @@ UNICODE_PARITY = [
 
 @pytest.fixture(scope="module")
 def unicode_dir(tmp_path_factory) -> str:
-    import duckdb
-
-    d = tmp_path_factory.mktemp("sf_unicode")
-    docs_sql = (
-        "SELECT doc_id, CASE doc_id % 9"
+    return _build_fixture(tmp_path_factory, "sf_unicode", {
+        "documents": "doc_id, CASE doc_id % 9"
         " WHEN 0 THEN 'café ' || text || ' naïve Über'"
         " WHEN 1 THEN '日本語テスト ' || text"
         " WHEN 2 THEN text || ' \U0001F600\U0001F680 astral'"
@@ -236,25 +240,13 @@ def unicode_dir(tmp_path_factory) -> str:
         " WHEN 5 THEN replace(text, ' ', '  ')"
         " WHEN 6 THEN ' ' || text || ' '"
         " WHEN 7 THEN upper(text)"
-        " ELSE text END AS text, lang, source, n_chars"
-        f" FROM read_parquet('{SRC}/documents.parquet')"
-    )
-    con = duckdb.connect()
-    for t in TABLE_NAMES:
-        q = docs_sql if t == "documents" else (
-            f"SELECT * FROM read_parquet('{SRC}/{t}.parquet')"
-        )
-        con.execute(f"COPY ({q}) TO '{d}/{t}.parquet' (FORMAT PARQUET)")
-    return str(d)
+        " ELSE text END AS text, lang, source, n_chars",
+    })
 
 
 @pytest.mark.parametrize("name", UNICODE_PARITY)
 def test_unicode_corpus_parity(spark, unicode_dir, name):
-    sdf = registry.QUERIES[name](spark, unicode_dir).toPandas()
-    odf = _oracle(unicode_dir, registry.ORACLES[name])
-    assert sorted(sdf.columns) == sorted(odf.columns)
-    assert len(sdf) == len(odf), f"{name}: spark {len(sdf)} vs oracle {len(odf)}"
-    assert _norm(sdf) == _norm(odf), f"{name}: value divergence on unicode text"
+    _assert_parity(spark, unicode_dir, name, "unicode text")
 
 
 #: fixed queries that must agree with their oracle when events carry
@@ -274,33 +266,18 @@ TIME_PARITY = [
 
 @pytest.fixture(scope="module")
 def bad_clock_dir(tmp_path_factory) -> str:
-    import duckdb
-
-    d = tmp_path_factory.mktemp("sf_badclock")
-    spec = {
+    return _build_fixture(tmp_path_factory, "sf_badclock", {
         "events": "event_id, CASE"
         " WHEN event_id % 13 = 0 THEN TIMESTAMP '1969-12-31 23:59:58.5'"
         " WHEN event_id % 17 = 0 THEN TIMESTAMP '1970-01-01 00:00:00'"
         " WHEN event_id % 19 = 0 THEN TIMESTAMP '2200-06-15 12:00:00'"
         " ELSE ts END AS ts, user_id, event_type, value, props",
-    }
-    con = duckdb.connect()
-    for t in TABLE_NAMES:
-        sel = spec.get(t, "*")
-        con.execute(
-            f"COPY (SELECT {sel} FROM read_parquet('{SRC}/{t}.parquet'))"
-            f" TO '{d}/{t}.parquet' (FORMAT PARQUET)"
-        )
-    return str(d)
+    })
 
 
 @pytest.mark.parametrize("name", TIME_PARITY)
 def test_bad_clock_corpus_parity(spark, bad_clock_dir, name):
-    sdf = registry.QUERIES[name](spark, bad_clock_dir).toPandas()
-    odf = _oracle(bad_clock_dir, registry.ORACLES[name])
-    assert sorted(sdf.columns) == sorted(odf.columns)
-    assert len(sdf) == len(odf), f"{name}: spark {len(sdf)} vs oracle {len(odf)}"
-    assert _norm(sdf) == _norm(odf), f"{name}: value divergence on corrupt clocks"
+    _assert_parity(spark, bad_clock_dir, name, "corrupt clocks")
 
 
 #: fixed queries that must agree with their oracle when events.props is
@@ -319,41 +296,27 @@ JSON_BAD_PARITY = [
 
 @pytest.fixture(scope="module")
 def bad_json_dir(tmp_path_factory) -> str:
-    import duckdb
-
-    d = tmp_path_factory.mktemp("sf_badjson")
-    spec = {
+    return _build_fixture(tmp_path_factory, "sf_badjson", {
+        # % 23: VALID JSON whose k is non-numeric — the permissive
+        # TRY_CAST contract (round-8 review: json_valid alone left the
+        # class half closed; DuckDB's bare CAST threw on 'abc')
         "events": "event_id, ts, user_id, event_type, value, CASE"
         " WHEN event_id % 13 = 0 THEN '{\"truncated\": '"
         " WHEN event_id % 17 = 0 THEN '[]'"
         " WHEN event_id % 19 = 0 THEN '{}'"
+        " WHEN event_id % 23 = 0 THEN '{\"k\": \"abc\"}'"
         " ELSE props END AS props",
-    }
-    con = duckdb.connect()
-    for t in TABLE_NAMES:
-        sel = spec.get(t, "*")
-        con.execute(
-            f"COPY (SELECT {sel} FROM read_parquet('{SRC}/{t}.parquet'))"
-            f" TO '{d}/{t}.parquet' (FORMAT PARQUET)"
-        )
-    return str(d)
+    })
 
 
 @pytest.mark.parametrize("name", JSON_BAD_PARITY)
 def test_bad_json_corpus_parity(spark, bad_json_dir, name):
-    sdf = registry.QUERIES[name](spark, bad_json_dir).toPandas()
-    odf = _oracle(bad_json_dir, registry.ORACLES[name])
-    assert sorted(sdf.columns) == sorted(odf.columns)
-    assert len(sdf) == len(odf), f"{name}: spark {len(sdf)} vs oracle {len(odf)}"
-    assert _norm(sdf) == _norm(odf), f"{name}: value divergence on malformed JSON"
+    _assert_parity(spark, bad_json_dir, name, "malformed JSON")
 
 
 @pytest.fixture(scope="module")
 def null_keys_dir(tmp_path_factory) -> str:
-    import duckdb
-
-    d = tmp_path_factory.mktemp("sf_nullkeys")
-    spec = {
+    return _build_fixture(tmp_path_factory, "sf_nullkeys", {
         "events": "event_id, ts, CASE WHEN event_id % 7 = 0 THEN NULL ELSE"
         " user_id END AS user_id, CASE WHEN event_id % 11 = 0 THEN NULL"
         " ELSE event_type END AS event_type, value, props",
@@ -361,24 +324,12 @@ def null_keys_dir(tmp_path_factory) -> str:
         " NULL ELSE source END AS source, n_chars",
         "embeddings": "vec_id, embedding, CASE WHEN vec_id % 7 = 0 THEN"
         " NULL ELSE label END AS label",
-    }
-    con = duckdb.connect()
-    for t in TABLE_NAMES:
-        sel = spec.get(t, "*")
-        con.execute(
-            f"COPY (SELECT {sel} FROM read_parquet('{SRC}/{t}.parquet'))"
-            f" TO '{d}/{t}.parquet' (FORMAT PARQUET)"
-        )
-    return str(d)
+    })
 
 
 @pytest.mark.parametrize("name", NULL_KEYS_PARITY)
 def test_null_keys_corpus_parity(spark, null_keys_dir, name):
-    sdf = registry.QUERIES[name](spark, null_keys_dir).toPandas()
-    odf = _oracle(null_keys_dir, registry.ORACLES[name])
-    assert sorted(sdf.columns) == sorted(odf.columns)
-    assert len(sdf) == len(odf), f"{name}: spark {len(sdf)} vs oracle {len(odf)}"
-    assert _norm(sdf) == _norm(odf), f"{name}: value divergence on NULL keys"
+    _assert_parity(spark, null_keys_dir, name, "NULL keys")
 
 
 @pytest.fixture(scope="module")
@@ -386,25 +337,14 @@ def null_payload_dir(tmp_path_factory) -> str:
     """sf0.001 with every third props/text/embedding NULLed (keys and
     measures intact) — the fixture the round-7 NULL-payload sweep ran;
     full-registry result recorded in NOTES_r7 §6."""
-    import duckdb
-
-    d = tmp_path_factory.mktemp("sf_nulls")
-    spec = {
+    return _build_fixture(tmp_path_factory, "sf_nulls", {
         "events": "event_id, ts, user_id, event_type, value, "
         "CASE WHEN event_id % 3 = 0 THEN NULL ELSE props END AS props",
         "documents": "doc_id, CASE WHEN doc_id % 3 = 0 THEN NULL ELSE text END"
         " AS text, lang, source, n_chars",
         "embeddings": "vec_id, CASE WHEN vec_id % 3 = 0 THEN NULL ELSE"
         " embedding END AS embedding, label",
-    }
-    con = duckdb.connect()
-    for t in TABLE_NAMES:
-        sel = spec.get(t, "*")
-        con.execute(
-            f"COPY (SELECT {sel} FROM read_parquet('{SRC}/{t}.parquet'))"
-            f" TO '{d}/{t}.parquet' (FORMAT PARQUET)"
-        )
-    return str(d)
+    })
 
 
 def _oracle(sf_dir: str, sql: str):
@@ -418,7 +358,11 @@ def _oracle(sf_dir: str, sql: str):
 
 
 def _norm(df):
-    rows = set()
+    # MULTISET of canonicalized rows (Counter, not set: duplicate rows
+    # must count — the dup-events regime's exact failure shape)
+    from collections import Counter
+
+    rows = Counter()
     for rec in df.to_dict("records"):
         vals = []
         for c in sorted(rec):
@@ -429,39 +373,28 @@ def _norm(df):
                 vals.append(round(v, 9))
             else:
                 vals.append(int(v) if hasattr(v, "item") or isinstance(v, bool) else v)
-        rows.add(tuple(repr(v) for v in vals))
+        rows[tuple(repr(v) for v in vals)] += 1
     return rows
 
 
 @pytest.mark.parametrize("name", EMPTY_PARITY)
 def test_empty_corpus_parity(spark, empty_dir, name):
-    sdf = registry.QUERIES[name](spark, empty_dir).toPandas()
-    odf = _oracle(empty_dir, registry.ORACLES[name])
-    assert sorted(sdf.columns) == sorted(odf.columns)
-    assert len(sdf) == len(odf), f"{name}: spark {len(sdf)} vs oracle {len(odf)}"
-    assert _norm(sdf) == _norm(odf), f"{name}: value divergence on empty corpus"
+    _assert_parity(spark, empty_dir, name, "empty corpus")
 
 
 @pytest.mark.parametrize("name", ONE_ROW_PARITY)
 def test_one_row_corpus_parity(spark, one_row_dir, name):
-    sdf = registry.QUERIES[name](spark, one_row_dir).toPandas()
-    odf = _oracle(one_row_dir, registry.ORACLES[name])
-    assert sorted(sdf.columns) == sorted(odf.columns)
-    assert len(sdf) == len(odf), f"{name}: spark {len(sdf)} vs oracle {len(odf)}"
-    assert _norm(sdf) == _norm(odf), f"{name}: value divergence on 1-row corpus"
+    _assert_parity(spark, one_row_dir, name, "1-row corpus")
 
 
 @pytest.mark.parametrize("name", NULL_PAYLOAD_PARITY)
 def test_null_payload_corpus_parity(spark, null_payload_dir, name):
-    sdf = registry.QUERIES[name](spark, null_payload_dir).toPandas()
-    odf = _oracle(null_payload_dir, registry.ORACLES[name])
-    assert sorted(sdf.columns) == sorted(odf.columns)
-    assert len(sdf) == len(odf), f"{name}: spark {len(sdf)} vs oracle {len(odf)}"
-    assert _norm(sdf) == _norm(odf), f"{name}: value divergence on NULL payloads"
+    _assert_parity(spark, null_payload_dir, name, "NULL payloads")
     # the NULL third must actually be exercised: the result should not
     # simply equal the fully-populated run for ops that drop rows
     if name == "embedding_norms":
-        assert len(sdf) > 0 and len(sdf) < 500
+        n = registry.QUERIES[name](spark, null_payload_dir).count()
+        assert 0 < n < 500
 
 
 def test_grouping_sets_empty_divergence_is_pinned(spark, empty_dir):
