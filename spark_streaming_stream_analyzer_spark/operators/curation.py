@@ -597,6 +597,13 @@ def fuzzy_pairs_symdelete(spark: SparkSession, sf_dir: str) -> DataFrame:
         freq.unionByName(planted)
         .groupBy("w")
         .agg(F.max("freq").alias("freq"))
+        # pin the no-empty-word invariant at the edge the prefix-split
+        # relies on: sequence(1, 0) in Spark yields a DESCENDING [1,0]
+        # (computing a spurious p) where DuckDB's range(1, 1) is empty,
+        # so an empty word reaching the candidate set would diverge the
+        # engines (ADVICE r8). The tokenizer filters w <> '' and planted
+        # variants have length >= 3, so this is an identity today.
+        .filter(F.length("w") > 0)
     )
     # checkpoint the (vocab-sized) key table: it feeds the block-size
     # cap and BOTH self-join sides — without this the corpus word scan

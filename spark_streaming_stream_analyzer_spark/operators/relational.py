@@ -392,7 +392,7 @@ WHERE r.rn = 1
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP(returnflag, linestatus) with grouping_id.
 
-    Empty-input divergence vs ANSI (no global row from Spark) — see
+    Empty-input divergence vs ANSI closed oracle-side — see
     ``agg_grouping_sets``."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
@@ -406,13 +406,14 @@ SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty,
        COUNT(*) AS n
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+HAVING COUNT(*) > 0
 """
 
 
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE(orderstatus, orderpriority) over order totals.
 
-    Empty-input divergence vs ANSI (no global row from Spark) — see
+    Empty-input divergence vs ANSI closed oracle-side — see
     ``agg_grouping_sets``."""
     od = load_table(spark, sf_dir, "orders")
     return od.cube("o_orderstatus", "o_orderpriority").agg(
@@ -426,6 +427,7 @@ SELECT o_orderstatus, o_orderpriority,
        CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_total,
        COUNT(*) AS n
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+HAVING COUNT(*) > 0
 """
 
 
@@ -1127,11 +1129,15 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark expands the sets into a single Expand+HashAggregate, so the
     input is scanned once regardless of set count.
 
-    Known empty-input engine divergence (measured, Spark 4.1 DataFrame
-    AND SQL forms): ANSI/DuckDB emit the () grouping set's global row
-    over an empty relation; Spark emits nothing. Applies equally to
-    ``agg_rollup`` / ``agg_cube``. Pinned by
-    ``tests/test_empty_corpus.py``; unreachable at the driver's sf>0.
+    Empty-input engine divergence, CLOSED oracle-side in round 9
+    (measured, Spark 4.1 DataFrame AND SQL forms): ANSI/DuckDB emit
+    the () grouping set's global row over an empty relation; Spark
+    emits nothing. The oracle carries ``HAVING COUNT(*) > 0`` — every
+    genuine grouping-set row aggregates >= 1 input row, so the guard
+    is an identity at any sf > 0 and removes exactly the
+    empty-relation global row (n = 0). Applies equally to
+    ``agg_rollup`` / ``agg_cube``; parity pinned by
+    ``tests/test_empty_corpus.py``.
     """
     li = load_table(spark, sf_dir, "lineitem")
     li.createOrReplaceTempView("_gs_lineitem")
@@ -1154,6 +1160,7 @@ SELECT l_returnflag, l_linestatus,
        COUNT(*) AS n_rows
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+HAVING COUNT(*) > 0
 """
 
 

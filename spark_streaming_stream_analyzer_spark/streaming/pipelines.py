@@ -619,6 +619,18 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the watermark passes) — same operator, one extra clause — or dedup
     within event-time windows. The unbounded form here matches the
     oracle exactly.
+
+    **Parity precondition** (ADVICE r8): ``dropDuplicates`` keys on
+    ``event_id`` and keeps an ARBITRARY row per key, while the oracle's
+    ``SELECT DISTINCT event_id, event_type, value`` keeps full rows —
+    they agree exactly when replays are FULL-ROW duplicates, i.e. when
+    each event_id maps to one payload. That is the at-least-once
+    replay contract (NOTES r8 §3, dup-rows sweep); a same-key-
+    DIFFERENT-payload landing violates the events primary key and is
+    surfaced upstream by the ``dq_constraint_audit`` query's
+    ``events_pk_unique`` row — run that gate first, as with the
+    doc-keyed tier. No deterministic SQL oracle can reproduce an
+    arbitrary-row keep, so the precondition is the contract.
     """
     stream = events_file_stream(
         spark, os.path.join(sf_dir, "events.parquet"), copies=2
@@ -639,6 +651,9 @@ WITH exactly_once AS (
   -- rows are full-row duplicates) served with exactly-once counts.
   -- The previous bare GROUP BY assumed the fixture had unique
   -- event_ids and double-counted replays (round-8 dup-rows sweep).
+  -- Parity with the Spark side's key-based dropDuplicates is
+  -- CONDITIONAL on event_id being a true key (events_pk_unique in
+  -- dq_constraint_audit) — see stream_dedup's docstring.
   SELECT DISTINCT event_id, event_type, value FROM events
 )
 SELECT event_type, COUNT(*) AS n_events,

@@ -598,11 +598,16 @@ def _sessionize_update(
             n, sc = int(row["n"]), bsc
         out.append((uid, s, e, n, sc))
 
-    # persist the (possibly new) open session
+    # persist the (possibly new) open session; carry a NULL tail type
+    # as NULL — str() on it minted the literal 'None' (same class as
+    # the round-8 _trans_update fix; ADVICE r8).
     last_row = batch.iloc[-1]
+    tail_type = last_row["event_type"]
+    if tail_type is None or (isinstance(tail_type, float) and tail_type != tail_type):
+        tail_type = None
     final = out[-1]
     state.update(
-        (final[1], int(last_row["us"]), final[3], final[4], str(last_row["event_type"]))
+        (final[1], int(last_row["us"]), final[3], final[4], tail_type)
     )
     yield pd.DataFrame(
         out,

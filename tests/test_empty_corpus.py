@@ -5,10 +5,12 @@ class of divergences invisible at any sf > 0: ANSI DIV-by-zero kills on
 zero denominators the oracle NULLs, driver-side ``max()``/Observation
 access on empty model state, schema inference over empty parquet
 writes, and grouped-vs-global aggregate row counts. Each fixed site is
-pinned here against its own registered oracle on an empty fixture; the
-one UNFIXABLE engine divergence (Spark emits no global grouping-set row
-over an empty relation; ANSI/DuckDB emit one) is pinned as a divergence
-so a Spark behavior change is noticed.
+pinned here against its own registered oracle on an empty fixture. The
+last engine divergence (Spark emits no global grouping-set row over an
+empty relation; ANSI/DuckDB emit one) was closed oracle-side in round 9
+with ``HAVING COUNT(*) > 0`` — an identity at any sf > 0 — so the
+rollup/cube/grouping-sets trio now sits in EMPTY_PARITY; a separate pin
+still notices if Spark ever starts emitting the global row.
 
 Every query exercised here is registered and driver-green on real
 data — these tests only add the empty-input edge.
@@ -65,6 +67,11 @@ EMPTY_PARITY = [
     "obs_pipeline_metrics",
     "stream_file_sink",
     "stream_progress_metrics",
+    # round 9: oracle-side HAVING COUNT(*) > 0 closed the
+    # grouping-sets-over-empty engine divergence
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
 ]
 
 
@@ -397,14 +404,12 @@ def test_null_payload_corpus_parity(spark, null_payload_dir, name):
         assert 0 < n < 500
 
 
-def test_grouping_sets_empty_divergence_is_pinned(spark, empty_dir):
-    # Documented engine divergence (agg_grouping_sets docstring): ANSI
-    # emits the () grouping set's global row over an empty relation,
-    # Spark does not — in BOTH the DataFrame and SQL forms. If this
-    # assertion ever fails, Spark changed behavior: remove the
-    # divergence note and add the trio to EMPTY_PARITY.
+def test_grouping_sets_empty_spark_behavior_is_pinned(spark, empty_dir):
+    # The oracle-side HAVING COUNT(*) > 0 guard (round 9) conforms the
+    # oracle to Spark's no-global-row-over-empty behavior. Pin the
+    # Spark side separately: if Spark ever starts emitting the ()
+    # grouping set's global row over an empty relation, the guard (and
+    # this pin) should be removed together.
     for name in ("agg_rollup", "agg_cube", "agg_grouping_sets"):
         sdf = registry.QUERIES[name](spark, empty_dir)
-        odf = _oracle(empty_dir, registry.ORACLES[name])
         assert sdf.count() == 0, f"{name}: Spark now emits rows on empty input"
-        assert len(odf) == 1, f"{name}: oracle no longer emits the global row"
