@@ -200,16 +200,26 @@ def higher_moments(df: DataFrame, key: str, value: str) -> DataFrame:
     skewness / excess kurtosis computed from EXACT INTEGER central
     sums, so even these deep aggregates bit-match the oracle:
 
-        N2 = n·S2 − S1²                       (cents²)
-        N3 = n²·S3 − 3n·S1·S2 + 2·S1³          (cents³)
-        N4 = n³·S4 − 4n²·S1·S3 + 6n·S1²·S2 − 3·S1⁴  (cents⁴)
+        N2 = n·S2 − S1²                       (cents², EXACT)
+        N3 = n²·S3 − 3n·S1·S2 + 2·S1³          (cents³, double)
+        N4 = n³·S4 − 4n²·S1·S3 + 6n·S1²·S2 − 3·S1⁴  (cents⁴, double)
 
-    all in DECIMAL(38,0) (DuckDB: HUGEINT) — values stay < 1e38 through
-    sf≈1 per group. The cents scale cancels in the normalized shapes:
-    skewness = N3/√(N2³), excess kurtosis = N4/N2² − 3 — pure integer
-    ratios with one deterministic float op each. No float cancellation
-    anywhere, unlike the naive mean-powers expansion (which differed
-    from DuckDB by ulps in m4)."""
+    The power sums S1..S4 and N2 are exact integers (DECIMAL(38,0) /
+    DuckDB HUGEINT): S4 <= n·cents⁴ and S1² <= (n·cents)² both hold
+    < 1e38 out to 1e9-row groups at the EVENT_VALUE_ABS_MAX cap. The
+    N3/N4 COMBINATIONS, however, carry intermediate terms that grow as
+    n⁴·mean⁴ even when the central moment itself is tiny — the round-9
+    adversarial-float sweep overflowed 3·S1⁴ at 9.9e39 with a 200-row
+    group at the cap, and real data would hit the same wall near sf≈10
+    (latent scale bug in the earlier all-DECIMAL(38) form). So N3/N4
+    are combined in DOUBLE: both engines evaluate the identical
+    left-associated expression over identical integers (HUGEINT→DOUBLE
+    and DECIMAL(38,0)→DOUBLE are both correctly rounded — verified
+    empirically on >2^53 values), so IEEE determinism still gives
+    bit-equal results; only true precision (not parity) degrades, the
+    standard power-sum tradeoff. The cents scale cancels in the
+    normalized shapes: skewness = N3/√(N2³), excess kurtosis =
+    N4/N2² − 3."""
     c = cents_dec(F.col(value))
     agg = df.groupBy(F.col(key).cast("string").alias("readTag_id")).agg(
         F.count("*").alias("n"),
@@ -220,26 +230,30 @@ def higher_moments(df: DataFrame, key: str, value: str) -> DataFrame:
     )
     d38 = lambda col: col.cast("decimal(38,0)")  # noqa: E731
     n_i = d38(F.col("n"))
-    s1, s2, s3, s4 = (F.col(x) for x in ("s1", "s2", "s3", "s4"))
-    two = F.lit(2).cast("decimal(38,0)")
-    three = F.lit(3).cast("decimal(38,0)")
-    four = F.lit(4).cast("decimal(38,0)")
-    six = F.lit(6).cast("decimal(38,0)")
+    s1, s2 = F.col("s1"), F.col("s2")
     N2 = d38(n_i * s2) - d38(s1 * s1)
-    N3 = d38(d38(n_i * n_i) * s3) - d38(three * d38(n_i * d38(s1 * s2))) + d38(
-        two * d38(d38(s1 * s1) * s1)
+    # doubles for the N3/N4 combination — textually mirrored in
+    # higher_moments_sql (same left-assoc order, same literals)
+    nd0 = F.col("n").cast("double")
+    s1d0, s2d0, s3d0, s4d0 = (
+        F.col(x).cast("double") for x in ("s1", "s2", "s3", "s4")
+    )
+    N3 = (
+        nd0 * nd0 * s3d0
+        - F.lit(3.0) * nd0 * s1d0 * s2d0
+        + F.lit(2.0) * s1d0 * s1d0 * s1d0
     )
     N4 = (
-        d38(d38(d38(n_i * n_i) * n_i) * s4)
-        - d38(four * d38(d38(n_i * n_i) * d38(s1 * s3)))
-        + d38(six * d38(n_i * d38(d38(s1 * s1) * s2)))
-        - d38(three * d38(d38(s1 * s1) * d38(s1 * s1)))
+        nd0 * nd0 * nd0 * s4d0
+        - F.lit(4.0) * nd0 * nd0 * s1d0 * s3d0
+        + F.lit(6.0) * nd0 * s1d0 * s1d0 * s2d0
+        - F.lit(3.0) * s1d0 * s1d0 * s1d0 * s1d0
     )
     nd = F.col("n").cast("double")
     n2d, n3d, n4d = (
         F.col("N2").cast("double"),
-        F.col("N3").cast("double"),
-        F.col("N4").cast("double"),
+        F.col("N3"),
+        F.col("N4"),
     )
     mid = agg.select("readTag_id", "n", N2.alias("N2"), N3.alias("N3"), N4.alias("N4"))
     return mid.select(
@@ -264,23 +278,28 @@ WITH sums AS (
          CAST(SUM(CAST({cd}*{cd}*{cd}*{cd} AS DECIMAL(38,0))) AS HUGEINT) AS s4
   FROM {table} GROUP BY 1
 ), central AS (
+  -- N2 exact in HUGEINT; N3/N4 combined in DOUBLE over the exact
+  -- integer sums, textually mirroring higher_moments (the earlier
+  -- all-HUGEINT form overflowed on 3*s1^4 ~ n^4*mean^4 — round-9
+  -- adversarial-float sweep, latent at sf~10 on real data)
   SELECT readTag_id, n,
          CAST(n AS HUGEINT)*s2 - s1*s1 AS N2,
-         CAST(n AS HUGEINT)*CAST(n AS HUGEINT)*s3
-           - 3*CAST(n AS HUGEINT)*s1*s2 + 2*s1*s1*s1 AS N3,
-         CAST(n AS HUGEINT)*CAST(n AS HUGEINT)*CAST(n AS HUGEINT)*s4
-           - 4*CAST(n AS HUGEINT)*CAST(n AS HUGEINT)*s1*s3
-           + 6*CAST(n AS HUGEINT)*s1*s1*s2
-           - 3*s1*s1*s1*s1 AS N4
+         CAST(CAST(n AS VARCHAR) AS DOUBLE)*CAST(CAST(n AS VARCHAR) AS DOUBLE)*CAST(CAST(s3 AS VARCHAR) AS DOUBLE)
+           - 3.0*CAST(CAST(n AS VARCHAR) AS DOUBLE)*CAST(CAST(s1 AS VARCHAR) AS DOUBLE)*CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+           + 2.0*CAST(CAST(s1 AS VARCHAR) AS DOUBLE)*CAST(CAST(s1 AS VARCHAR) AS DOUBLE)*CAST(CAST(s1 AS VARCHAR) AS DOUBLE) AS N3,
+         CAST(CAST(n AS VARCHAR) AS DOUBLE)*CAST(CAST(n AS VARCHAR) AS DOUBLE)*CAST(CAST(n AS VARCHAR) AS DOUBLE)*CAST(CAST(s4 AS VARCHAR) AS DOUBLE)
+           - 4.0*CAST(CAST(n AS VARCHAR) AS DOUBLE)*CAST(CAST(n AS VARCHAR) AS DOUBLE)*CAST(CAST(s1 AS VARCHAR) AS DOUBLE)*CAST(CAST(s3 AS VARCHAR) AS DOUBLE)
+           + 6.0*CAST(CAST(n AS VARCHAR) AS DOUBLE)*CAST(CAST(s1 AS VARCHAR) AS DOUBLE)*CAST(CAST(s1 AS VARCHAR) AS DOUBLE)*CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+           - 3.0*CAST(CAST(s1 AS VARCHAR) AS DOUBLE)*CAST(CAST(s1 AS VARCHAR) AS DOUBLE)*CAST(CAST(s1 AS VARCHAR) AS DOUBLE)*CAST(CAST(s1 AS VARCHAR) AS DOUBLE) AS N4
   FROM sums
 )
 SELECT readTag_id, n AS n_rows,
-  CAST(N2 AS DOUBLE) / (CAST(n AS DOUBLE)*CAST(n AS DOUBLE)) / 1e4 AS m2,
-  CAST(N3 AS DOUBLE) / (CAST(n AS DOUBLE)*CAST(n AS DOUBLE)*CAST(n AS DOUBLE)) / 1e6 AS m3,
-  CAST(N4 AS DOUBLE) / (CAST(n AS DOUBLE)*CAST(n AS DOUBLE)*CAST(n AS DOUBLE)*CAST(n AS DOUBLE)) / 1e8 AS m4,
-  CASE WHEN N2 > 0 THEN CAST(N3 AS DOUBLE)
-       / sqrt(CAST(N2 AS DOUBLE)*CAST(N2 AS DOUBLE)*CAST(N2 AS DOUBLE)) END AS skewness,
-  CASE WHEN N2 > 0 THEN CAST(N4 AS DOUBLE)
-       / (CAST(N2 AS DOUBLE)*CAST(N2 AS DOUBLE)) - 3.0 END AS excess_kurtosis
+  CAST(CAST(N2 AS VARCHAR) AS DOUBLE) / (CAST(CAST(n AS VARCHAR) AS DOUBLE)*CAST(CAST(n AS VARCHAR) AS DOUBLE)) / 1e4 AS m2,
+  N3 / (CAST(CAST(n AS VARCHAR) AS DOUBLE)*CAST(CAST(n AS VARCHAR) AS DOUBLE)*CAST(CAST(n AS VARCHAR) AS DOUBLE)) / 1e6 AS m3,
+  N4 / (CAST(CAST(n AS VARCHAR) AS DOUBLE)*CAST(CAST(n AS VARCHAR) AS DOUBLE)*CAST(CAST(n AS VARCHAR) AS DOUBLE)*CAST(CAST(n AS VARCHAR) AS DOUBLE)) / 1e8 AS m4,
+  CASE WHEN N2 > 0 THEN N3
+       / sqrt(CAST(CAST(N2 AS VARCHAR) AS DOUBLE)*CAST(CAST(N2 AS VARCHAR) AS DOUBLE)*CAST(CAST(N2 AS VARCHAR) AS DOUBLE)) END AS skewness,
+  CASE WHEN N2 > 0 THEN N4
+       / (CAST(CAST(N2 AS VARCHAR) AS DOUBLE)*CAST(CAST(N2 AS VARCHAR) AS DOUBLE)) - 3.0 END AS excess_kurtosis
 FROM central
 """.strip()

@@ -216,7 +216,15 @@ def q_agg_running_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STATS_BY_TYPE_CTE = stats.stats_oracle_sql("events", "event_type", "value")
 
 
-_WRAP_CELL = "CAST(CAST({c} AS DECIMAL(18,4)) AS VARCHAR)"
+# DOUBLE -> VARCHAR -> DECIMAL(18,4): the VARCHAR hop pins DuckDB to
+# the shortest-roundtrip decimal spelling before fixed-scale rounding,
+# which is the path Spark's double->decimal cast takes (Scala
+# BigDecimal(d) goes through Double.toString). A direct DOUBLE->DECIMAL
+# cast in DuckDB multiplies in double space instead and disagrees in
+# the last rendered digit once |x| > 2^53/1e4 ~ 9e11 (round-9
+# adversarial-float sweep: sumsqr 1.2e13 rendered .9530 vs .9536).
+# Identity for smaller magnitudes, so every real-sf hash is unchanged.
+_WRAP_CELL = "CAST(CAST(CAST({c} AS VARCHAR) AS DECIMAL(18,4)) AS VARCHAR)"
 _WRAP_CELLS = " || ',' || ".join(
     _WRAP_CELL.format(c=c)
     for c in ("summer", "counter", "sumsqr", "bestmin", "bestmax", "mean", "var")
@@ -248,13 +256,13 @@ def q_proj_wrap_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS ({_STATS_BY_TYPE_CTE})
     SELECT readTag_id AS key,
            '{{"readTag_id":"' || readTag_id
-             || '","summer":'  || CAST(CAST(summer  AS DECIMAL(18,4)) AS VARCHAR)
-             || ',"counter":'  || CAST(CAST(counter AS DECIMAL(18,4)) AS VARCHAR)
-             || ',"sumsqr":'   || CAST(CAST(sumsqr  AS DECIMAL(18,4)) AS VARCHAR)
-             || ',"bestmin":'  || CAST(CAST(bestmin AS DECIMAL(18,4)) AS VARCHAR)
-             || ',"bestmax":'  || CAST(CAST(bestmax AS DECIMAL(18,4)) AS VARCHAR)
-             || ',"mean":'     || CAST(CAST(mean    AS DECIMAL(18,4)) AS VARCHAR)
-             || ',"var":'      || CAST(CAST(var     AS DECIMAL(18,4)) AS VARCHAR)
+             || '","summer":'  || CAST(CAST(CAST(summer AS VARCHAR) AS DECIMAL(18,4)) AS VARCHAR)
+             || ',"counter":'  || CAST(CAST(CAST(counter AS VARCHAR) AS DECIMAL(18,4)) AS VARCHAR)
+             || ',"sumsqr":'   || CAST(CAST(CAST(sumsqr AS VARCHAR) AS DECIMAL(18,4)) AS VARCHAR)
+             || ',"bestmin":'  || CAST(CAST(CAST(bestmin AS VARCHAR) AS DECIMAL(18,4)) AS VARCHAR)
+             || ',"bestmax":'  || CAST(CAST(CAST(bestmax AS VARCHAR) AS DECIMAL(18,4)) AS VARCHAR)
+             || ',"mean":'     || CAST(CAST(CAST(mean AS VARCHAR) AS DECIMAL(18,4)) AS VARCHAR)
+             || ',"var":'      || CAST(CAST(CAST(var AS VARCHAR) AS DECIMAL(18,4)) AS VARCHAR)
              || '}}' AS value
     FROM s
     """,
@@ -962,15 +970,34 @@ query("stream_ohlc_bars", _an.TS_OHLC_SQL)(_sp.stream_ohlc_bars)
 # (which always runs all of them).
 
 _VERIFY_FIRST: list[str] = [
-    # Round-8 rotation (NOTES_r7.md section 1): the two newly-registered
-    # scale-safe twins go first (emb_knn_srp_graph absorbs the driver
-    # session's cold-start — it is the cheaper cold slot), then the
-    # final 35-query remainder of the frozen round-5 backlog in frozen
-    # list order. 37 slots of 50; after CORRECTNESS_r08 lands every
-    # registered query has a driver row (327/327) and the freeze lifts
-    # (tests/test_verification_debt.py). Post-freeze rule: new ops enter
-    # at the FRONT of this list in their registration round; the
-    # 50-entry unverified ceiling is permanent.
+    # Round-9 rotation: no new registrations; the front is every query
+    # whose kernel or oracle text changed this round, so the driver
+    # re-proves the changed surface first. (1) the grouping trio's
+    # empty-relation HAVING guard; (2) agg_higher_moments' rewritten
+    # N3/N4 combination + VARCHAR-hop conversions; (3) the
+    # DECIMAL(18,4) render trio; (4) the flagship pair through the
+    # pushed-down clock window + magnitude clause (canaries for the
+    # mechanically-shadowed events oracles, with ts_anomaly_mad /
+    # anomaly_zscore as the census/3VL canaries); (5) the
+    # sessionize NULL-carry and fuzzy empty-word pins.
+    "agg_higher_moments",
+    "proj_wrap_array",
+    "sink_kafka_json",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_running_stats",
+    "agg_running_stats_by_type",
+    "fn_welford_update",
+    "fn_scalar_min_max",
+    "ts_anomaly_mad",
+    "anomaly_zscore",
+    "fuzzy_pairs_symdelete",
+    "stream_sessionize_custom",
+    "stream_kafka_pipeline",
+    "stream_dedup",
+    # round-8 front remainder (already driver-green r8; keeps the
+    # 50-slot window stable for the unverified-debt ceiling test)
     "emb_knn_srp_graph",
     "graph_jaccard_capped",
     "agg_regression_trend",
@@ -1046,10 +1073,15 @@ def _shadow_finite_events(sql: str) -> str:
     oracle that references the events table, so the 150+ oracle
     bodies stay untouched. Identity at every real sf (all-finite,
     in-window fixture values)."""
-    from .sources.tables import EVENT_TS_VALID_MAX_US, EVENT_TS_VALID_MIN_US
+    from .sources.tables import (
+        EVENT_TS_VALID_MAX_US,
+        EVENT_TS_VALID_MIN_US,
+        EVENT_VALUE_ABS_MAX,
+    )
 
     cte = (
         "events AS (SELECT * REPLACE (CASE WHEN isfinite(value)"
+        f" AND abs(value) <= {EVENT_VALUE_ABS_MAX!r}"
         " THEN value END AS value) FROM main.events"
         f" WHERE epoch_us(ts) >= {EVENT_TS_VALID_MIN_US}"
         f" AND epoch_us(ts) < {EVENT_TS_VALID_MAX_US})"

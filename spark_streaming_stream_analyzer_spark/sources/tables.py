@@ -63,6 +63,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 EVENT_TS_VALID_MIN_US = 631_152_000_000_000
 EVENT_TS_VALID_MAX_US = 4_102_444_800_000_000
 
+#: Measurement-magnitude validity bound: |value| <= 1e6 units. The
+#: domain twin of the clock-validity window: fixture measurements span
+#: [0, ~560], so a reading beyond a MILLION units is sensor garbage
+#: (~1800x headroom over real data), exactly as a 2200-dated row is a
+#: corrupt clock. The bound is sized so every registered integer-exact
+#: kernel keeps >=20x headroom at the cap with whole groups sitting on
+#: it: cents (1e8) and their squares (1e16, int64-backed DECIMAL(18)
+#: products), 4th moments (1e32 vs HUGEINT's 1.7e38 — the binding
+#: constraint: a value near 2^53/100 mints cents^4 ~ 6.6e63, beyond ANY
+#: exact type in either engine), and micro-unit cumsums (1e12/row vs
+#: int64 windows). This closes the round-9 adversarial-float crash
+#: class: a finite value near ±2^63/100 made round(v*100)::BIGINT
+#: overflow in BOTH engines (ANSI CAST_OVERFLOW / DuckDB conversion
+#: error — one absurd row killing the job, the same shape as the
+#: round-8 NaN and corrupt-clock finds). The comparison is on the RAW
+#: double against this literal in both engines (never on v*100), so
+#: the cut is bit-identical engine-to-engine.
+EVENT_VALUE_ABS_MAX = 1_000_000.0
+
 
 def clean_measurements(df: DataFrame) -> DataFrame:
     """The events ingest contract, one edit point shared by every
@@ -77,7 +96,11 @@ def clean_measurements(df: DataFrame) -> DataFrame:
       error) — 64 of 327 registered queries crashed on a NaN/Inf
       fixture. NULLing keeps row counts and event sequences intact
       and converts the class to the already-hardened NULL-value
-      regime.
+      regime. Round 9 extends the same clause to magnitude: a finite
+      value beyond ``EVENT_VALUE_ABS_MAX`` (±1e6 units — sensor
+      garbage by domain, and on the way to the ±2^63/100 CAST
+      overflow that kills both engines) is equally a missing
+      reading.
     - **valid clock** (round-8 TIME sweep): a row stamped outside
       [``EVENT_TS_VALID_MIN_US``, ``EVENT_TS_VALID_MAX_US``) — or
       with no timestamp at all — is not an analyzable event and is
@@ -115,6 +138,8 @@ def clean_measurements(df: DataFrame) -> DataFrame:
         ~F.isnan(c)
         & (c != F.lit(float("inf")))
         & (c != F.lit(float("-inf")))
+        # magnitude validity: see EVENT_VALUE_ABS_MAX (round 9)
+        & (F.abs(c) <= F.lit(EVENT_VALUE_ABS_MAX))
     )
     return df.withColumn("value", F.when(finite, c))
 

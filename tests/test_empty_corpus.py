@@ -321,6 +321,52 @@ def test_bad_json_corpus_parity(spark, bad_json_dir, name):
     _assert_parity(spark, bad_json_dir, name, "malformed JSON")
 
 
+#: fixed queries that must agree with their oracle on ADVERSARIAL
+#: FLOATS in events.value: -0.0, subnormals (5e-324 / -2.5e-310),
+#: on-grid values at and 1 cent around EVENT_VALUE_ABS_MAX (1e6), and
+#: the ±2^63/100 exact-cents CAST-overflow crashers (round 9). Three
+#: mechanisms closed: (1) the magnitude clause of the measurement
+#: contract (out-of-bound finite value -> NULL at load, both engines —
+#: previously ONE such row killed 30+ exact-cents jobs in both
+#: engines); (2) double->DECIMAL(18,4) rendering beyond 2^53/1e4 (the
+#: oracle now takes Spark's shortest-string path via a VARCHAR hop);
+#: (3) agg_higher_moments' N3/N4 combination in double over exact
+#: integer sums (the all-HUGEINT form overflowed on 3*s1^4 — a latent
+#: sf~10 scale bug — and DuckDB's HUGEINT->DOUBLE cast is off by 1 ulp
+#: above 2^64, so its conversions route through VARCHAR/strtod).
+ADV_FLOAT_PARITY = [
+    "agg_running_stats",    # magnitude clause through the load guard
+    "fn_scalar_min_max",    # min/max over -0.0 and subnormals
+    "agg_higher_moments",   # double-combined N3/N4 + VARCHAR-hop casts
+    "proj_wrap_array",      # DECIMAL(18,4) rendering at sumsqr ~1.2e13
+    "sink_kafka_json",      # same class, JSON record form
+    "fn_welford_update",    # exact m2 with cap-sized cents
+    "ts_anomaly_mad",       # positional census with subnormals present
+    "anomaly_zscore",       # 3VL verdict over NULLed out-of-bound rows
+]
+
+
+@pytest.fixture(scope="module")
+def adv_float_dir(tmp_path_factory) -> str:
+    return _build_fixture(tmp_path_factory, "sf_advfloat", {
+        "events": "event_id, ts, user_id, event_type, CASE"
+        " WHEN event_id % 13 = 0 THEN -0.0"
+        " WHEN event_id % 17 = 0 THEN 5e-324"
+        " WHEN event_id % 19 = 0 THEN -2.5e-310"
+        " WHEN event_id % 23 = 0 THEN 999999.99"
+        " WHEN event_id % 29 = 0 THEN 1000000.0"
+        " WHEN event_id % 31 = 0 THEN 1000000.01"
+        " WHEN event_id % 37 = 0 THEN 92233720368547758.08"
+        " WHEN event_id % 41 = 0 THEN -92233720368547758.08"
+        " ELSE value END AS value, props",
+    })
+
+
+@pytest.mark.parametrize("name", ADV_FLOAT_PARITY)
+def test_adv_float_corpus_parity(spark, adv_float_dir, name):
+    _assert_parity(spark, adv_float_dir, name, "adversarial floats")
+
+
 @pytest.fixture(scope="module")
 def null_keys_dir(tmp_path_factory) -> str:
     return _build_fixture(tmp_path_factory, "sf_nullkeys", {
