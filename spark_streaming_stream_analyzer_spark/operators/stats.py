@@ -205,8 +205,14 @@ def higher_moments(df: DataFrame, key: str, value: str) -> DataFrame:
         N4 = n³·S4 − 4n²·S1·S3 + 6n·S1²·S2 − 3·S1⁴  (cents⁴, double)
 
     The power sums S1..S4 and N2 are exact integers (DECIMAL(38,0) /
-    DuckDB HUGEINT): S4 <= n·cents⁴ and S1² <= (n·cents)² both hold
-    < 1e38 out to 1e9-row groups at the EVENT_VALUE_ABS_MAX cap. The
+    DuckDB HUGEINT). Envelope: S4 <= n·cents⁴, so a group where EVERY
+    row sits at the EVENT_VALUE_ABS_MAX cap (cents⁴ = 1e32) stays
+    under 1.7e38 only to ~1.7e6 rows — an all-cap group bigger than
+    that still overflows both engines (residual, documented; no exact
+    type goes wider). At the REAL measurement scale (values <= ~560,
+    cents⁴ ~ 1e19) the same bound allows ~1e19-row groups, i.e. no
+    practical limit. S1² <= (n·cents)² holds to 1e9-row groups even
+    at the cap. The
     N3/N4 COMBINATIONS, however, carry intermediate terms that grow as
     n⁴·mean⁴ even when the central moment itself is tiny — the round-9
     adversarial-float sweep overflowed 3·S1⁴ at 9.9e39 with a 200-row
@@ -234,27 +240,23 @@ def higher_moments(df: DataFrame, key: str, value: str) -> DataFrame:
     N2 = d38(n_i * s2) - d38(s1 * s1)
     # doubles for the N3/N4 combination — textually mirrored in
     # higher_moments_sql (same left-assoc order, same literals)
-    nd0 = F.col("n").cast("double")
+    nd = F.col("n").cast("double")
     s1d0, s2d0, s3d0, s4d0 = (
         F.col(x).cast("double") for x in ("s1", "s2", "s3", "s4")
     )
     N3 = (
-        nd0 * nd0 * s3d0
-        - F.lit(3.0) * nd0 * s1d0 * s2d0
+        nd * nd * s3d0
+        - F.lit(3.0) * nd * s1d0 * s2d0
         + F.lit(2.0) * s1d0 * s1d0 * s1d0
     )
     N4 = (
-        nd0 * nd0 * nd0 * s4d0
-        - F.lit(4.0) * nd0 * nd0 * s1d0 * s3d0
-        + F.lit(6.0) * nd0 * s1d0 * s1d0 * s2d0
+        nd * nd * nd * s4d0
+        - F.lit(4.0) * nd * nd * s1d0 * s3d0
+        + F.lit(6.0) * nd * s1d0 * s1d0 * s2d0
         - F.lit(3.0) * s1d0 * s1d0 * s1d0 * s1d0
     )
-    nd = F.col("n").cast("double")
-    n2d, n3d, n4d = (
-        F.col("N2").cast("double"),
-        F.col("N3"),
-        F.col("N4"),
-    )
+    # N3/N4 are already double; only N2 needs the cast
+    n2d, n3d, n4d = F.col("N2").cast("double"), F.col("N3"), F.col("N4")
     mid = agg.select("readTag_id", "n", N2.alias("N2"), N3.alias("N3"), N4.alias("N4"))
     return mid.select(
         "readTag_id",

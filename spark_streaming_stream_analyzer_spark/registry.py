@@ -996,8 +996,10 @@ _VERIFY_FIRST: list[str] = [
     "stream_sessionize_custom",
     "stream_kafka_pipeline",
     "stream_dedup",
-    # round-8 front remainder (already driver-green r8; keeps the
-    # 50-slot window stable for the unverified-debt ceiling test)
+    # round-8 front remainder, TRIMMED from the back so the list is
+    # exactly 50 — the driver verifies the first 50 dict entries only,
+    # and entries 51+ would sit outside the window this list exists to
+    # control (self-review r9). All entries below are driver-green r8.
     "emb_knn_srp_graph",
     "graph_jaccard_capped",
     "agg_regression_trend",
@@ -1032,9 +1034,6 @@ _VERIFY_FIRST: list[str] = [
     "pack_length_buckets",
     "privacy_kanon_cells",
     "sample_cv_folds",
-    "target_encode_oof",
-    "ts_ohlc_bars",
-    "ts_sliding_dau",
 ]
 
 

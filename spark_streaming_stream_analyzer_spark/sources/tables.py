@@ -73,7 +73,11 @@ EVENT_TS_VALID_MAX_US = 4_102_444_800_000_000
 #: products), 4th moments (1e32 vs HUGEINT's 1.7e38 — the binding
 #: constraint: a value near 2^53/100 mints cents^4 ~ 6.6e63, beyond ANY
 #: exact type in either engine), and micro-unit cumsums (1e12/row vs
-#: int64 windows). This closes the round-9 adversarial-float crash
+#: int64 windows). Residual envelope (self-review r9): an ALL-CAP
+#: group still overflows the HUGEINT 4th-moment sum beyond ~1.7e6
+#: rows (1e32 x 1.7e6 = 1.7e38); at the real measurement scale
+#: (cents^4 ~ 1e19) the same sum holds to ~1e19-row groups — see
+#: higher_moments' docstring. This closes the round-9 adversarial-float crash
 #: class: a finite value near ±2^63/100 made round(v*100)::BIGINT
 #: overflow in BOTH engines (ANSI CAST_OVERFLOW / DuckDB conversion
 #: error — one absurd row killing the job, the same shape as the
@@ -125,11 +129,24 @@ def clean_measurements(df: DataFrame) -> DataFrame:
             valid = (F.col("ts") >= EVENT_TS_VALID_MIN_US * 1000) & (
                 F.col("ts") < EVENT_TS_VALID_MAX_US * 1000
             )
-        else:  # timestamp_ntz (current fixtures) or timestamp (UTC session)
-            lit_t = "TIMESTAMP_NTZ" if dt == "timestamp_ntz" else "TIMESTAMP"
+        elif dt == "timestamp_ntz":  # current fixture vintage
+            # NTZ literals are session-timezone-independent, so this
+            # is safe even for callers that never pinned the session
+            # to UTC (heartbeat census, ckpt direct read)
             valid = (
-                F.col("ts") >= F.expr(f"{lit_t} '1990-01-01 00:00:00'")
-            ) & (F.col("ts") < F.expr(f"{lit_t} '2100-01-01 00:00:00'"))
+                F.col("ts") >= F.expr("TIMESTAMP_NTZ '1990-01-01 00:00:00'")
+            ) & (F.col("ts") < F.expr("TIMESTAMP_NTZ '2100-01-01 00:00:00'"))
+        else:
+            # instant-typed ('timestamp') vintage: a TIMESTAMP literal
+            # resolves through the SESSION timezone, which not every
+            # caller pins to UTC — keep the instant-correct epoch-us
+            # comparison here (self-review r9). No current fixture
+            # takes this branch, so the pushdown win stays where the
+            # data is.
+            us = F.unix_micros(F.col("ts"))
+            valid = (us >= EVENT_TS_VALID_MIN_US) & (
+                us < EVENT_TS_VALID_MAX_US
+            )
         df = df.filter(valid)
     if "value" not in df.columns:
         return df

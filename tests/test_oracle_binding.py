@@ -24,6 +24,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="module")
 def con():
+    if not os.path.isdir(SF_DIR):
+        pytest.skip(f"fixture dir {SF_DIR} not present on this host")
     c = duckdb.connect()
     for t in TABLE_NAMES:
         p = os.path.join(SF_DIR, f"{t}.parquet")
