@@ -254,6 +254,12 @@ def main() -> None:
         with open(os.path.join(here, "BENCH_FULL_LATEST.json"), "w") as f:
             json.dump(record, f)
             f.write("\n")
+        # append-only history: LATEST is overwritten per run, which
+        # cost round 9 the full per-query record of its 60.794 s run
+        # (two later attempts clobbered it before it could be saved)
+        with open(os.path.join(here, "BENCH_HISTORY.jsonl"), "a") as f:
+            json.dump(record, f)
+            f.write("\n")
     except OSError:
         pass
     print(json.dumps(record))
