@@ -1,0 +1,72 @@
+"""Standing-gate attestation: build every degenerate-corpus fixture
+and run the full-registry selfcheck against each.
+
+Reuses the fixture bodies from tests/test_empty_corpus.py (via
+``__wrapped__``) so the sweep specs cannot drift from the per-commit
+pins. Each sweep is a full 327-query Spark-vs-DuckDB value compare;
+expect ~6-13 min per fixture depending on load. Results land in
+/tmp/sweeps_r9-style dirs plus a per-fixture log.
+
+Usage: python scripts/sweep_all.py [outdir]   (default /tmp/sweeps)
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+import test_empty_corpus as T  # noqa: E402
+
+OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sweeps"
+
+
+class _Fac:
+    def mktemp(self, tag: str) -> pathlib.Path:
+        return pathlib.Path(tempfile.mkdtemp(prefix=tag + "_", dir=OUT))
+
+
+FIXTURES = [
+    ("EMPTY", T.empty_dir),
+    ("ONEROW", T.one_row_dir),
+    ("NULLPAYLOAD", T.null_payload_dir),
+    ("NULLKEYS", T.null_keys_dir),
+    ("NANVAL", T.nan_value_dir),
+    ("DUPEV", T.dup_events_dir),
+    ("UNICODE", T.unicode_dir),
+    ("TIME", T.bad_clock_dir),
+    ("JSONBAD", T.bad_json_dir),
+    ("ADVFLOAT", T.adv_float_dir),
+]
+
+
+def main() -> int:
+    os.makedirs(OUT, exist_ok=True)
+    fac = _Fac()
+    total_fails = 0
+    for name, fx in FIXTURES:
+        fn = fx.__wrapped__ if hasattr(fx, "__wrapped__") else fx
+        d = fn(fac)
+        log = os.path.join(OUT, f"{name}.txt")
+        with open(log, "w") as f:
+            subprocess.run(
+                [sys.executable, "scripts/selfcheck.py", str(d)],
+                cwd=REPO, stdout=f, stderr=subprocess.DEVNULL,
+            )
+        lines = open(log).read().strip().splitlines()
+        fails = sum(1 for line in lines if line.startswith("FAIL"))
+        total_fails += fails
+        tail = lines[-1] if lines else "NO OUTPUT"
+        print(f"{name}: {fails} failures — {tail}", flush=True)
+    print(f"DONE: {total_fails} total failures across {len(FIXTURES)} sweeps")
+    return 1 if total_fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
