@@ -43,6 +43,8 @@ FIXTURES = [
     ("TIME", T.bad_clock_dir),
     ("JSONBAD", T.bad_json_dir),
     ("ADVFLOAT", T.adv_float_dir),
+    ("GROUPKEY", T.group_key_dir),
+    ("ZEROVAR", T.zero_var_dir),
 ]
 
 

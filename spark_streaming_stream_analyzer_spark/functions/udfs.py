@@ -101,9 +101,13 @@ def udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 UDF_SURFACE_SQL = """
+-- WHERE mirrors the Spark side's v_cents.isNotNull() pre-group filter:
+-- a key whose EVERY measurement is missing emits no group at all
+-- (round-9 zero-variance sweep); identity otherwise (SUM and
+-- quantile_cont already skip NULLs).
 SELECT CAST(event_type AS VARCHAR) AS readTag_id,
        CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value,
        CAST(quantile_cont(CAST(round(value*100) AS BIGINT), 0.5) AS DOUBLE)/100.0
          AS median_value
-FROM events GROUP BY 1
+FROM events WHERE value IS NOT NULL GROUP BY 1
 """

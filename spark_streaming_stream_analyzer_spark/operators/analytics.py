@@ -2098,15 +2098,24 @@ def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("lift_ppm"),
     )
     w = Window.partitionBy("event_type")
+    # peak contract (round-9 zero-variance sweep): a cell with no
+    # measurable mean (every value missing) is NOT a peak hour, and it
+    # does not compete for the max — the max runs over non-NULL cells
+    # only, and the NULL-struct comparison coalesces to FALSE. Both
+    # clauses mirrored in the oracle; identity when no mean is NULL.
+    mx = F.max(
+        F.when(
+            F.col("mean_milli").isNotNull(), F.struct("mean_milli", "hod")
+        )
+    ).over(w)
     return j.select(
         "event_type",
         "hod",
         "n",
         "mean_milli",
         "lift_ppm",
-        (
-            F.struct("mean_milli", "hod")
-            == F.max(F.struct("mean_milli", "hod")).over(w)
+        F.coalesce(
+            F.struct("mean_milli", "hod") == mx, F.lit(False)
         ).alias("is_peak_hour"),
     )
 
@@ -2128,8 +2137,11 @@ j AS (
   FROM cells c JOIN totals t USING (event_type)
 )
 SELECT event_type, CAST(hod AS BIGINT) AS hod, n, mean_milli, lift_ppm,
-       (mean_milli, hod) = (MAX((mean_milli, hod))
-         OVER (PARTITION BY event_type)) AS is_peak_hour
+       -- no-measurement cells neither compete for nor hold the peak
+       -- (round-9 zero-variance sweep; see the Spark-side comment)
+       COALESCE((mean_milli, hod) = (MAX(CASE WHEN mean_milli IS NOT NULL
+                  THEN (mean_milli, hod) END)
+         OVER (PARTITION BY event_type)), FALSE) AS is_peak_hour
 FROM j
 """
 
@@ -2250,7 +2262,12 @@ def ts_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return path.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
-        F.sum((F.col("s") > CUSUM_H_MICRO).cast("long")).alias("n_alarms"),
+        # when/otherwise(0) mirrors the oracle's CASE..ELSE 0: a key
+        # whose every measurement is missing has 0 alarms, not NULL
+        # (round-9 zero-variance sweep)
+        F.sum(
+            F.when(F.col("s") > CUSUM_H_MICRO, F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_alarms"),
         F.max("s").alias("max_excursion"),
         F.min(F.when(F.col("s") > CUSUM_H_MICRO, F.col("us"))).alias(
             "first_alarm_us"

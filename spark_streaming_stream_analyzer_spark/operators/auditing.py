@@ -1135,7 +1135,13 @@ def fn_rounding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per.groupBy("event_type").agg(
         F.count("*").alias("n_rows"),
-        F.sum((F.col("hu") != F.col("be")).cast("long")).alias("n_diff"),
+        # when/otherwise(0), not a bare cast: a NULL measurement has no
+        # roundings to disagree, and a key whose EVERY value is missing
+        # must count 0 like the oracle's CASE..ELSE 0, not SUM(NULL)
+        # (round-9 zero-variance sweep)
+        F.sum(
+            F.when(F.col("hu") != F.col("be"), F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_diff"),
         F.sum("hu").alias("sum_half_up"),
         F.sum("be").alias("sum_bankers"),
         (F.sum("hu") - F.sum("be")).alias("drift_cents"),

@@ -72,7 +72,13 @@ def wrap_stats_array_joined(stats_df: DataFrame) -> DataFrame:
     )
     return stats_df.select(
         "readTag_id",
-        F.concat(F.lit("["), F.array_join(cells, ","), F.lit("]")).alias("stats"),
+        # explicit 'null' placeholder: array_join SKIPS null elements by
+        # default, silently rendering a 7-cell stats array as 2 cells
+        # for a key whose every measurement is missing (round-9
+        # zero-variance sweep) — a faithful display keeps the slot
+        F.concat(
+            F.lit("["), F.array_join(cells, ",", "null"), F.lit("]")
+        ).alias("stats"),
     )
 
 

@@ -223,19 +223,48 @@ _STATS_BY_TYPE_CTE = stats.stats_oracle_sql("events", "event_type", "value")
 # cast in DuckDB multiplies in double space instead and disagrees in
 # the last rendered digit once |x| > 2^53/1e4 ~ 9e11 (round-9
 # adversarial-float sweep: sumsqr 1.2e13 rendered .9530 vs .9536).
-# Identity for smaller magnitudes, so every real-sf hash is unchanged.
-_WRAP_CELL = "CAST(CAST(CAST({c} AS VARCHAR) AS DECIMAL(18,4)) AS VARCHAR)"
-_WRAP_CELLS = " || ',' || ".join(
-    _WRAP_CELL.format(c=c)
-    for c in ("summer", "counter", "sumsqr", "bestmin", "bestmax", "mean", "var")
+# The small-magnitude CASE covers a DuckDB quirk the zero-variance
+# sweep exposed: VARCHAR->DECIMAL misrounds some SCIENTIFIC-notation
+# strings away from zero ('-7.2e-14' -> -0.0001), with an
+# exponent/mantissa-dependent trigger; every affected input is
+# < 5e-05 where the correct fixed-scale render is exactly 0, and in
+# [5e-05, 1e-4) away-from-zero coincides with HALF_UP, so the guard
+# makes the render correct for every double. Identity at real sf.
+_WRAP_CELL = (
+    "CAST(CASE WHEN abs({c}) < 5e-05 THEN CAST(0 AS DECIMAL(18,4))"
+    " ELSE CAST(CAST({c} AS VARCHAR) AS DECIMAL(18,4)) END AS VARCHAR)"
+)
+# field-DROPPING JSON value for the streaming pipeline's oracle:
+# Spark's to_json omits null struct fields entirely, so a key whose
+# every measurement is missing serializes as
+# '{"readTag_id":"x","counter":0.0000,"var":0.0000}' — each optional
+# fragment vanishes via COALESCE(',"f":' || cell, ''), while a NULL
+# KEY still nulls the whole record through the un-coalesced head
+# (round-9 zero-variance sweep; the batch sink_kafka_json keeps its
+# concat-propagates-NULL form and its own oracle).
+_KAFKA_VALUE_DROPPING = (
+    """'{"readTag_id":"' || readTag_id || '"' || """
+    + " || ".join(
+        f"""COALESCE(',"{c}":' || {_WRAP_CELL.format(c=c)}, '')"""
+        for c in ("summer", "counter", "sumsqr", "bestmin", "bestmax", "mean", "var")
+    )
+    + " || '}'"
+)
+
+_STREAM_KAFKA_SQL = (
+    f"WITH s AS ({_STATS_BY_TYPE_CTE})\n"
+    f"SELECT readTag_id AS key, {_KAFKA_VALUE_DROPPING} AS value\nFROM s"
 )
 
 
 @query(
     "proj_wrap_array",
+    # COALESCE(cell, 'null') mirrors the Spark side's explicit
+    # array_join null placeholder (round-9 zero-variance sweep)
     f"""
     WITH s AS ({_STATS_BY_TYPE_CTE})
-    SELECT readTag_id, '[' || {_WRAP_CELLS} || ']' AS stats
+    SELECT readTag_id,
+           '[' || {" || ',' || ".join(f"COALESCE({_WRAP_CELL.format(c=c)}, 'null')" for c in ("summer", "counter", "sumsqr", "bestmin", "bestmax", "mean", "var"))} || ']' AS stats
     FROM s
     """,
 )
@@ -256,13 +285,13 @@ def q_proj_wrap_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS ({_STATS_BY_TYPE_CTE})
     SELECT readTag_id AS key,
            '{{"readTag_id":"' || readTag_id
-             || '","summer":'  || CAST(CAST(CAST(summer AS VARCHAR) AS DECIMAL(18,4)) AS VARCHAR)
-             || ',"counter":'  || CAST(CAST(CAST(counter AS VARCHAR) AS DECIMAL(18,4)) AS VARCHAR)
-             || ',"sumsqr":'   || CAST(CAST(CAST(sumsqr AS VARCHAR) AS DECIMAL(18,4)) AS VARCHAR)
-             || ',"bestmin":'  || CAST(CAST(CAST(bestmin AS VARCHAR) AS DECIMAL(18,4)) AS VARCHAR)
-             || ',"bestmax":'  || CAST(CAST(CAST(bestmax AS VARCHAR) AS DECIMAL(18,4)) AS VARCHAR)
-             || ',"mean":'     || CAST(CAST(CAST(mean AS VARCHAR) AS DECIMAL(18,4)) AS VARCHAR)
-             || ',"var":'      || CAST(CAST(CAST(var AS VARCHAR) AS DECIMAL(18,4)) AS VARCHAR)
+             || '","summer":'  || CAST(CASE WHEN abs(summer) < 5e-05 THEN CAST(0 AS DECIMAL(18,4)) ELSE CAST(CAST(summer AS VARCHAR) AS DECIMAL(18,4)) END AS VARCHAR)
+             || ',"counter":'  || CAST(CASE WHEN abs(counter) < 5e-05 THEN CAST(0 AS DECIMAL(18,4)) ELSE CAST(CAST(counter AS VARCHAR) AS DECIMAL(18,4)) END AS VARCHAR)
+             || ',"sumsqr":'   || CAST(CASE WHEN abs(sumsqr) < 5e-05 THEN CAST(0 AS DECIMAL(18,4)) ELSE CAST(CAST(sumsqr AS VARCHAR) AS DECIMAL(18,4)) END AS VARCHAR)
+             || ',"bestmin":'  || CAST(CASE WHEN abs(bestmin) < 5e-05 THEN CAST(0 AS DECIMAL(18,4)) ELSE CAST(CAST(bestmin AS VARCHAR) AS DECIMAL(18,4)) END AS VARCHAR)
+             || ',"bestmax":'  || CAST(CASE WHEN abs(bestmax) < 5e-05 THEN CAST(0 AS DECIMAL(18,4)) ELSE CAST(CAST(bestmax AS VARCHAR) AS DECIMAL(18,4)) END AS VARCHAR)
+             || ',"mean":'     || CAST(CASE WHEN abs(mean) < 5e-05 THEN CAST(0 AS DECIMAL(18,4)) ELSE CAST(CAST(mean AS VARCHAR) AS DECIMAL(18,4)) END AS VARCHAR)
+             || ',"var":'      || CAST(CASE WHEN abs(var) < 5e-05 THEN CAST(0 AS DECIMAL(18,4)) ELSE CAST(CAST(var AS VARCHAR) AS DECIMAL(18,4)) END AS VARCHAR)
              || '}}' AS value
     FROM s
     """,
@@ -402,9 +431,9 @@ def q_sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink_parquet_roundtrip(spark, sf_dir)
 
 
-ORACLES["sink_parquet_roundtrip"] = stats.stats_oracle_sql(
-    "events", "event_type", "value"
-).strip()
+from .sources.sinks import SINK_PARQUET_SQL as _SINK_PARQUET_SQL  # noqa: E402
+
+ORACLES["sink_parquet_roundtrip"] = _SINK_PARQUET_SQL.strip()
 
 
 @query("src_file_formats", None)  # oracle attached below
@@ -925,7 +954,7 @@ query("stream_topk_complete", _sp.STREAM_TOPK_SQL)(_sp.stream_topk_complete)
 query("stream_python_datasource", _sp.STREAM_PYSRC_SQL)(
     _sp.stream_python_datasource
 )
-query("stream_kafka_pipeline", ORACLES["sink_kafka_json"])(_sp.stream_kafka_pipeline)
+query("stream_kafka_pipeline", _STREAM_KAFKA_SQL)(_sp.stream_kafka_pipeline)
 query("stream_stats_exact_state", _st.STREAM_STATS_EXACT_SQL)(
     _st.stream_stats_exact_state
 )
@@ -971,15 +1000,31 @@ query("stream_ohlc_bars", _an.TS_OHLC_SQL)(_sp.stream_ohlc_bars)
 
 _VERIFY_FIRST: list[str] = [
     # Round-9 rotation: no new registrations; the front is every query
-    # whose kernel or oracle text changed this round, so the driver
-    # re-proves the changed surface first. (1) the grouping trio's
-    # empty-relation HAVING guard; (2) agg_higher_moments' rewritten
-    # N3/N4 combination + VARCHAR-hop conversions; (3) the
-    # DECIMAL(18,4) render trio; (4) the flagship pair through the
-    # pushed-down clock window + magnitude clause (canaries for the
-    # mechanically-shadowed events oracles, with ts_anomaly_mad /
-    # anomaly_zscore as the census/3VL canaries); (5) the
-    # sessionize NULL-carry and fuzzy empty-word pins.
+    # whose kernel or oracle text changed this round (29 of 50), so the
+    # driver re-proves the changed surface first. (1) the streaming
+    # stats kernels' NULL-stats emission for no-measurement keys and
+    # the cusum seen-flag (zero-variance sweep); (2) the file-format
+    # tier's faithful-CSV options and hive ''->NULL mirrors (groupkey
+    # sweep); (3) the grouping trio's empty-relation HAVING guard;
+    # (4) agg_higher_moments' rewritten N3/N4 combination +
+    # VARCHAR-hop conversions; (5) the render trio's null-placeholder /
+    # field-dropping / tiny-sci-notation contracts; (6) the flagship
+    # pair through the pushed-down clock window + magnitude clause,
+    # with ts_anomaly_mad / anomaly_zscore as census/3VL canaries;
+    # (7) the sessionize NULL-carry and fuzzy empty-word pins.
+    "stream_stats_exact_state",
+    "stream_stats_heartbeat",
+    "stream_stats_tws",
+    "stream_stats_rocksdb",
+    "stream_cusum_alarm",
+    "ts_cusum_alarm",
+    "ts_seasonal_profile",
+    "fn_rounding_audit",
+    "udf_surface",
+    "sink_python_datasource",
+    "sink_parquet_roundtrip",
+    "src_file_formats",
+    "stream_file_sink",
     "agg_higher_moments",
     "proj_wrap_array",
     "sink_kafka_json",
@@ -1020,20 +1065,7 @@ _VERIFY_FIRST: list[str] = [
     "feature_hash_vectorize",
     "feature_quantile_bins",
     "fn_bloom_portable",
-    "fn_rounding_audit",
     "graph_bfs_distances",
-    "graph_connected_components",
-    "graph_degree_assortativity",
-    "graph_jaccard_neighbors",
-    "graph_kcore",
-    "graph_triangle_count",
-    "join_asof_forward",
-    "join_asof_nearest",
-    "join_interval_grid",
-    "layout_zorder_stats",
-    "pack_length_buckets",
-    "privacy_kanon_cells",
-    "sample_cv_folds",
 ]
 
 

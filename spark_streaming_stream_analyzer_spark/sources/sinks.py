@@ -35,6 +35,14 @@ def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves the writer preserved values and the partition columns
     survive the hive-style directory encoding (readTag_id becomes a
     partition directory, restored as a string column on read).
+
+    Hive-encoding contract (round-9 groupkey sweep): an EMPTY-STRING
+    partition value is unrepresentable in a directory name — Spark
+    writes it to the default partition and reads it back as NULL, so
+    '' and NULL keys are conflated BY THE FORMAT (whitespace and
+    multibyte values survive via URL-escaping). The oracle mirrors
+    with NULLIF(key, ''); a lake that must distinguish '' from NULL
+    cannot partition on that column.
     """
     stats = running_stats(load_table(spark, sf_dir, "events"), "event_type", "value")
     out_dir = os.path.join(tempfile.gettempdir(), f"sgs_sink_{uuid.uuid4().hex[:12]}")
@@ -53,7 +61,14 @@ def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(pdf, schema=stats.select(*cols).schema)
 
 
-SINK_PARQUET_SQL = stats_oracle_sql("events", "event_type", "value")
+# NULLIF mirrors the hive default-partition conflation of '' with NULL
+# on the read-back key (see docstring); identity when no key is ''.
+SINK_PARQUET_SQL = (
+    "SELECT NULLIF(readTag_id, '') AS readTag_id, summer, counter,"
+    " sumsqr, bestmin, bestmax, mean, var FROM ("
+    + stats_oracle_sql("events", "event_type", "value")
+    + ") hive_encoded"
+)
 
 
 def src_file_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -66,18 +81,37 @@ def src_file_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     CSV/JSON carry doubles through decimal text: values on the 2-cent
     grid roundtrip exactly at the printed precision, and the aggregate
     is integer-cents, so text formats introduce no drift.
+
+    The CSV leg pins the FAITHFUL configuration (round-9 groupkey
+    sweep): Spark's CSV defaults silently corrupt string keys — the
+    writer trims leading/trailing whitespace (' ' and 'click ' both
+    land as 'click'-shaped keys) and the empty string is
+    indistinguishable from NULL on read (nullValue='' both ways), so
+    a default-config roundtrip lost 3 of 11 distinct keys. Writer:
+    trimming OFF, NULL as an explicit sentinel ('\\N'), '' quoted
+    (emptyValue='\"\"'); reader: the matching sentinel. This is the
+    option set a production lake needs for text keys — measured to
+    roundtrip '', ' ', trailing-space, NULL, and multibyte exactly.
     """
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
     base = os.path.join(tempfile.gettempdir(), f"sgs_fmt_{uuid.uuid4().hex[:12]}")
     try:
-        ev.write.option("header", True).csv(os.path.join(base, "csv"))
+        (
+            ev.write.option("header", True)
+            .option("ignoreLeadingWhiteSpace", False)
+            .option("ignoreTrailingWhiteSpace", False)
+            .option("nullValue", "\\N")
+            .option("emptyValue", '""')
+            .csv(os.path.join(base, "csv"))
+        )
         ev.write.json(os.path.join(base, "json"))
         schema = "event_id long, user_id long, event_type string, value double"
         csv_df = (
             spark.read.schema(schema)
             .option("header", True)
+            .option("nullValue", "\\N")
             .csv(os.path.join(base, "csv"))
         )
         json_df = spark.read.schema(schema).json(os.path.join(base, "json"))
@@ -481,7 +515,13 @@ def _audited_jsonl_sink():
                         + "\n"
                     )
                     n += 1
-                    sc += row.sum_cents
+                    # a key whose every measurement is missing rolls up
+                    # to a NULL sum — written faithfully as JSON null,
+                    # skipped in the audit total exactly like the
+                    # read-back's pandas sum (round-9 zero-variance
+                    # sweep: += None killed the whole write job)
+                    if row.sum_cents is not None:
+                        sc += row.sum_cents
             return _Msg(file=fname, n_rows=n, sum_cents=sc)
 
         def commit(self, messages):

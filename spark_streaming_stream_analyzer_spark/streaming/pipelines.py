@@ -1026,9 +1026,12 @@ def stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STREAM_FILE_SINK_SQL = """
-SELECT event_type, COUNT(*) AS n_events,
+-- NULLIF mirrors the hive default-partition conflation of '' with
+-- NULL on the partitioned write's read-back (round-9 groupkey sweep;
+-- see sink_parquet_roundtrip's docstring); identity when no key is ''.
+SELECT NULLIF(event_type, '') AS event_type, COUNT(*) AS n_events,
        CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
-FROM events WHERE value > 0 GROUP BY event_type
+FROM events WHERE value > 0 GROUP BY 1
 """
 
 

@@ -76,6 +76,45 @@ OUTPUT_SCHEMA = T.StructType(
 )
 
 
+def _stats_fields(
+    sum_c: int, n: int, sumsq_c2: int, bestmin: float, bestmax: float
+) -> dict:
+    """The seven emitted statistics from the integer state, with the
+    batch flagship's missing-measurement semantics: a key every one of
+    whose values is missing (n == 0) emits NULL sums/extrema/mean/m2 —
+    NOT 0.0 sums and the internal ±inf extrema sentinels, which the
+    round-9 zero-variance sweep caught leaking — while counter stays
+    0.0 and var keeps the reference's explicit n<=1 -> 0.0 branch
+    (``KafkaStreamAverageCalculator.java:146-150``). Matches
+    ``SUM``/``MIN``/``MAX``/``COUNT(value)`` over an all-NULL group in
+    both engines."""
+    if not n:
+        return {
+            "summer": None,
+            "counter": 0.0,
+            "sumsqr": None,
+            "bestmin": None,
+            "bestmax": None,
+            "mean": None,
+            "m2": None,
+            "var": 0.0,
+        }
+    summer = float(sum_c) / 100.0
+    sumsqr = float(sumsq_c2) / 10000.0
+    mean = summer / float(n)
+    m2 = sumsqr - summer * summer / float(n)
+    return {
+        "summer": summer,
+        "counter": float(n),
+        "sumsqr": sumsqr,
+        "bestmin": bestmin,
+        "bestmax": bestmax,
+        "mean": mean,
+        "m2": m2,
+        "var": m2 / float(n - 1) if n > 1 else 0.0,
+    }
+
+
 def _update(
     key: tuple[str],
     pdfs: Iterator[pd.DataFrame],
@@ -113,23 +152,11 @@ def _update(
 
     state.update((sum_c, n, *divmod(sumsq_c2, SUMSQ_LIMB), bestmin, bestmax, last_delta))
 
-    summer = float(sum_c) / 100.0
-    sumsqr = float(sumsq_c2) / 10000.0
-    mean = summer / float(n) if n else 0.0
-    m2 = sumsqr - summer * summer / float(n) if n else 0.0
-    var = m2 / float(n - 1) if n > 1 else 0.0
     yield pd.DataFrame(
         [
             {
                 "readTag_id": key[0],
-                "summer": summer,
-                "counter": float(n),
-                "sumsqr": sumsqr,
-                "bestmin": bestmin,
-                "bestmax": bestmax,
-                "mean": mean,
-                "m2": m2,
-                "var": var,
+                **_stats_fields(sum_c, n, sumsq_c2, bestmin, bestmax),
                 "delta": last_delta,
             }
         ]
@@ -261,23 +288,11 @@ class ExactStatsProcessor(StatefulProcessor):
         self._state.update(
             (sum_c, n, *divmod(sumsq_c2, SUMSQ_LIMB), bestmin, bestmax)
         )
-        summer = float(sum_c) / 100.0
-        sumsqr = float(sumsq_c2) / 10000.0
-        mean = summer / float(n) if n else 0.0
-        m2 = sumsqr - summer * summer / float(n) if n else 0.0
-        var = m2 / float(n - 1) if n > 1 else 0.0
         yield pd.DataFrame(
             [
                 {
                     "readTag_id": key[0],
-                    "summer": summer,
-                    "counter": float(n),
-                    "sumsqr": sumsqr,
-                    "bestmin": bestmin,
-                    "bestmax": bestmax,
-                    "mean": mean,
-                    "m2": m2,
-                    "var": var,
+                    **_stats_fields(sum_c, n, sumsq_c2, bestmin, bestmax),
                 }
             ]
         )
@@ -366,23 +381,11 @@ def _update_heartbeat(
         sum_c, n, ssq_hi, ssq_lo, bestmin, bestmax, _ = state.get
         sumsq_c2 = ssq_hi * SUMSQ_LIMB + ssq_lo
         state.setTimeoutDuration(1000)
-        summer = float(sum_c) / 100.0
-        sumsqr = float(sumsq_c2) / 10000.0
-        mean = summer / float(n) if n else 0.0
-        m2 = sumsqr - summer * summer / float(n) if n else 0.0
-        var = m2 / float(n - 1) if n > 1 else 0.0
         yield pd.DataFrame(
             [
                 {
                     "readTag_id": key[0],
-                    "summer": summer,
-                    "counter": float(n),
-                    "sumsqr": sumsqr,
-                    "bestmin": bestmin,
-                    "bestmax": bestmax,
-                    "mean": mean,
-                    "m2": m2,
-                    "var": var,
+                    **_stats_fields(sum_c, n, sumsq_c2, bestmin, bestmax),
                     "delta": 0.0,  # heartbeat: no new values (B4 empty-update)
                 }
             ]
@@ -979,7 +982,13 @@ STREAM_SEQP_SQL = _stream_seqp_sql()
 
 # ------------------------------------------------ streaming CUSUM --
 
-CUSUM_STATE_SCHEMA = "cum LONG, runmin LONG"
+# seen: 0/1 — whether any REAL (non-NULL) measurement has arrived for
+# this key yet. The batch window identity gives s = NULL (excluded
+# from the max census) for every row BEFORE a key's first real
+# measurement, so the kernel must not let those carried-zero rows
+# contribute a spurious max_excursion = 0 (round-9 zero-variance
+# sweep: an all-NULL key reported 0 where the oracle has NULL).
+CUSUM_STATE_SCHEMA = "cum LONG, runmin LONG, seen LONG"
 
 CUSUM_OUTPUT_SCHEMA = T.StructType(
     [
@@ -1014,9 +1023,9 @@ def _cusum_update(
     if len(batch) == 0:
         return
     batch = batch.sort_values(["us", "event_id"]).reset_index(drop=True)
-    prev_cum, prev_runmin = (0, 0)
+    prev_cum, prev_runmin, prev_seen = (0, 0, 0)
     if state.exists:
-        prev_cum, prev_runmin = state.get
+        prev_cum, prev_runmin, prev_seen = state.get
     v = batch["value"].to_numpy(dtype=float) * 1_000_000
     # Spark/DuckDB round() is half-AWAY-from-zero; np.rint is half-even.
     # A missing measurement (NULL value -> NaN here) contributes d = 0:
@@ -1033,14 +1042,27 @@ def _cusum_update(
     cums = prev_cum + np.cumsum(d)
     runmins = np.minimum(prev_runmin, np.minimum.accumulate(cums))
     s = cums - runmins
-    alarms = s > CUSUM_H_MICRO
+    # rows before the key's first real measurement have s = NULL in the
+    # batch identity (cum over an all-NULL prefix) — exclude them from
+    # the max census; once seen, carried rows participate like the
+    # identity's carried (non-NULL) s
+    if prev_seen:
+        valid = np.ones(len(s), dtype=bool)
+    elif (~nan_mask).any():
+        valid = np.arange(len(s)) >= int(np.argmax(~nan_mask))
+    else:
+        valid = np.zeros(len(s), dtype=bool)
+    alarms = (s > CUSUM_H_MICRO) & valid
     first_idx = int(np.argmax(alarms)) if alarms.any() else None
     yield pd.DataFrame(
         {
             "event_type": [key[0]],
             "n_events": [len(batch)],
             "n_alarms": [int(alarms.sum())],
-            "max_excursion": [int(s.max())],
+            "max_excursion": pd.array(
+                [int(s[valid].max()) if valid.any() else None],
+                dtype="Int64",
+            ),
             "first_alarm_us": pd.array(
                 [None if first_idx is None
                  else int(batch["us"].iloc[first_idx])],
@@ -1048,7 +1070,9 @@ def _cusum_update(
             ),
         }
     )
-    state.update((int(cums[-1]), int(min(runmins[-1], 0))))
+    state.update(
+        (int(cums[-1]), int(min(runmins[-1], 0)), int(prev_seen or valid.any()))
+    )
 
 
 def stream_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:

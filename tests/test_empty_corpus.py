@@ -367,6 +367,90 @@ def test_adv_float_corpus_parity(spark, adv_float_dir, name):
     _assert_parity(spark, adv_float_dir, name, "adversarial floats")
 
 
+#: fixed queries that must agree with their oracle on ADVERSARIAL
+#: GROUP-KEY STRINGS ('' / ' ' / case variants / trailing space /
+#: NFC-vs-NFD 'café') — the round-9 groupkey sweep. Finds were all in
+#: the file-format tier: Spark CSV defaults TRIM whitespace on write
+#: and conflate '' with NULL on read (src_file_formats now pins the
+#: faithful writer/reader option set: trimming off, explicit \\N null
+#: sentinel, quoted emptyValue), and a hive-style partition directory
+#: cannot represent '' (read back as NULL — oracles mirror with
+#: NULLIF(key, '')). Engines byte-compare strings, so NFC/NFD stay
+#: distinct keys in both.
+GROUP_KEY_PARITY = [
+    "src_file_formats",        # faithful CSV option set
+    "sink_parquet_roundtrip",  # hive '' -> NULL partition encoding
+    "stream_file_sink",        # same encoding on the streaming writer
+    "agg_running_stats",       # '' and ' ' are ordinary group keys
+    "agg_batch_wordcount",     # tokenizer vs whitespace-keyed text
+]
+
+
+@pytest.fixture(scope="module")
+def group_key_dir(tmp_path_factory) -> str:
+    return _build_fixture(tmp_path_factory, "sf_groupkey", {
+        "events": "event_id, ts, user_id, CASE"
+        " WHEN event_id % 13 = 0 THEN ''"
+        " WHEN event_id % 17 = 0 THEN ' '"
+        " WHEN event_id % 19 = 0 THEN 'Click'"
+        " WHEN event_id % 23 = 0 THEN 'click '"
+        " WHEN event_id % 29 = 0 THEN 'café'"
+        " WHEN event_id % 31 = 0 THEN 'café'"
+        " ELSE event_type END AS event_type, value, props",
+        "documents": "doc_id, text, CASE WHEN doc_id % 7 = 0 THEN ''"
+        " WHEN doc_id % 11 = 0 THEN ' ' ELSE lang END AS lang,"
+        " source, n_chars",
+    })
+
+
+@pytest.mark.parametrize("name", GROUP_KEY_PARITY)
+def test_group_key_corpus_parity(spark, group_key_dir, name):
+    _assert_parity(spark, group_key_dir, name, "adversarial group keys")
+
+
+#: fixed queries that must agree with their oracle when groups have
+#: ZERO VARIANCE (one constant value per type) and one type's every
+#: measurement is MISSING (all-NULL) — the round-9 zerovar sweep.
+#: Mechanisms closed: streaming stats kernels emit NULL stats (not 0.0
+#: sums / ±inf extrema sentinels) for a no-measurement key
+#: (state._stats_fields); the cusum kernel excludes rows before a
+#: key's first real measurement from the max census (seen flag);
+#: count-shaped aggregates use when/otherwise(0) like the oracle's
+#: CASE..ELSE 0; render forms pin array_join's explicit 'null'
+#: placeholder and to_json's field-dropping; tiny-magnitude
+#: DECIMAL(18,4) renders guard DuckDB's scientific-notation misround.
+ZERO_VAR_PARITY = [
+    "agg_running_stats_by_type",  # raw doubles incl. exact-0-var group
+    "proj_wrap_array",         # array render with 'null' placeholders
+    "sink_kafka_json",         # concat-propagates-NULL record
+    "stream_kafka_pipeline",   # to_json field-dropping record
+    "fn_rounding_audit",       # n_diff counts 0, not NULL
+    "ts_cusum_alarm",          # n_alarms counts 0, not NULL
+    "stream_cusum_alarm",      # kernel seen-flag max census
+    "ts_seasonal_profile",     # no-measurement cells hold no peak
+    "udf_surface",             # all-NULL key emits no group (filter)
+    "sink_python_datasource",  # writer audit skips NULL sums
+    "stream_stats_exact_state",  # kernel NULL stats for missing key
+]
+
+
+@pytest.fixture(scope="module")
+def zero_var_dir(tmp_path_factory) -> str:
+    return _build_fixture(tmp_path_factory, "sf_zerovar", {
+        "events": "event_id, ts, user_id, event_type, CASE"
+        " WHEN event_type = 'click' THEN 42.42"
+        " WHEN event_type = 'view' THEN 0.0"
+        " WHEN event_type = 'purchase' THEN -13.13"
+        " WHEN event_type = 'signup' THEN NULL"
+        " ELSE value END AS value, props",
+    })
+
+
+@pytest.mark.parametrize("name", ZERO_VAR_PARITY)
+def test_zero_var_corpus_parity(spark, zero_var_dir, name):
+    _assert_parity(spark, zero_var_dir, name, "zero-variance groups")
+
+
 @pytest.fixture(scope="module")
 def null_keys_dir(tmp_path_factory) -> str:
     return _build_fixture(tmp_path_factory, "sf_nullkeys", {
