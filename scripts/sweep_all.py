@@ -56,15 +56,24 @@ def main() -> int:
         fn = fx.__wrapped__ if hasattr(fx, "__wrapped__") else fx
         d = fn(fac)
         log = os.path.join(OUT, f"{name}.txt")
+        # Keep stderr IN the log and treat a crashed/truncated selfcheck
+        # as a failure: a subprocess that dies before printing (Spark
+        # startup failure, import error, OOM kill) must not read as a
+        # green sweep (ADVICE r9, medium). A healthy run always ends
+        # with the 'N failures / M queries' summary line.
         with open(log, "w") as f:
-            subprocess.run(
+            proc = subprocess.run(
                 [sys.executable, "scripts/selfcheck.py", str(d)],
-                cwd=REPO, stdout=f, stderr=subprocess.DEVNULL,
+                cwd=REPO, stdout=f, stderr=subprocess.STDOUT,
             )
         lines = open(log).read().strip().splitlines()
         fails = sum(1 for line in lines if line.startswith("FAIL"))
-        total_fails += fails
         tail = lines[-1] if lines else "NO OUTPUT"
+        crashed = proc.returncode != 0 or "failures /" not in tail
+        if crashed and fails == 0:
+            fails = 1
+            tail = f"CRASHED (exit {proc.returncode}): {tail[:200]}"
+        total_fails += fails
         print(f"{name}: {fails} failures — {tail}", flush=True)
     print(f"DONE: {total_fails} total failures across {len(FIXTURES)} sweeps")
     return 1 if total_fails else 0

@@ -219,11 +219,16 @@ def higher_moments(df: DataFrame, key: str, value: str) -> DataFrame:
     group at the cap, and real data would hit the same wall near sf≈10
     (latent scale bug in the earlier all-DECIMAL(38) form). So N3/N4
     are combined in DOUBLE: both engines evaluate the identical
-    left-associated expression over identical integers (HUGEINT→DOUBLE
-    and DECIMAL(38,0)→DOUBLE are both correctly rounded — verified
-    empirically on >2^53 values), so IEEE determinism still gives
-    bit-equal results; only true precision (not parity) degrades, the
-    standard power-sum tradeoff. The cents scale cancels in the
+    left-associated expression over identical integers. Spark's
+    DECIMAL(38,0)→DOUBLE cast is correctly rounded, but DuckDB's
+    HUGEINT→DOUBLE is NOT above 2^64 (two-step hi/lo double addition,
+    off by 1 ulp — e.g. 25898047232904611846 → ...d914 vs the correct
+    ...d915; round-9 adversarial-float sweep), so higher_moments_sql
+    routes every >2^64-capable conversion through
+    ``CAST(CAST(x AS VARCHAR) AS DOUBLE)`` — DuckDB's strtod IS
+    correctly rounded. With both sides correctly rounded, IEEE
+    determinism gives bit-equal results; only true precision (not
+    parity) degrades, the standard power-sum tradeoff. The cents scale cancels in the
     normalized shapes: skewness = N3/√(N2³), excess kurtosis =
     N4/N2² − 3."""
     c = cents_dec(F.col(value))

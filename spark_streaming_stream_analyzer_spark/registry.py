@@ -98,10 +98,18 @@ FROM events
 
 @query(
     "proj_json_extract_pair",
+    # json_valid guard (same mechanism as fn_json_get_string): a group
+    # key containing '"' or '\' makes the raw-spliced a1 record
+    # malformed JSON on BOTH sides identically; Spark's get_json_object
+    # then returns NULL where DuckDB's json_extract_string would THROW
+    # (round-10 JSON-metacharacter keys in the groupkey fixture).
     f"""
     WITH a1 AS ({_A1_SQL})
-    SELECT json_extract_string(value, '$.readTag_id') AS readTag_id,
-           CAST(json_extract_string(value, '$.readValue') AS DOUBLE) AS readValue
+    SELECT CASE WHEN json_valid(value)
+                THEN json_extract_string(value, '$.readTag_id') END AS readTag_id,
+           CAST(CASE WHEN json_valid(value)
+                     THEN json_extract_string(value, '$.readValue') END
+                AS DOUBLE) AS readValue
     FROM a1
     """,
 )
@@ -116,9 +124,12 @@ def q_proj_json_extract_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "proj_json_extract_single",
+    # json_valid guard: see proj_json_extract_pair.
     f"""
     WITH a1 AS ({_A1_SQL})
-    SELECT json_extract_string(value, '$.readTag_id') AS line FROM a1
+    SELECT CASE WHEN json_valid(value)
+                THEN json_extract_string(value, '$.readTag_id') END AS line
+    FROM a1
     """,
 )
 def q_proj_json_extract_single(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -242,8 +253,30 @@ _WRAP_CELL = (
 # KEY still nulls the whole record through the un-coalesced head
 # (round-9 zero-variance sweep; the batch sink_kafka_json keeps its
 # concat-propagates-NULL form and its own oracle).
+#
+# Spark's to_json (Jackson) additionally ESCAPES JSON metacharacters
+# inside string values, while a raw splice would diverge on a key
+# containing '"' or '\' (ADVICE r9). Mirror Jackson's escapes here:
+# backslash FIRST, then quote, then the five named control escapes
+# Jackson emits (\b \t \n \f \r). Control characters outside that set
+# (Jackson renders \u00XX) remain a documented key-charset
+# precondition — same contract class as stream_dedup's; no generated
+# or fixture key mints them. chr() keeps the SQL free of Python/SQL
+# backslash-escape ambiguity. replace(NULL,..) stays NULL, so the
+# un-coalesced head still nulls the whole record for a NULL key.
+_JSON_ESC_KEY = (
+    "replace(replace(replace(replace(replace(replace(replace("
+    "readTag_id,"
+    " chr(92), chr(92)||chr(92)),"
+    " chr(34), chr(92)||chr(34)),"
+    " chr(8), chr(92)||'b'),"
+    " chr(9), chr(92)||'t'),"
+    " chr(10), chr(92)||'n'),"
+    " chr(12), chr(92)||'f'),"
+    " chr(13), chr(92)||'r')"
+)
 _KAFKA_VALUE_DROPPING = (
-    """'{"readTag_id":"' || readTag_id || '"' || """
+    f""" '{{"readTag_id":"' || {_JSON_ESC_KEY} || '"' || """
     + " || ".join(
         f"""COALESCE(',"{c}":' || {_WRAP_CELL.format(c=c)}, '')"""
         for c in ("summer", "counter", "sumsqr", "bestmin", "bestmax", "mean", "var")

@@ -1050,24 +1050,21 @@ def stream_kafka_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     events = events_file_stream(spark, os.path.join(sf_dir, "events.parquet"))
     # A1-shaped record synthesis in-stream (fixture stand-in for the
-    # Kafka value bytes; mirrors registry._a1_records). A missing
-    # measurement renders `"readValue": null` — a bare NULL-propagating
-    # concat would NULL the whole doc and silently move the row into
-    # the anonymous-tag bucket (round-8 NaN/Inf sweep: 6 groups vs the
-    # oracle's 5); the tag must survive a missing value.
-    doc = F.concat(
-        F.lit('{"readTag_id": "'),
-        F.col("event_type"),
-        F.lit('", "readValue": '),
-        F.coalesce(
-            F.concat(
-                F.lit('"'),
-                F.col("value").cast("decimal(14,2)").cast("string"),
-                F.lit('"'),
-            ),
-            F.lit("null"),
-        ),
-        F.lit("}"),
+    # Kafka value bytes). Synthesized with to_json(struct(...)) — the
+    # same serialization a real JSON producer performs — NOT a raw
+    # concat: a concat-built doc goes malformed the moment a tag
+    # contains '"', '\' or a control char, and from_json then silently
+    # moves every such row into the anonymous-tag bucket (round-10
+    # groupkey sweep: 6 groups vs the oracle's 8). to_json escapes, so
+    # the tag round-trips byte-exactly through from_json for ANY key.
+    # A missing measurement drops the readValue field (ignoreNullFields
+    # default), which from_json reads back as NULL — the tag survives
+    # a missing value (round-8 NaN/Inf sweep).
+    doc = F.to_json(
+        F.struct(
+            F.col("event_type").alias("readTag_id"),
+            F.col("value").cast("decimal(14,2)").cast("string").alias("readValue"),
+        )
     )
     schema = "readTag_id string, readValue string"
     parsed = events.select(F.from_json(doc, schema).alias("j")).select(

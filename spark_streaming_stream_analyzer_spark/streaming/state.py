@@ -603,10 +603,15 @@ def _sessionize_update(
 
     # persist the (possibly new) open session; carry a NULL tail type
     # as NULL — str() on it minted the literal 'None' (same class as
-    # the round-8 _trans_update fix; ADVICE r8).
+    # the round-8 _trans_update fix; ADVICE r8). pd.isna, not manual
+    # None/NaN checks: under Arrow-backed/nullable dtypes the missing
+    # value arrives as pd.NA, which is neither None nor NaN and for
+    # which even `x != x` is pd.NA rather than True (ADVICE r9). The
+    # isinstance(str) guard keeps pd.isna scalar — event_type is a
+    # string column, so every non-string cell is exactly the NA family.
     last_row = batch.iloc[-1]
     tail_type = last_row["event_type"]
-    if tail_type is None or (isinstance(tail_type, float) and tail_type != tail_type):
+    if not isinstance(tail_type, str) and pd.isna(tail_type):
         tail_type = None
     final = out[-1]
     state.update(

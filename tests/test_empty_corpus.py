@@ -383,6 +383,11 @@ GROUP_KEY_PARITY = [
     "stream_file_sink",        # same encoding on the streaming writer
     "agg_running_stats",       # '' and ' ' are ordinary group keys
     "agg_batch_wordcount",     # tokenizer vs whitespace-keyed text
+    # round-10 JSON-metacharacter keys ('"' / '\') — ADVICE r9:
+    "stream_kafka_pipeline",   # to_json escapes; oracle mirrors (_JSON_ESC_KEY)
+    "sink_kafka_json",         # raw splice BOTH sides -> identical bytes
+    "proj_json_extract_pair",  # malformed a1 -> NULL both (json_valid guard)
+    "proj_json_extract_single",
 ]
 
 
@@ -396,6 +401,16 @@ def group_key_dir(tmp_path_factory) -> str:
         " WHEN event_id % 23 = 0 THEN 'click '"
         " WHEN event_id % 29 = 0 THEN 'café'"
         " WHEN event_id % 31 = 0 THEN 'café'"
+        # JSON metacharacters (round 10, ADVICE r9): to_json must
+        # escape them, the raw-splice oracles must mirror or go NULL
+        # in lockstep, and CSV/hive writers must roundtrip them. Raw
+        # CONTROL CHARS stay out of THIS fixture: Spark's
+        # get_json_object salvages an unescaped tab inside a string
+        # where DuckDB's json_valid rejects the doc, so the a1 ops
+        # would diverge by engine permissiveness — that contract is
+        # pinned separately (JSONKEY_CTL below).
+        " WHEN event_id % 37 = 0 THEN 'he said \"hi\"'"
+        " WHEN event_id % 41 = 0 THEN 'back\\slash'"
         " ELSE event_type END AS event_type, value, props",
         "documents": "doc_id, text, CASE WHEN doc_id % 7 = 0 THEN ''"
         " WHEN doc_id % 11 = 0 THEN ' ' ELSE lang END AS lang,"
@@ -406,6 +421,39 @@ def group_key_dir(tmp_path_factory) -> str:
 @pytest.mark.parametrize("name", GROUP_KEY_PARITY)
 def test_group_key_corpus_parity(spark, group_key_dir, name):
     _assert_parity(spark, group_key_dir, name, "adversarial group keys")
+
+
+#: CONTROL-CHAR group keys (tab / newline / backspace). Pinned apart
+#: from the groupkey fixture because the a1 JSON-synthesis ops
+#: (proj_json_extract_*) hit a genuine ENGINE-PERMISSIVENESS split on
+#: raw control chars inside a JSON string: Spark's get_json_object
+#: salvages them (Jackson ALLOW_UNESCAPED_CONTROL_CHARS) while
+#: DuckDB's json_valid rejects the doc — so those two ops carry a
+#: documented no-raw-control-chars key precondition instead of a
+#: parity claim. Every ESCAPING or raw-splice-both-sides surface must
+#: still agree: to_json renders \t \n \b and _JSON_ESC_KEY mirrors.
+JSONKEY_CTL_PARITY = [
+    "stream_kafka_pipeline",   # to_json named escapes vs oracle mirror
+    "sink_kafka_json",         # raw splice both sides
+    "proj_wrap_array",         # key is a bare column
+    "agg_running_stats",       # ordinary byte-compared group keys
+]
+
+
+@pytest.fixture(scope="module")
+def jsonkey_ctl_dir(tmp_path_factory) -> str:
+    return _build_fixture(tmp_path_factory, "sf_jsonkeyctl", {
+        "events": "event_id, ts, user_id, CASE"
+        " WHEN event_id % 13 = 0 THEN 'tab' || chr(9) || 'key'"
+        " WHEN event_id % 17 = 0 THEN 'nl' || chr(10) || 'key'"
+        " WHEN event_id % 19 = 0 THEN 'bs' || chr(8) || 'key'"
+        " ELSE event_type END AS event_type, value, props",
+    })
+
+
+@pytest.mark.parametrize("name", JSONKEY_CTL_PARITY)
+def test_jsonkey_ctl_parity(spark, jsonkey_ctl_dir, name):
+    _assert_parity(spark, jsonkey_ctl_dir, name, "control-char group keys")
 
 
 #: fixed queries that must agree with their oracle when groups have
