@@ -45,6 +45,7 @@ FIXTURES = [
     ("ADVFLOAT", T.adv_float_dir),
     ("GROUPKEY", T.group_key_dir),
     ("ZEROVAR", T.zero_var_dir),
+    ("CAPGROUP", T.cap_group_dir),  # round 10: 2e6-row all-cap group
 ]
 
 

@@ -65,10 +65,10 @@ def wrap_stats_array_joined(stats_df: DataFrame) -> DataFrame:
     fixed-scale comma-joined string. External comparators canonicalize
     outputs through a pandas sort where array cells are unhashable, so
     the registered query emits the array's deterministic string form
-    (DECIMAL(18,4) per element — identical text in Spark and DuckDB);
+    (DECIMAL(38,4) per element — identical text in Spark and DuckDB);
     ``wrap_stats_array`` stays as the array-typed internal helper."""
     cells = F.array(
-        *[F.col(c).cast("decimal(18,4)").cast("string") for c in STAT_COLS]
+        *[F.col(c).cast("decimal(38,4)").cast("string") for c in STAT_COLS]
     )
     return stats_df.select(
         "readTag_id",
@@ -87,13 +87,13 @@ def stats_to_kafka_record(stats_df: DataFrame) -> DataFrame:
     pair, value = JSON string of the POJO fields.
 
     Number formatting differs between JSON writers, so the JSON is
-    assembled from DECIMAL(18,4)-rendered fields — deterministic
+    assembled from DECIMAL(38,4)-rendered fields — deterministic
     fixed-scale text identical in Spark and DuckDB. (The streaming path
     in ``streaming/pipelines.py`` uses idiomatic ``to_json(struct(...))``
     — this batch form exists to be oracle-checkable byte-for-byte.)
     """
     def dec(c: str) -> F.Column:
-        return F.col(c).cast("decimal(18,4)").cast("string")
+        return F.col(c).cast("decimal(38,4)").cast("string")
 
     value = F.concat(
         F.lit('{"readTag_id":"'), F.col("readTag_id"),

@@ -1111,8 +1111,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q6_SQL = """
-SELECT CAST(SUM(CAST(round(l_extendedprice*100) AS DECIMAL(18,0))
-           * CAST(round(l_discount*100) AS DECIMAL(18,0))) AS DOUBLE) / 10000.0 AS revenue,
+SELECT CAST(CAST(SUM(CAST(round(l_extendedprice*100) AS DECIMAL(18,0))
+           * CAST(round(l_discount*100) AS DECIMAL(18,0))) AS VARCHAR) AS DOUBLE) / 10000.0 AS revenue,
        COUNT(*) AS n_lines
 FROM lineitem
 WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
@@ -1298,8 +1298,14 @@ flagged AS (
 ),
 sessions AS (
   SELECT user_id, us,
+         -- RANGE, not ROWS: with TIED timestamps the ROWS frame's
+         -- arbitrary tie order is independent of lag()'s, so tied
+         -- rows ordered before the flagged first-of-island row fell
+         -- into a phantom session (round-10 cap-group sweep, ~23
+         -- same-second events per user). RANGE makes peer rows share
+         -- the frame: every tied row sees the same island id.
          SUM(new_session) OVER (PARTITION BY user_id ORDER BY us
-                                ROWS UNBOUNDED PRECEDING) AS sid
+                                RANGE UNBOUNDED PRECEDING) AS sid
   FROM flagged
 )
 SELECT user_id,

@@ -76,21 +76,28 @@ def running_stats(df: DataFrame, key: str, value: str) -> DataFrame:
 def stats_oracle_sql(table: str, key: str, value: str) -> str:
     """DuckDB mirror of :func:`running_stats` — textually kept in
     lock-step with ``stat_aggs`` (same integer-cents arithmetic, same
-    final float op order → bit-equal doubles)."""
+    final float op order → bit-equal doubles). Integer-sum → DOUBLE
+    conversions route through VARCHAR: DuckDB's HUGEINT→DOUBLE cast is
+    off by 1 ulp above 2^64 while Spark's decimal cast (and strtod)
+    are correctly rounded — the squared-cents sum crosses 2^64 at
+    ~2e6 ordinary-magnitude rows per group (round-10 cap-group sweep
+    caught agg_running_stats there; same primitive as NOTES_r9 §3)."""
     c = f"CAST(round({value}*100) AS BIGINT)"
     cd = f"CAST(round({value}*100) AS DECIMAL(18,0))"
+    sd = f"CAST(CAST(SUM({c}) AS VARCHAR) AS DOUBLE)"
+    ssqd = f"CAST(CAST(SUM({cd} * {cd}) AS VARCHAR) AS DOUBLE)"
     return f"""
 SELECT
   CAST({key} AS VARCHAR) AS readTag_id,
-  CAST(SUM({c}) AS DOUBLE) / 100.0 AS summer,
+  {sd} / 100.0 AS summer,
   CAST(COUNT({value}) AS DOUBLE) AS counter,
-  CAST(SUM({cd} * {cd}) AS DOUBLE) / 10000.0 AS sumsqr,
+  {ssqd} / 10000.0 AS sumsqr,
   MIN({value}) AS bestmin,
   MAX({value}) AS bestmax,
-  (CAST(SUM({c}) AS DOUBLE) / 100.0) / CAST(COUNT({value}) AS DOUBLE) AS mean,
+  ({sd} / 100.0) / CAST(COUNT({value}) AS DOUBLE) AS mean,
   CASE WHEN COUNT({value}) > 1 THEN
-    (CAST(SUM({cd} * {cd}) AS DOUBLE) / 10000.0
-      - (CAST(SUM({c}) AS DOUBLE) / 100.0) * (CAST(SUM({c}) AS DOUBLE) / 100.0)
+    ({ssqd} / 10000.0
+      - ({sd} / 100.0) * ({sd} / 100.0)
         / CAST(COUNT({value}) AS DOUBLE))
     / CAST(COUNT({value}) - 1 AS DOUBLE)
   ELSE 0.0 END AS var
@@ -131,8 +138,9 @@ def welford_stats(df: DataFrame, key: str, value: str) -> DataFrame:
 def welford_oracle_sql(table: str, key: str, value: str) -> str:
     c = f"CAST(round({value}*100) AS BIGINT)"
     cd = f"CAST(round({value}*100) AS DECIMAL(18,0))"
-    s = f"(CAST(SUM({c}) AS DOUBLE) / 100.0)"
-    ssq = f"(CAST(SUM({cd} * {cd}) AS DOUBLE) / 10000.0)"
+    # VARCHAR hop: see stats_oracle_sql (1-ulp HUGEINT→DOUBLE above 2^64)
+    s = f"(CAST(CAST(SUM({c}) AS VARCHAR) AS DOUBLE) / 100.0)"
+    ssq = f"(CAST(CAST(SUM({cd} * {cd}) AS VARCHAR) AS DOUBLE) / 10000.0)"
     n = f"CAST(COUNT({value}) AS DOUBLE)"
     m2 = f"({ssq} - {s} * {s} / {n})"
     return f"""
@@ -205,14 +213,24 @@ def higher_moments(df: DataFrame, key: str, value: str) -> DataFrame:
         N4 = n³·S4 − 4n²·S1·S3 + 6n·S1²·S2 − 3·S1⁴  (cents⁴, double)
 
     The power sums S1..S4 and N2 are exact integers (DECIMAL(38,0) /
-    DuckDB HUGEINT). Envelope: S4 <= n·cents⁴, so a group where EVERY
-    row sits at the EVENT_VALUE_ABS_MAX cap (cents⁴ = 1e32) stays
-    under 1.7e38 only to ~1.7e6 rows — an all-cap group bigger than
-    that still overflows both engines (residual, documented; no exact
-    type goes wider). At the REAL measurement scale (values <= ~560,
-    cents⁴ ~ 1e19) the same bound allows ~1e19-row groups, i.e. no
-    practical limit. S1² <= (n·cents)² holds to 1e9-row groups even
-    at the cap. The
+    DuckDB HUGEINT). S4 is the widest: a single DECIMAL(38,0) sum of
+    cents⁴ (1e32/row at the EVENT_VALUE_ABS_MAX cap) overflowed at
+    ~1.7e6 rows per all-cap group — demonstrated live by the round-10
+    cap-group probe (2e6-row group at |value| = 1e6: Spark ANSI
+    ARITHMETIC_OVERFLOW, DuckDB HUGEINT out-of-range). So S4 is summed
+    as THREE exactly-representable limbs: cents² <= 1e16 fits a long;
+    write c2 = a·1e8 + b (a = c2 div 1e8, b = c2 mod 1e8, both
+    nonnegative, so Spark's ``div`` and DuckDB's ``//`` agree), then
+    cents⁴ = c2² = a²·1e16 + 2ab·1e8 + b², with every per-row limb
+    <= 2e16 (long-safe) and each limb sum exact in DECIMAL(38,0) /
+    HUGEINT to ~1e22 rows. S4 is reconstructed only inside the DOUBLE
+    N4 combination as (hi·1e16 + mid·1e8) + lo — the identical
+    left-associated expression in both engines over identical exact
+    integers. New envelope at the cap: the binding constraint is now
+    S1² <= (n·1e8)² inside DECIMAL(38,0), i.e. ~4e11 rows per ALL-CAP
+    group (5 orders above the old bound, adversarial-only at 100 TB);
+    S3 (1e24/row at cap) holds to ~1.7e14 rows. At the REAL
+    measurement scale (values <= ~560) no practical limit. The
     N3/N4 COMBINATIONS, however, carry intermediate terms that grow as
     n⁴·mean⁴ even when the central moment itself is tiny — the round-9
     adversarial-float sweep overflowed 3·S1⁴ at 9.9e39 with a 200-row
@@ -231,13 +249,32 @@ def higher_moments(df: DataFrame, key: str, value: str) -> DataFrame:
     parity) degrades, the standard power-sum tradeoff. The cents scale cancels in the
     normalized shapes: skewness = N3/√(N2³), excess kurtosis =
     N4/N2² − 3."""
-    c = cents_dec(F.col(value))
-    agg = df.groupBy(F.col(key).cast("string").alias("readTag_id")).agg(
+    # long-cents projection: |cents| <= 1e8 under the magnitude clause,
+    # so c2 = cents² <= 1e16 fits a long exactly; a/b are the S4 limb
+    # bases (see docstring). Chained selects so each derived column is
+    # referenceable by name — keeps the limb arithmetic JVM-side and
+    # inside whole-stage codegen.
+    cl = F.round(F.col(value) * F.lit(100.0), 0).cast("long")
+    p = (
+        df.select(F.col(key).cast("string").alias("readTag_id"), cl.alias("cl"))
+        .select("readTag_id", "cl", (F.col("cl") * F.col("cl")).alias("c2"))
+        .select(
+            "readTag_id", "cl", "c2",
+            F.expr("c2 div 100000000").alias("a"),
+            (F.col("c2") % F.lit(100000000)).alias("b"),
+        )
+    )
+    cl_dec = F.col("cl").cast("decimal(18,0)")
+    c2_dec = F.col("c2").cast("decimal(18,0)")
+    agg = p.groupBy("readTag_id").agg(
         F.count("*").alias("n"),
-        F.sum(c).alias("s1"),
-        F.sum((c * c).cast("decimal(38,0)")).alias("s2"),
-        F.sum((c * c * c).cast("decimal(38,0)")).alias("s3"),
-        F.sum((c * c * c * c).cast("decimal(38,0)")).alias("s4"),
+        F.sum(F.col("cl").cast("decimal(38,0)")).alias("s1"),
+        F.sum(F.col("c2").cast("decimal(38,0)")).alias("s2"),
+        # c3 = cl·c2 <= 1e24 needs decimal per-row (long would overflow)
+        F.sum((cl_dec * c2_dec).cast("decimal(38,0)")).alias("s3"),
+        F.sum((F.col("a") * F.col("a")).cast("decimal(38,0)")).alias("s4a"),
+        F.sum((F.lit(2) * F.col("a") * F.col("b")).cast("decimal(38,0)")).alias("s4ab"),
+        F.sum((F.col("b") * F.col("b")).cast("decimal(38,0)")).alias("s4b"),
     )
     d38 = lambda col: col.cast("decimal(38,0)")  # noqa: E731
     n_i = d38(F.col("n"))
@@ -246,8 +283,15 @@ def higher_moments(df: DataFrame, key: str, value: str) -> DataFrame:
     # doubles for the N3/N4 combination — textually mirrored in
     # higher_moments_sql (same left-assoc order, same literals)
     nd = F.col("n").cast("double")
-    s1d0, s2d0, s3d0, s4d0 = (
-        F.col(x).cast("double") for x in ("s1", "s2", "s3", "s4")
+    s1d0, s2d0, s3d0 = (F.col(x).cast("double") for x in ("s1", "s2", "s3"))
+    # S4 reconstructed from its exact limb sums, left-associated:
+    # ((hi·1e16) + (mid·1e8)) + lo — textually mirrored in
+    # higher_moments_sql so both engines run the identical double
+    # expression over identical exact integers.
+    s4d0 = (
+        F.col("s4a").cast("double") * F.lit(1e16)
+        + F.col("s4ab").cast("double") * F.lit(1e8)
+        + F.col("s4b").cast("double")
     )
     N3 = (
         nd * nd * s3d0
@@ -275,15 +319,29 @@ def higher_moments(df: DataFrame, key: str, value: str) -> DataFrame:
 
 
 def higher_moments_sql(table: str, key: str, value: str) -> str:
-    cd = f"CAST(round({value}*100) AS DECIMAL(38,0))"
     return f"""
-WITH sums AS (
-  SELECT CAST({key} AS VARCHAR) AS readTag_id, COUNT(*) AS n,
-         CAST(SUM({cd}) AS HUGEINT) AS s1,
-         CAST(SUM(CAST({cd}*{cd} AS DECIMAL(38,0))) AS HUGEINT) AS s2,
-         CAST(SUM(CAST({cd}*{cd}*{cd} AS DECIMAL(38,0))) AS HUGEINT) AS s3,
-         CAST(SUM(CAST({cd}*{cd}*{cd}*{cd} AS DECIMAL(38,0))) AS HUGEINT) AS s4
-  FROM {table} GROUP BY 1
+WITH cents AS (
+  -- long cents + S4 limb bases: c2 = cents² <= 1e16 (BIGINT-safe under
+  -- the magnitude clause), a = c2 div 1e8, b = c2 mod 1e8 — cents⁴ then
+  -- sums as three exact limbs (a², 2ab, b², each <= 2e16/row) instead
+  -- of one 1e32/row term that overflowed HUGEINT at ~1.7e6 all-cap
+  -- rows (round-10 cap-group probe; mirrors operators/stats.py)
+  SELECT CAST({key} AS VARCHAR) AS readTag_id,
+         CAST(round({value}*100) AS BIGINT) AS cl,
+         CAST(round({value}*100) AS BIGINT) * CAST(round({value}*100) AS BIGINT) AS c2
+  FROM {table}
+), limbs AS (
+  SELECT readTag_id, cl, c2, c2 // 100000000 AS a, c2 % 100000000 AS b
+  FROM cents
+), sums AS (
+  SELECT readTag_id, COUNT(*) AS n,
+         CAST(SUM(CAST(cl AS HUGEINT)) AS HUGEINT) AS s1,
+         CAST(SUM(CAST(c2 AS HUGEINT)) AS HUGEINT) AS s2,
+         CAST(SUM(CAST(cl AS HUGEINT) * CAST(c2 AS HUGEINT)) AS HUGEINT) AS s3,
+         CAST(SUM(CAST(a*a AS HUGEINT)) AS HUGEINT) AS s4a,
+         CAST(SUM(CAST(2*a*b AS HUGEINT)) AS HUGEINT) AS s4ab,
+         CAST(SUM(CAST(b*b AS HUGEINT)) AS HUGEINT) AS s4b
+  FROM limbs GROUP BY 1
 ), central AS (
   -- N2 exact in HUGEINT; N3/N4 combined in DOUBLE over the exact
   -- integer sums, textually mirroring higher_moments (the earlier
@@ -294,7 +352,7 @@ WITH sums AS (
          CAST(CAST(n AS VARCHAR) AS DOUBLE)*CAST(CAST(n AS VARCHAR) AS DOUBLE)*CAST(CAST(s3 AS VARCHAR) AS DOUBLE)
            - 3.0*CAST(CAST(n AS VARCHAR) AS DOUBLE)*CAST(CAST(s1 AS VARCHAR) AS DOUBLE)*CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
            + 2.0*CAST(CAST(s1 AS VARCHAR) AS DOUBLE)*CAST(CAST(s1 AS VARCHAR) AS DOUBLE)*CAST(CAST(s1 AS VARCHAR) AS DOUBLE) AS N3,
-         CAST(CAST(n AS VARCHAR) AS DOUBLE)*CAST(CAST(n AS VARCHAR) AS DOUBLE)*CAST(CAST(n AS VARCHAR) AS DOUBLE)*CAST(CAST(s4 AS VARCHAR) AS DOUBLE)
+         CAST(CAST(n AS VARCHAR) AS DOUBLE)*CAST(CAST(n AS VARCHAR) AS DOUBLE)*CAST(CAST(n AS VARCHAR) AS DOUBLE)*(CAST(CAST(s4a AS VARCHAR) AS DOUBLE)*1e16 + CAST(CAST(s4ab AS VARCHAR) AS DOUBLE)*1e8 + CAST(CAST(s4b AS VARCHAR) AS DOUBLE))
            - 4.0*CAST(CAST(n AS VARCHAR) AS DOUBLE)*CAST(CAST(n AS VARCHAR) AS DOUBLE)*CAST(CAST(s1 AS VARCHAR) AS DOUBLE)*CAST(CAST(s3 AS VARCHAR) AS DOUBLE)
            + 6.0*CAST(CAST(n AS VARCHAR) AS DOUBLE)*CAST(CAST(s1 AS VARCHAR) AS DOUBLE)*CAST(CAST(s1 AS VARCHAR) AS DOUBLE)*CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
            - 3.0*CAST(CAST(s1 AS VARCHAR) AS DOUBLE)*CAST(CAST(s1 AS VARCHAR) AS DOUBLE)*CAST(CAST(s1 AS VARCHAR) AS DOUBLE)*CAST(CAST(s1 AS VARCHAR) AS DOUBLE) AS N4

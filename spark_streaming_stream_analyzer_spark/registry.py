@@ -227,7 +227,7 @@ def q_agg_running_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STATS_BY_TYPE_CTE = stats.stats_oracle_sql("events", "event_type", "value")
 
 
-# DOUBLE -> VARCHAR -> DECIMAL(18,4): the VARCHAR hop pins DuckDB to
+# DOUBLE -> VARCHAR -> DECIMAL(38,4): the VARCHAR hop pins DuckDB to
 # the shortest-roundtrip decimal spelling before fixed-scale rounding,
 # which is the path Spark's double->decimal cast takes (Scala
 # BigDecimal(d) goes through Double.toString). A direct DOUBLE->DECIMAL
@@ -242,8 +242,8 @@ _STATS_BY_TYPE_CTE = stats.stats_oracle_sql("events", "event_type", "value")
 # [5e-05, 1e-4) away-from-zero coincides with HALF_UP, so the guard
 # makes the render correct for every double. Identity at real sf.
 _WRAP_CELL = (
-    "CAST(CASE WHEN abs({c}) < 5e-05 THEN CAST(0 AS DECIMAL(18,4))"
-    " ELSE CAST(CAST({c} AS VARCHAR) AS DECIMAL(18,4)) END AS VARCHAR)"
+    "CAST(CASE WHEN abs({c}) < 5e-05 THEN CAST(0 AS DECIMAL(38,4))"
+    " ELSE CAST(CAST({c} AS VARCHAR) AS DECIMAL(38,4)) END AS VARCHAR)"
 )
 # field-DROPPING JSON value for the streaming pipeline's oracle:
 # Spark's to_json omits null struct fields entirely, so a key whose
@@ -318,13 +318,13 @@ def q_proj_wrap_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS ({_STATS_BY_TYPE_CTE})
     SELECT readTag_id AS key,
            '{{"readTag_id":"' || readTag_id
-             || '","summer":'  || CAST(CASE WHEN abs(summer) < 5e-05 THEN CAST(0 AS DECIMAL(18,4)) ELSE CAST(CAST(summer AS VARCHAR) AS DECIMAL(18,4)) END AS VARCHAR)
-             || ',"counter":'  || CAST(CASE WHEN abs(counter) < 5e-05 THEN CAST(0 AS DECIMAL(18,4)) ELSE CAST(CAST(counter AS VARCHAR) AS DECIMAL(18,4)) END AS VARCHAR)
-             || ',"sumsqr":'   || CAST(CASE WHEN abs(sumsqr) < 5e-05 THEN CAST(0 AS DECIMAL(18,4)) ELSE CAST(CAST(sumsqr AS VARCHAR) AS DECIMAL(18,4)) END AS VARCHAR)
-             || ',"bestmin":'  || CAST(CASE WHEN abs(bestmin) < 5e-05 THEN CAST(0 AS DECIMAL(18,4)) ELSE CAST(CAST(bestmin AS VARCHAR) AS DECIMAL(18,4)) END AS VARCHAR)
-             || ',"bestmax":'  || CAST(CASE WHEN abs(bestmax) < 5e-05 THEN CAST(0 AS DECIMAL(18,4)) ELSE CAST(CAST(bestmax AS VARCHAR) AS DECIMAL(18,4)) END AS VARCHAR)
-             || ',"mean":'     || CAST(CASE WHEN abs(mean) < 5e-05 THEN CAST(0 AS DECIMAL(18,4)) ELSE CAST(CAST(mean AS VARCHAR) AS DECIMAL(18,4)) END AS VARCHAR)
-             || ',"var":'      || CAST(CASE WHEN abs(var) < 5e-05 THEN CAST(0 AS DECIMAL(18,4)) ELSE CAST(CAST(var AS VARCHAR) AS DECIMAL(18,4)) END AS VARCHAR)
+             || '","summer":'  || CAST(CASE WHEN abs(summer) < 5e-05 THEN CAST(0 AS DECIMAL(38,4)) ELSE CAST(CAST(summer AS VARCHAR) AS DECIMAL(38,4)) END AS VARCHAR)
+             || ',"counter":'  || CAST(CASE WHEN abs(counter) < 5e-05 THEN CAST(0 AS DECIMAL(38,4)) ELSE CAST(CAST(counter AS VARCHAR) AS DECIMAL(38,4)) END AS VARCHAR)
+             || ',"sumsqr":'   || CAST(CASE WHEN abs(sumsqr) < 5e-05 THEN CAST(0 AS DECIMAL(38,4)) ELSE CAST(CAST(sumsqr AS VARCHAR) AS DECIMAL(38,4)) END AS VARCHAR)
+             || ',"bestmin":'  || CAST(CASE WHEN abs(bestmin) < 5e-05 THEN CAST(0 AS DECIMAL(38,4)) ELSE CAST(CAST(bestmin AS VARCHAR) AS DECIMAL(38,4)) END AS VARCHAR)
+             || ',"bestmax":'  || CAST(CASE WHEN abs(bestmax) < 5e-05 THEN CAST(0 AS DECIMAL(38,4)) ELSE CAST(CAST(bestmax AS VARCHAR) AS DECIMAL(38,4)) END AS VARCHAR)
+             || ',"mean":'     || CAST(CASE WHEN abs(mean) < 5e-05 THEN CAST(0 AS DECIMAL(38,4)) ELSE CAST(CAST(mean AS VARCHAR) AS DECIMAL(38,4)) END AS VARCHAR)
+             || ',"var":'      || CAST(CASE WHEN abs(var) < 5e-05 THEN CAST(0 AS DECIMAL(38,4)) ELSE CAST(CAST(var AS VARCHAR) AS DECIMAL(38,4)) END AS VARCHAR)
              || '}}' AS value
     FROM s
     """,
@@ -515,10 +515,9 @@ def q_agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(event_type AS VARCHAR) AS readTag_id,
            CASE WHEN COUNT(value) > 1 THEN
-             (CAST(SUM(CAST(round(value*100) AS DECIMAL(18,0))
-                     * CAST(round(value*100) AS DECIMAL(18,0))) AS DOUBLE) / 10000.0
-               - (CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100.0)
-                 * (CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100.0)
+             (CAST(CAST(SUM(CAST(round(value*100) AS DECIMAL(18,0)) * CAST(round(value*100) AS DECIMAL(18,0))) AS VARCHAR) AS DOUBLE) / 10000.0
+               - (CAST(CAST(SUM(CAST(round(value*100) AS BIGINT)) AS VARCHAR) AS DOUBLE) / 100.0)
+                 * (CAST(CAST(SUM(CAST(round(value*100) AS BIGINT)) AS VARCHAR) AS DOUBLE) / 100.0)
                  / CAST(COUNT(value) AS DOUBLE))
              / CAST(COUNT(value) - 1 AS DOUBLE)
            ELSE 0.0 END AS var_naive

@@ -115,12 +115,18 @@ def events_file_stream(
     if os.path.isfile(path):
         path = _stage_stream_dir(*([path] * copies))
     elif copies > 1:
-        # a directory input cannot be replicated by staging — failing
-        # loudly beats a replay-shaped test silently running 1 copy
-        raise ValueError(
-            "events_file_stream: copies > 1 requires a single-file "
-            f"path, got directory {path!r}"
-        )
+        # directory input (a pre-split multi-file fixture, e.g. the
+        # round-10 batch-boundary corpus): replay = the sorted part
+        # files streamed as one full pass per copy, preserving the
+        # fixture's intended micro-batch order within each pass
+        import glob as _glob
+
+        parts = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            raise ValueError(
+                f"events_file_stream: no parquet parts under {path!r}"
+            )
+        path = _stage_stream_dir(*(parts * copies))
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -321,7 +327,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 STREAM_STATIC_JOIN_SQL = """
 SELECT c_mktsegment, COUNT(*) AS n_events,
-       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+       CAST(CAST(SUM(CAST(round(value*100) AS BIGINT)) AS VARCHAR) AS DOUBLE)/100.0 AS sum_value
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY c_mktsegment
 """
@@ -381,8 +387,14 @@ flagged AS (
 ),
 sessions AS (
   SELECT user_id, us,
+         -- RANGE, not ROWS: with TIED timestamps the ROWS frame's
+         -- arbitrary tie order is independent of lag()'s, so tied
+         -- rows ordered before the flagged first-of-island row fell
+         -- into a phantom session (round-10 cap-group sweep, ~23
+         -- same-second events per user). RANGE makes peer rows share
+         -- the frame: every tied row sees the same island id.
          SUM(new_session) OVER (PARTITION BY user_id ORDER BY us
-                                ROWS UNBOUNDED PRECEDING) AS sid
+                                RANGE UNBOUNDED PRECEDING) AS sid
   FROM flagged
 )
 SELECT user_id,
@@ -424,7 +436,7 @@ STREAM_SLIDING_SQL = """
 SELECT CAST(date_trunc('day', ts) - to_days(CAST(k AS INT)) AS VARCHAR)
          AS win_start,
        event_type, COUNT(*) AS cnt,
-       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+       CAST(CAST(SUM(CAST(round(value*100) AS BIGINT)) AS VARCHAR) AS DOUBLE)/100.0 AS sum_value
 FROM events, range(2) t(k)
 GROUP BY 1, 2
 HAVING MIN(date_trunc('day', ts) - to_days(CAST(k AS INT))) + to_days(2)
@@ -460,7 +472,7 @@ def stream_minute_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 STREAM_MINUTE_ROLLUP_SQL = """
 SELECT epoch_us(ts) // 60000000 AS bucket,
-       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value,
+       CAST(CAST(SUM(CAST(round(value*100) AS BIGINT)) AS VARCHAR) AS DOUBLE)/100.0 AS sum_value,
        COUNT(*) AS n
 FROM events
 GROUP BY 1
@@ -607,38 +619,67 @@ def kafka_sink(
     )
 
 
+def _dedup_fingerprint():
+    """Deterministic payload fingerprint for the dedup keep rule:
+    md5 over a length-prefixed encoding of (event_type, value-cents) —
+    length prefixes make the encoding injective (no separator
+    collision), NULL encodes as a distinct 'N' token, and cents (not
+    the raw double) so -0.0/0.0 land identically. Mirrored textually
+    in STREAM_DEDUP_SQL."""
+    def enc(col):
+        return F.coalesce(
+            F.concat(
+                F.lit("S"), F.length(col).cast("string"), F.lit(":"), col
+            ),
+            F.lit("N"),
+        )
+
+    cents_s = F.round(F.col("value") * F.lit(100.0), 0).cast("long").cast("string")
+    return F.md5(
+        F.encode(
+            F.concat(enc(F.col("event_type")), F.lit("|"), enc(cents_s)),
+            "UTF-8",
+        )
+    )
+
+
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming exact deduplication: the fixture is staged TWICE (two
-    micro-batches, every event_id seen in both), and stateful
-    ``dropDuplicates`` on the key emits each event exactly once — the
-    state store remembers seen keys across batches. Per-type counts of
-    the deduplicated stream therefore equal the plain batch counts.
+    """Streaming exact deduplication with a DETERMINISTIC keep rule:
+    the fixture is staged TWICE (two micro-batches, every event_id
+    seen in both) and per key the survivor is the row with the
+    MINIMUM (event-time, payload-fingerprint) — "first arrival wins,
+    fingerprint breaks same-instant ties". A (ts, fp) tie implies an
+    identical (event_type, cents) payload, so the choice among tied
+    rows cannot change any downstream value. Unlike ``dropDuplicates``
+    (arbitrary keep), this parity is UNCONDITIONAL: it holds even when
+    the same event_id lands with CONFLICTING payloads (round-10
+    dup-conflict pin), so no events_pk_unique precondition is needed.
 
-    At scale the unbounded seen-keys state is the real design decision:
-    bound it with ``dropDuplicatesWithinWatermark`` (keys evicted once
-    the watermark passes) — same operator, one extra clause — or dedup
-    within event-time windows. The unbounded form here matches the
-    oracle exactly.
-
-    **Parity precondition** (ADVICE r8): ``dropDuplicates`` keys on
-    ``event_id`` and keeps an ARBITRARY row per key, while the oracle's
-    ``SELECT DISTINCT event_id, event_type, value`` keeps full rows —
-    they agree exactly when replays are FULL-ROW duplicates, i.e. when
-    each event_id maps to one payload. That is the at-least-once
-    replay contract (NOTES r8 §3, dup-rows sweep); a same-key-
-    DIFFERENT-payload landing violates the events primary key and is
-    surfaced upstream by the ``dq_constraint_audit`` query's
-    ``events_pk_unique`` row — run that gate first, as with the
-    doc-keyed tier. No deterministic SQL oracle can reproduce an
-    arbitrary-row keep, so the precondition is the contract.
+    Mechanics: stateful ``groupBy(event_id).agg(min_by(payload,
+    (ts, fp)))`` — the same O(keys) state ``dropDuplicates`` keeps,
+    plus the kept payload. The harness reads the final state via
+    complete mode into memory; a production deployment runs update
+    mode into an idempotent upsert sink so each micro-batch ships only
+    changed keys. At scale, bound the state with event-time windowing
+    or ``dropDuplicatesWithinWatermark`` (see
+    ``stream_dedup_watermark``, which keeps the documented
+    full-row-replay precondition that bounded arbitrary-keep implies).
     """
     stream = events_file_stream(
         spark, os.path.join(sf_dir, "events.parquet"), copies=2
     )
-    deduped = stream.select("event_id", "event_type", "value").dropDuplicates(
-        ["event_id"]
+    keyed = stream.select(
+        "event_id",
+        F.struct("event_type", "value").alias("payload"),
+        F.struct(
+            ts_micros(stream).alias("t"), _dedup_fingerprint().alias("f")
+        ).alias("rank"),
     )
-    mem = _run_to_memory(deduped, output_mode="append")
+    kept = keyed.groupBy("event_id").agg(F.min_by("payload", "rank").alias("p"))
+    mem = _run_to_memory(
+        kept.select("event_id", "p.event_type", "p.value"),
+        output_mode="complete",
+    )
     return mem.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
@@ -646,19 +687,31 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STREAM_DEDUP_SQL = """
-WITH exactly_once AS (
-  -- the op's whole point: an at-least-once landing table (replayed
-  -- rows are full-row duplicates) served with exactly-once counts.
-  -- The previous bare GROUP BY assumed the fixture had unique
-  -- event_ids and double-counted replays (round-8 dup-rows sweep).
-  -- Parity with the Spark side's key-based dropDuplicates is
-  -- CONDITIONAL on event_id being a true key (events_pk_unique in
-  -- dq_constraint_audit) — see stream_dedup's docstring.
-  SELECT DISTINCT event_id, event_type, value FROM events
+WITH ranked AS (
+  -- exactly-once serving of an at-least-once landing table, with the
+  -- kernel's deterministic keep rule mirrored: per event_id the
+  -- survivor is the min (event-time, payload-fingerprint) row. The
+  -- fingerprint is md5 over a length-prefixed (event_type, cents)
+  -- encoding — injective, NULL -> 'N' (pipelines._dedup_fingerprint).
+  -- Among (ts, fp) ties ROW_NUMBER picks arbitrarily, which is safe:
+  -- tied rows carry identical (event_type, cents).
+  SELECT event_id, event_type, value,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_id
+           ORDER BY epoch_us(ts),
+                    md5(
+                      COALESCE('S' || CAST(length(event_type) AS VARCHAR)
+                                 || ':' || event_type, 'N')
+                      || '|' ||
+                      COALESCE('S' || CAST(length(CAST(CAST(round(value*100) AS BIGINT) AS VARCHAR)) AS VARCHAR)
+                                 || ':' || CAST(CAST(round(value*100) AS BIGINT) AS VARCHAR), 'N')
+                    )
+         ) AS rn
+  FROM events
 )
 SELECT event_type, COUNT(*) AS n_events,
        CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
-FROM exactly_once GROUP BY event_type
+FROM ranked WHERE rn = 1 GROUP BY event_type
 """
 
 
@@ -1043,7 +1096,7 @@ def stream_kafka_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     result record (#8) keyed by tag id — the exact (key, value) shape
     the reference produces to Kafka, minus its B1/B2/B4 bugs.
 
-    Byte-exact oracle: result numbers are serialized as DECIMAL(18,4)
+    Byte-exact oracle: result numbers are serialized as DECIMAL(38,4)
     (``to_json`` renders fixed scale), so the value string matches the
     oracle's string concatenation to the byte. Swap ``_run_to_memory``
     for ``kafka_sink`` and this is the production deployment.
@@ -1072,7 +1125,7 @@ def stream_kafka_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("j.readValue").cast("double").alias("v"),
     )
     stats = parsed.groupBy("readTag_id").agg(*stat_aggs("v"))
-    d4 = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    d4 = lambda c: F.col(c).cast("decimal(38,4)")  # noqa: E731
     # An untaggable record (NULL readTag_id — the JSON synthesis
     # propagates a NULL event_type through the whole doc) renders NO
     # value: the oracle's `||` concatenation NULLs the record string,

@@ -55,6 +55,22 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 #: long (overflow needs ~9e12 rows/key at the same magnitude).
 SUMSQ_LIMB = 10**18
 
+
+def _sumsq_exact(cents: pd.Series) -> int:
+    """Exact Σcents² over one batch as a Python int. Per-row cents²
+    (<= 1e16 under the magnitude clause) fits int64, but a pandas
+    int64 SUM does not promote — it wraps silently at 9.2e18, i.e.
+    ~920 all-cap rows in one micro-batch (round-10 cap-group sweep:
+    the limb STORAGE was exact while the per-batch fold feeding it
+    had already wrapped, 1.55e17 where 2e18 was true). Split
+    c2 = a·1e8 + b and sum the limb columns (each int64-safe to
+    ~9.2e10 rows/batch), recombining in arbitrary-precision Python
+    ints."""
+    c2 = cents * cents
+    a = c2 // 10**8
+    return int(a.sum()) * 10**8 + int((c2 - a * 10**8).sum())
+
+
 STATE_SCHEMA = (
     "sum_cents LONG, n LONG, sumsq_hi LONG, sumsq_lo LONG, "
     "bestmin DOUBLE, bestmax DOUBLE, last_delta DOUBLE"
@@ -145,7 +161,7 @@ def _update(
         prev_mean = (prev_sum_c / 100.0) / prev_n if prev_n else 0.0
         last_delta = float(vals.iloc[-1]) - prev_mean
         sum_c += int(cents.sum())
-        sumsq_c2 += int((cents * cents).sum())
+        sumsq_c2 += _sumsq_exact(cents)
         n += len(cents)
         bestmin = min(bestmin, float(vals.min()))
         bestmax = max(bestmax, float(vals.max()))
@@ -209,24 +225,21 @@ def stream_stats_exact_state(
 STREAM_STATS_EXACT_SQL = """
 SELECT
   CAST(event_type AS VARCHAR) AS readTag_id,
-  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100.0 AS summer,
+  CAST(CAST(SUM(CAST(round(value*100) AS BIGINT)) AS VARCHAR) AS DOUBLE) / 100.0 AS summer,
   CAST(COUNT(value) AS DOUBLE) AS counter,
-  CAST(SUM(CAST(round(value*100) AS DECIMAL(18,0))
-         * CAST(round(value*100) AS DECIMAL(18,0))) AS DOUBLE) / 10000.0 AS sumsqr,
+  CAST(CAST(SUM(CAST(round(value*100) AS DECIMAL(18,0)) * CAST(round(value*100) AS DECIMAL(18,0))) AS VARCHAR) AS DOUBLE) / 10000.0 AS sumsqr,
   MIN(value) AS bestmin,
   MAX(value) AS bestmax,
-  (CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100.0)
+  (CAST(CAST(SUM(CAST(round(value*100) AS BIGINT)) AS VARCHAR) AS DOUBLE) / 100.0)
     / CAST(COUNT(value) AS DOUBLE) AS mean,
-  CAST(SUM(CAST(round(value*100) AS DECIMAL(18,0))
-         * CAST(round(value*100) AS DECIMAL(18,0))) AS DOUBLE) / 10000.0
-    - (CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100.0)
-      * (CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100.0)
+  CAST(CAST(SUM(CAST(round(value*100) AS DECIMAL(18,0)) * CAST(round(value*100) AS DECIMAL(18,0))) AS VARCHAR) AS DOUBLE) / 10000.0
+    - (CAST(CAST(SUM(CAST(round(value*100) AS BIGINT)) AS VARCHAR) AS DOUBLE) / 100.0)
+      * (CAST(CAST(SUM(CAST(round(value*100) AS BIGINT)) AS VARCHAR) AS DOUBLE) / 100.0)
       / CAST(COUNT(value) AS DOUBLE) AS m2,
   CASE WHEN COUNT(value) > 1 THEN
-    (CAST(SUM(CAST(round(value*100) AS DECIMAL(18,0))
-            * CAST(round(value*100) AS DECIMAL(18,0))) AS DOUBLE) / 10000.0
-      - (CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100.0)
-        * (CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100.0)
+    (CAST(CAST(SUM(CAST(round(value*100) AS DECIMAL(18,0)) * CAST(round(value*100) AS DECIMAL(18,0))) AS VARCHAR) AS DOUBLE) / 10000.0
+      - (CAST(CAST(SUM(CAST(round(value*100) AS BIGINT)) AS VARCHAR) AS DOUBLE) / 100.0)
+        * (CAST(CAST(SUM(CAST(round(value*100) AS BIGINT)) AS VARCHAR) AS DOUBLE) / 100.0)
         / CAST(COUNT(value) AS DOUBLE))
     / CAST(COUNT(value) - 1 AS DOUBLE)
   ELSE 0.0 END AS var
@@ -281,7 +294,7 @@ class ExactStatsProcessor(StatefulProcessor):
                 continue
             cents = (vals * 100.0).round().astype("int64")
             sum_c += int(cents.sum())
-            sumsq_c2 += int((cents * cents).sum())
+            sumsq_c2 += _sumsq_exact(cents)
             n += len(cents)
             bestmin = min(bestmin, float(vals.min()))
             bestmax = max(bestmax, float(vals.max()))
@@ -435,18 +448,27 @@ def stream_stats_heartbeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     from ..sources.tables import clean_measurements
 
-    # key census through the SAME ingest contract as the stream it
-    # polls: a type living only on clock-invalid rows would otherwise
-    # inflate n_keys and spin the poll loop to its TimeoutError
-    # (round-8 code review of the TIME-contract change)
-    n_keys = (
-        clean_measurements(
+    # Per-key EXPECTED FINAL COUNTER through the SAME ingest contract
+    # as the stream it polls (a type living only on clock-invalid rows
+    # would otherwise spin the poll to its TimeoutError — round-8).
+    # The expected counter, not just the key census: the old
+    # ">= 2 emissions per key" stop condition was satisfied after two
+    # DATA batches when the fixture arrives as several micro-batches,
+    # stopping the query with partial sums (round-10 batch-boundary
+    # sweep: 5-chunk replay returned 2/5 of the corpus). Waiting for
+    # two emissions AT the final counter proves both full ingestion
+    # and a genuine idle-timer re-emission: data emissions strictly
+    # increase the counter, so a second row at the final value can
+    # only come from a heartbeat.
+    expected = {
+        r["readTag_id"]: r["exp_counter"]
+        for r in clean_measurements(
             spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         )
-        .select("event_type")
-        .distinct()
-        .count()
-    )
+        .groupBy(F.col("event_type").cast("string").alias("readTag_id"))
+        .agg(F.count("value").cast("double").alias("exp_counter"))
+        .collect()
+    }
     events = events_file_stream(spark, os.path.join(sf_dir, "events.parquet"))
     out = exact_state_stats_heartbeat(events, "event_type")
     name = f"hb_{_uuid.uuid4().hex[:8]}"
@@ -470,14 +492,25 @@ def stream_stats_heartbeat(spark: SparkSession, sf_dir: str) -> DataFrame:
         # least one heartbeat re-emission, then stop.
         deadline = _time.time() + 120
         drained = False
+        n_done = 0
         while _time.time() < deadline:
             try:
                 per_key = (
-                    spark.table(name).groupBy("readTag_id").count().collect()
+                    spark.table(name)
+                    .groupBy("readTag_id", "counter")
+                    .count()
+                    .collect()
                 )
             except Exception:
                 per_key = []
-            if len(per_key) == n_keys and all(r["count"] >= 2 for r in per_key):
+            done = {
+                r["readTag_id"]
+                for r in per_key
+                if expected.get(r["readTag_id"]) == r["counter"]
+                and r["count"] >= 2
+            }
+            n_done = len(done)
+            if n_done == len(expected):
                 drained = True
                 break
             _time.sleep(0.5)
@@ -488,7 +521,8 @@ def stream_stats_heartbeat(spark: SparkSession, sf_dir: str) -> DataFrame:
             # loudly like stream_python_datasource's poll loop does
             raise TimeoutError(
                 "stream_stats_heartbeat: sink incomplete after 120s "
-                f"({len(per_key)}/{n_keys} keys with >= 2 emissions)"
+                f"({n_done}/{len(expected)} keys heartbeat-confirmed "
+                "at their final counter)"
             )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)

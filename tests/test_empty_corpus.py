@@ -216,6 +216,124 @@ def test_dup_events_corpus_parity(spark, dup_events_dir, name):
     _assert_parity(spark, dup_events_dir, name, "replay dups")
 
 
+#: CONFLICTING-payload replays (round 10): the same event_id lands
+#: again with a DIFFERENT payload — later ts + shifted value for
+#: event_id % 5, same-instant ts + different value for % 7 (the
+#: fingerprint tiebreak). stream_dedup's deterministic keep rule
+#: (min event-time, then min payload fingerprint) makes its parity
+#: unconditional in this regime — no events_pk_unique precondition.
+#: Kept a narrow pin, NOT a standing full sweep: bounded
+#: arbitrary-keep ops (stream_dedup_watermark) legitimately carry the
+#: full-row-replay precondition and would diverge here by design.
+DUP_CONFLICT_PARITY = [
+    "stream_dedup",          # deterministic keep rule, unconditional
+    "dq_constraint_audit",   # detects the PK-violation regime itself
+]
+
+
+@pytest.fixture(scope="module")
+def dup_conflict_dir(tmp_path_factory) -> str:
+    import duckdb
+
+    d = tmp_path_factory.mktemp("sf_dupconf")
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        src = f"read_parquet('{SRC}/{t}.parquet')"
+        if t == "events":
+            q = (
+                f"SELECT * FROM {src}"
+                " UNION ALL "
+                "SELECT event_id, ts + INTERVAL 90 MINUTE AS ts, user_id,"
+                " event_type, value + 7.25 AS value, props"
+                f" FROM {src} WHERE event_id % 5 = 0"
+                " UNION ALL "
+                "SELECT event_id, ts, user_id, event_type,"
+                " value - 3.50 AS value, props"
+                f" FROM {src} WHERE event_id % 7 = 0"
+            )
+        else:
+            q = f"SELECT * FROM {src}"
+        con.execute(f"COPY ({q}) TO '{d}/{t}.parquet' (FORMAT PARQUET)")
+    return str(d)
+
+
+@pytest.mark.parametrize("name", DUP_CONFLICT_PARITY)
+def test_dup_conflict_parity(spark, dup_conflict_dir, name):
+    _assert_parity(spark, dup_conflict_dir, name, "conflicting-payload replays")
+
+
+#: MILLION-ROW CAP GROUPS (round 10, VERDICT r9 item 1): one
+#: 2e6-row group pinned at the EVENT_VALUE_ABS_MAX magnitude cap
+#: (alternating sign) plus a 1e5-row zero-variance all-cap group.
+#: This regime found FOUR latent scale-bug classes on first run
+#: (12 queries red): (1) agg_higher_moments' single DECIMAL(38,0)
+#: S4 sum overflowed at ~1.7e6 all-cap rows — now three exact limbs
+#: (a², 2ab, b² of c2 = a·1e8 + b), bound moved to ~4e11 rows;
+#: (2) the streaming stats kernels' PER-BATCH pandas int64 Σcents²
+#: wrapped silently at ~920 all-cap rows (state._sumsq_exact);
+#: (3) DECIMAL(18,4) fixed-scale renders overflowed (ANSI killed the
+#: whole job) — widened to DECIMAL(38,4), same text in-range;
+#: (4) two ORACLE bugs: DuckDB's 1-ulp HUGEINT→DOUBLE above 2^64
+#: reached by the squared-cents sums (VARCHAR hop, NOTES_r9 §3
+#: primitive) and the gaps-and-islands ROWS frame splitting phantom
+#: sessions on TIED timestamps (RANGE frame — peers share the
+#: island id).
+CAP_GROUP_PARITY = [
+    "agg_higher_moments",       # S4 limb split
+    "agg_running_stats",        # oracle VARCHAR hop
+    "agg_naive_variance",       # oracle VARCHAR hop
+    "fn_welford_update",        # oracle VARCHAR hop
+    "stream_stats_exact_state", # kernel _sumsq_exact
+    "stream_stats_tws",         # kernel _sumsq_exact (tws twin)
+    "proj_wrap_array",          # DECIMAL(38,4) render
+    "sink_kafka_json",          # DECIMAL(38,4) render
+    "stream_kafka_pipeline",    # DECIMAL(38,4) render, to_json path
+    "agg_session_window",       # RANGE-frame islands on tied ts
+    "stream_session_window",    # RANGE-frame islands on tied ts
+    "join_interval_overlap",    # inherits session oracle
+    "join_interval_grid",       # inherits session oracle
+]
+
+
+@pytest.fixture(scope="module")
+def cap_group_dir(tmp_path_factory) -> str:
+    import duckdb
+
+    d = tmp_path_factory.mktemp("sf_capgroup")
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        src = f"read_parquet('{SRC}/{t}.parquet')"
+        if t == "events":
+            q = (
+                f"SELECT * FROM {src}"
+                " UNION ALL "
+                "SELECT 10000000 + i AS event_id,"
+                " TIMESTAMP '2024-01-01 00:10:00'"
+                "   + INTERVAL (i % 86000) SECOND AS ts,"
+                " i % 1000 AS user_id, 'cap_alt' AS event_type,"
+                " CASE WHEN i % 2 = 0 THEN 1000000.0"
+                "      ELSE -1000000.0 END AS value,"
+                " '{\"k\": ' || (i % 100) || '}' AS props"
+                " FROM generate_series(1, 2000000) t(i)"
+                " UNION ALL "
+                "SELECT 20000000 + i,"
+                " TIMESTAMP '2024-01-01 00:10:00'"
+                "   + INTERVAL (i % 86000) SECOND,"
+                " i % 1000, 'cap_pos', 1000000.0,"
+                " '{\"k\": ' || (i % 100) || '}'"
+                " FROM generate_series(1, 100000) t(i)"
+            )
+        else:
+            q = f"SELECT * FROM {src}"
+        con.execute(f"COPY ({q}) TO '{d}/{t}.parquet' (FORMAT PARQUET)")
+    return str(d)
+
+
+@pytest.mark.parametrize("name", CAP_GROUP_PARITY)
+def test_cap_group_parity(spark, cap_group_dir, name):
+    _assert_parity(spark, cap_group_dir, name, "million-row cap groups")
+
+
 #: fixed queries that must agree with their oracle on adversarial
 #: unicode text (multibyte, astral plane, RTL, combining chars) — the
 #: round-8 unicode sweep: byte-level ops must measure BYTES in both
@@ -328,7 +446,7 @@ def test_bad_json_corpus_parity(spark, bad_json_dir, name):
 #: mechanisms closed: (1) the magnitude clause of the measurement
 #: contract (out-of-bound finite value -> NULL at load, both engines —
 #: previously ONE such row killed 30+ exact-cents jobs in both
-#: engines); (2) double->DECIMAL(18,4) rendering beyond 2^53/1e4 (the
+#: engines); (2) double->DECIMAL(38,4) rendering beyond 2^53/1e4 (the
 #: oracle now takes Spark's shortest-string path via a VARCHAR hop);
 #: (3) agg_higher_moments' N3/N4 combination in double over exact
 #: integer sums (the all-HUGEINT form overflowed on 3*s1^4 — a latent
@@ -338,7 +456,7 @@ ADV_FLOAT_PARITY = [
     "agg_running_stats",    # magnitude clause through the load guard
     "fn_scalar_min_max",    # min/max over -0.0 and subnormals
     "agg_higher_moments",   # double-combined N3/N4 + VARCHAR-hop casts
-    "proj_wrap_array",      # DECIMAL(18,4) rendering at sumsqr ~1.2e13
+    "proj_wrap_array",      # DECIMAL(38,4) rendering at sumsqr ~1.2e13
     "sink_kafka_json",      # same class, JSON record form
     "fn_welford_update",    # exact m2 with cap-sized cents
     "ts_anomaly_mad",       # positional census with subnormals present
@@ -466,7 +584,7 @@ def test_jsonkey_ctl_parity(spark, jsonkey_ctl_dir, name):
 #: count-shaped aggregates use when/otherwise(0) like the oracle's
 #: CASE..ELSE 0; render forms pin array_join's explicit 'null'
 #: placeholder and to_json's field-dropping; tiny-magnitude
-#: DECIMAL(18,4) renders guard DuckDB's scientific-notation misround.
+#: DECIMAL(38,4) renders guard DuckDB's scientific-notation misround.
 ZERO_VAR_PARITY = [
     "agg_running_stats_by_type",  # raw doubles incl. exact-0-var group
     "proj_wrap_array",         # array render with 'null' placeholders
