@@ -46,6 +46,8 @@ FIXTURES = [
     ("GROUPKEY", T.group_key_dir),
     ("ZEROVAR", T.zero_var_dir),
     ("CAPGROUP", T.cap_group_dir),  # round 10: 2e6-row all-cap group
+    ("JSONADV", T.json_adv_dir),    # round 10: adversarial valid props
+    ("HIGHCARD", T.high_card_dir),  # round 10: every row its own key
 ]
 
 

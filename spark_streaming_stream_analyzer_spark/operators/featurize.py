@@ -224,6 +224,17 @@ FROM g
 
 KMV_K = 64
 
+#: Pairwise sketch ops (KMV Jaccard, HLL intersect) compare EVERY set
+#: pair — T sets → T·(T−1)/2 pairs, a quadratic trap when the set
+#: dimension is high-cardinality (round-10 every-row-its-own-key
+#: sweep: 1000 types → 499,500 pairs, 60 s at sf0.001). An
+#: audience-overlap analysis over a high-card dimension always bounds
+#: its universe, so both ops restrict to the TOP-N largest sets (by
+#: distinct elements, ties by name — deterministic in both engines).
+#: Identity on every fixture with <= N sets; at 100 TB the pair
+#: surface is then N²·sketch-size work regardless of |types|.
+SKETCH_PAIR_TOP_N = 100
+
 
 def approx_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-minimum-values sketch Jaccard between the user sets of every
@@ -250,7 +261,16 @@ def approx_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = uh.withColumn("rn", F.row_number().over(wk)).filter(
         F.col("rn") <= KMV_K
     ).select("t", "h")
-    types = uh.select("t").distinct()
+    # top-N largest sets only (SKETCH_PAIR_TOP_N): the global window
+    # runs over the bounded per-type size table, not row-grain data
+    wtop = Window.orderBy(F.col("sz").desc(), F.col("t"))
+    types = (
+        uh.groupBy("t")
+        .agg(F.count("*").alias("sz"))
+        .withColumn("rk", F.row_number().over(wtop))
+        .filter(F.col("rk") <= SKETCH_PAIR_TOP_N)
+        .select("t")
+    )
     pairs = (
         types.alias("a")
         .join(types.alias("b"), F.col("a.t") < F.col("b.t"))
@@ -317,7 +337,12 @@ sk AS (
     SELECT t, h, row_number() OVER (PARTITION BY t ORDER BY h) AS rn FROM uh
   ) WHERE rn <= {KMV_K}
 ),
-types AS (SELECT DISTINCT t FROM uh),
+types AS (
+  SELECT t FROM (
+    SELECT t, row_number() OVER (ORDER BY COUNT(*) DESC, t) AS rk
+    FROM uh GROUP BY t
+  ) WHERE rk <= {SKETCH_PAIR_TOP_N}
+),
 pairs AS (
   SELECT a.t AS ta, b.t AS tb FROM types a JOIN types b ON a.t < b.t
 ),
@@ -506,7 +531,17 @@ def approx_distinct_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("t", "bkt")
         .agg(F.max("rho").alias("max_rho"))
     )
-    types = sk.select("t").distinct()
+    # top-N largest sets by distinct elements (SKETCH_PAIR_TOP_N; see
+    # the constant's comment) — identity when |types| <= N
+    uh = ev.select(F.col("event_type").alias("t"), elem.alias("u")).distinct()
+    wtop = Window.orderBy(F.col("sz").desc(), F.col("t"))
+    types = (
+        uh.groupBy("t")
+        .agg(F.count("*").alias("sz"))
+        .withColumn("rk", F.row_number().over(wtop))
+        .filter(F.col("rk") <= SKETCH_PAIR_TOP_N)
+        .select("t")
+    )
     pairs = (
         types.alias("a")
         .join(types.alias("b"), F.col("a.t") < F.col("b.t"))
@@ -543,7 +578,6 @@ def approx_distinct_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scale = HLL_ALPHA * HLL_M * HLL_M * float(1 << (HLL_REST_BITS + 1))
     est = lambda w: F.lit(scale) / F.col(w).cast("double")  # noqa: E731
-    uh = ev.select(F.col("event_type").alias("t"), elem.alias("u")).distinct()
     ex = (
         uh.join(F.broadcast(pairs), (F.col("t") == F.col("ta")) | (F.col("t") == F.col("tb")))
         .groupBy("ta", "tb", "u")
@@ -595,7 +629,12 @@ sk AS (
          MAX({r1} - length(bin(CAST((h - h % {HLL_M}) / {HLL_M} AS BIGINT)))) AS max_rho
   FROM hashed GROUP BY 1, 2
 ),
-types AS (SELECT DISTINCT t FROM sk),
+types AS (
+  SELECT t FROM (
+    SELECT t, row_number() OVER (ORDER BY COUNT(*) DESC, t) AS rk
+    FROM (SELECT DISTINCT event_type AS t, elem FROM elems) GROUP BY t
+  ) WHERE rk <= {SKETCH_PAIR_TOP_N}
+),
 pairs AS (SELECT a.t AS ta, b.t AS tb FROM types a JOIN types b ON a.t < b.t),
 grid AS (
   SELECT p.ta, p.tb, s.bkt,

@@ -808,9 +808,18 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 FN_VARIANT_SQL = """
 WITH j AS (
   -- TRY_CAST: try_variant_get on the Spark side is permissive — a
-  -- valid-JSON non-numeric k must be NULL, not a conversion error
+  -- valid-JSON non-numeric k must be NULL, not a conversion error.
+  -- The duplicate-key clause mirrors the VARIANT spec: Spark's
+  -- try_parse_json REJECTS a doc with duplicate keys (NULL variant)
+  -- where plain JSON extraction would take the first occurrence
+  -- (round-10 adversarial-props sweep). json_keys preserves
+  -- duplicates, so top-level dups are detectable; a duplicate key
+  -- NESTED below the top level is a documented precondition (no
+  -- fixture mints one — detecting it needs a recursive walk).
   SELECT event_type,
          TRY_CAST(CASE WHEN json_valid(props)
+                        AND len(json_keys(props))
+                            = len(list_distinct(json_keys(props)))
                        THEN json_extract_string(props, '$.k') END
                   AS INT) AS k
   FROM events

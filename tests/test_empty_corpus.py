@@ -334,6 +334,133 @@ def test_cap_group_parity(spark, cap_group_dir, name):
     _assert_parity(spark, cap_group_dir, name, "million-row cap groups")
 
 
+#: ADVERSARIAL (valid) props JSON (round 10, VERDICT r9 item 6): deep
+#: nesting, duplicate keys, array/object values under $.k, unicode
+#: escapes, token whitespace, 2 KB padding strings, case-variant and
+#: nested-decoy paths, int64-boundary integers, cast-refusing strings.
+#: Probed alignments this fixture relies on (round-10 probe): both
+#: engines take the FIRST duplicate key, re-serialize non-scalar
+#: extracts with identical canonical spacing, unescape \\uXXXX, keep
+#: int64-range integers as exact text, and render plain-window
+#: doubles identically. The DIVERGENT shapes — doubles that re-render
+#: in scientific notation ('1.0E20' vs '100000000000000000000.0'),
+#: integers beyond int64, 1e999 overflow — are pinned separately in
+#: test_json_render_divergence as a documented ENGINE-RENDER contract
+#: (the casted double stays aligned even there; only the raw string
+#: extraction differs).
+JSON_ADV_PARITY = [
+    "fn_json_get_string",     # $.k string extraction
+    "fn_cast_string_double",  # extraction + TRY_CAST
+    "fn_variant_json",        # try_parse_json variant path
+    "null_handling",          # $.zz NULL-on-every-row contract
+    "json_corrupt_policy",    # corrupt-policy census over adversarial docs
+    "json_key_inventory",     # key inventory sees dup/decoy keys
+]
+
+
+@pytest.fixture(scope="module")
+def json_adv_dir(tmp_path_factory) -> str:
+    return _build_fixture(tmp_path_factory, "sf_jsonadv", {
+        "events": "event_id, ts, user_id, event_type, value, CASE"
+        """ WHEN event_id % 13 = 0 THEN '{"k": {"a": {"b": {"c": [1, 2, {"d": "x"}]}}}}'"""
+        """ WHEN event_id % 17 = 0 THEN '{"k": 1, "k": 2, "j": 3}'"""
+        """ WHEN event_id % 19 = 0 THEN '{"k": [1,2,3], "arr": [{"x":1},{"x":2}]}'"""
+        """ WHEN event_id % 23 = 0 THEN '{"k": "\\u00e9\\u0301"}'"""
+        """ WHEN event_id % 29 = 0 THEN '{ "k" :' || chr(9) || '87 , "pad": "' || repeat('x', 2000) || '"}'"""
+        """ WHEN event_id % 31 = 0 THEN '{"K": 5, "outer": {"k": 9}}'"""
+        """ WHEN event_id % 37 = 0 THEN '{"k": null, "b": true}'"""
+        """ WHEN event_id % 41 = 0 THEN '{"k": 9007199254740992}'"""
+        """ WHEN event_id % 43 = 0 THEN '{"k": "12.5abc"}'"""
+        """ WHEN event_id % 47 = 0 THEN '{"k": 0.015625}'"""
+        " ELSE props END AS props",
+    })
+
+
+@pytest.mark.parametrize("name", JSON_ADV_PARITY)
+def test_json_adv_parity(spark, json_adv_dir, name):
+    _assert_parity(spark, json_adv_dir, name, "adversarial props JSON")
+
+
+#: EVERY ROW ITS OWN KEY (round 10, VERDICT r9 item 2): event_type
+#: and user_id unique per event, documents' lang/source unique per
+#: doc, embeddings' label unique per vector — the opposite extreme
+#: from skew: |rows| groups of size 1. Stresses per-key streaming
+#: state (one state entry per row), window partitioning (|rows|
+#: partitions), n<=1 aggregate branches at full corpus size (ONEROW
+#: only reaches them on a 1-row corpus), and the LSH hot-bucket logic
+#: in the no-duplicates direction. Representatives per mechanism:
+HIGH_CARD_PARITY = [
+    "agg_running_stats",         # 1000 singleton groups, var n<=1
+    "agg_higher_moments",        # N2=0 singletons: NULL skew/kurtosis
+    "stream_stats_exact_state",  # |rows| state keys
+    "stream_sessionize_custom",  # one session per user
+    "agg_session_window",        # |users| sessions
+    "dedup_minhash_lsh",         # no-dup direction, no hot buckets
+    "lang_id_ngram",             # per-lang groups = per-doc groups
+]
+
+
+@pytest.fixture(scope="module")
+def high_card_dir(tmp_path_factory) -> str:
+    return _build_fixture(tmp_path_factory, "sf_highcard", {
+        "events": "event_id, ts, event_id AS user_id,"
+        " 'k' || CAST(event_id AS VARCHAR) AS event_type, value, props",
+        "documents": "doc_id, text,"
+        " 'l' || CAST(doc_id AS VARCHAR) AS lang,"
+        " 's' || CAST(doc_id AS VARCHAR) AS source, n_chars",
+        # label keeps its INTEGER type (the oracle tier casts it);
+        # vec_id-as-label = every vector its own class
+        "embeddings": "vec_id, embedding,"
+        " CAST(vec_id AS INTEGER) AS label",
+    })
+
+
+@pytest.mark.parametrize("name", sorted(set(HIGH_CARD_PARITY)))
+def test_high_card_parity(spark, high_card_dir, name):
+    _assert_parity(spark, high_card_dir, name, "every-row-its-own-key")
+
+
+def test_json_render_divergence(spark):
+    """Documented ENGINE-RENDER divergence (round-10 probe): both
+    engines parse JSON numbers and RE-RENDER them, and their numeric
+    ladders split at the extremes — Spark (Jackson) renders doubles as
+    Double.toString ('1.0E20') and keeps beyond-int64 integers as
+    exact BigInteger text; DuckDB renders '100000000000000000000.0' /
+    shortest-repr scientific and collapses beyond-int64 to double.
+    This pin documents the split so it cannot silently drift into the
+    standing fixture, and proves the CAST path stays aligned: the
+    extracted value CAST to DOUBLE is identical even where the raw
+    string text differs — the props-number contract is therefore
+    'int64-range integers and plain-window doubles extract as
+    identical text; anything wider must be consumed through the
+    double cast'."""
+    import pyspark.sql.functions as F
+
+    rows = (
+        spark.createDataFrame(
+            [('{"k": 1e20}',), ('{"k": 123456789012345678901234567890}',)],
+            "props string",
+        )
+        .select(
+            F.get_json_object("props", "$.k").alias("s"),
+            F.get_json_object("props", "$.k").try_cast("double").alias("d"),
+        )
+        .collect()
+    )
+    assert rows[0]["s"] == "1.0E20"  # Jackson double render
+    assert rows[1]["s"] == "123456789012345678901234567890"  # BigInteger
+    odf = duckdb.connect().execute(
+        "SELECT json_extract_string(j, '$.k') AS s,"
+        " TRY_CAST(json_extract_string(j, '$.k') AS DOUBLE) AS d"
+        " FROM (VALUES ('{\"k\": 1e20}'),"
+        " ('{\"k\": 123456789012345678901234567890}')) t(j)"
+    ).df()
+    assert odf["s"][0] != rows[0]["s"]  # the render split is REAL
+    assert odf["s"][1] != rows[1]["s"]
+    assert float(odf["d"][0]) == rows[0]["d"]  # cast path aligned
+    assert float(odf["d"][1]) == rows[1]["d"]
+
+
 #: fixed queries that must agree with their oracle on adversarial
 #: unicode text (multibyte, astral plane, RTL, combining chars) — the
 #: round-8 unicode sweep: byte-level ops must measure BYTES in both
