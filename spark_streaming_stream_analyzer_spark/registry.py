@@ -1031,73 +1031,74 @@ query("stream_ohlc_bars", _an.TS_OHLC_SQL)(_sp.stream_ohlc_bars)
 # (which always runs all of them).
 
 _VERIFY_FIRST: list[str] = [
-    # Round-9 rotation: no new registrations; the front is every query
-    # whose kernel or oracle text changed this round (29 of 50), so the
-    # driver re-proves the changed surface first. (1) the streaming
-    # stats kernels' NULL-stats emission for no-measurement keys and
-    # the cusum seen-flag (zero-variance sweep); (2) the file-format
-    # tier's faithful-CSV options and hive ''->NULL mirrors (groupkey
-    # sweep); (3) the grouping trio's empty-relation HAVING guard;
-    # (4) agg_higher_moments' rewritten N3/N4 combination +
-    # VARCHAR-hop conversions; (5) the render trio's null-placeholder /
-    # field-dropping / tiny-sci-notation contracts; (6) the flagship
-    # pair through the pushed-down clock window + magnitude clause,
-    # with ts_anomaly_mad / anomaly_zscore as census/3VL canaries;
-    # (7) the sessionize NULL-carry and fuzzy empty-word pins.
+    # Round-10 rotation: the front is every query whose kernel or
+    # oracle text changed this round (34 of 50 — mechanically
+    # enumerated by diffing ORACLES against the r9 commit, plus the
+    # two kernel-only changes), pre-flighted green under a VANILLA
+    # session at sf0.01. Mechanisms: (1) the cap-group class —
+    # agg_higher_moments S4 limb split, _sumsq_exact in all four
+    # streaming stats kernels, DECIMAL(38,4) renders, VARCHAR-hop
+    # conversions in every stats_oracle_sql consumer, RANGE-frame
+    # session islands; (2) stream_dedup's deterministic keep rule
+    # (unconditional parity); (3) the JSON-metacharacter class —
+    # to_json synthesis + _JSON_ESC_KEY oracle, json_valid guards on
+    # the a1 extractions; (4) fn_variant_json's duplicate-key mirror
+    # (JSONADV sweep); (5) the pairwise-sketch top-N cap (HIGHCARD
+    # sweep); (6) dedup_minhash_lsh xxhash64 band keys (kernel-only);
+    # (7) stream_sessionize_custom pd.isna tail carry (kernel-only);
+    # (8) stream_stats_heartbeat's final-counter poll (batch-boundary
+    # suite).
+    "agg_higher_moments",
+    "agg_running_stats",
+    "agg_running_stats_by_type",
+    "agg_naive_variance",
+    "fn_welford_update",
     "stream_stats_exact_state",
     "stream_stats_heartbeat",
     "stream_stats_tws",
     "stream_stats_rocksdb",
+    "stream_running_stats",
+    "proj_wrap_array",
+    "sink_kafka_json",
+    "stream_kafka_pipeline",
+    "proj_json_extract_pair",
+    "proj_json_extract_single",
+    "stream_dedup",
+    "stream_dedup_watermark",
+    "agg_session_window",
+    "stream_session_window",
+    "join_interval_overlap",
+    "join_interval_grid",
+    "approx_kmv_jaccard",
+    "approx_distinct_intersect",
+    "fn_variant_json",
+    "q6_forecast_revenue",
+    "sink_parquet_roundtrip",
+    "sink_console",
+    "stream_minute_rollup",
+    "stream_sliding_window",
+    "stream_static_join",
+    "ckpt_state_dir",
+    "trigger_microbatch_2s",
+    "dedup_minhash_lsh",
+    "stream_sessionize_custom",
+    # round-9 front remainder (never red; fills the 50-slot window)
     "stream_cusum_alarm",
     "ts_cusum_alarm",
     "ts_seasonal_profile",
     "fn_rounding_audit",
     "udf_surface",
     "sink_python_datasource",
-    "sink_parquet_roundtrip",
     "src_file_formats",
     "stream_file_sink",
-    "agg_higher_moments",
-    "proj_wrap_array",
-    "sink_kafka_json",
     "agg_rollup",
     "agg_cube",
     "agg_grouping_sets",
-    "agg_running_stats",
-    "agg_running_stats_by_type",
-    "fn_welford_update",
     "fn_scalar_min_max",
     "ts_anomaly_mad",
     "anomaly_zscore",
     "fuzzy_pairs_symdelete",
-    "stream_sessionize_custom",
-    "stream_kafka_pipeline",
-    "stream_dedup",
-    # round-8 front remainder, TRIMMED from the back so the list is
-    # exactly 50 — the driver verifies the first 50 dict entries only,
-    # and entries 51+ would sit outside the window this list exists to
-    # control (self-review r9). All entries below are driver-green r8.
     "emb_knn_srp_graph",
-    "graph_jaccard_capped",
-    "agg_regression_trend",
-    "approx_distinct_intersect",
-    "approx_kmv_jaccard",
-    "attribution_last_touch",
-    "curation_funnel_report",
-    "curation_threshold_sweep",
-    "dq_benford",
-    "dq_checksum_buckets",
-    "dq_column_profile",
-    "dq_distribution_drift",
-    "dq_freshness_sla",
-    "dq_ks_two_sample",
-    "dq_pipeline_fingerprint",
-    "dq_relationship_profile",
-    "feature_chi2_select",
-    "feature_hash_vectorize",
-    "feature_quantile_bins",
-    "fn_bloom_portable",
-    "graph_bfs_distances",
 ]
 
 
