@@ -78,7 +78,13 @@ def main() -> int:
     con = duckdb.connect()
     for t in TABLE_NAMES:
         p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
+        if os.path.isdir(p):
+            # multi-file layout: DuckDB needs an explicit glob for a
+            # directory of parts (Spark reads directories natively)
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')"
+            )
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     qs = entrymod.queries()

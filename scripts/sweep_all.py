@@ -48,6 +48,8 @@ FIXTURES = [
     ("CAPGROUP", T.cap_group_dir),  # round 10: 2e6-row all-cap group
     ("JSONADV", T.json_adv_dir),    # round 10: adversarial valid props
     ("HIGHCARD", T.high_card_dir),  # round 10: every row its own key
+    ("TIES", T.tied_clock_dir),     # round 10: every event same instant
+    ("MULTIFILE", T.multi_file_dir),  # round 10: 4-part-file tables
 ]
 
 

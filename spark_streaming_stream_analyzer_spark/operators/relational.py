@@ -806,23 +806,35 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 FN_VARIANT_SQL = """
-WITH j AS (
+WITH RECURSIVE nodes(event_id, node) AS (
+  -- recursive dup-key walk (round 10): the VARIANT spec makes Spark's
+  -- try_parse_json reject a duplicate key at ANY depth (probed:
+  -- top-level, nested-object, inside-array, array-of-array all NULL),
+  -- so the oracle walks every object/array node. json_keys preserves
+  -- duplicates; '$.*' / '$[*]' enumerate children losslessly.
+  SELECT event_id, props::JSON FROM events WHERE json_valid(props)
+  UNION ALL
+  SELECT event_id, kid FROM (
+    SELECT event_id,
+           unnest(CASE WHEN json_type(node) = 'OBJECT'
+                       THEN json_extract(node, '$.*')
+                       ELSE json_extract(node, '$[*]') END) AS kid
+    FROM nodes WHERE json_type(node) IN ('OBJECT', 'ARRAY')
+  ) u
+),
+dup(event_id) AS (
+  SELECT DISTINCT event_id FROM nodes
+  WHERE json_type(node) = 'OBJECT'
+    AND len(json_keys(node)) > len(list_distinct(json_keys(node)))
+),
+j AS (
   -- TRY_CAST: try_variant_get on the Spark side is permissive — a
   -- valid-JSON non-numeric k must be NULL, not a conversion error.
-  -- The duplicate-key clause mirrors the VARIANT spec: Spark's
-  -- try_parse_json REJECTS a doc with duplicate keys (NULL variant)
-  -- where plain JSON extraction would take the first occurrence
-  -- (round-10 adversarial-props sweep). json_keys preserves
-  -- duplicates, so top-level dups are detectable; a duplicate key
-  -- NESTED below the top level is a documented precondition (no
-  -- fixture mints one — detecting it needs a recursive walk).
   SELECT event_type,
-         TRY_CAST(CASE WHEN json_valid(props)
-                        AND len(json_keys(props))
-                            = len(list_distinct(json_keys(props)))
+         TRY_CAST(CASE WHEN json_valid(props) AND d.event_id IS NULL
                        THEN json_extract_string(props, '$.k') END
                   AS INT) AS k
-  FROM events
+  FROM events e LEFT JOIN dup d USING (event_id)
 )
 SELECT event_type,
        COUNT(k) AS n_with_k,

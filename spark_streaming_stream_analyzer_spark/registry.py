@@ -1031,23 +1031,34 @@ query("stream_ohlc_bars", _an.TS_OHLC_SQL)(_sp.stream_ohlc_bars)
 # (which always runs all of them).
 
 _VERIFY_FIRST: list[str] = [
-    # Round-10 rotation: the front is every query whose kernel or
-    # oracle text changed this round (34 of 50 — mechanically
-    # enumerated by diffing ORACLES against the r9 commit, plus the
-    # two kernel-only changes), pre-flighted green under a VANILLA
-    # session at sf0.01. Mechanisms: (1) the cap-group class —
-    # agg_higher_moments S4 limb split, _sumsq_exact in all four
-    # streaming stats kernels, DECIMAL(38,4) renders, VARCHAR-hop
-    # conversions in every stats_oracle_sql consumer, RANGE-frame
-    # session islands; (2) stream_dedup's deterministic keep rule
-    # (unconditional parity); (3) the JSON-metacharacter class —
-    # to_json synthesis + _JSON_ESC_KEY oracle, json_valid guards on
-    # the a1 extractions; (4) fn_variant_json's duplicate-key mirror
-    # (JSONADV sweep); (5) the pairwise-sketch top-N cap (HIGHCARD
-    # sweep); (6) dedup_minhash_lsh xxhash64 band keys (kernel-only);
-    # (7) stream_sessionize_custom pd.isna tail carry (kernel-only);
-    # (8) stream_stats_heartbeat's final-counter poll (batch-boundary
-    # suite).
+    # Round-10 rotation, second pass (TIES + MULTIFILE sweeps): the
+    # absolute front is this session's changed surface. Mechanisms:
+    # (a) stream_sessionize_custom gained session_seq — the
+    # state-carried per-user break count is now output + serving key
+    # in kernel AND oracle (same-instant purchase-split sessions
+    # share start and end; the TIES sweep caught the (user, start)
+    # key collapsing them); (b) the MULTIFILE staging contract —
+    # FileStreamSource orders batches by ms-granularity mtime, so
+    # multi-part directories are re-staged with forced mtimes (six
+    # stateful kernels were silently order-corrupted) and the three
+    # per-batch/foreachBatch ops became parts-aware; (c)
+    # fn_variant_json's oracle now mirrors the VARIANT spec's
+    # any-depth duplicate-key rejection with a recursive CTE walk
+    # (the former top-level-only precondition is gone).
+    "stream_sessionize_custom",
+    "fn_variant_json",
+    "stream_cusum_alarm",
+    "stream_batch_wordcount",
+    "stream_pareto_front",
+    "stream_progress_metrics",
+    "stream_attribution_last_touch",
+    "stream_transition_matrix",
+    "stream_new_user_monitor",
+    "stream_user_360",
+    # first-pass round-10 front (cap-group class, stream_dedup keep
+    # rule, JSON-metachar class, sketch top-N cap, xxhash64 band
+    # keys, heartbeat final-counter poll) — all green in this
+    # round's pre-flight
     "agg_higher_moments",
     "agg_running_stats",
     "agg_running_stats_by_type",
@@ -1081,9 +1092,7 @@ _VERIFY_FIRST: list[str] = [
     "ckpt_state_dir",
     "trigger_microbatch_2s",
     "dedup_minhash_lsh",
-    "stream_sessionize_custom",
-    # round-9 front remainder (never red; fills the 50-slot window)
-    "stream_cusum_alarm",
+    # round-9/earlier remainder (never red; fills the 50-slot window)
     "ts_cusum_alarm",
     "ts_seasonal_profile",
     "fn_rounding_audit",
@@ -1091,14 +1100,6 @@ _VERIFY_FIRST: list[str] = [
     "sink_python_datasource",
     "src_file_formats",
     "stream_file_sink",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "fn_scalar_min_max",
-    "ts_anomaly_mad",
-    "anomaly_zscore",
-    "fuzzy_pairs_symdelete",
-    "emb_knn_srp_graph",
 ]
 
 

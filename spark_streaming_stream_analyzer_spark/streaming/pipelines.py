@@ -86,50 +86,86 @@ def _cleanup_tmp_dirs(dirs: list[str] | None = None) -> None:
 atexit.register(_cleanup_tmp_dirs)
 
 
-def _stage_stream_dir(*files: str) -> str:
+def _stage_stream_dir(*files: str, force_order: bool = False) -> str:
     """The file stream source wants a *directory*; the fixtures are
     single read-only files. Stage symlinks into a fresh tmp dir (one
     file per micro-batch with maxFilesPerTrigger=1). Removed at
     process exit (the source dir must outlive any query reading it,
-    so it is not query-scoped)."""
+    so it is not query-scoped).
+
+    ``force_order=True`` stages COPIES with strictly-increasing forced
+    mtimes (2 s apart) instead of symlinks. Spark's FileStreamSource
+    orders new files by MODIFICATION TIME at millisecond granularity —
+    not by name — so two parts written in the same ms tie and stream
+    in arbitrary listing order (measured: a 4-part directory served
+    part-00001 as batch 0). Symlinks can't fix that: Hadoop stats the
+    TARGET, and a replayed file staged N times is one inode with one
+    mtime. Replays of identical batches are order-insensitive, so the
+    symlink path stays; anything staging DISTINCT parts whose order
+    carries time semantics must force mtimes (round-10 MULTIFILE
+    sweep — out-of-order batches silently corrupted every stateful
+    kernel's carried state)."""
+    import shutil
+
     d = _tracked_tmp_dir("sgs_src")
     os.makedirs(d)
+    # fixed epoch base: deterministic across runs, far in the past so
+    # a restarted query's maxFileAge pruning can never reorder around
+    # freshly-created files
+    base = 1_000_000_000
     for i, f in enumerate(files):
-        os.symlink(os.path.abspath(f), os.path.join(d, f"{i:04d}.parquet"))
+        dst = os.path.join(d, f"{i:04d}.parquet")
+        if force_order:
+            shutil.copy(os.path.abspath(f), dst)
+            os.utime(dst, (base + 2 * i, base + 2 * i))
+        else:
+            os.symlink(os.path.abspath(f), dst)
     return d
 
 
+def _parquet_parts(path: str) -> list[str]:
+    """A parquet source path as its ordered physical file list: the
+    file itself, or a directory's name-sorted ``*.parquet`` parts."""
+    if os.path.isfile(path):
+        return [path]
+    import glob as _glob
+
+    parts = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+    if not parts:
+        raise ValueError(f"no parquet parts under {path!r}")
+    return parts
+
+
 def events_file_stream(
-    spark: SparkSession, path: str, copies: int = 1
+    spark: SparkSession,
+    path: str,
+    copies: int = 1,
+    batch_per_pass: bool = False,
 ) -> DataFrame:
     """File-based streaming source over the events fixture — the test
     stand-in for the Kafka receiver (op #1), one file per micro-batch.
-    ``path`` may be a single parquet file (staged into a dir) or a dir.
-    ``copies`` stages the same file N times (N micro-batches) for
-    replay-shaped tests. The stream schema is read from the parquet
-    footer, so both fixture vintages (bigint-nanos ts / native
-    timestamp[us]) stream with their true column types."""
+    ``path`` may be a single parquet file (staged into a dir) or a
+    directory of parts. ``copies`` stages the source N times (N full
+    passes) for replay-shaped tests. The stream schema is read from
+    the parquet footer, so both fixture vintages (bigint-nanos ts /
+    native timestamp[us]) stream with their true column types.
+
+    A multi-part directory is ALWAYS re-staged with forced mtimes —
+    the source orders batches by ms-granularity mtime, not name, so a
+    raw directory streams in arbitrary order and silently corrupts
+    every stateful kernel's time-ordered carry (round-10 MULTIFILE
+    sweep: six kernels red from this one cause). ``batch_per_pass``
+    sets maxFilesPerTrigger to the per-pass part count so ops with
+    per-BATCH output contracts (progress counters, per-batch folds)
+    see one batch per full pass regardless of the physical layout."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(path).schema
-    if os.path.isfile(path):
-        path = _stage_stream_dir(*([path] * copies))
-    elif copies > 1:
-        # directory input (a pre-split multi-file fixture, e.g. the
-        # round-10 batch-boundary corpus): replay = the sorted part
-        # files streamed as one full pass per copy, preserving the
-        # fixture's intended micro-batch order within each pass
-        import glob as _glob
-
-        parts = sorted(_glob.glob(os.path.join(path, "*.parquet")))
-        if not parts:
-            raise ValueError(
-                f"events_file_stream: no parquet parts under {path!r}"
-            )
-        path = _stage_stream_dir(*(parts * copies))
+    parts = _parquet_parts(path)
+    path = _stage_stream_dir(*(parts * copies), force_order=len(parts) > 1)
     stream = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", len(parts) if batch_per_pass else 1)
         .parquet(path)
     )
     # streaming twin of load_table's finite-measurement contract: a
@@ -555,11 +591,16 @@ def stream_batch_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-batch reset is visible as two identical count sets.
     """
     docs_path = os.path.join(sf_dir, "documents.parquet")
-    src = _stage_stream_dir(docs_path, docs_path)
+    # parts-aware staging: one batch = one full pass of the corpus
+    # even when documents is a multi-part directory (round-10
+    # MULTIFILE sweep — symlinking the directory itself staged zero
+    # readable files and the per-batch fold had nothing to concat)
+    parts = _parquet_parts(docs_path)
+    src = _stage_stream_dir(*(parts * 2), force_order=len(parts) > 1)
     docs_schema = spark.read.parquet(docs_path).schema
     stream = (
         spark.readStream.schema(docs_schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", len(parts))
         .parquet(src)
     )
     results: list = []
@@ -989,8 +1030,13 @@ def stream_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     Only batches that moved data are emitted (availableNow appends a
     closing no-data batch whose input count is 0).
     """
+    # batch_per_pass: under a multi-part layout each batch is still
+    # one FULL copy of the corpus, keeping the two-batch contract the
+    # oracle states (round-10 MULTIFILE sweep: 4-part × 2 copies
+    # emitted 8 per-part rows against the oracle's 2)
     stream = events_file_stream(
-        spark, os.path.join(sf_dir, "events.parquet"), copies=2
+        spark, os.path.join(sf_dir, "events.parquet"), copies=2,
+        batch_per_pass=True,
     )
     counted = stream.groupBy("event_type").agg(F.count("*").alias("n"))
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -1581,10 +1627,14 @@ def stream_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(path).schema
+    # parts-aware staging (round-10 MULTIFILE sweep): a multi-part
+    # orders directory streams one part per batch — the frontier fold
+    # is a monotone union, so batching and order are both immaterial
+    _sky_parts = _parquet_parts(path)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(_stage_stream_dir(path))
+        .parquet(_stage_stream_dir(*_sky_parts))
     )
     store_dir = _tracked_tmp_dir("sgs_sky_store")
 

@@ -547,12 +547,14 @@ STREAM_STATS_HEARTBEAT_SQL = STREAM_STATS_EXACT_SQL
 SESS_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
 
 SESS_STATE_SCHEMA = (
-    "start_us LONG, last_us LONG, n LONG, sum_c LONG, last_type STRING"
+    "start_us LONG, last_us LONG, n LONG, sum_c LONG, last_type STRING,"
+    " seq LONG"
 )
 
 SESS_OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),
+        T.StructField("session_seq", T.LongType()),
         T.StructField("session_start_us", T.LongType()),
         T.StructField("session_end_us", T.LongType()),
         T.StructField("n_events", T.LongType()),
@@ -574,10 +576,15 @@ def _sessionize_update(
     cost is O(batch), not O(row)-interpreted.
 
     Emits every session the batch touched; the still-open session is a
-    provisional row a later batch may supersede (same session_start_us,
+    provisional row a later batch may supersede (same session_seq,
     higher n) — the driver-facing query keeps the final emission per
-    (user, start) exactly like ``stream_stats_exact_state`` keeps the
-    final per-key row."""
+    (user, seq) exactly like ``stream_stats_exact_state`` keeps the
+    final per-key row. ``session_seq`` is the per-user session index
+    (the break-count carried in state): it identifies a session even
+    when every event shares one timestamp, where (user, start) does
+    not — two purchase-split sessions at the same instant share start
+    AND end, and the round-10 TIES sweep caught the serving table
+    collapsing them to one arbitrarily-picked row."""
     import numpy as np
 
     batch = pd.concat(list(pdfs), ignore_index=True)
@@ -586,13 +593,14 @@ def _sessionize_update(
     batch = batch.sort_values(["us", "event_id"]).reset_index(drop=True)
 
     if state.exists:
-        start_us, last_us, n0, sum_c0, last_type = state.get
+        start_us, last_us, n0, sum_c0, last_type, seq0 = state.get
         prev_us = np.concatenate([[last_us], batch["us"].to_numpy()[:-1]])
         prev_type = np.concatenate(
             [[last_type], batch["event_type"].to_numpy()[:-1]]
         )
     else:
         start_us = last_us = n0 = sum_c0 = None
+        seq0 = 0
         prev_us = np.concatenate([[-1], batch["us"].to_numpy()[:-1]])
         prev_type = np.concatenate([[""], batch["event_type"].to_numpy()[:-1]])
         prev_us[0] = batch["us"].iloc[0]  # first row never "breaks"
@@ -624,6 +632,10 @@ def _sessionize_update(
     carried_open = state.exists
     for sess, row in agg.iterrows():
         bsc = int(row["sum_c"]) if int(row["n_c"]) > 0 else None
+        # session identity: the carried open session keeps its seq;
+        # every break increments it (sess is the batch-local cumsum,
+        # so seq0 + sess is the global per-user index either way)
+        seq = int(seq0) + int(sess)
         if sess == 0 and carried_open:
             # continuation of the carried session
             s, e = int(start_us), int(row["end"])
@@ -633,7 +645,7 @@ def _sessionize_update(
         else:
             s, e = int(row["start"]), int(row["end"])
             n, sc = int(row["n"]), bsc
-        out.append((uid, s, e, n, sc))
+        out.append((uid, seq, s, e, n, sc))
 
     # persist the (possibly new) open session; carry a NULL tail type
     # as NULL — str() on it minted the literal 'None' (same class as
@@ -647,14 +659,16 @@ def _sessionize_update(
     tail_type = last_row["event_type"]
     if not isinstance(tail_type, str) and pd.isna(tail_type):
         tail_type = None
-    final = out[-1]
+    final = out[-1]  # (uid, seq, start, end, n, sum_c)
     state.update(
-        (final[1], int(last_row["us"]), final[3], final[4], tail_type)
+        (final[2], int(last_row["us"]), final[4], final[5], tail_type,
+         final[1])
     )
     yield pd.DataFrame(
         out,
         columns=[
             "user_id",
+            "session_seq",
             "session_start_us",
             "session_end_us",
             "n_events",
@@ -678,10 +692,13 @@ def sessionize_custom(events: DataFrame) -> DataFrame:
 def stream_sessionize_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-facing query: custom-rule sessionization (30-min gap OR
     purchase-terminated) of the fixture replay; final emission per
-    (user, session_start) wins. The fixture stages as one chronological
-    batch here; ``tests/test_streaming.py`` drills the multi-batch
-    carry (sessions spanning micro-batch boundaries merge, purchase
-    carried in state splits the next batch's first row)."""
+    (user, session_seq) wins — seq, not start: same-instant
+    purchase-split sessions share start AND end, so only the carried
+    break-count identifies them (round-10 TIES sweep). The fixture
+    stages as one chronological batch here; ``tests/test_streaming.py``
+    drills the multi-batch carry (sessions spanning micro-batch
+    boundaries merge, purchase carried in state splits the next
+    batch's first row, seq continues across the boundary)."""
     from .pipelines import _run_to_memory, events_file_stream
     from ..sources.tables import ts_micros
 
@@ -696,7 +713,10 @@ def stream_sessionize_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
     mem = _run_to_memory(sessionize_custom(proj), output_mode="update")
     from pyspark.sql import Window
 
-    w = Window.partitionBy("user_id", "session_start_us").orderBy(
+    # later emissions of the same session strictly grow n_events, so
+    # max-n per (user, seq) IS the final state; an n tie can only be
+    # the same emission content re-delivered (identical row)
+    w = Window.partitionBy("user_id", "session_seq").orderBy(
         F.col("n_events").desc()
     )
     return (
@@ -725,20 +745,17 @@ g AS (
                            ROWS UNBOUNDED PRECEDING) AS sess
   FROM s
 )
-SELECT user_id, session_start_us, session_end_us, n_events, sum_cents
-FROM (
-  SELECT user_id, MIN(us) AS session_start_us, MAX(us) AS session_end_us,
-         COUNT(*) AS n_events, CAST(SUM(c) AS BIGINT) AS sum_cents
-  FROM g GROUP BY user_id, sess
-) sessions
--- the serving table is keyed by (user, session_start): the streaming
--- op's final-emission filter keeps one row per key (its row_number
--- over n_events DESC), which matters when an at-least-once replay
--- duplicates a purchase event and mints two indistinguishable
--- single-purchase sessions at the same start (round-8 dup-rows
--- sweep); identical rows make the tie deterministic
-QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, session_start_us
-                           ORDER BY n_events DESC) = 1
+-- sess IS session_seq: the per-user cumulative break count in
+-- (us, event_id) order — exactly the index the kernel carries in
+-- state, so one row per (user, seq) by construction. No QUALIFY
+-- needed: replay-duplicated purchases mint sessions with DISTINCT
+-- seqs (both emitted, both engines), and same-instant purchase-split
+-- sessions stay distinct rows (round-10 TIES sweep; formerly the
+-- (user, start) serving key collapsed them arbitrarily).
+SELECT user_id, CAST(sess AS BIGINT) AS session_seq,
+       MIN(us) AS session_start_us, MAX(us) AS session_end_us,
+       COUNT(*) AS n_events, CAST(SUM(c) AS BIGINT) AS sum_cents
+FROM g GROUP BY user_id, sess
 """
 
 

@@ -335,7 +335,8 @@ def test_cap_group_parity(spark, cap_group_dir, name):
 
 
 #: ADVERSARIAL (valid) props JSON (round 10, VERDICT r9 item 6): deep
-#: nesting, duplicate keys, array/object values under $.k, unicode
+#: nesting, duplicate keys (top-level AND nested — the recursive
+#: oracle walk), array/object values under $.k, unicode
 #: escapes, token whitespace, 2 KB padding strings, case-variant and
 #: nested-decoy paths, int64-boundary integers, cast-refusing strings.
 #: Probed alignments this fixture relies on (round-10 probe): both
@@ -372,6 +373,14 @@ def json_adv_dir(tmp_path_factory) -> str:
         """ WHEN event_id % 41 = 0 THEN '{"k": 9007199254740992}'"""
         """ WHEN event_id % 43 = 0 THEN '{"k": "12.5abc"}'"""
         """ WHEN event_id % 47 = 0 THEN '{"k": 0.015625}'"""
+        # NESTED duplicate keys (round 10, second pass): Spark's
+        # try_parse_json rejects dups at ANY depth (VARIANT spec);
+        # fn_variant_json's oracle mirrors with a recursive CTE walk
+        # over every object/array node — the former top-level-only
+        # precondition is gone. Plain extraction of $.k is unaffected
+        # (the dup lives below a sibling key).
+        """ WHEN event_id % 53 = 0 THEN '{"k": 6, "nest": {"d": 1, "d": 2}}'"""
+        """ WHEN event_id % 59 = 0 THEN '{"k": 7, "arr": [[{"q": 1, "q": 2}]]}'"""
         " ELSE props END AS props",
     })
 
@@ -418,6 +427,105 @@ def high_card_dir(tmp_path_factory) -> str:
 @pytest.mark.parametrize("name", sorted(set(HIGH_CARD_PARITY)))
 def test_high_card_parity(spark, high_card_dir, name):
     _assert_parity(spark, high_card_dir, name, "every-row-its-own-key")
+
+
+#: SAME-INSTANT corpus (round 10, NOTES_r10 §8 candidate #1): every
+#: event carries the SAME timestamp — a batch-loaded backfill whose
+#: source system stamped load time, not event time. Stresses every
+#: ORDER BY ts tiebreak at once (lag/lead, asof joins, SCD2, OHLC,
+#: keep-rules), collapses every session/window/grid to a single
+#: bucket, and makes ALL rows RANGE-frame peers. Representatives per
+#: mechanism (full sweep: scripts/sweep_all.py TIES):
+TIED_CLOCK_PARITY = [
+    "ts_gap_stats",          # every gap 0 via (ts, event_id) tiebreak
+    "join_asof_forward",     # massive tie-sets resolved by event_id
+    "join_asof_nearest",     # |dt| ties resolved deterministically
+    "scd2_intervals",        # zero-length validity intervals
+    "agg_session_window",    # one session per user, RANGE peers
+    "ts_ohlc_bars",          # open=first/close=last by id on full tie
+    "ts_resample_interp",    # single-point grid
+    "stream_dedup",          # keep-rule (ts, fp) ties -> fp decides
+    "seq_pattern_triples",   # path order = id order on tied ts
+    "ts_sliding_dau",        # one day bucket, every user active
+    # the sweep's ONE find (326/327 first run): same-instant
+    # purchase-split sessions share (user, start) AND end, so only
+    # the state-carried break count identifies them — session_seq is
+    # now the output/serving key in kernel and oracle alike
+    "stream_sessionize_custom",
+]
+
+
+@pytest.fixture(scope="module")
+def tied_clock_dir(tmp_path_factory) -> str:
+    return _build_fixture(tmp_path_factory, "sf_ties", {
+        "events": "event_id, CASE WHEN event_id IS NOT NULL THEN"
+        " TIMESTAMP '2024-01-03 12:00:00' ELSE ts END AS ts,"
+        " user_id, event_type, value, props",
+    })
+
+
+@pytest.mark.parametrize("name", TIED_CLOCK_PARITY)
+def test_tied_clock_parity(spark, tied_clock_dir, name):
+    _assert_parity(spark, tied_clock_dir, name, "same-instant corpus")
+
+
+#: MULTI-FILE PARQUET LAYOUT (round 10, NOTES_r10 §8 candidate #2):
+#: every table is a DIRECTORY of 4 part files, one of them written
+#: 0-row where the table is small — the 100 TB reality (no production
+#: table is one file; empty parts are routine compaction output).
+#: Batch scans must union parts losslessly; the file-stream source
+#: must replay parts in name order (events parts are TIME-ORDERED
+#: slices so watermark semantics match the single-file corpus).
+MULTI_FILE_PARITY = [
+    "agg_running_stats",     # plain scan over parts
+    "q1_pricing_summary",    # multi-part lineitem scan
+    "src_partition_prune",   # pruning over a parts directory
+    "stream_stats_exact_state",  # file-stream: one part per micro-batch
+    "stream_session_window",     # watermark across time-ordered parts
+    "sink_parquet_roundtrip",    # sink reads multi-part input
+    # the sweep's 9 first-run finds, one root cause + three staging
+    # sites: Spark's FileStreamSource orders batches by MILLISECOND
+    # mtime, not name — same-ms parts tie and stream in arbitrary
+    # order, so every stateful kernel's time-ordered carry silently
+    # corrupted (forced-mtime staging fixes all six); the per-batch
+    # ops staged the directory itself as if it were a file
+    "stream_sessionize_custom",      # out-of-order carry (946 vs 957)
+    "stream_cusum_alarm",            # order-dependent excursion path
+    "stream_attribution_last_touch",  # click-before-purchase inverted
+    "stream_transition_matrix",      # boundary pairs miscounted
+    "stream_new_user_monitor",       # new/returning flipped
+    "stream_user_360",               # first/last_us + session counts
+    "stream_batch_wordcount",        # dir staged as a file: 0 batches
+    "stream_pareto_front",           # dir staged as a file: no store
+    "stream_progress_metrics",       # batch_per_pass: 2 rows, not 8
+]
+
+
+@pytest.fixture(scope="module")
+def multi_file_dir(tmp_path_factory) -> str:
+    d = tmp_path_factory.mktemp("sf_multifile")
+    for t in TABLE_NAMES:
+        tb = pq.read_table(os.path.join(SRC, f"{t}.parquet"))
+        if t == "events":
+            # time-ordered parts: part file order IS arrival order for
+            # the streaming source; an unordered split would let the
+            # watermark legitimately drop late rows (semantics, not a
+            # bug — same reasoning as the batch-boundary suite)
+            tb = tb.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        sub = os.path.join(str(d), f"{t}.parquet")
+        os.makedirs(sub)
+        per = max(1, -(-tb.num_rows // 4))
+        for i in range(4):
+            pq.write_table(
+                tb.slice(i * per, per),
+                os.path.join(sub, f"part-{i:05d}.parquet"),
+            )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", MULTI_FILE_PARITY)
+def test_multi_file_parity(spark, multi_file_dir, name):
+    _assert_parity(spark, multi_file_dir, name, "multi-file layout")
 
 
 def test_json_render_divergence(spark):
@@ -780,9 +888,13 @@ def null_payload_dir(tmp_path_factory) -> str:
 def _oracle(sf_dir: str, sql: str):
     con = duckdb.connect()
     for t in TABLE_NAMES:
+        p = f"{sf_dir}/{t}.parquet"
+        # multi-file layout: DuckDB needs an explicit glob for a
+        # directory of parts (Spark's reader handles both natively)
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
         )
     return con.execute(sql).df()
 

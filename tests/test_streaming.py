@@ -373,7 +373,7 @@ def test_custom_sessionizer_multibatch_carry(spark, tmp_path):
     mem = _run_to_memory(sessionize_custom(proj), output_mode="update")
     from pyspark.sql import Window as W
 
-    w = W.partitionBy("user_id", "session_start_us").orderBy(
+    w = W.partitionBy("user_id", "session_seq").orderBy(
         F.col("n_events").desc()
     )
     rows = (
@@ -385,17 +385,23 @@ def test_custom_sessionizer_multibatch_carry(spark, tmp_path):
     sess = {
         (r["user_id"], r["session_start_us"] - BASE_US): r for r in rows
     }
-    # user 1: ONE session over both batches (0,2,7 min), n=3
+    # user 1: ONE session over both batches (0,2,7 min), n=3; the
+    # carried open session keeps seq 0 across the boundary
     assert sess[(1, 0)]["n_events"] == 3
     assert sess[(1, 0)]["session_end_us"] == BASE_US + 7 * MIN
     assert sess[(1, 0)]["sum_cents"] == 100 + 200 + 600
+    assert sess[(1, 0)]["session_seq"] == 0
     # user 2: purchase closed session 1 (n=2); batch-2 row is a NEW
-    # session despite the 1-minute gap
+    # session despite the 1-minute gap — seq increments ACROSS the
+    # batch boundary (the state-carried break count)
     assert sess[(2, 1 * MIN)]["n_events"] == 2
+    assert sess[(2, 1 * MIN)]["session_seq"] == 0
     assert sess[(2, 4 * MIN)]["n_events"] == 1
+    assert sess[(2, 4 * MIN)]["session_seq"] == 1
     # user 3: 44-minute gap across the boundary → two sessions
     assert sess[(3, 1 * MIN)]["n_events"] == 1
     assert sess[(3, 45 * MIN)]["n_events"] == 1
+    assert sess[(3, 45 * MIN)]["session_seq"] == 1
     assert len(sess) == 5
 
 
