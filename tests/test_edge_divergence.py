@@ -242,3 +242,71 @@ def test_funnel_dedup_gate_ranks_among_survivors(spark, tmp_path):
     assert by_gate["dedup_exact"].n_in == 2
     assert by_gate["dedup_exact"].n_pass == 1
     assert by_gate["has_stopword"].n_pass == 1
+
+
+def test_schema_drift_parts_recipe(spark, tmp_path):
+    """Documented ENGINE contract for SCHEMA-DRIFTED parquet parts (a
+    column added partway through a 100 TB table's life). Defaults
+    DIVERGE: Spark resolves the directory schema from one footer and
+    DuckDB's plain read_parquet takes the FIRST file's — either way a
+    later-added column can silently vanish, and DuckDB hard-errors
+    when a later part is MISSING a first-file column. The recipe is
+    explicit on both sides — Spark ``mergeSchema=true``, DuckDB
+    ``union_by_name=true`` — under which both engines union the
+    columns and read missing cells as NULL. This pin keeps the
+    multifile fixtures on the same-schema precondition honestly: the
+    standing MULTIFILE sweep slices ONE schema; drifted layouts are
+    in-contract only through this recipe."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "t.parquet"
+    os.makedirs(d)
+    pq.write_table(
+        pa.table({"a": [1, 2]}), str(d / "part-00000.parquet")
+    )
+    pq.write_table(
+        pa.table({"a": [3], "b": ["x"]}), str(d / "part-00001.parquet")
+    )
+
+    sdf = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(str(d))
+        .toPandas()
+        .sort_values("a")
+        .reset_index(drop=True)
+    )
+    assert list(sdf.columns) == ["a", "b"]
+    assert sdf["b"].tolist()[:2] == [None, None] and sdf["b"][2] == "x"
+
+    con = duckdb.connect()
+    # plain glob read takes the FIRST file's schema: a column added in
+    # later parts is silently DROPPED (the dangerous default — no
+    # error, missing data), and a column REMOVED in later parts is a
+    # hard IO error — the divergence from the recipe is real both ways
+    plain = con.execute(
+        f"SELECT * FROM read_parquet('{d}/*.parquet')"
+    ).df()
+    assert list(plain.columns) == ["a"]
+    d2 = tmp_path / "t2.parquet"
+    os.makedirs(d2)
+    pq.write_table(
+        pa.table({"a": [1], "b": ["y"]}), str(d2 / "part-00000.parquet")
+    )
+    pq.write_table(pa.table({"a": [2]}), str(d2 / "part-00001.parquet"))
+    with pytest.raises(duckdb.Error):
+        con.execute(f"SELECT * FROM read_parquet('{d2}/*.parquet')").df()
+    odf = (
+        con.execute(
+            f"SELECT * FROM read_parquet('{d}/*.parquet',"
+            " union_by_name=true) ORDER BY a"
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    assert list(odf.columns) == ["a", "b"]
+    assert pd.isna(odf["b"][0]) and pd.isna(odf["b"][1]) and odf["b"][2] == "x"
+    # the recipe agrees cell-for-cell
+    assert sdf["a"].tolist() == odf["a"].astype(int).tolist()
