@@ -53,13 +53,27 @@ FIXTURES = [
 ]
 
 
+#: Session-environment variants run against the PLAIN sf0.001 corpus
+#: (not a degenerate fixture): the host-timezone gate proves
+#: load_table's self-provisioned UTC pin under the driver's bare
+#: session on a shifted host (witnessed closed in round 10; standing
+#: so it cannot silently regress).
+ENV_VARIANTS = [
+    ("TZSHIFT", "/root/testdata/sf0.001",
+     {"TZ": "America/New_York", "SPARK_GRAFT_VANILLA": "1"}),
+]
+
+
 def main() -> int:
     os.makedirs(OUT, exist_ok=True)
     fac = _Fac()
     total_fails = 0
-    for name, fx in FIXTURES:
-        fn = fx.__wrapped__ if hasattr(fx, "__wrapped__") else fx
-        d = fn(fac)
+    runs = [
+        (name, (fx.__wrapped__ if hasattr(fx, "__wrapped__") else fx)(fac),
+         None)
+        for name, fx in FIXTURES
+    ] + [(name, d, env) for name, d, env in ENV_VARIANTS]
+    for name, d, env in runs:
         log = os.path.join(OUT, f"{name}.txt")
         # Keep stderr IN the log and treat a crashed/truncated selfcheck
         # as a failure: a subprocess that dies before printing (Spark
@@ -70,6 +84,7 @@ def main() -> int:
             proc = subprocess.run(
                 [sys.executable, "scripts/selfcheck.py", str(d)],
                 cwd=REPO, stdout=f, stderr=subprocess.STDOUT,
+                env={**os.environ, **env} if env else None,
             )
         lines = open(log).read().strip().splitlines()
         fails = sum(1 for line in lines if line.startswith("FAIL"))
@@ -80,7 +95,7 @@ def main() -> int:
             tail = f"CRASHED (exit {proc.returncode}): {tail[:200]}"
         total_fails += fails
         print(f"{name}: {fails} failures — {tail}", flush=True)
-    print(f"DONE: {total_fails} total failures across {len(FIXTURES)} sweeps")
+    print(f"DONE: {total_fails} total failures across {len(runs)} sweeps")
     return 1 if total_fails else 0
 
 
