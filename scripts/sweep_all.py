@@ -50,6 +50,7 @@ FIXTURES = [
     ("HIGHCARD", T.high_card_dir),  # round 10: every row its own key
     ("TIES", T.tied_clock_dir),     # round 10: every event same instant
     ("MULTIFILE", T.multi_file_dir),  # round 10: 4-part-file tables
+    ("ONEGROUP", T.one_group_dir),  # round 10: every row the same key
 ]
 
 

@@ -528,6 +528,38 @@ def test_multi_file_parity(spark, multi_file_dir, name):
     _assert_parity(spark, multi_file_dir, name, "multi-file layout")
 
 
+#: ONE GROUP (round 10, second pass): every event the same user AND
+#: type, every document the same lang AND source, every vector the
+#: same label — the max-skew pole opposite HIGHCARD. One state key
+#: holds the whole stream, every keyed window runs in a single
+#: partition, per-group branches see n = |corpus|. First full sweep:
+#: 0/327 (nothing to fix — commissioned as a regression gate).
+ONE_GROUP_PARITY = [
+    "agg_running_stats",         # one group of 1000
+    "stream_stats_exact_state",  # single state key carries everything
+    "stream_sessionize_custom",  # one user's entire history in state
+    "seq_transition_matrix",     # single-user chain = global chain
+    "lang_id_ngram",             # one lang bucket holds the corpus
+    "target_encode_oof",         # single-class label folds
+]
+
+
+@pytest.fixture(scope="module")
+def one_group_dir(tmp_path_factory) -> str:
+    return _build_fixture(tmp_path_factory, "sf_onegroup", {
+        "events": "event_id, ts, 7 AS user_id, 'click' AS event_type,"
+        " value, props",
+        "documents": "doc_id, text, 'en' AS lang, 'web' AS source,"
+        " n_chars",
+        "embeddings": "vec_id, embedding, 1 AS label",
+    })
+
+
+@pytest.mark.parametrize("name", ONE_GROUP_PARITY)
+def test_one_group_parity(spark, one_group_dir, name):
+    _assert_parity(spark, one_group_dir, name, "single-group corpus")
+
+
 def test_json_render_divergence(spark):
     """Documented ENGINE-RENDER divergence (round-10 probe): both
     engines parse JSON numbers and RE-RENDER them, and their numeric
