@@ -1031,75 +1031,69 @@ query("stream_ohlc_bars", _an.TS_OHLC_SQL)(_sp.stream_ohlc_bars)
 # (which always runs all of them).
 
 _VERIFY_FIRST: list[str] = [
-    # Round-10 rotation, second pass (TIES + MULTIFILE sweeps): the
-    # absolute front is this session's changed surface. Mechanisms:
-    # (a) stream_sessionize_custom gained session_seq — the
-    # state-carried per-user break count is now output + serving key
-    # in kernel AND oracle (same-instant purchase-split sessions
-    # share start and end; the TIES sweep caught the (user, start)
-    # key collapsing them); (b) the MULTIFILE staging contract —
-    # FileStreamSource orders batches by ms-granularity mtime, so
-    # multi-part directories are re-staged with forced mtimes (six
-    # stateful kernels were silently order-corrupted) and the three
-    # per-batch/foreachBatch ops became parts-aware; (c)
-    # fn_variant_json's oracle now mirrors the VARIANT spec's
-    # any-depth duplicate-key rejection with a recursive CTE walk
-    # (the former top-level-only precondition is gone).
-    "stream_sessionize_custom",
-    "fn_variant_json",
-    "stream_cusum_alarm",
+    # Round-11 rotation (VERDICT r10 item 1): convert stale-green
+    # trust into fresh CORRECTNESS rows. Nothing in the registry
+    # changed shape this round except stream_batch_wordcount (its
+    # foreachBatch fold moved executor-side — per-batch parquet
+    # append unioned on read, replacing the driver-side pandas
+    # concat; VERDICT r10 item 4), so it takes the absolute front.
     "stream_batch_wordcount",
-    "stream_pareto_front",
-    "stream_progress_metrics",
-    "stream_attribution_last_touch",
-    "stream_transition_matrix",
-    "stream_new_user_monitor",
-    "stream_user_360",
-    # first-pass round-10 front (cap-group class, stream_dedup keep
-    # rule, JSON-metachar class, sketch top-N cap, xxhash64 band
-    # keys, heartbeat final-counter poll) — all green in this
-    # round's pre-flight
-    "agg_higher_moments",
-    "agg_running_stats",
-    "agg_running_stats_by_type",
-    "agg_naive_variance",
-    "fn_welford_update",
-    "stream_stats_exact_state",
-    "stream_stats_heartbeat",
-    "stream_stats_tws",
-    "stream_stats_rocksdb",
-    "stream_running_stats",
-    "proj_wrap_array",
-    "sink_kafka_json",
-    "stream_kafka_pipeline",
-    "proj_json_extract_pair",
-    "proj_json_extract_single",
-    "stream_dedup",
-    "stream_dedup_watermark",
-    "agg_session_window",
-    "stream_session_window",
-    "join_interval_overlap",
-    "join_interval_grid",
-    "approx_kmv_jaccard",
-    "approx_distinct_intersect",
-    "fn_variant_json",
-    "q6_forecast_revenue",
-    "sink_parquet_roundtrip",
-    "sink_console",
-    "stream_minute_rollup",
-    "stream_sliding_window",
-    "stream_static_join",
-    "ckpt_state_dir",
-    "trigger_microbatch_2s",
-    "dedup_minhash_lsh",
-    # round-9/earlier remainder (never red; fills the 50-slot window)
-    "ts_cusum_alarm",
-    "ts_seasonal_profile",
-    "fn_rounding_audit",
-    "udf_surface",
-    "sink_python_datasource",
-    "src_file_formats",
-    "stream_file_sink",
+    # The remaining 49 slots are the OLDEST last-green driver rows,
+    # mechanically enumerated (CORRECTNESS_r01..r10 scanned for each
+    # query's most recent green; sorted by (round, registry position)):
+    # the full r01 tier (27) + the 22 stalest r03 entries. All are
+    # unchanged since their cited round, sweep-covered, and locally
+    # re-proven by scripts/selfcheck.py every round — this rotation
+    # exists to retire the "driver greens age" caveat, ~50/round.
+    "state_seed_initial",        # r01
+    "agg_salted_wordcount",      # r01
+    "q1_pricing_summary",        # r01
+    "q3_shipping_priority",      # r01
+    "q5_local_supplier_volume",  # r01
+    "join_broadcast_agg",        # r01
+    "join_semi",                 # r01
+    "join_anti",                 # r01
+    "join_full_outer",           # r01
+    "agg_mode_argmax",           # r01
+    "join_asof_latest_order",    # r01
+    "window_topk_per_group",     # r01
+    "window_analytics",          # r01
+    "window_range_frame",        # r01
+    "window_rank_funcs",         # r01
+    "window_first_last",         # r01
+    "sql_lateral",               # r01
+    "ts_resample_ffill",         # r01
+    "sort_limit_topk",           # r01
+    "set_ops",                   # r01
+    "distinct_dedup",            # r01
+    "string_funcs",              # r01
+    "date_funcs",                # r01
+    "array_funcs",               # r01
+    "count_distinct_exact",      # r01
+    "agg_multi_distinct",        # r01
+    "percentile_exact",          # r01
+    "agg_collect_ordered",       # r03
+    "map_funcs",                 # r03
+    "join_range_price_band",     # r03
+    "agg_corr_covar",            # r03
+    "null_handling",             # r03
+    "json_corrupt_policy",       # r03
+    "approx_distinct_portable",  # r03
+    "dedup_exact",               # r03
+    "dedup_ngram_jaccard",       # r03
+    "dedup_simhash",             # r03
+    "dedup_simhash_pairs",       # r03
+    "dedup_cluster_keep",        # r03
+    "dedup_embedding_cosine",    # r03
+    "pipeline_dedup_filter",     # r03
+    "sim_topk_cosine",           # r03
+    "sim_ivf_topk",              # r03
+    "embedding_norms",           # r03
+    "sim_ivf_recall",            # r03
+    "lang_id_ngram",             # r03
+    "text_quality_score",        # r03
+    "token_count",               # r03
+    "doc_fingerprint",           # r03
 ]
 
 
@@ -1114,6 +1108,15 @@ def _reorder() -> None:
         raise ValueError(
             f"_VERIFY_FIRST names not in QUERIES: {missing}"
         )
+    # a duplicated entry must also fail at import: the dict rebuild
+    # below dedups keys, so a dup would silently shrink the 50-entry
+    # verification front by one and promote a backlog query into the
+    # uncounted 51st slot (round-10 shipped exactly this with
+    # fn_variant_json listed twice — caught by the round-10 advisor)
+    if len(_VERIFY_FIRST) != len(set(_VERIFY_FIRST)):
+        dups = sorted({n for n in _VERIFY_FIRST
+                       if _VERIFY_FIRST.count(n) > 1})
+        raise ValueError(f"_VERIFY_FIRST has duplicates: {dups}")
     front = list(_VERIFY_FIRST)
     rest = [n for n in QUERIES if n not in set(front)]
     order = front + rest

