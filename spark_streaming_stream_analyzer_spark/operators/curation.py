@@ -358,18 +358,34 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     result; chunk rows stream out of the scan map-side."""
     docs = load_table_cpu(spark, sf_dir, "documents")
     words = F.filter(F.split("text", " "), lambda w: w != "")
-    starts = F.sequence(
-        F.lit(0), F.greatest(F.size(words) - 1, F.lit(0)), F.lit(CHUNK_STRIDE)
-    )
-    chunks = F.transform(
-        starts,
-        lambda s: F.struct(
-            F.size(F.slice(words, s + 1, CHUNK_TOKENS)).alias("n_tokens"),
-            F.md5(
-                F.concat_ws(" ", F.slice(words, s + 1, CHUNK_TOKENS))
-            ).alias("chunk_md5"),
+    # `words` must not be referenced from inside the chunk lambda:
+    # slice(words, s+1, 64) there re-runs the split once per CHUNK —
+    # O(L²/stride) in doc length (round-11 GIANTDOC find; see
+    # functions/grams.py). Fixed k-grams use the zip_with chain, but
+    # 64-token strided windows would need 64 chained zips — instead
+    # pack the evaluated array into a one-element struct array and
+    # chunk inside its transform, where x["w"] is a LAMBDA VARIABLE
+    # (already-evaluated value, O(1) access) rather than an inline
+    # expression. The split runs exactly once per row.
+    packed = F.transform(
+        F.array(F.struct(words.alias("w"))),
+        lambda x: F.transform(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.size(x["w"]) - 1, F.lit(0)),
+                F.lit(CHUNK_STRIDE),
+            ),
+            lambda s: F.struct(
+                F.size(F.slice(x["w"], s + 1, CHUNK_TOKENS)).alias(
+                    "n_tokens"
+                ),
+                F.md5(
+                    F.concat_ws(" ", F.slice(x["w"], s + 1, CHUNK_TOKENS))
+                ).alias("chunk_md5"),
+            ),
         ),
     )
+    chunks = F.element_at(packed, 1)
     return (
         docs.filter(F.size(words) > 0)
         .select("doc_id", F.posexplode(chunks).alias("chunk_id", "ch"))
@@ -382,24 +398,37 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Rebuilt from EXPLODED token rows (round-11 GIANTDOC): the former
+# per-chunk list_slice over the carried token list is O(L) per chunk
+# in DuckDB — O(L²/stride) per giant document, measured 65 s at a
+# 200k-token doc. Here each token row fans out to the (at most
+# ceil(TOKENS/STRIDE)) overlapping chunks that contain it — chunk c
+# covers positions c·STRIDE+1 .. c·STRIDE+TOKENS, so c ranges over
+# [ceil((pos-TOKENS)/STRIDE), floor((pos-1)/STRIDE)], clamped at 0;
+# the upper bound never exceeds the last start (floor((L-1)/STRIDE)).
+# string_agg ORDER BY pos rebuilds each chunk's exact text for the md5.
 TEXT_CHUNK_SQL = f"""
 WITH base AS (
   SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w
   FROM documents
 ),
-chunked AS (
-  SELECT doc_id,
-         generate_subscripts(starts, 1) - 1 AS chunk_id,
-         unnest(starts) AS s, w
-  FROM (SELECT doc_id, w,
-               range(0, greatest(len(w), 1), {CHUNK_STRIDE}) AS starts
-        FROM base WHERE len(w) > 0) t
+ex AS (
+  SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS pos
+  FROM base WHERE len(w) > 0
+),
+member AS (
+  SELECT doc_id, pos, word,
+         unnest(range(
+           greatest(CAST(ceil((pos - {CHUNK_TOKENS}) / {CHUNK_STRIDE}.0)
+                         AS BIGINT), 0),
+           CAST(floor((pos - 1) / {CHUNK_STRIDE}.0) AS BIGINT) + 1
+         )) AS chunk_id
+  FROM ex
 )
-SELECT doc_id, chunk_id,
-       CAST(len(list_slice(w, s + 1, s + {CHUNK_TOKENS})) AS INT) AS n_tokens,
-       md5(array_to_string(list_slice(w, s + 1, s + {CHUNK_TOKENS}), ' '))
-         AS chunk_md5
-FROM chunked
+SELECT doc_id, chunk_id, CAST(COUNT(*) AS INT) AS n_tokens,
+       md5(string_agg(word, ' ' ORDER BY pos)) AS chunk_md5
+FROM member
+GROUP BY doc_id, chunk_id
 """
 
 

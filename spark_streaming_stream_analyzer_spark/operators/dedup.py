@@ -41,6 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.grams import word_kgrams
 from ..functions.hashing import hash64, hash64_sql
 from ..sources.tables import load_table, load_table_cpu
 from .similarity import _shadow_nonnull_embeddings, load_embeddings
@@ -104,21 +105,12 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # drop empty tokens (leading/trailing/double spaces) so the token
     # stream is identical to the minhash tier's and to the oracle CTE
     words = F.filter(F.split("text", " "), lambda w: w != "")
-    # guard short docs: sequence(0, size-K) DESCENDS when size < K,
-    # feeding element_at invalid indices (ANSI error); such docs have
-    # no K-grams, so emit an empty array instead
-    grams = F.when(
-        F.size(words) >= SHINGLE_K,
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - SHINGLE_K),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(words, i + 1),
-                F.element_at(words, i + 2),
-                F.element_at(words, i + 3),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # zip_with-chained shifted slices, NOT transform(sequence, i ->
+    # element_at(words, ...)): element_at on the inline `words` inside
+    # a lambda re-runs the split per element — O(L²) in doc length
+    # (round-11 GIANTDOC find; _signatures below always used the
+    # linear form and documents the same trap). functions/grams.py.
+    grams = word_kgrams(words, SHINGLE_K)
     return docs.select(
         "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
     )
@@ -1010,16 +1002,10 @@ def text_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table_cpu(spark, sf_dir, "documents")
     words = F.filter(F.split("text", " "), lambda w: w != "")
-    n_words = F.size(words)
-    grams = F.when(
-        n_words >= DUPG_N,
-        F.transform(
-            F.sequence(F.lit(1), n_words - F.lit(DUPG_N - 1)),
-            lambda i: hash64(
-                F.concat_ws(" ", F.slice(words, i, DUPG_N))
-            ),
-        ),
-    ).otherwise(F.array().cast("array<long>"))
+    # linear zip_with gram form (round-11 GIANTDOC find: slice(words)
+    # inside the lambda re-ran the split per gram — O(L²) in doc
+    # length). hash64 maps over lambda-local gram strings.
+    grams = F.transform(word_kgrams(words, DUPG_N), lambda g: hash64(g))
     g = docs.select("doc_id", F.explode(grams).alias("gh"))
     # distinct per doc BEFORE the global count so a doc repeating its
     # own gram doesn't count itself as a corpus duplicate
@@ -1043,7 +1029,9 @@ WITH w AS (
 g AS (
   SELECT doc_id,
          unnest(list_transform(range(1, len(ws) - {DUPG_N} + 2),
-           i -> {hash64_sql("array_to_string(list_slice(ws, i, i + " + str(DUPG_N - 1) + "), ' ')")}
+           -- indexed 8-gram, not list_slice: in-lambda list_slice of an
+           -- outer list is O(L) per gram in DuckDB (GIANTDOC, round 11)
+           i -> {hash64_sql("ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7]")}
          )) AS gh
   FROM w WHERE len(ws) >= {DUPG_N}
 ),
@@ -1152,14 +1140,8 @@ def dedup_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table_cpu(spark, sf_dir, "documents")
     words = F.filter(F.split("text", " "), lambda w: w != "")
-    n_words = F.size(words)
-    grams = F.when(
-        n_words >= DUPG_N,
-        F.transform(
-            F.sequence(F.lit(1), n_words - F.lit(DUPG_N - 1)),
-            lambda i: hash64(F.concat_ws(" ", F.slice(words, i, DUPG_N))),
-        ),
-    ).otherwise(F.array().cast("array<long>"))
+    # linear zip_with gram form (GIANTDOC, see text_dup_ngram_fraction)
+    grams = F.transform(word_kgrams(words, DUPG_N), lambda g: hash64(g))
     sg = docs.select(
         "source", F.explode(grams).alias("gh")
     ).distinct()
@@ -1201,7 +1183,9 @@ sg AS (
   SELECT DISTINCT source, gh FROM (
     SELECT source,
            unnest(list_transform(range(1, len(ws) - {DUPG_N} + 2),
-             i -> {hash64_sql("array_to_string(list_slice(ws, i, i + " + str(DUPG_N - 1) + "), ' ')")}
+             -- indexed 8-gram, not list_slice: in-lambda list_slice of an
+           -- outer list is O(L) per gram in DuckDB (GIANTDOC, round 11)
+           i -> {hash64_sql("ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7]")}
            )) AS gh
     FROM w WHERE len(ws) >= {DUPG_N}
   )

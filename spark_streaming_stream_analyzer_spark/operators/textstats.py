@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.grams import word_kgrams
 from ..functions.hashing import hash64, hash64_sql
 from ..functions.ranking import global_rank
 from ..sources.tables import load_table_cpu
@@ -200,20 +201,12 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").isNotNull(),
         F.concat_ws(" ", F.array_sort(F.array_distinct(words))),
     )
-    # short docs have no 3-grams: sequence(0, size-3) would DESCEND and
-    # hand element_at invalid indices (ANSI error) -> empty array
-    grams = F.when(
-        F.size(words) >= 3,
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - 3),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(words, i + 1),
-                F.element_at(words, i + 2),
-                F.element_at(words, i + 3),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # zip_with-chained shifted slices, NOT transform(sequence, i ->
+    # element_at(words, ...)): element_at on the inline `words` inside
+    # a lambda re-runs the split per element — O(L²) in doc length
+    # (round-11 GIANTDOC find: one 500k-token doc took hours; linear
+    # form takes ~1 s). See functions/grams.py.
+    grams = word_kgrams(words, 3)
     min_shingle = F.array_min(F.transform(grams, lambda g: hash64(g)))
     return docs.select(
         "doc_id",
@@ -375,6 +368,12 @@ def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mins.select("doc_id", "fingerprint").distinct()
 
 
+# window-min over UNNESTED rows, not list_min(list_slice(hs, ...))
+# inside list_transform: DuckDB's in-lambda list_slice of an outer
+# list is O(L) per call (measured quadratic — 25 s at a 40k list,
+# hours at 500k), the same O(L²) trap the Spark kernels had with
+# element_at-on-inline-arrays (round-11 GIANTDOC). The row form is
+# linear and mirrors the kernel's rolling ROWS frame exactly.
 DOC_WINNOW_SQL = f"""
 WITH base AS (
   SELECT doc_id,
@@ -387,12 +386,19 @@ hashed AS (
            i -> CAST('0x' || substr(md5(words[i] || ' ' || words[i+1] || ' ' || words[i+2]), 1, 15) AS BIGINT)
          ) AS hs
   FROM base
+),
+ex AS (
+  SELECT doc_id, unnest(hs) AS h, generate_subscripts(hs, 1) AS pos
+  FROM hashed
+),
+mins AS (
+  SELECT doc_id, pos,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW)
+           AS fingerprint
+  FROM ex
 )
-SELECT doc_id, unnest(list_distinct(list_transform(
-         range(1, len(hs) - {WINNOW_W} + 2),
-         i -> list_min(list_slice(hs, i, i + {WINNOW_W} - 1))))) AS fingerprint
-FROM hashed
-WHERE len(hs) >= {WINNOW_W}
+SELECT DISTINCT doc_id, fingerprint FROM mins WHERE pos >= {WINNOW_W}
 """
 
 
@@ -692,16 +698,13 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table_cpu(spark, sf_dir, "documents")
     words = F.filter(F.split("text", " "), lambda w: w != "")
-    n_words = F.size(words)
-    grams = F.when(
-        n_words >= NOVELTY_N,
-        F.transform(
-            F.sequence(F.lit(1), n_words - F.lit(NOVELTY_N - 1)),
-            lambda i: hash64(
-                F.concat_ws(" ", F.slice(words, i, NOVELTY_N))
-            ),
-        ),
-    ).otherwise(F.array().cast("array<long>"))
+    # slice(words, ...) inside the lambda re-ran the split per gram —
+    # O(L²) in doc length (round-11 GIANTDOC find); word_kgrams is the
+    # linear zip_with form. hash64 maps over the gram STRINGS, which
+    # are lambda-local — no inline-array reference remains.
+    grams = F.transform(
+        word_kgrams(words, NOVELTY_N), lambda g: hash64(g)
+    )
     gd = docs.select(
         "doc_id", F.explode(grams).alias("gh")
     ).distinct()
@@ -725,7 +728,9 @@ gd AS (
   SELECT DISTINCT doc_id, gh FROM (
     SELECT doc_id,
            unnest(list_transform(range(1, len(ws) - {NOVELTY_N} + 2),
-             i -> CAST('0x' || substr(md5(array_to_string(list_slice(ws, i, i + 7), ' ')), 1, 15) AS BIGINT)
+             -- indexed 8-gram, not list_slice: in-lambda list_slice of an
+             -- outer list is O(L) per gram in DuckDB (GIANTDOC, round 11)
+             i -> CAST('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7]), 1, 15) AS BIGINT)
            )) AS gh
     FROM w WHERE len(ws) >= {NOVELTY_N}
   )
@@ -962,14 +967,10 @@ def pipeline_doc_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shared gram grain: one explode; ONE (count, first-doc) aggregate
     # serves the dup flag (raw grams) and the novelty flag (distinct)
     words = F.filter(F.split("text", " "), lambda w: w != "")
-    n_words = F.size(words)
-    grams = F.when(
-        n_words >= NOVELTY_N,
-        F.transform(
-            F.sequence(F.lit(1), n_words - F.lit(NOVELTY_N - 1)),
-            lambda i: hash64(F.concat_ws(" ", F.slice(words, i, NOVELTY_N))),
-        ),
-    ).otherwise(F.array().cast("array<long>"))
+    # linear zip_with gram form (GIANTDOC, see text_ngram_novelty)
+    grams = F.transform(
+        word_kgrams(words, NOVELTY_N), lambda g: hash64(g)
+    )
     g = docs.select("doc_id", F.explode(grams).alias("gh")).localCheckpoint(
         eager=False
     )

@@ -1031,20 +1031,37 @@ query("stream_ohlc_bars", _an.TS_OHLC_SQL)(_sp.stream_ohlc_bars)
 # (which always runs all of them).
 
 _VERIFY_FIRST: list[str] = [
-    # Round-11 rotation (VERDICT r10 item 1): convert stale-green
-    # trust into fresh CORRECTNESS rows. Nothing in the registry
-    # changed shape this round except stream_batch_wordcount (its
-    # foreachBatch fold moved executor-side — per-batch parquet
-    # append unioned on read, replacing the driver-side pandas
-    # concat; VERDICT r10 item 4), so it takes the absolute front.
+    # Round-11 rotation, second pass (GIANTDOC sweep): the absolute
+    # front is this session's changed surface — the O(L²)-in-document-
+    # length gram class. Seven kernels built word-k-grams with
+    # element_at/slice on the INLINE filter(split(text)) inside a
+    # higher-order lambda (re-evaluated per element — Catalyst CSE does
+    # not reach lambda bodies); four DuckDB oracles had the mirror bug
+    # (in-lambda / per-carried-row list_slice). All rewritten linear:
+    # functions/grams.py zip_with chain, the struct-pack chunker,
+    # indexed-8-gram / window-min / exploded-membership oracles.
+    # stream_batch_wordcount's fold moved executor-side (VERDICT r10
+    # item 4). Every entry pre-flighted green at sf0.01 AND on the new
+    # GIANTDOC fixture (tests/test_empty_corpus.py, 18th sweep).
     "stream_batch_wordcount",
-    # The remaining 49 slots are the OLDEST last-green driver rows,
-    # mechanically enumerated (CORRECTNESS_r01..r10 scanned for each
-    # query's most recent green; sorted by (round, registry position)):
-    # the full r01 tier (27) + the 22 stalest r03 entries. All are
-    # unchanged since their cited round, sweep-covered, and locally
-    # re-proven by scripts/selfcheck.py every round — this rotation
-    # exists to retire the "driver greens age" caveat, ~50/round.
+    "doc_fingerprint",
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_minhash_quality",
+    "text_dup_ngram_fraction",
+    "dedup_source_overlap_matrix",
+    "text_ngram_novelty",
+    "pipeline_doc_scorecard",
+    "text_chunk_overlap",
+    "doc_winnowing",
+    "dedup_fingerprint_overlap",
+    "dedup_index_tuning_report",
+    # The remaining 37 slots: the OLDEST last-green driver rows
+    # (VERDICT r10 item 1), mechanically enumerated from
+    # CORRECTNESS_r01..r10 sorted by (round, registry position) —
+    # the full r01 tier (27) + the 10 stalest r03 entries. The next
+    # ~40 r03/r04 entries are already vanilla-pre-flighted for r12
+    # (NOTES_r11 §1).
     "state_seed_initial",        # r01
     "agg_salted_wordcount",      # r01
     "q1_pricing_summary",        # r01
@@ -1080,20 +1097,8 @@ _VERIFY_FIRST: list[str] = [
     "json_corrupt_policy",       # r03
     "approx_distinct_portable",  # r03
     "dedup_exact",               # r03
-    "dedup_ngram_jaccard",       # r03
     "dedup_simhash",             # r03
     "dedup_simhash_pairs",       # r03
-    "dedup_cluster_keep",        # r03
-    "dedup_embedding_cosine",    # r03
-    "pipeline_dedup_filter",     # r03
-    "sim_topk_cosine",           # r03
-    "sim_ivf_topk",              # r03
-    "embedding_norms",           # r03
-    "sim_ivf_recall",            # r03
-    "lang_id_ngram",             # r03
-    "text_quality_score",        # r03
-    "token_count",               # r03
-    "doc_fingerprint",           # r03
 ]
 
 

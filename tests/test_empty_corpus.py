@@ -981,3 +981,64 @@ def test_grouping_sets_empty_spark_behavior_is_pinned(spark, empty_dir):
     for name in ("agg_rollup", "agg_cube", "agg_grouping_sets"):
         sdf = registry.QUERIES[name](spark, empty_dir)
         assert sdf.count() == 0, f"{name}: Spark now emits rows on empty input"
+
+
+#: GIANT DOCUMENTS (round 11, 18th standing sweep): two megabyte-class
+#: docs amid the normal corpus — 100k tokens over a 5k vocabulary
+#: (cyclic, so gram dedup stays realistic) and 50k copies of ONE token
+#: (degenerate repetition). The regime that found the O(L²) gram class:
+#: per-element references to an INLINE array expression inside a
+#: higher-order lambda re-evaluate it — Spark-side (element_at/slice on
+#: the inline split; CSE does not reach lambda bodies) in SEVEN kernels,
+#: and DuckDB-side (in-lambda/per-carried-row list_slice) in FOUR
+#: oracles. doc_fingerprint alone ran >10 min on a 500k-token doc; all
+#: fixed forms (functions/grams.py zip_with chain, struct-pack chunker,
+#: indexed-8-gram / window-min / exploded-membership oracles) are
+#: linear. This sweep is the canary: a reintroduced quadratic turns one
+#: of these parametrizations from ~2 s into minutes.
+GIANT_DOC_PARITY = [
+    "doc_fingerprint",            # kernel: zip_with 3-grams
+    "dedup_ngram_jaccard",        # kernel: _shingles zip_with
+    "dedup_containment",          # kernel: _shingles zip_with
+    "dedup_minhash_quality",      # kernel: _shingles zip_with
+    "dedup_minhash_lsh",          # _signatures path (always linear) stays so
+    "text_dup_ngram_fraction",    # kernel + indexed-8-gram oracle
+    "dedup_source_overlap_matrix",  # kernel + indexed-8-gram oracle
+    "text_ngram_novelty",         # kernel + indexed-8-gram oracle
+    "pipeline_doc_scorecard",     # fused path embeds both fragments
+    "text_chunk_overlap",         # struct-pack kernel + exploded oracle
+    "doc_winnowing",              # window-min oracle
+    "dedup_fingerprint_overlap",  # embeds the winnowing oracle
+    "dedup_index_tuning_report",  # embeds the winnowing oracle
+]
+
+
+@pytest.fixture(scope="module")
+def giant_doc_dir(tmp_path_factory) -> str:
+    d = tmp_path_factory.mktemp("sf_giantdoc")
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        src = f"read_parquet('{SRC}/{t}.parquet')"
+        if t == "documents":
+            q = (
+                f"SELECT * FROM {src}"
+                " UNION ALL "
+                "SELECT 900001 AS doc_id,"
+                " (SELECT string_agg('w' || (i % 5000), ' ')"
+                "  FROM generate_series(1, 100000) t(i)) AS text,"
+                " 'en' AS lang, 'giant' AS source, 688895 AS n_chars"
+                " UNION ALL "
+                "SELECT 900002,"
+                " (SELECT string_agg('spam', ' ')"
+                "  FROM generate_series(1, 50000) t(i)),"
+                " 'en', 'giant', 249999"
+            )
+        else:
+            q = f"SELECT * FROM {src}"
+        con.execute(f"COPY ({q}) TO '{d}/{t}.parquet' (FORMAT PARQUET)")
+    return str(d)
+
+
+@pytest.mark.parametrize("name", GIANT_DOC_PARITY)
+def test_giant_doc_parity(spark, giant_doc_dir, name):
+    _assert_parity(spark, giant_doc_dir, name, "megabyte documents")
