@@ -62,36 +62,67 @@ _COS_SQL = f"""
 """
 
 
-def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-tier source: the vectors table minus NULL embeddings.
+#: magnitude cap per embedding COMPONENT — the vector twin of the
+#: events-tier ``EVENT_VALUE_ABS_MAX`` clause (round 9). Real encoder
+#: outputs are O(1) per component; anything beyond ±100 is garbage
+#: (a failed decode, an fp32 blow-up) and, left in, a SINGLE such
+#: vector ANSI-kills every integer-exact op in the tier (round-11
+#: EMBADV probe: one 1e10-component vector crashed
+#: sim_kmeans_exact_cells / sim_ivf_exact_topk / emb_pca_power with
+#: ARITHMETIC_OVERFLOW — the one-garbage-row-DoS shape). The tightest
+#: int64 path is PCA's gram×eigenvector product chain, safe to
+#: |x| ≈ 530 at PCA_Q=1e3/PCA_V=1e6/dim=64/n=500; 100 keeps ~5x
+#: headroom there and ~2000x on the k-means distance path.
+EMB_COMPONENT_ABS_MAX = 100.0
 
-    A NULL embedding is not a vector — a production corpus carries
-    rows whose embedding job failed or has not run, and every consumer
+
+def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-tier source: the vectors table minus non-vectors.
+
+    A production corpus carries rows whose embedding job failed or has
+    not run (NULL), and rows whose encoder emitted garbage (NaN/Inf or
+    magnitude blow-ups) — none of them are vectors, and every consumer
     in this tier (norms, ANN candidates, PQ/IVF training, kNN graphs,
-    centroid stats) must ignore them rather than propagate NULL
-    through array arithmetic (Spark) or silently drop them in some
-    engines and not others. Every oracle in the tier carries the SAME
-    filter via the shadow-CTE rewrite in
+    centroid stats) must ignore them rather than propagate NULL/NaN
+    through array arithmetic or ANSI-crash the integer-exact ops
+    (round-11 EMBADV probe — see ``EMB_COMPONENT_ABS_MAX``). The keep
+    rule: embedding non-NULL AND every component non-NULL, finite, and
+    within ±EMB_COMPONENT_ABS_MAX. Every oracle in the tier carries
+    the SAME rule via the shadow-CTE rewrite in
     :func:`_shadow_nonnull_embeddings`, so both engines see one vector
     set by construction. No-op on fixtures with fully-populated
     embeddings (all sf dirs — verified by selfcheck before/after).
-    (NULL-payload corpus sweep, round 7.)
+    (NULL-payload corpus sweep, round 7; component clause, round 11.)
     """
     return load_table_cpu(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
+        & F.forall(
+            "embedding",
+            lambda x: x.isNotNull()
+            & ~F.isnan(x)
+            & (F.abs(x) <= F.lit(EMB_COMPONENT_ABS_MAX)),
+        )
     )
 
 
 def _shadow_nonnull_embeddings(sql: str) -> str:
     """Prepend a CTE that SHADOWS the ``embeddings`` view with its
-    NULL-embedding-free projection (``main.embeddings`` names the base
-    view unambiguously — DuckDB resolves registered tables and views
-    through the main schema). Applied to every oracle constant in this
-    tier at module bottom; keeps the 30+ oracle bodies untouched and
-    alias-safe."""
+    valid-vector projection — the oracle mirror of
+    :func:`load_embeddings`'s keep rule (non-NULL embedding, every
+    component non-NULL, finite, within ±EMB_COMPONENT_ABS_MAX).
+    ``main.embeddings`` names the base view unambiguously — DuckDB
+    resolves registered tables and views through the main schema.
+    The bad-component test is spelled with an explicit ``isnan``
+    because the engines' NaN comparison orders differ (DuckDB totals
+    NaN above +Inf; Spark's NaN comparisons are false) — only the
+    finite branch may rely on ``abs(x)``. Applied to every oracle
+    constant in this tier at module bottom; keeps the 30+ oracle
+    bodies untouched and alias-safe."""
     cte = (
         "embeddings AS (SELECT * FROM main.embeddings"
-        " WHERE embedding IS NOT NULL)"
+        " WHERE embedding IS NOT NULL"
+        " AND len(list_filter(embedding, x -> x IS NULL OR isnan(x)"
+        f" OR abs(x) > {EMB_COMPONENT_ABS_MAX!r})) = 0)"
     )
     s = sql.lstrip()
     if s.upper().startswith("WITH RECURSIVE"):

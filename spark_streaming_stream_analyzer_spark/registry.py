@@ -1041,8 +1041,16 @@ _VERIFY_FIRST: list[str] = [
     # functions/grams.py zip_with chain, the struct-pack chunker,
     # indexed-8-gram / window-min / exploded-membership oracles.
     # stream_batch_wordcount's fold moved executor-side (VERDICT r10
-    # item 4). Every entry pre-flighted green at sf0.01 AND on the new
-    # GIANTDOC fixture (tests/test_empty_corpus.py, 18th sweep).
+    # item 4). Third pass (EMBADV sweep): the embedding tier gained a
+    # valid-component ingest clause (load_embeddings + the oracle
+    # shadow CTE — a 1e10-component garbage vector ANSI-killed the
+    # three integer-exact ops); the clause is an identity on every
+    # fixture (full selfcheck re-proven), and the four semantically-
+    # exercised ops join the front — the rest of the ~30-oracle tier
+    # is covered by selfcheck + the EMBADV sweep this round and
+    # rotates through the front across r12/r13 with the stale tiers.
+    # Every entry pre-flighted green at sf0.01 AND on the new GIANTDOC
+    # fixture (tests/test_empty_corpus.py, 18th sweep).
     "stream_batch_wordcount",
     "doc_fingerprint",
     "dedup_ngram_jaccard",
@@ -1056,6 +1064,10 @@ _VERIFY_FIRST: list[str] = [
     "doc_winnowing",
     "dedup_fingerprint_overlap",
     "dedup_index_tuning_report",
+    "embedding_norms",           # r11 changed (EMBADV contract carrier)
+    "sim_kmeans_exact_cells",    # r11 changed (EMBADV)
+    "sim_ivf_exact_topk",        # r11 changed (EMBADV)
+    "emb_pca_power",             # r11 changed (EMBADV)
     # The remaining 37 slots: the OLDEST last-green driver rows
     # (VERDICT r10 item 1), mechanically enumerated from
     # CORRECTNESS_r01..r10 sorted by (round, registry position) —
@@ -1096,9 +1108,6 @@ _VERIFY_FIRST: list[str] = [
     "null_handling",             # r03
     "json_corrupt_policy",       # r03
     "approx_distinct_portable",  # r03
-    "dedup_exact",               # r03
-    "dedup_simhash",             # r03
-    "dedup_simhash_pairs",       # r03
 ]
 
 

@@ -1042,3 +1042,65 @@ def giant_doc_dir(tmp_path_factory) -> str:
 @pytest.mark.parametrize("name", GIANT_DOC_PARITY)
 def test_giant_doc_parity(spark, giant_doc_dir, name):
     _assert_parity(spark, giant_doc_dir, name, "megabyte documents")
+
+
+#: ADVERSARIAL EMBEDDINGS (round 11, 19th standing sweep): four
+#: non-fixture vectors appended — all-zero (norm 0), 1e10-per-component
+#: (the garbage-encoder blow-up), 1e-10-per-component (underflow-
+#: adjacent), and one-hot. The 1e10 vector ANSI-killed all three
+#: integer-exact embedding ops on first probe (ARITHMETIC_OVERFLOW in
+#: the fixed-point quantize/gram chains — one garbage row DoS'ing the
+#: whole job); the fix is the ingest contract, not per-op try_*: a
+#: vector with any non-NULL-violating, non-finite, or beyond-
+#: ±EMB_COMPONENT_ABS_MAX component is NOT a vector (load_embeddings +
+#: the _shadow_nonnull_embeddings oracle CTE — the vector twin of the
+#: round-9 events magnitude clause). Zero / tiny / one-hot vectors are
+#: VALID and must flow through (zero-norm cosine paths NULL-guard).
+EMB_ADV_PARITY = [
+    "embedding_norms",          # contract carrier: 503 of 504 kept
+    "sim_kmeans_exact_cells",   # fixed-point distance chain
+    "sim_ivf_exact_topk",       # fixed-point assignment + rerank
+    "emb_pca_power",            # gram x eigenvector product chain
+    "sim_topk_cosine",          # zero-norm query/target guard
+    "dedup_embedding_cosine",   # zero-norm pair guard
+    "emb_quantize_int8",        # per-vector scale with zero range
+    "array_funcs",              # raw-table scalar pack: sees ALL 504
+]
+
+
+@pytest.fixture(scope="module")
+def emb_adv_dir(tmp_path_factory) -> str:
+    d = tmp_path_factory.mktemp("sf_embadv")
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        src = f"read_parquet('{SRC}/{t}.parquet')"
+        if t == "embeddings":
+            q = (
+                f"SELECT * FROM {src}"
+                " UNION ALL SELECT 900001,"
+                " (SELECT list(CAST(0.0 AS FLOAT))"
+                "  FROM generate_series(1,64)), 1"
+                " UNION ALL SELECT 900002,"
+                " (SELECT list(CAST(1e10 AS FLOAT))"
+                "  FROM generate_series(1,64)), 2"
+                " UNION ALL SELECT 900003,"
+                " (SELECT list(CAST(1e-10 AS FLOAT))"
+                "  FROM generate_series(1,64)), 3"
+                " UNION ALL SELECT 900004,"
+                " (SELECT list(CAST(CASE WHEN j = 1 THEN 1.0 ELSE 0.0 END"
+                "   AS FLOAT)) FROM generate_series(1,64) s(j)), 4"
+            )
+        else:
+            q = f"SELECT * FROM {src}"
+        con.execute(f"COPY ({q}) TO '{d}/{t}.parquet' (FORMAT PARQUET)")
+    return str(d)
+
+
+@pytest.mark.parametrize("name", EMB_ADV_PARITY)
+def test_emb_adv_parity(spark, emb_adv_dir, name):
+    _assert_parity(spark, emb_adv_dir, name, "adversarial embeddings")
+    if name == "embedding_norms":
+        # the contract must have filtered EXACTLY the 1e10 vector:
+        # zero, tiny, and one-hot are valid vectors and must survive
+        n = registry.QUERIES[name](spark, emb_adv_dir).count()
+        assert n == 503, f"expected 503 kept vectors, got {n}"
