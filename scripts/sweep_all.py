@@ -51,6 +51,8 @@ FIXTURES = [
     ("TIES", T.tied_clock_dir),     # round 10: every event same instant
     ("MULTIFILE", T.multi_file_dir),  # round 10: 4-part-file tables
     ("ONEGROUP", T.one_group_dir),  # round 10: every row the same key
+    ("GIANTDOC", T.giant_doc_dir),  # round 11: megabyte documents
+    ("EMBADV", T.emb_adv_dir),      # round 11: garbage-component vectors
 ]
 
 

@@ -49,6 +49,19 @@ def _cosine(a: Column, b: Column) -> Column:
     return dot / (F.sqrt(na) * F.sqrt(nb))
 
 
+#: squared-L2 of the ``embedding`` column (order-free — a sum of
+#: squares is zero iff every component is) for oracle-side mirrors of
+#: the :func:`_with_norm` zero-vector exclusion. Spark's ANSI double
+#: division THROWS on the 0/0 a zero-norm cosine produces while
+#: DuckDB's returns NULL, so any op whose kernel excludes zero norms
+#: must exclude them in its oracle too — BEFORE any sampling/LIMIT,
+#: or the selected sets diverge (round-11 EMBADV attestation:
+#: emb_distance_histogram's hash-sample shifted by one zero vector).
+_NORM2_SQL = (
+    "list_reduce(list_prepend(0.0, list_transform(embedding,"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, x) -> a + x)"
+)
+
 _COS_SQL = f"""
   list_reduce(list_prepend(0.0, list_transform(generate_series(1, {DIM}),
       i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
@@ -1089,8 +1102,17 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     one that would graduate to the IVF/SRP tiers at scale. Argmax is
     a max-by-struct aggregate — no per-query window, ties broken to
     the smaller vec_id exactly like the rank-based oracles.
+
+    Zero-norm vectors are excluded through :func:`_with_norm` (the
+    tier's standard pre-index step) on BOTH the query and candidate
+    sides: the FULL cosine here is unguarded by design (it is the
+    reference score), and a zero vector's 0/0 is an ANSI task kill in
+    Spark vs NULL in DuckDB (round-11 EMBADV attestation). The oracle
+    carries the same exclusion via ``_NORM2_SQL > 0``.
     """
-    em = load_embeddings(spark, sf_dir).select("vec_id", "embedding")
+    em = _with_norm(load_embeddings(spark, sf_dir), "embedding", "nrm").select(
+        "vec_id", "embedding"
+    )
     q = em.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
@@ -1149,12 +1171,13 @@ _COS_TRUNC_SQL = (
 )
 
 MATRYOSHKA_SQL = f"""
-WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
+WITH nz AS (SELECT * FROM embeddings WHERE {_NORM2_SQL} > 0),
+q AS (SELECT vec_id AS q_id, embedding FROM nz WHERE vec_id < {N_QUERIES}),
 scored AS (
   SELECT q.q_id, e.vec_id,
          {_COS_SQL} AS cf,
          {_COS_TRUNC_SQL} AS ct
-  FROM embeddings e JOIN q ON e.vec_id <> q.q_id
+  FROM nz e JOIN q ON e.vec_id <> q.q_id
 ),
 rf AS (
   SELECT q_id, vec_id AS top1_full, cf AS cos_full,
@@ -2533,11 +2556,12 @@ def _dist_hist_sql() -> str:
     ha = hash64_sql("'dhA#' || CAST(vec_id AS VARCHAR)")
     hb = hash64_sql("'dhB#' || CAST(vec_id AS VARCHAR)")
     return f"""
-WITH sa AS (
-  SELECT * FROM embeddings ORDER BY {ha}, vec_id LIMIT {DIST_VEC_CAP}
+WITH nz AS (SELECT * FROM embeddings WHERE {_NORM2_SQL} > 0),
+sa AS (
+  SELECT * FROM nz ORDER BY {ha}, vec_id LIMIT {DIST_VEC_CAP}
 ),
 sb AS (
-  SELECT * FROM embeddings ORDER BY {hb}, vec_id LIMIT {DIST_VEC_CAP}
+  SELECT * FROM nz ORDER BY {hb}, vec_id LIMIT {DIST_VEC_CAP}
 ),
 pairs AS (
   SELECT q.vec_id AS a, e.vec_id AS b, {_COS_SQL} AS cos

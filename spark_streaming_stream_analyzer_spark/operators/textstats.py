@@ -578,10 +578,15 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         # produce a NULL-rate row, never kill a 100 TB job (the
         # module invariant; text_quality_score uses try_divide for
         # the same reason)
+        # BIGINT the count before the ppm multiply: Spark's size() is
+        # INT, and INT * 1000000 wraps at 2,148 OOV tokens — a single
+        # megabyte document ANSI-killed this op (round-11 GIANTDOC
+        # full-registry attestation; the oracle side was already wide,
+        # DuckDB len() is BIGINT)
         F.expr(
             "CASE WHEN size(ws) > 0 THEN"
-            " size(filter(ws, w -> NOT array_contains(vs, w))) * 1000000"
-            " DIV size(ws) END"
+            " CAST(size(filter(ws, w -> NOT array_contains(vs, w))) AS BIGINT)"
+            " * 1000000 DIV size(ws) END"
         ).alias("oov_ppm"),
     )
 

@@ -1068,6 +1068,9 @@ _VERIFY_FIRST: list[str] = [
     "sim_kmeans_exact_cells",    # r11 changed (EMBADV)
     "sim_ivf_exact_topk",        # r11 changed (EMBADV)
     "emb_pca_power",             # r11 changed (EMBADV)
+    "text_oov_rate",             # r11 changed (GIANTDOC: INT ppm wrap)
+    "emb_matryoshka_recall",     # r11 changed (EMBADV: zero-norm excl)
+    "emb_distance_histogram",    # r11 changed (EMBADV: oracle sample)
     # The remaining 37 slots: the OLDEST last-green driver rows
     # (VERDICT r10 item 1), mechanically enumerated from
     # CORRECTNESS_r01..r10 sorted by (round, registry position) —
@@ -1106,8 +1109,6 @@ _VERIFY_FIRST: list[str] = [
     "join_range_price_band",     # r03
     "agg_corr_covar",            # r03
     "null_handling",             # r03
-    "json_corrupt_policy",       # r03
-    "approx_distinct_portable",  # r03
 ]
 
 

@@ -1010,6 +1010,9 @@ GIANT_DOC_PARITY = [
     "doc_winnowing",              # window-min oracle
     "dedup_fingerprint_overlap",  # embeds the winnowing oracle
     "dedup_index_tuning_report",  # embeds the winnowing oracle
+    # full-registry attestation find (not the focused list): Spark
+    # size() is INT and the ppm multiply wrapped at 2,148 OOV tokens
+    "text_oov_rate",
 ]
 
 
@@ -1065,6 +1068,12 @@ EMB_ADV_PARITY = [
     "dedup_embedding_cosine",   # zero-norm pair guard
     "emb_quantize_int8",        # per-vector scale with zero range
     "array_funcs",              # raw-table scalar pack: sees ALL 504
+    # full-registry attestation finds (not the focused list): the
+    # zero-norm exclusion must reach the ORACLES too — the unguarded
+    # full cosine ANSI-killed matryoshka, and the histogram's oracle
+    # hash-sample admitted the zero vector the kernel excludes
+    "emb_matryoshka_recall",
+    "emb_distance_histogram",
 ]
 
 
