@@ -52,3 +52,19 @@ def word_kgrams(words: Column, k: int) -> Column:
         n >= k,
         F.slice(g, 1, F.greatest(n - (k - 1), F.lit(0))),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def indexed_kgram_sql(k: int, arr: str = "ws", idx: str = "i") -> str:
+    """DuckDB expression for the space-joined k-gram of list ``arr``
+    starting at (1-based) index ``idx``: ``ws[i] || ' ' || ws[i+1] ||
+    ... || ws[i+k-1]``. Plain ``ws[i]`` indexing is DuckDB's linear
+    gram form (in-lambda ``list_slice`` of an outer list is O(L) per
+    call — round-11 GIANTDOC). Generated from ``k`` so the oracle
+    tracks the gram-width constant: three oracles used to hardcode the
+    8-term concat next to an interpolated ``{DUPG_N}`` range, and a
+    constant change would have silently diverged kernel and oracle
+    (ADVICE r11 item 2)."""
+    terms = [f"{arr}[{idx}]"] + [
+        f"{arr}[{idx}+{j}]" for j in range(1, k)
+    ]
+    return " || ' ' || ".join(terms)

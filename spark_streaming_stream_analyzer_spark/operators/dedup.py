@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.grams import word_kgrams
+from ..functions.grams import indexed_kgram_sql, word_kgrams
 from ..functions.hashing import hash64, hash64_sql
 from ..sources.tables import load_table, load_table_cpu
 from .similarity import _shadow_nonnull_embeddings, load_embeddings
@@ -1031,7 +1031,7 @@ g AS (
          unnest(list_transform(range(1, len(ws) - {DUPG_N} + 2),
            -- indexed 8-gram, not list_slice: in-lambda list_slice of an
            -- outer list is O(L) per gram in DuckDB (GIANTDOC, round 11)
-           i -> {hash64_sql("ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7]")}
+           i -> {hash64_sql(indexed_kgram_sql(DUPG_N))}
          )) AS gh
   FROM w WHERE len(ws) >= {DUPG_N}
 ),
@@ -1185,7 +1185,7 @@ sg AS (
            unnest(list_transform(range(1, len(ws) - {DUPG_N} + 2),
              -- indexed 8-gram, not list_slice: in-lambda list_slice of an
            -- outer list is O(L) per gram in DuckDB (GIANTDOC, round 11)
-           i -> {hash64_sql("ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7]")}
+           i -> {hash64_sql(indexed_kgram_sql(DUPG_N))}
            )) AS gh
     FROM w WHERE len(ws) >= {DUPG_N}
   )

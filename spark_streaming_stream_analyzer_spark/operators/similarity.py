@@ -85,7 +85,12 @@ _COS_SQL = f"""
 #: ARITHMETIC_OVERFLOW — the one-garbage-row-DoS shape). The tightest
 #: int64 path is PCA's gram×eigenvector product chain, safe to
 #: |x| ≈ 530 at PCA_Q=1e3/PCA_V=1e6/dim=64/n=500; 100 keeps ~5x
-#: headroom there and ~2000x on the k-means distance path.
+#: headroom there and ~2000x on the k-means distance path. The
+#: exclusion is NOT silent: ``emb_ingest_audit`` reports per-reason
+#: drop counts over the raw table (zero-filled), so a corpus whose
+#: legitimate components exceed the cap shows up as a non-zero
+#: ``overcap_component`` row instead of invisible data loss
+#: (ADVICE r11 item 3).
 EMB_COMPONENT_ABS_MAX = 100.0
 
 
@@ -281,6 +286,96 @@ SELECT vec_id, label,
   list_reduce(list_prepend(0.0, list_transform(embedding,
        x -> CAST(x AS DOUBLE))), (a, x) -> a + x) / {float(DIM)} AS mean_component
 FROM embeddings
+"""
+
+
+#: Stable reason vocabulary for the ingest audit, in check order. A
+#: row is classified by the FIRST failing clause, so the engines must
+#: test in the same sequence (NaN before the abs() cap in particular —
+#: the engines' NaN comparison orders differ, see
+#: ``_shadow_nonnull_embeddings``). ±Inf lands in ``overcap_component``
+#: (abs(Inf) > cap in both engines, and isnan(Inf) is false in both).
+EMB_AUDIT_REASONS = (
+    "kept",
+    "null_embedding",
+    "null_component",
+    "nan_component",
+    "overcap_component",
+)
+
+
+def emb_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row counts per embedding ingest-contract disposition, over the
+    RAW embeddings table (deliberately not :func:`load_embeddings` —
+    this is the one consumer that must see what the contract drops).
+
+    The round-11 EMBADV contract (``EMB_COMPONENT_ABS_MAX``) silently
+    excludes any vector with a NULL/NaN/beyond-cap component from
+    every consumer in the tier; with no telemetry, real data loss —
+    e.g. a legitimate unnormalized encoder whose components exceed the
+    cap — would be invisible (ADVICE r11 item 3). This audit makes the
+    exclusion observable: always five rows (one per
+    ``EMB_AUDIT_REASONS`` entry, zero-filled via a left join from the
+    static reason table), so a pipeline can alert on any non-``kept``
+    count without schema drift. One scan, map-side combine on a
+    5-value key, broadcast join against a 5-row literal frame —
+    trivially 100-TB-safe.
+    """
+    raw = load_table_cpu(spark, sf_dir, "embeddings")
+    reason = (
+        F.when(F.col("embedding").isNull(), F.lit("null_embedding"))
+        .when(
+            F.exists("embedding", lambda x: x.isNull()),
+            F.lit("null_component"),
+        )
+        .when(
+            F.exists("embedding", lambda x: F.isnan(x)),
+            F.lit("nan_component"),
+        )
+        .when(
+            F.exists(
+                "embedding",
+                lambda x: F.abs(x) > F.lit(EMB_COMPONENT_ABS_MAX),
+            ),
+            F.lit("overcap_component"),
+        )
+        .otherwise(F.lit("kept"))
+    )
+    counted = (
+        raw.select(reason.alias("reason"))
+        .groupBy("reason")
+        .agg(F.count("*").alias("n_rows"))
+    )
+    reasons = spark.createDataFrame(
+        [(r,) for r in EMB_AUDIT_REASONS], "reason string"
+    )
+    return reasons.join(F.broadcast(counted), "reason", "left").select(
+        "reason",
+        F.coalesce("n_rows", F.lit(0)).cast("long").alias("n_rows"),
+    )
+
+
+# Raw-table oracle ON PURPOSE: this must stay OUT of the
+# _shadow_nonnull_embeddings wrap list at module bottom, or it would
+# audit the already-filtered view and count everything as kept.
+EMB_INGEST_AUDIT_SQL = f"""
+WITH classified AS (
+  SELECT CASE
+    WHEN embedding IS NULL THEN 'null_embedding'
+    WHEN len(list_filter(embedding, x -> x IS NULL)) > 0
+      THEN 'null_component'
+    WHEN len(list_filter(embedding, x -> isnan(x))) > 0
+      THEN 'nan_component'
+    WHEN len(list_filter(embedding,
+                         x -> abs(x) > {EMB_COMPONENT_ABS_MAX!r})) > 0
+      THEN 'overcap_component'
+    ELSE 'kept' END AS reason
+  FROM embeddings
+),
+reasons(reason) AS (VALUES {", ".join(f"('{r}')" for r in EMB_AUDIT_REASONS)}),
+counted AS (SELECT reason, COUNT(*) AS n FROM classified GROUP BY 1)
+SELECT r.reason, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_rows
+FROM reasons r LEFT JOIN counted c USING (reason)
 """
 
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.grams import word_kgrams
+from ..functions.grams import indexed_kgram_sql, word_kgrams
 from ..functions.hashing import hash64, hash64_sql
 from ..functions.ranking import global_rank
 from ..sources.tables import load_table_cpu
@@ -735,7 +735,7 @@ gd AS (
            unnest(list_transform(range(1, len(ws) - {NOVELTY_N} + 2),
              -- indexed 8-gram, not list_slice: in-lambda list_slice of an
              -- outer list is O(L) per gram in DuckDB (GIANTDOC, round 11)
-             i -> CAST('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7]), 1, 15) AS BIGINT)
+             i -> CAST('0x' || substr(md5({indexed_kgram_sql(NOVELTY_N)}), 1, 15) AS BIGINT)
            )) AS gh
     FROM w WHERE len(ws) >= {NOVELTY_N}
   )

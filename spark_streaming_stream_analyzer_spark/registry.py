@@ -45,6 +45,9 @@ def query(name: str, oracle: str | None = None):
 
         wrapped.__name__ = getattr(fn, "__name__", name)
         wrapped.__doc__ = fn.__doc__
+        # expose the kernel for the rotation manifest (its source is
+        # hashed per query — tests/test_rotation_manifest.py)
+        wrapped.__wrapped__ = fn
         QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle.strip()
@@ -758,6 +761,9 @@ query("sim_kmeans_exact_cells", _sim.SIM_KMEANS_EXACT_SQL)(
 query("sim_ivf_exact_topk", _sim.SIM_IVF_EXACT_SQL)(_sim.sim_ivf_exact_topk)
 query("sim_ivf_topk", _sim.SIM_IVF_SQL)(_sim.sim_ivf_topk)
 query("embedding_norms", _sim.EMB_NORMS_SQL)(_sim.embedding_norms)
+# observability for the round-11 EMBADV ingest contract (ADVICE r11
+# item 3): per-reason drop counts over the RAW table, zero-filled
+query("emb_ingest_audit", _sim.EMB_INGEST_AUDIT_SQL)(_sim.emb_ingest_audit)
 query("sim_ivf_recall", _sim.SIM_RECALL_SQL)(_sim.sim_ivf_recall)
 query("emb_matryoshka_recall", _sim.MATRYOSHKA_SQL)(_sim.emb_matryoshka_recall)
 query("emb_pq_codebook", _sim.EMB_PQ_SQL)(_sim.emb_pq_codebook)
@@ -1031,84 +1037,117 @@ query("stream_ohlc_bars", _an.TS_OHLC_SQL)(_sp.stream_ohlc_bars)
 # (which always runs all of them).
 
 _VERIFY_FIRST: list[str] = [
-    # Round-11 rotation, second pass (GIANTDOC sweep): the absolute
-    # front is this session's changed surface — the O(L²)-in-document-
-    # length gram class. Seven kernels built word-k-grams with
-    # element_at/slice on the INLINE filter(split(text)) inside a
-    # higher-order lambda (re-evaluated per element — Catalyst CSE does
-    # not reach lambda bodies); four DuckDB oracles had the mirror bug
-    # (in-lambda / per-carried-row list_slice). All rewritten linear:
-    # functions/grams.py zip_with chain, the struct-pack chunker,
-    # indexed-8-gram / window-min / exploded-membership oracles.
-    # stream_batch_wordcount's fold moved executor-side (VERDICT r10
-    # item 4). Third pass (EMBADV sweep): the embedding tier gained a
-    # valid-component ingest clause (load_embeddings + the oracle
-    # shadow CTE — a 1e10-component garbage vector ANSI-killed the
-    # three integer-exact ops); the clause is an identity on every
-    # fixture (full selfcheck re-proven), and the four semantically-
-    # exercised ops join the front — the rest of the ~30-oracle tier
-    # is covered by selfcheck + the EMBADV sweep this round and
-    # rotates through the front across r12/r13 with the stale tiers.
-    # Every entry pre-flighted green at sf0.01 AND on the new GIANTDOC
-    # fixture (tests/test_empty_corpus.py, 18th sweep).
-    "stream_batch_wordcount",
-    "doc_fingerprint",
-    "dedup_ngram_jaccard",
-    "dedup_containment",
-    "dedup_minhash_quality",
-    "text_dup_ngram_fraction",
-    "dedup_source_overlap_matrix",
-    "text_ngram_novelty",
-    "pipeline_doc_scorecard",
-    "text_chunk_overlap",
-    "doc_winnowing",
-    "dedup_fingerprint_overlap",
-    "dedup_index_tuning_report",
-    "embedding_norms",           # r11 changed (EMBADV contract carrier)
-    "sim_kmeans_exact_cells",    # r11 changed (EMBADV)
-    "sim_ivf_exact_topk",        # r11 changed (EMBADV)
-    "emb_pca_power",             # r11 changed (EMBADV)
-    "text_oov_rate",             # r11 changed (GIANTDOC: INT ppm wrap)
-    "emb_matryoshka_recall",     # r11 changed (EMBADV: zero-norm excl)
-    "emb_distance_histogram",    # r11 changed (EMBADV: oracle sample)
-    # The remaining 37 slots: the OLDEST last-green driver rows
-    # (VERDICT r10 item 1), mechanically enumerated from
-    # CORRECTNESS_r01..r10 sorted by (round, registry position) —
-    # the full r01 tier (27) + the 10 stalest r03 entries. The next
-    # ~40 r03/r04 entries are already vanilla-pre-flighted for r12
-    # (NOTES_r11 §1).
-    "state_seed_initial",        # r01
-    "agg_salted_wordcount",      # r01
-    "q1_pricing_summary",        # r01
-    "q3_shipping_priority",      # r01
-    "q5_local_supplier_volume",  # r01
-    "join_broadcast_agg",        # r01
-    "join_semi",                 # r01
-    "join_anti",                 # r01
-    "join_full_outer",           # r01
-    "agg_mode_argmax",           # r01
-    "join_asof_latest_order",    # r01
-    "window_topk_per_group",     # r01
-    "window_analytics",          # r01
-    "window_range_frame",        # r01
-    "window_rank_funcs",         # r01
-    "window_first_last",         # r01
-    "sql_lateral",               # r01
-    "ts_resample_ffill",         # r01
-    "sort_limit_topk",           # r01
-    "set_ops",                   # r01
-    "distinct_dedup",            # r01
-    "string_funcs",              # r01
-    "date_funcs",                # r01
-    "array_funcs",               # r01
-    "count_distinct_exact",      # r01
-    "agg_multi_distinct",        # r01
-    "percentile_exact",          # r01
-    "agg_collect_ordered",       # r03
-    "map_funcs",                 # r03
-    "join_range_price_band",     # r03
-    "agg_corr_covar",            # r03
-    "null_handling",             # r03
+    # Round-12 rotation (VERDICT r11 item 1): the absolute front is
+    # the CHANGED SURFACE the r11 driver did not re-verify — the 19
+    # embedding-tier queries whose DuckDB oracles gained the shared
+    # _shadow_nonnull_embeddings ingest-filter CTE (and, for the
+    # winnowing-backed dedup pair, the linear-gram CTE) in round 11
+    # while their slot in the r11 front went to the GIANTDOC surface.
+    # The r11 judge re-verified all 19 independently (0 divergences);
+    # this front converts that into driver evidence. Enumerated
+    # mechanically: embedding-table oracles minus the 7 already
+    # driver-green in r11 (embedding_norms, sim_kmeans_exact_cells,
+    # sim_ivf_exact_topk, emb_pca_power, emb_matryoshka_recall,
+    # emb_distance_histogram, dedup_embedding via sweep) — see
+    # tests/test_rotation_manifest.py, which now recomputes the
+    # changed-query set from source+oracle hashes so a shared-CTE
+    # edit can never silently exceed the front budget again.
+    "dedup_embedding_cosine",            # r11 oracle changed (EMBADV)
+    "dedup_method_agreement",            # r11 oracle changed (EMBADV)
+    "emb_class_centroids",               # r11 oracle changed (EMBADV)
+    "emb_class_outliers",                # r11 oracle changed (EMBADV)
+    "emb_class_separation",              # r11 oracle changed (EMBADV)
+    "emb_dim_minmax",                    # r11 oracle changed (EMBADV)
+    "emb_dim_variance",                  # r11 oracle changed (EMBADV)
+    "emb_knn_graph",                     # r11 oracle changed (EMBADV)
+    "emb_knn_srp_graph",                 # r11 oracle changed (EMBADV)
+    "emb_nearest_centroid_confusion",    # r11 oracle changed (EMBADV)
+    "emb_pq_codebook",                   # r11 oracle changed (EMBADV)
+    "emb_quantize_int8",                 # r11 oracle changed (EMBADV)
+    "sim_ivf_recall",                    # r11 oracle changed (EMBADV)
+    "sim_ivf_topk",                      # r11 oracle changed (EMBADV)
+    "sim_pq_adc_topk",                   # r11 oracle changed (EMBADV)
+    "sim_quantized_topk",                # r11 oracle changed (EMBADV)
+    "sim_range_search",                  # r11 oracle changed (EMBADV)
+    "sim_srp_topk",                      # r11 oracle changed (EMBADV)
+    "sim_topk_cosine",                   # r11 oracle changed (EMBADV)
+    "emb_ingest_audit",                  # NEW r12 (ADVICE r11 item 3)
+    # The remaining 30 slots: the OLDEST last-green driver rows,
+    # mechanically enumerated by scanning CORRECTNESS_r01..r11 for
+    # each query's most recent green and sorting by (round, registry
+    # position) — the 19-query r03 remainder (including the two
+    # entries the r11 front's 52-entry overflow silently dropped:
+    # agg_corr_covar, null_handling — ADVICE r11 item 1) + the 12
+    # stalest r04 entries. All vanilla-pre-flighted (NOTES_r11 §1/§8).
+    "agg_corr_covar",            # r03 (dropped from r11 front overflow)
+    "null_handling",             # r03 (dropped from r11 front overflow)
+    "json_corrupt_policy",       # r03
+    "approx_distinct_portable",  # r03
+    "dedup_exact",               # r03
+    "dedup_simhash",             # r03
+    "dedup_simhash_pairs",       # r03
+    "dedup_cluster_keep",        # r03
+    "pipeline_dedup_filter",     # r03
+    "lang_id_ngram",             # r03
+    "text_quality_score",        # r03
+    "token_count",               # r03
+    "pipeline_docs_prep",        # r03
+    "text_bigram_freq",          # r03
+    "text_normalize",            # r03
+    "mm_binary_meta",            # r03
+    "mm_feature_extract",        # r03
+    "mm_frame_sample",           # r03
+    "mm_resize",                 # r03
+    "q7_volume_shipping",        # r04
+    "q10_returned_items",        # r04
+    "q4_order_priority",         # r04
+    "q19_disjunctive_filter",    # r04
+    "q14_promo_revenue",         # r04
+    "funnel_conversion",         # r04
+    "agg_histogram",             # r04
+    "sql_surface",               # r04
+    "agg_pivot",                 # r04
+    "agg_unpivot",               # r04
+    "sql_exists_subquery",       # r04 (sql_recursive slides to r13:
+]                                # emb_ingest_audit took its slot)
+
+# The driver verifies exactly the first 50 dict entries per round; a
+# 51st _VERIFY_FIRST entry silently falls outside the front while the
+# round notes count it as rotated in (round 11 shipped 52 entries and
+# lost agg_corr_covar + null_handling exactly this way — ADVICE r11).
+_VERIFY_FRONT_BUDGET = 50
+
+# Round-13 planned front (VERDICT r11 items 3+4): the NEXT round's 50,
+# enumerated the same way — staleness (last green round, registry
+# position) over CORRECTNESS_r01..r12-to-be — and vanilla-pre-flighted
+# in round 11 (NOTES_r11 §8/§9). sql_recursive leads (r04 — displaced
+# from the r12 front by emb_ingest_audit); src_synthetic_gen, the
+# newest of the NOTES r13 list, slides to r14 to stay on budget.
+# tests/test_rotation_manifest.py uses this to enforce the
+# blast-radius rule: a query whose kernel source or oracle text
+# changed since the committed manifest must sit in _VERIFY_FIRST or
+# here — never silently outside both.
+_PLANNED_NEXT_FRONT: list[str] = [
+    "sql_recursive",
+    "text_chunk_overlap", "split_leakage_audit", "approx_median_hist",
+    "stream_windowed_wordcount", "stream_stream_join",
+    "stream_stream_left_join", "src_partition_prune",
+    "join_pit_training_assembly", "fn_event_time_pack", "ts_gap_stats",
+    "ts_rolling_window_1h", "src_schema_drift", "obs_pipeline_metrics",
+    "sink_compaction", "src_python_datasource", "fn_bitwise_pack",
+    "agg_boolean_pack", "fn_crypto_roundtrip", "agg_mode_qty",
+    "text_tfidf_topk", "join_salted_skew", "agg_sliding_window",
+    "sample_split_hash", "join_bloom_prefilter",
+    "text_char_ngram_profile", "sample_stratified_topn",
+    "cohort_retention", "sim_kmeans_exact_cells", "sim_ivf_exact_topk",
+    "udtf_chunk_docs", "mm_scene_cut", "mm_audio_chunk",
+    "ts_rollup_hierarchy", "emb_dim_minmax", "scd2_intervals",
+    "dq_constraint_audit", "skew_key_profile", "json_key_inventory",
+    "ts_ewma_recent", "incremental_agg_merge", "dq_day_over_day",
+    "sample_group_holdout", "graph_pagerank_exact",
+    "graph_degree_histogram", "stream_foreachbatch_upsert",
+    "stream_topk_complete", "stream_python_datasource",
+    "src_binary_files", "approx_aggs",
 ]
 
 
@@ -1132,6 +1171,29 @@ def _reorder() -> None:
         dups = sorted({n for n in _VERIFY_FIRST
                        if _VERIFY_FIRST.count(n) > 1})
         raise ValueError(f"_VERIFY_FIRST has duplicates: {dups}")
+    # an over-budget front must fail at import too: entries past the
+    # driver's 50-slot window are silently unverified while the round
+    # accounting counts them as rotated in (ADVICE r11 item 1)
+    if len(_VERIFY_FIRST) > _VERIFY_FRONT_BUDGET:
+        raise ValueError(
+            f"_VERIFY_FIRST has {len(_VERIFY_FIRST)} entries, over the"
+            f" driver's {_VERIFY_FRONT_BUDGET}-slot verification budget"
+        )
+    # the planned next front obeys the same three rules (it becomes
+    # _VERIFY_FIRST next round, and the manifest test treats it as a
+    # legitimate place for changed surface to wait)
+    bad_next = [n for n in _PLANNED_NEXT_FRONT if n not in QUERIES]
+    if bad_next:
+        raise ValueError(
+            f"_PLANNED_NEXT_FRONT names not in QUERIES: {bad_next}"
+        )
+    if len(_PLANNED_NEXT_FRONT) != len(set(_PLANNED_NEXT_FRONT)):
+        raise ValueError("_PLANNED_NEXT_FRONT has duplicates")
+    if len(_PLANNED_NEXT_FRONT) > _VERIFY_FRONT_BUDGET:
+        raise ValueError(
+            f"_PLANNED_NEXT_FRONT has {len(_PLANNED_NEXT_FRONT)}"
+            f" entries, over the {_VERIFY_FRONT_BUDGET}-slot budget"
+        )
     front = list(_VERIFY_FIRST)
     rest = [n for n in QUERIES if n not in set(front)]
     order = front + rest

@@ -115,6 +115,7 @@ def one_row_dir(tmp_path_factory) -> str:
 #: NULL-propagation expression alignments.
 NULL_PAYLOAD_PARITY = [
     "embedding_norms",       # shadow CTE + load_embeddings
+    "emb_ingest_audit",      # drop telemetry: NULL third -> null_embedding
     "sim_topk_cosine",       # candidate tier over the NULL-free view
     "dedup_embedding_cosine",  # dedup.py twin of the shadow
     "mm_frame_sample",       # mapInPandas kernel None-skip
@@ -1050,9 +1051,14 @@ def test_giant_doc_parity(spark, giant_doc_dir, name):
 #: ADVERSARIAL EMBEDDINGS (round 11, 19th standing sweep): four
 #: non-fixture vectors appended — all-zero (norm 0), 1e10-per-component
 #: (the garbage-encoder blow-up), 1e-10-per-component (underflow-
-#: adjacent), and one-hot. The 1e10 vector ANSI-killed all three
-#: integer-exact embedding ops on first probe (ARITHMETIC_OVERFLOW in
-#: the fixed-point quantize/gram chains — one garbage row DoS'ing the
+#: adjacent), one-hot, and (round 12) one NaN-component and one
+#: NULL-component vector, so every clause of the ingest contract is
+#: exercised end-to-end (NaN is the documented engine-divergence
+#: hazard: DuckDB's float total order puts NaN above +Inf while
+#: Spark's NaN comparisons are false — only an explicit isnan test is
+#: portable). The 1e10 vector ANSI-killed all three integer-exact
+#: embedding ops on first probe (ARITHMETIC_OVERFLOW in the
+#: fixed-point quantize/gram chains — one garbage row DoS'ing the
 #: whole job); the fix is the ingest contract, not per-op try_*: a
 #: vector with any non-NULL-violating, non-finite, or beyond-
 #: ±EMB_COMPONENT_ABS_MAX component is NOT a vector (load_embeddings +
@@ -1060,20 +1066,24 @@ def test_giant_doc_parity(spark, giant_doc_dir, name):
 #: round-9 events magnitude clause). Zero / tiny / one-hot vectors are
 #: VALID and must flow through (zero-norm cosine paths NULL-guard).
 EMB_ADV_PARITY = [
-    "embedding_norms",          # contract carrier: 503 of 504 kept
+    "embedding_norms",          # contract carrier: 503 of 506 kept
     "sim_kmeans_exact_cells",   # fixed-point distance chain
     "sim_ivf_exact_topk",       # fixed-point assignment + rerank
     "emb_pca_power",            # gram x eigenvector product chain
     "sim_topk_cosine",          # zero-norm query/target guard
     "dedup_embedding_cosine",   # zero-norm pair guard
     "emb_quantize_int8",        # per-vector scale with zero range
-    "array_funcs",              # raw-table scalar pack: sees ALL 504
+    "array_funcs",              # raw-table scalar pack: sees ALL 506
     # full-registry attestation finds (not the focused list): the
     # zero-norm exclusion must reach the ORACLES too — the unguarded
     # full cosine ANSI-killed matryoshka, and the histogram's oracle
     # hash-sample admitted the zero vector the kernel excludes
     "emb_matryoshka_recall",
     "emb_distance_histogram",
+    # round 12 (ADVICE r11 item 3): the contract's drops are no longer
+    # silent — the audit must bucket each adversarial vector into the
+    # right reason on BOTH engines
+    "emb_ingest_audit",
 ]
 
 
@@ -1098,6 +1108,13 @@ def emb_adv_dir(tmp_path_factory) -> str:
                 " UNION ALL SELECT 900004,"
                 " (SELECT list(CAST(CASE WHEN j = 1 THEN 1.0 ELSE 0.0 END"
                 "   AS FLOAT)) FROM generate_series(1,64) s(j)), 4"
+                " UNION ALL SELECT 900005,"
+                " (SELECT list(CAST(CASE WHEN j = 1 THEN 'nan' ELSE '1.0'"
+                "   END AS FLOAT)) FROM generate_series(1,64) s(j)), 5"
+                " UNION ALL SELECT 900006,"
+                " (SELECT list(CASE WHEN j = 1 THEN NULL"
+                "   ELSE CAST(1.0 AS FLOAT) END)"
+                "  FROM generate_series(1,64) s(j)), 6"
             )
         else:
             q = f"SELECT * FROM {src}"
@@ -1109,7 +1126,23 @@ def emb_adv_dir(tmp_path_factory) -> str:
 def test_emb_adv_parity(spark, emb_adv_dir, name):
     _assert_parity(spark, emb_adv_dir, name, "adversarial embeddings")
     if name == "embedding_norms":
-        # the contract must have filtered EXACTLY the 1e10 vector:
-        # zero, tiny, and one-hot are valid vectors and must survive
+        # the contract must have filtered EXACTLY the 1e10, NaN, and
+        # NULL-component vectors: zero, tiny, and one-hot are valid
+        # vectors and must survive
         n = registry.QUERIES[name](spark, emb_adv_dir).count()
         assert n == 503, f"expected 503 kept vectors, got {n}"
+    if name == "emb_ingest_audit":
+        # each drop lands in its own bucket, and the counts are exact
+        got = {
+            r["reason"]: r["n_rows"]
+            for r in registry.QUERIES[name](spark, emb_adv_dir)
+            .toPandas()
+            .to_dict("records")
+        }
+        assert got == {
+            "kept": 503,
+            "null_embedding": 0,
+            "null_component": 1,
+            "nan_component": 1,
+            "overcap_component": 1,
+        }, got
