@@ -53,6 +53,7 @@ FIXTURES = [
     ("ONEGROUP", T.one_group_dir),  # round 10: every row the same key
     ("GIANTDOC", T.giant_doc_dir),  # round 11: megabyte documents
     ("EMBADV", T.emb_adv_dir),      # round 11: garbage-component vectors
+    ("UNIADV", T.uniadv_dir),       # round 12: hostile unicode text
 ]
 
 

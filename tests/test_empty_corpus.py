@@ -1146,3 +1146,77 @@ def test_emb_adv_parity(spark, emb_adv_dir, name):
             "nan_component": 1,
             "overcap_component": 1,
         }, got
+
+
+#: HOSTILE UNICODE (round 12, 20th standing sweep): the mild unicode_dir
+#: sweep above covers accents/CJK/one emoji/RTL; this one is the
+#: engine-divergence tier the round-11 verdict commissioned — zero-width
+#: characters inside and between tokens, Zalgo combining stacks, the
+#: Turkish-İ/ß/final-sigma case-mapping traps, bidi controls, C0
+#: controls (tab/CR must NOT split: the tokenizer contract is
+#: split-on-' ' only), deep astral plane (UTF-16 surrogate territory in
+#: Spark's UTF8String), variation-selector/ZWJ emoji sequences, and
+#: Unicode spaces (NBSP/EM/IDEOGRAPHIC) as the only separators. First
+#: probe (scripts/uniadv.py, round 12): 0 divergences / 29 — recorded
+#: so it STAYS that way. Fixture bodies live in scripts/uniadv.py
+#: (ADV_DOCS) so the probe and the sweep cannot drift.
+UNIADV_PARITY = [
+    "text_normalize",          # casefold over İ/ß/ς
+    "token_count",             # split-on-' ' byte discipline
+    "text_quality_score",      # regex classes over controls
+    "lang_id_ngram",           # char n-grams + casefold
+    "doc_fingerprint",         # hashing sees identical bytes
+    "text_char_ngram_profile", # substr/codepoint semantics
+    "text_pii_redact",         # Java regex vs RE2 on \w-ish classes
+    "text_oov_rate",           # token-membership over hostile tokens
+    "udtf_chunk_docs",         # Python-side slicing of astral text
+    "dedup_minhash_quality",   # shingles over zero-width tokens
+]
+
+
+@pytest.fixture(scope="module")
+def uniadv_dir(tmp_path_factory) -> str:
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from scripts.uniadv import ADV_DOCS
+
+    d = tmp_path_factory.mktemp("sf_uniadv")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE adv_docs (doc_id BIGINT, text VARCHAR,"
+        " lang VARCHAR, source VARCHAR, n_chars BIGINT)"
+    )
+    for doc_id, text, lang, source in ADV_DOCS:
+        con.execute(
+            "INSERT INTO adv_docs VALUES (?, ?, ?, ?, ?)",
+            [doc_id, text, lang, source, len(text)],
+        )
+    for t in TABLE_NAMES:
+        src = f"read_parquet('{SRC}/{t}.parquet')"
+        if t == "documents":
+            q = f"SELECT * FROM {src} UNION ALL SELECT * FROM adv_docs"
+        else:
+            q = f"SELECT * FROM {src}"
+        con.execute(f"COPY ({q}) TO '{d}/{t}.parquet' (FORMAT PARQUET)")
+    return str(d)
+
+
+@pytest.mark.parametrize("name", UNIADV_PARITY)
+def test_uniadv_parity(spark, uniadv_dir, name):
+    _assert_parity(spark, uniadv_dir, name, "hostile unicode")
+    if name == "token_count":
+        # pin the tokenizer contract on the two trap documents: ASCII
+        # space is the ONLY separator, so 920008 (unicode-space-
+        # separated) is ONE token and 920005 (tab/CR-glued) keeps its
+        # glued pairs single
+        rows = {
+            r["doc_id"]: r["n_ws_tokens"]
+            for r in registry.QUERIES[name](spark, uniadv_dir)
+            .filter("doc_id IN (920005, 920008)")
+            .toPandas()
+            .to_dict("records")
+        }
+        assert rows[920008] == 2, rows  # "...end" + the glued blob
+        assert rows[920005] == 6, rows  # tab/cr glue, ' ' splits
