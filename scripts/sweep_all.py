@@ -54,6 +54,7 @@ FIXTURES = [
     ("GIANTDOC", T.giant_doc_dir),  # round 11: megabyte documents
     ("EMBADV", T.emb_adv_dir),      # round 11: garbage-component vectors
     ("UNIADV", T.uniadv_dir),       # round 12: hostile unicode text
+    ("JSONNEST", T.jsonnest_dir),   # round 12: deep-nested props JSON
 ]
 
 

@@ -14,6 +14,22 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+#: JSON nesting-depth contract (round-12 JSONNEST probe): a props
+#: document nested deeper than this many containers is UNPARSEABLE —
+#: every extraction yields NULL, exactly like malformed JSON. This is
+#: Jackson's StreamReadConstraints DoS-guard default, which every Spark
+#: JSON function inherits (measured: get_json_object / json_object_keys
+#: / try_parse_json all fail the WHOLE parse at 1001 containers, pass
+#: at 1000 — even a healthy top-level key next to one over-deep sibling
+#: extracts NULL). DuckDB's yyjson has no depth cap, so left alone the
+#: engines diverge; the oracle side mirrors this constant via the
+#: registry's parseable-props shadow (a string-literal-safe bracket-
+#: depth scan — see registry._shadow_finite_events(shallow_props=True)).
+#: Adopting the cap as the contract is the scale-correct choice: at
+#: 100 TB you WANT a parser depth guard — unbounded-recursion parsing
+#: of adversarial JSON is a stack-overflow DoS.
+PROPS_JSON_MAX_DEPTH = 1000
+
 
 def json_str(col: Column | str, field: str) -> Column:
     """Extract a string field from a JSON document column."""

@@ -828,12 +828,34 @@ dup(event_id) AS (
     AND len(json_keys(node)) > len(list_distinct(json_keys(node)))
 ),
 j AS (
-  -- TRY_CAST: try_variant_get on the Spark side is permissive — a
-  -- valid-JSON non-numeric k must be NULL, not a conversion error.
+  -- variant INT coercion mirror (round-12 JSONNEST matrix): Spark's
+  -- try_variant_get(v, '$.k', 'int') semantics per JSON type —
+  --   string: ANSI integral-string cast only (trimmed [+-]digits;
+  --     "2.25" / "2e1" / "0x10" are NULL — DuckDB's bare TRY_CAST
+  --     would round/parse all three),
+  --   number: truncate toward zero (2.75 -> 2, -2.5 -> -2 — DuckDB's
+  --     TRY_CAST rounds half-away: 3 / -3),
+  --   boolean: true=1 false=0 (DuckDB string-casts 'true' to NULL),
+  --   object/array/null/missing: NULL (the ELSE double-cast NULLs
+  --     container text naturally). A plain TRY_CAST was exact only
+  --     while every fixture k was an integral string.
   SELECT event_type,
-         TRY_CAST(CASE WHEN json_valid(props) AND d.event_id IS NULL
-                       THEN json_extract_string(props, '$.k') END
-                  AS INT) AS k
+         CASE WHEN json_valid(props) AND d.event_id IS NULL THEN
+           CASE json_type(props, '$.k')
+             WHEN 'VARCHAR' THEN
+               CASE WHEN regexp_matches(
+                        trim(json_extract_string(props, '$.k')),
+                        '^[+-]?[0-9]+$')
+                    THEN TRY_CAST(
+                        trim(json_extract_string(props, '$.k')) AS INT)
+               END
+             WHEN 'BOOLEAN' THEN
+               CASE json_extract_string(props, '$.k')
+                 WHEN 'true' THEN 1 ELSE 0 END
+             ELSE TRY_CAST(trunc(TRY_CAST(
+                    json_extract_string(props, '$.k') AS DOUBLE)) AS INT)
+           END
+         END AS k
   FROM events e LEFT JOIN dup d USING (event_id)
 )
 SELECT event_type,

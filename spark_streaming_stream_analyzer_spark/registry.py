@@ -1072,6 +1072,16 @@ _VERIFY_FIRST: list[str] = [
     "sim_srp_topk",                      # r11 oracle changed (EMBADV)
     "sim_topk_cosine",                   # r11 oracle changed (EMBADV)
     "emb_ingest_audit",                  # NEW r12 (ADVICE r11 item 3)
+    # r12 changed surface: the JSONNEST find (one >1000-container props
+    # document parsed in DuckDB but not Spark) added the parseable-
+    # props REPLACE to five oracles; null_handling was already in this
+    # front and json_key_inventory sits in _PLANNED_NEXT_FRONT — the
+    # other three rotate in here, displacing agg_pivot / agg_unpivot /
+    # sql_exists_subquery to the planned front (the manifest test
+    # enforces exactly this accounting).
+    "fn_json_get_string",                # r12 oracle changed (JSONNEST)
+    "fn_cast_string_double",             # r12 oracle changed (JSONNEST)
+    "fn_variant_json",                   # r12 oracle changed (JSONNEST)
     # The remaining 30 slots: the OLDEST last-green driver rows,
     # mechanically enumerated by scanning CORRECTNESS_r01..r11 for
     # each query's most recent green and sorting by (round, registry
@@ -1105,11 +1115,11 @@ _VERIFY_FIRST: list[str] = [
     "q14_promo_revenue",         # r04
     "funnel_conversion",         # r04
     "agg_histogram",             # r04
-    "sql_surface",               # r04
-    "agg_pivot",                 # r04
-    "agg_unpivot",               # r04
-    "sql_exists_subquery",       # r04 (sql_recursive slides to r13:
-]                                # emb_ingest_audit took its slot)
+    "sql_surface",               # r04 (agg_pivot / agg_unpivot /
+]                                # sql_exists_subquery / sql_recursive
+                                 # slid to r13: emb_ingest_audit + the
+                                 # three JSONNEST rotations took their
+                                 # slots)
 
 # The driver verifies exactly the first 50 dict entries per round; a
 # 51st _VERIFY_FIRST entry silently falls outside the front while the
@@ -1129,6 +1139,7 @@ _VERIFY_FRONT_BUDGET = 50
 # here — never silently outside both.
 _PLANNED_NEXT_FRONT: list[str] = [
     "sql_recursive",
+    "agg_pivot", "agg_unpivot", "sql_exists_subquery",
     "text_chunk_overlap", "split_leakage_audit", "approx_median_hist",
     "stream_windowed_wordcount", "stream_stream_join",
     "stream_stream_left_join", "src_partition_prune",
@@ -1139,9 +1150,13 @@ _PLANNED_NEXT_FRONT: list[str] = [
     "text_tfidf_topk", "join_salted_skew", "agg_sliding_window",
     "sample_split_hash", "join_bloom_prefilter",
     "text_char_ngram_profile", "sample_stratified_topn",
-    "cohort_retention", "sim_kmeans_exact_cells", "sim_ivf_exact_topk",
+    # sim_kmeans_exact_cells / sim_ivf_exact_topk / emb_dim_minmax were
+    # dropped from this list: all three sit in the r12 _VERIFY_FIRST
+    # already (fresh greens incoming), and the three slots went to the
+    # agg_pivot/agg_unpivot/sql_exists_subquery displacements above
+    "cohort_retention",
     "udtf_chunk_docs", "mm_scene_cut", "mm_audio_chunk",
-    "ts_rollup_hierarchy", "emb_dim_minmax", "scd2_intervals",
+    "ts_rollup_hierarchy", "scd2_intervals",
     "dq_constraint_audit", "skew_key_profile", "json_key_inventory",
     "ts_ewma_recent", "incremental_agg_merge", "dq_day_over_day",
     "sample_group_holdout", "graph_pagerank_exact",
@@ -1206,7 +1221,48 @@ def _reorder() -> None:
 _reorder()
 
 
-def _shadow_finite_events(sql: str) -> str:
+#: Oracles that PARSE props keys whose kernels rely on Spark's JSON
+#: parser — these get the parseable-props REPLACE in their events
+#: shadow CTE (jsonf.PROPS_JSON_MAX_DEPTH, round-12 JSONNEST find: a
+#: >1000-container props parses in DuckDB but not in Spark, so one
+#: over-deep document silently diverged every extraction, key
+#: inventory, and variant census). The OTHER props-reading oracles
+#: (json_corrupt_policy, dq_column_profile, stream_column_profile,
+#: src_file_formats, src_kafka_stream, proj_json_*) are deliberately
+#: NOT listed: they either synthesize their own JSON from scalar
+#: columns or their census semantics already agree on over-deep input
+#: (probed green in scripts/jsonnest.py; pinned by the JSONNEST sweep).
+_PARSEABLE_PROPS_ORACLES = {
+    "fn_json_get_string",
+    "fn_cast_string_double",
+    "fn_variant_json",
+    "json_key_inventory",
+    "null_handling",
+}
+
+
+def _props_depth_sql() -> str:
+    """DuckDB expression: JSON container-nesting depth of ``props`` —
+    string-literal-safe (quoted strings, including escaped quotes, are
+    stripped FIRST, so braces inside keys/values never count), then a
+    single bracket scan whose (current, max) pair rides one BIGINT
+    accumulator through list_reduce. Garbage non-JSON yields a garbage
+    depth, which is harmless: every consumer also guards with
+    json_valid. Verified against Spark's observed boundary (1000
+    containers parse, 1001 fail) in scripts/jsonnest.py."""
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform("
+        "string_split_regex(regexp_replace(regexp_replace(props,"
+        " '\"([^\"\\\\]|\\\\.)*\"', '', 'g'), '[^][{}]', '', 'g'), ''),"
+        " c -> CASE WHEN c IN ('{','[') THEN CAST(1 AS BIGINT)"
+        " WHEN c IN ('}',']') THEN CAST(-1 AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END)),"
+        " (acc, x) -> ((acc // 1000000) + x) * 1000000"
+        " + greatest(acc % 1000000, (acc // 1000000) + x)) % 1000000"
+    )
+
+
+def _shadow_finite_events(sql: str, shallow_props: bool = False) -> str:
     """Prepend a CTE shadowing the ``events`` view with the events
     ingest contract (``sources/tables.py clean_measurements``): a
     NaN/Inf ``value`` is a missing reading (NULL in both engines),
@@ -1224,10 +1280,23 @@ def _shadow_finite_events(sql: str) -> str:
         EVENT_VALUE_ABS_MAX,
     )
 
-    cte = (
-        "events AS (SELECT * REPLACE (CASE WHEN isfinite(value)"
+    repl = (
+        "CASE WHEN isfinite(value)"
         f" AND abs(value) <= {EVENT_VALUE_ABS_MAX!r}"
-        " THEN value END AS value) FROM main.events"
+        " THEN value END AS value"
+    )
+    if shallow_props:
+        # the parseable-props mirror (jsonf.PROPS_JSON_MAX_DEPTH):
+        # over-deep props is NULL — exactly what every Spark JSON
+        # function observes when Jackson refuses the parse
+        from .functions.jsonf import PROPS_JSON_MAX_DEPTH
+
+        repl += (
+            f", CASE WHEN {_props_depth_sql()}"
+            f" <= {PROPS_JSON_MAX_DEPTH} THEN props END AS props"
+        )
+    cte = (
+        f"events AS (SELECT * REPLACE ({repl}) FROM main.events"
         f" WHERE epoch_us(ts) >= {EVENT_TS_VALID_MIN_US}"
         f" AND epoch_us(ts) < {EVENT_TS_VALID_MAX_US})"
     )
@@ -1259,7 +1328,9 @@ def _apply_finite_events_shadow() -> None:
         # no word boundary before the 'e'); a false positive inside a
         # string literal merely adds an unused CTE
         if re.search(r"\bevents\b", sql):
-            ORACLES[name] = _shadow_finite_events(sql)
+            ORACLES[name] = _shadow_finite_events(
+                sql, shallow_props=name in _PARSEABLE_PROPS_ORACLES
+            )
 
 
 _apply_finite_events_shadow()

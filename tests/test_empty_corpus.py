@@ -1220,3 +1220,79 @@ def test_uniadv_parity(spark, uniadv_dir, name):
         }
         assert rows[920008] == 2, rows  # "...end" + the glued blob
         assert rows[920005] == 6, rows  # tab/cr glue, ' ' splits
+
+
+#: DEEP-NESTED / VARIANT-COERCION PROPS (round 12, 21st standing
+#: sweep): the JSONNEST probe's two finds, pinned. (1) DEPTH: Spark's
+#: JSON functions inherit Jackson's 1000-container DoS guard — a
+#: >1000-deep props document fails the WHOLE parse (healthy top-level
+#: keys extract NULL too), while DuckDB's yyjson parses it; the
+#: contract (jsonf.PROPS_JSON_MAX_DEPTH) adopts Spark's cap and the
+#: five props-parsing oracles carry a string-literal-safe bracket-depth
+#: mirror in their events shadow CTE. (2) COERCION: try_variant_get
+#: (v, '$.k', 'int') semantics differ from DuckDB TRY_CAST on
+#: non-integral strings ("2.25"/"2e1"/"0x10" -> Spark NULL, DuckDB
+#: rounds/parses), non-integral numbers (Spark truncates toward zero,
+#: DuckDB rounds half-away), and booleans (Spark 1/0, DuckDB NULL);
+#: fn_variant_json's oracle now mirrors per-JSON-type. Fixture bodies
+#: live in scripts/jsonnest.py (PROPS_BY_MOD) so probe and sweep
+#: cannot drift.
+JSONNEST_PARITY = [
+    "fn_json_get_string",     # depth: extraction NULL past the cap
+    "fn_cast_string_double",  # depth + string-double cast
+    "fn_variant_json",        # depth + the full coercion matrix
+    "json_key_inventory",     # depth: key walk sees no over-deep doc
+    "null_handling",          # depth: parse-based non-null counts
+    "json_corrupt_policy",    # census semantics agree WITHOUT the
+    "dq_column_profile",      # shadow (deliberately unshadowed — a
+    "stream_column_profile",  # regression here means their kernels
+                              # started parsing props keys)
+]
+
+
+@pytest.fixture(scope="module")
+def jsonnest_dir(tmp_path_factory) -> str:
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from scripts.jsonnest import PROPS_BY_MOD
+
+    d = tmp_path_factory.mktemp("sf_jsonnest")
+    con = duckdb.connect()
+    case = "CASE " + " ".join(
+        f"WHEN event_id % {m} = 0 THEN ?" for m in PROPS_BY_MOD
+    ) + " ELSE props END AS props"
+    for t in TABLE_NAMES:
+        src = f"read_parquet('{SRC}/{t}.parquet')"
+        if t == "events":
+            con.execute(
+                f"COPY (SELECT event_id, ts, user_id, event_type, value,"
+                f" {case} FROM {src}) TO '{d}/{t}.parquet'"
+                " (FORMAT PARQUET)",
+                list(PROPS_BY_MOD.values()),
+            )
+        else:
+            con.execute(
+                f"COPY (SELECT * FROM {src}) TO '{d}/{t}.parquet'"
+                " (FORMAT PARQUET)"
+            )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", JSONNEST_PARITY)
+def test_jsonnest_parity(spark, jsonnest_dir, name):
+    _assert_parity(spark, jsonnest_dir, name, "deep-nested props")
+    if name == "fn_json_get_string":
+        # pin the depth contract end-to-end: the 1200-deep rows (%67,
+        # %71) extract NULL despite carrying a healthy top-level k;
+        # the 901-deep row (%61, under the cap) extracts its k
+        rows = {
+            r["event_id"]: r["k_str"]
+            for r in registry.QUERIES[name](spark, jsonnest_dir)
+            .filter("event_id IN (61, 67, 71, 73)")
+            .toPandas()
+            .to_dict("records")
+        }
+        assert rows[61] == "2.25" and rows[73] == "3.5", rows
+        assert rows[67] is None and rows[71] is None, rows
