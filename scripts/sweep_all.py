@@ -55,6 +55,7 @@ FIXTURES = [
     ("EMBADV", T.emb_adv_dir),      # round 11: garbage-component vectors
     ("UNIADV", T.uniadv_dir),       # round 12: hostile unicode text
     ("JSONNEST", T.jsonnest_dir),   # round 12: deep-nested props JSON
+    ("MAXDUP", T.maxdup_dir),       # round 12: maximal duplication
 ]
 
 

@@ -1296,3 +1296,61 @@ def test_jsonnest_parity(spark, jsonnest_dir, name):
         }
         assert rows[61] == "2.25" and rows[73] == "3.5", rows
         assert rows[67] is None and rows[71] is None, rows
+
+
+#: MAXIMAL DUPLICATION (round 12, 22nd standing sweep): every document
+#: the same 40-word text, every embedding the same vector — the
+#: opposite pole of HIGHCARD. Stresses the hot-bucket quarantine
+#: (every LSH band collapses to ONE bucket), ranking under total ties
+#: (every cosine identical — a kernel/oracle tie-break mismatch
+#: silently diverges the selected set), zero variance (rank-1 PCA
+#: gram, zero quantizer range), and the all-pairs dedup censuses.
+#: First probe (scripts/maxdup.py, round 12): 0 divergences / 42
+#: focused + 0 / 328 full attestation. Fixture bodies in
+#: scripts/maxdup.py (build) so probe and sweep cannot drift.
+MAXDUP_PARITY = [
+    "dedup_minhash_lsh",      # mega-bucket quarantined on BOTH engines
+    "dedup_simhash_pairs",    # emits exactly C(n,2) ties
+    "dedup_cluster_keep",     # one cluster of size N
+    "sim_topk_cosine",        # top-k under total ties
+    "emb_knn_graph",          # kNN census under total ties
+    "emb_pca_power",          # rank-1 gram, power iteration
+    "emb_quantize_int8",      # zero per-vector range
+    "sim_kmeans_exact_cells", # all points one cell, empties elsewhere
+    "emb_dim_variance",       # exact zero variances
+    "doc_winnowing",          # identical fingerprints everywhere
+]
+
+
+@pytest.fixture(scope="module")
+def maxdup_dir(tmp_path_factory) -> str:
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import scripts.maxdup as M
+
+    d = tmp_path_factory.mktemp("sf_maxdup")
+    orig = M.OUT
+    try:
+        M.OUT = str(d)
+        M.build()
+    finally:
+        M.OUT = orig
+    return str(d)
+
+
+@pytest.mark.parametrize("name", MAXDUP_PARITY)
+def test_maxdup_parity(spark, maxdup_dir, name):
+    _assert_parity(spark, maxdup_dir, name, "maximal duplication")
+    if name == "dedup_minhash_lsh":
+        # the quarantine must actually have fired: the one mega-bucket
+        # exceeds the cap, so the op reports NO pairs rather than
+        # exploding into C(500,2) — identically on both engines (the
+        # oracle parity above proves the DuckDB side agrees)
+        n = registry.QUERIES[name](spark, maxdup_dir).count()
+        assert n == 0, f"expected quarantined empty result, got {n} rows"
+    if name == "dedup_simhash_pairs":
+        # the all-pairs census is exact: C(500, 2)
+        n = registry.QUERIES[name](spark, maxdup_dir).count()
+        assert n == 124750, n
