@@ -56,6 +56,7 @@ FIXTURES = [
     ("UNIADV", T.uniadv_dir),       # round 12: hostile unicode text
     ("JSONNEST", T.jsonnest_dir),   # round 12: deep-nested props JSON
     ("MAXDUP", T.maxdup_dir),       # round 12: maximal duplication
+    ("DOCKEY", T.dockey_dir),       # round 12: adversarial doc identity
 ]
 
 

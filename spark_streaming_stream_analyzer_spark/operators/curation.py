@@ -20,7 +20,12 @@ from pyspark.sql import functions as F
 
 from ..functions.exact import cents
 from ..functions.hashing import hash64, hash64_sql
-from ..sources.tables import load_table, load_table_cpu, ts_micros
+from ..sources.tables import (
+    load_documents_keyed,
+    load_table,
+    load_table_cpu,
+    ts_micros,
+)
 from .dedup import _SHINGLES_SQL, _shingles
 from .textstats import TEXT_QUALITY_SQL, text_quality_score
 
@@ -356,7 +361,7 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Entirely array expressions per row (sequence → slice → concat) —
     no explode of individual tokens, no shuffle at all before the
     result; chunk rows stream out of the scan map-side."""
-    docs = load_table_cpu(spark, sf_dir, "documents")
+    docs = load_documents_keyed(spark, sf_dir)
     words = F.filter(F.split("text", " "), lambda w: w != "")
     # `words` must not be referenced from inside the chunk lambda:
     # slice(words, s+1, 64) there re-runs the split once per CHUNK —

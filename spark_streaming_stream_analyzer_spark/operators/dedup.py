@@ -43,7 +43,11 @@ from pyspark.sql import functions as F
 
 from ..functions.grams import indexed_kgram_sql, word_kgrams
 from ..functions.hashing import hash64, hash64_sql
-from ..sources.tables import load_table, load_table_cpu
+from ..sources.tables import (
+    load_documents_keyed,
+    load_table,
+    load_table_cpu,
+)
 from .similarity import _shadow_nonnull_embeddings, load_embeddings
 
 SIG_N = 32          # minhash permutations
@@ -747,7 +751,7 @@ def pipeline_dedup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop = clusters.filter(F.col("doc_id") != F.col("keep_doc_id")).select(
         "doc_id"
     )
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_documents_keyed(spark, sf_dir, cpu=False)
     return docs.join(F.broadcast(drop), "doc_id", "left_anti").select(
         "doc_id", "n_chars"
     )

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..sources.tables import load_table_cpu
+from ..sources.tables import load_documents_keyed, load_table_cpu
 
 FRAME_LEN = 16
 N_FRAMES = 4
@@ -41,8 +41,12 @@ FRAME_STRIDE = 32
 def payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload column + metadata struct, synthesized from
     documents.text (the container ships no media files; at production
-    the blob comes from the lake as-is)."""
-    docs = load_table_cpu(spark, sf_dir, "documents")
+    the blob comes from the lake as-is). doc_id is the blob's KEY —
+    a NULL-id row is unaddressable (and ANSI-killed the mapInPandas
+    decode tier via ``int(None)`` — round-12 DOCKEY probe), so the
+    whole tier reads through the keyed loader; every mm oracle
+    carries the matching ``doc_id IS NOT NULL`` shadow."""
+    docs = load_documents_keyed(spark, sf_dir)
     return docs.select(
         "doc_id",
         F.col("text").cast("binary").alias("payload"),
@@ -150,7 +154,7 @@ def mm_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     the luma, one lag window per doc, a per-doc rollup. Integer sums,
     engine-portable.
     """
-    docs = load_table_cpu(spark, sf_dir, "documents")
+    docs = load_documents_keyed(spark, sf_dir)
     frames = docs.select(
         "doc_id",
         F.posexplode(

@@ -18,7 +18,11 @@ from pyspark.sql import functions as F
 from ..functions.exact import cents
 from ..functions.hashing import hash64, hash64_sql
 from ..functions.ranking import global_rank
-from ..sources.tables import load_table, load_table_cpu
+from ..sources.tables import (
+    load_documents_keyed,
+    load_table,
+    load_table_cpu,
+)
 
 # --------------------------------------------------- token-budget packing --
 
@@ -358,7 +362,7 @@ def sample_reservoir_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a handful of sources is a straggler by construction. Measured
     plan: both windows shuffle only (source, salt/doc_id, hash).
     """
-    docs = load_table_cpu(spark, sf_dir, "documents")
+    docs = load_documents_keyed(spark, sf_dir)
     h = hash64(F.concat(F.lit("rsv:"), F.col("doc_id").cast("string")))
     base = docs.select("source", "doc_id", h.alias("sample_key"))
     w1 = Window.partitionBy(
@@ -722,7 +726,7 @@ def pack_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     nor jumps to the front (Spark ``asc()`` is NULLS FIRST where
     DuckDB's default is NULLS LAST; the oracle pins LAST explicitly).
     """
-    docs = load_table_cpu(spark, sf_dir, "documents").select("doc_id", "source")
+    docs = load_documents_keyed(spark, sf_dir).select("doc_id", "source")
     g = global_rank(docs, [F.asc_nulls_last("source"), F.asc("doc_id")], out="gpos")
     counts = docs.groupBy("source").agg(F.count("*").alias("n"))
     lower = counts.select(
@@ -786,7 +790,7 @@ def pack_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per epoch: one hash sort (the unavoidable cost of a global
     order), then a single-row fold.
     """
-    docs = load_table_cpu(spark, sf_dir, "documents").select("doc_id")
+    docs = load_documents_keyed(spark, sf_dir).select("doc_id")
     epochs = spark.range(EPOCHS_N).select(F.col("id").alias("epoch"))
     keyed = docs.crossJoin(F.broadcast(epochs)).select(
         "epoch",

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from ..functions.grams import indexed_kgram_sql, word_kgrams
 from ..functions.hashing import hash64, hash64_sql
 from ..functions.ranking import global_rank
-from ..sources.tables import load_table_cpu
+from ..sources.tables import load_documents_keyed, load_table_cpu
 
 #: Tiny marker-word profiles per language (n-gram-heuristic stand-in;
 #: a production profile table would be a broadcast dimension).
@@ -337,7 +337,7 @@ def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    docs = load_table_cpu(spark, sf_dir, "documents")
+    docs = load_documents_keyed(spark, sf_dir)
     words = F.filter(F.split("text", " "), lambda w: w != "")
     g12 = F.zip_with(
         words,
@@ -701,7 +701,7 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate grams collapse to one (hash, min_doc) row. Same
     100 TB sharding story as the dedup tier.
     """
-    docs = load_table_cpu(spark, sf_dir, "documents")
+    docs = load_documents_keyed(spark, sf_dir)
     words = F.filter(F.split("text", " "), lambda w: w != "")
     # slice(words, ...) inside the lambda re-ran the split per gram —
     # O(L²) in doc length (round-11 GIANTDOC find); word_kgrams is the
@@ -1406,7 +1406,7 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     decile boundary (doc-count deciles via positional rank). One
     tokenize pass + two tiny aggregates; no per-checkpoint rescan.
     """
-    docs = load_table_cpu(spark, sf_dir, "documents")
+    docs = load_documents_keyed(spark, sf_dir)
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     ).filter(F.col("w") != "")

@@ -1158,11 +1158,18 @@ _PLANNED_NEXT_FRONT: list[str] = [
     "udtf_chunk_docs", "mm_scene_cut", "mm_audio_chunk",
     "ts_rollup_hierarchy", "scd2_intervals",
     "dq_constraint_audit", "skew_key_profile", "json_key_inventory",
-    "ts_ewma_recent", "incremental_agg_merge", "dq_day_over_day",
-    "sample_group_holdout", "graph_pagerank_exact",
-    "graph_degree_histogram", "stream_foreachbatch_upsert",
-    "stream_topk_complete", "stream_python_datasource",
-    "src_binary_files", "approx_aggs",
+    "src_binary_files",
+    # the 10 DOCKEY-changed oracles outside the r12 front (keyed-
+    # documents shadow, round 12) — changed surface takes the slots;
+    # the 10 newest non-changed entries (ts_ewma_recent,
+    # incremental_agg_merge, dq_day_over_day, sample_group_holdout,
+    # graph_pagerank_exact, graph_degree_histogram,
+    # stream_foreachbatch_upsert, stream_topk_complete,
+    # stream_python_datasource, approx_aggs) slide to r14
+    "doc_winnowing", "dedup_index_tuning_report", "text_ngram_novelty",
+    "text_vocab_growth", "sample_reservoir_group",
+    "pack_interleave_order", "pack_epoch_shuffle", "mm_phash_dedup",
+    "mm_shard_manifest", "mm_byte_histogram",
 ]
 
 
@@ -1262,6 +1269,64 @@ def _props_depth_sql() -> str:
     )
 
 
+#: Oracles of the identity-KEYED document operators (round-12 DOCKEY
+#: probe): their kernels read via ``tables.load_documents_keyed``
+#: (NULL doc_id dropped — a document without identity cannot be
+#: deduped, fingerprinted, packed, sampled, manifested, or used as a
+#: binary-payload key; left in, it ANSI-killed the mapInPandas decode
+#: tier and silently diverged NULLS-ordering/NULL-group shapes), so
+#: these oracles carry the matching ``doc_id IS NOT NULL`` shadow.
+#: CONTENT-keyed document oracles are deliberately NOT here — the
+#: DOCKEY sweep attests they agree on NULL ids without it.
+_KEYED_DOCUMENTS_ORACLES = {
+    # the binary tier: doc_id is the blob key (payloads())
+    "mm_binary_meta",
+    "mm_feature_extract",
+    "mm_frame_sample",
+    "mm_resize",
+    "mm_audio_chunk",
+    "mm_phash_dedup",
+    "mm_scene_cut",
+    "mm_shard_manifest",
+    "mm_byte_histogram",
+    # identity-keyed text/dedup/pack/sample ops
+    "doc_winnowing",
+    "dedup_index_tuning_report",   # derives from doc_winnowing
+    "text_ngram_novelty",          # first-claim by MIN(doc_id)
+    "text_vocab_growth",           # ordered by doc_id
+    "sample_reservoir_group",      # emits sampled doc_ids
+    "pack_interleave_order",       # position keyed on hash(doc_id)
+    "pack_epoch_shuffle",          # ditto
+    "text_chunk_overlap",          # chunk ids per doc
+    "pipeline_dedup_filter",       # keep/drop decisions per doc_id
+}
+
+
+def _shadow_keyed_documents(sql: str) -> str:
+    """Prepend a CTE shadowing ``documents`` with its identity-keyed
+    projection (``tables.load_documents_keyed``): NULL ``doc_id`` rows
+    dropped in both engines. Same WITH-merge discipline as the events
+    and embeddings shadows."""
+    cte = (
+        "documents AS (SELECT * FROM main.documents"
+        " WHERE doc_id IS NOT NULL)"
+    )
+    lines = sql.lstrip().splitlines()
+    head = []
+    while lines and lines[0].lstrip().startswith("--"):
+        head.append(lines.pop(0))
+    s = "\n".join(lines).lstrip()
+    prefix = ("\n".join(head) + "\n") if head else ""
+    if s.upper().startswith("WITH RECURSIVE"):
+        return (
+            prefix + "WITH RECURSIVE " + cte + ", "
+            + s[len("WITH RECURSIVE"):].lstrip()
+        )
+    if s.upper().startswith("WITH"):
+        return prefix + "WITH " + cte + ", " + s[len("WITH"):].lstrip()
+    return prefix + "WITH " + cte + " " + s
+
+
 def _shadow_finite_events(sql: str, shallow_props: bool = False) -> str:
     """Prepend a CTE shadowing the ``events`` view with the events
     ingest contract (``sources/tables.py clean_measurements``): a
@@ -1330,6 +1395,13 @@ def _apply_finite_events_shadow() -> None:
         if re.search(r"\bevents\b", sql):
             ORACLES[name] = _shadow_finite_events(
                 sql, shallow_props=name in _PARSEABLE_PROPS_ORACLES
+            )
+    for name in _KEYED_DOCUMENTS_ORACLES:
+        if name in ORACLES:
+            ORACLES[name] = _shadow_keyed_documents(ORACLES[name])
+        else:  # a renamed query must fail loudly, not lose its shadow
+            raise ValueError(
+                f"_KEYED_DOCUMENTS_ORACLES names unknown oracle: {name}"
             )
 
 

@@ -642,7 +642,10 @@ def src_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             .load(d)
         )
         out = df.select(
-            F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+            # -? : negative doc_ids are valid identities; without it the
+            # regexp misses doc_-11.bin, extracts '', and the ANSI cast
+            # kills the job on ONE negative-id document (DOCKEY, r12)
+            F.regexp_extract(F.col("path"), r"doc_(-?\d+)\.bin$", 1)
             .cast("long")
             .alias("doc_id"),
             F.col("length").alias("n_bytes"),

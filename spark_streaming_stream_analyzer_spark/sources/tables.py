@@ -207,6 +207,36 @@ def load_table_cpu(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_documents_keyed(
+    spark: SparkSession, sf_dir: str, cpu: bool = True
+) -> DataFrame:
+    """Documents with REQUIRED identity: rows with a NULL ``doc_id``
+    are dropped (round-12 DOCKEY probe). The identity-KEYED operators
+    — dedup keep/filter, winnowing fingerprints, novelty first-claim,
+    pack positions, reservoir samples, shard manifests, the binary
+    tier's payload keys — emit or join on ``doc_id``; a document
+    without identity is unaddressable there, and leaving it in either
+    ANSI-killed the kernel (``int(None)`` in the mapInPandas decode
+    tier) or silently diverged the engines (NULLS FIRST/LAST ordering,
+    NULL-group merges). Oracles of exactly those operators carry the
+    mirror (``registry._shadow_keyed_documents``). Content-keyed ops
+    (quality scores, language ID, token counts, TF-IDF...) do NOT use
+    this loader — a NULL-id document still has analyzable text, and
+    their parity on NULL ids is attested by the DOCKEY sweep. NULL-id
+    drop is observable via dq_constraint_audit-style profiling, and a
+    no-op on every real fixture (ids are dense there).
+
+    Negative and near-int64-max ids are VALID identities (attested 0
+    divergence; the one negative-id bug — src_binary_files' filename
+    regex — is fixed and pinned). Duplicate ids are a declared
+    PRECONDITION instead: see tests/test_empty_corpus.py DOCKEY notes.
+    """
+    loader = load_table_cpu if cpu else load_table
+    return loader(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 

@@ -122,19 +122,21 @@ def _py_hash64(s: str) -> int:
 def test_chunk_overlap_planted(spark):
     import hashlib
 
-    orig = cur.load_table_cpu
+    # text_chunk_overlap reads via the keyed loader (round-12 DOCKEY
+    # identity contract), so that's the symbol to stub
+    orig = cur.load_documents_keyed
     toks = [f"w{i}" for i in range(100)]
     df = spark.createDataFrame(
         [(1, " ".join(toks)), (2, "")], "doc_id long, text string"
     )
-    cur.load_table_cpu = lambda *_: df
+    cur.load_documents_keyed = lambda *_, **__: df
     try:
         out = {
             (r["doc_id"], r["chunk_id"]): r
             for r in cur.text_chunk_overlap(spark, "x").collect()
         }
     finally:
-        cur.load_table_cpu = orig
+        cur.load_documents_keyed = orig
     # 100 tokens, stride 48 -> starts 0, 48, 96
     assert set(out) == {(1, 0), (1, 1), (1, 2)}  # empty doc emits nothing
     assert [out[(1, i)]["n_tokens"] for i in range(3)] == [64, 52, 4]

@@ -1354,3 +1354,87 @@ def test_maxdup_parity(spark, maxdup_dir, name):
         # the all-pairs census is exact: C(500, 2)
         n = registry.QUERIES[name](spark, maxdup_dir).count()
         assert n == 124750, n
+
+
+#: ADVERSARIAL DOCUMENT IDENTITY (round 12, 23rd standing sweep). The
+#: DOCKEY probe ran NULL / negative / near-int64-max / colliding
+#: doc_ids through the full registry: 22 divergences. Outcome — the
+#: documents identity contract: (a) NULL doc_id rows are dropped by
+#: the identity-KEYED operators (tables.load_documents_keyed + the
+#: registry._shadow_keyed_documents oracle mirror on exactly those 18
+#: oracles) — a document without identity cannot be deduped,
+#: fingerprinted, packed, sampled, manifested, or used as a blob key,
+#: and left in it ANSI-killed the mapInPandas decode tier (int(None))
+#: and diverged NULLS-ordering shapes; content-keyed ops keep NULL-id
+#: docs and their parity is attested by this sweep. (b) Negative and
+#: near-max ids are valid identities everywhere (the one bug —
+#: src_binary_files' filename regexp missing '-?' — ANSI-killed on a
+#: single negative id; fixed below). (c) doc_id UNIQUENESS is a
+#: declared PRECONDITION: under collisions the engines disagree on
+#: merged-identity semantics (winnowing fingerprint sets, containment
+#: denominators, chunk numbering) — pinned by the divergence test so
+#: the boundary is honest, like the raw-control-chars JSON key
+#: precondition (round 11).
+DOCKEY_PARITY = [
+    "mm_feature_extract",       # int(doc_id) kill class, fixed
+    "mm_frame_sample",
+    "mm_byte_histogram",
+    "mm_shard_manifest",
+    "src_binary_files",         # negative-id regexp fix
+    "doc_winnowing",            # keyed: NULL-id docs dropped
+    "text_ngram_novelty",       # first-claim MIN(doc_id)
+    "text_vocab_growth",        # ordered by doc_id
+    "pack_epoch_shuffle",       # hash(doc_id) positions
+    "sample_reservoir_group",
+    "pipeline_dedup_filter",
+    "text_quality_score",       # CONTENT-keyed: NULL-id doc KEPT
+    "token_count",              # ditto
+    "dedup_exact",              # content-hash dedup: NULL-id kept
+]
+
+
+@pytest.fixture(scope="module")
+def dockey_dir(tmp_path_factory) -> str:
+    return _build_fixture(tmp_path_factory, "sf_dockey", {
+        "documents": "CASE"
+        " WHEN doc_id % 11 = 0 THEN -doc_id"
+        " WHEN doc_id % 13 = 0 THEN 9223372036854775307 + doc_id"
+        " WHEN doc_id % 17 = 0 THEN NULL"
+        " ELSE doc_id END AS doc_id, text, lang, source, n_chars",
+    })
+
+
+@pytest.mark.parametrize("name", DOCKEY_PARITY)
+def test_dockey_parity(spark, dockey_dir, name):
+    _assert_parity(spark, dockey_dir, name, "adversarial doc identity")
+    if name == "text_quality_score":
+        # content-keyed ops must NOT drop the NULL-id documents: all
+        # 500 rows scored (the contract is narrow on purpose)
+        n = registry.QUERIES[name](spark, dockey_dir).count()
+        assert n == 500, n
+    if name == "doc_winnowing":
+        # keyed ops must have dropped exactly the NULL-id documents:
+        # no NULL group in the output
+        n = (
+            registry.QUERIES[name](spark, dockey_dir)
+            .filter("doc_id IS NULL")
+            .count()
+        )
+        assert n == 0, f"{n} NULL-id fingerprints leaked through"
+
+
+def test_dockey_collision_precondition_is_pinned(spark, tmp_path_factory):
+    """doc_id uniqueness is a PRECONDITION, not handled semantics:
+    under id collisions the kernel and oracle disagree on merged
+    identity (different fingerprint/chunk censuses). This pin keeps
+    the boundary honest — if collision support is ever implemented,
+    it fails and the precondition note must be retired."""
+    d = _build_fixture(tmp_path_factory, "sf_dockey_collide", {
+        "documents": "CASE WHEN doc_id % 19 = 0 THEN 42 ELSE doc_id END"
+        " AS doc_id, text, lang, source, n_chars",
+    })
+    sdf = registry.QUERIES["doc_winnowing"](spark, d).toPandas()
+    odf = _oracle(d, registry.ORACLES["doc_winnowing"])
+    assert len(sdf) != len(odf) or _norm(sdf) != _norm(odf), (
+        "collision handling now agrees — retire the precondition"
+    )
