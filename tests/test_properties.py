@@ -101,12 +101,14 @@ def test_winnowing_shared_substring_guarantee(spark):
         Row(doc_id=3, text="entirely different words with no overlap at all"),
     ]
     df = spark.createDataFrame(rows)
-    orig = ts.load_table_cpu
+    # doc_winnowing reads via the keyed loader (round-12 DOCKEY
+    # identity contract), so that's the symbol to stub
+    orig = ts.load_documents_keyed
     try:
-        ts.load_table_cpu = lambda s, d, n: df  # noqa: ARG005
+        ts.load_documents_keyed = lambda s, d, **_: df  # noqa: ARG005
         fp = ts.doc_winnowing(spark, "x").collect()
     finally:
-        ts.load_table_cpu = orig
+        ts.load_documents_keyed = orig
     by_doc = {}
     for r in fp:
         by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
