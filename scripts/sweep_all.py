@@ -57,6 +57,7 @@ FIXTURES = [
     ("JSONNEST", T.jsonnest_dir),   # round 12: deep-nested props JSON
     ("MAXDUP", T.maxdup_dir),       # round 12: maximal duplication
     ("DOCKEY", T.dockey_dir),       # round 12: adversarial doc identity
+    ("VECKEY", T.veckey_dir),       # round 12: adversarial vec identity
 ]
 
 

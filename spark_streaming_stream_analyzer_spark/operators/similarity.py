@@ -104,16 +104,25 @@ def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid stats) must ignore them rather than propagate NULL/NaN
     through array arithmetic or ANSI-crash the integer-exact ops
     (round-11 EMBADV probe — see ``EMB_COMPONENT_ABS_MAX``). The keep
-    rule: embedding non-NULL AND every component non-NULL, finite, and
-    within ±EMB_COMPONENT_ABS_MAX. Every oracle in the tier carries
-    the SAME rule via the shadow-CTE rewrite in
-    :func:`_shadow_nonnull_embeddings`, so both engines see one vector
-    set by construction. No-op on fixtures with fully-populated
-    embeddings (all sf dirs — verified by selfcheck before/after).
-    (NULL-payload corpus sweep, round 7; component clause, round 11.)
+    rule: vec_id non-NULL (round-12 VECKEY probe: the tier's results,
+    kNN edges, and — critically — its centroid/codebook SEEDS are
+    identified and ordered by vec_id; a NULL id fed the seed pick
+    through engine-opposite NULLS FIRST/LAST ordering and silently
+    diverged four clustering ops), embedding non-NULL, AND every
+    component non-NULL, finite, and within ±EMB_COMPONENT_ABS_MAX.
+    Every oracle in the tier carries the SAME rule via the shadow-CTE
+    rewrite in :func:`_shadow_nonnull_embeddings`, so both engines see
+    one vector set by construction. No-op on fixtures with
+    fully-populated embeddings (all sf dirs — verified by selfcheck
+    before/after). vec_id UNIQUENESS is a declared precondition (a
+    colliding id makes vec_id-ordered seeds/tie-breaks ambiguous —
+    pinned by test_veckey_collision_precondition_is_pinned).
+    (NULL-payload corpus sweep, round 7; component clause, round 11;
+    identity clause, round 12.)
     """
     return load_table_cpu(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
+        F.col("vec_id").isNotNull()
+        & F.col("embedding").isNotNull()
         & F.forall(
             "embedding",
             lambda x: x.isNotNull()
@@ -138,7 +147,8 @@ def _shadow_nonnull_embeddings(sql: str) -> str:
     bodies untouched and alias-safe."""
     cte = (
         "embeddings AS (SELECT * FROM main.embeddings"
-        " WHERE embedding IS NOT NULL"
+        " WHERE vec_id IS NOT NULL"
+        " AND embedding IS NOT NULL"
         " AND len(list_filter(embedding, x -> x IS NULL OR isnan(x)"
         f" OR abs(x) > {EMB_COMPONENT_ABS_MAX!r})) = 0)"
     )
@@ -297,6 +307,7 @@ FROM embeddings
 #: (abs(Inf) > cap in both engines, and isnan(Inf) is false in both).
 EMB_AUDIT_REASONS = (
     "kept",
+    "null_vec_id",        # identity before payload (round-12 VECKEY)
     "null_embedding",
     "null_component",
     "nan_component",
@@ -323,7 +334,8 @@ def emb_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     raw = load_table_cpu(spark, sf_dir, "embeddings")
     reason = (
-        F.when(F.col("embedding").isNull(), F.lit("null_embedding"))
+        F.when(F.col("vec_id").isNull(), F.lit("null_vec_id"))
+        .when(F.col("embedding").isNull(), F.lit("null_embedding"))
         .when(
             F.exists("embedding", lambda x: x.isNull()),
             F.lit("null_component"),
@@ -361,6 +373,7 @@ def emb_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 EMB_INGEST_AUDIT_SQL = f"""
 WITH classified AS (
   SELECT CASE
+    WHEN vec_id IS NULL THEN 'null_vec_id'
     WHEN embedding IS NULL THEN 'null_embedding'
     WHEN len(list_filter(embedding, x -> x IS NULL)) > 0
       THEN 'null_component'

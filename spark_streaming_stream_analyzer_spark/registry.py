@@ -1150,15 +1150,17 @@ _PLANNED_NEXT_FRONT: list[str] = [
     "text_tfidf_topk", "join_salted_skew", "agg_sliding_window",
     "sample_split_hash", "join_bloom_prefilter",
     "text_char_ngram_profile", "sample_stratified_topn",
-    # sim_kmeans_exact_cells / sim_ivf_exact_topk / emb_dim_minmax were
-    # dropped from this list: all three sit in the r12 _VERIFY_FIRST
-    # already (fresh greens incoming), and the three slots went to the
-    # agg_pivot/agg_unpivot/sql_exists_subquery displacements above
-    "cohort_retention",
-    "udtf_chunk_docs", "mm_scene_cut", "mm_audio_chunk",
-    "ts_rollup_hierarchy", "scd2_intervals",
-    "dq_constraint_audit", "skew_key_profile", "json_key_inventory",
+    "mm_scene_cut", "mm_audio_chunk",
+    "json_key_inventory",
     "src_binary_files",
+    # the 6 VECKEY-changed oracles outside the r12 front (vec_id
+    # identity clause in the tier shadow, round 12) — changed surface
+    # takes the slots; cohort_retention, udtf_chunk_docs,
+    # ts_rollup_hierarchy, scd2_intervals, dq_constraint_audit,
+    # skew_key_profile slide to r14 with the §6c displacements
+    "embedding_norms", "emb_pca_power", "emb_matryoshka_recall",
+    "emb_distance_histogram", "sim_kmeans_exact_cells",
+    "sim_ivf_exact_topk",
     # the 10 DOCKEY-changed oracles outside the r12 front (keyed-
     # documents shadow, round 12) — changed surface takes the slots;
     # the 10 newest non-changed entries (ts_ewma_recent,

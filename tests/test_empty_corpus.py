@@ -1141,6 +1141,7 @@ def test_emb_adv_parity(spark, emb_adv_dir, name):
         }
         assert got == {
             "kept": 503,
+            "null_vec_id": 0,
             "null_embedding": 0,
             "null_component": 1,
             "nan_component": 1,
@@ -1436,5 +1437,73 @@ def test_dockey_collision_precondition_is_pinned(spark, tmp_path_factory):
     sdf = registry.QUERIES["doc_winnowing"](spark, d).toPandas()
     odf = _oracle(d, registry.ORACLES["doc_winnowing"])
     assert len(sdf) != len(odf) or _norm(sdf) != _norm(odf), (
+        "collision handling now agrees — retire the precondition"
+    )
+
+
+#: ADVERSARIAL VECTOR IDENTITY (round 12, 24th standing sweep) — the
+#: embeddings-table mirror of DOCKEY. NULL / negative / near-int64-max
+#: / colliding vec_ids through the embedding tier found 6 divergences:
+#: the centroid/codebook SEED picks and top-k tie-breaks are ORDERED BY
+#: vec_id, so a NULL id rode the engines' opposite NULLS FIRST/LAST
+#: defaults into different k-means/PQ/IVF seeds (silently different
+#: clustering), and a colliding id makes the seed/tie order ambiguous
+#: by construction. Contract: vec_id IS NOT NULL joined the tier's
+#: ingest clause (load_embeddings + the _shadow_nonnull_embeddings
+#: oracle CTE — one choke point for the whole tier), with the drop
+#: observable as emb_ingest_audit's 'null_vec_id' reason; negative and
+#: near-max ids are valid identities (attested); vec_id UNIQUENESS is
+#: a declared precondition pinned by the divergence test below.
+VECKEY_PARITY = [
+    "sim_kmeans_exact_cells",   # vec_id-ordered centroid seeds
+    "sim_ivf_exact_topk",       # IVF over the same seeds
+    "emb_pq_codebook",          # codebook training sample
+    "sim_pq_adc_topk",          # ADC over the codebook
+    "sim_srp_topk",             # banded candidates + rerank ties
+    "emb_knn_srp_graph",        # kNN edges identified by vec_id
+    "embedding_norms",          # contract carrier: NULL-id drop count
+    "emb_ingest_audit",         # the drop is observable
+    "sim_topk_cosine",          # result identity under hostile ids
+    "emb_knn_graph",            # exact census twin
+]
+
+
+@pytest.fixture(scope="module")
+def veckey_dir(tmp_path_factory) -> str:
+    return _build_fixture(tmp_path_factory, "sf_veckey", {
+        "embeddings": "CASE"
+        " WHEN vec_id % 11 = 0 THEN -vec_id"
+        " WHEN vec_id % 13 = 0 THEN 9223372036854775307 + vec_id"
+        " WHEN vec_id % 17 = 0 THEN NULL"
+        " ELSE vec_id END AS vec_id, embedding, label",
+    })
+
+
+@pytest.mark.parametrize("name", VECKEY_PARITY)
+def test_veckey_parity(spark, veckey_dir, name):
+    _assert_parity(spark, veckey_dir, name, "adversarial vec identity")
+    if name == "emb_ingest_audit":
+        got = {
+            r["reason"]: r["n_rows"]
+            for r in registry.QUERIES[name](spark, veckey_dir)
+            .toPandas()
+            .to_dict("records")
+        }
+        # 25 NULL ids dropped AND visible; everything else kept
+        assert got["null_vec_id"] == 25 and got["kept"] == 475, got
+
+
+def test_veckey_collision_precondition_is_pinned(spark, tmp_path_factory):
+    """vec_id uniqueness is a PRECONDITION: colliding ids make the
+    vec_id-ordered seed picks and tie-breaks ambiguous, and the
+    engines disagree. If collision support is ever implemented this
+    fails and the precondition note must be retired."""
+    d = _build_fixture(tmp_path_factory, "sf_veckey_collide", {
+        "embeddings": "CASE WHEN vec_id % 19 = 0 THEN 7 ELSE vec_id END"
+        " AS vec_id, embedding, label",
+    })
+    sdf = registry.QUERIES["sim_kmeans_exact_cells"](spark, d).toPandas()
+    odf = _oracle(d, registry.ORACLES["sim_kmeans_exact_cells"])
+    assert _norm(sdf) != _norm(odf), (
         "collision handling now agrees — retire the precondition"
     )
