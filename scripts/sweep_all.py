@@ -58,6 +58,7 @@ FIXTURES = [
     ("MAXDUP", T.maxdup_dir),       # round 12: maximal duplication
     ("DOCKEY", T.dockey_dir),       # round 12: adversarial doc identity
     ("VECKEY", T.veckey_dir),       # round 12: adversarial vec identity
+    ("USERKEY", T.userkey_dir),     # round 12: adversarial user identity
 ]
 
 

@@ -1507,3 +1507,46 @@ def test_veckey_collision_precondition_is_pinned(spark, tmp_path_factory):
     assert _norm(sdf) != _norm(odf), (
         "collision handling now agrees — retire the precondition"
     )
+
+
+#: ADVERSARIAL USER IDENTITY (round 12, 25th standing sweep): NULL /
+#: negative / near-int64-max / COLLIDING user_ids through the events
+#: tier — the grouping/state key everywhere (stateful streaming keys
+#: state per user, sessionizers window by user, salting arithmetic
+#: hashes user_id). Unlike doc_id/vec_id, user_id is a GROUPING key,
+#: not an identity with uniqueness semantics — collisions are just
+#: bigger groups and NULL is the anonymous-traffic bucket — so the
+#: whole regime must PASS as-is, no contract. First probe (round 12):
+#: **0 divergences / 328 full-registry attestation, first pass** — the
+#: round-7/8 NULL-keys alignments (eqNullSafe, NULLS LAST, any-NULL
+#: drops) generalize to the hostile-id classes. This sweep keeps it
+#: that way.
+USERKEY_PARITY = [
+    "agg_running_stats",          # flagship: per-user grouping
+    "agg_salted_wordcount",       # salting arithmetic over user_id
+    "stream_stats_exact_state",   # one state entry per hostile key
+    "stream_sessionize_custom",   # sessions under NULL/extreme users
+    "agg_session_window",         # session windows per user
+    "seq_top_paths",              # per-user event sequences
+    "join_interval_grid",         # per-user intervals
+    "funnel_conversion",          # per-user funnels
+    "ts_sliding_dau",             # distinct-user census
+    "mart_user_360",              # the widest per-user rollup
+]
+
+
+@pytest.fixture(scope="module")
+def userkey_dir(tmp_path_factory) -> str:
+    return _build_fixture(tmp_path_factory, "sf_userkey", {
+        "events": "event_id, ts, CASE"
+        " WHEN event_id % 11 = 0 THEN -user_id - 1"
+        " WHEN event_id % 13 = 0 THEN 9223372036854775307 + user_id"
+        " WHEN event_id % 17 = 0 THEN NULL"
+        " WHEN event_id % 19 = 0 THEN 5"
+        " ELSE user_id END AS user_id, event_type, value, props",
+    })
+
+
+@pytest.mark.parametrize("name", USERKEY_PARITY)
+def test_userkey_parity(spark, userkey_dir, name):
+    _assert_parity(spark, userkey_dir, name, "adversarial user identity")
