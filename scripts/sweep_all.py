@@ -59,6 +59,7 @@ FIXTURES = [
     ("DOCKEY", T.dockey_dir),       # round 12: adversarial doc identity
     ("VECKEY", T.veckey_dir),       # round 12: adversarial vec identity
     ("USERKEY", T.userkey_dir),     # round 12: adversarial user identity
+    ("CATKEY", T.catkey_dir),       # round 12: hostile category values
 ]
 
 

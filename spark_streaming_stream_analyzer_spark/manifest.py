@@ -43,9 +43,43 @@ MANIFEST_PATH = os.path.join(
 )
 
 
+def _delegated_sources(src: str) -> list[str]:
+    """One level of delegation (round-12 CATKEY blind-spot fix): many
+    registry kernels are thin wrappers whose body does ``from .x
+    import y`` and calls ``y`` — an edit to ``y`` changed the query's
+    behavior while the wrapper's hash stayed put (src_partition_prune's
+    partition-key guard shipped unflagged this way; the probe re-run
+    caught it). For each intra-package import inside the kernel body,
+    the imported callables' own sources join the hash. Deeper helper
+    chains remain out of scope — the standing sweeps cover behavior."""
+    import importlib
+    import re
+
+    out = []
+    for dots, mod, names in re.findall(
+        r"^\s*from (\.+)([\w.]*) import ([\w, ]+)$", src, re.M
+    ):
+        try:
+            m = importlib.import_module(
+                ("." * len(dots)) + mod, package=__package__
+            )
+        except ImportError:
+            continue
+        for n in names.split(","):
+            obj = getattr(m, n.strip(), None)
+            if callable(obj):
+                try:
+                    out.append(inspect.getsource(obj))
+                except (OSError, TypeError):
+                    pass
+    return out
+
+
 def surface_hash(name: str) -> str:
-    """sha256 over the query's kernel source + final oracle text (the
-    exact SQL the driver runs, all shadow CTEs included)."""
+    """sha256 over the query's kernel source, the sources of callables
+    the kernel body imports from this package (one delegation level),
+    and the final oracle text (the exact SQL the driver runs, all
+    shadow CTEs included)."""
     from . import registry
 
     fn = registry.QUERIES[name]
@@ -57,6 +91,9 @@ def surface_hash(name: str) -> str:
     oracle = registry.ORACLES.get(name, "")
     h = hashlib.sha256()
     h.update(src.encode())
+    for extra in _delegated_sources(src):
+        h.update(b"\1")
+        h.update(extra.encode())
     h.update(b"\0")
     h.update(oracle.encode())
     return h.hexdigest()

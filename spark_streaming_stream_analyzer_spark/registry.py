@@ -1149,7 +1149,9 @@ _PLANNED_NEXT_FRONT: list[str] = [
     "agg_boolean_pack", "fn_crypto_roundtrip", "agg_mode_qty",
     "text_tfidf_topk", "join_salted_skew", "agg_sliding_window",
     "sample_split_hash", "join_bloom_prefilter",
-    "text_char_ngram_profile", "sample_stratified_topn",
+    # CATKEY-changed writers (round-12 partition-key length contract);
+    # text_char_ngram_profile / sample_stratified_topn slide to r14
+    "sink_parquet_roundtrip", "stream_file_sink",
     "mm_scene_cut", "mm_audio_chunk",
     "json_key_inventory",
     "src_binary_files",

@@ -25,7 +25,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.stats import running_stats, stats_oracle_sql
-from .tables import load_table
+from .tables import (
+    PARTITION_KEY_MAX_BYTES,
+    load_table,
+    partitionable_key,
+)
 
 
 def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -42,9 +46,15 @@ def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     '' and NULL keys are conflated BY THE FORMAT (whitespace and
     multibyte values survive via URL-escaping). The oracle mirrors
     with NULLIF(key, ''); a lake that must distinguish '' from NULL
-    cannot partition on that column.
+    cannot partition on that column. Round-12 CATKEY extension: an
+    OVER-LONG value (> PARTITION_KEY_MAX_BYTES UTF-8 bytes) would
+    crash the write outright (directory-name length cap), so
+    ``partitionable_key`` routes it to the same default partition; the
+    oracle's octet_length CASE mirrors.
     """
-    stats = running_stats(load_table(spark, sf_dir, "events"), "event_type", "value")
+    stats = running_stats(
+        load_table(spark, sf_dir, "events"), "event_type", "value"
+    ).withColumn("readTag_id", partitionable_key("readTag_id"))
     out_dir = os.path.join(tempfile.gettempdir(), f"sgs_sink_{uuid.uuid4().hex[:12]}")
     try:
         stats.write.partitionBy("readTag_id").parquet(out_dir)
@@ -61,10 +71,13 @@ def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(pdf, schema=stats.select(*cols).schema)
 
 
-# NULLIF mirrors the hive default-partition conflation of '' with NULL
-# on the read-back key (see docstring); identity when no key is ''.
+# The CASE mirrors the hive default-partition conflation of '' AND
+# over-long values with NULL on the read-back key (see docstring);
+# identity when every key is short and non-empty.
 SINK_PARQUET_SQL = (
-    "SELECT NULLIF(readTag_id, '') AS readTag_id, summer, counter,"
+    "SELECT CASE WHEN octet_length(encode(readTag_id)) <= "
+    + str(PARTITION_KEY_MAX_BYTES)
+    + " THEN NULLIF(readTag_id, '') END AS readTag_id, summer, counter,"
     " sumsqr, bestmin, bestmax, mean, var FROM ("
     + stats_oracle_sql("events", "event_type", "value")
     + ") hive_encoded"
@@ -435,7 +448,12 @@ def src_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     scanning 40 TB and scanning the whole lake. Values are re-aggreated
     exactly to prove the roundtrip loses nothing."""
     ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "event_type", "value"
+        "event_id",
+        # over-long partition values crash the write (CATKEY, r12);
+        # route them to the default partition — the downstream IN
+        # filter never selects them, so the oracle needs no mirror
+        partitionable_key("event_type").alias("event_type"),
+        "value",
     )
     out = os.path.join(tempfile.gettempdir(), f"sgs_prune_{uuid.uuid4().hex[:12]}")
     try:

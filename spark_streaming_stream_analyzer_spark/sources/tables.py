@@ -207,6 +207,31 @@ def load_table_cpu(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+#: Hive-partitioned-write key-length contract (round-12 CATKEY probe):
+#: a partition VALUE is spelled into a directory name
+#: (``key=<url-escaped value>``), and common filesystems cap a path
+#: segment at 255 bytes — one 10,000-char category value crashed every
+#: partitionBy writer in the repo (TASK_WRITE_FAILED mid-job: the
+#: one-hostile-row DoS shape yet again, this time in the LAYOUT tier).
+#: A value whose UTF-8 encoding exceeds this cap is UNPARTITIONABLE
+#: and is routed to the hive default (null) partition before the
+#: write — the same observable the format already imposes on the
+#: empty string (round-9 groupkey sweep: '' is unrepresentable as a
+#: directory and reads back NULL). 80 bytes leaves margin for the
+#: ``key=`` prefix plus full %XX URL-escaping (3x worst case: 80*3+11
+#: = 251 < 255). Oracles mirror with
+#: ``CASE WHEN octet_length(k) <= 80 THEN NULLIF(k, '') END``.
+PARTITION_KEY_MAX_BYTES = 80
+
+
+def partitionable_key(col: str) -> Column:
+    """The partition-key projection every ``partitionBy`` writer uses:
+    over-long values (see ``PARTITION_KEY_MAX_BYTES``) become NULL and
+    land in the hive default partition instead of crashing the write."""
+    c = F.col(col)
+    return F.when(F.octet_length(c) <= PARTITION_KEY_MAX_BYTES, c)
+
+
 def load_documents_keyed(
     spark: SparkSession, sf_dir: str, cpu: bool = True
 ) -> DataFrame:

@@ -41,7 +41,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..operators.stats import stat_aggs, stats_oracle_sql
-from ..sources.tables import load_table, ts_micros, ts_timestamp
+from ..sources.tables import (
+    PARTITION_KEY_MAX_BYTES,
+    load_table,
+    partitionable_key,
+    ts_micros,
+    ts_timestamp,
+)
 
 # Schema of the OLDER events fixture vintage (parquet TIMESTAMP(NANOS)
 # read as a bigint of epoch-nanos under ``nanosAsLong``). Kept for
@@ -1111,7 +1117,12 @@ def stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = events_file_stream(spark, os.path.join(sf_dir, "events.parquet"))
     shaped = events.filter(F.col("value") > 0).select(
-        "event_id", "event_type", "user_id", "value"
+        "event_id",
+        # over-long partition values crash the streaming writer too
+        # (CATKEY, r12): route to the hive default partition like ''
+        partitionable_key("event_type").alias("event_type"),
+        "user_id",
+        "value",
     )
     out_dir = os.path.join(tempfile.gettempdir(), f"sgs_fsink_{uuid.uuid4().hex[:12]}")
     ckpt = os.path.join(tempfile.gettempdir(), f"sgs_fsink_ck_{uuid.uuid4().hex[:12]}")
@@ -1140,11 +1151,15 @@ def stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(pdf, schema=agg.schema)
 
 
-STREAM_FILE_SINK_SQL = """
--- NULLIF mirrors the hive default-partition conflation of '' with
--- NULL on the partitioned write's read-back (round-9 groupkey sweep;
--- see sink_parquet_roundtrip's docstring); identity when no key is ''.
-SELECT NULLIF(event_type, '') AS event_type, COUNT(*) AS n_events,
+STREAM_FILE_SINK_SQL = f"""
+-- the CASE mirrors the hive default-partition conflation of '' AND
+-- over-long values with NULL on the partitioned write's read-back
+-- (round-9 groupkey sweep + round-12 CATKEY; see
+-- sink_parquet_roundtrip's docstring); identity when every key is
+-- short and non-empty.
+SELECT CASE WHEN octet_length(encode(event_type)) <= {PARTITION_KEY_MAX_BYTES}
+            THEN NULLIF(event_type, '') END AS event_type,
+       COUNT(*) AS n_events,
        CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM events WHERE value > 0 GROUP BY 1
 """

@@ -1550,3 +1550,59 @@ def userkey_dir(tmp_path_factory) -> str:
 @pytest.mark.parametrize("name", USERKEY_PARITY)
 def test_userkey_parity(spark, userkey_dir, name):
     _assert_parity(spark, userkey_dir, name, "adversarial user identity")
+
+
+#: HOSTILE CATEGORY VALUES (round 12, 26th standing sweep): empty
+#: string, whitespace-only, case variants, multibyte accents, and a
+#: 10,000-char value through every grouping/pivot/partitioned-write
+#: surface that keys on event_type / lang / source. Find: the
+#: 10k-char value CRASHED all three hive-partitioned writers
+#: (TASK_WRITE_FAILED — ``key=<value>`` exceeds the 255-byte
+#: directory-segment cap; one hostile row DoS'ing the LAYOUT tier).
+#: Contract: a partition value over PARTITION_KEY_MAX_BYTES UTF-8
+#: bytes is UNPARTITIONABLE and routes to the hive default (null)
+#: partition before the write (tables.partitionable_key), the same
+#: observable the format already imposes on '' (round-9); oracles
+#: mirror with an octet_length CASE. Everything else (grouping,
+#: pivots, case variants, accents) passed first try — the round-9
+#: groupkey discipline held.
+CATKEY_PARITY = [
+    "sink_parquet_roundtrip",   # partitioned write, keys conflated
+    "src_partition_prune",      # kernel guard only (IN-filter oracle)
+    "stream_file_sink",         # streaming partitioned writer
+    "src_file_formats",         # CSV/JSON text keys survive verbatim
+    "sink_compaction",          # non-partitioned writer: unaffected
+    "agg_running_stats",        # grouping on hostile categories
+    "agg_pivot",                # pivot labels
+    "lang_id_ngram",            # lang category groups
+    "pack_interleave_order",    # source category round-robin
+]
+
+
+@pytest.fixture(scope="module")
+def catkey_dir(tmp_path_factory) -> str:
+    return _build_fixture(tmp_path_factory, "sf_catkey", {
+        "events": "event_id, ts, user_id, CASE"
+        " WHEN event_id % 11 = 0 THEN ''"
+        " WHEN event_id % 13 = 0 THEN ' '"
+        " WHEN event_id % 19 = 0 THEN upper(event_type)"
+        " WHEN event_id % 23 = 0 THEN event_type || chr(233)"
+        " WHEN event_id % 29 = 0 THEN repeat('k', 10000)"
+        " ELSE event_type END AS event_type, value, props",
+        "documents": "doc_id, text,"
+        " CASE WHEN doc_id % 11 = 0 THEN '' WHEN doc_id % 13 = 0 THEN ' '"
+        " WHEN doc_id % 19 = 0 THEN upper(lang) ELSE lang END AS lang,"
+        " CASE WHEN doc_id % 17 = 0 THEN '' WHEN doc_id % 23 = 0 THEN"
+        " source || chr(233) ELSE source END AS source, n_chars",
+    })
+
+
+@pytest.mark.parametrize("name", CATKEY_PARITY)
+def test_catkey_parity(spark, catkey_dir, name):
+    _assert_parity(spark, catkey_dir, name, "hostile category values")
+    if name == "sink_parquet_roundtrip":
+        # the over-long key must have been routed to the default
+        # partition (read back NULL), not crashed the write and not
+        # silently dropped: its stats row is present with a NULL key
+        sdf = registry.QUERIES[name](spark, catkey_dir).toPandas()
+        assert sdf["readTag_id"].isna().sum() >= 1, "long key row lost"
