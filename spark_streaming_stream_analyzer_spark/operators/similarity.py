@@ -325,11 +325,11 @@ def emb_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     every consumer in the tier; with no telemetry, real data loss —
     e.g. a legitimate unnormalized encoder whose components exceed the
     cap — would be invisible (ADVICE r11 item 3). This audit makes the
-    exclusion observable: always five rows (one per
-    ``EMB_AUDIT_REASONS`` entry, zero-filled via a left join from the
-    static reason table), so a pipeline can alert on any non-``kept``
-    count without schema drift. One scan, map-side combine on a
-    5-value key, broadcast join against a 5-row literal frame —
+    exclusion observable: one row per ``EMB_AUDIT_REASONS`` entry,
+    zero-filled via a left join from the static reason table, so a
+    pipeline can alert on any non-``kept`` count without schema
+    drift. One scan, map-side combine on a reason-vocabulary-sized
+    key, broadcast join against a reason-table literal frame —
     trivially 100-TB-safe.
     """
     raw = load_table_cpu(spark, sf_dir, "embeddings")
