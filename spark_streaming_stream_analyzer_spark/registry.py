@@ -1037,107 +1037,17 @@ query("stream_ohlc_bars", _an.TS_OHLC_SQL)(_sp.stream_ohlc_bars)
 # (which always runs all of them).
 
 _VERIFY_FIRST: list[str] = [
-    # Round-12 rotation (VERDICT r11 item 1): the absolute front is
-    # the CHANGED SURFACE the r11 driver did not re-verify — the 19
-    # embedding-tier queries whose DuckDB oracles gained the shared
-    # _shadow_nonnull_embeddings ingest-filter CTE (and, for the
-    # winnowing-backed dedup pair, the linear-gram CTE) in round 11
-    # while their slot in the r11 front went to the GIANTDOC surface.
-    # The r11 judge re-verified all 19 independently (0 divergences);
-    # this front converts that into driver evidence. Enumerated
-    # mechanically: embedding-table oracles minus the 7 already
-    # driver-green in r11 (embedding_norms, sim_kmeans_exact_cells,
-    # sim_ivf_exact_topk, emb_pca_power, emb_matryoshka_recall,
-    # emb_distance_histogram, dedup_embedding via sweep) — see
-    # tests/test_rotation_manifest.py, which now recomputes the
-    # changed-query set from source+oracle hashes so a shared-CTE
-    # edit can never silently exceed the front budget again.
-    "dedup_embedding_cosine",            # r11 oracle changed (EMBADV)
-    "dedup_method_agreement",            # r11 oracle changed (EMBADV)
-    "emb_class_centroids",               # r11 oracle changed (EMBADV)
-    "emb_class_outliers",                # r11 oracle changed (EMBADV)
-    "emb_class_separation",              # r11 oracle changed (EMBADV)
-    "emb_dim_minmax",                    # r11 oracle changed (EMBADV)
-    "emb_dim_variance",                  # r11 oracle changed (EMBADV)
-    "emb_knn_graph",                     # r11 oracle changed (EMBADV)
-    "emb_knn_srp_graph",                 # r11 oracle changed (EMBADV)
-    "emb_nearest_centroid_confusion",    # r11 oracle changed (EMBADV)
-    "emb_pq_codebook",                   # r11 oracle changed (EMBADV)
-    "emb_quantize_int8",                 # r11 oracle changed (EMBADV)
-    "sim_ivf_recall",                    # r11 oracle changed (EMBADV)
-    "sim_ivf_topk",                      # r11 oracle changed (EMBADV)
-    "sim_pq_adc_topk",                   # r11 oracle changed (EMBADV)
-    "sim_quantized_topk",                # r11 oracle changed (EMBADV)
-    "sim_range_search",                  # r11 oracle changed (EMBADV)
-    "sim_srp_topk",                      # r11 oracle changed (EMBADV)
-    "sim_topk_cosine",                   # r11 oracle changed (EMBADV)
-    "emb_ingest_audit",                  # NEW r12 (ADVICE r11 item 3)
-    # r12 changed surface: the JSONNEST find (one >1000-container props
-    # document parsed in DuckDB but not Spark) added the parseable-
-    # props REPLACE to five oracles; null_handling was already in this
-    # front and json_key_inventory sits in _PLANNED_NEXT_FRONT — the
-    # other three rotate in here, displacing agg_pivot / agg_unpivot /
-    # sql_exists_subquery to the planned front (the manifest test
-    # enforces exactly this accounting).
-    "fn_json_get_string",                # r12 oracle changed (JSONNEST)
-    "fn_cast_string_double",             # r12 oracle changed (JSONNEST)
-    "fn_variant_json",                   # r12 oracle changed (JSONNEST)
-    # The remaining 30 slots: the OLDEST last-green driver rows,
-    # mechanically enumerated by scanning CORRECTNESS_r01..r11 for
-    # each query's most recent green and sorting by (round, registry
-    # position) — the 19-query r03 remainder (including the two
-    # entries the r11 front's 52-entry overflow silently dropped:
-    # agg_corr_covar, null_handling — ADVICE r11 item 1) + the 12
-    # stalest r04 entries. All vanilla-pre-flighted (NOTES_r11 §1/§8).
-    "agg_corr_covar",            # r03 (dropped from r11 front overflow)
-    "null_handling",             # r03 (dropped from r11 front overflow)
-    "json_corrupt_policy",       # r03
-    "approx_distinct_portable",  # r03
-    "dedup_exact",               # r03
-    "dedup_simhash",             # r03
-    "dedup_simhash_pairs",       # r03
-    "dedup_cluster_keep",        # r03
-    "pipeline_dedup_filter",     # r03
-    "lang_id_ngram",             # r03
-    "text_quality_score",        # r03
-    "token_count",               # r03
-    "pipeline_docs_prep",        # r03
-    "text_bigram_freq",          # r03
-    "text_normalize",            # r03
-    "mm_binary_meta",            # r03
-    "mm_feature_extract",        # r03
-    "mm_frame_sample",           # r03
-    "mm_resize",                 # r03
-    "q7_volume_shipping",        # r04
-    "q10_returned_items",        # r04
-    "q4_order_priority",         # r04
-    "q19_disjunctive_filter",    # r04
-    "q14_promo_revenue",         # r04
-    "funnel_conversion",         # r04
-    "agg_histogram",             # r04
-    "sql_surface",               # r04 (agg_pivot / agg_unpivot /
-]                                # sql_exists_subquery / sql_recursive
-                                 # slid to r13: emb_ingest_audit + the
-                                 # three JSONNEST rotations took their
-                                 # slots)
-
-# The driver verifies exactly the first 50 dict entries per round; a
-# 51st _VERIFY_FIRST entry silently falls outside the front while the
-# round notes count it as rotated in (round 11 shipped 52 entries and
-# lost agg_corr_covar + null_handling exactly this way — ADVICE r11).
-_VERIFY_FRONT_BUDGET = 50
-
-# Round-13 planned front (VERDICT r11 items 3+4): the NEXT round's 50,
-# enumerated the same way — staleness (last green round, registry
-# position) over CORRECTNESS_r01..r12-to-be — and vanilla-pre-flighted
-# in round 11 (NOTES_r11 §8/§9). sql_recursive leads (r04 — displaced
-# from the r12 front by emb_ingest_audit); src_synthetic_gen, the
-# newest of the NOTES r13 list, slides to r14 to stay on budget.
-# tests/test_rotation_manifest.py uses this to enforce the
-# blast-radius rule: a query whose kernel source or oracle text
-# changed since the committed manifest must sit in _VERIFY_FIRST or
-# here — never silently outside both.
-_PLANNED_NEXT_FRONT: list[str] = [
+    # Round-13 rotation (VERDICT r12 item 1): ship the committed
+    # round-12 _PLANNED_NEXT_FRONT verbatim — every entry below is the
+    # exact list NOTES_r12 SS1 committed and vanilla-pre-flighted, and
+    # CORRECTNESS_r12 had zero reds to fold in. Composition: the four
+    # r12-front displacements (sql_recursive, agg_pivot, agg_unpivot,
+    # sql_exists_subquery), the staleness tier from the NOTES_r11 SS9
+    # ledger, the 3 CATKEY-changed writers + json_key_inventory +
+    # src_binary_files (r12 contracts), the 6 VECKEY-changed and 10
+    # DOCKEY-changed oracles outside the r12 front. This converts the
+    # 16 VECKEY/DOCKEY oracle changes from sweep evidence into driver
+    # evidence and keeps every driver green <=8 rounds old.
     "sql_recursive",
     "agg_pivot", "agg_unpivot", "sql_exists_subquery",
     "text_chunk_overlap", "split_leakage_audit", "approx_median_hist",
@@ -1149,31 +1059,68 @@ _PLANNED_NEXT_FRONT: list[str] = [
     "agg_boolean_pack", "fn_crypto_roundtrip", "agg_mode_qty",
     "text_tfidf_topk", "join_salted_skew", "agg_sliding_window",
     "sample_split_hash", "join_bloom_prefilter",
-    # CATKEY-changed writers (round-12 partition-key length contract);
-    # text_char_ngram_profile / sample_stratified_topn slide to r14
+    # CATKEY-changed writers (round-12 partition-key length contract)
     "sink_parquet_roundtrip", "stream_file_sink",
     "mm_scene_cut", "mm_audio_chunk",
     "json_key_inventory",
     "src_binary_files",
     # the 6 VECKEY-changed oracles outside the r12 front (vec_id
-    # identity clause in the tier shadow, round 12) — changed surface
-    # takes the slots; cohort_retention, udtf_chunk_docs,
-    # ts_rollup_hierarchy, scd2_intervals, dq_constraint_audit,
-    # skew_key_profile slide to r14 with the §6c displacements
+    # identity clause in the tier shadow, round 12)
     "embedding_norms", "emb_pca_power", "emb_matryoshka_recall",
     "emb_distance_histogram", "sim_kmeans_exact_cells",
     "sim_ivf_exact_topk",
     # the 10 DOCKEY-changed oracles outside the r12 front (keyed-
-    # documents shadow, round 12) — changed surface takes the slots;
-    # the 10 newest non-changed entries (ts_ewma_recent,
-    # incremental_agg_merge, dq_day_over_day, sample_group_holdout,
-    # graph_pagerank_exact, graph_degree_histogram,
-    # stream_foreachbatch_upsert, stream_topk_complete,
-    # stream_python_datasource, approx_aggs) slide to r14
+    # documents shadow, round 12)
     "doc_winnowing", "dedup_index_tuning_report", "text_ngram_novelty",
     "text_vocab_growth", "sample_reservoir_group",
     "pack_interleave_order", "pack_epoch_shuffle", "mm_phash_dedup",
     "mm_shard_manifest", "mm_byte_histogram",
+]
+
+# The driver verifies exactly the first 50 dict entries per round; a
+# 51st _VERIFY_FIRST entry silently falls outside the front while the
+# round notes count it as rotated in (round 11 shipped 52 entries and
+# lost agg_corr_covar + null_handling exactly this way — ADVICE r11).
+_VERIFY_FRONT_BUDGET = 50
+
+# Round-14 planned front (VERDICT r12 item 2): the NEXT round's 50,
+# enumerated mechanically — scan CORRECTNESS_r01..r12 for each query's
+# most recent green, assume the r13 front above goes green, sort by
+# (last green round, registry position), take the oldest 50. That is
+# the ENTIRE r04 tier (23 entries) + the ENTIRE r05 tier (17) + the 10
+# oldest r06 entries — after r14 runs, no driver green is older than
+# r06 and the freshness ledger closes (fronts become changed-surface +
+# round-robin refresh from r15 on).
+# tests/test_rotation_manifest.py uses this to enforce the
+# blast-radius rule: a query whose kernel source or oracle text
+# changed since the committed manifest must sit in _VERIFY_FIRST or
+# here — never silently outside both.
+_PLANNED_NEXT_FRONT: list[str] = [
+    # r04 tier (23) — TPC-H remainder, approx sketches, curation pack
+    "q2_min_cost_supplier", "q8_market_share", "q9_product_profit",
+    "q13_customer_distribution", "q15_top_supplier",
+    "q17_small_quantity_revenue", "q18_large_volume_customer",
+    "q22_idle_customers", "q16_part_supplier_counts",
+    "q20_part_promotion_suppliers", "q11_important_values",
+    "q12_late_priority_counts", "q21_waiting_suppliers",
+    "approx_cms_topk", "approx_distinct_merge",
+    "text_repetition_metrics", "text_decontaminate", "text_pii_redact",
+    "pipeline_keep_best", "pack_token_budget", "sample_rebalance",
+    "sample_weighted", "corpus_mixture_stats",
+    # r05 tier (17) — includes every entry that slid out of the r13
+    # front during the r12 DOCKEY/VECKEY/CATKEY rotations
+    "text_char_ngram_profile", "sample_stratified_topn",
+    "cohort_retention", "udtf_chunk_docs", "ts_rollup_hierarchy",
+    "scd2_intervals", "dq_constraint_audit", "skew_key_profile",
+    "ts_ewma_recent", "incremental_agg_merge", "dq_day_over_day",
+    "sample_group_holdout", "graph_pagerank_exact",
+    "graph_degree_histogram", "stream_foreachbatch_upsert",
+    "stream_topk_complete", "stream_python_datasource",
+    # oldest r06 entries (10)
+    "approx_aggs", "src_synthetic_gen", "sort_pareto_front",
+    "set_ops_all", "agg_value_deciles", "ts_resample_interp",
+    "seq_pattern_triples", "assoc_rules_pairs", "agg_weighted_median",
+    "seq_transition_matrix",
 ]
 
 
