@@ -17,12 +17,16 @@ edit now surfaces every affected query at commit time, however many
 there are.
 
 Scope note: the kernel hash covers the registered kernel function's
-own source (``inspect.getsource``), which is where every round-11-class
-divergence lived; an edit to a helper the kernel calls (e.g.
-``functions/grams.py``) is NOT hashed per-query — but such edits
-change the helper's module, and the standing sweeps (GIANTDOC, EMBADV,
-selfcheck) cover behavior; the manifest targets the
-rotation-accounting failure mode, not general regression detection.
+own source (``inspect.getsource``) PLUS the sources of every callable
+its body imports from this package, followed transitively through
+those callables' own body imports up to ``_DELEGATION_DEPTH`` levels
+(round-13 fix, ADVICE r12: the original one-level walk anchored
+relative imports at the package root instead of the kernel's own
+subpackage, so 48 of 52 delegating kernels silently hashed nothing).
+Module-level helper edits with no import statement in any reachable
+body remain out of per-query scope — the standing sweeps cover
+behavior; the manifest targets the rotation-accounting failure mode,
+not general regression detection.
 
 Regenerate with ``python scripts/update_rotation_manifest.py`` AFTER
 placing every changed query in the front or the planned next front —
@@ -43,43 +47,100 @@ MANIFEST_PATH = os.path.join(
 )
 
 
-def _delegated_sources(src: str) -> list[str]:
-    """One level of delegation (round-12 CATKEY blind-spot fix): many
-    registry kernels are thin wrappers whose body does ``from .x
-    import y`` and calls ``y`` — an edit to ``y`` changed the query's
-    behavior while the wrapper's hash stayed put (src_partition_prune's
-    partition-key guard shipped unflagged this way; the probe re-run
-    caught it). For each intra-package import inside the kernel body,
-    the imported callables' own sources join the hash. Deeper helper
-    chains remain out of scope — the standing sweeps cover behavior."""
-    import importlib
+# How many body-import levels to follow from the kernel. Two covers the
+# wrapper -> operator-module kernel -> shared helper chain that every
+# registry delegation uses today; three adds margin for one more hop.
+_DELEGATION_DEPTH = 3
+
+# Single-line and parenthesized (possibly multi-line) relative-import
+# forms; names may carry "as alias". Absolute intra-package imports are
+# not used in kernel bodies (repo convention is relative).
+_IMPORT_SINGLE = r"^\s*from (\.+)([\w.]*) import ([\w, ]+?)\s*$"
+_IMPORT_PAREN = r"^\s*from (\.+)([\w.]*) import \(([^)]*)\)"
+
+
+def _body_imports(src: str):
+    """Yield (dots, module, name) for every relative import in a
+    function body, covering ``from .x import a, b``, ``from ..p.q
+    import (a,\\n b)``, and ``import x as y`` aliasing (the original
+    name, which is what ``getattr`` on the module needs)."""
     import re
 
-    out = []
-    for dots, mod, names in re.findall(
-        r"^\s*from (\.+)([\w.]*) import ([\w, ]+)$", src, re.M
+    for dots, mod, names in re.findall(_IMPORT_SINGLE, src, re.M) + re.findall(
+        _IMPORT_PAREN, src, re.M
     ):
+        for raw in names.replace("\n", " ").split(","):
+            n = raw.strip()
+            if " as " in n:
+                n = n.split(" as ")[0].strip()
+            if n:
+                yield dots, mod, n
+
+
+def _delegated_sources(kernel) -> list[str]:
+    """Delegation closure (round-12 CATKEY blind-spot fix, completed in
+    round 13 per ADVICE r12): many registry kernels are thin wrappers
+    whose body does ``from .x import y`` and calls ``y`` — an edit to
+    ``y`` changed the query's behavior while the wrapper's hash stayed
+    put (src_partition_prune's partition-key guard shipped unflagged
+    this way; the probe re-run caught it).
+
+    Each relative import inside a reachable body is resolved against
+    THAT function's own module package (the r12 version anchored at the
+    package root, where ``from .pipelines import x`` written inside
+    ``streaming/state.py`` resolves to a nonexistent root module and
+    ``from ..sources.tables import x`` escapes the top-level package —
+    both swallowed by the ImportError guard, making the walk a silent
+    no-op for 48 of 52 delegating kernels). The walk is breadth-first,
+    textual-order, deduplicated, and bounded by ``_DELEGATION_DEPTH``,
+    so a helper edit two calls deep flips the owning queries' hashes."""
+    import importlib
+
+    out: list[str] = []
+    seen: set[tuple[str, str]] = set()
+    queue: list[tuple[object, int]] = [(kernel, 0)]
+    i = 0
+    while i < len(queue):
+        obj, depth = queue[i]
+        i += 1
         try:
-            m = importlib.import_module(
-                ("." * len(dots)) + mod, package=__package__
-            )
-        except ImportError:
+            src = inspect.getsource(obj)
+        except (OSError, TypeError):
             continue
-        for n in names.split(","):
-            obj = getattr(m, n.strip(), None)
-            if callable(obj):
-                try:
-                    out.append(inspect.getsource(obj))
-                except (OSError, TypeError):
-                    pass
+        if depth:
+            out.append(src)
+        if depth >= _DELEGATION_DEPTH:
+            continue
+        mod = inspect.getmodule(obj)
+        pkg = getattr(mod, "__package__", None) or __package__
+        for dots, m, n in _body_imports(src):
+            try:
+                target = importlib.import_module(
+                    ("." * len(dots)) + m, package=pkg
+                )
+            except ImportError:
+                continue
+            child = getattr(target, n, None)
+            key = (getattr(target, "__name__", m), n)
+            if key in seen or child is None:
+                continue
+            seen.add(key)
+            if callable(child):
+                queue.append((child, depth + 1))
+            elif not inspect.ismodule(child):
+                # imported CONSTANTS (caps like SHINGLE_DF_CAP, tuples
+                # like STOPWORDS) steer semantics too — hash their repr
+                # so a tuning-value edit flips the owning queries
+                out.append(f"{key[0]}.{n} = {child!r}")
     return out
 
 
-def surface_hash(name: str) -> str:
-    """sha256 over the query's kernel source, the sources of callables
-    the kernel body imports from this package (one delegation level),
-    and the final oracle text (the exact SQL the driver runs, all
-    shadow CTEs included)."""
+def surface_sources(name: str) -> list[str]:
+    """The ordered source texts that feed a query's hash: the kernel
+    body first, then the delegation closure (breadth-first). Exposed so
+    tests can assert a specific helper's source is INSIDE the hashed
+    surface — which is exactly the guarantee that an edit to that
+    helper flips the hash."""
     from . import registry
 
     fn = registry.QUERIES[name]
@@ -88,10 +149,21 @@ def surface_hash(name: str) -> str:
         src = inspect.getsource(kernel)
     except (OSError, TypeError):  # builtins / C callables: repr-stable
         src = repr(kernel)
+    return [src] + _delegated_sources(kernel)
+
+
+def surface_hash(name: str) -> str:
+    """sha256 over the query's kernel source, the sources of callables
+    reachable through body-level intra-package imports (the delegation
+    closure, ``_DELEGATION_DEPTH`` levels), and the final oracle text
+    (the exact SQL the driver runs, all shadow CTEs included)."""
+    from . import registry
+
+    sources = surface_sources(name)
     oracle = registry.ORACLES.get(name, "")
     h = hashlib.sha256()
-    h.update(src.encode())
-    for extra in _delegated_sources(src):
+    h.update(sources[0].encode())
+    for extra in sources[1:]:
         h.update(b"\1")
         h.update(extra.encode())
     h.update(b"\0")
