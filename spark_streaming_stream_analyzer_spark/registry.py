@@ -1116,11 +1116,17 @@ _PLANNED_NEXT_FRONT: list[str] = [
     "sample_group_holdout", "graph_pagerank_exact",
     "graph_degree_histogram", "stream_foreachbatch_upsert",
     "stream_topk_complete", "stream_python_datasource",
-    # oldest r06 entries (10)
+    # oldest r06 entries (6) — seq_pattern_triples, assoc_rules_pairs,
+    # agg_weighted_median, seq_transition_matrix slide to r15: the four
+    # depth-saturation-changed props oracles below took their slots
     "approx_aggs", "src_synthetic_gen", "sort_pareto_front",
     "set_ops_all", "agg_value_deciles", "ts_resample_interp",
-    "seq_pattern_triples", "assoc_rules_pairs", "agg_weighted_median",
-    "seq_transition_matrix",
+    # r13 changed surface outside the r13 front: the _props_depth_sql
+    # saturation fix (ADVICE r12) rewrote the parseable-props shadow in
+    # 5 oracles; json_key_inventory is already in _VERIFY_FIRST, these
+    # 4 take planned-front slots per the blast-radius rule
+    "fn_json_get_string", "fn_cast_string_double", "fn_variant_json",
+    "null_handling",
 ]
 
 
@@ -1207,7 +1213,20 @@ def _props_depth_sql() -> str:
     accumulator through list_reduce. Garbage non-JSON yields a garbage
     depth, which is harmless: every consumer also guards with
     json_valid. Verified against Spark's observed boundary (1000
-    containers parse, 1001 fail) in scripts/jsonnest.py."""
+    containers parse, 1001 fail) in scripts/jsonnest.py.
+
+    The current-depth term saturates into [0, 500000] (ADVICE r12: a
+    >=1,000,000-deep document — ~2 MB of brackets — overflowed the
+    packed accumulator and could read back as depth <= 1000, silently
+    KEEPING over-deep props the Spark side refuses to parse). The
+    two-sided clamp is load-bearing: an upper clamp alone desyncs the
+    close-bracket phase (true closer count > clamped opener count
+    drives the packed current term negative and corrupts the max);
+    with both bounds the depth reads exactly for documents <= 500000
+    deep and saturates at 500000 — still far over
+    PROPS_JSON_MAX_DEPTH, so over-deep stays dropped — beyond
+    (validated in DuckDB at 1,000,001 and 1,500,000 deep)."""
+    cur = "least(greatest((acc // 1000000) + x, 0), 500000)"
     return (
         "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform("
         "string_split_regex(regexp_replace(regexp_replace(props,"
@@ -1215,8 +1234,8 @@ def _props_depth_sql() -> str:
         " c -> CASE WHEN c IN ('{','[') THEN CAST(1 AS BIGINT)"
         " WHEN c IN ('}',']') THEN CAST(-1 AS BIGINT)"
         " ELSE CAST(0 AS BIGINT) END)),"
-        " (acc, x) -> ((acc // 1000000) + x) * 1000000"
-        " + greatest(acc % 1000000, (acc // 1000000) + x)) % 1000000"
+        f" (acc, x) -> {cur} * 1000000"
+        f" + greatest(acc % 1000000, {cur})) % 1000000"
     )
 
 
