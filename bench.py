@@ -232,6 +232,46 @@ def main() -> None:
         n = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet")).count()
         throughput[f"{name}_rows_per_sec"] = round(n / timings[name], 1)
 
+    # Self-labeling (VERDICT r12 item 7): record the exact code the
+    # number was measured on, and whether the previous history row ran
+    # the same code. Same-code rows bound the host's variance window
+    # (±10% quiet-start spread, NOTES_r12 §7); a regression is only
+    # believable against a changed-code boundary, never inside one.
+    here = os.path.dirname(os.path.abspath(__file__))
+
+    def _code_rev() -> str | None:
+        import subprocess
+
+        try:
+            rev = subprocess.run(
+                ["git", "rev-parse", "HEAD"],
+                capture_output=True, text=True, cwd=here, timeout=10,
+            ).stdout.strip()
+            if not rev:
+                return None
+            dirty = subprocess.run(
+                ["git", "status", "--porcelain"],
+                capture_output=True, text=True, cwd=here, timeout=10,
+            ).stdout.strip()
+            return rev + ("-dirty" if dirty else "")
+        except Exception:
+            return None
+
+    code_rev = _code_rev()
+    same_code_as_prev = None
+    try:
+        with open(os.path.join(here, "BENCH_HISTORY.jsonl")) as f:
+            lines = [ln for ln in f if ln.strip()]
+        prev_rev = json.loads(lines[-1]).get("code_rev") if lines else None
+        if code_rev and prev_rev:
+            # a dirty tree never counts as same-code: the suffix makes
+            # two dirty runs at one commit compare as changed-code
+            same_code_as_prev = (
+                code_rev == prev_rev and not code_rev.endswith("-dirty")
+            )
+    except (OSError, ValueError):
+        pass
+
     record = {
         "metric": "headline_total_sec",
         "value": round(sum(timings.values()), 3),
@@ -240,6 +280,8 @@ def main() -> None:
         "throughput": throughput,
         "reruns": reruns,
         "loadavg_1m": round(os.getloadavg()[0], 2),
+        "code_rev": code_rev,
+        "same_code_as_prev": same_code_as_prev,
         "sf": sf,
     }
     # Full record: first stdout line + a durable on-disk copy. The
@@ -249,7 +291,6 @@ def main() -> None:
     # metric/value fields were truncated away. The on-disk copy keeps
     # the complete per-query detail greppable for the judge regardless
     # of stdout truncation.
-    here = os.path.dirname(os.path.abspath(__file__))
     try:
         with open(os.path.join(here, "BENCH_FULL_LATEST.json"), "w") as f:
             json.dump(record, f)
@@ -276,6 +317,8 @@ def main() -> None:
                 "n_reruns": len(reruns),
                 "throughput": throughput,
                 "loadavg_1m": record["loadavg_1m"],
+                "code_rev": (code_rev or "")[:12],
+                "same_code_as_prev": same_code_as_prev,
                 "sf": sf,
                 "full_record": "BENCH_FULL_LATEST.json + first stdout line",
             }
