@@ -28,6 +28,10 @@ import sys
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# Default: the flagship + 2 same-tier controls (r12 adjudication set).
+# Override per investigation with --queries=a,b,c — round 13 adds
+# fn_bloom_portable (the one r11->r12 drift outside the ±10% same-code
+# band, kernel unchanged per the rotation manifest; VERDICT r12 item 4).
 QUERIES = ["agg_running_stats", "agg_naive_variance", "fn_welford_update"]
 
 _CHILD = r"""
@@ -74,6 +78,7 @@ def run_side(repo: str, sf: str, reps: int) -> dict[str, list[float]]:
 
 
 def main() -> int:
+    global QUERIES
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     repo_a = args[0] if len(args) > 0 else "/tmp/r10ab"
     repo_b = args[1] if len(args) > 1 else HERE
@@ -84,6 +89,8 @@ def main() -> int:
             pairs = int(a.split("=")[1])
         if a.startswith("--reps"):
             reps = int(a.split("=")[1])
+        if a.startswith("--queries"):
+            QUERIES = a.split("=", 1)[1].split(",")
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     load = os.getloadavg()[0]
     print(f"A={repo_a}  B={repo_b}  sf={sf}  pairs={pairs} reps={reps}"

@@ -60,6 +60,7 @@ FIXTURES = [
     ("VECKEY", T.veckey_dir),       # round 12: adversarial vec identity
     ("USERKEY", T.userkey_dir),     # round 12: adversarial user identity
     ("CATKEY", T.catkey_dir),       # round 12: hostile category values
+    ("TIMEADV", T.timeadv_dir),     # round 13: adversarial time
 ]
 
 

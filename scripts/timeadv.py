@@ -106,21 +106,30 @@ DEFAULT_QUERIES = [
 ]
 
 
+#: first-match wins: drops first (they must survive overlap with any
+#: kept class), then the tie cohort, then walls. The standing sweep
+#: (tests/test_empty_corpus.py::test_timeadv_parity) imports
+#: ts_case_sql() so probe and sweep cannot drift.
+CASE_ORDER = [103, 109, 113, 131, 163, 101, 107, 127, 59, 139, 149, 151, 157]
+
+
+def ts_case_sql() -> str:
+    return (
+        "CASE "
+        + " ".join(
+            f"WHEN event_id % {m} = 0 THEN {TS_BY_MOD[m][0]}"
+            for m in CASE_ORDER
+        )
+        + " ELSE ts END AS ts"
+    )
+
+
 def build() -> str:
     if os.path.isdir(OUT) and os.path.exists(os.path.join(OUT, "events.parquet")):
         return OUT
     os.makedirs(OUT, exist_ok=True)
     con = duckdb.connect()
-    # first-match wins: drops first (they must survive overlap with any
-    # kept class), then the tie cohort, then walls
-    order = [103, 109, 113, 131, 163, 101, 107, 127, 59, 139, 149, 151, 157]
-    case = (
-        "CASE "
-        + " ".join(
-            f"WHEN event_id % {m} = 0 THEN {TS_BY_MOD[m][0]}" for m in order
-        )
-        + " ELSE ts END AS ts"
-    )
+    case = ts_case_sql()
     for t in TABLE_NAMES:
         src = f"read_parquet('{SRC}/{t}.parquet')"
         if t == "events":

@@ -1795,9 +1795,20 @@ def ts_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one aggregate to (type, hour) cells, a broadcast-scaffold
     explode over the span, and two window passes per type (running
-    last-observed backward, first-observed forward). Nothing touches
-    raw rows after the first aggregate; the scaffold is
-    |types|·|hours|, partitioned by type.
+    last-observed backward, and the forward neighbor as a running
+    last over DESCENDING hour). The descending form is load-bearing
+    (round-13 TIMEADV find): the natural
+    ``first(...).over(rowsBetween(currentRow, unboundedFollowing))``
+    lands on Spark's UnboundedFollowingWindowFunctionFrame, which
+    re-scans the frame tail for EVERY row — O(n²) per partition. At
+    the fixture's ~720-hour span that's invisible; at the widest span
+    the clock-validity contract admits (1990→2099 ≈ 964k hours, two
+    in-window rows suffice to create it) the quadratic burned 15+ min
+    of one core where the running form takes seconds. Same semantics:
+    over hours sorted descending, the running IGNORE-NULLS last IS the
+    nearest observation at h' ≥ h (both frames include the current
+    row). Nothing touches raw rows after the first aggregate; the
+    scaffold is |types|·|hours|, partitioned by type.
     """
     HOUR_US = 3_600_000_000
     ev = load_table(spark, sf_dir, "events")
@@ -1819,8 +1830,8 @@ def ts_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wf = (
         Window.partitionBy("event_type")
-        .orderBy("h")
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.desc("h"))
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = g.select(
         "event_type",
@@ -1830,8 +1841,8 @@ def ts_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last(F.when(F.col("m").isNotNull(), F.col("h")), ignorenulls=True)
         .over(wb)
         .alias("ph"),
-        F.first("m", ignorenulls=True).over(wf).alias("nm"),
-        F.first(F.when(F.col("m").isNotNull(), F.col("h")), ignorenulls=True)
+        F.last("m", ignorenulls=True).over(wf).alias("nm"),
+        F.last(F.when(F.col("m").isNotNull(), F.col("h")), ignorenulls=True)
         .over(wf)
         .alias("nh"),
     )

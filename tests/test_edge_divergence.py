@@ -310,3 +310,78 @@ def test_schema_drift_parts_recipe(spark, tmp_path):
     assert pd.isna(odf["b"][0]) and pd.isna(odf["b"][1]) and odf["b"][2] == "x"
     # the recipe agrees cell-for-cell
     assert sdf["a"].tolist() == odf["a"].astype(int).tolist()
+
+
+# ----------------------------------------------------------------------
+# try_variant_get coercion matrix for the NON-int target types
+# (round-13 probe, NOTES_r12 §9 candidate (a)): the r12 JSONNEST matrix
+# pinned only 'int'. No registered kernel extracts double/string/
+# boolean YET — this pin is the knowledge contract a future kernel
+# inherits, and it fails loudly if a Spark upgrade shifts the
+# semantics. Measured classes a naive DuckDB TRY_CAST mirror gets
+# WRONG:
+#   * boolean JSON -> 'double': Spark true/false -> 1.0/0.0; DuckDB
+#     TRY_CAST('true' AS DOUBLE) -> NULL.
+#   * number JSON -> 'string': Spark RE-RENDERS the parsed value
+#     (1e308 -> '1.0E308', -0.0 -> '0', canonical form), DuckDB
+#     json_extract_string preserves the raw text.
+#   * number JSON -> 'boolean': Spark truthiness (nonzero -> true,
+#     0/-0.0 -> false, 2.75 -> true); DuckDB TRY_CAST via text -> NULL.
+#   * JSON -0.0 -> 'double': Spark loses the sign (+0.0); DuckDB
+#     keeps -0.0.
+# String-typed sources agree everywhere measured ("2.25"/"2e1"/
+# "NaN"/"Infinity" parse as doubles in both; 'true'/'TRUE'/'1' as
+# booleans in both; '0x10'/'abc'/'' are NULL in both).
+# ----------------------------------------------------------------------
+
+VARIANT_COERCION_MATRIX = [
+    # (json value text, double, string, boolean) — Spark semantics
+    ('"2.25"', 2.25, "2.25", None),
+    ('"2e1"', 20.0, "2e1", None),
+    ('"0x10"', None, "0x10", None),
+    ('" 7 "', 7.0, " 7 ", None),
+    ('"true"', None, "true", True),
+    ('"TRUE"', None, "TRUE", True),
+    ('"1"', 1.0, "1", True),
+    ('"abc"', None, "abc", None),
+    ("2.75", 2.75, "2.75", True),
+    ("-2.5", -2.5, "-2.5", True),
+    ("-0.0", 0.0, "0", False),
+    ("1e308", 1e308, "1.0E308", True),
+    ("1e309", float("inf"), "Infinity", True),
+    ("true", 1.0, "true", True),
+    ("false", 0.0, "false", False),
+    ("null", None, None, None),
+    ("[1]", None, "[1]", None),
+    ('{"a":1}', None, '{"a":1}', None),
+    ('"NaN"', float("nan"), "NaN", None),
+    ('"Infinity"', float("inf"), "Infinity", None),
+]
+
+
+def test_variant_coercion_matrix_noninteger_targets(spark):
+    import math
+
+    import pyspark.sql.functions as F
+
+    rows = [(i, '{"k": %s}' % v) for i, (v, _, _, _) in
+            enumerate(VARIANT_COERCION_MATRIX)]
+    df = spark.createDataFrame(rows, "i int, props string")
+    v = F.try_parse_json("props")
+    got = (
+        df.select(
+            "i",
+            F.try_variant_get(v, "$.k", "double").alias("d"),
+            F.try_variant_get(v, "$.k", "string").alias("s"),
+            F.try_variant_get(v, "$.k", "boolean").alias("b"),
+        )
+        .orderBy("i")
+        .collect()
+    )
+    for r, (val, ed, es, eb) in zip(got, VARIANT_COERCION_MATRIX):
+        if ed is not None and isinstance(ed, float) and math.isnan(ed):
+            assert r.d is not None and math.isnan(r.d), f"{val}: d={r.d!r}"
+        else:
+            assert r.d == ed, f"{val}: double {r.d!r} != {ed!r}"
+        assert r.s == es, f"{val}: string {r.s!r} != {es!r}"
+        assert r.b == eb, f"{val}: boolean {r.b!r} != {eb!r}"

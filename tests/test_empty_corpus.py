@@ -1606,3 +1606,84 @@ def test_catkey_parity(spark, catkey_dir, name):
         # silently dropped: its stats row is present with a NULL key
         sdf = registry.QUERIES[name](spark, catkey_dir).toPandas()
         assert sdf["readTag_id"].isna().sum() >= 1, "long key row lost"
+
+
+#: ADVERSARIAL TIME (round 13, 27th standing sweep — VERDICT r12 item
+#: 5): window-edge inclusivity one microsecond each side of the
+#: half-open clock-validity boundary, negative-epoch/9999 drops, the
+#: int32-wrap instant kept, a ~17-row identical-microsecond tie
+#: cohort, DST/leap-day/year-end walls, and NULL ts — through the
+#: ordering/bucketing/as-of/sessionize/grid surface. Probe result
+#: (scripts/timeadv.py): ZERO semantic divergences over 51 queries +
+#: 0/328 full-registry attestation; the one find was a SCALE class —
+#: ts_resample_interp's forward-neighbor window used Spark's
+#: UnboundedFollowing (shrinking) frame, O(n²) per partition, and the
+#: two in-window edge rows (1990 + 2099) stretch the hourly grid to
+#: ~964k rows/type: 15+ min of one core. Fixed as a running last over
+#: DESCENDING hour (same semantics, O(n log n)); the widest-span grid
+#: (4.8M rows) now value-matches DuckDB in seconds. The fixture spec
+#: is imported from the probe so they cannot drift.
+TIMEADV_PARITY = [
+    "ts_resample_interp",     # the find: widest-span grid, exact match
+    "ts_resample_ffill",      # daily twin on the same span
+    "ts_gap_stats",           # gap stats across 110-year gaps
+    "ts_rolling_window_1h",   # half-open hour buckets at the walls
+    "join_asof_nearest",      # as-of matching under exact-ts ties
+    "join_asof_forward",
+    "agg_session_window",     # sessionization: tie cohort, edge spans
+    "funnel_conversion",      # step ordering under equal timestamps
+    "scd2_intervals",         # interval validity at the extremes
+    "seq_top_paths",          # sequence order under ties
+    "dq_freshness_sla",       # freshness vs the 2099 edge row
+    "attribution_last_touch", # last-touch tie-break at equal ts
+    "ts_dayn_retention",      # day grids across the span
+    "mart_user_360",          # the wide rollup, all classes at once
+]
+
+
+@pytest.fixture(scope="module")
+def timeadv_dir(tmp_path_factory) -> str:
+    from scripts.timeadv import ts_case_sql
+
+    return _build_fixture(tmp_path_factory, "sf_timeadv", {
+        "events": f"event_id, {ts_case_sql()}, user_id, event_type,"
+        " value, props",
+    })
+
+
+@pytest.mark.parametrize("name", TIMEADV_PARITY)
+def test_timeadv_parity(spark, timeadv_dir, name):
+    _assert_parity(spark, timeadv_dir, name, "adversarial time")
+
+
+def test_timeadv_contract_pins(spark, timeadv_dir):
+    """The fixture's keep/drop arithmetic, pinned: the half-open
+    window keeps both in-window edge microseconds and drops the
+    out-by-one pair, the epoch extremes, and NULL ts; the tie cohort
+    survives intact at one shared microsecond."""
+    from spark_streaming_stream_analyzer_spark.sources.tables import (
+        load_table,
+    )
+    import duckdb as _dd
+
+    ev = load_table(spark, timeadv_dir, "events")
+    con = _dd.connect()
+    raw = f"read_parquet('{timeadv_dir}/events.parquet')"
+    # expected keeps, computed from the raw fixture by the contract
+    exp = con.execute(
+        f"SELECT count(*) FROM {raw} WHERE ts IS NOT NULL"
+        " AND epoch_us(ts) >= 631152000000000"
+        " AND epoch_us(ts) < 4102444800000000"
+    ).fetchone()[0]
+    assert ev.count() == exp
+    dropped = con.execute(f"SELECT count(*) FROM {raw}").fetchone()[0] - exp
+    assert dropped >= 30, "drop classes missing from the fixture"
+    # the edge microseconds are KEPT (inclusivity parity is exact)
+    kept_edges = ev.filter(
+        "ts IN (TIMESTAMP_NTZ '1990-01-01 00:00:00',"
+        " TIMESTAMP_NTZ '2099-12-31 23:59:59.999999')"
+    ).count()
+    assert kept_edges >= 2, "window-edge rows lost"
+    # the identical-microsecond tie cohort is intact
+    ties = ev.filter("ts = TIMESTAMP_NTZ '2024-01-15 12:00:00'").count()
+    assert ties >= 10, f"tie cohort too small: {ties}"
