@@ -385,3 +385,111 @@ def test_variant_coercion_matrix_noninteger_targets(spark):
             assert r.d == ed, f"{val}: double {r.d!r} != {ed!r}"
         assert r.s == es, f"{val}: string {r.s!r} != {es!r}"
         assert r.b == eb, f"{val}: boolean {r.b!r} != {eb!r}"
+
+
+# ----------------------------------------------------------------------
+# TPCHADV boundary pins (round-13 second probe, scripts/tpchadv.py):
+# the relational tier has NO events-style ingest contract, and the
+# probe measured the consequences — 25 of 42 money/date-reading
+# queries fail or diverge under hostile magnitudes/dates. The classes:
+#   * KILL (fail-fast, OUTCOME PARITY): one 1e300 / Inf / near-2^63/100
+#     value ANSI-kills every exact-cents aggregate in BOTH engines
+#     (Spark CAST_OVERFLOW / NUMERIC_VALUE_OUT_OF_RANGE; DuckDB
+#     conversion error) — no wrong answers, but one hostile row kills
+#     the job, the exact class EVENT_VALUE_ABS_MAX closed for events.
+#   * SILENT DIVERGENCE: NaN-in-percentile (Spark sorts NaN greatest,
+#     DuckDB's median ignores it), >4-digit-year date RENDERING
+#     (Spark '+10000-01-30' vs DuckDB '10000-01-30'), huge-double
+#     bucket casts (z-order), Benford digit extraction on NaN/Inf.
+# Resolution is SCHEDULED, not landed: the lockstep contract changes
+# 65 oracle texts — more than _PLANNED_NEXT_FRONT can hold under the
+# blast-radius rule with the round-13 front already committed — so it
+# lands at round 14's START with a changed-surface front (plan in
+# NOTES_r13; README verified-boundaries carries the interim
+# precondition). These pins hold the measured behavior in place until
+# then; the contract round REPLACES the divergence pins with parity.
+# ----------------------------------------------------------------------
+
+
+def _hostile_lineitem_dir(tmp_path):
+    import numpy as np
+
+    n = 40
+    df = pd.DataFrame({
+        "l_orderkey": np.arange(1, n + 1, dtype="int64"),
+        "l_partkey": np.ones(n, dtype="int64"),
+        "l_suppkey": np.ones(n, dtype="int64"),
+        "l_linenumber": np.ones(n, dtype="int32"),
+        "l_quantity": np.full(n, 10.0),
+        "l_extendedprice": np.full(n, 1000.0),
+        "l_discount": np.full(n, 0.05),
+        "l_tax": np.full(n, 0.02),
+        "l_returnflag": ["N"] * n,
+        "l_linestatus": ["O"] * n,
+        "l_shipdate": pd.to_datetime(["1995-06-01"] * n).astype(
+            "datetime64[us]"
+        ),
+    })
+    df.loc[0, "l_extendedprice"] = 1e300  # the one hostile row
+    p = tmp_path / "lineitem.parquet"
+    df.to_parquet(p, index=False)
+    return str(tmp_path)
+
+
+def test_tpch_money_overflow_fails_fast_in_both_engines(spark, tmp_path):
+    """The KILL class has outcome parity: both engines refuse the
+    1e300 price rather than returning different numbers. (The r14
+    contract converts the kill into a NULLed measurement, lockstep.)"""
+    from spark_streaming_stream_analyzer_spark import registry
+
+    d = _hostile_lineitem_dir(tmp_path)
+    with pytest.raises(Exception, match="NUMERIC_VALUE_OUT_OF_RANGE|CAST_OVERFLOW|Arithmetic"):
+        registry.QUERIES["q1_pricing_summary"](spark, d).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT *"
+        f" FROM read_parquet('{d}/lineitem.parquet')"
+    )
+    with pytest.raises(Exception):
+        con.execute(registry.ORACLES["q1_pricing_summary"]).df()
+
+
+def test_tpch_nan_percentile_divergence_pinned(spark):
+    """NaN inside an exact percentile diverges the engines (probed:
+    percentile_exact read 26.0 vs 25.0 on the hostile fixture's R
+    group). Spark is DETERMINISTIC — percentile sorts NaN as the
+    greatest value ({NaN,1,2,3,4} -> 3.0) — while DuckDB's
+    quantile_cont over NaN-containing doubles is PATH-INCONSISTENT
+    (measured: NaN via a VALUES scan, 3.0 via a parquet scan of the
+    same set, NaN-excluded placement on the probe fixture), i.e. an
+    unstable comparator, so only the Spark side is pinnable. The r14
+    ingest contract (NaN measurement -> NULL) removes NaN before any
+    percentile on both engines, closing the class at the root."""
+    import math
+
+    sdf = spark.createDataFrame(
+        [(float("nan"),), (1.0,), (2.0,), (3.0,), (4.0,)], "q double"
+    )
+    s = sdf.selectExpr("percentile(q, 0.5) AS m").collect()[0].m
+    assert s == 3.0, f"Spark NaN-greatest percentile moved: {s!r}"
+    sdf2 = spark.createDataFrame(
+        [(1.0,), (2.0,), (3.0,), (float("nan"),), (100.0,)], "q double"
+    )
+    s2 = sdf2.selectExpr("percentile(q, 0.5) AS m").collect()[0].m
+    assert s2 == 3.0, f"Spark NaN-greatest percentile moved: {s2!r}"
+
+
+def test_tpch_wide_year_render_divergence_pinned(spark):
+    """Dates past 9999-12-31 exist in both engines, but Spark renders
+    the year with an explicit '+' ('+10000-01-30') while DuckDB does
+    not ('10000-01-30') — any date-arithmetic kernel whose result is
+    string-cast diverges once a hostile input date crosses year 9999
+    (probed: date_funcs on a 9999-12-31 shipdate + 30 days)."""
+    s = spark.sql(
+        "SELECT CAST(DATE'9999-12-31' + INTERVAL 30 DAYS AS STRING) AS d"
+    ).collect()[0].d
+    d = duckdb.connect().execute(
+        "SELECT CAST(TIMESTAMP '9999-12-31' + INTERVAL 30 DAY AS VARCHAR)"
+    ).fetchone()[0]
+    assert s.startswith("+10000"), f"Spark rendering moved: {s!r}"
+    assert d.startswith("10000"), f"DuckDB rendering moved: {d!r}"
