@@ -61,6 +61,7 @@ FIXTURES = [
     ("USERKEY", T.userkey_dir),     # round 12: adversarial user identity
     ("CATKEY", T.catkey_dir),       # round 12: hostile category values
     ("TIMEADV", T.timeadv_dir),     # round 13: adversarial time
+    ("STRADV", T.stradv_dir),       # round 13: hostile relational text
 ]
 
 

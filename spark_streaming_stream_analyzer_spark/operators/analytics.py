@@ -169,8 +169,18 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     su = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         causers.join(F.broadcast(su), causers.l_suppkey == su.s_suppkey)
-        .select("s_name", "numwait")
-        .orderBy(F.desc("numwait"), "s_name")
+        # regroup by s_name AFTER the key join — the TPC-H output grain
+        # is the NAME, so suppliers sharing one (or NULL, one merged
+        # group in both engines) must merge exactly as the oracle's
+        # GROUP BY s_name does (round-13 STRADV find: grouping by
+        # suppkey and selecting the name diverges the moment names
+        # stop being unique)
+        .groupBy("s_name")
+        .agg(F.sum("numwait").alias("numwait"))
+        .select("s_name", F.col("numwait").cast("long").alias("numwait"))
+        # NULLS LAST to match DuckDB's ascending default — the LIMIT
+        # cut must pick identical rows when a NULL name ties
+        .orderBy(F.desc("numwait"), F.asc_nulls_last("s_name"))
         .limit(100)
     )
 

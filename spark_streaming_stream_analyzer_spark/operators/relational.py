@@ -559,7 +559,13 @@ def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper("p_brand").alias("upper_brand"),
         F.length("p_name").alias("name_len"),
         F.substring("p_name", 1, 5).alias("name_pre"),
-        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        # NULL-propagating concat, matching the oracle's `||`: a NULL
+        # brand or type yields NULL, not a one-sided string (concat_ws
+        # silently skips NULLs — round-13 STRADV find, latent until a
+        # NULL text fixture)
+        F.concat(F.col("p_brand"), F.lit("|"), F.col("p_type")).alias(
+            "brand_type"
+        ),
         F.regexp_extract("p_brand", r"#(\d+)", 1).alias("brand_num"),
         F.replace(F.col("p_type"), F.lit("A"), F.lit("_")).alias("type_repl"),
         F.lpad("p_brand", 12, "*").alias("brand_pad"),
@@ -1063,9 +1069,16 @@ def approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_median"),
         F.count("*").alias("n"),
     )
+    # null-safe group rejoins: the NULL l_returnflag group is a real
+    # group in both engines, and a plain equi-join on the flag silently
+    # drops it from the output (round-13 STRADV find). <=> keys still
+    # plan as BroadcastHashJoin.
+    med = g.select(
+        F.col("l_returnflag").alias("_rf_med"), "approx_median"
+    )
     ranks = (
         li.join(
-            F.broadcast(g.select("l_returnflag", "approx_median")), "l_returnflag"
+            F.broadcast(med), F.col("l_returnflag").eqNullSafe(F.col("_rf_med"))
         )
         .groupBy("l_returnflag")
         .agg(
@@ -1073,9 +1086,13 @@ def approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("l_extendedprice") <= F.col("approx_median")).cast("long")
             ).alias("n_le")
         )
+        .select(F.col("l_returnflag").alias("_rf_rank"), "n_le")
     )
     return (
-        g.join(F.broadcast(ranks), "l_returnflag")
+        g.join(
+            F.broadcast(ranks),
+            F.col("l_returnflag").eqNullSafe(F.col("_rf_rank")),
+        )
         .select(
             "l_returnflag",
             "exact_parts",

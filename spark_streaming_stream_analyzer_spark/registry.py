@@ -1118,8 +1118,14 @@ _PLANNED_NEXT_FRONT: list[str] = [
     "stream_topk_complete", "stream_python_datasource",
     # oldest r06 entries (6) — seq_pattern_triples, assoc_rules_pairs,
     # agg_weighted_median, seq_transition_matrix slide to r15: the four
-    # depth-saturation-changed props oracles below took their slots
-    "approx_aggs", "src_synthetic_gen", "sort_pareto_front",
+    # depth-saturation-changed props oracles below took their slots.
+    # string_funcs replaces src_synthetic_gen (unchanged-stale, slides
+    # with the r16 staleness tier): its kernel changed in the round-13
+    # STRADV lockstep fix (NULL-propagating brand_type concat) and the
+    # blast rule outranks staleness for the slot. NOTE the authoritative
+    # r14 front is the r14-relational-contract branch's — this list
+    # stands only if round 14 does not merge that branch first.
+    "approx_aggs", "string_funcs", "sort_pareto_front",
     "set_ops_all", "agg_value_deciles", "ts_resample_interp",
     # r13 changed surface outside the r13 front: the _props_depth_sql
     # saturation fix (ADVICE r12) rewrote the parseable-props shadow in

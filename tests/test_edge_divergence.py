@@ -493,3 +493,33 @@ def test_tpch_wide_year_render_divergence_pinned(spark):
     ).fetchone()[0]
     assert s.startswith("+10000"), f"Spark rendering moved: {s!r}"
     assert d.startswith("10000"), f"DuckDB rendering moved: {d!r}"
+
+
+def test_lower_casemap_divergence_pinned(spark):
+    """Unicode SpecialCasing diverges the engines' lower(): Java
+    applies the full mappings — İ (U+0130) → 'i' + U+0307, word-final
+    Σ → context-sensitive ς — while DuckDB's utf8proc uses the simple
+    one-codepoint map (plain 'i', always 'σ'). Probed round 13
+    (STRADV): string_funcs is the repo's ONLY raw lower()/upper()
+    exposure; every other case-fold ASCII-gates immediately
+    (regexp_replace('[^a-z0-9 ]') — U+0307 and σ/ς both vanish, which
+    is why the UNIADV İ/ς documents attested clean). upper('ß') also
+    diverges (Java full-maps to 'SS'; utf8proc simple-maps to the
+    capital ẞ U+1E9E). lower('ẞ') → 'ß' and non-final Σ agree and
+    stay fair fixture game."""
+    r = spark.sql(
+        "SELECT lower('İ') AS i, lower('ὈδυσσεύΣ') AS s,"
+        " lower('ẞtraße') AS b, upper('ß') AS u"
+    ).collect()[0]
+    assert r.i == "i̇", f"Java İ full mapping moved: {r.i!r}"
+    assert r.s.endswith("ς"), f"Java final-sigma context rule moved: {r.s!r}"
+    d = duckdb.connect().execute(
+        "SELECT lower('İ'), lower('ὈδυσσεύΣ'), lower('ẞtraße'), upper('ß')"
+    ).fetchone()
+    assert d[0] == "i", f"utf8proc İ simple mapping moved: {d[0]!r}"
+    assert d[1].endswith("σ"), f"utf8proc sigma mapping moved: {d[1]!r}"
+    # the agreeing tier (fixture-safe): lowercasing the capital ẞ
+    assert r.b == d[2] == "ßtraße"
+    # ...but UPPERcasing ß diverges: Java 'SS' vs utf8proc 'ẞ'
+    assert r.u == "SS", f"Java ß→SS full mapping moved: {r.u!r}"
+    assert d[3] == "ẞ", f"utf8proc ß→ẞ simple mapping moved: {d[3]!r}"

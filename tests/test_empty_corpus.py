@@ -1687,3 +1687,94 @@ def test_timeadv_contract_pins(spark, timeadv_dir):
     # the identical-microsecond tie cohort is intact
     ties = ev.filter("ts = TIMESTAMP_NTZ '2024-01-15 12:00:00'").count()
     assert ties >= 10, f"tie cohort too small: {ties}"
+
+
+#: HOSTILE RELATIONAL TEXT (round 13, standing sweep): the STRADV
+#: probe classes — NULL / '' / newline-tab-CR / NUL-byte / unicode /
+#: 10-50 KB strings / LIKE-regexp metacharacters as data — through the
+#: 51 queries reading TPC-H text columns. The round's three lockstep
+#: fixes live here: string_funcs' NULL-propagating brand_type concat,
+#: q21's name-grain regroup after the supplier key join, approx_aggs'
+#: null-safe group rejoins. Engine-native lower()/upper() SpecialCasing
+#: divergences (İ, final Σ, upper ß) are pinned in
+#: test_edge_divergence.py::test_lower_casemap_divergence_pinned and
+#: excluded from this fixture by design. Spec imported from the probe
+#: so they cannot drift.
+STRADV_PARITY = [
+    "string_funcs",             # the raw string-scalar pack
+    "q21_waiting_suppliers",    # name-grain merge incl. NULL names
+    "approx_aggs",              # NULL flag group survives rejoins
+    "q1_pricing_summary",       # NULL/newline group keys
+    "q14_promo_revenue",        # LIKE over '%BRASS'-class data
+    "q16_part_supplier_counts", # NOT-LIKE + NULL p_type filters
+    "agg_collect_ordered",      # ordered list agg, hostile priorities
+    "distinct_dedup",           # '' vs NULL as distinct keys
+    "dq_pipeline_fingerprint",  # md5 over NUL/newline/unicode text
+    "sample_split_hash",        # portable hash on NULL flags
+    "window_topk_per_group",    # NULL p_brand partitions
+    "target_encode_oof",        # NULL priority encode groups
+    "join_semi",                # NULL c_name probe side
+    "join_broadcast_agg",       # NULL p_brand broadcast group
+]
+
+
+@pytest.fixture(scope="module")
+def stradv_dir(tmp_path_factory) -> str:
+    from scripts.stradv import SPEC
+
+    return _build_fixture(tmp_path_factory, "sf_stradv", dict(SPEC))
+
+
+@pytest.mark.parametrize("name", STRADV_PARITY)
+def test_stradv_parity(spark, stradv_dir, name):
+    _assert_parity(spark, stradv_dir, name, "hostile relational text")
+
+
+def test_stradv_contract_pins(spark, stradv_dir):
+    """Fixture-shape pins: the classes the sweep claims to exercise
+    must actually be present, and the two headline lockstep semantics
+    hold on hostile rows."""
+    import duckdb as _dd
+
+    from spark_streaming_stream_analyzer_spark.sources.tables import (
+        load_table,
+    )
+
+    con = _dd.connect()
+    part = f"read_parquet('{stradv_dir}/part.parquet')"
+    # the quadratic-levenshtein row: both args 10k chars
+    lens = con.execute(
+        f"SELECT length(p_brand), length(p_type) FROM {part}"
+        " WHERE p_partkey = 199"
+    ).fetchone()
+    assert lens == (10000, 10000), f"lev row moved: {lens}"
+    # NUL byte survives the parquet round trip into BOTH engines
+    nul = con.execute(
+        f"SELECT p_name FROM {part} WHERE p_partkey = 71"
+    ).fetchone()[0]
+    assert nul == "ab\x00cd"
+    srow = (
+        load_table(spark, stradv_dir, "part")
+        .filter("p_partkey = 71")
+        .collect()[0]
+    )
+    assert srow.p_name == "ab\x00cd"
+    # >=2 NULL-named suppliers so q21's name-grain merge is exercised
+    nn = con.execute(
+        f"SELECT count(*) FROM read_parquet('{stradv_dir}/supplier.parquet')"
+        " WHERE s_name IS NULL"
+    ).fetchone()[0]
+    assert nn >= 2, f"NULL-name supplier cohort too small: {nn}"
+    # brand_type NULL-propagates on a NULL p_type row (key 79: type
+    # NULL, brand present)
+    bt = (
+        registry.QUERIES["string_funcs"](spark, stradv_dir)
+        .filter("p_partkey = 79")
+        .collect()[0]
+        .brand_type
+    )
+    assert bt is None, f"brand_type must NULL-propagate: {bt!r}"
+    # the NULL l_returnflag group is non-empty and reaches the
+    # approx_aggs output
+    out = registry.QUERIES["approx_aggs"](spark, stradv_dir).toPandas()
+    assert out["l_returnflag"].isna().any(), "NULL flag group dropped"
