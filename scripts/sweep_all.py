@@ -62,6 +62,7 @@ FIXTURES = [
     ("CATKEY", T.catkey_dir),       # round 12: hostile category values
     ("TIMEADV", T.timeadv_dir),     # round 13: adversarial time
     ("STRADV", T.stradv_dir),       # round 13: hostile relational text
+    ("INTADV", T.intadv_dir),       # round 13: hostile integer domains
 ]
 
 

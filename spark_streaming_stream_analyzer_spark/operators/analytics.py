@@ -351,7 +351,13 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey",
         "l_extendedprice",
-        (F.col("l_linenumber") % SALT_N).alias("salt"),
+        # pmod, NOT %: Java % keeps the dividend's sign, so a negative
+        # salt source mints a salt outside the build side's replicated
+        # 0..SALT_N-1 range and the row is SILENTLY dropped from the
+        # join — breaking the salted==plain identity this operator
+        # exists to prove (round-13 INTADV find: revenue silently low
+        # under one negative l_linenumber)
+        F.pmod(F.col("l_linenumber"), F.lit(SALT_N)).alias("salt"),
     )
     return (
         li.join(od, (li.l_orderkey == od.o_orderkey) & (li.salt == od.salt))

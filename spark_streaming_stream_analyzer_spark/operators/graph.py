@@ -17,7 +17,7 @@ graphs add nothing structurally new, only more partitions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash64, hash64_sql
@@ -139,16 +139,37 @@ CC_MIN_QTY = 49
 BFS_MAX_HOPS = 64
 
 
+#: Node-id validity bound for the ``2k`` / ``2k+1`` bipartite encode
+#: (round-13 INTADV find): the encode is injective only while
+#: ``|key| <= 2^61`` — beyond that ``key * 2`` ANSI-overflows int64 in
+#: BOTH engines (Spark ARITHMETIC_OVERFLOW, DuckDB Out of Range), i.e.
+#: one hostile row kills the whole graph job, the events/relational
+#: kill class in the GRAPH tier. 2^61 ≈ 2.3e18 keeps every realistic
+#: id — snowflake-style ids are ~2^60 (epoch-ms << 22) — with 2×
+#: headroom, and the encoded image tops out at 2^62+1, inside int64.
+#: An edge endpoint that is NULL or beyond the bound is not an
+#: identifiable node: the EDGE is dropped at mint, identically in
+#: both engines (the SQL twin is the BETWEEN in each e0 CTE — NULL
+#: fails BETWEEN, so the NULL-FK clause rides the same predicate).
+GRAPH_NODE_ABS_MAX = 2**61
+
+
+def _valid_node(c: str) -> Column:
+    return F.col(c).between(-GRAPH_NODE_ABS_MAX, GRAPH_NODE_ABS_MAX)
+
+
 def _cc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected edges of the qty-thinned customer<->part purchase
     graph with integer node ids (customer c -> 2c, part p -> 2p+1),
-    both directions."""
+    both directions. Endpoints outside the encode's validity domain
+    (``GRAPH_NODE_ABS_MAX``) drop the edge at mint."""
     li = load_table(spark, sf_dir, "lineitem")
     od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     e0 = (
         li.filter(F.col("l_quantity") >= CC_MIN_QTY)
         .select(F.col("l_orderkey").alias("o_orderkey"), "l_partkey")
         .join(od, "o_orderkey")
+        .filter(_valid_node("o_custkey") & _valid_node("l_partkey"))
         .select(
             (F.col("o_custkey") * 2).alias("src"),
             (F.col("l_partkey") * 2 + 1).alias("dst"),
@@ -220,10 +241,14 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     return labels.groupBy(F.col("lbl").alias("component")).agg(
         F.count("*").alias("n_nodes"),
-        F.sum(F.when(F.col("node") % 2 == 0, 1).otherwise(0)).alias(
+        # (node & 1), not (node % 2): Java/DuckDB % keep the dividend's
+        # sign, so a NEGATIVE odd node decodes to -1 and corrupts the
+        # part census; & is two's-complement in both engines (round-13
+        # INTADV)
+        F.sum(F.when(F.expr("(node & 1) = 0"), 1).otherwise(0)).alias(
             "n_customers"
         ),
-        F.sum(F.col("node") % 2).alias("n_parts"),
+        F.sum(F.expr("node & 1")).alias("n_parts"),
         F.max("node").alias("max_node"),
     )
 
@@ -233,6 +258,10 @@ WITH RECURSIVE e0 AS (
   SELECT DISTINCT o.o_custkey * 2 AS src, l.l_partkey * 2 + 1 AS dst
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
   WHERE l.l_quantity >= {CC_MIN_QTY}
+    -- encode-domain gate (GRAPH_NODE_ABS_MAX): NULL fails BETWEEN,
+    -- so the NULL-FK drop rides the same predicate
+    AND o.o_custkey BETWEEN -2305843009213693952 AND 2305843009213693952
+    AND l.l_partkey BETWEEN -2305843009213693952 AND 2305843009213693952
 ),
 cedges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
 reach(node, lbl) AS (
@@ -243,9 +272,10 @@ reach(node, lbl) AS (
 ),
 comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY 1)
 SELECT component, COUNT(*) AS n_nodes,
-       CAST(SUM(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       -- & 1 decode, negative-safe in both engines (round-13 INTADV)
+       CAST(SUM(CASE WHEN (node & 1) = 0 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_customers,
-       CAST(SUM(node % 2) AS BIGINT) AS n_parts,
+       CAST(SUM(node & 1) AS BIGINT) AS n_parts,
        MAX(node) AS max_node
 FROM comp GROUP BY 1
 """
@@ -340,10 +370,14 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_triangles")
     )
     stats = (
+        # integer DIV, never float /2: sum(d) is always even here, but
+        # the float quotient detours through DOUBLE and rounds past
+        # 2^53 — the round-13 INTADV find was the oracle's twin of this
+        # path flipping clustering_ppm by one ulp-rounded unit
         deg.agg(
             F.count("*").alias("n_nodes"),
-            (F.sum("d") / 2).cast("long").alias("n_edges"),
-            (F.sum(F.col("d") * (F.col("d") - 1)) / 2).cast("long").alias("n_wedges"),
+            F.expr("sum(d) DIV 2").alias("n_edges"),
+            F.expr("sum(d * (d - 1)) DIV 2").alias("n_wedges"),
         )
     )
     # crossJoin of two 1-row aggregates (broadcast scalar pattern)
@@ -380,10 +414,13 @@ tri AS (
     USING (x, y)
 )
 SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
-       CAST((SELECT SUM(d) FROM deg) / 2 AS BIGINT) AS n_edges,
-       CAST((SELECT SUM(d * (d - 1)) FROM deg) / 2 AS BIGINT) AS n_wedges,
+       -- '//' keeps the HUGEINT sum integer-exact; '/ 2' detours
+       -- through DOUBLE and floor-divides a ROUNDED quotient — the
+       -- round-13 INTADV off-by-one in clustering_ppm
+       CAST((SELECT SUM(d) FROM deg) // 2 AS BIGINT) AS n_edges,
+       CAST((SELECT SUM(d * (d - 1)) FROM deg) // 2 AS BIGINT) AS n_wedges,
        CAST(t AS BIGINT) AS n_triangles,
-       CAST(3 * t * 1000000 // (SELECT SUM(d * (d - 1)) / 2 FROM deg) AS BIGINT)
+       CAST(3 * t * 1000000 // (SELECT SUM(d * (d - 1)) // 2 FROM deg) AS BIGINT)
          AS clustering_ppm
 FROM tri
 """
@@ -463,6 +500,10 @@ WITH RECURSIVE e0 AS (
   SELECT DISTINCT o.o_custkey * 2 AS src, l.l_partkey * 2 + 1 AS dst
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
   WHERE l.l_quantity >= {CC_MIN_QTY}
+    -- encode-domain gate (GRAPH_NODE_ABS_MAX): NULL fails BETWEEN,
+    -- so the NULL-FK drop rides the same predicate
+    AND o.o_custkey BETWEEN -2305843009213693952 AND 2305843009213693952
+    AND l.l_partkey BETWEEN -2305843009213693952 AND 2305843009213693952
 ),
 cedges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
 reach(node, lbl) AS (
@@ -750,6 +791,8 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_quantity") >= KCORE_MIN_QTY)
         .select(F.col("l_orderkey").alias("o_orderkey"), "l_partkey")
         .join(od, "o_orderkey")
+        # encode-domain gate, see GRAPH_NODE_ABS_MAX
+        .filter(_valid_node("o_custkey") & _valid_node("l_partkey"))
         .select(
             (F.col("o_custkey") * 2).alias("src"),
             (F.col("l_partkey") * 2 + 1).alias("dst"),
@@ -796,9 +839,10 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return degs.groupBy("deg").agg(
         F.count("*").alias("n_nodes"),
-        F.sum(F.when(F.col("node") % 2 == 0, 1).otherwise(0))
+        # & 1 decode, negative-safe in both engines (round-13 INTADV)
+        F.sum(F.when(F.expr("(node & 1) = 0"), 1).otherwise(0))
         .alias("n_customers"),
-        F.sum(F.col("node") % 2).alias("n_parts"),
+        F.sum(F.expr("node & 1")).alias("n_parts"),
         F.min("node").alias("min_node"),
     )
 
@@ -824,6 +868,10 @@ WITH e0 AS MATERIALIZED (
   SELECT DISTINCT o.o_custkey * 2 AS src, l.l_partkey * 2 + 1 AS dst
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
   WHERE l.l_quantity >= {KCORE_MIN_QTY}
+    -- encode-domain gate (GRAPH_NODE_ABS_MAX): NULL fails BETWEEN,
+    -- so the NULL-FK drop rides the same predicate
+    AND o.o_custkey BETWEEN -2305843009213693952 AND 2305843009213693952
+    AND l.l_partkey BETWEEN -2305843009213693952 AND 2305843009213693952
 ),
 cedges AS MATERIALIZED (
   SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
@@ -841,9 +889,10 @@ final AS (
   GROUP BY 1
 )
 SELECT CAST(deg AS BIGINT) AS deg, COUNT(*) AS n_nodes,
-       CAST(SUM(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       -- & 1 decode, negative-safe in both engines (round-13 INTADV)
+       CAST(SUM(CASE WHEN (node & 1) = 0 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_customers,
-       CAST(SUM(node % 2) AS BIGINT) AS n_parts,
+       CAST(SUM(node & 1) AS BIGINT) AS n_parts,
        MIN(node) AS min_node
 FROM final GROUP BY 1
 """

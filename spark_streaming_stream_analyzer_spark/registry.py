@@ -1096,7 +1096,13 @@ _VERIFY_FRONT_BUDGET = 50
 # changed since the committed manifest must sit in _VERIFY_FIRST or
 # here — never silently outside both.
 _PLANNED_NEXT_FRONT: list[str] = [
-    # r04 tier (23) — TPC-H remainder, approx sketches, curation pack
+    # r04 tier — TPC-H remainder, approx sketches, curation pack.
+    # text_decontaminate / text_pii_redact / pipeline_keep_best /
+    # pack_token_budget (unchanged-stale) slid to the r16 tier: the
+    # four INTADV-changed graph queries below took their slots per the
+    # blast rule (round-13 INTADV lockstep fixes — node-encode domain
+    # gate, &1 decode, integer-exact wedge halving; join_salted_skew's
+    # pmod fix rides the r13 _VERIFY_FIRST directly).
     "q2_min_cost_supplier", "q8_market_share", "q9_product_profit",
     "q13_customer_distribution", "q15_top_supplier",
     "q17_small_quantity_revenue", "q18_large_volume_customer",
@@ -1104,9 +1110,10 @@ _PLANNED_NEXT_FRONT: list[str] = [
     "q20_part_promotion_suppliers", "q11_important_values",
     "q12_late_priority_counts", "q21_waiting_suppliers",
     "approx_cms_topk", "approx_distinct_merge",
-    "text_repetition_metrics", "text_decontaminate", "text_pii_redact",
-    "pipeline_keep_best", "pack_token_budget", "sample_rebalance",
+    "text_repetition_metrics", "sample_rebalance",
     "sample_weighted", "corpus_mixture_stats",
+    "graph_connected_components", "graph_kcore",
+    "graph_triangle_count", "graph_bfs_distances",
     # r05 tier (17) — includes every entry that slid out of the r13
     # front during the r12 DOCKEY/VECKEY/CATKEY rotations
     "text_char_ngram_profile", "sample_stratified_topn",

@@ -1778,3 +1778,83 @@ def test_stradv_contract_pins(spark, stradv_dir):
     # approx_aggs output
     out = registry.QUERIES["approx_aggs"](spark, stradv_dir).toPandas()
     assert out["l_returnflag"].isna().any(), "NULL flag group dropped"
+
+
+#: HOSTILE INTEGER DOMAINS (round 13, standing sweep): the INTADV
+#: probe classes — NULL / orphan / negated / near-2^62 FOREIGN keys
+#: (PKs stay intact: uniqueness is the pinned DOCKEY/VECKEY-style
+#: precondition) and int32-extreme p_size / l_linenumber / c_nationkey
+#: — through the join graph: TPC-H joins, the graph family's bipartite
+#: node encode, asof/window partitions on o_custkey, salting,
+#: zorder's % fold. The round's four lockstep fixes live here:
+#: join_salted_skew's pmod salt (Java % minted a negative salt and
+#: SILENTLY dropped the row from the join), the graph node-encode
+#: domain gate (GRAPH_NODE_ABS_MAX — key*2 ANSI-killed both engines at
+#: 2^62), the negative-safe & 1 type decode, and the integer-exact
+#: wedge halving (the oracle's /2 detoured through DOUBLE and rounded
+#: clustering_ppm off by one). Spec imported from the probe.
+INTADV_PARITY = [
+    "join_salted_skew",           # pmod salt: salted == plain identity
+    "graph_connected_components", # encode gate + & 1 decode
+    "graph_kcore",                # ditto
+    "graph_bfs_distances",        # encode gate via _cc_edges
+    "graph_triangle_count",       # integer-exact wedge halving
+    "graph_pagerank_exact",       # string-encoded ids, hostile keys
+    "graph_degree_assortativity",
+    "rec_copurchase_topk",        # raw-key co-purchase under NULL FKs
+    "join_full_outer",            # NULL keys must SURVIVE outer joins
+    "join_asof_latest_order",     # NULL/huge o_custkey asof partitions
+    "window_rank_funcs",          # NULL custkey window partition
+    "dq_relationship_profile",    # FK integrity REPORTED, not crashed
+    "layout_zorder_stats",        # % 2^16 fold over negative/huge keys
+    "q5_local_supplier_volume",   # the deep join chain
+]
+
+
+@pytest.fixture(scope="module")
+def intadv_dir(tmp_path_factory) -> str:
+    from scripts.intadv import SPEC
+
+    return _build_fixture(tmp_path_factory, "sf_intadv", dict(SPEC))
+
+
+@pytest.mark.parametrize("name", INTADV_PARITY)
+def test_intadv_parity(spark, intadv_dir, name):
+    _assert_parity(spark, intadv_dir, name, "hostile integer domains")
+
+
+def test_intadv_contract_pins(spark, intadv_dir):
+    """Fixture-shape + contract pins: the hostile classes are present,
+    the node-encode gate drops exactly the out-of-domain edges, and
+    the salted join equals the plain join on hostile salt sources."""
+    import duckdb as _dd
+
+    con = _dd.connect()
+    li = f"read_parquet('{intadv_dir}/lineitem.parquet')"
+    od = f"read_parquet('{intadv_dir}/orders.parquet')"
+    null_fk, neg_fk, huge_fk = con.execute(
+        f"SELECT count(*) FILTER (l_partkey IS NULL),"
+        f" count(*) FILTER (l_partkey < 0),"
+        f" count(*) FILTER (l_partkey > 4e18) FROM {li}"
+    ).fetchone()
+    assert null_fk >= 10 and neg_fk >= 10 and huge_fk >= 10, (
+        null_fk, neg_fk, huge_fk,
+    )
+    neg_salt = con.execute(
+        f"SELECT count(*) FILTER (l_linenumber < 0) FROM {li}"
+    ).fetchone()[0]
+    assert neg_salt >= 5, f"negative salt-source cohort missing: {neg_salt}"
+    # the salted join's revenue equals the plain-join oracle's (the
+    # identity the operator exists to prove — silently broken by a
+    # negative salt before the pmod fix)
+    sdf = registry.QUERIES["join_salted_skew"](spark, intadv_dir).toPandas()
+    odf = _oracle(intadv_dir, registry.ORACLES["join_salted_skew"])
+    assert _norm(sdf) == _norm(odf)
+    # encode-domain gate: the CC node census excludes the 2^62-keyed
+    # and NULL endpoints in BOTH engines (parity is test_intadv_parity;
+    # here pin that hostile endpoints exist upstream of a green run)
+    hostile_cust = con.execute(
+        f"SELECT count(*) FILTER (o_custkey IS NULL OR o_custkey < 0"
+        f" OR o_custkey > 4e18) FROM {od}"
+    ).fetchone()[0]
+    assert hostile_cust >= 20, f"hostile custkey cohort: {hostile_cust}"
