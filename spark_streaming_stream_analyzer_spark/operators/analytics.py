@@ -507,10 +507,17 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cell")
         .agg(F.bit_or("m").alias("mask"))
     )
+    # one materialization for the three consumers (probe hash pass,
+    # exact semi-join, denominator): without it the fact scan +
+    # distinct re-executes per subtree — AQE compiles the crossJoined
+    # aggregates independently, so there is NO ReusedExchange (plan
+    # audit, round 13: 3 lineitem FileScans in one query). At 100 TB
+    # that is three full fact scans for one answer.
     probe = (
         load_table(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").cast("string").alias("pkey"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     probed = (
         probe.select("pkey", ks)
@@ -532,13 +539,18 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hits")
         )
     )
-    candidates = probed.filter(F.col("hits") == BLOOM_K).select("pkey")
+    # single pass over probed for both counts: it retains every probe
+    # key (left join), so the denominator and the candidate count are
+    # one aggregate, not two crossJoined ones
+    stats = probed.agg(
+        F.count("*").alias("n_probe"),
+        F.sum((F.col("hits") == BLOOM_K).cast("long")).alias("n_candidates"),
+    )
     members = probe.join(
         build, probe.pkey == build.bkey, "left_semi"
     ).select("pkey")
     return (
-        probe.agg(F.count("*").alias("n_probe"))
-        .crossJoin(candidates.agg(F.count("*").alias("n_candidates")))
+        stats
         .crossJoin(members.agg(F.count("*").alias("n_members")))
         .select(
             "n_probe",
