@@ -1063,18 +1063,21 @@ def approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fully hash-checkable. ``tests/test_relational_ext.py`` keeps the
     tighter numeric error gate on the raw estimates."""
     li = load_table(spark, sf_dir, "lineitem")
-    # one materialization of the tiny (<= |flags|-row) group table:
-    # it feeds both the median rejoin and the final join, and without
-    # the checkpoint each consumer re-runs the whole fact scan +
-    # aggregate (round-13 plan audit: 3 lineitem FileScans; 2 is the
-    # floor — the rank pass inherently needs a second pass after the
-    # median exists)
+    # Deliberately NOT materialized (round-13 rescan audit, then
+    # reverted on measurement): the group table is recomputed by both
+    # consumers (3 lineitem scans in the final plan), but the scans
+    # are cheap codegen'd agg passes under AQE — localCheckpoint
+    # measured 5x slower and cache() 9x slower than recomputation at
+    # sf0.1 (both drop the subtree out of the AQE/codegen path). The
+    # bloom-prefilter rule does not transfer: materialize only when
+    # the repeated subtree carries an expensive DISTINCT/shuffle, not
+    # a cheap aggregate.
     g = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_median"),
         F.count("*").alias("n"),
-    ).localCheckpoint(eager=False)
+    )
     # null-safe group rejoins: the NULL l_returnflag group is a real
     # group in both engines, and a plain equi-join on the flag silently
     # drops it from the output (round-13 STRADV find). <=> keys still
