@@ -152,6 +152,12 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("int")
             ).alias("is_late")
         )
+        # two consumers (per_order rollup + the causer filter/join):
+        # without this, AQE compiles both independently and the whole
+        # lineitem⋈orders join + aggregate runs twice (round-13
+        # rescan-audit rule — identical AND expensive subtree). At
+        # 100 TB: 2 fact joins → 1.
+        .localCheckpoint(eager=False)
     )
     per_order = per_supp.groupBy("l_orderkey").agg(
         F.count("*").alias("n_supp"),
@@ -489,6 +495,10 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderpriority") == "1-URGENT")
         .select(F.col("o_orderkey").cast("string").alias("bkey"))
         .distinct()
+        # two consumers (filter cells + exact-membership semi-join):
+        # one orders scan + DISTINCT instead of two (round-13 rescan
+        # rule, same treatment the probe side got)
+        .localCheckpoint(eager=False)
     )
     ks = F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("j")
     pos_of = lambda keycol: F.pmod(  # noqa: E731
@@ -1145,11 +1155,19 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     Base/delta/full are three aggregates over one pushed-filter scan
     each; the merge is a |types|-row full-outer join."""
     ev_raw = load_table(spark, sf_dir, "events")
-    ev = ev_raw.select(
-        "event_type",
-        ts_micros(ev_raw).alias("us"),
-        F.round(F.col("value") * 100).cast("long").alias("c"),
-    ).select("event_type", F.expr("us DIV 86400000000").alias("d"), "c")
+    ev = (
+        ev_raw.select(
+            "event_type",
+            ts_micros(ev_raw).alias("us"),
+            F.round(F.col("value") * 100).cast("long").alias("c"),
+        )
+        .select("event_type", F.expr("us DIV 86400000000").alias("d"), "c")
+        # four consumers (last-day scalar + base/delta/full aggregates;
+        # the day filters are on a DERIVED column, so no pushdown is
+        # lost): one events scan instead of four (round-13 rescan-audit
+        # rule)
+        .localCheckpoint(eager=False)
+    )
     last_day = ev.agg(F.max("d").alias("dmax"))
     tagged = ev.crossJoin(F.broadcast(last_day))
     base = (
@@ -1705,6 +1723,14 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type", "m")
         .agg(F.count("*").alias("n"))
+        # vc feeds the median window AND the deviation rebuild; dev
+        # below likewise has two consumers. Unchecked, AQE compiles
+        # each consumer independently and the events scan runs 5×
+        # (round-13 rescan audit). Materializing the (type, m, n)
+        # count table once cuts that to a single scan — A/B-measured
+        # warmed at sf0.1: 1.46 → 1.24 s median, and the win only
+        # grows where the scan is 100 TB.
+        .localCheckpoint(eager=False)
     )
     wt = Window.partitionBy("event_type")
     wc = wt.orderBy("m").rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1723,6 +1749,7 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type", "dev2")
         .agg(F.sum("n").alias("n"))
+        .localCheckpoint(eager=False)
     )
     dcum = dev.select(
         "event_type", "dev2", "n",
@@ -2038,9 +2065,16 @@ def assoc_rules_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     support with (part_a, part_b) tiebreak = TakeOrderedAndProject,
     not a global sort.
     """
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    ).distinct()
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        # four consumers (basket count, item frequencies, both pair
+        # sides): the scan + wide DISTINCT is identical in all four,
+        # so materialize it once (round-13 rescan-audit rule). At
+        # 100 TB: 4 fact scans → 1.
+        .localCheckpoint(eager=False)
+    )
     nb = li.agg(F.countDistinct("l_orderkey").alias("nbask"))
     item = li.groupBy("l_partkey").agg(F.count("*").alias("n_item"))
     a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))

@@ -739,9 +739,17 @@ def fn_bloom_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     against it. Merge across shards = bitwise OR = the same distinct.
     """
     docs = load_table_cpu(spark, sf_dir, "documents")
+    # per-doc dedup array-side before the global distinct: the
+    # exchange feeding the (source, w) distinct carries per-doc-unique
+    # tokens only (round-13 optimization; same trick as
+    # text_ngram_novelty — repeats of a word inside one document never
+    # leave the scan task)
     words = docs.select(
-        "source", F.explode(F.split("text", " ")).alias("w")
-    ).filter(F.col("w") != "").distinct()
+        "source",
+        F.explode(
+            F.array_distinct(F.filter(F.split("text", " "), lambda w: w != ""))
+        ).alias("w"),
+    ).distinct()
     ks = F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("k")
     bits = words.select(
         "source",
@@ -754,7 +762,13 @@ def fn_bloom_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.lit("#"), F.col("w"))),
             F.lit(BLOOM_M),
         ).alias("bit"),
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
+    # ^ bits has TWO consumers (popcount and the probe join); without
+    # the checkpoint AQE compiles them independently and the whole
+    # two-distinct chain — corpus scan included — executes twice
+    # (round-13 rescan-audit rule: materialize when the repeated
+    # subtree is identical AND expensive; two wide distincts qualify).
+    # At 100 TB this is 2 corpus scans → 1.
     pop = bits.groupBy("source").agg(F.count("*").alias("popcount"))
     probes = spark.createDataFrame(
         [(p,) for p in BLOOM_PROBES], "probe string"

@@ -37,40 +37,48 @@ def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     word / top bigram mass) — the cheap boilerplate detectors used as
     corpus quality filters before model-based scoring.
 
-    Two two-level aggregates (word tier, bigram tier) joined on
-    doc_id: explode → partial (doc, gram) count → per-doc max/sum.
-    Both levels combine map-side, so at 100 TB the shuffle carries
-    (doc, gram, partial-count) triples, never raw text; the join is
-    doc_id-to-doc_id between two already-aggregated (|docs|-row)
-    sides."""
+    One two-level aggregate over the CONCATENATED word+bigram grain
+    (tokens never contain a space, bigrams always do, so the tiers
+    disambiguate locally): explode → partial (doc, gram) count →
+    per-doc conditional max/sum. Both levels combine map-side, so at
+    100 TB the shuffle carries (doc, gram, partial-count) triples,
+    never raw text — and the corpus is scanned once, not once per
+    tier."""
     docs = load_table_cpu(spark, sf_dir, "documents")
     words_arr = F.filter(F.split("text", " "), lambda w: w != "")
-    words = docs.select("doc_id", F.explode(words_arr).alias("g"))
-    wt = (
-        words.groupBy("doc_id", "g")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("c").alias("n_words"),
-            F.count("*").alias("n_distinct"),
-            F.max("c").alias("top_word_cnt"),
-        )
-    )
     bigrams = F.zip_with(
         words_arr,
         F.slice(words_arr, 2, F.greatest(F.size(words_arr) - 1, F.lit(0))),
         lambda a, b: F.concat_ws(" ", a, b),
     )
     bigrams = F.slice(bigrams, 1, F.greatest(F.size(bigrams) - 1, F.lit(0)))
-    bt = (
-        docs.select("doc_id", F.explode(bigrams).alias("g"))
-        .groupBy("doc_id", "g")
+    # word + bigram tiers share ONE explode/shuffle (round-13
+    # optimization): tokens never contain a space (split-by-space) and
+    # bigrams always do, so the two grains disambiguate locally via
+    # contains(' ') and both per-doc summaries fall out of a single
+    # two-level aggregate — one corpus scan instead of two, one
+    # exchange instead of two, the wt⋈bt join gone. A doc with words
+    # but no bigram (single-word doc) gets NULL bigram columns from
+    # the all-NULL conditional aggregates — exactly the old left
+    # join's NULLs.
+    grams = docs.select(
+        "doc_id", F.explode(F.concat(words_arr, bigrams)).alias("g")
+    )
+    is_w = ~F.col("g").contains(" ")
+    per = (
+        grams.groupBy("doc_id", "g")
         .agg(F.count("*").alias("c"))
         .groupBy("doc_id")
-        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bigram_cnt"))
+        .agg(
+            F.sum(F.when(is_w, F.col("c"))).alias("n_words"),
+            F.count(F.when(is_w, F.lit(1))).alias("n_distinct"),
+            F.max(F.when(is_w, F.col("c"))).alias("top_word_cnt"),
+            F.sum(F.when(~is_w, F.col("c"))).alias("n_bigrams"),
+            F.max(F.when(~is_w, F.col("c"))).alias("top_bigram_cnt"),
+        )
     )
     dbl = lambda c: F.col(c).cast("double")  # noqa: E731
-    return wt.join(bt, "doc_id", "left").select(
+    return per.select(
         "doc_id",
         "n_words",
         "n_distinct",

@@ -256,6 +256,11 @@ def approx_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             hash64(F.col("user_id").cast("string")).alias("h"),
         )
         .distinct()
+        # three consumers (per-type sketch, top-N size ranking, exact
+        # audit): the events scan + md5 hashing + wide DISTINCT is
+        # identical and expensive in all three, so materialize it once
+        # (round-13 rescan-audit rule; was 3 full scan+distinct chains)
+        .localCheckpoint(eager=False)
     )
     wk = Window.partitionBy("t").orderBy("h")
     sk = uh.withColumn("rn", F.row_number().over(wk)).filter(
@@ -522,18 +527,25 @@ def approx_distinct_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     elem = F.concat(
         F.col("user_id").cast("string"), F.lit(":"), day.cast("string")
     )
-    h = hash64(elem)
+    # ONE distinct element table feeds both the sketch build and the
+    # top-N ranking (round-13 rescan-audit rule): max-rho over the
+    # DISTINCT elements equals max-rho over the raw stream (bucket and
+    # rho are functions of the element; duplicates cannot change a
+    # max), so the events scan + md5 + wide DISTINCT happen once.
+    uh = (
+        ev.select(F.col("event_type").alias("t"), elem.alias("u"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    h = hash64(F.col("u"))
     bucket = F.pmod(h, F.lit(HLL_M))
     rest = (h - bucket) / F.lit(HLL_M)
     rho = F.lit(HLL_REST_BITS + 1) - F.length(F.bin(rest.cast("long")))
     sk = (
-        ev.select(F.col("event_type").alias("t"), bucket.alias("bkt"), rho.alias("rho"))
+        uh.select("t", bucket.alias("bkt"), rho.alias("rho"))
         .groupBy("t", "bkt")
         .agg(F.max("rho").alias("max_rho"))
     )
-    # top-N largest sets by distinct elements (SKETCH_PAIR_TOP_N; see
-    # the constant's comment) — identity when |types| <= N
-    uh = ev.select(F.col("event_type").alias("t"), elem.alias("u")).distinct()
     wtop = Window.orderBy(F.col("sz").desc(), F.col("t"))
     types = (
         uh.groupBy("t")
@@ -776,32 +788,50 @@ def feature_chi2_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     intermediate (ad−bc)² overflows int64 at fixture scale already,
     the same widening ``ts_autocorr_lag`` uses. Log-free, DIV-only.
 
-    Scale: distinct (doc, token) is wordcount-shaped; the three
-    margins are two tiny aggregates (|sources|, |vocab|) broadcast
-    onto the (source, token) table; top-k repartitions by source.
-    Tokens under CHI2_MIN_DF docs are dropped first — the classic
-    low-df guard that also caps the pair table.
+    Scale: the (doc, token) grain dedups array-side inside the scan
+    task; one map-side-combined aggregate lands the (source, token)
+    doc-count table, from which every margin (t_docs, s_docs, N)
+    derives without touching the corpus again; top-k repartitions by
+    source. Tokens under CHI2_MIN_DF docs are dropped first — the
+    classic low-df guard that also caps the pair table.
     """
     docs = load_table_cpu(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
     n_docs = docs.select(F.count("*").alias("n_total"))
     src_sz = docs.groupBy("source").agg(F.count("*").alias("s_docs"))
-    doc_tok = (
-        docs.select(
-            "doc_id", "source",
-            F.explode(F.split("text", " ")).alias("token"),
-        )
-        .filter(F.col("token") != "")
-        .select("doc_id", "source", "token")
-        .distinct()
+    # (doc, token) dedup happens ARRAY-SIDE (doc_id is the row key, so
+    # array_distinct of the doc's tokens IS the distinct (doc, source,
+    # token) grain) — the global DISTINCT exchange never exists, and
+    # the exploded stream flows straight into ONE map-side-combined
+    # (source, token) aggregate. Both margins derive from that small
+    # table: a = per-(source, token) doc count, t_docs = Σ_sources a —
+    # so the corpus is scanned ONCE and the only big exchange is the
+    # partially-aggregated (source, token) one (round-13 optimization:
+    # was 2 explode+distinct passes + a broadcast join against the
+    # token stream; values identical).
+    doc_tok = docs.select(
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split("text", " "), lambda w: w != "")
+            )
+        ).alias("token"),
     )
-    tok_df = doc_tok.groupBy("token").agg(
-        F.count("*").alias("t_docs")
+    a_raw = (
+        doc_tok.groupBy("source", "token")
+        .agg(F.count("*").alias("a"))
+        # two consumers (t_docs margin + the join back) — materialize
+        # the |sources|·|vocab|-row table once instead of re-running
+        # the corpus explode+aggregate per consumer
+        .localCheckpoint(eager=False)
+    )
+    tok_df = a_raw.groupBy("token").agg(
+        F.sum("a").alias("t_docs")
     ).filter(F.col("t_docs") >= CHI2_MIN_DF)
-    a_tab = doc_tok.join(F.broadcast(tok_df), "token").groupBy(
-        "source", "token", "t_docs"
-    ).agg(F.count("*").alias("a"))
+    a_tab = a_raw.join(F.broadcast(tok_df), "token").select(
+        "source", "token", "t_docs", "a"
+    )
     cells = (
         a_tab.join(F.broadcast(src_sz), "source")
         .crossJoin(F.broadcast(n_docs))

@@ -922,7 +922,11 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     |nodes|-row degree table onto the edge list twice (broadcast at
     fixture scale, shuffle-on-node beyond) and reduces to ONE row.
     """
-    und = _copurchase_edges(spark, sf_dir)
+    # the undirected edge mint (lineitem self-join + DISTINCT) feeds
+    # the symmetrized union twice, which deg and the moment join then
+    # each re-expand — six self-join executions without this single
+    # materialization (round-13 rescan-audit rule)
+    und = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
     edges = und.unionByName(
         und.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
@@ -1032,12 +1036,19 @@ def rec_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        # three consumers (history join + both affinity self-join
+        # sides) — one scan+DISTINCT instead of three (round-13
+        # rescan-audit rule)
+        .localCheckpoint(eager=False)
     )
     od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     hist = (
         li.join(od, li.l_orderkey == od.o_orderkey)
         .select("o_custkey", "l_partkey")
         .distinct()
+        # two consumers (scoring join + owned-item anti-join) — the
+        # join+DISTINCT chain materializes once (round-13 rescan rule)
+        .localCheckpoint(eager=False)
     )
     a = li.alias("a")
     b = li.alias("b")

@@ -356,6 +356,14 @@ def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sequence. Identical selection, but no O(n*W) array allocation —
     # measured 4.5x faster at sf0.1 (4.1 s -> 0.9 s); the doc_id
     # shuffle it introduces is |grams| rows of (long, long).
+    # Round-13 optimization pass tried the third variant — rolling min
+    # as W-1 shifted zip_withs + array_distinct, zero shuffles: it won
+    # standalone (1.13 -> 0.83 s warmed) but LOST composed inside
+    # dedup_fingerprint_overlap (1.9-2.2 -> 2.4 s): the single-file
+    # fixture scan serializes the whole mint into one task before the
+    # consumer's checkpoint, where this form runs the window on 32.
+    # Honest-revert rule (approx_aggs precedent): measured composite
+    # wall decides; the window form stays.
     ex = docs.select("doc_id", F.posexplode(hs).alias("pos", "h"))
     w = (
         Window.partitionBy("doc_id")
@@ -710,17 +718,35 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = F.transform(
         word_kgrams(words, NOVELTY_N), lambda g: hash64(g)
     )
-    gd = docs.select(
-        "doc_id", F.explode(grams).alias("gh")
-    ).distinct()
-    first = gd.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
-    flagged = gd.join(first, "gh").select(
-        "doc_id", (F.col("first_doc") == F.col("doc_id")).cast("long").alias("nv")
+    # per-doc dedup happens ARRAY-SIDE (array_distinct), so the global
+    # DISTINCT exchange on (doc_id, gh) never exists, the per-doc
+    # distinct-gram count is a local size(), and the only big-table
+    # shuffle left is the map-side-combined min-per-hash aggregate
+    # (round-13 optimization: 4 exchanges of the gram stream → 1; the
+    # novel counts come back as a per-doc aggregate joined at |docs|
+    # grain instead of re-shuffling the gram table twice). Docs below
+    # NOVELTY_N words have an empty gram array and are filtered — the
+    # same rows the old explode-first form dropped.
+    per_doc = docs.select(
+        "doc_id", F.array_distinct(grams).alias("gs")
+    ).filter(F.size("gs") > 0)
+    sizes = per_doc.select(
+        "doc_id", F.size("gs").cast("long").alias("n_distinct_grams")
     )
-    return flagged.groupBy("doc_id").agg(
-        F.count("*").alias("n_distinct_grams"),
-        F.sum("nv").alias("n_novel_grams"),
-        F.expr("sum(nv) * 1000000 DIV count(*)").alias("novelty_ppm"),
+    novel = (
+        per_doc.select("doc_id", F.explode("gs").alias("gh"))
+        .groupBy("gh")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy(F.col("first_doc").alias("doc_id"))
+        .agg(F.count("*").alias("n_novel_grams"))
+    )
+    return sizes.join(novel, "doc_id", "left").select(
+        "doc_id",
+        "n_distinct_grams",
+        F.coalesce("n_novel_grams", F.lit(0)).alias("n_novel_grams"),
+        F.expr(
+            "coalesce(n_novel_grams, 0) * 1000000 DIV n_distinct_grams"
+        ).alias("novelty_ppm"),
     )
 
 
@@ -774,7 +800,14 @@ def text_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select(
         "source", F.explode(F.split("text", " ")).alias("w")
     ).filter(F.col("w") != "")
-    wc = words.groupBy("source", "w").agg(F.count("*").alias("n"))
+    wc = (
+        words.groupBy("source", "w")
+        .agg(F.count("*").alias("n"))
+        # three consumers (global top-V, per-source totals, profile
+        # join): one corpus scan + wordcount shuffle instead of three
+        # (round-13 rescan-audit rule)
+        .localCheckpoint(eager=False)
+    )
     top_v = (
         wc.groupBy("w")
         .agg(F.sum("n").alias("tot"))
@@ -911,12 +944,14 @@ def pipeline_doc_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shipped in the HOISTED form (the 100 TB shape its cost note used
     to merely point at): one raw-text scan (quality heuristics), one
     tokenize explode materialized at the (doc, word, f) grain feeding
-    diversity AND corpus-rank rarity, and one 8-gram explode whose
-    single (count, min-doc) aggregate feeds BOTH the duplicated-gram
-    and first-occurrence-novelty signals — 3 corpus scans instead of
-    5, shared shuffles instead of repeated ones (A/B at sf0.1:
-    2.67 → 2.24 s; exact-equal outputs at sf0.01 and sf0.1). The
-    8-gram construction must stay in lockstep with
+    a single fused diversity+rarity aggregate, and one 8-gram explode
+    whose (doc, gh, count) grain feeds BOTH the duplicated-gram and
+    first-occurrence-novelty signals through one whole-partition
+    window + one per-doc aggregate — 3 corpus scans instead of 5, and
+    (round-13 optimization pass) 0 gram-table joins instead of 2
+    (warmed A/B at sf0.1: 7.2 → 3.4 s median; exact-equal outputs at
+    sf0.01 and sf0.1). The 8-gram construction must stay in lockstep
+    with
     ``dedup.text_dup_ngram_fraction`` (DUPG_N == NOVELTY_N == 8) —
     drift breaks the unchanged oracle and is caught by selfcheck.
 
@@ -928,9 +963,10 @@ def pipeline_doc_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_words", "quality_score"
     )
     docs = load_table_cpu(spark, sf_dir, "documents").select("doc_id", "text")
-    # shared token grain: one explode, three consumers (diversity agg,
-    # vocab ranks, rarity rescan) — the materialize-when-fanned-out
-    # rule (approx_cms_topk lesson), lazy so it builds inside the job
+    # shared token grain: one explode, two consumers (vocab ranks and
+    # the fused diversity+rarity aggregate) — the materialize-when-
+    # fanned-out rule (approx_cms_topk lesson), lazy so it builds
+    # inside the job
     tf = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
         .filter(F.col("w") != "")
@@ -938,12 +974,24 @@ def pipeline_doc_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("f"))
         .localCheckpoint(eager=False)
     )
-    lexdiv = (
-        tf.groupBy("doc_id")
+    vocab = tf.groupBy("w").agg(F.sum("f").alias("cnt"))
+    dict_t = global_rank(vocab, [F.desc("cnt"), F.asc("w")]).select(
+        "w", F.length(F.bin("rank")).cast("long").alias("bucket")
+    )
+    # lexdiv + rarity FUSED into one aggregate (round-13 optimization):
+    # the dict_t inner join keeps every tf row (dict_t covers the whole
+    # vocab by construction), so the diversity sums and the rank-bucket
+    # sum come out of a single per-doc hash aggregate instead of two
+    # full tf passes joined at the end — one Exchange and one join
+    # fewer, identical values.
+    lexrar = (
+        tf.join(F.broadcast(dict_t), "w")
+        .groupBy("doc_id")
         .agg(
             F.sum("f").alias("n_tokens"),
             F.count("*").alias("n_types"),
             F.sum(F.col("f") * F.col("f")).alias("sum_f2"),
+            F.sum(F.col("bucket") * F.col("f")).alias("bucket_sum"),
         )
         .select(
             "doc_id",
@@ -951,58 +999,45 @@ def pipeline_doc_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "((sum_f2 - n_tokens) * 10000) DIV (n_tokens * n_tokens)"
             ).alias("yule_k_e4"),
-        )
-    )
-    vocab = tf.groupBy("w").agg(F.sum("f").alias("cnt"))
-    dict_t = global_rank(vocab, [F.desc("cnt"), F.asc("w")]).select(
-        "w", F.length(F.bin("rank")).cast("long").alias("bucket")
-    )
-    rarity = (
-        tf.join(F.broadcast(dict_t), "w")
-        .groupBy("doc_id")
-        .agg(
-            F.sum(F.col("bucket") * F.col("f")).alias("bucket_sum"),
-            F.sum("f").alias("n_tokens"),
-        )
-        .select(
-            "doc_id",
             F.expr("(bucket_sum * 1000) DIV n_tokens").alias("rarity_e3"),
         )
     )
-    # shared gram grain: one explode; ONE (count, first-doc) aggregate
-    # serves the dup flag (raw grams) and the novelty flag (distinct)
+    # shared gram grain at (doc, gh, count): one explode, one partial-
+    # aggregated exchange; doc-frequency and first-occurrence attach as
+    # whole-partition window functions over gh (one exchange, no join),
+    # and dup + novelty come out of ONE per-doc aggregate — raw-gram
+    # counts via c, distinct-gram counts via the row grain (round-13
+    # optimization: 6 gram-table exchanges + 2 joins → 3 exchanges,
+    # 0 joins; values identical, test-pinned composed-equals-fused).
     words = F.filter(F.split("text", " "), lambda w: w != "")
     # linear zip_with gram form (GIANTDOC, see text_ngram_novelty)
     grams = F.transform(
         word_kgrams(words, NOVELTY_N), lambda g: hash64(g)
     )
-    g = docs.select("doc_id", F.explode(grams).alias("gh")).localCheckpoint(
-        eager=False
+    gc = (
+        docs.select("doc_id", F.explode(grams).alias("gh"))
+        .groupBy("doc_id", "gh")
+        .agg(F.count("*").alias("c"))
     )
-    gd = g.distinct().localCheckpoint(eager=False)
-    freq = gd.groupBy("gh").agg(
-        F.count("*").alias("nd"), F.min("doc_id").alias("first_doc")
+    wg = Window.partitionBy("gh")
+    flagged = gc.select(
+        "doc_id",
+        "c",
+        F.count("*").over(wg).alias("nd"),
+        F.min("doc_id").over(wg).alias("first_doc"),
     )
-    dup = (
-        g.join(freq, "gh")
-        .select("doc_id", (F.col("nd") >= 2).cast("long").alias("dup"))
-        .groupBy("doc_id")
-        .agg(F.expr("sum(dup) * 1000000 DIV count(*)").alias("dup_ppm"))
-    )
-    novelty = (
-        gd.join(freq, "gh")
-        .select(
-            "doc_id",
-            (F.col("first_doc") == F.col("doc_id")).cast("long").alias("nv"),
-        )
-        .groupBy("doc_id")
-        .agg(F.expr("sum(nv) * 1000000 DIV count(*)").alias("novelty_ppm"))
+    dupnov = flagged.groupBy("doc_id").agg(
+        F.expr(
+            "sum(CASE WHEN nd >= 2 THEN c ELSE 0 END) * 1000000 DIV sum(c)"
+        ).alias("dup_ppm"),
+        F.expr(
+            "sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)"
+            " * 1000000 DIV count(*)"
+        ).alias("novelty_ppm"),
     )
     return (
-        base.join(lexdiv, "doc_id", "left")
-        .join(rarity, "doc_id", "left")
-        .join(dup, "doc_id", "left")
-        .join(novelty, "doc_id", "left")
+        base.join(lexrar, "doc_id", "left")
+        .join(dupnov, "doc_id", "left")
         .select(
             "doc_id", "n_words", "quality_score", "ttr_ppm", "yule_k_e4",
             "rarity_e3", "dup_ppm", "novelty_ppm",

@@ -1116,12 +1116,32 @@ _PLANNED_NEXT_FRONT: list[str] = [
     "graph_triangle_count", "graph_bfs_distances",
     # r05 tier (17) — includes every entry that slid out of the r13
     # front during the r12 DOCKEY/VECKEY/CATKEY rotations
-    "text_char_ngram_profile", "sample_stratified_topn",
-    "cohort_retention", "udtf_chunk_docs", "ts_rollup_hierarchy",
-    "scd2_intervals", "dq_constraint_audit", "skew_key_profile",
-    "ts_ewma_recent", "incremental_agg_merge", "dq_day_over_day",
-    "sample_group_holdout", "graph_pagerank_exact",
-    "graph_degree_histogram", "stream_foreachbatch_upsert",
+    # round-13 OPTIMIZATION blast swaps: five kernels restructured for
+    # performance (values re-proven identical vs their unchanged
+    # oracles at sf0.01 AND sf0.1, see OPTIMIZATION_r13.md) take the
+    # slots of five unchanged-stale r05 entries
+    # (text_char_ngram_profile, skew_key_profile, ts_ewma_recent,
+    # dq_day_over_day, sample_group_holdout, then sample_stratified_
+    # topn, udtf_chunk_docs, scd2_intervals, dq_constraint_audit,
+    # graph_degree_histogram — they slide to the next staleness tier;
+    # the blast rule outranks staleness for a slot).
+    # q21_waiting_suppliers / text_repetition_metrics (also
+    # restructured) already ride this front; text_ngram_novelty rides
+    # _VERIFY_FIRST.
+    "pipeline_doc_scorecard", "fn_bloom_portable",
+    "feature_chi2_select", "approx_kmv_jaccard", "ts_anomaly_mad",
+    "assoc_rules_pairs", "text_source_similarity",
+    "graph_degree_assortativity", "rec_copurchase_topk",
+    "approx_distinct_intersect",
+    "cohort_retention", "ts_rollup_hierarchy",
+    "incremental_agg_merge",
+    # dedup_fingerprint_overlap delegates to doc_winnowing, whose
+    # round-13 zero-shuffle variant was tried, measured, and reverted
+    # (comment pinned in the kernel) — the revert comment alone flips
+    # its closure hash, so it takes graph_pagerank_exact's slot
+    # (unchanged-stale, slides with the staleness tier)
+    "dedup_fingerprint_overlap",
+    "stream_foreachbatch_upsert",
     "stream_topk_complete", "stream_python_datasource",
     # oldest r06 entries (6) — seq_pattern_triples, assoc_rules_pairs,
     # agg_weighted_median, seq_transition_matrix slide to r15: the four
