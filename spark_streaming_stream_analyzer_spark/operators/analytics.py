@@ -735,7 +735,9 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.date_trunc("week", ts_timestamp(ev_raw)).alias("week"),
     )
-    user_weeks = ev.distinct()
+    # two consumers (first-seen aggregate + the cell join): one events
+    # scan + wide DISTINCT instead of three (round-13 rescan rule)
+    user_weeks = ev.distinct().localCheckpoint(eager=False)
     first = user_weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     joined = user_weeks.join(first, "user_id")
     per_cell = joined.select(
@@ -1401,6 +1403,12 @@ def ts_sliding_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle too). dau1 (same-day actives) rides along for ratio reads.
     """
     ev = load_table(spark, sf_dir, "events")
+    # ud has three consumers (active-day list, window contributions,
+    # dau1) — a localCheckpoint here was tried in the round-13
+    # optimization pass and REVERTED on measurement (warmed A/B at
+    # sf0.1: 0.82 → 0.92 s): the (user, day) distinct is tiny and the
+    # materialization round-trip costs more than the repeated
+    # scan+distinct. The recomputation-wins branch of the rescan rule.
     ud = ev.select("user_id", F.to_date(ts_timestamp(ev)).alias("day")).distinct()
     days = ud.select("day").distinct()
     contrib = ud.select(

@@ -632,8 +632,14 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     and shares are windows over the |types|-row aggregate.
     """
     ev = load_table(spark, sf_dir, "events")
-    days = ev.select("event_type", ts_micros(ev).alias("us")).select(
-        "event_type", F.expr("us DIV 86400000000").alias("day")
+    days = (
+        ev.select("event_type", ts_micros(ev).alias("us"))
+        .select("event_type", F.expr("us DIV 86400000000").alias("day"))
+        # two consumers (range scalar + the half-tagging pass): one
+        # events scan instead of four (round-13 rescan rule; the
+        # projection is cheap but the repeated parquet scans are not
+        # at 100 TB)
+        .localCheckpoint(eager=False)
     )
     rng = days.agg(
         F.min("day").alias("d0"), F.max("day").alias("d1")

@@ -1141,8 +1141,14 @@ _PLANNED_NEXT_FRONT: list[str] = [
     # its closure hash, so it takes graph_pagerank_exact's slot
     # (unchanged-stale, slides with the staleness tier)
     "dedup_fingerprint_overlap",
-    "stream_foreachbatch_upsert",
-    "stream_topk_complete", "stream_python_datasource",
+    # round-13 optimization blast (second wave): dq_distribution_drift
+    # and rec_popularity_baseline gained single-materialization scans;
+    # ts_sliding_dau carries a pinned revert measurement. They take the
+    # slots of the three unchanged-stale r05 stream entries
+    # (stream_foreachbatch_upsert, stream_topk_complete,
+    # stream_python_datasource — slide to the next staleness tier).
+    "dq_distribution_drift", "rec_popularity_baseline",
+    "ts_sliding_dau",
     # oldest r06 entries (6) — seq_pattern_triples, assoc_rules_pairs,
     # agg_weighted_median, seq_transition_matrix slide to r15: the four
     # depth-saturation-changed props oracles below took their slots.
