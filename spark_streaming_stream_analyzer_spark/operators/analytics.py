@@ -3198,6 +3198,11 @@ def ts_backtest_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", F.expr(f"us DIV {SEQ_DAY_US}").alias("day"))
         .groupBy("event_type", "day")
         .agg(F.count("*").alias("x"))
+        # three consumers (current day + both lag sides): the full
+        # scan + day aggregate materializes once into a tiny
+        # |types|·|days| table instead of executing three times
+        # (round-13 rescan rule)
+        .localCheckpoint(eager=False)
     )
     cur = daily.alias("c")
     l1 = daily.alias("l1")
@@ -4212,7 +4217,11 @@ def ts_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ties break on the smaller lag; types with NO positive-correlation
     lag report lag NULL — decidable either way.
     """
-    acf = ts_autocorr_lag(spark, sf_dir)
+    # two consumers (positive-lag pick + the all-types scaffold) of an
+    # expensive delegate (ts_autocorr_lag re-scans events per lag):
+    # materialize its tiny |types|·7-row output once (round-13 rescan
+    # rule)
+    acf = ts_autocorr_lag(spark, sf_dir).localCheckpoint(eager=False)
     pos = acf.filter(
         (F.col("r_sign") > 0) & F.col("r2_ppm").isNotNull()
     )

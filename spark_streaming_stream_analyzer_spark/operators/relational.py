@@ -1664,6 +1664,13 @@ def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     day = F.to_date(ts_timestamp(ev))
+    # ev has three consumers (daily means, span scalar, user list) — a
+    # localCheckpoint of the projection was tried in the round-13
+    # optimization pass and REVERTED on measurement (warmed A/B at
+    # sf0.1: 0.88 → 0.99 s): each consumer prunes to a different
+    # column subset, so the three pushed-down scans beat one fat
+    # materialization. The different-pushdown branch of the rescan
+    # rule.
     daily = (
         ev.select("user_id", day.alias("day"), "value")
         .groupBy("user_id", "day")

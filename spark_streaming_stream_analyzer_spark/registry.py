@@ -1158,8 +1158,15 @@ _PLANNED_NEXT_FRONT: list[str] = [
     # blast rule outranks staleness for the slot. NOTE the authoritative
     # r14 front is the r14-relational-contract branch's — this list
     # stands only if round 14 does not merge that branch first.
-    "approx_aggs", "string_funcs", "sort_pareto_front",
-    "set_ops_all", "agg_value_deciles", "ts_resample_interp",
+    "approx_aggs", "string_funcs",
+    # round-13 optimization blast (third wave): ts_backtest_snaive /
+    # ts_dominant_period materialize their repeated day-grain /
+    # ACF subtrees once; ts_resample_ffill carries a pinned revert
+    # measurement. They take the slots of sort_pareto_front,
+    # set_ops_all and agg_value_deciles (unchanged-stale r06, slide
+    # to the next staleness tier).
+    "ts_backtest_snaive", "ts_dominant_period", "ts_resample_ffill",
+    "ts_resample_interp",
     # r13 changed surface outside the r13 front: the _props_depth_sql
     # saturation fix (ADVICE r12) rewrote the parseable-props shadow in
     # 5 oracles; json_key_inventory is already in _VERIFY_FIRST, these
