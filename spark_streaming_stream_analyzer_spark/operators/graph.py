@@ -217,6 +217,14 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle joins, the 100 TB-safe default. Node count is constant
     # across rounds, so one count decides the whole loop.
     bcast = labels.count() <= KCORE_BCAST_CAP
+    # NOTE (round-13 optimization pass): graph_kcore's two-peels-per-
+    # materialization trick was tried here and REVERTED on measurement
+    # (warmed A/B at sf0.1: 15.6 → 19.8 s unchecked-mid, 16.7 s with a
+    # mid checkpoint). Unlike the peel (two broadcast lookups on a
+    # static edge list), a propagation round is join+agg+join REAL
+    # work consumed twice inside a fused pair — CC's rounds are
+    # work-bound, not driver-latency-bound, so per-round
+    # materialization stays.
     while True:
         lab_b = F.broadcast(labels) if bcast else labels
         nbr_min = (
