@@ -727,6 +727,14 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # grain instead of re-shuffling the gram table twice). Docs below
     # NOVELTY_N words have an empty gram array and are filtered — the
     # same rows the old explode-first form dropped.
+    # Measured both regimes (round 13): warmed interleaved A/B at
+    # sf0.1 3.44 → 2.57 s (win); COLD interleaved pairs ~2.5 → ~3.1 s
+    # (loss) — the single-file fixture runs the scan (and therefore
+    # the array_distinct) on ONE core, where the old form's distinct
+    # parallelized post-exchange. Kept anyway: at any real scan
+    # parallelism the removed gram-table shuffle + join win outright,
+    # and the local cold loss is a one-task fixture artifact, not a
+    # plan property.
     per_doc = docs.select(
         "doc_id", F.array_distinct(grams).alias("gs")
     ).filter(F.size("gs") > 0)
