@@ -13,6 +13,7 @@ Usage: python scripts/optbench.py q1 q2 ... [--reps N] [--sf DIR]
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import statistics
@@ -26,14 +27,19 @@ from spark_streaming_stream_analyzer_spark.session import get_spark  # noqa: E40
 
 
 def main() -> int:
-    names = [a for a in sys.argv[1:] if not a.startswith("--")]
-    reps = 5
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    for a in sys.argv[1:]:
-        if a.startswith("--reps="):
-            reps = int(a.split("=", 1)[1])
-        elif a.startswith("--sf="):
-            sf_dir = a.split("=", 1)[1]
+    # argparse (round-14 ADVICE fix): the hand-rolled loop silently
+    # ignored misspelled '--' flags and crashed on the space-separated
+    # forms its own usage string advertised.
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("names", nargs="+", metavar="query")
+    p.add_argument("--reps", type=int, default=5)
+    p.add_argument(
+        "--sf",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+        dest="sf_dir",
+    )
+    args = p.parse_args()
+    names, reps, sf_dir = args.names, args.reps, args.sf_dir
     spark = get_spark("optbench")
     spark.sparkContext.setLogLevel("ERROR")
     out = {}

@@ -719,31 +719,31 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         word_kgrams(words, NOVELTY_N), lambda g: hash64(g)
     )
     # per-doc dedup happens ARRAY-SIDE (array_distinct), so the global
-    # DISTINCT exchange on (doc_id, gh) never exists, the per-doc
-    # distinct-gram count is a local size(), and the only big-table
-    # shuffle left is the map-side-combined min-per-hash aggregate
-    # (round-13 optimization: 4 exchanges of the gram stream → 1; the
-    # novel counts come back as a per-doc aggregate joined at |docs|
-    # grain instead of re-shuffling the gram table twice). Docs below
-    # NOVELTY_N words have an empty gram array and are filtered — the
-    # same rows the old explode-first form dropped.
-    # Measured both regimes (round 13): warmed interleaved A/B at
-    # sf0.1 3.44 → 2.57 s (win); COLD interleaved pairs ~2.5 → ~3.1 s
-    # (loss) — the single-file fixture runs the scan (and therefore
-    # the array_distinct) on ONE core, where the old form's distinct
-    # parallelized post-exchange. Kept anyway: at any real scan
-    # parallelism the removed gram-table shuffle + join win outright,
-    # and the local cold loss is a one-task fixture artifact, not a
-    # plan property.
-    per_doc = docs.select(
-        "doc_id", F.array_distinct(grams).alias("gs")
-    ).filter(F.size("gs") > 0)
-    sizes = per_doc.select(
-        "doc_id", F.size("gs").cast("long").alias("n_distinct_grams")
+    # DISTINCT exchange on (doc_id, gh) never exists and the only
+    # big-table shuffle is the map-side-combined min-per-hash
+    # aggregate (round-13 optimization: 4 exchanges of the gram
+    # stream → 1). Round 14 closes round 13's cold regression (driver
+    # interleave: old 2.42 s vs r13 2.90 s): the r13 form's
+    # `filter(size(gs) > 0)` was PUSHED BELOW the parallelizing
+    # round-robin exchange, so the whole gram mint ran on the single
+    # scan task (one core), and the two branches' differing pushed
+    # filters also defeated ReuseExchange (two parquet scans). Fix:
+    # no array-side filter at all — per-doc distinct-gram counts come
+    # from the exploded stream (count per doc_id, partial-aggregated
+    # to |docs| rows per task before its exchange), which an
+    # aggregation boundary keeps above the repartition; docs below
+    # NOVELTY_N words simply produce no exploded rows, exactly the
+    # rows the filter dropped. Both aggregate branches now share ONE
+    # scan + round-robin exchange (ReuseExchange) and mint grams
+    # 32-wide above it.
+    exploded = docs.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("gh")
+    )
+    sizes = exploded.groupBy("doc_id").agg(
+        F.count("*").alias("n_distinct_grams")
     )
     novel = (
-        per_doc.select("doc_id", F.explode("gs").alias("gh"))
-        .groupBy("gh")
+        exploded.groupBy("gh")
         .agg(F.min("doc_id").alias("first_doc"))
         .groupBy(F.col("first_doc").alias("doc_id"))
         .agg(F.count("*").alias("n_novel_grams"))
