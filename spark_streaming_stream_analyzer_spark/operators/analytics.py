@@ -497,7 +497,15 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         # two consumers (filter cells + exact-membership semi-join):
         # one orders scan + DISTINCT instead of two (round-13 rescan
-        # rule, same treatment the probe side got)
+        # rule, same treatment the probe side got).
+        # Round-14 adjudication of the r13 driver row's 1.73->3.17 s
+        # "regression": a controlled 3-way interleave (this form vs no
+        # materialization vs persist(MEMORY_AND_DISK)) measured
+        # cold mins 3.52 / 3.78 / 3.93 s and warmed medians
+        # 2.19 / 2.32 / 3.54 s — the checkpoint wins BOTH regimes, and
+        # the same-window bench interleave read old 2.575 s vs new
+        # 2.552 s. The driver row was a co-tenant spike (its own first
+        # reading that night: 7.28 s, rerun 2.58 s).
         .localCheckpoint(eager=False)
     )
     ks = F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("j")

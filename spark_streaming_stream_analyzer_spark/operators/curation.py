@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from ..functions.exact import cents
 from ..functions.hashing import hash64, hash64_sql
 from ..sources.tables import (
+    bcast_gated,
     load_documents_keyed,
     load_table,
     load_table_cpu,
@@ -156,7 +157,7 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = sh.filter(F.col("doc_id") >= N_BENCH_DOCS)
     tot = corpus.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     hits = (
-        corpus.join(F.broadcast(bench), "shingle")
+        corpus.join(bcast_gated(bench, sf_dir), "shingle")
         .groupBy("doc_id")
         .agg(
             F.countDistinct("shingle").alias("n_hit_shingles"),
@@ -478,7 +479,7 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("shingle")
     )
     capped = (
-        sh.join(F.broadcast(hot), "shingle", "left_anti")
+        sh.join(bcast_gated(hot, sf_dir), "shingle", "left_anti")
         .select("doc_id", hash64(F.col("shingle")).alias("sh"))
         .localCheckpoint(eager=False)
     )
@@ -560,7 +561,7 @@ def pipeline_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality = text_quality_score(spark, sf_dir).select(
         "doc_id", "quality_score"
     )
-    members = quality.join(F.broadcast(clusters), "doc_id")
+    members = quality.join(bcast_gated(clusters, sf_dir), "doc_id")
     best = members.groupBy("cluster_id").agg(
         F.count("*").alias("n_members"),
         F.max(
@@ -669,7 +670,7 @@ def fuzzy_pairs_symdelete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("members") > FUZZY_BLOCK_CAP)
         .select("k")
     )
-    capped = keyed.join(F.broadcast(hot), "k", "left_anti").localCheckpoint(
+    capped = keyed.join(bcast_gated(hot, sf_dir), "k", "left_anti").localCheckpoint(
         eager=False
     )
     a = capped.select(

