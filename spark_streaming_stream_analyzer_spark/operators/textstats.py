@@ -359,11 +359,18 @@ def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Round-13 optimization pass tried the third variant — rolling min
     # as W-1 shifted zip_withs + array_distinct, zero shuffles: it won
     # standalone (1.13 -> 0.83 s warmed) but LOST composed inside
-    # dedup_fingerprint_overlap (1.9-2.2 -> 2.4 s): the single-file
-    # fixture scan serializes the whole mint into one task before the
-    # consumer's checkpoint, where this form runs the window on 32.
-    # Honest-revert rule (approx_aggs precedent): measured composite
-    # wall decides; the window form stays.
+    # dedup_fingerprint_overlap (1.9-2.2 -> 2.4 s).
+    # Round-14 RE-MEASURE (VERDICT r13 item 3): the r13 explanation
+    # ("single-file scan serializes the mint into one task") is NOT
+    # the mechanism — the variant's plan puts the whole mint+explode
+    # ABOVE the parallelizing round-robin exchange (verified, 32-wide)
+    # with two FEWER exchanges than this form. Yet the composed loss
+    # reproduces with the order-correlated ambient noise de-correlated
+    # (both interleave orders, 6 rounds: window median ~2.0 s vs array
+    # ~3.2 s warmed). Measured composite wall decides; the window form
+    # stays, reason open (suspect: the array form re-evaluates the
+    # gram-mint subexpression chain per zip_with in the fused
+    # Generate, where this form hashes once and shuffles longs).
     ex = docs.select("doc_id", F.posexplode(hs).alias("pos", "h"))
     w = (
         Window.partitionBy("doc_id")
