@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from ..functions.exact import cents, cents_dec, sum_money
 from ..functions.ranking import global_cumsum
-from ..sources.tables import load_table, ts_micros, ts_timestamp
+from ..sources.tables import bcast_gated, load_table, ts_micros, ts_timestamp
 from .relational import AGG_SESSION_SQL
 
 _D18 = "decimal(18,0)"
@@ -3539,7 +3539,8 @@ def funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.col("us").alias("pus")
     )
     gaps = (
-        buys.join(F.broadcast(firsts), "user_id")
+        # |users|-sized firsts table (fact-derived): gated hint
+        buys.join(bcast_gated(firsts, sf_dir, "events"), "user_id")
         .filter(F.col("v0").isNotNull() & (F.col("pus") >= F.col("v0")))
         .groupBy("user_id")
         .agg((F.min("pus") - F.min("v0")).alias("gap_us"))
@@ -3939,7 +3940,8 @@ def cohort_ltv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     first = base.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     buys = base.filter(F.col("event_type") == "purchase")
     cells = (
-        buys.join(F.broadcast(first), "user_id")
+        # |users|-sized cohort table (fact-derived): gated hint
+        buys.join(bcast_gated(first, sf_dir, "events"), "user_id")
         .select(
             "cohort_week",
             (F.col("week") - F.col("cohort_week")).alias("age_weeks"),

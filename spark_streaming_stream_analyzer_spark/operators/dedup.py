@@ -376,7 +376,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("band", "band_key")
     )
     bands = bands_raw.join(
-        F.broadcast(hot_buckets), ["band", "band_key"], "left_anti"
+        bcast_gated(hot_buckets, sf_dir), ["band", "band_key"], "left_anti"
     )
     ba = bands.alias("ba")
     bb = bands.alias("bb")
