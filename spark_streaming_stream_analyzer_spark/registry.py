@@ -1037,45 +1037,33 @@ query("stream_ohlc_bars", _an.TS_OHLC_SQL)(_sp.stream_ohlc_bars)
 # (which always runs all of them).
 
 _VERIFY_FIRST: list[str] = [
-    # Round-13 rotation (VERDICT r12 item 1): ship the committed
-    # round-12 _PLANNED_NEXT_FRONT verbatim — every entry below is the
-    # exact list NOTES_r12 SS1 committed and vanilla-pre-flighted, and
-    # CORRECTNESS_r12 had zero reds to fold in. Composition: the four
-    # r12-front displacements (sql_recursive, agg_pivot, agg_unpivot,
-    # sql_exists_subquery), the staleness tier from the NOTES_r11 SS9
-    # ledger, the 3 CATKEY-changed writers + json_key_inventory +
-    # src_binary_files (r12 contracts), the 6 VECKEY-changed and 10
-    # DOCKEY-changed oracles outside the r12 front. This converts the
-    # 16 VECKEY/DOCKEY oracle changes from sweep evidence into driver
-    # evidence and keeps every driver green <=8 rounds old.
-    "sql_recursive",
-    "agg_pivot", "agg_unpivot", "sql_exists_subquery",
-    "text_chunk_overlap", "split_leakage_audit", "approx_median_hist",
-    "stream_windowed_wordcount", "stream_stream_join",
-    "stream_stream_left_join", "src_partition_prune",
-    "join_pit_training_assembly", "fn_event_time_pack", "ts_gap_stats",
-    "ts_rolling_window_1h", "src_schema_drift", "obs_pipeline_metrics",
-    "sink_compaction", "src_python_datasource", "fn_bitwise_pack",
-    "agg_boolean_pack", "fn_crypto_roundtrip", "agg_mode_qty",
-    "text_tfidf_topk", "join_salted_skew", "agg_sliding_window",
-    "sample_split_hash", "join_bloom_prefilter",
-    # CATKEY-changed writers (round-12 partition-key length contract)
-    "sink_parquet_roundtrip", "stream_file_sink",
-    "mm_scene_cut", "mm_audio_chunk",
-    "json_key_inventory",
-    "src_binary_files",
-    # the 6 VECKEY-changed oracles outside the r12 front (vec_id
-    # identity clause in the tier shadow, round 12)
-    "embedding_norms", "emb_pca_power", "emb_matryoshka_recall",
-    "emb_distance_histogram", "sim_kmeans_exact_cells",
-    "sim_ivf_exact_topk",
-    # the 10 DOCKEY-changed oracles outside the r12 front (keyed-
-    # documents shadow, round 12)
-    "doc_winnowing", "dedup_index_tuning_report", "text_ngram_novelty",
-    "text_vocab_growth", "sample_reservoir_group",
-    "pack_interleave_order", "pack_epoch_shuffle", "mm_phash_dedup",
-    "mm_shard_manifest", "mm_byte_histogram",
+    # Round-14 rotation (VERDICT r13 correctness-gate convention):
+    # ship the committed round-13 _PLANNED_NEXT_FRONT verbatim — the
+    # r04/r05 staleness tiers plus every round-13-restructured kernel
+    # (all 22 changed kernels get their independent driver row this
+    # round, per the blast rule). CORRECTNESS_r13 had zero reds to
+    # fold in.
+    "q2_min_cost_supplier", "q8_market_share", "q9_product_profit",
+    "q13_customer_distribution", "q15_top_supplier",
+    "q17_small_quantity_revenue", "q18_large_volume_customer",
+    "q22_idle_customers", "q16_part_supplier_counts",
+    "q20_part_promotion_suppliers", "q11_important_values",
+    "q12_late_priority_counts", "q21_waiting_suppliers", "approx_cms_topk",
+    "approx_distinct_merge", "text_repetition_metrics", "sample_rebalance",
+    "sample_weighted", "corpus_mixture_stats", "graph_connected_components",
+    "graph_kcore", "graph_triangle_count", "graph_bfs_distances",
+    "pipeline_doc_scorecard", "fn_bloom_portable", "feature_chi2_select",
+    "approx_kmv_jaccard", "ts_anomaly_mad", "assoc_rules_pairs",
+    "text_source_similarity", "graph_degree_assortativity",
+    "rec_copurchase_topk", "approx_distinct_intersect", "cohort_retention",
+    "ts_rollup_hierarchy", "incremental_agg_merge",
+    "dedup_fingerprint_overlap", "dq_distribution_drift",
+    "rec_popularity_baseline", "ts_sliding_dau", "approx_aggs",
+    "string_funcs", "ts_backtest_snaive", "ts_dominant_period",
+    "ts_resample_ffill", "ts_resample_interp", "fn_json_get_string",
+    "fn_cast_string_double", "fn_variant_json", "null_handling",
 ]
+
 
 # The driver verifies exactly the first 50 dict entries per round; a
 # 51st _VERIFY_FIRST entry silently falls outside the front while the
@@ -1096,84 +1084,39 @@ _VERIFY_FRONT_BUDGET = 50
 # changed since the committed manifest must sit in _VERIFY_FIRST or
 # here — never silently outside both.
 _PLANNED_NEXT_FRONT: list[str] = [
-    # r04 tier — TPC-H remainder, approx sketches, curation pack.
-    # text_decontaminate / text_pii_redact / pipeline_keep_best /
-    # pack_token_budget (unchanged-stale) slid to the r16 tier: the
-    # four INTADV-changed graph queries below took their slots per the
-    # blast rule (round-13 INTADV lockstep fixes — node-encode domain
-    # gate, &1 decode, integer-exact wedge halving; join_salted_skew's
-    # pmod fix rides the r13 _VERIFY_FIRST directly).
-    "q2_min_cost_supplier", "q8_market_share", "q9_product_profit",
-    "q13_customer_distribution", "q15_top_supplier",
-    "q17_small_quantity_revenue", "q18_large_volume_customer",
-    "q22_idle_customers", "q16_part_supplier_counts",
-    "q20_part_promotion_suppliers", "q11_important_values",
-    "q12_late_priority_counts", "q21_waiting_suppliers",
-    "approx_cms_topk", "approx_distinct_merge",
-    "text_repetition_metrics", "sample_rebalance",
-    "sample_weighted", "corpus_mixture_stats",
-    "graph_connected_components", "graph_kcore",
-    "graph_triangle_count", "graph_bfs_distances",
-    # r05 tier (17) — includes every entry that slid out of the r13
-    # front during the r12 DOCKEY/VECKEY/CATKEY rotations
-    # round-13 OPTIMIZATION blast swaps: five kernels restructured for
-    # performance (values re-proven identical vs their unchanged
-    # oracles at sf0.01 AND sf0.1, see OPTIMIZATION_r13.md) take the
-    # slots of five unchanged-stale r05 entries
-    # (text_char_ngram_profile, skew_key_profile, ts_ewma_recent,
-    # dq_day_over_day, sample_group_holdout, then sample_stratified_
-    # topn, udtf_chunk_docs, scd2_intervals, dq_constraint_audit,
-    # graph_degree_histogram — they slide to the next staleness tier;
-    # the blast rule outranks staleness for a slot).
-    # q21_waiting_suppliers / text_repetition_metrics (also
-    # restructured) already ride this front; text_ngram_novelty rides
-    # _VERIFY_FIRST.
-    "pipeline_doc_scorecard", "fn_bloom_portable",
-    "feature_chi2_select", "approx_kmv_jaccard", "ts_anomaly_mad",
-    "assoc_rules_pairs", "text_source_similarity",
-    "graph_degree_assortativity", "rec_copurchase_topk",
-    "approx_distinct_intersect",
-    "cohort_retention", "ts_rollup_hierarchy",
-    "incremental_agg_merge",
-    # dedup_fingerprint_overlap delegates to doc_winnowing, whose
-    # round-13 zero-shuffle variant was tried, measured, and reverted
-    # (comment pinned in the kernel) — the revert comment alone flips
-    # its closure hash, so it takes graph_pagerank_exact's slot
-    # (unchanged-stale, slides with the staleness tier)
-    "dedup_fingerprint_overlap",
-    # round-13 optimization blast (second wave): dq_distribution_drift
-    # and rec_popularity_baseline gained single-materialization scans;
-    # ts_sliding_dau carries a pinned revert measurement. They take the
-    # slots of the three unchanged-stale r05 stream entries
-    # (stream_foreachbatch_upsert, stream_topk_complete,
-    # stream_python_datasource — slide to the next staleness tier).
-    "dq_distribution_drift", "rec_popularity_baseline",
-    "ts_sliding_dau",
-    # oldest r06 entries (6) — seq_pattern_triples, assoc_rules_pairs,
-    # agg_weighted_median, seq_transition_matrix slide to r15: the four
-    # depth-saturation-changed props oracles below took their slots.
-    # string_funcs replaces src_synthetic_gen (unchanged-stale, slides
-    # with the r16 staleness tier): its kernel changed in the round-13
-    # STRADV lockstep fix (NULL-propagating brand_type concat) and the
-    # blast rule outranks staleness for the slot. NOTE the authoritative
-    # r14 front is the r14-relational-contract branch's — this list
-    # stands only if round 14 does not merge that branch first.
-    "approx_aggs", "string_funcs",
-    # round-13 optimization blast (third wave): ts_backtest_snaive /
-    # ts_dominant_period materialize their repeated day-grain /
-    # ACF subtrees once; ts_resample_ffill carries a pinned revert
-    # measurement. They take the slots of sort_pareto_front,
-    # set_ops_all and agg_value_deciles (unchanged-stale r06, slide
-    # to the next staleness tier).
-    "ts_backtest_snaive", "ts_dominant_period", "ts_resample_ffill",
-    "ts_resample_interp",
-    # r13 changed surface outside the r13 front: the _props_depth_sql
-    # saturation fix (ADVICE r12) rewrote the parseable-props shadow in
-    # 5 oracles; json_key_inventory is already in _VERIFY_FIRST, these
-    # 4 take planned-front slots per the blast-radius rule
-    "fn_json_get_string", "fn_cast_string_double", "fn_variant_json",
-    "null_handling",
+    # Round-15 planned front, computed mechanically at the end of the
+    # round-14 optimization pass: FIRST the 22 blast-rule entries —
+    # every kernel whose closure hash changed in round 14 (the
+    # text_ngram_novelty restructure; the bcast_gated size-gate hint
+    # sites; kernels that only gained pinned-measurement comments —
+    # a comment flips the closure hash and the blast rule is
+    # deliberately hash-driven, never judgment-driven) that is NOT in
+    # the r14 front above; THEN the staleness fill — scan
+    # CORRECTNESS_r01..r13, assume the r14 front goes green, sort the
+    # remainder by (last green round, registry position), take the
+    # oldest 28 (last-green histogram: 2 x r04, 14 x r05, 12 x r06;
+    # includes every entry the r13 notes recorded as slid).
+    "cohort_ltv_matrix", "dedup_containment", "dedup_index_tuning_report",
+    "dedup_minhash_lsh", "dedup_minhash_quality", "dedup_ngram_jaccard",
+    "dedup_prefix_filter_join", "doc_winnowing", "funnel_latency_quantiles",
+    "fuzzy_pairs_symdelete", "graph_jaccard_capped",
+    "graph_jaccard_neighbors", "join_bloom_prefilter",
+    "pipeline_dedup_filter", "pipeline_keep_best",
+    "pipeline_text_features_fused", "sample_word_subsample", "sim_srp_topk",
+    "split_leakage_audit", "text_decontaminate", "text_lexical_rarity",
+    "text_ngram_novelty", "text_pii_redact", "pack_token_budget",
+    "text_char_ngram_profile", "sample_stratified_topn", "udtf_chunk_docs",
+    "scd2_intervals", "dq_constraint_audit", "skew_key_profile",
+    "ts_ewma_recent", "dq_day_over_day", "sample_group_holdout",
+    "graph_pagerank_exact", "graph_degree_histogram",
+    "stream_foreachbatch_upsert", "stream_topk_complete",
+    "stream_python_datasource", "src_synthetic_gen", "sort_pareto_front",
+    "set_ops_all", "agg_value_deciles", "seq_pattern_triples",
+    "agg_weighted_median", "seq_transition_matrix", "ts_autocorr_lag",
+    "agg_theil_sen", "ts_peak_prominence", "agg_gini_impurity",
+    "seq_training_windows",
 ]
+
 
 
 def _reorder() -> None:
