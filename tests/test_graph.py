@@ -451,7 +451,7 @@ def test_cap_neighbors_binds_on_hub(spark):
     assert k1 == k2
 
 
-def test_jaccard_census_sound_when_cap_binds(spark):
+def test_jaccard_census_sound_when_cap_binds(spark, sf_dir):
     """The regime the capped op exists for: two hubs a=1, b=2 share
     hundreds of degree-2 common neighbors, all above the cap. Without
     the re-symmetrize step, every common neighbor w KEEPS both hubs
@@ -479,7 +479,9 @@ def test_jaccard_census_sound_when_cap_binds(spark):
         capped.select(F.col("v").alias("u"), F.col("u").alias("v")),
         ["u", "v"],
     )
-    rows = gr._jaccard_census(sym).collect()
+    # sf_dir feeds the broadcast size gate only (round-14); any real
+    # fixture dir keeps the synthetic-graph census broadcast-hinted
+    rows = gr._jaccard_census(sym, sf_dir).collect()
     assert rows  # the census still produces pairs
     degs = {
         r["u"]: r["deg"]
