@@ -339,6 +339,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lineage, spills to disk instead of pinning the signature table in
     # executor memory, and needs no separate count action — the same
     # pattern dedup_cluster_keep already uses for its fixpoint rounds.
+    # Round-14 eager-vs-lazy A/B: lazy (eager=False) won warmed
+    # (medians 2.87 vs 5.02 s — eager's separate materialization job
+    # caught 3/5 ambient bursts) but LOST cold fresh-session (4.48/
+    # 5.72 vs 3.51/4.02 s). No variant wins both regimes; the
+    # driver's bench is cold, so eager stays.
     wide = _signatures(spark, sf_dir).localCheckpoint()
     # Band key = xxhash64 of the band's min-hash columns (JVM-side,
     # codegen), not a concat_ws string: the key exists only to be
